@@ -1,0 +1,53 @@
+"""Table loading (SURVEY.md §2.1 scans).
+
+One parquet file per table per scale-factor directory (TESTDATA.md).
+``table()`` is a bare ``spark.read.parquet`` — columnar, vectorized,
+pushdown-capable; Catalyst prunes columns and pushes predicates into the
+scan, so callers never pre-filter. At 100 TB the same call reads a
+partitioned directory tree instead of one file; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Timestamp semantics must match the (timezone-naive) DuckDB oracle no
+    # matter what session the driver hands us.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # The driver may hand us a session without this conf; it is a
+        # runtime-settable SQLConf, so set it here before the read.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) parquet, read as nanos-long via
+        # spark.sql.legacy.parquet.nanosAsLong; normalize to µs timestamp —
+        # same truncation DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP,
+        # so oracle comparisons see identical instants (FIXTURES.md).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}

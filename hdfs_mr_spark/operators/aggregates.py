@@ -1,0 +1,370 @@
+"""Aggregations (SURVEY.md §2.4).
+
+MR heritage: reduce == aggregation, combiner == map-side partial agg.
+Catalyst emits partial/final HashAggregate pairs automatically, so every
+query here ships a map-side combine for free — at 100 TB the shuffle
+carries one row per (partition × group), not per input row.
+
+Determinism: all checked double aggregates go through the decimal-exact
+``dsum``/``davg`` kernel (see hdfs_mr_spark.exprs) so results are
+order-independent and hash-match the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hdfs_mr_spark.exprs import DEC, davg, dsum, sql_davg, sql_dsum
+from hdfs_mr_spark.io import table
+from hdfs_mr_spark.registry import query
+
+_FAM = "2.4 aggregations"
+
+
+# --- flagship: TPC-H Q1 shape (also wired as entry()) ----------------------
+
+FLAGSHIP_CUTOFF = "1998-09-02"
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag, l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{FLAGSHIP_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("agg_groupby", oracle=_Q1_ORACLE, family=_FAM, tags=("flagship",))
+def agg_groupby(spark, sf_dir):
+    """Pricing summary by (returnflag, linestatus) — hash agg, multi-key,
+    multi-measure; the generalized word-count of the MR world."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(FLAGSHIP_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+SELECT
+  COUNT(*) AS n_rows,
+  {sql_dsum('l_extendedprice')} AS sum_price,
+  {sql_davg('l_quantity')} AS avg_qty,
+  MIN(l_extendedprice) AS min_price,
+  MAX(l_extendedprice) AS max_price,
+  MIN(l_shipdate) AS first_ship,
+  MAX(l_shipdate) AS last_ship
+FROM lineitem
+""",
+    family=_FAM,
+)
+def agg_global(spark, sf_dir):
+    """Ungrouped aggregate — the single-reducer MR job."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        davg(F.col("l_quantity")).alias("avg_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+ORDER BY o_custkey
+""",
+    family=_FAM,
+)
+def agg_having(spark, sf_dir):
+    """Post-aggregation filter (HAVING)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(DISTINCT l_suppkey) AS n_supps,
+  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sum_distinct_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    family=_FAM,
+)
+def agg_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) / SUM(DISTINCT) — the two-stage MR dedup-then-agg job."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.sum_distinct(F.col("l_quantity").cast(DEC))
+            .cast("double")
+            .alias("sum_distinct_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("agg_approx_distinct", oracle=None, family=_FAM)  # approx => rows-only (SURVEY §2.4 ⚠)
+def agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct count — the 100 TB cardinality estimator.
+    Approximate, so no hash oracle; exact companion is agg_distinct."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+SELECT
+  o_custkey,
+  list_sort(list_distinct(array_agg(o_orderpriority))) AS priorities,
+  list_sort(array_agg(o_orderkey)) AS order_keys
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+    family=_FAM,
+)
+def agg_collect(spark, sf_dir):
+    """Group values into arrays — the MR inverted-index shape. Arrays are
+    sorted on both sides: collect order is nondeterministic under parallelism."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+SELECT r_name, n_name, COUNT(*) AS n_supps, {sql_dsum('s_acctbal')} AS total_bal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+""",
+    family=_FAM,
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical subtotals region -> nation -> grand total."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_supps"), dsum(F.col("s_acctbal")).alias("total_bal"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT c_mktsegment, n_name, COUNT(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (c_mktsegment, n_name)
+ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST
+""",
+    family=_FAM,
+)
+def agg_cube(spark, sf_dir):
+    """All grouping combinations over (segment, nation)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .cube("c_mktsegment", "n_name")
+        .agg(F.count("*").alias("n_cust"))
+        .orderBy(
+            F.col("c_mktsegment").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT
+  l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+    family=_FAM,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit grouping sets with GROUPING() markers (SQL front-end path)."""
+    return spark.sql(
+        f"""
+SELECT
+  l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+  COUNT(*) AS n
+FROM parquet.`{sf_dir}/lineitem.parquet`
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+    )
+
+
+# --- numeric profiling: exact-decimal moment formulas -----------------------
+# var/std/corr are derived from decimal-exact sums so both engines run the
+# *same* scalar double expression over identical inputs => bit-equal.
+
+def _sql_moments(x: str, y: str) -> str:
+    # scale=4 for squares/cross-products: |x²| ~ 1e10, so scale 8 would
+    # push the decimal scaling past 2^53 and engines could round apart.
+    sx, sy = sql_dsum(x), sql_dsum(y)
+    sxx = sql_dsum(f"{x} * {x}", 4)
+    syy = sql_dsum(f"{y} * {y}", 4)
+    sxy = sql_dsum(f"{x} * {y}", 4)
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    var_x = f"(({sxx}) - ({sx}) * ({sx}) / {n}) / ({n} - 1)"
+    var_y = f"(({syy}) - ({sy}) * ({sy}) / {n}) / ({n} - 1)"
+    cov = f"(({sxy}) - ({sx}) * ({sy}) / {n}) / ({n} - 1)"
+    return f"""
+SELECT
+  l_returnflag,
+  COUNT(*) AS n,
+  {var_x} AS var_price,
+  SQRT({var_x}) AS std_price,
+  {cov} AS cov_price_qty,
+  {cov} / SQRT(({var_x}) * ({var_y})) AS corr_price_qty,
+  quantile_cont(l_quantity, 0.5) AS p50_qty,
+  quantile_cont(l_quantity, 0.9) AS p90_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_stats", oracle=_sql_moments("l_extendedprice", "l_quantity"), family=_FAM)
+def agg_stats(spark, sf_dir):
+    """stddev/variance/covariance/correlation/percentiles — computed from
+    decimal-exact moments so they hash-match the oracle (SURVEY §2.4)."""
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(x).alias("_sx"),
+        dsum(y).alias("_sy"),
+        dsum(x * x, 4).alias("_sxx"),
+        dsum(y * y, 4).alias("_syy"),
+        dsum(x * y, 4).alias("_sxy"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+    )
+    nd = F.col("n").cast("double")
+    var_x = (F.col("_sxx") - F.col("_sx") * F.col("_sx") / nd) / (nd - F.lit(1.0))
+    var_y = (F.col("_syy") - F.col("_sy") * F.col("_sy") / nd) / (nd - F.lit(1.0))
+    cov = (F.col("_sxy") - F.col("_sx") * F.col("_sy") / nd) / (nd - F.lit(1.0))
+    return (
+        agg.select(
+            "l_returnflag",
+            "n",
+            var_x.alias("var_price"),
+            F.sqrt(var_x).alias("std_price"),
+            cov.alias("cov_price_qty"),
+            (cov / F.sqrt(var_x * var_y)).alias("corr_price_qty"),
+            "p50_qty",
+            "p90_qty",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+SELECT
+  o_orderpriority,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    family=_FAM,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot order status into columns of counts."""
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    ).orderBy("o_orderpriority")

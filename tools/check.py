@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Run the local parity gate: every registered query vs its DuckDB oracle.
+
+Usage: python tools/check.py [--sf DIR] [name ...]
+Mirrors the driver's t2 check (row count + columns + exact values).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--family", default=None, help="substring filter on family")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from hdfs_mr_spark.check import check_query, oracle_connection
+    from hdfs_mr_spark.registry import all_specs
+    from hdfs_mr_spark.session import get_spark
+
+    specs = all_specs()
+    if args.names:
+        specs = {k: v for k, v in specs.items() if k in args.names}
+    if args.family:
+        specs = {k: v for k, v in specs.items() if args.family in v.family}
+
+    spark = get_spark("parity-check")
+    con = oracle_connection(args.sf)
+    n_pass = n_fail = 0
+    for name, spec in sorted(specs.items()):
+        t0 = time.time()
+        res = check_query(spec, spark, con, args.sf)
+        dt = time.time() - t0
+        mark = "PASS" if res.ok else "FAIL"
+        if res.ok:
+            n_pass += 1
+        else:
+            n_fail += 1
+        print(f"{mark} [{res.mode:9s}] {name:28s} {dt:6.2f}s  {res.detail}")
+    print(f"\n{n_pass} passed, {n_fail} failed / {len(specs)} checked @ {args.sf}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
