@@ -43,9 +43,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # so oracle comparisons see identical instants (FIXTURES.md).
         from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer `div`, not `/`: double division loses precision on ~1e18
+        # nanosecond epochs and lands ±1µs off DuckDB's truncating cast.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

@@ -1,1 +1,340 @@
-"""Placeholder — populated by later milestone."""
+"""Joins (SURVEY.md §2.3).
+
+MR heritage: reduce-side join = shuffle both inputs on the key;
+map-side join = hand-loaded small table. Here the same two strategies
+are explicit Spark plans: `broadcast()` hints for dim tables (no
+shuffle of the fact side — the 100 TB-critical choice) and shuffle
+joins (sort-merge / shuffle-hash, AQE picks at runtime) for big×big.
+The as-of join deliberately avoids a non-equi join: it's a
+union + ordered-window formulation that scales as one shuffle on
+(user_id) instead of an O(n·m) range probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hdfs_mr_spark.exprs import dsum, sql_dsum
+from hdfs_mr_spark.io import table
+from hdfs_mr_spark.registry import query
+
+_FAM = "2.3 joins"
+
+
+@query(
+    "join_broadcast_inner",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 200000
+""",
+    family=_FAM,
+)
+def join_broadcast_inner(spark, sf_dir):
+    """Map-side (broadcast hash) equi-join: small dim ships to every
+    executor; the fact table never shuffles."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_shuffle_inner",
+    oracle=f"""
+SELECT o_orderkey, o_orderstatus,
+       COUNT(*) AS n_lines,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > TIMESTAMP '2000-06-01 00:00:00'
+GROUP BY o_orderkey, o_orderstatus
+ORDER BY o_orderkey
+""",
+    family=_FAM,
+)
+def join_shuffle_inner(spark, sf_dir):
+    """Reduce-side join: both sides shuffled on the key (merge hint pins
+    the sort-merge strategy the MR shuffle corresponds to)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-06-01").cast("timestamp")
+    )
+    o = table(spark, sf_dir, "orders")
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def _orders_2001(spark, sf_dir):
+    return table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+
+
+_O2001 = "SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'"
+
+
+@query(
+    "join_left",
+    oracle=f"""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer LEFT JOIN ({_O2001}) o ON c_custkey = o_custkey
+""",
+    family=_FAM,
+)
+def join_left(spark, sf_dir):
+    """Left outer join — unmatched customers kept with null order side."""
+    c = table(spark, sf_dir, "customer")
+    o = _orders_2001(spark, sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right",
+    oracle=f"""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM ({_O2001}) o RIGHT JOIN customer ON o_custkey = c_custkey
+""",
+    family=_FAM,
+)
+def join_right(spark, sf_dir):
+    """Right outer join (mirror of join_left through the other side)."""
+    c = table(spark, sf_dir, "customer")
+    o = _orders_2001(spark, sf_dir)
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+WITH hi AS (SELECT c_custkey, COUNT(*) AS n_hi FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            WHERE o_totalprice > 350000 GROUP BY c_custkey),
+     lo AS (SELECT c_custkey, COUNT(*) AS n_lo FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            WHERE o_totalprice < 5000 GROUP BY c_custkey)
+SELECT COALESCE(hi.c_custkey, lo.c_custkey) AS custkey, n_hi, n_lo
+FROM hi FULL JOIN lo ON hi.c_custkey = lo.c_custkey
+""",
+    family=_FAM,
+)
+def join_full(spark, sf_dir):
+    """Full outer join between two partially-overlapping aggregates."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    base = c.join(o, c.c_custkey == o.o_custkey)
+    # distinct output names on each side avoid self-join attribute ambiguity
+    hi = (
+        base.filter(F.col("o_totalprice") > 350000)
+        .groupBy(F.col("c_custkey").alias("hi_key"))
+        .agg(F.count("*").alias("n_hi"))
+    )
+    lo = (
+        base.filter(F.col("o_totalprice") < 5000)
+        .groupBy(F.col("c_custkey").alias("lo_key"))
+        .agg(F.count("*").alias("n_lo"))
+    )
+    return hi.join(lo, hi.hi_key == lo.lo_key, "full").select(
+        F.coalesce(F.col("hi_key"), F.col("lo_key")).alias("custkey"), "n_hi", "n_lo"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+    family=_FAM,
+)
+def join_semi(spark, sf_dir):
+    """Left semi join — existence filter, no row multiplication."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    family=_FAM,
+)
+def join_anti(spark, sf_dir):
+    """Left anti join — customers with no orders at all."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+SELECT r_name, s.o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+""",
+    family=_FAM,
+)
+def join_cross(spark, sf_dir):
+    """Cartesian product of two (bounded) inputs."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    s = table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+SELECT b.band_name, p.p_partkey, p.p_retailprice
+FROM part p
+JOIN (VALUES ('budget', 0.0, 1200.0),
+             ('mid', 1200.0, 1700.0),
+             ('premium', 1700.0, 99999.0)) AS b(band_name, lo, hi)
+  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+""",
+    family=_FAM,
+)
+def join_theta_range(spark, sf_dir):
+    """Pure non-equi (theta) join: price-band assignment. The band table is
+    tiny so Spark plans BroadcastNestedLoopJoin — the right physical
+    strategy for non-equi against a literal dimension."""
+    p = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 1200.0), ("mid", 1200.0, 1700.0), ("premium", 1700.0, 99999.0)],
+        "band_name string, lo double, hi double",
+    )
+    return p.join(
+        F.broadcast(bands),
+        (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+    ).select("band_name", "p_partkey", "p_retailprice")
+
+
+@query(
+    "join_interval",
+    oracle="""
+SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate
+FROM orders JOIN lineitem
+  ON o_orderkey = l_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+WHERE o_orderpriority = '1-URGENT'
+""",
+    family=_FAM,
+)
+def join_interval(spark, sf_dir):
+    """Interval join: equi key + range residual (ship within 30 days of
+    order). The equi key carries the shuffle; the range is a cheap
+    post-filter — the scalable shape for interval joins."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = table(spark, sf_dir, "lineitem")
+    return o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.date_add(o.o_orderdate, 30)),
+    ).select("o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+
+
+@query(
+    "join_asof",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.ts,
+       v.event_id AS view_event_id, v.ts AS view_ts
+FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+QUALIFY row_number() OVER (
+  PARTITION BY p.event_id ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST
+) = 1
+""",
+    family=_FAM,
+)
+def join_asof(spark, sf_dir):
+    """As-of join: each purchase matched to the latest prior view of the
+    same user. Implemented as union + ordered window (last ignorenulls)
+    — one shuffle on user_id, no non-equi probe; this is the formulation
+    that survives 100 TB where a range join would quadratically blow up.
+    Ties on ts break by highest event_id, mirrored in the oracle."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("_kind"),
+        F.lit(None).cast("long").alias("view_event_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts",
+        F.lit(0).alias("_kind"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    u = p.unionByName(v)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("_kind").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("_last_view_id", F.last("view_event_id", ignorenulls=True).over(w))
+        .withColumn("_last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("_kind") == 1)
+        .select(
+            "event_id", "user_id", "ts",
+            F.col("_last_view_id").alias("view_event_id"),
+            F.col("_last_view_ts").alias("view_ts"),
+        )
+    )
+
+
+@query(
+    "join_multiway_star",
+    oracle=f"""
+SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+GROUP BY r_name, year(o_orderdate)
+ORDER BY r_name, order_year
+""",
+    family=_FAM,
+)
+def join_multiway_star(spark, sf_dir):
+    """4-way star join: dims broadcast in dependency order, the fact table
+    never shuffles until the final aggregation."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice")).alias("revenue"))
+        .orderBy("r_name", "order_year")
+    )

@@ -1,1 +1,105 @@
-"""Placeholder — populated by later milestone."""
+"""Set operations & exact dedup (SURVEY.md §2.7).
+
+MR heritage: bag union = multiple input dirs to one job; distinct =
+identity map + identity reduce. Dedup-by-key uses a deterministic
+row_number()=1 formulation instead of dropDuplicates (which keeps an
+arbitrary row under parallel execution — a correctness bug at any
+scale, invisible in single-threaded tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hdfs_mr_spark.io import table
+from hdfs_mr_spark.registry import query
+
+_FAM = "2.7 setops/dedup"
+
+
+def _hi(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def _auto(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+_HI = "SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000"
+_AUTO = "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'AUTOMOBILE'"
+
+
+@query("set_union_all", oracle=f"{_HI} UNION ALL {_AUTO}", family=_FAM)
+def set_union_all(spark, sf_dir):
+    """Bag union (duplicates kept) — MR: one job over two input dirs."""
+    return _hi(spark, sf_dir).unionByName(_auto(spark, sf_dir))
+
+
+@query("set_union_distinct", oracle=f"{_HI} UNION {_AUTO}", family=_FAM)
+def set_union_distinct(spark, sf_dir):
+    """Set union (duplicates collapsed)."""
+    return _hi(spark, sf_dir).unionByName(_auto(spark, sf_dir)).distinct()
+
+
+@query("set_intersect", oracle=f"{_HI} INTERSECT {_AUTO}", family=_FAM)
+def set_intersect(spark, sf_dir):
+    """INTERSECT (distinct semantics in both engines)."""
+    return _hi(spark, sf_dir).intersect(_auto(spark, sf_dir))
+
+
+@query("set_except", oracle=f"{_HI} EXCEPT ALL {_AUTO}", family=_FAM)
+def set_except(spark, sf_dir):
+    """EXCEPT ALL (bag difference)."""
+    return _hi(spark, sf_dir).exceptAll(_auto(spark, sf_dir))
+
+
+@query(
+    "dedup_exact_rows",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_quantity AS INTEGER) AS qty
+FROM lineitem
+""",
+    family=_FAM,
+)
+def dedup_exact_rows(spark, sf_dir):
+    """Whole-row distinct — planned as a hash aggregate, so it gets the
+    map-side partial dedup (combiner) for free."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_returnflag", "l_linestatus", F.col("l_quantity").cast("int").alias("qty")
+    ).distinct()
+
+
+@query(
+    "dedup_by_key",
+    oracle="""
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+""",
+    family=_FAM,
+)
+def dedup_by_key(spark, sf_dir):
+    """Keep the latest event per user — deterministic row_number()=1 with a
+    total-order tiebreaker (dropDuplicates is nondeterministic under
+    parallelism; never use it where results are checked)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id")
+    )

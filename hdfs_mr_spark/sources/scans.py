@@ -1,1 +1,185 @@
-"""Placeholder — populated by later milestone."""
+"""Scans, sources, sinks (SURVEY.md §2.1).
+
+The reference's storage surface is files-of-bytes (HDFS put/get); its
+record readers turn bytes into rows. Our equivalents are Spark's native
+readers — parquet (columnar, vectorized, pushdown), CSV/JSON with
+explicit schemas (the MR-native delimited-text formats), and raw text
+lines (the canonical `(offset, line)` record reader).
+
+CSV/JSON/text fixtures are derived deterministically from the parquet
+testdata into /tmp (testdata dirs are read-only); the DuckDB oracle
+reads the same derived files, so the comparison exercises the full
+serialize→scan→parse loop in both engines.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hdfs_mr_spark.io import table
+from hdfs_mr_spark.registry import query
+
+_FAM = "2.1 scans/sources/sinks"
+
+FIXTURE_ROOT = Path("/tmp/hdfs_mr_spark_fixtures")
+ORACLE_SF = "/root/testdata/sf0.01"  # t2 correctness scale (TESTDATA.md)
+
+
+def _fixture_dir(sf_dir: str) -> Path:
+    d = FIXTURE_ROOT / Path(sf_dir).name
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def materialize_fixtures(sf_dir: str) -> dict[str, str]:
+    """Derive csv/jsonl/text fixtures from the parquet tables (pure
+    pyarrow+stdlib — no Spark dependency, deterministic ordering)."""
+    import pyarrow.parquet as pq
+
+    d = _fixture_dir(sf_dir)
+    paths = {
+        "csv": d / "customer.csv",
+        "json": d / "events.jsonl",
+        "text": d / "documents.txt",
+    }
+    if all(p.exists() for p in paths.values()):
+        return {k: str(v) for k, v in paths.items()}
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet").to_pylist()
+    cust.sort(key=lambda r: r["c_custkey"])
+    with open(paths["csv"], "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"])
+        for r in cust:
+            w.writerow(
+                [r["c_custkey"], r["c_name"], r["c_nationkey"],
+                 f"{r['c_acctbal']:.2f}", r["c_mktsegment"]]
+            )
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    ).to_pylist()
+    ev.sort(key=lambda r: r["event_id"])
+    with open(paths["json"], "w") as f:
+        for r in ev:
+            f.write(json.dumps(r, sort_keys=True) + "\n")
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+    docs.sort(key=lambda r: r["doc_id"])
+    with open(paths["text"], "w") as f:
+        for r in docs:
+            f.write(r["text"].replace("\n", " ") + "\n")
+
+    return {k: str(v) for k, v in paths.items()}
+
+
+# Oracle strings reference the sf0.01 fixtures; make sure they exist even if
+# the driver runs the oracle before our spark callable.
+try:  # pragma: no cover - best effort at import
+    if os.path.isdir(ORACLE_SF):
+        materialize_fixtures(ORACLE_SF)
+except Exception:  # noqa: BLE001
+    pass
+
+_ORACLE_FIX = {k: str((_fixture_dir(ORACLE_SF) / p)) for k, p in
+               {"csv": "customer.csv", "json": "events.jsonl", "text": "documents.txt"}.items()}
+
+
+@query("scan_parquet", oracle="SELECT * FROM part", family=_FAM)
+def scan_parquet(spark, sf_dir):
+    """Typed columnar table scan — vectorized reader, pushdown-capable."""
+    return table(spark, sf_dir, "part")
+
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+
+@query(
+    "scan_csv",
+    oracle=f"""
+SELECT * FROM read_csv('{_ORACLE_FIX["csv"]}', header=true, columns={{
+  'c_custkey':'BIGINT','c_name':'VARCHAR','c_nationkey':'INTEGER',
+  'c_acctbal':'DOUBLE','c_mktsegment':'VARCHAR'}})
+""",
+    family=_FAM,
+)
+def scan_csv(spark, sf_dir):
+    """Schema-pinned CSV scan — the MR-native delimited-text record reader."""
+    path = materialize_fixtures(sf_dir)["csv"]
+    return spark.read.csv(path, header=True, schema=_CSV_SCHEMA)
+
+
+_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "scan_json",
+    oracle=f"""
+SELECT event_id, event_type, user_id, value
+FROM read_json('{_ORACLE_FIX["json"]}', format='newline_delimited', columns={{
+  'event_id':'BIGINT','event_type':'VARCHAR','user_id':'BIGINT','value':'DOUBLE'}})
+""",
+    family=_FAM,
+)
+def scan_json(spark, sf_dir):
+    """JSON-lines ingest with explicit schema (semi-structured path)."""
+    path = materialize_fixtures(sf_dir)["json"]
+    return spark.read.json(path, schema=_JSON_SCHEMA).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+
+
+@query(
+    "scan_text",
+    oracle=f"""
+SELECT * FROM read_csv('{_ORACLE_FIX["text"]}', delim='\\t', quote='', header=false,
+                       columns={{'value':'VARCHAR'}})
+""",
+    family=_FAM,
+)
+def scan_text(spark, sf_dir):
+    """Raw text-line scan — the `(offset, line)` record-reader analogue."""
+    path = materialize_fixtures(sf_dir)["text"]
+    return spark.read.text(path)
+
+
+@query(
+    "sink_parquet",
+    oracle="SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang",
+    family=_FAM,
+)
+def sink_parquet(spark, sf_dir):
+    """Partitioned parquet write + re-read — the MR "one output dir, N part
+    files" sink, upgraded to hive-style partition pruning. The re-read
+    aggregate is oracle-checked, so the round trip must be lossless."""
+    out = str(_fixture_dir(sf_dir) / "sink_documents.parquet")
+    docs = table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )
