@@ -39,7 +39,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.astype("datetime64[us]").astype(str)
+            # str(Timestamp) always renders 'YYYY-MM-DD HH:MM:SS[.ffffff]'
+            # (Series.astype(str) drops midnight times -> would mismatch
+            # the date-object normalization in _canon_cell)
+            df[c] = s.astype("datetime64[us]").map(
+                lambda x: "NULL" if pd.isna(x) else str(x)
+            )
         elif s.dtype == object:
             df[c] = s.map(_canon_cell)
     order_keys = [df[c].astype(str) for c in df.columns]
@@ -58,10 +63,16 @@ def _canon_cell(v):
 
     if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, np.generic):  # numpy scalar (e.g. float32) -> python
+        v = v.item()
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, datetime.datetime):
-        return v.isoformat()
+        return str(v)  # space separator, matches datetime64 astype(str)
+    if isinstance(v, datetime.date):
+        return f"{v.isoformat()} 00:00:00"  # DATE == midnight timestamp
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     if isinstance(v, dict):

@@ -1,1 +1,354 @@
-"""Placeholder — populated by later milestone."""
+"""Scalar function families (SURVEY.md §2.8).
+
+One oracle-checked query per family, exercising the listed functions
+over real testdata columns. Everything stays in Catalyst expressions
+(JVM-side, whole-stage-codegen) — no Python UDFs in any of these.
+
+Cross-engine semantics deltas handled here (verified empirically):
+- DuckDB dayofweek is 0=Sunday, Spark is 1=Sunday -> oracle adds 1
+- DuckDB date_trunc('month', ts) returns DATE -> oracle casts back
+- DuckDB regexp_replace needs 'g' to replace all (Spark default)
+- DuckDB ceil/floor/sign return types differ -> cast both sides
+- transcendentals (exp/log/pow) are not correctly-rounded in either
+  engine -> ROUND(...,6) on both sides (diff ~1e-16 vs 1e-6 granule)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hdfs_mr_spark.io import table
+from hdfs_mr_spark.registry import query
+
+_FAM = "2.8 scalar functions"
+
+
+@query(
+    "fn_string",
+    oracle="""
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       upper(p_brand) AS brand_upper,
+       trim(concat('  ', p_name, '  ')) AS trimmed,
+       substr(p_name, 1, 8) AS name_prefix,
+       concat(p_brand, ':', p_type) AS brand_type,
+       concat_ws('|', p_brand, p_type) AS brand_type_ws,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       string_split(p_name, ' ') AS name_tokens,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+       lpad(p_brand, 12, '_') AS brand_padded,
+       CAST(strpos(p_name, 'a') AS INTEGER) AS first_a
+FROM part
+""",
+    family=_FAM,
+)
+def fn_string(spark, sf_dir):
+    """String family: case/trim/substr/concat/split/regex/pad/instr."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type_ws"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.split("p_name", " ").alias("name_tokens"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.lpad("p_brand", 12, "_").alias("brand_padded"),
+        F.instr("p_name", "a").cast("int").alias("first_a"),
+    )
+
+
+@query(
+    "fn_string_distance",
+    oracle="""
+SELECT a.p_partkey,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+""",
+    family=_FAM,
+)
+def fn_string_distance(spark, sf_dir):
+    """Levenshtein edit distance between adjacent part names (the string-
+    similarity primitive behind fuzzy dedup)."""
+    a = table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_name").alias("name_a")
+    )
+    b = table(spark, sf_dir, "part").select(
+        (F.col("p_partkey") - 1).alias("join_key"), F.col("p_name").alias("name_b")
+    )
+    return a.join(b, a.p_partkey == b.join_key).select(
+        "p_partkey", "name_a", "name_b",
+        F.levenshtein("name_a", "name_b").cast("int").alias("edit_dist"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mon,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(o_orderdate AS DATE) + 7 AS week_later,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER)
+         AS days_to_2002,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+""",
+    family=_FAM,
+)
+def fn_date(spark, sf_dir):
+    """Date/time family: parts, trunc, arithmetic, last_day, epoch.
+    DuckDB dayofweek is 0-based from Sunday; Spark 1-based — oracle
+    shifts by one."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("yr"),
+        F.month(d).cast("int").alias("mon"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_add(F.to_date(d), 7).alias("week_later"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date(d))
+        .cast("int")
+        .alias("days_to_2002"),
+        F.last_day(F.to_date(d)).alias("month_end"),
+        F.unix_timestamp(d).cast("bigint").alias("epoch_s"),
+        F.to_date(d).alias("order_date"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+SELECT p_partkey, p_retailprice,
+       abs(p_retailprice - 1500.0) AS dist_from_mid,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       sqrt(p_retailprice) AS price_sqrt,
+       round(pow(CAST(p_size AS DOUBLE), 2.0), 6) AS size_sq,
+       round(exp(CAST(p_size AS DOUBLE) / 50.0), 6) AS size_exp,
+       round(ln(p_retailprice), 6) AS price_ln,
+       greatest(p_retailprice, 1500.0) AS at_least_mid,
+       least(p_retailprice, 1500.0) AS at_most_mid,
+       CAST(sign(p_retailprice - 1500.0) AS INTEGER) AS side_of_mid,
+       CAST(((p_size % 7) + 7) % 7 AS INTEGER) AS size_mod7
+FROM part
+""",
+    family=_FAM,
+)
+def fn_math(spark, sf_dir):
+    """Math family. sqrt is IEEE-correctly-rounded (exact both engines);
+    pow/exp/ln are not, so both sides round to 6 dp; pmod rendered as
+    ((a%b)+b)%b for DuckDB."""
+    p = table(spark, sf_dir, "part")
+    price, size = F.col("p_retailprice"), F.col("p_size")
+    return p.select(
+        "p_partkey", "p_retailprice",
+        F.abs(price - 1500.0).alias("dist_from_mid"),
+        F.ceil(price).cast("bigint").alias("price_ceil"),
+        F.floor(price).cast("bigint").alias("price_floor"),
+        F.sqrt(price).alias("price_sqrt"),
+        F.round(F.pow(size.cast("double"), F.lit(2.0)), 6).alias("size_sq"),
+        F.round(F.exp(size.cast("double") / 50.0), 6).alias("size_exp"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        F.greatest(price, F.lit(1500.0)).alias("at_least_mid"),
+        F.least(price, F.lit(1500.0)).alias("at_most_mid"),
+        F.signum(price - 1500.0).cast("int").alias("side_of_mid"),
+        F.pmod(size, F.lit(7)).cast("int").alias("size_mod7"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_discount,
+       CASE WHEN l_discount = 0.0 THEN 'none'
+            WHEN l_discount < 0.05 THEN 'low'
+            ELSE 'high' END AS discount_band,
+       COALESCE(NULLIF(l_returnflag, 'N'), 'NOT-RETURNED') AS return_desc,
+       CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS order_size
+FROM lineitem
+""",
+    family=_FAM,
+)
+def fn_conditional(spark, sf_dir):
+    """when/otherwise, coalesce, nullif, if — discount banding."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_discount",
+        F.when(F.col("l_discount") == 0.0, "none")
+        .when(F.col("l_discount") < 0.05, "low")
+        .otherwise("high")
+        .alias("discount_band"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("NOT-RETURNED"))
+        .alias("return_desc"),
+        F.when(F.col("l_quantity") >= 25, "bulk").otherwise("small").alias("order_size"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+SELECT d.doc_id,
+       CAST(len(e.embedding) AS INTEGER) AS dim,
+       CAST(e.embedding[1] AS DOUBLE) AS first_component,
+       list_transform(e.embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3,
+       list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         (acc, x) -> acc + x) AS sq_norm,
+       list_contains(string_split(d.text, ' '), 'data') AS mentions_data,
+       list_sort(list_distinct(string_split(d.text, ' '))) AS vocab,
+       CAST(len(list_filter(string_split(d.text, ' '), t -> length(t) > 4))
+            AS INTEGER) AS n_long_tokens
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+    family=_FAM,
+)
+def fn_array(spark, sf_dir):
+    """Array family + higher-order functions (transform/filter/aggregate)
+    over the 64-dim embeddings and tokenized text. The squared-norm fold
+    is a left fold from 0.0 in both engines — deterministic without
+    rounding. This is the JVM-side kernel the similarity ops reuse."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    toks = F.split(F.col("text"), " ")
+    emb = F.col("embedding")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        F.size(emb).cast("int").alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_component"),
+        F.transform(F.slice(emb, 1, 3), lambda x: x.cast("double")).alias("head3"),
+        F.aggregate(
+            emb,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        ).alias("sq_norm"),
+        F.array_contains(toks, "data").alias("mentions_data"),
+        F.sort_array(F.array_distinct(toks)).alias("vocab"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).cast("int").alias("n_long_tokens"),
+    )
+
+
+@query(
+    "fn_explode",
+    oracle="""
+SELECT doc_id, CAST(u.unnest[2] AS INTEGER) AS pos, u.unnest[1] AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d,
+     LATERAL unnest(list_zip(d.l, range(0, len(d.l)))) AS u(unnest)
+""",
+    family=_FAM,
+)
+def fn_explode(spark, sf_dir):
+    """posexplode: tokens -> (pos, token) rows — the word-count tokenizer
+    with ordinality."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+
+
+@query(
+    "fn_map_struct",
+    oracle="""
+SELECT event_id,
+       map_extract(map(['type','user'], [event_type, CAST(user_id AS VARCHAR)]),
+                   'type')[1] AS type_from_map,
+       list_sort(map_keys(map(['type','user'],
+                 [event_type, CAST(user_id AS VARCHAR)]))) AS mkeys,
+       struct_extract(struct_pack(etype := event_type, val := value), 'etype')
+         AS type_from_struct,
+       struct_extract(struct_pack(etype := event_type, val := value), 'val')
+         AS val_from_struct
+FROM events
+""",
+    family=_FAM,
+)
+def fn_map_struct(spark, sf_dir):
+    """map/struct construction and field access (scalars projected out so
+    the comparison is engine-neutral)."""
+    ev = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("user"), F.col("user_id").cast("string")
+    )
+    s = F.named_struct(F.lit("etype"), F.col("event_type"), F.lit("val"), F.col("value"))
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_from_map"),
+        F.sort_array(F.map_keys(m)).alias("mkeys"),
+        s.getField("etype").alias("type_from_struct"),
+        s.getField("val").alias("val_from_struct"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+SELECT event_id, props,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       CAST(to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INTEGER)))
+            AS VARCHAR) AS rebuilt
+FROM events
+""",
+    family=_FAM,
+)
+def fn_json(spark, sf_dir):
+    """JSON family: get_json_object / from_json / to_json over the
+    events.props JSON-string column."""
+    ev = table(spark, sf_dir, "events")
+    k_int = F.from_json(F.col("props"), "k INT").getField("k")
+    return ev.select(
+        "event_id", "props",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k_int.alias("k_int"),
+        F.to_json(F.named_struct(F.lit("k"), k_int)).alias("rebuilt"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+SELECT doc_id,
+       sha256(text) AS text_sha256,
+       md5(text) AS text_md5,
+       sha256(concat(lang, ':', text)) AS keyed_sha
+FROM documents
+""",
+    family=_FAM,
+)
+def fn_hash(spark, sf_dir):
+    """Content hashing (the HDFS block-checksum heritage; dedup keys)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.col("text")).alias("text_md5"),
+        F.sha2(F.concat(F.col("lang"), F.lit(":"), F.col("text")), 256).alias("keyed_sha"),
+    )
+
+
+@query("fn_hash_native", oracle=None, family=_FAM)  # Spark-specific hashes (SURVEY §2.8 ⚠)
+def fn_hash_native(spark, sf_dir):
+    """xxhash64 / crc32 / murmur hash — Spark-native (no DuckDB twin, so
+    rows-only check); these are the shuffle/dedup-key workhorses."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xxh64"),
+        F.crc32("text").alias("text_crc32"),
+        F.hash("text", "lang").alias("row_hash"),
+    )

@@ -1,1 +1,234 @@
-"""Placeholder — populated by later milestone."""
+"""Window functions (SURVEY.md §2.5).
+
+The MR analogue is the "secondary sort" idiom (partition by key, sort
+values in the reducer); Spark's WindowExec is that idiom as a first-
+class operator: one shuffle on the partition key, one in-partition
+sort, then a streaming frame evaluation. Per-group top-k additionally
+benefits from the WindowGroupLimit rule (Spark 3.5+/4.x) which pushes
+the k-limit below the shuffle.
+
+Determinism: every ordered window carries a total-order tiebreaker;
+rank-family queries that exercise *ties* never project row_number.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hdfs_mr_spark.exprs import DEC
+from hdfs_mr_spark.io import table
+from hdfs_mr_spark.registry import query
+
+_FAM = "2.5 windows"
+
+
+@query(
+    "win_row_number",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(row_number() OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+       ) AS BIGINT) AS seq
+FROM orders
+""",
+    family=_FAM,
+)
+def win_row_number(spark, sf_dir):
+    """Order sequence within each customer (total order => deterministic)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.row_number().over(w).cast("bigint").alias("seq"),
+    )
+
+
+@query(
+    "win_rank",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, price_bucket,
+       CAST(rank()        OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank()  OVER w AS BIGINT) AS drnk,
+       percent_rank()     OVER w AS prnk,
+       cume_dist()        OVER w AS cdist,
+       CAST(ntile(4)      OVER w AS BIGINT) AS quartile
+FROM (SELECT o_orderpriority, o_orderkey,
+             CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket
+      FROM orders)
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_bucket DESC, o_orderkey ASC)
+""",
+    family=_FAM,
+)
+def win_rank(spark, sf_dir):
+    """rank/dense_rank/percent_rank/cume_dist/ntile over a tie-prone
+    bucketed ordering (ties are the interesting case for rank family;
+    o_orderkey tiebreak keeps ntile deterministic)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("price_bucket"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("price_bucket").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderpriority", "o_orderkey", "price_bucket",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+SELECT user_id, event_id, ts,
+       lag(ts)  OVER w AS prev_ts,
+       lead(ts) OVER w AS next_ts,
+       epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+""",
+    family=_FAM,
+)
+def win_lag_lead(spark, sf_dir):
+    """Per-user event inter-arrival via lag/lead; the gap is integer
+    microseconds so the comparison is exact."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_spend
+FROM orders
+""",
+    family=_FAM,
+)
+def win_running_sum(spark, sf_dir):
+    """Cumulative spend per customer — decimal-exact inside the frame, so
+    the running values hash-match despite double inputs."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+SELECT user_id, event_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(38,8))) OVER w5 AS DOUBLE)
+         / COUNT(*) OVER w5 AS avg_last5,
+       CAST(SUM(CAST(value AS DECIMAL(38,8))) OVER wr AS DOUBLE)
+         / COUNT(*) OVER wr AS avg_last_hour
+FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+WINDOW
+  w5 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+  wr AS (PARTITION BY user_id ORDER BY ts_us ASC
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    family=_FAM,
+)
+def win_moving_avg(spark, sf_dir):
+    """Sliding mean two ways: last-5-rows frame and one-hour RANGE frame
+    over the epoch — time-series smoothing (decimal-exact numerators)."""
+    ev = table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w5 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, Window.currentRow)
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc())
+        .rangeBetween(-3600_000_000, Window.currentRow)
+    )
+    vdec = F.col("value").cast(DEC)
+    return ev.select(
+        "user_id", "event_id", "ts",
+        (F.sum(vdec).over(w5).cast("double") / F.count("*").over(w5)).alias("avg_last5"),
+        (F.sum(vdec).over(wr).cast("double") / F.count("*").over(wr)).alias("avg_last_hour"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey)  OVER w AS last_order,
+       first_value(o_orderdate) OVER w AS first_date,
+       last_value(o_orderdate)  OVER w AS last_date
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    family=_FAM,
+)
+def win_first_last(spark, sf_dir):
+    """first_value/last_value with an explicit unbounded frame (the default
+    frame would make last_value just the current row — classic footgun)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.first("o_orderdate").over(w).alias("first_date"),
+        F.last("o_orderdate").over(w).alias("last_date"),
+    )
+
+
+@query(
+    "win_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+) <= 3
+""",
+    family=_FAM,
+)
+def win_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer — the classic MR secondary-sort job.
+    Spark's WindowGroupLimit pushes the <=3 below the shuffle, so each
+    map task forwards at most 3 rows per group."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
