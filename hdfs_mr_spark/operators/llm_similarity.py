@@ -1,1 +1,220 @@
-"""Placeholder — populated by later milestone."""
+"""LLM-pipeline similarity search (SURVEY.md §2.11, mandate:
+"similarity search").
+
+Cosine top-k and all-pairs similarity over the 64-dim embedding column.
+The dot-product kernel is a JVM-side higher-order fold (zip_with +
+aggregate with an explicit 0.0 init) — identical left-fold order in
+Spark and DuckDB, so cosine values are bit-exact across engines with no
+rounding. No Python UDF anywhere on the hot path.
+
+Scale story: brute-force knn broadcasts the (small) query set so the
+big side never shuffles; the LSH variant buckets by sign-bit sketch so
+candidate generation is O(n) + per-bucket joins instead of O(n^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hdfs_mr_spark.io import table
+from hdfs_mr_spark.registry import query
+
+_FAM = "2.11 llm similarity"
+
+# DuckDB rendering of the same fold (verified: identical results)
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+_SQL_NORM = (
+    "SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(acc, x) -> acc + x))"
+)
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+@query(
+    "llm_sim_knn",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS nrm FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, n.vec_id,
+         {_SQL_DOT.format(a='q.qe', b='n.embedding')} / (q.qn * n.nrm) AS cosine
+  FROM q JOIN n ON n.vec_id <> q.qid
+)
+SELECT qid, vec_id, cosine,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC)
+            AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY qid, rank
+""",
+    family=_FAM,
+)
+def llm_sim_knn(spark, sf_dir):
+    """Brute-force exact top-5 cosine neighbors for 10 query vectors:
+    broadcast the queries, fold the dot product JVM-side, per-query
+    window top-k. The big side is scanned once, never shuffled — at
+    100 TB this is the exact-baseline every ANN variant is judged
+    against."""
+    e = table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    q = (
+        n.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    scored = (
+        n.join(F.broadcast(q), n.vec_id != q.qid)
+        .select(
+            "qid", "vec_id",
+            (_dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("qid", "rank")
+    )
+
+
+@query(
+    "llm_sim_pairs",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, label, embedding, {_SQL_NORM.format(a='embedding')} AS nrm FROM embeddings
+)
+SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label1, b.label AS label2,
+       {_SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.35
+ORDER BY v1, v2
+""",
+    family=_FAM,
+)
+def llm_sim_pairs(spark, sf_dir):
+    """All-pairs cosine similarity >= 0.35 (threshold sized to the
+    fixture's cosine distribution: max pairwise cosine is ~0.51) (embedding near-dup self-join).
+    Educational brute force at fixture scale; the documented scale path
+    is llm_sim_knn_lsh's bucketing (candidates only within sketch
+    buckets)."""
+    e = table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    a = n.select(
+        F.col("vec_id").alias("v1"), F.col("label").alias("label1"),
+        F.col("embedding").alias("e1"), F.col("nrm").alias("n1"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("v2"), F.col("label").alias("label2"),
+        F.col("embedding").alias("e2"), F.col("nrm").alias("n2"),
+    )
+    cos = _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .select("v1", "v2", "label1", "label2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+        .orderBy("v1", "v2")
+    )
+
+
+_SKETCH_BITS = 4  # sign bits of the first 4 components -> 16 buckets
+
+
+@query(
+    "llm_sim_knn_lsh",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS nrm,
+         list_reduce(list_prepend(0, list_transform(range(1, {_SKETCH_BITS + 1}),
+           i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0.0
+                     THEN CAST(2 ** (i - 1) AS INTEGER) ELSE 0 END)),
+           (a, x) -> a + x) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bucket FROM n WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, n.vec_id,
+         {_SQL_DOT.format(a='q.qe', b='n.embedding')} / (q.qn * n.nrm) AS cosine
+  FROM q JOIN n ON n.bucket = q.bucket AND n.vec_id <> q.qid
+)
+SELECT qid, vec_id, cosine,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC)
+            AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY qid, rank
+""",
+    family=_FAM,
+)
+def llm_sim_knn_lsh(spark, sf_dir):
+    """ANN variant of llm_sim_knn: sign-bit (SimHash-style hyperplane)
+    sketch over the first 4 components buckets the vectors; candidates
+    are generated only within the query's bucket (an equi-join — one
+    shuffle on bucket id, no cross product). Approximate by design; the
+    oracle replicates the same sketch, so even the approximation is
+    hash-checked. At scale, replace the sketch with seeded random
+    hyperplanes and multiple probes — the plan shape stays identical."""
+    e = table(spark, sf_dir, "embeddings")
+    bucket = F.aggregate(
+        F.expr(
+            f"transform(sequence(1, {_SKETCH_BITS}), "
+            "i -> IF(cast(element_at(embedding, i) as double) >= 0.0d, "
+            "shiftleft(1, i - 1), 0))"
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    n = e.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"),
+        bucket.cast("int").alias("bucket"),
+    )
+    q = (
+        n.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"), F.col("bucket").alias("qbucket"),
+        )
+    )
+    scored = (
+        n.join(
+            F.broadcast(q),
+            (n.bucket == q.qbucket) & (n.vec_id != q.qid),
+        )
+        .select(
+            "qid", "vec_id",
+            (_dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("qid", "rank")
+    )

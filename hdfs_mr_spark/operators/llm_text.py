@@ -1,1 +1,360 @@
-"""Placeholder — populated by later milestone."""
+"""LLM-pipeline text analysis (SURVEY.md §2.11, mandate: "text analysis").
+
+Per-document statistics, corpus profiling, TF-IDF, n-grams, lexicon
+sentiment, quality gates, and multimodal binary-column handling — the
+operators a training-data pipeline runs over 100 TB of raw text. All
+JVM-side (higher-order functions, no Python UDFs); every aggregate is
+either integer-exact or decimal-exact, and every transcendental is
+rounded identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hdfs_mr_spark.io import table
+from hdfs_mr_spark.registry import query
+
+_FAM = "2.11 llm text analysis"
+
+def _toks():
+    return F.split(F.col("text"), " ")
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+              t -> CAST(length(t) AS INTEGER))), (a,b) -> a+b) AS BIGINT) AS total_token_chars,
+       CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+              t -> CAST(length(t) AS INTEGER))), (a,b) -> a+b) AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_token_len,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS type_token_ratio,
+       (CAST(length(text) AS BIGINT) = n_chars) AS n_chars_valid
+FROM documents
+""",
+    family=_FAM,
+)
+def llm_text_stats(spark, sf_dir):
+    """Per-doc text statistics: token count, avg token length, type-token
+    ratio; validates the fixture's n_chars column. Integer folds keep it
+    exact."""
+    d = table(spark, sf_dir, "documents")
+    tok_chars = F.aggregate(
+        F.transform(_toks(), lambda t: F.length(t).cast("int")),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    n_tok = F.size(_toks())
+    return d.select(
+        "doc_id", "lang",
+        n_tok.cast("int").alias("n_tokens"),
+        tok_chars.cast("bigint").alias("total_token_chars"),
+        (tok_chars.cast("double") / n_tok).alias("avg_token_len"),
+        (F.size(F.array_distinct(_toks())).cast("double") / n_tok).alias("type_token_ratio"),
+        (F.length("text").cast("bigint") == F.col("n_chars")).alias("n_chars_valid"),
+    )
+
+
+@query(
+    "llm_lang_profile",
+    oracle="""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+    family=_FAM,
+)
+def llm_lang_profile(spark, sf_dir):
+    """Corpus profile per language x source (integer sums — exact)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(_toks())).cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (F.sum("n_chars").cast("bigint").cast("double") / F.count("*")).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "llm_tfidf",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+tf_lang AS (SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY lang, term),
+scored AS (
+  SELECT t.lang, t.term,
+         round(CAST(t.tf AS DOUBLE)
+               * (ln((CAST(n.n AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0)) + 1.0),
+               6) AS score
+  FROM tf_lang t, n_docs n
+  JOIN df d ON t.term = d.term
+)
+SELECT lang, term, score,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC)
+            AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY lang, rank
+""",
+    family=_FAM,
+)
+def llm_tfidf(spark, sf_dir):
+    """TF-IDF top-5 terms per language, pure DataFrame math (tf = corpus
+    term count per lang, idf = ln((N+1)/(df+1))+1). Scores rounded to
+    6 dp on both engines BEFORE ranking, so the ln() ulp difference can
+    neither flip values nor ordering."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(_toks()).alias("term"))
+    n_docs = d.count()  # scalar N: one tiny job, embedded as a literal
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf_lang = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    idf = (
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df").cast("double") + 1.0)) + 1.0
+    )
+    scored = (
+        tf_lang.join(F.broadcast(df), "term")
+        .select(
+            "lang", "term",
+            F.round(F.col("tf").cast("double") * idf, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("lang", "rank")
+    )
+
+
+@query(
+    "llm_ngrams",
+    oracle="""
+WITH big AS (
+  SELECT lang, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
+  FROM (SELECT lang, string_split(text, ' ') AS l FROM documents) d
+)
+SELECT lang, bigram, COUNT(*) AS n,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, bigram ASC)
+            AS BIGINT) AS rank
+FROM big
+GROUP BY lang, bigram
+QUALIFY rank <= 10
+ORDER BY lang, rank
+""",
+    family=_FAM,
+)
+def llm_ngrams(spark, sf_dir):
+    """Top-10 bigrams per language — adjacent-token pairs built with a
+    JVM-side index transform (no Python)."""
+    d = table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        "             element_at(split(text, ' '), i + 1)))"
+    )
+    big = d.select("lang", F.explode(bigrams).alias("bigram"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        big.groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .orderBy("lang", "rank")
+    )
+
+
+# Seed-fixed literal lexicon over the measured corpus vocabulary.
+_LEXICON = [("fast", 2), ("big", 1), ("small", -1), ("slow", -2), ("dup", -5)]
+_LEX_VALUES = ", ".join(f"('{w}', {s})" for w, s in _LEXICON)
+
+
+@query(
+    "llm_sentiment_lexicon",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+scores AS (
+  SELECT t.doc_id, CAST(COALESCE(SUM(l.weight), 0) AS BIGINT) AS sentiment
+  FROM tok t LEFT JOIN (VALUES {_LEX_VALUES}) AS l(word, weight) ON t.w = l.word
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, d.lang, s.sentiment,
+       CASE WHEN s.sentiment > 0 THEN 'positive'
+            WHEN s.sentiment < 0 THEN 'negative'
+            ELSE 'neutral' END AS polarity
+FROM documents d JOIN scores s ON d.doc_id = s.doc_id
+""",
+    family=_FAM,
+)
+def llm_sentiment_lexicon(spark, sf_dir):
+    """Lexicon sentiment: integer word weights broadcast-joined to the
+    exploded token stream, summed per doc (exact integer math)."""
+    d = table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(_LEXICON, "word string, weight int")
+    tok = d.select("doc_id", F.explode(_toks()).alias("w"))
+    scores = (
+        tok.join(F.broadcast(lex), tok.w == lex.word, "left")
+        .groupBy("doc_id")
+        .agg(F.coalesce(F.sum("weight"), F.lit(0)).cast("bigint").alias("sentiment"))
+    )
+    return d.select("doc_id", "lang").join(scores, "doc_id").select(
+        "doc_id", "lang", "sentiment",
+        F.when(F.col("sentiment") > 0, "positive")
+        .when(F.col("sentiment") < 0, "negative")
+        .otherwise("neutral")
+        .alias("polarity"),
+    )
+
+
+@query(
+    "llm_quality_filter",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE len(string_split(text,' ')) < 15) AS BIGINT)
+         AS n_too_short,
+       CAST(COUNT(*) FILTER (WHERE n_chars > 500) AS BIGINT) AS n_too_long,
+       CAST(COUNT(*) FILTER (WHERE lang NOT IN ('en','de','fr','es')) AS BIGINT)
+         AS n_wrong_lang,
+       CAST(COUNT(*) FILTER (WHERE len(string_split(text,' ')) >= 15
+                               AND n_chars <= 500
+                               AND lang IN ('en','de','fr','es')) AS BIGINT) AS n_kept
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    family=_FAM,
+)
+def llm_quality_filter(spark, sf_dir):
+    """C4-style quality gates (min tokens, max length, target languages)
+    with per-rule kept/dropped accounting — one conditional-aggregate
+    pass, no data rewritten."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(_toks())
+    too_short = n_tok < 15
+    too_long = F.col("n_chars") > 500
+    wrong_lang = ~F.col("lang").isin("en", "de", "fr", "es")
+    kept = ~too_short & ~too_long & ~wrong_lang
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            cnt(too_short).alias("n_too_short"),
+            cnt(too_long).alias("n_too_long"),
+            cnt(wrong_lang).alias("n_wrong_lang"),
+            cnt(kept).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "llm_multimodal_cols",
+    oracle="""
+WITH payloads AS (
+  SELECT doc_id,
+         CASE lang WHEN 'en' THEN 'image/png' WHEN 'de' THEN 'audio/wav'
+                   WHEN 'fr' THEN 'video/mp4' WHEN 'es' THEN 'image/jpeg'
+                   ELSE 'application/octet-stream' END AS mime,
+         unhex(sha256(text)) AS payload
+  FROM documents
+)
+SELECT doc_id, mime,
+       CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+       lower(hex(payload)) AS payload_hex
+FROM payloads
+WHERE mime LIKE 'image/%'
+""",
+    family=_FAM,
+)
+def llm_multimodal_cols(spark, sf_dir):
+    """Multimodal columns: opaque binary payloads + typed metadata
+    (struct<mime,bytes>), filtered by mime with byte-length inspection.
+    Payloads are deterministic fakes (sha256 of the text — real decode
+    is stubbed in functions.udfs.mm_decode); the Spark-side plumbing
+    (BinaryType column, struct metadata, mime dispatch) is real."""
+    d = table(spark, sf_dir, "documents")
+    mime = (
+        F.when(F.col("lang") == "en", "image/png")
+        .when(F.col("lang") == "de", "audio/wav")
+        .when(F.col("lang") == "fr", "video/mp4")
+        .when(F.col("lang") == "es", "image/jpeg")
+        .otherwise("application/octet-stream")
+    )
+    payload = F.to_binary(F.sha2(F.col("text"), 256), F.lit("hex"))
+    blobs = d.select(
+        "doc_id",
+        F.struct(mime.alias("mime"), payload.alias("bytes")).alias("media"),
+    )
+    return blobs.filter(F.col("media.mime").like("image/%")).select(
+        "doc_id",
+        F.col("media.mime").alias("mime"),
+        F.octet_length("media.bytes").cast("int").alias("n_bytes"),
+        F.lower(F.hex("media.bytes")).alias("payload_hex"),
+    )
+
+
+@query(
+    "llm_fingerprint_simhash",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, lang,
+         list_transform(list_distinct(string_split(text, ' ')),
+                        w -> CAST(('0x' || substr(sha256(w), 1, 8)) AS BIGINT)) AS hs
+  FROM documents
+),
+fp AS (
+  SELECT doc_id, lang,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(0, 32), b ->
+             CASE WHEN list_reduce(list_prepend(0,
+                    list_transform(hs, h -> CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+                                                 THEN 1 ELSE -1 END)),
+                    (a, x) -> a + x) > 0
+                  THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END)),
+           (a, x) -> a + x) AS simhash
+  FROM hashed
+)
+SELECT doc_id, lang, simhash,
+       CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same_fingerprint
+FROM fp
+""",
+    family=_FAM,
+)
+def llm_fingerprint_simhash(spark, sf_dir):
+    """SimHash-32 document fingerprint over the distinct-token set (token
+    hash = first 8 hex digits of sha256, bit-majority vote), plus the
+    bucket size per fingerprint — identical fingerprints are near-dup
+    candidates in O(n), no pairwise join. Entirely JVM-side bit math."""
+    d = table(spark, sf_dir, "documents")
+    hs = "transform(array_distinct(split(text, ' ')), w -> cast(conv(substring(sha2(w, 256), 1, 8), 16, 10) as bigint))"
+    bit_vote = (
+        f"aggregate({hs}, 0, (a, h) -> a + IF(shiftright(h, b) & 1 = 1, 1, -1))"
+    )
+    simhash = (
+        f"aggregate(transform(sequence(0, 31), b -> "
+        f"IF(({bit_vote}) > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))), "
+        f"cast(0 as bigint), (a, x) -> a + x)"
+    )
+    fp = d.select("doc_id", "lang", F.expr(simhash).alias("simhash"))
+    w = Window.partitionBy("simhash")
+    return fp.withColumn("n_same_fingerprint", F.count("*").over(w).cast("bigint"))
