@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Headline benchmark (SURVEY.md §6 / §7.1 M8).
+
+Runs a representative slice of the SURVEY §2 inventory at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"agg_groupby": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop sink (full computation on
+executors, nothing collected to the driver — the honest way to time a
+distributed plan). A warmup query first amortizes JVM/codegen startup so
+per-query numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Headline set: one per family, weighted toward shuffle/join/LLM-pipeline
+# heavy hitters where scale behavior actually differs.
+HEADLINE = [
+    "scan_parquet",          # 2.1 vectorized columnar scan
+    "filter_like",           # 2.2 grep-class predicate (pushdown)
+    "join_broadcast_inner",  # 2.3 map-side join
+    "join_shuffle_inner",    # 2.3 reduce-side join (big x big)
+    "join_multiway_star",    # 2.3 4-way star
+    "join_asof",             # 2.3 hardest join
+    "agg_groupby",           # 2.4 flagship TPC-H-Q1 shape
+    "agg_stats",             # 2.4 numeric profiling
+    "win_topk_per_group",    # 2.5 secondary-sort idiom
+    "sort_global",           # 2.6 TeraSort analogue
+    "dedup_by_key",          # 2.7
+    "fn_json",               # 2.8 semi-structured parse
+    "mr_wordcount",          # 2.9 canonical MR job
+    "mr_join_agg",           # 2.9 reduce-side join+agg
+    "llm_dedup_exact",       # 2.11
+    "llm_dedup_near",        # 2.11 MinHash-LSH (heaviest)
+    "llm_sim_knn",           # 2.11 cosine top-k
+    "llm_tfidf",             # 2.11
+    "llm_quality_filter",    # 2.11
+    "udf_grouped_map",       # 2.12 Arrow-batched python path
+]
+
+
+def _force(df) -> int:
+    """Execute the full plan on the executors; return row count cheaply."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    from hdfs_mr_spark import queries
+    from hdfs_mr_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    # Warmup: run the flagship once to pay JVM/codegen/Arrow init.
+    _force(qs["agg_groupby"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,1 +1,185 @@
-"""Placeholder — populated by later milestone."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.12).
+
+The sanctioned escape hatches for logic Catalyst can't express — all
+Arrow-batched (pandas_udf / applyInPandas / mapInPandas), never
+row-at-a-time Python. Everything here is deliberately OFF the hot path
+of the relational queries; these exist to prove the engine's extension
+surface with oracle-checked results.
+
+Determinism policy for float math inside Python: per-element IEEE ops
+are bit-identical to the SQL engines, and *sums* are made exact by
+integer-cents arithmetic (inputs are 2-dp), so group-level statistics
+match the oracle's decimal-sum formulas bit-for-bit regardless of
+pandas' summation order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from hdfs_mr_spark.io import table
+from hdfs_mr_spark.registry import query
+
+_FAM = "2.12 udf surface"
+
+
+@query(
+    "udf_scalar_pandas",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS disc_price
+FROM lineitem
+""",
+    family=_FAM,
+)
+def udf_scalar_pandas(spark, sf_dir):
+    """Vectorized scalar pandas_udf (Series -> Series over Arrow batches):
+    elementwise IEEE math, bit-identical to the JVM expression."""
+
+    @F.pandas_udf("double")
+    def disc_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        disc_price("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+@query(
+    "udf_grouped_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS weighted_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    family=_FAM,
+)
+def udf_grouped_agg(spark, sf_dir):
+    """Grouped-aggregate pandas_udf: quantity-weighted mean price.
+    Integer-cents summation makes the Python sum exact, matching the
+    oracle's decimal sums independent of row order."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def wmean(q: pd.Series, p: pd.Series) -> float:
+        num_cents = np.rint((q * p * 100.0).to_numpy()).astype("int64").sum()
+        den = np.rint(q.to_numpy()).astype("int64").sum()
+        return float((int(num_cents) / 100.0) / float(den))
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(wmean("l_quantity", "l_extendedprice").alias("weighted_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_d,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,4))) AS DOUBLE) AS ssq_d,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.event_id, e.value,
+       (e.value - s.sum_d / s.n)
+         / SQRT((s.ssq_d - s.sum_d * s.sum_d / s.n) / (s.n - 1)) AS zscore
+FROM events e JOIN s ON e.user_id = s.user_id
+""",
+    family=_FAM,
+)
+def udf_grouped_map(spark, sf_dir):
+    """applyInPandas grouped-map: z-score normalize event values per user.
+    Moments are computed from exact integer-cents sums, then the same
+    IEEE expression the oracle uses — bit-equal zscores."""
+    import numpy as np
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype="float64")
+        cents = np.rint(v * 100.0).astype("int64")
+        n = float(len(v))
+        sum_d = float(int(cents.sum()) / 100.0)
+        ssq_d = float(int((cents * cents).sum()) / 10000.0)
+        mean = sum_d / n
+        var = (ssq_d - sum_d * sum_d / n) / (n - 1.0)
+        out = pdf[["user_id", "event_id", "value"]].copy()
+        out["zscore"] = (v - mean) / np.sqrt(var)
+        return out
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, "user_id long, event_id long, value double, zscore double"
+    )
+
+
+@query(
+    "udf_map_in_pandas",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem
+WHERE l_quantity >= 30
+""",
+    family=_FAM,
+)
+def udf_map_in_pandas(spark, sf_dir):
+    """mapInPandas batch-wise transform — the record-reader analogue: an
+    arbitrary Python function over Arrow batches, streaming, never
+    materializing a partition."""
+
+    def charge_batches(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["l_quantity"] >= 30.0]
+            out = pdf[["l_orderkey", "l_linenumber"]].copy()
+            out["charge"] = (
+                pdf["l_extendedprice"] * (1.0 - pdf["l_discount"]) * (1.0 + pdf["l_tax"])
+            )
+            yield out
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax",
+    )
+    return li.mapInPandas(
+        charge_batches, "l_orderkey long, l_linenumber int, charge double"
+    )
+
+
+@query(
+    "udf_python_udtf",
+    oracle="""
+SELECT doc_id, CAST(u.unnest[2] AS INTEGER) AS pos, u.unnest[1] AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d,
+     LATERAL unnest(list_zip(d.l, range(0, len(d.l)))) AS u(unnest)
+""",
+    family=_FAM,
+)
+def udf_python_udtf(spark, sf_dir):
+    """Python UDTF (Spark 4 @udtf): one input row -> many output rows,
+    used via LATERAL join in SQL — the table-function extension point."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate(text.split(" ")):
+                yield i, t
+
+    spark.udtf.register("hmr_tokenize", Tokenize)
+    return spark.sql(
+        f"""
+SELECT d.doc_id, t.pos, t.token
+FROM parquet.`{sf_dir}/documents.parquet` d,
+LATERAL hmr_tokenize(d.text) t
+"""
+    )

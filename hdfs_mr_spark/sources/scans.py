@@ -119,8 +119,14 @@ SELECT * FROM read_csv('{_ORACLE_FIX["csv"]}', header=true, columns={{
     family=_FAM,
 )
 def scan_csv(spark, sf_dir):
-    """Schema-pinned CSV scan — the MR-native delimited-text record reader."""
-    path = materialize_fixtures(sf_dir)["csv"]
+    """Schema-pinned CSV scan — the MR-native delimited-text record reader.
+
+    Reads the ORACLE_SF-derived fixture regardless of ``sf_dir``: the
+    oracle SQL is a static string (driver contract), so both engines must
+    scan the same file; the query checks the serialize→parse loop, not
+    scale.
+    """
+    path = materialize_fixtures(ORACLE_SF)["csv"]
     return spark.read.csv(path, header=True, schema=_CSV_SCHEMA)
 
 
@@ -144,8 +150,9 @@ FROM read_json('{_ORACLE_FIX["json"]}', format='newline_delimited', columns={{
     family=_FAM,
 )
 def scan_json(spark, sf_dir):
-    """JSON-lines ingest with explicit schema (semi-structured path)."""
-    path = materialize_fixtures(sf_dir)["json"]
+    """JSON-lines ingest with explicit schema (semi-structured path).
+    Fixture pinned to ORACLE_SF — see scan_csv."""
+    path = materialize_fixtures(ORACLE_SF)["json"]
     return spark.read.json(path, schema=_JSON_SCHEMA).select(
         "event_id", "event_type", "user_id", "value"
     )
@@ -160,8 +167,9 @@ SELECT * FROM read_csv('{_ORACLE_FIX["text"]}', delim='\\t', quote='', header=fa
     family=_FAM,
 )
 def scan_text(spark, sf_dir):
-    """Raw text-line scan — the `(offset, line)` record-reader analogue."""
-    path = materialize_fixtures(sf_dir)["text"]
+    """Raw text-line scan — the `(offset, line)` record-reader analogue.
+    Fixture pinned to ORACLE_SF — see scan_csv."""
+    path = materialize_fixtures(ORACLE_SF)["text"]
     return spark.read.text(path)
 
 

@@ -1,1 +1,319 @@
-"""Placeholder — populated by later milestone."""
+"""Structured Streaming operators (SURVEY.md §2.10 + §2.1 scan_stream).
+
+The events table doubles as a bounded stream: readStream over the same
+parquet, trigger(availableNow=True) drains it, and a memory/parquet
+sink materializes the result for the oracle. Every streaming query has
+deterministic final-state semantics (complete-mode windowed aggregates,
+keyed dedup of already-unique keys, stream-static joins), so most get a
+full hash-check against a batch-twin oracle — stronger than the ⚠
+rows-only floor SURVEY assigns them. Watermark-dependent append output
+is the one genuinely arrival-order-sensitive case and stays rows-only.
+
+State at scale: windows/dedup keys live in the executor StateStore;
+watermarks bound that state. Session windows use the native
+session_window operator (no custom state handler needed).
+"""
+
+from __future__ import annotations
+
+import itertools
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hdfs_mr_spark.exprs import DEC
+from hdfs_mr_spark.registry import query
+
+_FAM = "2.10 streaming"
+
+_COUNTER = itertools.count()
+
+# events.parquet carries TIMESTAMP(NANOS); with nanosAsLong the stream
+# schema sees a long we convert exactly like the batch reader (io.table).
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_src_dir(sf_dir: str) -> str:
+    """FileStreamSource wants a directory; testdata is a read-only single
+    file — expose it through a symlink under /tmp."""
+    import os
+    from pathlib import Path
+
+    d = Path("/tmp/hmr_stream_src") / Path(sf_dir).name / "events"
+    d.mkdir(parents=True, exist_ok=True)
+    link = d / "events.parquet"
+    if not link.exists():
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return str(d)
+
+
+def _event_stream(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .parquet(_stream_src_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_memory(df, mode: str):
+    """Drain the bounded stream into a memory sink; return the result table."""
+    name = f"hmr_stream_{next(_COUNTER)}"
+    ckpt = tempfile.mkdtemp(prefix="hmr_ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    spark = df.sparkSession
+    result = spark.table(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
+
+
+@query(
+    "scan_stream",
+    oracle="""
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+FROM events
+""",
+    family="2.1 scans/sources/sinks",
+)
+def scan_stream(spark, sf_dir):
+    """Bounded stream scan of events (block-at-a-time reader analogue):
+    readStream -> availableNow drain -> full content check against the
+    batch table."""
+    s = _event_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return _run_to_memory(s, "append")
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+         AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    family=_FAM,
+)
+def stream_tumbling(spark, sf_dir):
+    """Tumbling 1-hour windowed count/sum per event type (complete mode —
+    final state is deterministic, so fully hash-checked)."""
+    s = _event_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+    return _run_to_memory(agg, "complete").orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+WITH slots AS (
+  SELECT CAST(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+           - k.k * INTERVAL '15 minutes' AS window_start,
+         event_type
+  FROM events, (SELECT unnest(range(0, 4)) AS k) k
+)
+SELECT window_start, event_type, COUNT(*) AS n
+FROM slots
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    family=_FAM,
+)
+def stream_sliding(spark, sf_dir):
+    """Sliding window 1 hour every 15 minutes — each event lands in 4
+    overlapping windows; the oracle unrolls the same 4 covering slots."""
+    s = _event_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    return _run_to_memory(agg, "complete").orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_session",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP)
+                   >= lag(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+    family=_FAM,
+)
+def stream_session(spark, sf_dir):
+    """Session windows (30-minute gap) per user via the native
+    session_window operator; the oracle is the classic gaps-and-islands
+    SQL (session end = last event + gap, matching Spark's semantics)."""
+    s = _event_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, "complete").orderBy("user_id", "session_start")
+
+
+@query("stream_watermark_late", oracle=None, family=_FAM)  # arrival-order ⚠
+def stream_watermark_late(spark, sf_dir):
+    """Tumbling agg in append mode behind a 10-minute watermark: only
+    windows the watermark has sealed are emitted, so output depends on
+    arrival order — rows-only by design (SURVEY §2.10 ⚠); the all-data
+    twin is stream_tumbling."""
+    s = _event_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    return _run_to_memory(agg, "append")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+SELECT event_id, event_type, user_id FROM events
+""",
+    family=_FAM,
+)
+def stream_dedup(spark, sf_dir):
+    """Stateful streaming dedup on event_id within a watermark
+    (dropDuplicates over keyed state). event_id is unique in the
+    fixture, so the deduped stream equals the input — which is exactly
+    what the oracle asserts (idempotence of dedup on unique keys)."""
+    s = _event_stream(spark, sf_dir)
+    deduped = (
+        s.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "event_type", "user_id")
+    )
+    return _run_to_memory(deduped, "append")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+SELECT event_id, e.user_id, event_type, c_name, c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+    family=_FAM,
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join: the static customer dim is joined
+    to each micro-batch (broadcast — no stream-side shuffle)."""
+    from hdfs_mr_spark.io import table
+
+    s = _event_stream(spark, sf_dir)
+    c = table(spark, sf_dir, "customer")
+    joined = s.join(
+        F.broadcast(c), s.user_id == c.c_custkey
+    ).select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
+    return _run_to_memory(joined, "append")
+
+
+@query(
+    "stream_foreachbatch",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    family=_FAM,
+)
+def stream_foreachbatch(spark, sf_dir):
+    """Micro-batch sink via foreachBatch -> parquet, then re-read and
+    aggregate: proves the custom-sink path loses nothing (the re-read
+    aggregate hash-matches the batch oracle)."""
+    import os
+
+    out = tempfile.mkdtemp(prefix="hmr_fb_out_")
+    os.rmdir(out)  # foreachBatch append recreates it
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    s = _event_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    name = f"hmr_fb_{next(_COUNTER)}"
+    ckpt = tempfile.mkdtemp(prefix="hmr_ckpt_")
+    q = (
+        s.writeStream.foreachBatch(sink)
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
