@@ -155,6 +155,97 @@ def udf_map_in_pandas(spark, sf_dir):
     )
 
 
+def mm_decode(payload: bytes, mime: str, backend: str = "fake") -> dict:
+    """Decode one multimodal payload into typed metadata.
+
+    ``backend="fake"`` is the deterministic stand-in used by tests and
+    the oracle-checked query below: header fields are read straight from
+    the payload bytes, so the full Spark plumbing (binary column ->
+    Arrow batch -> python decode -> typed rows) is real and verifiable.
+    Real codecs (PIL/ffmpeg/librosa) are not in this container; wiring
+    one in means implementing the matching branch here — the call sites
+    do not change.
+    """
+    if backend != "fake":
+        raise NotImplementedError(
+            f"media backend {backend!r} not available in this environment; "
+            "only the deterministic 'fake' decoder is wired in"
+        )
+    b = payload
+    return {
+        "width": (b[0] << 8) | b[1],
+        "height": (b[2] << 8) | b[3],
+        "n_frames": (b[4] % 30) + 1 if mime.startswith("video/") else 1,
+        "byte_sum": sum(b),
+    }
+
+
+@query(
+    "llm_multimodal_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         CASE lang WHEN 'en' THEN 'image/png' WHEN 'de' THEN 'audio/wav'
+                   WHEN 'fr' THEN 'video/mp4' WHEN 'es' THEN 'image/jpeg'
+                   ELSE 'application/octet-stream' END AS mime,
+         sha256(text) AS h
+  FROM documents
+)
+SELECT doc_id, mime,
+       CAST(CAST(('0x' || substr(h, 1, 4)) AS INTEGER) AS INTEGER) AS width,
+       CAST(CAST(('0x' || substr(h, 5, 4)) AS INTEGER) AS INTEGER) AS height,
+       CAST(CASE WHEN mime LIKE 'video/%'
+                 THEN CAST(('0x' || substr(h, 9, 2)) AS INTEGER) % 30 + 1
+                 ELSE 1 END AS INTEGER) AS n_frames,
+       CAST(list_reduce(list_prepend(0, list_transform(range(0, 32),
+              i -> CAST(('0x' || substr(h, 2 * i + 1, 2)) AS INTEGER))),
+            (a, x) -> a + x) AS INTEGER) AS byte_sum
+FROM p
+ORDER BY doc_id
+""",
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_decode(spark, sf_dir):
+    """Multimodal decode pipeline: binary payload column -> mapInPandas
+    over Arrow batches -> per-item metadata (dimensions, frame count,
+    checksum-ish feature). The decode itself is the deterministic fake
+    in :func:`mm_decode` (real codecs absent here — SURVEY.md §2.11
+    llm_multimodal_cols); everything around it — schema, batch shape,
+    partition-parallel decode, typed output — is the production path.
+    At 100 TB this is the canonical shape: opaque bytes stay columnar,
+    Python touches each batch once, no shuffle anywhere."""
+
+    def decode_batches(batches):
+        for pdf in batches:
+            out = pdf[["doc_id", "mime"]].copy()
+            feats = [
+                mm_decode(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            out["width"] = [f["width"] for f in feats]
+            out["height"] = [f["height"] for f in feats]
+            out["n_frames"] = [f["n_frames"] for f in feats]
+            out["byte_sum"] = [f["byte_sum"] for f in feats]
+            yield out
+
+    d = table(spark, sf_dir, "documents")
+    mime = (
+        F.when(F.col("lang") == "en", "image/png")
+        .when(F.col("lang") == "de", "audio/wav")
+        .when(F.col("lang") == "fr", "video/mp4")
+        .when(F.col("lang") == "es", "image/jpeg")
+        .otherwise("application/octet-stream")
+    )
+    payloads = d.select(
+        "doc_id",
+        mime.alias("mime"),
+        F.to_binary(F.sha2(F.col("text"), 256), F.lit("hex")).alias("payload"),
+    )
+    return payloads.mapInPandas(
+        decode_batches,
+        "doc_id long, mime string, width int, height int, n_frames int, byte_sum int",
+    ).orderBy("doc_id")
+
+
 @query(
     "udf_python_udtf",
     oracle="""

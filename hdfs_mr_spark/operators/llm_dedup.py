@@ -124,6 +124,70 @@ def llm_dedup_near(spark, sf_dir):
 
 
 @query(
+    "llm_dedup_embed",
+    oracle="""
+WITH n AS (
+  SELECT vec_id, embedding,
+         SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (acc, x) -> acc + x)) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_zip(a.embedding, b.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+          (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.35
+)
+SELECT e.vec_id,
+       MIN(p.v1) AS dup_of,
+       (MIN(p.v1) IS NULL) AS kept
+FROM embeddings e LEFT JOIN pairs p ON e.vec_id = p.v2
+GROUP BY e.vec_id
+ORDER BY e.vec_id
+""",
+    family=_FAM,
+)
+def llm_dedup_embed(spark, sf_dir):
+    """Embedding-cosine near-dup dedup: a vector is a duplicate if some
+    lower-id vector has cosine >= 0.35 with it; the kept representative
+    is the lowest id (deterministic, no connected components needed for
+    a dedup decision). Reuses the JVM-side fold kernel from
+    llm_similarity; brute-force pairs at fixture scale — the documented
+    scale path buckets candidates by sign-bit sketch first
+    (llm_sim_knn_lsh plan shape), which leaves this exact query as the
+    per-bucket kernel."""
+    from hdfs_mr_spark.operators.llm_similarity import _dot, _norm
+
+    e = table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    a = n.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
+    cos = _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    pairs = (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .filter(cos >= 0.35)
+        .select("v1", "v2")
+    )
+    return (
+        e.select("vec_id")
+        .join(pairs, e.vec_id == pairs.v2, "left")
+        .groupBy("vec_id")
+        .agg(F.min("v1").alias("dup_of"))
+        .select("vec_id", "dup_of", F.col("dup_of").isNull().alias("kept"))
+        .orderBy("vec_id")
+    )
+
+
+@query(
     "llm_dedup_near_ngram",
     oracle="""
 WITH sh AS (

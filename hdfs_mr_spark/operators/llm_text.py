@@ -314,6 +314,144 @@ def llm_multimodal_cols(spark, sf_dir):
 
 
 @query(
+    "llm_lang_id",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+prof AS (
+  SELECT d.lang, t.w, COUNT(*) AS cnt
+  FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+  GROUP BY d.lang, t.w
+),
+totals AS (SELECT lang, SUM(cnt) AS total FROM prof GROUP BY lang),
+langs AS (SELECT DISTINCT lang AS cand_lang FROM documents),
+scored AS (
+  SELECT t.doc_id, l.cand_lang,
+         CAST(SUM(CAST(round(ln((CAST(COALESCE(p.cnt, 0) AS DOUBLE) + 1.0)
+                               / (CAST(tt.total AS DOUBLE) + CAST(v.v AS DOUBLE)))
+                         * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+  FROM tok t
+  CROSS JOIN langs l
+  CROSS JOIN vocab v
+  JOIN totals tt ON tt.lang = l.cand_lang
+  LEFT JOIN prof p ON p.lang = l.cand_lang AND p.w = t.w
+  GROUP BY t.doc_id, l.cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang AS pred_lang, score_micro,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_micro DESC, cand_lang ASC) AS rk
+  FROM scored
+)
+SELECT d.doc_id, d.lang, b.pred_lang, b.score_micro,
+       (d.lang = b.pred_lang) AS correct
+FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rk = 1
+ORDER BY d.doc_id
+""",
+    family=_FAM,
+)
+def llm_lang_id(spark, sf_dir):
+    """N-gram-heuristic language ID: per-language unigram profiles learned
+    from the corpus itself (add-one smoothing), each doc scored against
+    every profile, argmax predicted (naive-Bayes log-likelihood).
+
+    Determinism: each token's log-probability is quantized to integer
+    micro-units BEFORE summing, so group sums are order-independent and
+    engine-exact. Profiles are tiny (vocab x langs) and broadcast; the
+    doc-side token stream is scanned once — at 100 TB the only shuffle
+    is the per-doc score aggregation."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("w"))
+    v = tok.select("w").distinct().count()  # scalar vocab size, one tiny job
+    prof = (
+        d.select("doc_id", "lang")
+        .join(tok, "doc_id")
+        .groupBy(F.col("lang").alias("p_lang"), F.col("w").alias("p_w"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = prof.groupBy(F.col("p_lang").alias("t_lang")).agg(
+        F.sum("cnt").alias("total")
+    )
+    langs = d.select(F.col("lang").alias("cand_lang")).distinct()
+    term = F.round(
+        F.log(
+            (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + 1.0)
+            / (F.col("total").cast("double") + F.lit(float(v)))
+        )
+        * 1000000.0
+    ).cast("bigint")
+    scored = (
+        tok.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(totals), F.col("cand_lang") == F.col("t_lang"))
+        .join(
+            F.broadcast(prof),
+            (F.col("cand_lang") == F.col("p_lang")) & (F.col("w") == F.col("p_w")),
+            "left",
+        )
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.sum(term).cast("bigint").alias("score_micro"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("cand_lang").asc()
+    )
+    best = (
+        scored.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "score_micro")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(best, "doc_id")
+        .select(
+            "doc_id", "lang", "pred_lang", "score_micro",
+            (F.col("lang") == F.col("pred_lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS INTEGER)
+         AS n_re_tokens,
+       CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+              t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS INTEGER))),
+            (a, b) -> a + b) AS INTEGER) AS n_bpe_pieces
+FROM documents
+""",
+    family=_FAM,
+)
+def llm_token_count(spark, sf_dir):
+    """Token counting three ways: whitespace split, regex tokenizer
+    (letter runs / digit runs / symbol runs — the pre-tokenization pass
+    real BPE tokenizers use), and a BPE-ish piece count (<=4-char chunks
+    per word — the fixed-merge approximation). All JVM-side; the regex
+    is shared verbatim with the oracle."""
+    d = table(spark, sf_dir, "documents")
+    n_re = F.expr(
+        "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0))"
+    )
+    n_bpe = F.aggregate(
+        F.transform(
+            _toks(), lambda t: F.ceil(F.length(t).cast("double") / 4.0).cast("int")
+        ),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    return d.select(
+        "doc_id",
+        F.size(_toks()).cast("int").alias("n_ws_tokens"),
+        n_re.cast("int").alias("n_re_tokens"),
+        n_bpe.cast("int").alias("n_bpe_pieces"),
+    )
+
+
+@query(
     "llm_fingerprint_simhash",
     oracle="""
 WITH hashed AS (
