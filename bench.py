@@ -42,7 +42,8 @@ HEADLINE = [
     "mr_wordcount",          # 2.9 canonical MR job
     "mr_join_agg",           # 2.9 reduce-side join+agg
     "llm_dedup_exact",       # 2.11
-    "llm_dedup_near",        # 2.11 MinHash-LSH (heaviest)
+    "llm_dedup_near",        # 2.11 dense exact near-dup (bitmask join)
+    "llm_dedup_minhash_lsh", # 2.11 MinHash-LSH sub-quadratic path
     "llm_sim_knn",           # 2.11 cosine top-k
     "llm_tfidf",             # 2.11
     "llm_quality_filter",    # 2.11
@@ -72,9 +73,11 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        print(f"bench: {name} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         _force(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"bench: {name} {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(
