@@ -338,3 +338,69 @@ def join_multiway_star(spark, sf_dir):
         .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice")).alias("revenue"))
         .orderBy("r_name", "order_year")
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle=f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 2)} AS total_spend,
+       MAX(c_name) AS c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+    family=_FAM,
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Bucketed co-located join — the pre-partitioning scale lever
+    (SURVEY.md §4.2): both sides are written bucketed by the join key
+    into the warehouse, so the join (and the following per-key
+    aggregate) runs with ZERO exchanges — the plan reads bucket i of
+    orders against bucket i of customer directly. At 100 TB this is how
+    a repeatedly-joined fact/dim pair amortizes its shuffle once at
+    write time. The bucketed tables are created on first use per scale
+    factor (idempotent); the oracle checks the join+agg result."""
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = re.sub(r"[^0-9a-z]", "_", sf_dir.rsplit("/", 1)[-1].lower())
+    ot, ct = f"hmr_orders_bkt_{tag}", f"hmr_customer_bkt_{tag}"
+    catalog = spark.catalog
+    if not catalog.tableExists(ot) or not catalog.tableExists(ct):
+        # the in-memory catalog forgets tables across sessions while the
+        # warehouse dir persists — clear stale locations before writing
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in (ot, ct):
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        (
+            table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .saveAsTable(ot)
+        )
+        (
+            table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name")
+            .write.mode("overwrite")
+            .bucketBy(8, "c_custkey").sortBy("c_custkey")
+            .saveAsTable(ct)
+        )
+    o, c = spark.table(ot), spark.table(ct)
+    # merge hint pins SMJ so the bucket layout is exercised (AQE would
+    # otherwise broadcast the small dim at fixture scale): bucket i joins
+    # bucket i directly — no exchange, no sort, straight into the per-key
+    # SortAggregate; the only shuffle left is the final presentation orderBy
+    return (
+        o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total_spend"),
+            F.max("c_name").alias("c_name"),
+        )
+        .orderBy("o_custkey")
+    )

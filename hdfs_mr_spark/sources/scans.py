@@ -191,3 +191,50 @@ def sink_parquet(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang")
     )
+
+
+@query(
+    "scan_binaryfile",
+    oracle="""
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS length,
+       sha256(sha256(text)) AS content_sha
+FROM documents
+WHERE doc_id < 64
+ORDER BY doc_id
+""",
+    family=_FAM,
+)
+def scan_binaryfile(spark, sf_dir):
+    """HDFS put/get analogue: write opaque binary payloads as individual
+    files (put), re-ingest them with the `binaryFile` source (get — one
+    row per file: path, length, raw bytes), and prove the round trip by
+    content checksum. Payload text is the 64-char sha256 hex of each
+    doc (deterministic), so the oracle derives the expected checksums
+    straight from the documents table (DuckDB's sha256 hashes VARCHAR,
+    hence string payloads rather than raw blobs). At 100 TB this is the
+    multimodal-ingest path: millions of small blobs read
+    partition-parallel without any custom FS layer."""
+    import pathlib
+
+    out = pathlib.Path(_fixture_dir(sf_dir)) / "blobs"
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id", F.sha2("text", 256).alias("payload"))
+    )
+    if not out.exists():  # deterministic content — write once per sf
+        out.mkdir(parents=True, exist_ok=True)
+        for r in docs.collect():  # bounded: 64 rows; the "put" side
+            (out / f"{r['doc_id']:08d}.bin").write_bytes(r["payload"].encode())
+    files = spark.read.format("binaryFile").load(str(out))
+    return (
+        files.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length"),
+            F.sha2(F.col("content"), 256).alias("content_sha"),
+        )
+        .orderBy("doc_id")
+    )
