@@ -216,15 +216,28 @@ def llm_multimodal_decode(spark, sf_dir):
     Python touches each batch once, no shuffle anywhere."""
 
     def decode_batches(batches):
+        # NB: self-contained closure — no module-level references. The
+        # driver contract runs this from an arbitrary cwd, and executor
+        # Python workers can't import hdfs_mr_spark there; cloudpickle
+        # serializes nested functions by value, module functions by
+        # reference. Logic mirrors mm_decode(backend="fake") exactly.
+        def fake_decode(b: bytes, mime: str) -> tuple:
+            return (
+                (b[0] << 8) | b[1],
+                (b[2] << 8) | b[3],
+                (b[4] % 30) + 1 if mime.startswith("video/") else 1,
+                sum(b),
+            )
+
         for pdf in batches:
             out = pdf[["doc_id", "mime"]].copy()
             feats = [
-                mm_decode(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
+                fake_decode(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
             ]
-            out["width"] = [f["width"] for f in feats]
-            out["height"] = [f["height"] for f in feats]
-            out["n_frames"] = [f["n_frames"] for f in feats]
-            out["byte_sum"] = [f["byte_sum"] for f in feats]
+            out["width"] = [f[0] for f in feats]
+            out["height"] = [f[1] for f in feats]
+            out["n_frames"] = [f[2] for f in feats]
+            out["byte_sum"] = [f[3] for f in feats]
             yield out
 
     d = table(spark, sf_dir, "documents")

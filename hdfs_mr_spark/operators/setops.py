@@ -103,3 +103,49 @@ def dedup_by_key(spark, sf_dir):
         .select("user_id", "event_id", "ts", "event_type")
         .orderBy("user_id")
     )
+
+
+@query(
+    "sample_hash_stratified",
+    oracle="""
+WITH tagged AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_sampled,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM tagged
+WHERE bucket < 10
+GROUP BY lang
+ORDER BY lang
+""",
+    family=_FAM,
+)
+def sample_hash_stratified(spark, sf_dir):
+    """Deterministic ~10% sample per language stratum via content-hash
+    bucketing (md5(doc_id) mod 100 < 10) — the reproducible alternative
+    to rand()-based sample() that training pipelines need: the same doc
+    is in or out of the sample on every run, on every cluster layout,
+    with no seed-plus-partitioning fragility. The summary per stratum is
+    oracle-checked; md5 is the hash because both engines implement it
+    identically (xxhash64 is Spark-only)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < 10)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -317,3 +317,58 @@ def stream_foreachbatch(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_stateful_custom",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    family=_FAM,
+)
+def stream_stateful_custom(spark, sf_dir):
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, integer-cents sum) kept in executor state across
+    micro-batches, one emitted row per user per batch. The source
+    directory holds exactly one parquet file, so the availableNow drain
+    is a single batch and the emission equals the final state — which is
+    why the oracle can hash-check a *custom* stateful operator (SURVEY
+    §2.10: the weaker rows-only floor is beaten here too). Integer-cents
+    state keeps the float sum exact and order-independent, matching the
+    oracle's decimal sum bit-for-bit."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs, state: GroupState):
+        cnt, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            v = pdf["value"]
+            cnt += len(v)
+            cents += int((v * 100.0).round().astype("int64").sum())
+        state.update((cnt, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    s = _event_stream(spark, sf_dir).select("user_id", "ts", "value")
+    out = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="cnt long, cents long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(out, "append").orderBy("user_id")
