@@ -232,3 +232,67 @@ def win_topk_per_group(spark, sf_dir):
         .filter(F.col("_rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "ts_gap_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(time_bucket(INTERVAL '1 hour', MIN(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS lo,
+         CAST(time_bucket(INTERVAL '1 hour', MAX(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour FROM bounds
+),
+hourly AS (
+  SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1
+)
+SELECT s.hour,
+       COALESCE(h.n, 0) AS n,
+       COALESCE(h.total_value, 0.0) AS total_value,
+       (h.hour IS NULL) AS gap_filled
+FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+ORDER BY s.hour
+""",
+    family=_FAM,
+)
+def ts_gap_fill(spark, sf_dir):
+    """Time-series resample with gap filling (the hypertable-rollup
+    shape): hourly aggregate of events left-joined onto a dense hour
+    spine spanning [min, max], empty buckets filled with zeros and
+    flagged. The spine is generated with sequence()+explode from a
+    2-row bounds aggregate — at 100 TB the spine is still tiny (hours
+    in range) and broadcasts; the only big-data pass is the one
+    hourly groupBy."""
+    from hdfs_mr_spark.exprs import DEC
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    )
+    return (
+        spine.join(hourly.withColumnRenamed("hour", "h_hour"),
+                   spine.hour == F.col("h_hour"), "left")
+        .select(
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+            F.col("h_hour").isNull().alias("gap_filled"),
+        )
+        .orderBy("hour")
+    )
