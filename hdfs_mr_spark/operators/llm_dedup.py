@@ -212,6 +212,12 @@ def llm_dedup_minhash_lsh(spark, sf_dir):
     missed pair fails the hash-match). Everything is JVM expressions:
     minhash via seeded xxhash64 folds, banding via explode + equi-join,
     exact verify via array_intersect."""
+    return _trigram_lsh_pairs(spark, sf_dir).orderBy("d1", "d2")
+
+
+def _trigram_lsh_pairs(spark, sf_dir):
+    """Shared MinHash-LSH kernel: (d1, d2, jaccard) pairs with trigram
+    Jaccard >= 0.5 (see llm_dedup_minhash_lsh for the full story)."""
     d = table(spark, sf_dir, "documents")
     shingles = F.array_distinct(
         F.expr(
@@ -285,7 +291,6 @@ def llm_dedup_minhash_lsh(spark, sf_dir):
         .join(F.broadcast(s2), "d2")
         .select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
-        .orderBy("d1", "d2")
     )
 
 
@@ -412,4 +417,97 @@ def llm_dedup_near_ngram(spark, sf_dir):
         .select("d1", "d2", jac.alias("jaccard3"))
         .filter(F.col("jaccard3") >= 0.5)
         .orderBy("d1", "d2")
+    )
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle="""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+),
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+  SELECT i.d1, i.d2
+  FROM inter i
+  JOIN sizes s1 ON i.d1 = s1.doc_id
+  JOIN sizes s2 ON i.d2 = s2.doc_id
+  WHERE CAST(i.n_common AS DOUBLE)
+        / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) >= 0.5
+),
+bidir AS (
+  SELECT d1 AS a, d2 AS b FROM edges
+  UNION ALL
+  SELECT d2 AS a, d1 AS b FROM edges
+),
+walk(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.lab FROM walk w JOIN bidir e ON e.a = w.node
+),
+comp AS (SELECT node AS doc_id, MIN(lab) AS component FROM walk GROUP BY node)
+SELECT doc_id, component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+       (doc_id = component) AS is_representative
+FROM comp
+ORDER BY doc_id
+""",
+    family=_FAM,
+)
+def llm_dedup_clusters(spark, sf_dir):
+    """Dedup clustering: connected components over the trigram near-dup
+    graph (edges from the MinHash-LSH kernel), each doc labeled with its
+    component's minimum doc_id — the canonical-representative assignment
+    a real pipeline keeps, instead of a raw pair list.
+
+    The iterative algorithm the engine showcase needs: min-label
+    propagation to fixpoint, a driver-side loop of small join+agg rounds
+    over the (sparse) edge set, converging in O(diameter) rounds to a
+    UNIQUE fixpoint — deterministic however partitions race, which is
+    what makes it oracle-checkable (DuckDB replays it as a recursive
+    CTE). localCheckpoint() cuts the growing lineage each round; the
+    per-round `changed` count is the loop condition, the only scalar
+    that ever reaches the driver."""
+    d = table(spark, sf_dir, "documents")
+    edges = _trigram_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    bidir = edges.union(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint()
+    labels = d.select("doc_id", F.col("doc_id").alias("component"))
+    while True:
+        nbr = (
+            labels.join(bidir, labels.doc_id == bidir.d1)
+            .groupBy(F.col("d2").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        nxt = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component", F.coalesce("nbr_min", "component")
+                ).alias("component"),
+                (
+                    F.coalesce("nbr_min", "component") < F.col("component")
+                ).alias("changed"),
+            )
+        ).localCheckpoint()
+        n_changed = nxt.filter("changed").count()
+        labels = nxt.select("doc_id", "component")
+        if n_changed == 0:
+            break
+    w = Window.partitionBy("component")
+    return (
+        labels.withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+        .withColumn("is_representative", F.col("doc_id") == F.col("component"))
+        .orderBy("doc_id")
     )
