@@ -368,3 +368,34 @@ def agg_pivot(spark, sf_dir):
         F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+SELECT c_custkey, metric, amount
+FROM (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+             CAST(c_nationkey AS DOUBLE) AS nationkey
+      FROM customer)
+UNPIVOT (amount FOR metric IN (acctbal, nationkey))
+ORDER BY c_custkey, metric
+""",
+    family=_FAM,
+)
+def agg_unpivot(spark, sf_dir):
+    """Unpivot (wide -> long): per-customer metrics melted into
+    (metric, amount) rows — the inverse of agg_pivot, the melt step
+    feature pipelines use before per-metric aggregation. Spark's
+    unpivot() is pure metadata + row expansion (no shuffle)."""
+    c = table(spark, sf_dir, "customer")
+    wide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return (
+        wide.unpivot(
+            "c_custkey", ["acctbal", "nationkey"], "metric", "amount"
+        )
+        .orderBy("c_custkey", "metric")
+    )
