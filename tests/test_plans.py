@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: the perf properties PERF.md documents,
+asserted on explain() output so a refactor can't silently lose them."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from hdfs_mr_spark.registry import all_specs
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = all_specs()[name].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _nodes(plan: str) -> list[str]:
+    return [n.strip() for n in re.findall(r"^\s*\(\d+\)\s+(.+)$", plan, re.M)]
+
+
+def test_agg_groupby_pushdown(spark):
+    plan = _plan(spark, "agg_groupby")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+    # partial/final aggregate pair = the automatic combiner
+    assert sum("HashAggregate" in n for n in _nodes(plan)) >= 2
+
+
+def test_star_join_broadcasts_dims(spark):
+    nodes = _nodes(_plan(spark, "join_multiway_star"))
+    assert sum("BroadcastHashJoin" in n for n in nodes) >= 3
+    assert not any("SortMergeJoin" in n for n in nodes)
+
+
+def test_shuffle_join_is_sort_merge(spark):
+    nodes = _nodes(_plan(spark, "join_shuffle_inner"))
+    assert any("SortMergeJoin" in n for n in nodes)
+
+
+def test_bucketed_join_has_single_exchange(spark):
+    nodes = _nodes(_plan(spark, "join_bucketed_colocated"))
+    # only the final presentation orderBy may exchange; the join itself
+    # reads bucket-to-bucket
+    assert sum("Exchange" in n for n in nodes) <= 1
+    assert any("SortMergeJoin" in n for n in nodes)
+
+
+def test_topk_single_window_exchange(spark):
+    nodes = _nodes(_plan(spark, "win_topk_per_group"))
+    assert sum("Exchange" in n for n in nodes) <= 1
+
+
+def test_global_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Cross products only where declared (join_cross; tiny broadcast
+    nested loops for non-equi joins are fine — Cartesian is not)."""
+    specs = all_specs()
+    skip_families = ("2.10",)  # streaming fns execute on build
+    skip = {
+        "join_cross",  # the declared Cartesian
+        "scan_stream", "sink_parquet", "scan_binaryfile",  # side effects
+        "join_bucketed_colocated", "llm_dedup_clusters",  # multi-job builds
+        "llm_dedup_near",  # runs two tiny scalar jobs while building
+        "llm_lang_id", "llm_tfidf",  # scalar-count jobs while building
+    }
+    offenders = []
+    for name, spec in sorted(specs.items()):
+        if name in skip or any(spec.family.startswith(f) for f in skip_families):
+            continue
+        nodes = _nodes(_plan(spark, name))
+        if any("CartesianProduct" in n for n in nodes):
+            offenders.append(name)
+    assert not offenders, f"unexpected CartesianProduct in: {offenders}"
