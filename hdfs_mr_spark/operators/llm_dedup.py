@@ -1,13 +1,22 @@
 """LLM-pipeline deduplication (SURVEY.md §2.11, mandate: "dedup").
 
-Exact dedup is a hash-group (one shuffle, combiner-friendly). Near-dedup
-is MinHash+LSH: the LSH join only *generates candidates*; the checked
-output is defined by an exact token-set Jaccard recomputed JVM-side, so
-results are deterministic and oracle-matchable while LSH (numHashTables
-=25, seed=42, miss prob (1-J)^25 <= 3e-18 at J>=0.8) provides the
-sub-quadratic scale path. SimHash fingerprint dedup lives in
-llm_text.llm_fingerprint_simhash; embedding-cosine near-dup in
-llm_similarity.llm_sim_pairs.
+Six formulations, each matched to its data regime (PERF.md has the
+measurements that drove the designs):
+
+- llm_dedup_exact — normalized content hash, combiner-shape aggregate.
+- llm_dedup_near — dense regime (this corpus: ~25% of pairs >= 0.8
+  unigram Jaccard): size-blocked exact join over token bitmasks with
+  the Jaccard predicate inside the join condition.
+- llm_dedup_minhash_lsh — sparse regime: seeded MinHash, r=2 banding,
+  candidates ~linear in n, exact trigram-Jaccard verify.
+- llm_dedup_near_ngram — posting-list exact trigram Jaccard (the
+  LSH-free sub-quadratic formulation).
+- llm_dedup_embed — embedding-cosine near-dup decision per vector.
+- llm_dedup_clusters — connected components over the near-dup graph
+  (iterative min-label propagation; canonical representative per doc).
+
+SimHash fingerprint dedup lives in llm_text.llm_fingerprint_simhash.
+All outputs are deterministic and hash-matched against DuckDB oracles.
 """
 
 from __future__ import annotations

@@ -3,26 +3,17 @@ asserted on explain() output so a refactor can't silently lose them."""
 
 from __future__ import annotations
 
-import contextlib
-import io
-import re
-
-import pytest
-
+from hdfs_mr_spark.plans.audit import formatted_plan, plan_nodes
 from hdfs_mr_spark.registry import all_specs
 from tests.conftest import SF_SMOKE
 
 
 def _plan(spark, name: str) -> str:
-    df = all_specs()[name].fn(spark, SF_SMOKE)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return formatted_plan(all_specs()[name].fn(spark, SF_SMOKE))
 
 
 def _nodes(plan: str) -> list[str]:
-    return [n.strip() for n in re.findall(r"^\s*\(\d+\)\s+(.+)$", plan, re.M)]
+    return plan_nodes(plan)
 
 
 def test_agg_groupby_pushdown(spark):
