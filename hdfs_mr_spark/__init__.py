@@ -17,6 +17,7 @@ _FAMILY_MODULES = (
     "hdfs_mr_spark.operators.windows",
     "hdfs_mr_spark.operators.sorts",
     "hdfs_mr_spark.operators.setops",
+    "hdfs_mr_spark.operators.subqueries",
     "hdfs_mr_spark.operators.mrjobs",
     "hdfs_mr_spark.operators.llm_text",
     "hdfs_mr_spark.operators.llm_dedup",

@@ -235,7 +235,15 @@ def _trigram_lsh_pairs(spark, sf_dir):
             " element_at(split(text,' '), i+1), element_at(split(text,' '), i+2)))"
         )
     )
-    sh = d.select("doc_id", shingles.alias("s")).withColumn("sz", F.size("s"))
+    # localCheckpoint materializes the shingle arrays once: the transform()
+    # expression is interpreted (PERF.md finding 2) and this frame is
+    # consumed 4x (explode, sig join, both sides of the verify join) —
+    # recomputing it dominated the query's profile before this.
+    sh = (
+        d.select("doc_id", shingles.alias("s"))
+        .withColumn("sz", F.size("s"))
+        .localCheckpoint()
+    )
     # 24 minhash values: h_j = min over shingles of (xxhash64(shingle, j) mod p).
     # Shaped as explode -> 24 codegen'd hash columns -> 24 min() partial aggs
     # (combiner-style, shuffle carries one row of 24 longs per doc) rather

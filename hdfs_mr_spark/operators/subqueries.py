@@ -1,0 +1,99 @@
+"""SQL subqueries (SURVEY.md §2.13) — the spark.sql front-end plus
+Catalyst's subquery decorrelation (SURVEY.md §4.2: "free", and these
+queries prove it: each correlated subquery plans as a join + aggregate,
+no per-row re-execution).
+
+The correlated average is computed over DECIMAL, not DOUBLE: both
+engines then produce the identical exact threshold, so boundary rows
+can't flip on summation-order ulps (determinism rule, SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+from hdfs_mr_spark.io import table
+from hdfs_mr_spark.registry import query
+
+_FAM = "2.13 sql subqueries"
+
+
+def _register(spark, sf_dir, *names):
+    for n in names:
+        table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@query(
+    "sql_scalar_subquery_correlated",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(38,2)) >
+      (SELECT AVG(CAST(o2.o_totalprice AS DECIMAL(38,2)))
+       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+ORDER BY o_orderkey
+""",
+    family=_FAM,
+)
+def sql_scalar_subquery_correlated(spark, sf_dir):
+    """Correlated scalar subquery: orders above their own customer's
+    average order value. Catalyst decorrelates to aggregate-then-join —
+    one pass over orders, not one subquery per row."""
+    _register(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(38,2)) >
+      (SELECT AVG(CAST(o2.o_totalprice AS DECIMAL(38,2)))
+       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+ORDER BY o_orderkey
+"""
+    )
+
+
+@query(
+    "sql_exists_subquery",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+ORDER BY c_custkey
+""",
+    family=_FAM,
+)
+def sql_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS: customers holding at least one large order —
+    decorrelated to a left-semi join."""
+    _register(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+ORDER BY c_custkey
+"""
+    )
+
+
+@query(
+    "sql_in_subquery",
+    oracle="""
+SELECT p_partkey, p_name
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+ORDER BY p_partkey
+""",
+    family=_FAM,
+)
+def sql_in_subquery(spark, sf_dir):
+    """IN-subquery membership filter (semi-join under the hood)."""
+    _register(spark, sf_dir, "part", "lineitem")
+    return spark.sql(
+        """
+SELECT p_partkey, p_name
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+ORDER BY p_partkey
+"""
+    )
