@@ -414,7 +414,9 @@ def llm_dedup_near_ngram(spark, sf_dir):
             " element_at(split(text,' '), i+1), element_at(split(text,' '), i+2)))"
         )
     )
-    sh = d.select("doc_id", shingles.alias("shingles"))
+    # materialize once: the interpreted transform() feeds both the posting
+    # list and the size table (same pathology as the MinHash kernel)
+    sh = d.select("doc_id", shingles.alias("shingles")).localCheckpoint()
     tok = sh.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
     t2 = tok.select(F.col("doc_id").alias("doc_id2"), F.col("s").alias("s2"))
