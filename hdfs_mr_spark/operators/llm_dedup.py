@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from hdfs_mr_spark.io import table
+from hdfs_mr_spark.io import fan_out, table
 from hdfs_mr_spark.registry import query
 
 _FAM = "2.11 llm dedup"
@@ -143,7 +143,7 @@ def llm_dedup_near(spark, sf_dir):
     enc = toks.join(masks, "doc_id")
     mask_cols = [f"m{k}" for k in range(n_words)]
     # integer-exact admissible partner sizes: ceil(4*sz/5) .. floor(5*sz/4)
-    a = enc.select(
+    a = fan_out(enc).select(
         F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"),
         *[F.col(m).alias(f"a_{m}") for m in mask_cols],
         F.explode(
@@ -240,7 +240,7 @@ def _trigram_lsh_pairs(spark, sf_dir):
     # consumed 4x (explode, sig join, both sides of the verify join) —
     # recomputing it dominated the query's profile before this.
     sh = (
-        d.select("doc_id", shingles.alias("s"))
+        fan_out(d.select("doc_id", shingles.alias("s")))
         .withColumn("sz", F.size("s"))
         .localCheckpoint()
     )
@@ -351,7 +351,7 @@ def llm_dedup_embed(spark, sf_dir):
 
     e = table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    a = n.select(
+    a = fan_out(n).select(
         F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"),
         F.col("nrm").alias("n1"),
     )

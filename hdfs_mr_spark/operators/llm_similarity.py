@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from hdfs_mr_spark.io import table
+from hdfs_mr_spark.io import fan_out, table
 from hdfs_mr_spark.registry import query
 
 _FAM = "2.11 llm similarity"
@@ -90,7 +90,9 @@ def llm_sim_knn(spark, sf_dir):
     100 TB this is the exact-baseline every ANN variant is judged
     against."""
     e = table(spark, sf_dir, "embeddings")
-    n = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    # fan_out: the fixture file is one row group; the fold-heavy probe side
+    # must not run on a single task (see io.fan_out)
+    n = fan_out(e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")))
     q = (
         n.filter(F.col("vec_id") < 10)
         .select(
@@ -136,7 +138,8 @@ def llm_sim_pairs(spark, sf_dir):
     buckets)."""
     e = table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    a = n.select(
+    # probe side fanned out across cores; build side stays broadcastable
+    a = fan_out(n).select(
         F.col("vec_id").alias("v1"), F.col("label").alias("label1"),
         F.col("embedding").alias("e1"), F.col("nrm").alias("n1"),
     )

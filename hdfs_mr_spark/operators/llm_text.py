@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from hdfs_mr_spark.io import table
+from hdfs_mr_spark.io import fan_out, table
 from hdfs_mr_spark.registry import query
 
 _FAM = "2.11 llm text analysis"
@@ -493,6 +493,7 @@ def llm_fingerprint_simhash(spark, sf_dir):
         f"IF(({bit_vote}) > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))), "
         f"cast(0 as bigint), (a, x) -> a + x)"
     )
-    fp = d.select("doc_id", "lang", F.expr(simhash).alias("simhash"))
+    # the 32-bit-vote fold is per-row expensive — engage every core
+    fp = fan_out(d).select("doc_id", "lang", F.expr(simhash).alias("simhash"))
     w = Window.partitionBy("simhash")
     return fp.withColumn("n_same_fingerprint", F.count("*").over(w).cast("bigint"))
