@@ -287,3 +287,132 @@ FROM parquet.`{sf_dir}/documents.parquet` d,
 LATERAL hmr_tokenize(d.text) t
 """
     )
+
+
+@query(
+    "llm_multimodal_framesample",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, sha256(text) AS h,
+         CAST(('0x' || substr(sha256(text), 9, 2)) AS INTEGER) % 30 + 1 AS n_frames
+  FROM documents
+  WHERE lang = 'fr'
+)
+SELECT doc_id,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(u.unnest AS INTEGER) AS frame_idx,
+       CAST(CAST(('0x' || substr(h, 2 * (u.unnest % 32) + 1, 2)) AS INTEGER)
+            AS INTEGER) AS frame_sig
+FROM p, LATERAL unnest(range(0, n_frames, 5)) AS u(unnest)
+ORDER BY doc_id, frame_idx
+""",
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_framesample(spark, sf_dir):
+    """Frame sampling over video payloads: binary column -> mapInPandas
+    -> one output row per sampled frame (every 5th of n_frames), with a
+    per-frame signature byte. The decoder is the same deterministic fake
+    as llm_multimodal_decode (real codecs absent here); the 1->N Arrow
+    batch expansion, typed per-frame schema, and shuffle-free
+    partition-parallel shape are the production path a video training
+    pipeline runs at 100 TB (sampled frames then feed the embedding /
+    caption stages)."""
+
+    def sample_batches(batches):
+        # self-contained closure (cloudpickle by value; workers can't
+        # import hdfs_mr_spark from the driver's arbitrary cwd)
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nfs, idxs, sigs = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (b[4] % 30) + 1
+                for fi in range(0, n_frames, 5):
+                    ids.append(doc_id)
+                    nfs.append(n_frames)
+                    idxs.append(fi)
+                    sigs.append(b[fi % 32])
+            # explicit dtypes: an empty batch would otherwise yield object
+            # columns that Arrow can't map onto the declared int schema
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_frames": nfs, "frame_idx": idxs, "frame_sig": sigs}
+            ).astype(
+                {"doc_id": "int64", "n_frames": "int32",
+                 "frame_idx": "int32", "frame_sig": "int32"}
+            )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
+    payloads = d.select(
+        "doc_id", F.to_binary(F.sha2(F.col("text"), 256), F.lit("hex")).alias("payload")
+    )
+    return payloads.mapInPandas(
+        sample_batches, "doc_id long, n_frames int, frame_idx int, frame_sig int"
+    ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "llm_multimodal_resize",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         CASE lang WHEN 'en' THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+         sha256(text) AS h,
+         CAST(('0x' || substr(sha256(text), 1, 4)) AS INTEGER) AS w,
+         CAST(('0x' || substr(sha256(text), 5, 4)) AS INTEGER) AS hh
+  FROM documents
+  WHERE lang IN ('en', 'es')
+)
+SELECT doc_id, mime,
+       CAST(w AS INTEGER) AS src_w, CAST(hh AS INTEGER) AS src_h,
+       CAST(CASE WHEN w >= hh THEN 224
+                 ELSE CAST(floor(224.0 * w / hh) AS INTEGER) END AS INTEGER) AS dst_w,
+       CAST(CASE WHEN hh >= w THEN 224
+                 ELSE CAST(floor(224.0 * hh / w) AS INTEGER) END AS INTEGER) AS dst_h,
+       CAST(CAST(('0x' || substr(h, 1, 2)) AS INTEGER)
+            * CAST(('0x' || substr(h, 3, 2)) AS INTEGER) % 251 AS INTEGER) AS thumb_sig
+FROM p
+ORDER BY doc_id
+""",
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_resize(spark, sf_dir):
+    """Image resize plumbing: image-mime payloads -> mapInPandas ->
+    aspect-preserving resize to a 224-long edge (the ViT/CLIP preprocess
+    shape) plus a thumbnail signature. The pixel work is the stubbed
+    deterministic fake (no codec libs in this container); the Arrow batch
+    path, per-image metadata schema, and shuffle-free map shape are the
+    production resize stage of an image training pipeline."""
+
+    def resize_batches(batches):
+        # self-contained closure (cloudpickle by value; workers can't
+        # import hdfs_mr_spark from the driver's arbitrary cwd)
+        TARGET = 224
+
+        for pdf in batches:
+            out = pdf[["doc_id", "mime"]].copy()
+            ws, hs, dws, dhs, sigs = [], [], [], [], []
+            for b in pdf["payload"]:
+                w = (b[0] << 8) | b[1]
+                h = (b[2] << 8) | b[3]
+                dw = TARGET if w >= h else int(TARGET * w // h)
+                dh = TARGET if h >= w else int(TARGET * h // w)
+                ws.append(w); hs.append(h); dws.append(dw); dhs.append(dh)
+                sigs.append((b[0] * b[1]) % 251)
+            out["src_w"] = ws; out["src_h"] = hs
+            out["dst_w"] = dws; out["dst_h"] = dhs
+            out["thumb_sig"] = sigs
+            yield out.astype(
+                {"doc_id": "int64", "src_w": "int32", "src_h": "int32",
+                 "dst_w": "int32", "dst_h": "int32", "thumb_sig": "int32"}
+            )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "es"))
+    mime = F.when(F.col("lang") == "en", "image/png").otherwise("image/jpeg")
+    payloads = d.select(
+        "doc_id", mime.alias("mime"),
+        F.to_binary(F.sha2(F.col("text"), 256), F.lit("hex")).alias("payload"),
+    )
+    return payloads.mapInPandas(
+        resize_batches,
+        "doc_id long, mime string, src_w int, src_h int, dst_w int, dst_h int, thumb_sig int",
+    ).orderBy("doc_id")

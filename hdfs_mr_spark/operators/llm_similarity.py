@@ -157,6 +157,124 @@ def llm_sim_pairs(spark, sf_dir):
     )
 
 
+_IVF_C = 16  # coarse-quantizer cells (centroids = vectors with vec_id < 16)
+_IVF_NPROBE = 4  # cells probed per query
+
+
+@query(
+    "llm_sim_knn_ivf",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS nrm FROM embeddings
+),
+c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n WHERE vec_id < {_IVF_C}),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT n.vec_id, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             {_SQL_DOT.format(a='n.embedding', b='c.ce')} / (n.nrm * c.cn) DESC,
+             c.cid ASC) AS rk
+    FROM n CROSS JOIN c
+  ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+probes AS (
+  SELECT qid, cid AS cell FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             {_SQL_DOT.format(a='q.qe', b='c.ce')} / (q.qn * c.cn) DESC,
+             c.cid ASC) AS rk
+    FROM q CROSS JOIN c
+  ) WHERE rk <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.qid, a.vec_id,
+         {_SQL_DOT.format(a='q.qe', b='n.embedding')} / (q.qn * n.nrm) AS cosine
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell
+  JOIN q ON q.qid = p.qid
+  JOIN n ON n.vec_id = a.vec_id
+  WHERE a.vec_id <> p.qid
+)
+SELECT qid, vec_id, cosine,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC)
+            AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY qid, rank
+""",
+    family=_FAM,
+)
+def llm_sim_knn_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN: a coarse quantizer of 16 deterministic
+    centroids partitions the vectors into cells (argmax-cosine assignment,
+    centroid-id tiebreak); each query probes its nprobe=4 nearest cells and
+    re-ranks exact cosine top-5 inside them. Both the assignment pass and
+    the probe are broadcast joins against the tiny centroid set — the big
+    side is scanned, never shuffled, and candidate volume per query is
+    n * nprobe / C instead of n. This is the third ANN regime next to
+    brute force (llm_sim_knn) and hyperplane LSH (llm_sim_knn_lsh): at
+    100 TB the centroid set comes from a seeded k-means sample job, the
+    cell assignment is written as a partition column, and the probe is a
+    partition-pruned scan. Approximation is deterministic, so the oracle
+    replicates it exactly."""
+    e = table(spark, sf_dir, "embeddings")
+    n = fan_out(e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")))
+    c = (
+        n.filter(F.col("vec_id") < _IVF_C)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+
+    def _nearest_cells(side, id_col, emb, nrm, keep):
+        scored = side.join(F.broadcast(c)).select(
+            id_col,
+            F.col("cid"),
+            (_dot(F.col(emb), F.col("ce")) / (F.col(nrm) * F.col("cn"))).alias("ccos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid").asc())
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= keep)
+            .select(id_col, F.col("cid").alias("cell"))
+        )
+
+    assign = _nearest_cells(n, "vec_id", "embedding", "nrm", 1)
+    q = (
+        n.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    probes = _nearest_cells(q, "qid", "qe", "qn", _IVF_NPROBE)
+    # candidates: vectors whose cell is probed by the query; ids only until
+    # after the equi-join, then the embeddings re-attach (narrow shuffles)
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .join(n, "vec_id")
+        .select(
+            "qid", "vec_id",
+            (_dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("qid", "rank")
+    )
+
+
 _SKETCH_BITS = 4  # sign bits of the first 4 components -> 16 buckets
 
 

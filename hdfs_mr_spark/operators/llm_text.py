@@ -497,3 +497,62 @@ def llm_fingerprint_simhash(spark, sf_dir):
     fp = fan_out(d).select("doc_id", "lang", F.expr(simhash).alias("simhash"))
     w = Window.partitionBy("simhash")
     return fp.withColumn("n_same_fingerprint", F.count("*").over(w).cast("bigint"))
+
+
+@query(
+    "llm_fingerprint_winnow",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_transform(range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+           i -> CAST(('0x' || substr(sha256(array_to_string(
+                  string_split(text, ' ')[i + 1 : i + 3], ' ')), 1, 8)) AS BIGINT)) AS hs
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+fp AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(0, greatest(len(hs) - 4, 0) + 1),
+           j -> list_min(hs[j + 1 : j + 4]))) AS fps
+  FROM sh
+),
+ex AS (SELECT doc_id, lang, unnest(fps) AS fingerprint FROM fp)
+SELECT doc_id, lang, fingerprint,
+       CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_docs_sharing
+FROM ex
+ORDER BY doc_id, fingerprint
+""",
+    family=_FAM,
+)
+def llm_fingerprint_winnow(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS rolling-hash scheme): hash every token 3-gram, slide a window
+    of 4 consecutive shingle hashes, keep the minimum per window; the
+    distinct selected hashes are the doc's fingerprints. Guarantees any
+    shared run of >= 6 tokens yields a shared fingerprint, so equal
+    fingerprints are O(n) near-dup/plagiarism candidates — the third
+    fingerprinting regime next to SimHash (bit-majority sketch) and
+    exact content hash. All JVM-side array math; the per-fingerprint
+    sharing count is a window over the exploded posting list (at 100 TB
+    that list is exactly the inverted index the candidate join uses)."""
+    d = table(spark, sf_dir, "documents").filter(F.size(_toks()) >= 3)
+    hs = (
+        "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)), "
+        "i -> cast(conv(substring(sha2(concat_ws(' ', slice(split(text, ' '), i + 1, 3)), 256), "
+        "1, 8), 16, 10) as bigint))"
+    )
+    # materialize the hash array BEFORE the window lambda (PERF.md 3b):
+    # `slice(hs, j+1, 4)` re-evaluates its argument per window index in the
+    # interpreted evaluator, so inlining hs costs O(windows x shingles)
+    # sha256 calls — measured 7.8 s -> 1.3 s at sf0.01 from this barrier
+    hashed = fan_out(d).select("doc_id", "lang", F.expr(hs).alias("hs")).localCheckpoint()
+    fps = (
+        "array_distinct(transform(sequence(0, greatest(size(hs) - 4, 0)), "
+        "j -> array_min(slice(hs, j + 1, 4))))"
+    )
+    fp = hashed.select("doc_id", "lang", F.explode(F.expr(fps)).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return (
+        fp.withColumn("n_docs_sharing", F.count("*").over(w).cast("bigint"))
+        .orderBy("doc_id", "fingerprint")
+    )
