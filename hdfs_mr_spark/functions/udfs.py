@@ -248,10 +248,16 @@ def llm_multimodal_decode(spark, sf_dir):
         .when(F.col("lang") == "es", "image/jpeg")
         .otherwise("application/octet-stream")
     )
-    payloads = d.select(
-        "doc_id",
-        mime.alias("mime"),
-        F.to_binary(F.sha2(F.col("text"), 256), F.lit("hex")).alias("payload"),
+    # fan_out: single-row-group input would serialize the python decode
+    # onto one Arrow worker (io.fan_out; measured 4.1 s -> ~1 s at sf0.1)
+    from hdfs_mr_spark.io import fan_out
+
+    payloads = fan_out(
+        d.select(
+            "doc_id",
+            mime.alias("mime"),
+            F.to_binary(F.sha2(F.col("text"), 256), F.lit("hex")).alias("payload"),
+        )
     )
     return payloads.mapInPandas(
         decode_batches,

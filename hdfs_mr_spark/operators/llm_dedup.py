@@ -224,26 +224,40 @@ def llm_dedup_minhash_lsh(spark, sf_dir):
     return _trigram_lsh_pairs(spark, sf_dir).orderBy("d1", "d2")
 
 
-def _trigram_lsh_pairs(spark, sf_dir):
-    """Shared MinHash-LSH kernel: (d1, d2, jaccard) pairs with trigram
-    Jaccard >= 0.5 (see llm_dedup_minhash_lsh for the full story)."""
+def _shingle_frame(spark, sf_dir):
+    """Materialized (doc_id, s=trigram-shingle array, sz) frame.
+
+    Two-stage materialization, both load-bearing (PERF.md findings 2/3b):
+    1. the token array is checkpointed BEFORE the shingle lambda —
+       `element_at(split(text), i)` inside the transform re-evaluates the
+       split per shingle index (3x per i in the interpreted evaluator);
+       binding `toks` as a materialized column makes each access an O(1)
+       attribute read (measured: 7.2 s -> <1 s for this stage at sf0.1);
+    2. the shingle arrays themselves are checkpointed because downstream
+       kernels consume the frame up to 4x (explode, sig join, both sides
+       of the verify join)."""
     d = table(spark, sf_dir, "documents")
+    toks = fan_out(
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+    ).localCheckpoint()
     shingles = F.array_distinct(
         F.expr(
-            "transform(sequence(1, size(split(text,' ')) - 2),"
-            " i -> concat_ws(' ', element_at(split(text,' '), i),"
-            " element_at(split(text,' '), i+1), element_at(split(text,' '), i+2)))"
+            "transform(sequence(1, size(toks) - 2),"
+            " i -> concat_ws(' ', element_at(toks, i),"
+            " element_at(toks, i+1), element_at(toks, i+2)))"
         )
     )
-    # localCheckpoint materializes the shingle arrays once: the transform()
-    # expression is interpreted (PERF.md finding 2) and this frame is
-    # consumed 4x (explode, sig join, both sides of the verify join) —
-    # recomputing it dominated the query's profile before this.
-    sh = (
-        fan_out(d.select("doc_id", shingles.alias("s")))
+    return (
+        toks.select("doc_id", shingles.alias("s"))
         .withColumn("sz", F.size("s"))
         .localCheckpoint()
     )
+
+
+def _trigram_lsh_pairs(spark, sf_dir):
+    """Shared MinHash-LSH kernel: (d1, d2, jaccard) pairs with trigram
+    Jaccard >= 0.5 (see llm_dedup_minhash_lsh for the full story)."""
+    sh = _shingle_frame(spark, sf_dir)
     # 24 minhash values: h_j = min over shingles of (xxhash64(shingle, j) mod p).
     # Shaped as explode -> 24 codegen'd hash columns -> 24 min() partial aggs
     # (combiner-style, shuffle carries one row of 24 longs per doc) rather
@@ -347,22 +361,13 @@ def llm_dedup_embed(spark, sf_dir):
     scale path buckets candidates by sign-bit sketch first
     (llm_sim_knn_lsh plan shape), which leaves this exact query as the
     per-bucket kernel."""
-    from hdfs_mr_spark.operators.llm_similarity import _dot, _norm
+    from hdfs_mr_spark.operators.llm_similarity import blocked_cosine_pairs
 
     e = table(spark, sf_dir, "embeddings")
-    n = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    a = fan_out(n).select(
-        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"),
-        F.col("nrm").alias("n1"),
-    )
-    b = n.select(
-        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"),
-        F.col("nrm").alias("n2"),
-    )
-    cos = _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
-    # cosine threshold in the join condition (see _dot: measured ~5x
-    # faster than a post-join filter, which double-evaluates the fold)
-    pairs = a.join(b, (F.col("v1") < F.col("v2")) & (cos >= 0.35)).select("v1", "v2")
+    # blocked vectorized kernel (see llm_similarity.blocked_cosine_pairs):
+    # the cosine threshold is applied inside the numpy unit, only passing
+    # pairs materialize
+    pairs = blocked_cosine_pairs(spark, sf_dir, threshold=0.35).select("v1", "v2")
     return (
         e.select("vec_id")
         .join(pairs, e.vec_id == pairs.v2, "left")
@@ -406,19 +411,9 @@ def llm_dedup_near_ngram(spark, sf_dir):
     shingles, group-count intersections, exact Jaccard >= 0.5. This is
     the posting-list formulation — pairs sharing no shingle are never
     materialized, which is what keeps it sub-quadratic at scale."""
-    d = table(spark, sf_dir, "documents")
-    shingles = F.array_distinct(
-        F.expr(
-            "transform(sequence(1, size(split(text,' ')) - 2),"
-            " i -> concat_ws(' ', element_at(split(text,' '), i),"
-            " element_at(split(text,' '), i+1), element_at(split(text,' '), i+2)))"
-        )
-    )
-    # materialize once: the interpreted transform() feeds both the posting
-    # list and the size table (same pathology as the MinHash kernel)
-    sh = d.select("doc_id", shingles.alias("shingles")).localCheckpoint()
-    tok = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+    sh = _shingle_frame(spark, sf_dir)
+    tok = sh.select("doc_id", F.explode("s").alias("s"))
+    sizes = sh.select("doc_id", F.col("sz"))
     t2 = tok.select(F.col("doc_id").alias("doc_id2"), F.col("s").alias("s2"))
     inter = (
         tok.join(t2, (tok.s == t2.s2) & (tok.doc_id < t2.doc_id2))

@@ -164,12 +164,15 @@ def llm_ngrams(spark, sf_dir):
     """Top-10 bigrams per language — adjacent-token pairs built with a
     JVM-side index transform (no Python)."""
     d = table(spark, sf_dir, "documents")
+    # token array materialized before the lambda: element_at(split(...), i)
+    # would re-run the split per bigram index in the interpreted evaluator
+    # (same pathology as the shingle kernel, PERF.md finding 2)
+    toks = fan_out(d.select("lang", F.split("text", " ").alias("toks"))).localCheckpoint()
     bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> concat(element_at(split(text, ' '), i), ' ',"
-        "             element_at(split(text, ' '), i + 1)))"
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
     )
-    big = d.select("lang", F.explode(bigrams).alias("bigram"))
+    big = toks.select("lang", F.explode(bigrams).alias("bigram"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
     return (
         big.groupBy("lang", "bigram")
@@ -536,16 +539,21 @@ def llm_fingerprint_winnow(spark, sf_dir):
     sharing count is a window over the exploded posting list (at 100 TB
     that list is exactly the inverted index the candidate join uses)."""
     d = table(spark, sf_dir, "documents").filter(F.size(_toks()) >= 3)
+    # token array materialized before the shingle lambda (PERF.md 2):
+    # slice(split(text), ...) inside the transform would re-split per index
+    toks = fan_out(
+        d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    ).localCheckpoint()
     hs = (
-        "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)), "
-        "i -> cast(conv(substring(sha2(concat_ws(' ', slice(split(text, ' '), i + 1, 3)), 256), "
+        "transform(sequence(0, greatest(size(toks) - 3, 0)), "
+        "i -> cast(conv(substring(sha2(concat_ws(' ', slice(toks, i + 1, 3)), 256), "
         "1, 8), 16, 10) as bigint))"
     )
     # materialize the hash array BEFORE the window lambda (PERF.md 3b):
     # `slice(hs, j+1, 4)` re-evaluates its argument per window index in the
     # interpreted evaluator, so inlining hs costs O(windows x shingles)
     # sha256 calls — measured 7.8 s -> 1.3 s at sf0.01 from this barrier
-    hashed = fan_out(d).select("doc_id", "lang", F.expr(hs).alias("hs")).localCheckpoint()
+    hashed = toks.select("doc_id", "lang", F.expr(hs).alias("hs")).localCheckpoint()
     fps = (
         "array_distinct(transform(sequence(0, greatest(size(hs) - 4, 0)), "
         "j -> array_min(slice(hs, j + 1, 4))))"
