@@ -45,6 +45,8 @@ HEADLINE = [
     "llm_dedup_near",        # 2.11 dense exact near-dup (bitmask join)
     "llm_dedup_minhash_lsh", # 2.11 MinHash-LSH sub-quadratic path
     "llm_sim_knn",           # 2.11 cosine top-k
+    "llm_sim_pairs",         # 2.11 all-pairs cosine (blocked numpy kernel)
+    "llm_sim_knn_ivf",       # 2.11 IVF ANN (coarse-quantizer probe)
     "llm_tfidf",             # 2.11
     "llm_quality_filter",    # 2.11
     "udf_grouped_map",       # 2.12 Arrow-batched python path
@@ -68,8 +70,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
 
-    # Warmup: run the flagship once to pay JVM/codegen/Arrow init.
+    # Warmup: run the flagship once to pay JVM/codegen init, and one
+    # Arrow-batched query to fork the reusable Python worker pool —
+    # per-query numbers then reflect steady-state throughput.
     _force(qs["agg_groupby"](spark, sf_dir))
+    _force(qs["udf_map_in_pandas"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -564,3 +564,131 @@ def llm_fingerprint_winnow(spark, sf_dir):
         fp.withColumn("n_docs_sharing", F.count("*").over(w).cast("bigint"))
         .orderBy("doc_id", "fingerprint")
     )
+
+
+@query(
+    "llm_quality_repetition",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+topw AS (SELECT doc_id, MAX(c) AS top_word_n FROM wc GROUP BY doc_id),
+big AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS b
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+),
+bc AS (SELECT doc_id, b, COUNT(*) AS c FROM big GROUP BY doc_id, b),
+topb AS (
+  SELECT doc_id, MAX(c) AS top_bigram_n,
+         SUM(c) AS n_bigrams,
+         SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_bigram_n
+  FROM bc GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_tok AS INTEGER) AS n_tokens,
+       CAST(t.top_word_n AS DOUBLE) / CAST(s.n_tok AS DOUBLE) AS top_word_frac,
+       CAST(b.top_bigram_n AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE) AS top_bigram_frac,
+       CAST(b.dup_bigram_n AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE) AS dup_bigram_frac,
+       (CAST(t.top_word_n AS DOUBLE) / CAST(s.n_tok AS DOUBLE) <= 0.2
+        AND CAST(b.top_bigram_n AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE) <= 0.18) AS keep
+FROM sizes s
+JOIN topw t ON s.doc_id = t.doc_id
+JOIN topb b ON s.doc_id = b.doc_id
+ORDER BY s.doc_id
+""",
+    family=_FAM,
+)
+def llm_quality_repetition(spark, sf_dir):
+    """Repetition-based quality gates (the Gopher-rule family): per doc,
+    the fraction of tokens taken by the most frequent word, the top
+    bigram's share, and the share of bigrams occurring twice or more;
+    `keep` applies the published-style thresholds (top word <= 20%, top
+    bigram <= 18%). Pure relational formulation — explode + two-level
+    aggregates, fully codegen, map-side partial aggs do the heavy
+    counting before any shuffle — so it runs unchanged over 100 TB of
+    text. Complements llm_quality_filter's length/lang gates."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("w"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    topw = (
+        tok.groupBy("doc_id", "w").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_word_n"))
+    )
+    toks2 = fan_out(d.select("doc_id", F.split("text", " ").alias("toks"))).localCheckpoint()
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    bc = (
+        toks2.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b").count()
+    )
+    topb = bc.groupBy("doc_id").agg(
+        F.max("count").alias("top_bigram_n"),
+        F.sum("count").alias("n_bigrams"),
+        F.sum(F.when(F.col("count") >= 2, F.col("count")).otherwise(0)).alias("dup_bigram_n"),
+    )
+    top_word_frac = F.col("top_word_n").cast("double") / F.col("n_tok").cast("double")
+    top_bigram_frac = F.col("top_bigram_n").cast("double") / F.col("n_bigrams").cast("double")
+    dup_bigram_frac = F.col("dup_bigram_n").cast("double") / F.col("n_bigrams").cast("double")
+    return (
+        sizes.join(topw, "doc_id").join(topb, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("int").alias("n_tokens"),
+            top_word_frac.alias("top_word_frac"),
+            top_bigram_frac.alias("top_bigram_frac"),
+            dup_bigram_frac.alias("dup_bigram_frac"),
+            ((top_word_frac <= 0.2) & (top_bigram_frac <= 0.18)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_pack_sequences",
+    oracle="""
+WITH t AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM t
+)
+SELECT lang, doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(tok_start // 2048 AS BIGINT) AS start_bin,
+       CAST((tok_start + n_tokens - 1) // 2048 AS BIGINT) AS end_bin,
+       CAST(tok_start % 2048 AS BIGINT) AS offset_in_bin
+FROM c
+ORDER BY lang, doc_id
+""",
+    family=_FAM,
+)
+def llm_pack_sequences(spark, sf_dir):
+    """Sequence packing for training: concatenate each language shard's
+    documents in doc_id order and cut fixed 2048-token bins; each doc
+    reports its start bin, end bin (straddling allowed — the GPT-style
+    packing), and offset. The cumulative token count is a running-sum
+    window per shard — packing is embarrassingly parallel across shards
+    (lang here; date/source buckets at 100 TB), which is what keeps the
+    global-order anti-pattern out: no single-partition window, one
+    shuffle by shard key."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("lang", "doc_id", F.size(_toks()).alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return c.select(
+        "lang", "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (F.col("tok_start") / 2048).cast("bigint").alias("start_bin"),
+        ((F.col("tok_start") + F.col("n_tokens") - 1) / 2048).cast("bigint").alias("end_bin"),
+        F.pmod(F.col("tok_start"), F.lit(2048)).cast("bigint").alias("offset_in_bin"),
+    ).orderBy("lang", "doc_id")
