@@ -404,3 +404,58 @@ def join_bucketed_colocated(spark, sf_dir):
         )
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+SELECT a.user_id AS u1, b.user_id AS u2,
+       a.event_id AS e1, b.event_id AS e2,
+       abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP)))
+         AS delta_us
+FROM events a JOIN events b
+  ON a.user_id < b.user_id
+ AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP)))
+       <= 5000000
+ORDER BY u1, u2, e1, e2
+""",
+    family=_FAM,
+)
+def join_range_bucketed(spark, sf_dir):
+    """Range join with NO equi key — cross-user event coincidences within
+    5 s — made scalable by time-bucket banding: bucket = ts div 5s, one
+    side explodes into its {b-1, b, b+1} neighborhood, candidates come
+    from an EQUI-join on the bucket (each true pair matches exactly one
+    of the three bucket equalities, so no dedup pass), and the exact
+    |delta| <= 5 s predicate rides inside the join condition. This is
+    the shape that survives 100 TB: a shuffle keyed on time buckets with
+    ~3x fan-out, instead of the O(n^2) nested loop a bare inequality
+    join plans. Buckets inherit event-time distribution, so AQE's skew
+    split handles hot intervals."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+    w_us = 5_000_000
+    a = base.select(
+        F.col("user_id").alias("u1"), F.col("event_id").alias("e1"),
+        F.col("us").alias("us1"), F.expr(f"us div {w_us}").alias("b"),
+    )
+    b = base.select(
+        F.col("user_id").alias("u2"), F.col("event_id").alias("e2"),
+        F.col("us").alias("us2"),
+        F.explode(
+            F.expr(f"array(us div {w_us} - 1L, us div {w_us}, us div {w_us} + 1L)")
+        ).alias("bb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("b") == F.col("bb"))
+            & (F.col("u1") < F.col("u2"))
+            & (F.abs(F.col("us1") - F.col("us2")) <= w_us),
+        )
+        .select(
+            "u1", "u2", "e1", "e2",
+            F.abs(F.col("us1") - F.col("us2")).alias("delta_us"),
+        )
+        .orderBy("u1", "u2", "e1", "e2")
+    )

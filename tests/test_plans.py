@@ -72,3 +72,38 @@ def test_no_cartesian_products_anywhere(spark):
         if any("CartesianProduct" in n for n in nodes):
             offenders.append(name)
     assert not offenders, f"unexpected CartesianProduct in: {offenders}"
+
+
+def test_range_bucketed_join_is_equi(spark):
+    """The banded range join must plan as a hash/merge EQUI-join on the
+    bucket key — never a nested loop (PERF: the whole point of banding)."""
+    nodes = _nodes(_plan(spark, "join_range_bucketed"))
+    assert any(
+        ("BroadcastHashJoin" in n) or ("SortMergeJoin" in n) or ("ShuffledHashJoin" in n)
+        for n in nodes
+    )
+    assert not any("NestedLoop" in n or "Cartesian" in n for n in nodes)
+
+
+def test_ivf_knn_broadcasts_centroids(spark):
+    """IVF assignment and probe are broadcast joins against the tiny
+    centroid set; the big side must never be the build side of a shuffle."""
+    nodes = _nodes(_plan(spark, "llm_sim_knn_ivf"))
+    assert sum("BroadcastHashJoin" in n for n in nodes) >= 2
+
+
+def test_blocked_pair_kernel_plan(spark):
+    """The blocked all-pairs kernel: one partial/final aggregate pair for
+    the block packing and the python kernel node; no cartesian product."""
+    nodes = _nodes(_plan(spark, "llm_sim_pairs"))
+    assert any("MapInPandas" in n for n in nodes)
+    assert not any("Cartesian" in n for n in nodes)
+
+
+def test_repetition_gates_are_codegen_aggregates(spark):
+    """Repetition quality gates: relational aggregates only — no python
+    nodes on this hot path."""
+    plan = _plan(spark, "llm_quality_repetition")
+    nodes = _nodes(plan)
+    assert sum("HashAggregate" in n for n in nodes) >= 4  # partial/final x2 levels
+    assert not any("Python" in n or "MapInPandas" in n for n in nodes)
