@@ -692,3 +692,145 @@ def llm_pack_sequences(spark, sf_dir):
         ((F.col("tok_start") + F.col("n_tokens") - 1) / 2048).cast("bigint").alias("end_bin"),
         F.pmod(F.col("tok_start"), F.lit(2048)).cast("bigint").alias("offset_in_bin"),
     ).orderBy("lang", "doc_id")
+
+
+@query(
+    "llm_decontaminate",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(l) - 3),
+           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4]))) AS g
+  FROM toks WHERE len(l) >= 5
+),
+eval_sh AS (SELECT DISTINCT g FROM sh WHERE doc_id < 3),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_shared_5grams
+  FROM sh s JOIN eval_sh e ON s.g = e.g
+  WHERE s.doc_id >= 3
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared_5grams, 0) AS BIGINT) AS n_shared_5grams,
+       (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id >= 3
+ORDER BY d.doc_id
+""",
+    family=_FAM,
+)
+def llm_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: docs 0-2 stand in for a benchmark shard;
+    every training doc (id >= 3) is flagged if it shares any word 5-gram
+    with the shard, with the shared-shingle count (the published
+    decontamination recipe: n-gram overlap against eval benchmarks).
+    Posting-list shape: explode distinct 5-grams, broadcast the (tiny)
+    eval shingle set, equi-join — at 100 TB the eval side stays a
+    broadcast no matter how big training gets, so the scan stays single
+    pass, shuffle-free."""
+    d = table(spark, sf_dir, "documents")
+    toks = fan_out(
+        d.filter(F.size(_toks()) >= 5)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    ).localCheckpoint()
+    grams = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(toks) - 4),"
+            " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1),"
+            " element_at(toks, i+2), element_at(toks, i+3), element_at(toks, i+4)))"
+        )
+    )
+    sh = toks.select("doc_id", F.explode(grams).alias("g"))
+    eval_sh = sh.filter(F.col("doc_id") < 3).select("g").distinct()
+    hits = (
+        sh.filter(F.col("doc_id") >= 3)
+        .join(F.broadcast(eval_sh), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_5grams"))
+    )
+    return (
+        d.filter(F.col("doc_id") >= 3)
+        .select("doc_id")
+        .join(hits.withColumnRenamed("doc_id", "hdoc"),
+              F.col("doc_id") == F.col("hdoc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_5grams", F.lit(0)).cast("bigint").alias("n_shared_5grams"),
+            F.col("hdoc").isNotNull().alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_domain_mix",
+    oracle="""
+WITH tl AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY lang
+),
+m AS (SELECT MIN(total_tokens) AS min_tokens FROM tl),
+rates AS (
+  SELECT lang, total_tokens,
+         CAST(m.min_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS rate
+  FROM tl, m
+),
+kept AS (
+  SELECT d.lang,
+         COUNT(*) AS n_kept,
+         CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS kept_tokens
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000000) < CAST(floor(r.rate * 1000000.0) AS BIGINT)
+  GROUP BY d.lang
+)
+SELECT r.lang, r.total_tokens, round(r.rate, 6) AS rate,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+ORDER BY r.lang
+""",
+    family=_FAM,
+)
+def llm_domain_mix(spark, sf_dir):
+    """Domain/language mixing: downsample every language shard to the
+    smallest shard's token budget (equal-token target mix). Per-lang
+    rates are computed relationally (no driver scalars), and the keep
+    decision is the deterministic md5-bucket coin from
+    sample_hash_stratified — reproducible across runs and cluster
+    layouts, which is what makes a data mix auditable. The integer
+    floor(rate*1e6) bucket comparison avoids float-boundary flakiness
+    between engines."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(_toks())
+    tl = d.groupBy("lang").agg(F.sum(n_tok).cast("bigint").alias("total_tokens"))
+    m = tl.agg(F.min("total_tokens").alias("min_tokens"))
+    rates = tl.crossJoin(F.broadcast(m)).select(
+        "lang", "total_tokens",
+        (F.col("min_tokens").cast("double") / F.col("total_tokens").cast("double")).alias("rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 1000000
+    )
+    kept = (
+        d.select("lang", "doc_id", n_tok.alias("nt"), bucket.alias("bucket"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("bucket") < F.floor(F.col("rate") * 1000000.0).cast("bigint"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("nt").cast("bigint").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang", "total_tokens",
+            F.round(F.col("rate"), 6).alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
