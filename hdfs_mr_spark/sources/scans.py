@@ -238,3 +238,67 @@ def scan_binaryfile(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "scan_orc",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    family=_FAM,
+)
+def scan_orc(spark, sf_dir):
+    """ORC round trip — the second columnar format Spark ships a
+    vectorized, predicate-pushing reader for. Write orders to ORC,
+    re-read, aggregate; the oracle computes the same aggregate from the
+    original parquet, so the check proves the ORC write+scan is
+    lossless. Integer-only measures keep the comparison exact."""
+    out = str(_fixture_dir(sf_dir) / "orders.orc")
+    table(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "scan_partition_pruned",
+    oracle="""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE lang IN ('en', 'de')
+GROUP BY source ORDER BY source
+""",
+    family=_FAM,
+)
+def scan_partition_pruned(spark, sf_dir):
+    """Static partition pruning: documents written hive-partitioned by
+    lang, then read with a partition-key predicate — the scan touches
+    only the en/de directories (explain shows the pruning in
+    PartitionFilters; tests/test_plans.py locks it). At 100 TB this is
+    THE dominant cost lever: a date/lang-partitioned lake turns most
+    queries into partial scans before a single byte is read."""
+    out = str(_fixture_dir(sf_dir) / "docs_by_lang.parquet")
+    table(spark, sf_dir, "documents").write.mode("overwrite").partitionBy(
+        "lang"
+    ).parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("lang").isin("en", "de"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+    )

@@ -107,3 +107,12 @@ def test_repetition_gates_are_codegen_aggregates(spark):
     nodes = _nodes(plan)
     assert sum("HashAggregate" in n for n in nodes) >= 4  # partial/final x2 levels
     assert not any("Python" in n or "MapInPandas" in n for n in nodes)
+
+
+def test_partitioned_scan_prunes(spark):
+    """The lang-partitioned read must prune at the partition level: the
+    lang predicate appears in PartitionFilters, not as a data filter."""
+    plan = _plan(spark, "scan_partition_pruned")
+    assert "PartitionFilters" in plan
+    after = plan.split("PartitionFilters", 1)[1][:160]
+    assert "lang" in after and "IN (en,de)" in after.replace("'", "")
