@@ -372,3 +372,56 @@ def stream_stateful_custom(spark, sf_dir):
         )
     )
     return _run_to_memory(out, "append").orderBy("user_id")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       CAST(v.ts AS TIMESTAMP) AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+ AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+ORDER BY purchase_id, view_id
+""",
+    family=_FAM,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join: the purchases stream joined to the views
+    stream on user with a 30-minute event-time bound, watermarks on both
+    sides. The time constraint is what lets Structured Streaming expire
+    buffered rows from the state store (without it, both sides' state
+    grows forever); inner-join emission is watermark-independent, so the
+    availableNow drain yields exactly the batch interval-join — fully
+    hash-checked. At 100 TB this is the clickstream attribution shape:
+    state bounded to the watermark horizon, shuffle keyed on user."""
+    p = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    v = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+    ).select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
+    return _run_to_memory(joined, "append").orderBy("purchase_id", "view_id")
