@@ -69,19 +69,31 @@ def _event_stream(spark, sf_dir):
 
 
 def _run_to_memory(df, mode: str):
-    """Drain the bounded stream into a memory sink; return the result table."""
+    """Drain the bounded stream into a memory sink; return the result table.
+
+    State-store partition count is pinned to the shuffle-partition conf at
+    the stream's FIRST run; per-partition store open/commit dominates these
+    bounded drains (fixture state is tiny), so the drain runs with 8
+    shuffle partitions and the session conf is restored afterwards —
+    measured ~2x on the stream-stream join. On a real cluster this knob is
+    sized to state volume, not overhead."""
+    spark = df.sparkSession
     name = f"hmr_stream_{next(_COUNTER)}"
     ckpt = tempfile.mkdtemp(prefix="hmr_ckpt_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     result = spark.table(name)
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
