@@ -352,3 +352,36 @@ def fn_hash_native(spark, sf_dir):
         F.crc32("text").alias("text_crc32"),
         F.hash("text", "lang").alias("row_hash"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS set_bit,
+       xor(o_orderkey, o_custkey) AS key_xor,
+       o_orderkey << 2 AS shl,
+       o_orderkey >> 3 AS shr,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+FROM orders
+WHERE o_orderkey < 1000
+ORDER BY o_orderkey
+""",
+    family=_FAM,
+)
+def fn_bitwise(spark, sf_dir):
+    """Bitwise function family: and/or/xor, shifts, popcount — the bit
+    math the engine's own kernels lean on (bitmask Jaccard, SimHash,
+    banding). All codegen'd integer ops."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("set_bit"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).cast("int").alias("popcount"),
+    ).orderBy("o_orderkey")

@@ -402,3 +402,38 @@ def agg_unpivot(spark, sf_dir):
         )
         .orderBy("c_custkey", "metric")
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket FROM orders
+)
+SELECT bucket,
+       bucket * 50000.0 AS lo,
+       (bucket + 1) * 50000.0 AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+    family=_FAM,
+)
+def agg_histogram(spark, sf_dir):
+    """Equi-width histogram of order totals (50k buckets) — the numeric
+    profiling primitive. Bucket assignment is a pure projection, the
+    count a partial/final aggregate: one combiner-shape shuffle of
+    (bucket, count) pairs regardless of data volume."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("bigint")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000.0).alias("lo"),
+            ((F.col("bucket") + 1) * 50000.0).alias("hi"),
+            "n",
+        )
+        .orderBy("bucket")
+    )

@@ -296,3 +296,60 @@ def ts_gap_fill(spark, sf_dir):
         )
         .orderBy("hour")
     )
+
+
+@query(
+    "win_sessionize",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(us) AS start_us, MAX(us) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+    family=_FAM,
+)
+def win_sessionize(spark, sf_dir):
+    """Batch sessionization via gaps-and-islands: lag() flags a session
+    break after a 30-minute silence, a running sum of flags numbers the
+    sessions, one aggregate summarizes each — the window-function
+    formulation of what streaming does with session_window
+    (stream_session), useful for backfills over historical data. One
+    shuffle on user_id shared by both windows and the final aggregate."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.when(
+        F.lag("us").over(w).isNull()
+        | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sess = e.withColumn(
+        "session_id",
+        F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
