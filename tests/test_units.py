@@ -54,3 +54,36 @@ def test_oracle_strings_are_ansi_parseable():
             con.execute(f"EXPLAIN {spec.oracle}")
         except Exception as exc:  # noqa: BLE001
             pytest.fail(f"{name}: oracle SQL failed to bind: {exc}")
+
+
+def test_blocked_cosine_pairs_equals_brute_force(spark):
+    """The blocked kernel's block decomposition + off-diagonal pair
+    canonicalization must reproduce the brute-force pair set exactly —
+    same ids AND bit-identical cosines (left-fold op order)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hdfs_mr_spark.operators.llm_similarity import blocked_cosine_pairs
+    from tests.conftest import SF_SMOKE
+
+    rows = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pylist()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    E = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    # brute-force reference with the SAME strict left fold
+    n = len(ids)
+    acc = np.zeros((n, n))
+    nr = np.zeros(n)
+    for k in range(E.shape[1]):
+        acc += E[:, k : k + 1] * E[:, k]
+        nr += E[:, k] * E[:, k]
+    cos = acc / np.outer(np.sqrt(nr), np.sqrt(nr))
+    i, j = np.nonzero((ids[:, None] < ids[None, :]) & (cos >= 0.35))
+    expected = {(int(ids[a]), int(ids[b])): cos[a, b] for a, b in zip(i, j)}
+
+    got = {
+        (r["v1"], r["v2"]): r["cosine"]
+        for r in blocked_cosine_pairs(spark, SF_SMOKE, threshold=0.35).collect()
+    }
+    assert set(got) == set(expected)
+    for key, c in got.items():
+        assert c == expected[key], f"cosine mismatch at {key}"
