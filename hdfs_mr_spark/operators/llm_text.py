@@ -487,17 +487,23 @@ def llm_fingerprint_simhash(spark, sf_dir):
     bucket size per fingerprint — identical fingerprints are near-dup
     candidates in O(n), no pairwise join. Entirely JVM-side bit math."""
     d = table(spark, sf_dir, "documents")
-    hs = "transform(array_distinct(split(text, ' ')), w -> cast(conv(substring(sha2(w, 256), 1, 8), 16, 10) as bigint))"
-    bit_vote = (
-        f"aggregate({hs}, 0, (a, h) -> a + IF(shiftright(h, b) & 1 = 1, 1, -1))"
+    # materialize the token-hash array BEFORE the 32-bit vote (PERF.md 2b):
+    # inlined, `aggregate(hs, ...)` re-evaluates hs — sha256 of every
+    # distinct token — once per bit, a 32x overhang
+    hs_expr = (
+        "transform(array_distinct(split(text, ' ')), "
+        "w -> cast(conv(substring(sha2(w, 256), 1, 8), 16, 10) as bigint))"
     )
+    hashed = fan_out(
+        d.select("doc_id", "lang", F.expr(hs_expr).alias("hs"))
+    ).localCheckpoint()
+    bit_vote = "aggregate(hs, 0, (a, h) -> a + IF(shiftright(h, b) & 1 = 1, 1, -1))"
     simhash = (
         f"aggregate(transform(sequence(0, 31), b -> "
         f"IF(({bit_vote}) > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))), "
         f"cast(0 as bigint), (a, x) -> a + x)"
     )
-    # the 32-bit-vote fold is per-row expensive — engage every core
-    fp = fan_out(d).select("doc_id", "lang", F.expr(simhash).alias("simhash"))
+    fp = hashed.select("doc_id", "lang", F.expr(simhash).alias("simhash"))
     w = Window.partitionBy("simhash")
     return fp.withColumn("n_same_fingerprint", F.count("*").over(w).cast("bigint"))
 
