@@ -437,3 +437,24 @@ def agg_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query("agg_approx_quantile", oracle=None, family=_FAM)  # approx => rows-only ⚠
+def agg_approx_quantile(spark, sf_dir):
+    """Approximate percentiles (Greenwald-Khanna / approx_percentile
+    sketch) next to their exact twins — the 100 TB quantile estimator:
+    the sketch merges associatively across partitions (combiner shape)
+    where the exact form must shuffle-sort each group. Rows-only check
+    (approximation has no cross-engine twin); agg_stats carries the
+    exact, hash-checked percentiles."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("p50_approx"),
+            F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("p99_approx"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99_exact"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -459,3 +459,62 @@ def join_range_bucketed(spark, sf_dir):
         )
         .orderBy("u1", "u2", "e1", "e2")
     )
+
+
+_SALT_BUCKETS = 16
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+SELECT f.flag_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+FROM lineitem l
+JOIN (VALUES ('A', 'returned'), ('N', 'kept'), ('R', 'refunded'))
+     AS f(flag, flag_name)
+  ON l.l_returnflag = f.flag
+GROUP BY f.flag_name
+ORDER BY f.flag_name
+""",
+    family=_FAM,
+)
+def join_skew_salted(spark, sf_dir):
+    """Salted join for extreme key skew: lineitem joins a 3-row dim on
+    l_returnflag — 3 distinct keys means an unsalted shuffle puts ~1/3 of
+    600k rows on single reducers. The fact side adds salt =
+    pmod(xxhash64(orderkey, linenumber), 16); the dim side explodes into
+    all 16 salt replicas; the join runs on (key, salt) — 48 evenly-sized
+    partitions instead of 3 hot ones. Salt is routing-only: the
+    aggregate result is salt-independent, so the oracle is the plain
+    join. This is the manual form of what AQE skew-split does at runtime
+    — written out because at 100 TB you salt *persistent* layouts
+    (bucketing columns, writer partitioning) where AQE can't reach."""
+    li = table(spark, sf_dir, "lineitem")
+    dim = spark.createDataFrame(
+        [("A", "returned"), ("N", "kept"), ("R", "refunded")],
+        "flag string, flag_name string",
+    )
+    salted_fact = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT_BUCKETS))
+        .cast("int").alias("salt"),
+    )
+    salted_dim = dim.select(
+        "flag", "flag_name",
+        F.explode(F.expr(f"sequence(0, {_SALT_BUCKETS - 1})")).alias("salt"),
+    )
+    return (
+        salted_fact.join(
+            salted_dim,
+            (F.col("l_returnflag") == F.col("flag")) & (salted_fact.salt == salted_dim.salt),
+        )
+        .groupBy("flag_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("flag_name")
+    )

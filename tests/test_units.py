@@ -32,7 +32,12 @@ def test_registry_hygiene():
         assert spec.family, f"{name} lacks a family tag"
     # every non-oracle query is a documented ⚠ exception, not an accident
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert rows_only == ["agg_approx_distinct", "fn_hash_native", "stream_watermark_late"]
+    assert rows_only == [
+        "agg_approx_distinct",
+        "agg_approx_quantile",
+        "fn_hash_native",
+        "stream_watermark_late",
+    ]
 
 
 def test_oracle_strings_are_ansi_parseable():
