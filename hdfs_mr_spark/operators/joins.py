@@ -504,9 +504,13 @@ def join_skew_salted(spark, sf_dir):
         "flag", "flag_name",
         F.explode(F.expr(f"sequence(0, {_SALT_BUCKETS - 1})")).alias("salt"),
     )
+    # shuffle_hash hint: the 48-row dim would otherwise broadcast, which
+    # never shuffles the fact side and the salt would be inert — the hint
+    # forces the shuffled join on (key, salt) this query demonstrates
+    # (plan shape locked by tests/test_plans.py)
     return (
         salted_fact.join(
-            salted_dim,
+            salted_dim.hint("shuffle_hash"),
             (F.col("l_returnflag") == F.col("flag")) & (salted_fact.salt == salted_dim.salt),
         )
         .groupBy("flag_name")

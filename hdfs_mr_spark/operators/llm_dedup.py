@@ -240,11 +240,16 @@ def _shingle_frame(spark, sf_dir):
     toks = fan_out(
         d.select("doc_id", F.split("text", " ").alias("toks"))
     ).localCheckpoint()
+    # size guard: sequence(1, size-2) is DESCENDING ([1,0]) for <3 tokens
+    # and element_at(toks, 0) raises — short docs get an empty shingle set
+    # (exactly what DuckDB's empty range(1, len-1) produces)
     shingles = F.array_distinct(
         F.expr(
-            "transform(sequence(1, size(toks) - 2),"
-            " i -> concat_ws(' ', element_at(toks, i),"
-            " element_at(toks, i+1), element_at(toks, i+2)))"
+            "IF(size(toks) >= 3,"
+            " transform(sequence(1, size(toks) - 2),"
+            "  i -> concat_ws(' ', element_at(toks, i),"
+            "  element_at(toks, i+1), element_at(toks, i+2))),"
+            " array())"
         )
     )
     return (

@@ -168,9 +168,13 @@ def llm_ngrams(spark, sf_dir):
     # would re-run the split per bigram index in the interpreted evaluator
     # (same pathology as the shingle kernel, PERF.md finding 2)
     toks = fan_out(d.select("lang", F.split("text", " ").alias("toks"))).localCheckpoint()
+    # size guard: sequence(1, 0) is DESCENDING for 1-token docs and
+    # element_at(toks, 0) raises — they contribute no bigrams (= oracle)
     bigrams = F.expr(
-        "transform(sequence(1, size(toks) - 1),"
-        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        "IF(size(toks) >= 2,"
+        " transform(sequence(1, size(toks) - 1),"
+        "  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))),"
+        " array())"
     )
     big = toks.select("lang", F.explode(bigrams).alias("bigram"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
@@ -616,16 +620,23 @@ def llm_quality_repetition(spark, sf_dir):
     counting before any shuffle — so it runs unchanged over 100 TB of
     text. Complements llm_quality_filter's length/lang gates."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(_toks()).alias("w"))
+    # one scan + one split: the checkpointed token frame feeds both the
+    # word-level stats (exploded) and the bigram path (PERF.md 3b)
+    toks2 = fan_out(d.select("doc_id", F.split("text", " ").alias("toks"))).localCheckpoint()
+    tok = toks2.select("doc_id", F.explode("toks").alias("w"))
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     topw = (
         tok.groupBy("doc_id", "w").count()
         .groupBy("doc_id").agg(F.max("count").alias("top_word_n"))
     )
-    toks2 = fan_out(d.select("doc_id", F.split("text", " ").alias("toks"))).localCheckpoint()
+    # size guard: sequence(1, 0) is DESCENDING for 1-token docs and
+    # element_at(toks, 0) raises — they contribute no bigrams (= oracle,
+    # whose inner join to the bigram CTE drops them too)
     bigrams = F.expr(
-        "transform(sequence(1, size(toks) - 1),"
-        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        "IF(size(toks) >= 2,"
+        " transform(sequence(1, size(toks) - 1),"
+        "  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))),"
+        " array())"
     )
     bc = (
         toks2.select("doc_id", F.explode(bigrams).alias("b"))

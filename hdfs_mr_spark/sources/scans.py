@@ -257,8 +257,12 @@ def scan_orc(spark, sf_dir):
     re-read, aggregate; the oracle computes the same aggregate from the
     original parquet, so the check proves the ORC write+scan is
     lossless. Integer-only measures keep the comparison exact."""
-    out = str(_fixture_dir(sf_dir) / "orders.orc")
-    table(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
+    out_p = _fixture_dir(sf_dir) / "orders.orc"
+    out = str(out_p)
+    # write once per sf (source data is immutable): keeps plan-enumeration
+    # passes (tests, explain sweeps) from paying the write repeatedly
+    if not (out_p / "_SUCCESS").exists():
+        table(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
     return (
         spark.read.orc(out)
         .groupBy("o_orderstatus")
@@ -288,10 +292,12 @@ def scan_partition_pruned(spark, sf_dir):
     PartitionFilters; tests/test_plans.py locks it). At 100 TB this is
     THE dominant cost lever: a date/lang-partitioned lake turns most
     queries into partial scans before a single byte is read."""
-    out = str(_fixture_dir(sf_dir) / "docs_by_lang.parquet")
-    table(spark, sf_dir, "documents").write.mode("overwrite").partitionBy(
-        "lang"
-    ).parquet(out)
+    out_p = _fixture_dir(sf_dir) / "docs_by_lang.parquet"
+    out = str(out_p)
+    if not (out_p / "_SUCCESS").exists():  # write once per sf (immutable source)
+        table(spark, sf_dir, "documents").write.mode("overwrite").partitionBy(
+            "lang"
+        ).parquet(out)
     return (
         spark.read.parquet(out)
         .filter(F.col("lang").isin("en", "de"))

@@ -116,3 +116,11 @@ def test_partitioned_scan_prunes(spark):
     assert "PartitionFilters" in plan
     after = plan.split("PartitionFilters", 1)[1][:160]
     assert "lang" in after and "IN (en,de)" in after.replace("'", "")
+
+
+def test_skew_salted_join_shuffles_on_salt(spark):
+    """The salted join must actually shuffle on (key, salt) — a broadcast
+    would leave the salt machinery inert (never shuffles the fact side)."""
+    nodes = _nodes(_plan(spark, "join_skew_salted"))
+    assert any("ShuffledHashJoin" in n or "SortMergeJoin" in n for n in nodes)
+    assert not any("BroadcastHashJoin" in n for n in nodes)

@@ -92,3 +92,33 @@ def test_blocked_cosine_pairs_equals_brute_force(spark):
     assert set(got) == set(expected)
     for key, c in got.items():
         assert c == expected[key], f"cosine mismatch at {key}"
+
+
+def test_short_doc_ngram_guards(spark):
+    """sequence(1, n) is DESCENDING for n < 1 in Spark, so un-guarded
+    bigram/trigram transforms crash on 1-2-token docs with an
+    element_at(toks, 0) error. The guarded expressions must yield empty
+    arrays instead — short docs drop out exactly like the oracle's empty
+    range() does."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a",), ("a b",), ("a b c",), ("a b c d",)], "text string"
+    ).select(F.split("text", " ").alias("toks"))
+    bigrams = F.expr(
+        "IF(size(toks) >= 2,"
+        " transform(sequence(1, size(toks) - 1),"
+        "  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))),"
+        " array())"
+    )
+    trigrams = F.expr(
+        "IF(size(toks) >= 3,"
+        " transform(sequence(1, size(toks) - 2),"
+        "  i -> concat_ws(' ', element_at(toks, i),"
+        "  element_at(toks, i+1), element_at(toks, i+2))),"
+        " array())"
+    )
+    rows = df.select(
+        F.size(bigrams).alias("nb"), F.size(trigrams).alias("nt")
+    ).collect()
+    assert [(r["nb"], r["nt"]) for r in rows] == [(0, 0), (1, 0), (2, 1), (3, 2)]
