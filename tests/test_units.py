@@ -122,3 +122,77 @@ def test_short_doc_ngram_guards(spark):
         F.size(bigrams).alias("nb"), F.size(trigrams).alias("nt")
     ).collect()
     assert [(r["nb"], r["nt"]) for r in rows] == [(0, 0), (1, 0), (2, 1), (3, 2)]
+
+
+def test_winnowing_guarantee_on_synthetic_docs(spark):
+    """Winnowing's defining property: two docs sharing a run of >= k+w+1
+    tokens (k=3-gram, w=4 window => 6+ shared consecutive tokens around a
+    full window of shared shingles) must share at least one fingerprint.
+    Checked on synthetic docs the fixture can't represent."""
+    import hashlib
+
+    def fingerprints(text: str) -> set[int]:
+        toks = text.split(" ")
+        hs = [
+            int(hashlib.sha256(" ".join(toks[i : i + 3]).encode()).hexdigest()[:8], 16)
+            for i in range(len(toks) - 2)
+        ]
+        return {
+            min(hs[j : j + 4])
+            for j in range(max(len(hs) - 4, 0) + 1)
+        }
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"  # 8 shared tokens -> 6 shared shingles
+    a = "alpha beta " + shared + " gamma"
+    b = "delta " + shared + " epsilon zeta"
+    assert fingerprints(a) & fingerprints(b), "shared run must share a fingerprint"
+    # and two token-disjoint docs share nothing
+    c = "x1 x2 x3 x4 x5 x6 x7 x8 x9"
+    assert not (fingerprints(a) & fingerprints(c))
+
+
+def test_banded_range_join_equals_brute_force(spark):
+    """The {b-1,b,b+1} bucket banding must reproduce the brute-force
+    inequality join exactly: every |delta| <= w pair appears exactly once,
+    including pairs straddling bucket boundaries."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    w_us = 5_000_000
+    # timestamps engineered to straddle bucket edges: just-under/over
+    # multiples of the 5s bucket width
+    rows = [
+        (1, 10, 4_999_999), (2, 20, 5_000_001), (3, 30, 9_999_999),
+        (4, 40, 10_000_000), (5, 50, 15_000_000), (6, 60, 2_000_000),
+        (7, 70, 2_000_000),  # equal ts, distinct users
+    ]
+    expected = {
+        (min(u1, u2), max(u1, u2), e1 if u1 < u2 else e2, e2 if u1 < u2 else e1)
+        for (e1, u1, t1), (e2, u2, t2) in itertools.combinations(rows, 2)
+        if u1 != u2 and abs(t1 - t2) <= w_us
+    }
+    base = spark.createDataFrame(rows, "event_id long, user_id long, us long")
+    a = base.select(
+        F.col("user_id").alias("u1"), F.col("event_id").alias("e1"),
+        F.col("us").alias("us1"), F.expr(f"us div {w_us}").alias("b"),
+    )
+    b = base.select(
+        F.col("user_id").alias("u2"), F.col("event_id").alias("e2"),
+        F.col("us").alias("us2"),
+        F.explode(
+            F.expr(f"array(us div {w_us} - 1L, us div {w_us}, us div {w_us} + 1L)")
+        ).alias("bb"),
+    )
+    got = {
+        (r["u1"], r["u2"], r["e1"], r["e2"])
+        for r in a.join(
+            b,
+            (F.col("b") == F.col("bb"))
+            & (F.col("u1") < F.col("u2"))
+            & (F.abs(F.col("us1") - F.col("us2")) <= w_us),
+        )
+        .select("u1", "u2", "e1", "e2")
+        .collect()
+    }
+    assert got == expected
