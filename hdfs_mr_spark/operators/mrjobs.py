@@ -144,3 +144,137 @@ def mr_join_agg(spark, sf_dir):
         )
         .orderBy("n_name", "order_year")
     )
+
+
+@query(
+    "mr_pagerank",
+    oracle="""
+WITH 
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+),
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+  SELECT i.d1, i.d2 FROM inter i
+  JOIN sizes s1 ON i.d1 = s1.doc_id
+  JOIN sizes s2 ON i.d2 = s2.doc_id
+  WHERE CAST(i.n_common AS DOUBLE)
+        / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) >= 0.5
+),
+bidir AS (
+  SELECT d1 AS src, d2 AS dst FROM edges
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM edges
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM bidir GROUP BY src),
+r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents),
+r1 AS (
+  SELECT n.doc_id,
+         CAST(150000 + (850 * COALESCE(SUM(p.r // dg.deg), 0)) // 1000 AS BIGINT) AS r
+  FROM documents n
+  LEFT JOIN bidir e ON e.dst = n.doc_id
+  LEFT JOIN r0 p ON p.doc_id = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n.doc_id
+),
+r2 AS (
+  SELECT n.doc_id,
+         CAST(150000 + (850 * COALESCE(SUM(p.r // dg.deg), 0)) // 1000 AS BIGINT) AS r
+  FROM documents n
+  LEFT JOIN bidir e ON e.dst = n.doc_id
+  LEFT JOIN r1 p ON p.doc_id = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n.doc_id
+),
+r3 AS (
+  SELECT n.doc_id,
+         CAST(150000 + (850 * COALESCE(SUM(p.r // dg.deg), 0)) // 1000 AS BIGINT) AS r
+  FROM documents n
+  LEFT JOIN bidir e ON e.dst = n.doc_id
+  LEFT JOIN r2 p ON p.doc_id = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n.doc_id
+),
+r4 AS (
+  SELECT n.doc_id,
+         CAST(150000 + (850 * COALESCE(SUM(p.r // dg.deg), 0)) // 1000 AS BIGINT) AS r
+  FROM documents n
+  LEFT JOIN bidir e ON e.dst = n.doc_id
+  LEFT JOIN r3 p ON p.doc_id = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n.doc_id
+),
+r5 AS (
+  SELECT n.doc_id,
+         CAST(150000 + (850 * COALESCE(SUM(p.r // dg.deg), 0)) // 1000 AS BIGINT) AS r
+  FROM documents n
+  LEFT JOIN bidir e ON e.dst = n.doc_id
+  LEFT JOIN r4 p ON p.doc_id = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n.doc_id
+)
+SELECT r5.doc_id, r5.r AS rank_micro,
+       CAST(COALESCE(dg.deg, 0) AS BIGINT) AS degree
+FROM r5 LEFT JOIN deg dg ON dg.src = r5.doc_id
+ORDER BY r5.doc_id
+""",
+    family=_FAM,
+)
+def mr_pagerank(spark, sf_dir):
+    """PageRank — THE canonical chained-MapReduce workload (the original
+    MR papers' showcase) — over the trigram near-dup graph: 5 power
+    iterations, damping 0.85, each iteration one join+aggregate round
+    (in MR terms: one full map/shuffle/reduce pass materialized through
+    the DFS; here the five rounds compose into ONE lazy Catalyst plan —
+    no intermediate materialization at all, the exact thing MR cannot
+    do; only the shared edge set is checkpointed, being consumed six
+    times). All rank arithmetic is integer micro-units (rank div deg,
+    (850*sum) div 1000), so partial-aggregation order can't perturb a
+    single bit and DuckDB replays the identical 5 unrolled iterations.
+    Isolated docs converge to the damping floor 0.15; 2-cliques hold the
+    1.0 fixed point — both verified by the oracle hash."""
+    from hdfs_mr_spark.operators.llm_dedup import _trigram_lsh_pairs
+
+    d = table(spark, sf_dir, "documents")
+    edges = _trigram_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    bidir = edges.union(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).select(F.col("d1").alias("src"), F.col("d2").alias("dst")).localCheckpoint()
+    deg = bidir.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = d.select("doc_id", F.lit(1000000).cast("bigint").alias("r"))
+    for _ in range(5):
+        contrib = (
+            bidir.join(ranks, bidir.src == ranks.doc_id)
+            .join(deg, "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            d.select("doc_id")
+            .join(contrib, d.doc_id == contrib.dst, "left")
+            .select(
+                "doc_id",
+                F.expr(
+                    "cast(150000 + (850 * coalesce(s, 0)) div 1000 as bigint)"
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.join(deg, ranks.doc_id == deg.src, "left")
+        .select(
+            "doc_id",
+            F.col("r").alias("rank_micro"),
+            F.coalesce("deg", F.lit(0)).cast("bigint").alias("degree"),
+        )
+        .orderBy("doc_id")
+    )
