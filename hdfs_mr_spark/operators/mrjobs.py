@@ -13,7 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hdfs_mr_spark.exprs import dsum, sql_dsum
-from hdfs_mr_spark.io import table
+from hdfs_mr_spark.io import fan_out, table
 from hdfs_mr_spark.registry import query
 
 _FAM = "2.9 MR composite jobs"
@@ -277,4 +277,126 @@ def mr_pagerank(spark, sf_dir):
             F.coalesce("deg", F.lit(0)).cast("bigint").alias("degree"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "mr_kmeans",
+    oracle="""
+WITH vdim AS (
+  SELECT e.vec_id, CAST(p.pos AS INTEGER) AS pos,
+         CAST(round(CAST(e.embedding[p.pos] AS DOUBLE) * 1000000) AS BIGINT) AS val
+  FROM embeddings e,
+       LATERAL unnest(range(1, len(e.embedding) + 1)) AS p(pos)
+),
+c0 AS (SELECT vec_id AS cid, pos, val AS cval FROM vdim WHERE vec_id < 8),
+d1 AS (
+  SELECT v.vec_id, c.cid,
+         SUM((v.val - c.cval) * (v.val - c.cval)) AS d
+  FROM vdim v JOIN c0 c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rk
+    FROM d1
+  ) WHERE rk = 1
+),
+c1 AS (
+  SELECT a.cid, v.pos, SUM(v.val) // COUNT(*) AS cval
+  FROM a1 a JOIN vdim v ON v.vec_id = a.vec_id
+  GROUP BY a.cid, v.pos
+),
+d2 AS (
+  SELECT v.vec_id, c.cid,
+         SUM((v.val - c.cval) * (v.val - c.cval)) AS d
+  FROM vdim v JOIN c1 c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.cid
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rk
+    FROM d2
+  ) WHERE rk = 1
+),
+c2 AS (
+  SELECT a.cid, v.pos, SUM(v.val) // COUNT(*) AS cval
+  FROM a2 a JOIN vdim v ON v.vec_id = a.vec_id
+  GROUP BY a.cid, v.pos
+),
+d3 AS (
+  SELECT v.vec_id, c.cid,
+         SUM((v.val - c.cval) * (v.val - c.cval)) AS d
+  FROM vdim v JOIN c2 c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.cid
+),
+a3 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rk
+    FROM d3
+  ) WHERE rk = 1
+),
+c3 AS (
+  SELECT a.cid, v.pos, SUM(v.val) // COUNT(*) AS cval
+  FROM a3 a JOIN vdim v ON v.vec_id = a.vec_id
+  GROUP BY a.cid, v.pos
+)
+SELECT a3.vec_id, CAST(a3.cid AS BIGINT) AS cluster,
+       CAST(COUNT(*) OVER (PARTITION BY a3.cid) AS BIGINT) AS cluster_size
+FROM a3
+ORDER BY a3.vec_id
+""",
+    family=_FAM,
+)
+def mr_kmeans(spark, sf_dir):
+    """K-means over the embeddings — the second canonical iterative-MR
+    workload next to PageRank (the Mahout-era benchmark pair): k=8
+    centroids seeded from the first 8 vectors, 3 Lloyd iterations, all
+    composed into one lazy Catalyst plan. Fully relational formulation:
+    vectors live in long (vec_id, pos, val) dim format, distances are a
+    pos-equi-join + partial/final aggregate, centroid updates an
+    integer-mean aggregate — no interpreted folds anywhere. All
+    arithmetic is integer micro-units (components quantized once to
+    1e-6; means use integer div), so sums commute and DuckDB's 3
+    unrolled CTE iterations hash-match bit-for-bit. The per-iteration
+    shuffle keys (pos for distances, (cid, pos) for updates) are
+    uniform by construction — no skew at any scale."""
+    e = table(spark, sf_dir, "embeddings")
+    vdim = fan_out(
+        e.select(
+            "vec_id",
+            F.posexplode(F.col("embedding")).alias("pos", "x"),
+        ).select(
+            "vec_id", "pos",
+            F.expr("cast(round(cast(x as double) * 1000000) as bigint)").alias("val"),
+        )
+    ).localCheckpoint()  # consumed by every iteration's dist + update joins
+    c = vdim.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("val").alias("cval")
+    )
+    for _ in range(3):
+        d = (
+            vdim.join(F.broadcast(c), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("d"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+        a = (
+            d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cid")
+        )
+        c = (
+            a.join(vdim, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(F.expr("sum(val) div count(*)").alias("cval"))
+        )
+    wsz = Window.partitionBy("cid")
+    return (
+        a.withColumn("cluster_size", F.count("*").over(wsz).cast("bigint"))
+        .select("vec_id", F.col("cid").cast("bigint").alias("cluster"), "cluster_size")
+        .orderBy("vec_id")
     )
