@@ -458,3 +458,49 @@ def agg_approx_quantile(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_linreg",
+    oracle=f"""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {sql_dsum('l_quantity')} AS sx,
+         {sql_dsum('l_extendedprice')} AS sy,
+         {sql_dsum('l_quantity * l_quantity', 4)} AS sxx,
+         {sql_dsum('l_quantity * l_extendedprice', 4)} AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+FROM m ORDER BY l_returnflag
+""",
+    family=_FAM,
+)
+def agg_linreg(spark, sf_dir):
+    """Per-group simple linear regression (price ~ quantity) in closed
+    form from decimal-exact moments — the one-pass "ML aggregate": five
+    combiner-shape sums per group, then the normal-equation arithmetic
+    as an identical IEEE expression in both engines (no regr_slope
+    built-in, whose internal summation order differs between engines).
+    One shuffle, bit-exact, any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x, 4).alias("sxx"),
+        dsum(x * y, 4).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    ).orderBy("l_returnflag")
