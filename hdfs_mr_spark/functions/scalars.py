@@ -34,7 +34,7 @@ SELECT p_partkey,
        concat(p_brand, ':', p_type) AS brand_type,
        concat_ws('|', p_brand, p_type) AS brand_type_ws,
        CAST(length(p_name) AS INTEGER) AS name_len,
-       string_split(p_name, ' ') AS name_tokens,
+       array_to_string(string_split(p_name, ' '), ',') AS name_tokens,
        regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
        regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
        lpad(p_brand, 12, '_') AS brand_padded,
@@ -55,7 +55,7 @@ def fn_string(spark, sf_dir):
         F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type_ws"),
         F.length("p_name").cast("int").alias("name_len"),
-        F.split("p_name", " ").alias("name_tokens"),
+        F.array_join(F.split("p_name", " "), ",").alias("name_tokens"),
         F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
         F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
         F.lpad("p_brand", 12, "_").alias("brand_padded"),
@@ -205,13 +205,15 @@ def fn_conditional(spark, sf_dir):
 SELECT d.doc_id,
        CAST(len(e.embedding) AS INTEGER) AS dim,
        CAST(e.embedding[1] AS DOUBLE) AS first_component,
-       list_transform(e.embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3,
+       CAST(e.embedding[2] AS DOUBLE) AS head2,
+       CAST(e.embedding[3] AS DOUBLE) AS head3,
        list_reduce(
          list_prepend(CAST(0.0 AS DOUBLE),
            list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
          (acc, x) -> acc + x) AS sq_norm,
        list_contains(string_split(d.text, ' '), 'data') AS mentions_data,
-       list_sort(list_distinct(string_split(d.text, ' '))) AS vocab,
+       array_to_string(list_sort(list_distinct(string_split(d.text, ' '))), ',')
+         AS vocab,
        CAST(len(list_filter(string_split(d.text, ' '), t -> length(t) > 4))
             AS INTEGER) AS n_long_tokens
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
@@ -222,7 +224,11 @@ def fn_array(spark, sf_dir):
     """Array family + higher-order functions (transform/filter/aggregate)
     over the 64-dim embeddings and tokenized text. The squared-norm fold
     is a left fold from 0.0 in both engines — deterministic without
-    rounding. This is the JVM-side kernel the similarity ops reuse."""
+    rounding. This is the JVM-side kernel the similarity ops reuse.
+    Array outputs leave the query as scalars (element projections for
+    the double slice — float->string formatting is engine-specific — and
+    ``array_join`` for the string vocab): the driver's value hasher
+    takes scalar cells only."""
     d = table(spark, sf_dir, "documents")
     e = table(spark, sf_dir, "embeddings")
     toks = F.split(F.col("text"), " ")
@@ -231,14 +237,15 @@ def fn_array(spark, sf_dir):
         "doc_id",
         F.size(emb).cast("int").alias("dim"),
         F.element_at(emb, 1).cast("double").alias("first_component"),
-        F.transform(F.slice(emb, 1, 3), lambda x: x.cast("double")).alias("head3"),
+        F.element_at(emb, 2).cast("double").alias("head2"),
+        F.element_at(emb, 3).cast("double").alias("head3"),
         F.aggregate(
             emb,
             F.lit(0.0),
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         ).alias("sq_norm"),
         F.array_contains(toks, "data").alias("mentions_data"),
-        F.sort_array(F.array_distinct(toks)).alias("vocab"),
+        F.array_join(F.sort_array(F.array_distinct(toks)), ",").alias("vocab"),
         F.size(F.filter(toks, lambda t: F.length(t) > 4)).cast("int").alias("n_long_tokens"),
     )
 
@@ -267,8 +274,8 @@ def fn_explode(spark, sf_dir):
 SELECT event_id,
        map_extract(map(['type','user'], [event_type, CAST(user_id AS VARCHAR)]),
                    'type')[1] AS type_from_map,
-       list_sort(map_keys(map(['type','user'],
-                 [event_type, CAST(user_id AS VARCHAR)]))) AS mkeys,
+       array_to_string(list_sort(map_keys(map(['type','user'],
+                 [event_type, CAST(user_id AS VARCHAR)]))), ',') AS mkeys,
        struct_extract(struct_pack(etype := event_type, val := value), 'etype')
          AS type_from_struct,
        struct_extract(struct_pack(etype := event_type, val := value), 'val')
@@ -288,7 +295,7 @@ def fn_map_struct(spark, sf_dir):
     return ev.select(
         "event_id",
         F.element_at(m, "type").alias("type_from_map"),
-        F.sort_array(F.map_keys(m)).alias("mkeys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("mkeys"),
         s.getField("etype").alias("type_from_struct"),
         s.getField("val").alias("val_from_struct"),
     )
@@ -341,16 +348,47 @@ def fn_hash(spark, sf_dir):
     )
 
 
-@query("fn_hash_native", oracle=None, family=_FAM)  # Spark-specific hashes (SURVEY §2.8 ⚠)
+@query(
+    "fn_hash_native",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT text) AS n_distinct_text,
+       TRUE AS xxh64_injective,
+       TRUE AS crc32_near_injective,
+       TRUE AS murmur_near_injective
+FROM documents
+""",
+    family=_FAM,
+)
 def fn_hash_native(spark, sf_dir):
-    """xxhash64 / crc32 / murmur hash — Spark-native (no DuckDB twin, so
-    rows-only check); these are the shuffle/dedup-key workhorses."""
+    """xxhash64 / crc32 / murmur hash — Spark-native shuffle/dedup-key
+    workhorses with no DuckDB twin. The checked output is therefore the
+    engine-invariant property the raw values can't give: hash-distinct
+    counts against input-distinct counts. xxhash64 (64-bit) must be
+    collision-free on the corpus (P[collision] ~ n^2/2^65); the 32-bit
+    crc32/murmur get a 99.5% near-injectivity floor (birthday collisions
+    are expected above ~2^16 keys). The oracle asserts the booleans TRUE
+    — a broken hash column fails the hash-match."""
     d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.xxhash64("text").alias("text_xxh64"),
-        F.crc32("text").alias("text_crc32"),
-        F.hash("text", "lang").alias("row_hash"),
+    agg = d.select(
+        "text",
+        F.xxhash64("text").alias("_xxh"),
+        F.crc32("text").alias("_crc"),
+        F.hash("text", "lang").alias("_mur"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("text").alias("n_distinct_text"),
+        F.countDistinct("_xxh").alias("_n_xxh"),
+        F.countDistinct("_crc").alias("_n_crc"),
+        F.countDistinct("_mur").alias("_n_mur"),
+    )
+    nd = F.col("n_distinct_text").cast("double")
+    return agg.select(
+        "n_rows",
+        "n_distinct_text",
+        (F.col("_n_xxh") == F.col("n_distinct_text")).alias("xxh64_injective"),
+        (F.col("_n_crc").cast("double") >= nd * 0.995).alias("crc32_near_injective"),
+        (F.col("_n_mur").cast("double") >= nd * 0.995).alias("murmur_near_injective"),
     )
 
 

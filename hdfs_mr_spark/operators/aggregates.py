@@ -14,7 +14,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from hdfs_mr_spark.exprs import DEC, davg, dsum, sql_davg, sql_dsum
+from hdfs_mr_spark.exprs import (
+    DEC,
+    _to_double_single_rounding,
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
 from hdfs_mr_spark.io import table
 from hdfs_mr_spark.registry import query
 
@@ -128,7 +135,8 @@ SELECT
   l_returnflag,
   COUNT(DISTINCT l_partkey) AS n_parts,
   COUNT(DISTINCT l_suppkey) AS n_supps,
-  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sum_distinct_qty
+  (CAST(CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,8))) * 100000000
+        AS DECIMAL(38,0)) AS DOUBLE) / 100000000.0) AS sum_distinct_qty
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -143,27 +151,46 @@ def agg_distinct(spark, sf_dir):
         .agg(
             F.countDistinct("l_partkey").alias("n_parts"),
             F.countDistinct("l_suppkey").alias("n_supps"),
-            F.sum_distinct(F.col("l_quantity").cast(DEC))
-            .cast("double")
-            .alias("sum_distinct_qty"),
+            _to_double_single_rounding(
+                F.sum_distinct(F.col("l_quantity").cast(DEC)), 8
+            ).alias("sum_distinct_qty"),
         )
         .orderBy("l_returnflag")
     )
 
 
-@query("agg_approx_distinct", oracle=None, family=_FAM)  # approx => rows-only (SURVEY §2.4 ⚠)
+@query(
+    "agg_approx_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_tol
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    family=_FAM,
+)
 def agg_approx_distinct(spark, sf_dir):
     """HyperLogLog++ distinct count — the 100 TB cardinality estimator.
-    Approximate, so no hash oracle; exact companion is agg_distinct.
     rsd=0.02: measured 3x faster than 0.01 (quarter the registers per
     sketch) — the right precision/memory trade when sketches are shipped
-    per group per partition."""
+    per group per partition. The sketch has no cross-engine twin, so the
+    checked output is the exact count plus a ``approx_within_tol``
+    boolean holding the estimator to 5x its declared rsd (the oracle
+    asserts TRUE): a drifting sketch flips the boolean and fails the
+    hash, which upgrades the old rows-only check to a full one."""
     ev = table(spark, sf_dir, "events")
+    approx, exact = F.col("_approx").cast("double"), F.col("exact_users").cast("double")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (F.abs(approx - exact)
+             <= F.greatest(F.lit(2.0), exact * F.lit(0.10))).alias("approx_within_tol"),
         )
         .orderBy("event_type")
     )
@@ -174,8 +201,9 @@ def agg_approx_distinct(spark, sf_dir):
     oracle="""
 SELECT
   o_custkey,
-  list_sort(list_distinct(array_agg(o_orderpriority))) AS priorities,
-  list_sort(array_agg(o_orderkey)) AS order_keys
+  array_to_string(list_sort(list_distinct(array_agg(o_orderpriority))), ',')
+    AS priorities,
+  array_to_string(list_sort(array_agg(o_orderkey)), ',') AS order_keys
 FROM orders
 GROUP BY o_custkey
 ORDER BY o_custkey
@@ -184,13 +212,24 @@ ORDER BY o_custkey
 )
 def agg_collect(spark, sf_dir):
     """Group values into arrays — the MR inverted-index shape. Arrays are
-    sorted on both sides: collect order is nondeterministic under parallelism."""
+    sorted on both sides (collect order is nondeterministic under
+    parallelism) and projected through ``array_join``: the driver's value
+    hasher takes scalars only, so list cells ship as canonical CSV
+    strings on both engines."""
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
-            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("order_keys"),
         )
         .orderBy("o_custkey")
     )
@@ -439,22 +478,56 @@ def agg_histogram(spark, sf_dir):
     )
 
 
-@query("agg_approx_quantile", oracle=None, family=_FAM)  # approx => rows-only ⚠
+@query(
+    "agg_approx_quantile",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+       quantile_cont(l_extendedprice, 0.99) AS p99_exact,
+       TRUE AS p50_rank_ok,
+       TRUE AS p99_rank_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    family=_FAM,
+)
 def agg_approx_quantile(spark, sf_dir):
     """Approximate percentiles (Greenwald-Khanna / approx_percentile
     sketch) next to their exact twins — the 100 TB quantile estimator:
     the sketch merges associatively across partitions (combiner shape)
-    where the exact form must shuffle-sort each group. Rows-only check
-    (approximation has no cross-engine twin); agg_stats carries the
-    exact, hash-checked percentiles."""
+    where the exact form must shuffle-sort each group. The sketch value
+    has no cross-engine twin, so the checked columns are the exact
+    percentiles plus rank-error booleans: the sketch's value is joined
+    back and its *realized rank* |rank(approx) - q*n| is held to 4x the
+    GK guarantee eps*n (eps = 1/accuracy = 1e-3). The oracle asserts
+    TRUE — a sketch outside its error bound fails the hash."""
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("_a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("_a99"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99_exact"),
+        F.count("*").alias("n"),
+    )
+    ranks = (
+        li.join(F.broadcast(agg.select("l_returnflag", "_a50", "_a99")), "l_returnflag")
+        .groupBy("l_returnflag")
         .agg(
-            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("p50_approx"),
-            F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("p99_approx"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
-            F.expr("percentile(l_extendedprice, 0.99)").alias("p99_exact"),
+            F.sum((F.col("l_extendedprice") <= F.col("_a50")).cast("long")).alias("_r50"),
+            F.sum((F.col("l_extendedprice") <= F.col("_a99")).cast("long")).alias("_r99"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    tol = nd * F.lit(0.004) + F.lit(1.0)  # 4x the eps*n GK bound, +1 boundary slack
+    return (
+        agg.join(ranks, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "p50_exact",
+            "p99_exact",
+            (F.abs(F.col("_r50").cast("double") - nd * 0.5) <= tol).alias("p50_rank_ok"),
+            (F.abs(F.col("_r99").cast("double") - nd * 0.99) <= tol).alias("p99_rank_ok"),
         )
         .orderBy("l_returnflag")
     )

@@ -469,7 +469,8 @@ _SALT_BUCKETS = 16
     oracle="""
 SELECT f.flag_name,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+       (CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) * 100
+             AS DECIMAL(38,0)) AS DOUBLE) / 100.0) AS total_price
 FROM lineitem l
 JOIN (VALUES ('A', 'returned'), ('N', 'kept'), ('R', 'refunded'))
      AS f(flag, flag_name)
@@ -516,9 +517,7 @@ def join_skew_salted(spark, sf_dir):
         .groupBy("flag_name")
         .agg(
             F.count("*").cast("bigint").alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))
-            .cast("double")
-            .alias("total_price"),
+            dsum(F.col("l_extendedprice"), 2).alias("total_price"),
         )
         .orderBy("flag_name")
     )

@@ -61,7 +61,9 @@ def mr_grep(spark, sf_dir):
 @query(
     "mr_inverted_index",
     oracle="""
-SELECT u.word, list_sort(list_distinct(array_agg(u.doc_id))) AS doc_ids,
+SELECT u.word,
+       array_to_string(list_sort(list_distinct(array_agg(u.doc_id))), ',')
+         AS doc_ids,
        CAST(COUNT(DISTINCT u.doc_id) AS BIGINT) AS df
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) u
 GROUP BY u.word
@@ -71,13 +73,21 @@ ORDER BY u.word
 )
 def mr_inverted_index(spark, sf_dir):
     """Inverted index: token -> sorted posting list of doc_ids (the shape
-    every search engine's index build takes)."""
+    every search engine's index build takes). The posting list ships as
+    a canonical CSV string on both engines — the driver's value hasher
+    takes scalar cells only."""
     d = table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(
-            F.sort_array(F.collect_set("doc_id")).alias("doc_ids"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids"),
             F.countDistinct("doc_id").alias("df"),
         )
         .orderBy("word")
@@ -96,17 +106,25 @@ FROM lineitem
     family=_FAM,
 )
 def mr_sort(spark, sf_dir):
-    """TeraSort analogue: full-table range-partitioned global sort with the
-    rank materialized (Spark samples split points exactly like TeraSort's
-    partitioner)."""
+    """TeraSort analogue: full-table global sort with the rank
+    materialized, distributed via bucket offsets + per-bucket
+    row_number (operators/sorts.bucketed_global_rank) — no
+    single-partition window stage at any scale."""
+    from hdfs_mr_spark.operators.sorts import bucketed_global_rank
+
     li = table(spark, sf_dir, "lineitem")
-    w = Window.orderBy(
-        F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(),
-        F.col("l_linenumber").asc(),
-    )
-    return li.select(
-        "l_orderkey", "l_linenumber", "l_extendedprice",
-        F.row_number().over(w).cast("bigint").alias("global_rank"),
+    # extendedprice spans [~900, ~105000]: ~110 fixed DESC-aligned ranges
+    bucket = F.floor((F.lit(110000.0) - F.col("l_extendedprice")) / F.lit(1000.0))
+    return bucketed_global_rank(
+        li,
+        bucket,
+        [
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        ["l_orderkey", "l_linenumber", "l_extendedprice"],
+        "global_rank",
     )
 
 

@@ -248,7 +248,8 @@ spine AS (
 hourly AS (
   SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
          COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total_value
+         (CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) * 100000000
+               AS DECIMAL(38,0)) AS DOUBLE) / 100000000.0) AS total_value
   FROM events GROUP BY 1
 )
 SELECT s.hour,
@@ -268,14 +269,14 @@ def ts_gap_fill(spark, sf_dir):
     2-row bounds aggregate — at 100 TB the spine is still tiny (hours
     in range) and broadcasts; the only big-data pass is the one
     hourly groupBy."""
-    from hdfs_mr_spark.exprs import DEC
+    from hdfs_mr_spark.exprs import dsum
 
     ev = table(spark, sf_dir, "events")
     hourly = (
         ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            dsum(F.col("value")).alias("total_value"),
         )
     )
     bounds = ev.agg(

@@ -7,7 +7,10 @@ deterministic final-state semantics (complete-mode windowed aggregates,
 keyed dedup of already-unique keys, stream-static joins), so most get a
 full hash-check against a batch-twin oracle — stronger than the ⚠
 rows-only floor SURVEY assigns them. Watermark-dependent append output
-is the one genuinely arrival-order-sensitive case and stays rows-only.
+is deterministic too for a single-file availableNow drain (one batch →
+final watermark = max(ts) - delay), so it now gets a sealed-windows
+batch oracle as well; checked sums route through the single-rounding
+decimal kernel (exprs.dsum) like the batch aggregates.
 
 State at scale: windows/dedup keys live in the executor StateStore;
 watermarks bound that state. Session windows use the native
@@ -23,7 +26,7 @@ import tempfile
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hdfs_mr_spark.exprs import DEC
+from hdfs_mr_spark.exprs import dsum
 from hdfs_mr_spark.registry import query
 
 _FAM = "2.10 streaming"
@@ -124,7 +127,7 @@ SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
          AS window_start,
        event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total_value
+       (CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) * 100000000 AS DECIMAL(38,0)) AS DOUBLE) / 100000000.0) AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -139,7 +142,7 @@ def stream_tumbling(spark, sf_dir):
         s.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            dsum(F.col("value")).alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
@@ -198,7 +201,7 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL '30 minutes' AS session_end,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total_value
+       (CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) * 100000000 AS DECIMAL(38,0)) AS DOUBLE) / 100000000.0) AS total_value
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start
@@ -214,7 +217,7 @@ def stream_session(spark, sf_dir):
         s.groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            dsum(F.col("value")).alias("total_value"),
         )
         .select(
             "user_id",
@@ -227,12 +230,32 @@ def stream_session(spark, sf_dir):
     return _run_to_memory(agg, "complete").orderBy("user_id", "session_start")
 
 
-@query("stream_watermark_late", oracle=None, family=_FAM)  # arrival-order ⚠
+@query(
+    "stream_watermark_late",
+    oracle="""
+WITH mx AS (
+  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS wm FROM events
+)
+SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+         AS window_start,
+       event_type, COUNT(*) AS n
+FROM events, mx
+WHERE time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+        <= mx.wm
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    family=_FAM,
+)
 def stream_watermark_late(spark, sf_dir):
     """Tumbling agg in append mode behind a 10-minute watermark: only
-    windows the watermark has sealed are emitted, so output depends on
-    arrival order — rows-only by design (SURVEY §2.10 ⚠); the all-data
-    twin is stream_tumbling."""
+    windows the watermark has sealed are emitted. Arrival order IS
+    deterministic here — the bounded availableNow drain reads the single
+    source file as one batch, so the final watermark lands at
+    max(ts) - 10min and the emitted set is exactly the windows whose end
+    the watermark passed. The oracle replays that rule in batch SQL,
+    upgrading the old rows-only check to a full hash-check of the
+    watermark semantics themselves."""
     s = _event_stream(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "10 minutes")
@@ -240,7 +263,7 @@ def stream_watermark_late(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .select(F.col("window.start").alias("window_start"), "event_type", "n")
     )
-    return _run_to_memory(agg, "append")
+    return _run_to_memory(agg, "append").orderBy("window_start", "event_type")
 
 
 @query(
@@ -289,7 +312,7 @@ def stream_static_join(spark, sf_dir):
     "stream_foreachbatch",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total_value
+       (CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) * 100000000 AS DECIMAL(38,0)) AS DOUBLE) / 100000000.0) AS total_value
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -325,7 +348,7 @@ def stream_foreachbatch(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            dsum(F.col("value")).alias("total_value"),
         )
         .orderBy("event_type")
     )
@@ -336,7 +359,7 @@ def stream_foreachbatch(spark, sf_dir):
     oracle="""
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total_value
+       (CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) * 100000000 AS DECIMAL(38,0)) AS DOUBLE) / 100000000.0) AS total_value
 FROM events
 GROUP BY user_id
 ORDER BY user_id

@@ -30,14 +30,10 @@ def test_registry_hygiene():
     for name, spec in specs.items():
         assert spec.fn.__doc__, f"{name} lacks a docstring"
         assert spec.family, f"{name} lacks a family tag"
-    # every non-oracle query is a documented ⚠ exception, not an accident
+    # the driver rejects oracle=None as `err: no_oracle` (VERDICT r1):
+    # every query must carry a DuckDB oracle, no exceptions
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert rows_only == [
-        "agg_approx_distinct",
-        "agg_approx_quantile",
-        "fn_hash_native",
-        "stream_watermark_late",
-    ]
+    assert rows_only == []
 
 
 def test_oracle_strings_are_ansi_parseable():
@@ -196,3 +192,17 @@ def test_banded_range_join_equals_brute_force(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_blocked_kernel_block_size_is_bounded():
+    """The pack-block SIZE must stay bounded as n grows (block COUNT
+    scales instead — VERDICT r1 item 3): pack rows stay cache-sized at
+    any n, so no single Arrow row grows with the input."""
+    from hdfs_mr_spark.operators.llm_similarity import _TARGET_BLOCK_ROWS
+
+    for n in (100, 10_000, 1_000_000, 100_000_000):
+        nblocks = max(2, -(-n // _TARGET_BLOCK_ROWS))
+        rows_per_block = -(-n // nblocks)  # ceil: worst-case pack row size
+        assert rows_per_block <= _TARGET_BLOCK_ROWS
+        if n > _TARGET_BLOCK_ROWS * 2:
+            assert nblocks >= n // (_TARGET_BLOCK_ROWS * 2)
