@@ -49,6 +49,7 @@ HEADLINE = [
     "llm_sim_knn_ivf",       # 2.11 IVF ANN (coarse-quantizer probe)
     "llm_tfidf",             # 2.11
     "llm_quality_filter",    # 2.11
+    "llm_dedup_near_decision",  # 2.11 O(n)-output dense-regime dedup (scale default)
     "udf_grouped_map",       # 2.12 Arrow-batched python path
 ]
 

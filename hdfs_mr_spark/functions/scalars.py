@@ -423,3 +423,35 @@ def fn_bitwise(spark, sf_dir):
         F.shiftright(k, 3).alias("shr"),
         F.bit_count(k).cast("int").alias("popcount"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_format",
+    oracle="""
+SELECT p_partkey,
+       printf('%s#%08d', p_brand, p_partkey) AS tagged,
+       translate(p_brand, '#', '-') AS debranded,
+       reverse(p_name) AS reversed_name,
+       repeat('*', CAST(p_size % 8 AS INTEGER)) AS size_bar,
+       array_to_string(regexp_extract_all(lower(p_type), '[a-z]+'), '|') AS type_words
+FROM part
+ORDER BY p_partkey
+""",
+    family=_FAM,
+)
+def fn_format(spark, sf_dir):
+    """printf-style formatting, translate/reverse/repeat, and
+    regexp_extract_all (all matches, stringified — the tokenizer
+    primitive) — the string-building half of the scalar surface,
+    complementing fn_string's parsing half."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string("%s#%08d", F.col("p_brand"), F.col("p_partkey")).alias("tagged"),
+        F.translate(F.col("p_brand"), "#", "-").alias("debranded"),
+        F.reverse(F.col("p_name")).alias("reversed_name"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 8).cast("int")).alias("size_bar"),
+        F.array_join(
+            F.expr("regexp_extract_all(lower(p_type), '[a-z]+', 0)"), "|"
+        ).alias("type_words"),
+    ).orderBy("p_partkey")

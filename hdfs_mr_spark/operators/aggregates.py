@@ -577,3 +577,45 @@ def agg_linreg(spark, sf_dir):
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_argminmax",
+    oracle="""
+SELECT o_orderpriority,
+       arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+                           + o_orderkey) AS priciest_order,
+       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+                           + o_orderkey) AS cheapest_order,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_totalprice > 400000) AS any_jumbo
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    family=_FAM,
+)
+def agg_argminmax(spark, sf_dir):
+    """arg-min/arg-max + conditional/boolean aggregates — the combiner-
+    shape "row lookup by extreme" every MR job hand-rolled as a
+    secondary-sort reducer. Determinism: totalprice ties are broken by
+    folding the orderkey into the ordering scalar (integer cents * 1e8
+    + key — unique per row, exact in bigint), so max_by/min_by can't
+    pick different rows across engines or partition orders."""
+    o = table(spark, sf_dir, "orders")
+    ordkey = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(100000000)
+        + F.col("o_orderkey")
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", ordkey).alias("priciest_order"),
+            F.min_by("o_orderkey", ordkey).alias("cheapest_order"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+        )
+        .orderBy("o_orderpriority")
+    )

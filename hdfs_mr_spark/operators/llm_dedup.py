@@ -108,8 +108,17 @@ def llm_dedup_near(spark, sf_dir):
     worse.) On a cluster where the build side outgrows broadcast, the
     same plan degrades to a shuffled equi-join on (size, salt) with the
     identical residual; a corpus whose PASSING pairs are Theta(n^2) at
-    100 TB needs clustering semantics instead of pair listing (see
-    llm_dedup_exact / llm_dedup_minhash_lsh for O(n) formulations)."""
+    100 TB needs clustering semantics instead of pair listing — the
+    pair list is the opt-in diagnostic form; llm_dedup_near_decision
+    below is the O(n)-output default for the dense regime."""
+    return _bitmask_near_pairs(spark, sf_dir).select(
+        "d1", "d2", "n_common", "jaccard"
+    ).orderBy("d1", "d2")
+
+
+def _bitmask_near_pairs(spark, sf_dir):
+    """Size-blocked bitmask kernel: (d1, d2, n_common, jaccard) pairs
+    with distinct-token Jaccard >= 0.8 (see llm_dedup_near)."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("s")
@@ -166,13 +175,61 @@ def llm_dedup_near(spark, sf_dir):
         & (F.col("d1") < F.col("d2"))
         & (jac >= 0.8),
     )
+    return passing.select(
+        "d1", "d2",
+        n_common.cast("int").alias("n_common"),
+        jac.alias("jaccard"),
+    )
+
+
+_NEAR_DECISION_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT i.d1, i.d2
+  FROM inter i
+  JOIN sizes s1 ON i.d1 = s1.doc_id
+  JOIN sizes s2 ON i.d2 = s2.doc_id
+  WHERE CAST(i.n_common AS DOUBLE)
+        / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) >= 0.8
+)
+SELECT d.doc_id,
+       MIN(p.d1) AS dup_of,
+       (MIN(p.d1) IS NULL) AS kept
+FROM documents d LEFT JOIN pairs p ON d.doc_id = p.d2
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("llm_dedup_near_decision", oracle=_NEAR_DECISION_ORACLE, family=_FAM)
+def llm_dedup_near_decision(spark, sf_dir):
+    """Decision-output near-dedup — the scale DEFAULT for the dense
+    regime (VERDICT r1 item 6): per doc, keep/drop plus the lowest-id
+    passing partner as representative. Same size-blocked bitmask kernel
+    as llm_dedup_near, but the Theta(n^2) passing pairs collapse
+    map-side into a per-doc min() (combiner shape) — the output and the
+    shuffle are O(n) however dense the corpus, which is what a 100 TB
+    dedup pass actually persists. The pair-listing twin stays available
+    as the opt-in diagnostic."""
+    d = table(spark, sf_dir, "documents")
+    dup_of = (
+        _bitmask_near_pairs(spark, sf_dir)
+        .groupBy(F.col("d2").alias("doc_id"))
+        .agg(F.min("d1").alias("dup_of"))
+    )
     return (
-        passing.select(
-            "d1", "d2",
-            n_common.cast("int").alias("n_common"),
-            jac.alias("jaccard"),
-        )
-        .orderBy("d1", "d2")
+        d.select("doc_id")
+        .join(dup_of, "doc_id", "left")
+        .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("kept"))
+        .orderBy("doc_id")
     )
 
 
@@ -416,6 +473,21 @@ def llm_dedup_near_ngram(spark, sf_dir):
     shingles, group-count intersections, exact Jaccard >= 0.5. This is
     the posting-list formulation — pairs sharing no shingle are never
     materialized, which is what keeps it sub-quadratic at scale."""
+    return _trigram_exact_pairs(spark, sf_dir).select(
+        "d1", "d2", F.col("jaccard").alias("jaccard3")
+    ).orderBy("d1", "d2")
+
+
+def _trigram_exact_pairs(spark, sf_dir):
+    """Exact posting-list trigram-Jaccard >= 0.5 pairs (d1, d2, jaccard).
+
+    The deterministic edge kernel: unlike the MinHash-LSH candidates
+    (whose recall is probabilistic and data-dependent), this enumerates
+    exactly the >= 0.5 pair set, so graph consumers (mr_pagerank,
+    llm_dedup_clusters) match their exact-definition oracles on ANY
+    corpus, not just ones where banding recall happens to be 1.0
+    (ADVICE r1). Still sub-quadratic: pairs sharing no shingle never
+    materialize."""
     sh = _shingle_frame(spark, sf_dir)
     tok = sh.select("doc_id", F.explode("s").alias("s"))
     sizes = sh.select("doc_id", F.col("sz"))
@@ -433,9 +505,8 @@ def llm_dedup_near_ngram(spark, sf_dir):
     return (
         inter.join(s1, "d1")
         .join(s2, "d2")
-        .select("d1", "d2", jac.alias("jaccard3"))
-        .filter(F.col("jaccard3") >= 0.5)
-        .orderBy("d1", "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
     )
 
 
@@ -484,7 +555,7 @@ ORDER BY doc_id
 )
 def llm_dedup_clusters(spark, sf_dir):
     """Dedup clustering: connected components over the trigram near-dup
-    graph (edges from the MinHash-LSH kernel), each doc labeled with its
+    graph (edges from the exact posting-list kernel), each doc labeled with its
     component's minimum doc_id — the canonical-representative assignment
     a real pipeline keeps, instead of a raw pair list.
 
@@ -495,9 +566,11 @@ def llm_dedup_clusters(spark, sf_dir):
     what makes it oracle-checkable (DuckDB replays it as a recursive
     CTE). localCheckpoint() cuts the growing lineage each round; the
     per-round `changed` count is the loop condition, the only scalar
-    that ever reaches the driver."""
+    that ever reaches the driver. Edges come from the exact posting-list
+    kernel (not the probabilistic LSH candidates): the component labels
+    must match the exact >= 0.5 graph on any corpus (ADVICE r1)."""
     d = table(spark, sf_dir, "documents")
-    edges = _trigram_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    edges = _trigram_exact_pairs(spark, sf_dir).select("d1", "d2")
     bidir = edges.union(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).localCheckpoint()

@@ -124,6 +124,7 @@ def llm_sim_knn(spark, sf_dir):
 
 
 _TARGET_BLOCK_ROWS = 512  # fixed block SIZE; block COUNT scales with n
+_NROWS_CACHE: dict[str, int] = {}  # sf_dir -> embeddings row count (immutable testdata)
 
 
 def blocked_cosine_pairs(spark, sf_dir, threshold=0.35, nblocks=None):
@@ -154,8 +155,19 @@ def blocked_cosine_pairs(spark, sf_dir, threshold=0.35, nblocks=None):
     fold join residual -> ~1 s blocked."""
     e = table(spark, sf_dir, "embeddings")
     if nblocks is None:
-        n = e.count()  # parquet row-count metadata, not a scan
-        nblocks = max(2, -(-n // _TARGET_BLOCK_ROWS))
+        import math
+
+        n = _NROWS_CACHE.get(sf_dir)
+        if n is None:
+            # parquet row-count metadata, not a scan; cached — both kernel
+            # consumers (llm_sim_pairs, llm_dedup_embed) share it
+            n = _NROWS_CACHE[sf_dir] = e.count()
+        # size ceiling: blocks never exceed _TARGET_BLOCK_ROWS rows;
+        # parallelism floor: enough triangular units (~nblocks^2/2) to
+        # feed every core twice even when n is small — shrinking blocks
+        # below the target is always safe, growing them is not
+        par_floor = math.isqrt(2 * spark.sparkContext.defaultParallelism) + 1
+        nblocks = max(2, par_floor, -(-n // _TARGET_BLOCK_ROWS))
     packed = (
         e.withColumn("block", F.pmod(F.col("vec_id"), F.lit(nblocks)))
         .groupBy("block")
@@ -437,4 +449,64 @@ def llm_sim_knn_lsh(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 5)
         .orderBy("qid", "rank")
+    )
+
+
+@query(
+    "llm_embed_quantize",
+    oracle="""
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings
+),
+q AS (
+  SELECT e.vec_id,
+         127.0 / s.maxabs AS scale,
+         list_transform(e.embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / s.maxabs) + 0.5)
+                     AS BIGINT)) AS qv
+  FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+)
+SELECT vec_id, scale,
+       array_to_string(qv, ',') AS q_int8,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum
+FROM q
+ORDER BY vec_id
+""",
+    family=_FAM,
+)
+def llm_embed_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization — the storage/serving prep
+    step of a vector pipeline (4x smaller than float32, 8x than the
+    float64 compute form). Per-vector scale = 127/max|x|; the quantizer
+    is written as floor(x*scale + 0.5) explicitly (identical IEEE ops in
+    both engines) instead of round(), whose half-way semantics differ
+    across engines. Pure projection — no shuffle at any scale; the
+    quantized vector ships as a canonical CSV string plus min/max/sum
+    integrity scalars."""
+    e = table(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    scale = F.lit(127.0) / F.col("maxabs")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast("bigint"),
+    )
+    return (
+        e.select("vec_id", "embedding", maxabs.alias("maxabs"))
+        .select("vec_id", "embedding", scale.alias("scale"))
+        .select("vec_id", "scale", qv.alias("qv"))
+        .select(
+            "vec_id",
+            "scale",
+            F.array_join(F.transform("qv", lambda v: v.cast("string")), ",").alias("q_int8"),
+            F.array_min("qv").alias("q_min"),
+            F.array_max("qv").alias("q_max"),
+            F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        )
+        .orderBy("vec_id")
     )

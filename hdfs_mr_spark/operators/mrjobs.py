@@ -42,6 +42,39 @@ def mr_wordcount(spark, sf_dir):
 
 
 @query(
+    "mr_wordcount_rdd",
+    oracle="""
+SELECT u.word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+GROUP BY u.word
+ORDER BY n DESC, u.word ASC
+""",
+    family=_FAM,
+)
+def mr_wordcount_rdd(spark, sf_dir):
+    """The RDD escape hatch, demonstrated literally (VERDICT r1 item 5):
+    the same wordcount as raw flatMap/map/reduceByKey — the 1:1
+    transliteration of a hand-written MapReduce job (map = tokenize,
+    combine/reduce = reduceByKey's map-side partial aggregation, the
+    original MR combiner), bridged back to a DataFrame for the oracle.
+    This is the compatibility path for per-partition imperative logic
+    the DataFrame API can't express; it pays row-at-a-time Python
+    serialization, so the declarative twin (mr_wordcount) is the
+    performance path — same oracle proves both."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("text")
+        .rdd.flatMap(lambda row: row["text"].split(" "))
+        .map(lambda w: (w, 1))
+        .reduceByKey(lambda a, b: a + b)
+    )
+    return (
+        spark.createDataFrame(counts, "word string, n long")
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+    )
+
+
+@query(
     "mr_grep",
     oracle="""
 SELECT doc_id, lang, CAST(strpos(text, 'shuffle') AS INTEGER) AS match_pos
@@ -259,11 +292,14 @@ def mr_pagerank(spark, sf_dir):
     (850*sum) div 1000), so partial-aggregation order can't perturb a
     single bit and DuckDB replays the identical 5 unrolled iterations.
     Isolated docs converge to the damping floor 0.15; 2-cliques hold the
-    1.0 fixed point — both verified by the oracle hash."""
-    from hdfs_mr_spark.operators.llm_dedup import _trigram_lsh_pairs
+    1.0 fixed point — both verified by the oracle hash. Edges come from
+    the exact posting-list kernel, not the probabilistic LSH candidates:
+    the graph must equal the exact >= 0.5 definition on any corpus
+    (ADVICE r1)."""
+    from hdfs_mr_spark.operators.llm_dedup import _trigram_exact_pairs
 
     d = table(spark, sf_dir, "documents")
-    edges = _trigram_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    edges = _trigram_exact_pairs(spark, sf_dir).select("d1", "d2")
     bidir = edges.union(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).select(F.col("d1").alias("src"), F.col("d2").alias("dst")).localCheckpoint()
