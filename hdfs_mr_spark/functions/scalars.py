@@ -455,3 +455,39 @@ def fn_format(spark, sf_dir):
             F.expr("regexp_extract_all(lower(p_type), '[a-z]+', 0)"), "|"
         ).alias("type_words"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "fn_datetime_format",
+    oracle="""
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+       dayname(CAST(o_orderdate AS DATE)) AS day_name,
+       monthname(CAST(o_orderdate AS DATE)) AS month_name,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+       make_date(CAST(year(o_orderdate) AS INTEGER),
+                 CAST(month(o_orderdate) AS INTEGER),
+                 CAST(day(o_orderdate) AS INTEGER)) AS rebuilt_date
+FROM orders
+ORDER BY o_orderkey
+""",
+    family=_FAM,
+)
+def fn_datetime_format(spark, sf_dir):
+    """Datetime rendering + reconstruction: format patterns (Spark JDK
+    'yyyy-MM' vs DuckDB strftime '%Y-%m' — different syntax, same
+    string), day/month names, quarter, ISO week, and a
+    make_date(year, month, day) rebuild proving the part-extraction
+    round trip. Complements fn_date's arithmetic half."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.date_format(d, "EEEE").alias("day_name"),
+        F.date_format(d, "MMMM").alias("month_name"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.make_date(F.year(d), F.month(d), F.dayofmonth(d)).alias("rebuilt_date"),
+    ).orderBy("o_orderkey")

@@ -97,3 +97,31 @@ WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
 ORDER BY p_partkey
 """
     )
+
+
+_NOT_IN_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM orders
+   WHERE o_custkey NOT IN
+         (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+    AS n_not_in_clean,
+  (SELECT COUNT(*) FROM orders
+   WHERE o_custkey NOT IN
+         (SELECT NULLIF(c_custkey, 1) FROM customer
+          WHERE c_mktsegment = 'BUILDING'))
+    AS n_not_in_nullable
+"""
+
+
+@query("sql_not_in_null_aware", oracle=_NOT_IN_SQL, family=_FAM)
+def sql_not_in_null_aware(spark, sf_dir):
+    """NOT IN with a nullable inner — the null-aware anti-join, SQL's
+    most-misunderstood three-valued-logic trap: one NULL in the inner
+    relation makes `x NOT IN (...)` never-true, so the second count
+    collapses to 0 while the null-free twin stays populated. Spark plans
+    this as a null-aware anti join (testdata has no native NULLs, so
+    NULLIF manufactures one). Both engines must agree on both counts —
+    an engine shortcutting NOT IN to a plain anti join fails the
+    second."""
+    _register(spark, sf_dir, "orders", "customer")
+    return spark.sql(_NOT_IN_SQL)

@@ -354,3 +354,51 @@ def win_sessionize(spark, sf_dir):
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey, day_no,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_30d,
+       CAST(SUM(price_cents) OVER w AS DOUBLE) / 100.0 AS trailing_30d_spend
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS day_no,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+""",
+    family=_FAM,
+)
+def win_range_frame(spark, sf_dir):
+    """RANGE frame (vs the ROWS frames elsewhere): trailing 30-day spend
+    per customer — the frame is bounded by the ORDER-BY *value*, so all
+    orders on the same day share one frame regardless of row order
+    (deterministic without a tiebreaker, unlike ROWS). Money sums ride
+    integer cents (exact, order-independent); the day number is an
+    integer offset from a fixed epoch because Spark range frames need a
+    numeric sort key."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_no"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return base.select(
+        "o_custkey", "o_orderkey", "day_no",
+        F.count("*").over(w).cast("bigint").alias("n_trailing_30d"),
+        (F.sum("price_cents").over(w).cast("double") / 100.0).alias("trailing_30d_spend"),
+    ).orderBy("o_custkey", "o_orderkey")

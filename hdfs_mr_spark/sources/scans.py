@@ -450,3 +450,42 @@ def sink_json(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "scan_multipath",
+    oracle="""
+SELECT src_sf, CAST(COUNT(*) AS BIGINT) AS n, MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM (
+  SELECT 'sf0.001' AS src_sf, o_orderkey
+  FROM '/root/testdata/sf0.001/orders.parquet'
+  UNION ALL
+  SELECT 'sf0.01' AS src_sf, o_orderkey
+  FROM '/root/testdata/sf0.01/orders.parquet'
+)
+GROUP BY src_sf ORDER BY src_sf
+""",
+    family=_FAM,
+)
+def scan_multipath(spark, sf_dir):
+    """Multi-path scan: one reader over several directories (the MR
+    multi-input-path job / lake "read every daily partition" shape),
+    with input_file_name-derived provenance column. Paths are pinned
+    (the oracle SQL is a static string): the point is the N-paths-one-
+    scan plumbing, not scale."""
+    df = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet",
+        "/root/testdata/sf0.01/orders.parquet",
+    )
+    src = F.regexp_extract(F.input_file_name(), r"(sf[0-9.]+)/orders", 1)
+    return (
+        df.select(src.alias("src_sf"), "o_orderkey")
+        .groupBy("src_sf")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("src_sf")
+    )

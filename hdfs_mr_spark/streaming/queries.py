@@ -460,3 +460,31 @@ def stream_stream_join(spark, sf_dir):
         & (F.col("view_ts") <= F.col("purchase_ts")),
     ).select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
     return _run_to_memory(joined, "append").orderBy("purchase_id", "view_id")
+
+
+@query(
+    "stream_update_mode",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+         AS window_start,
+       event_type, COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    family=_FAM,
+)
+def stream_update_mode(spark, sf_dir):
+    """Update output mode — the third of the three streaming output
+    modes (append/complete covered elsewhere): each micro-batch emits
+    only the rows whose aggregate changed. The bounded single-file
+    availableNow drain is exactly one batch, so every touched key is
+    emitted exactly once and the update stream equals the complete-mode
+    final state — which the batch oracle hash-checks."""
+    s = _event_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    return _run_to_memory(agg, "update").orderBy("window_start", "event_type")
