@@ -491,3 +491,34 @@ def fn_datetime_format(spark, sf_dir):
         F.weekofyear(d).cast("int").alias("iso_week"),
         F.make_date(F.year(d), F.month(d), F.dayofmonth(d)).alias("rebuilt_date"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_try_safe",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN (l_quantity - l_quantity) = 0 THEN NULL
+            ELSE l_extendedprice / (l_quantity - l_quantity) END AS div_by_zero,
+       l_extendedprice / l_quantity AS safe_div,
+       TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+       TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS roundtrip_int
+FROM lineitem
+""",
+    family=_FAM,
+)
+def fn_try_safe(spark, sf_dir):
+    """Error-safe expression family (try_divide / try_cast): malformed
+    input yields NULL instead of a task failure — at 100 TB one poison
+    row must not kill a 10-hour job. Division by zero and an
+    unparseable cast go NULL; the valid twins prove the happy path is
+    unchanged."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
+        ).alias("div_by_zero"),
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")).alias("safe_div"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_linenumber").cast("string").try_cast("int").alias("roundtrip_int"),
+    )

@@ -422,3 +422,31 @@ def llm_multimodal_resize(spark, sf_dir):
         resize_batches,
         "doc_id long, mime string, src_w int, src_h int, dst_w int, dst_h int, thumb_sig int",
     ).orderBy("doc_id")
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS net_price
+FROM lineitem
+""",
+    family=_FAM,
+)
+def udf_arrow_scalar(spark, sf_dir):
+    """Arrow-optimized scalar Python UDF (`@udf(useArrow=True)`) — the
+    third Python-execution surface next to pandas_udf (batch Series) and
+    row-at-a-time pickling: Arrow transfer with a per-row Python call.
+    Still ~order-of-magnitude slower than the built-in expression (the
+    oracle IS that expression), so it stays off every hot path — this
+    query exists to pin the API and its exactness: one multiply and one
+    subtract per row, identical IEEE ops in both engines."""
+    @F.udf("double", useArrow=True)
+    def net_price(price: float, discount: float) -> float:
+        return price * (1.0 - discount)
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )

@@ -521,3 +521,82 @@ def join_skew_salted(spark, sf_dir):
         )
         .orderBy("flag_name")
     )
+
+
+_BLOOM_K = 4  # hash functions
+_BLOOM_WORDS = 256  # 256 x 64-bit words = 16384 bits
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle=f"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice', 2)} AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    family=_FAM,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter join prefilter — THE 100 TB semi-join reduction,
+    built relationally (Spark's bloom_filter_agg expression is not
+    SQL-registered; the same structure falls out of plain aggregates):
+    each dim key sets k=4 seeded-xxhash64 bits, a bit_or aggregate packs
+    them into 256 bigint words, the words collapse into ONE map row that
+    broadcasts, and the fact side probes all k bits as a pure projection
+    — no shuffle touches the fact table before the filter. False
+    positives survive the probe but die in the exact join, so the result
+    equals the plain join — which is exactly what the oracle asserts. At
+    100 TB this is how a selective dim filter avoids shuffling the 99%
+    of the fact table that can't join (Spark's runtime row-level-filter
+    AQE rule injects the same thing between exchanges; the explicit form
+    also works on persistent layouts)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    nbits = _BLOOM_WORDS * 64
+
+    def hashes(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(nbits))
+            for i in range(_BLOOM_K)
+        ]
+
+    pos = c.select(
+        F.explode(F.array(*hashes(F.col("c_custkey")))).alias("pos")
+    )
+    words = pos.select(
+        F.expr("pos div 64").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias("bit"),
+    ).groupBy("word").agg(F.bit_or("bit").alias("bits"))
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm")
+    )  # ONE row: the whole filter as a 256-entry map
+
+    o2 = o.select(
+        "o_custkey", "o_totalprice",
+        *[h.alias(f"__h{i}") for i, h in enumerate(hashes(F.col("o_custkey")))],
+    )
+    probe = " AND ".join(
+        f"(coalesce(element_at(bm, __h{i} div 64), 0L)"
+        f" & shiftleft(1L, cast(__h{i} % 64 AS INT))) != 0"
+        for i in range(_BLOOM_K)
+    )
+    pre = (
+        o2.join(F.broadcast(bloom))
+        .filter(F.expr(probe))
+        .select("o_custkey", "o_totalprice")
+    )
+    return (
+        pre.join(F.broadcast(c), pre.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )

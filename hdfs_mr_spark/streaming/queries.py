@@ -488,3 +488,76 @@ def stream_update_mode(spark, sf_dir):
         .select(F.col("window.start").alias("window_start"), "event_type", "n")
     )
     return _run_to_memory(agg, "update").orderBy("window_start", "event_type")
+
+
+def _event_halves(sf_dir: str):
+    """Split events.parquet into two half files under the fixture dir
+    (pyarrow slice, written once per content fingerprint) — the
+    arriving-files fixture for the incremental-restart proof."""
+    import pyarrow.parquet as pq
+
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    d = _fixture_dir(sf_dir)
+    h1, h2 = d / "events_h1.parquet", d / "events_h2.parquet"
+    if not (h1.exists() and h2.exists()):
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        mid = t.num_rows // 2
+        pq.write_table(t.slice(0, mid), h1)
+        pq.write_table(t.slice(mid), h2)
+    return str(h1), str(h2)
+
+
+@query(
+    "stream_incremental_restart",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    family=_FAM,
+)
+def stream_incremental_restart(spark, sf_dir):
+    """Checkpointed incremental processing across a query RESTART — the
+    property that makes streaming pipelines production-viable: drain
+    half the files, stop, add the other half, start a NEW query on the
+    SAME checkpoint. The restarted query reads only the new file (source
+    offsets come from the checkpoint) yet its complete-mode output
+    covers ALL data (aggregate state comes from the state store) — which
+    is exactly what the all-events batch oracle asserts. At 100 TB this
+    is the daily-ingest shape: each run pays only for new partitions."""
+    import os
+    import shutil as sh
+
+    h1, h2 = _event_halves(sf_dir)
+    src = tempfile.mkdtemp(prefix="hmr_incr_src_")
+    ckpt = tempfile.mkdtemp(prefix="hmr_incr_ckpt_")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def drain():
+        raw = spark.readStream.schema(_EVENTS_SCHEMA).parquet(src)
+        agg = raw.groupBy("event_type").agg(F.count("*").alias("n"))
+        name = f"hmr_incr_{next(_COUNTER)}"
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return name
+
+    sh.copy(h1, os.path.join(src, "h1.parquet"))
+    drain()  # first run: half the data, state persisted to the checkpoint
+    sh.copy(h2, os.path.join(src, "h2.parquet"))
+    name = drain()  # restart: reads ONLY h2, emits state over h1+h2
+    return spark.table(name).orderBy("event_type")
