@@ -851,3 +851,99 @@ def llm_domain_mix(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "llm_shard_assignment",
+    oracle="""
+WITH sh AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8))
+              AS BIGINT) % 16 AS shard,
+         n_chars
+  FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM sh GROUP BY shard ORDER BY shard
+""",
+    family=_FAM,
+)
+def llm_shard_assignment(spark, sf_dir):
+    """Deterministic output sharding — the writer-partitioning step of a
+    training-data pipeline: shard = hash(doc_id) mod 16, reported with
+    per-shard doc/char totals (the balance audit that decides whether the
+    layout needs salting). Engine-portable hash: DuckDB's hash() and
+    Spark's xxhash64 differ, so BOTH engines hash the same string key
+    through md5 — of which we take 8 hex chars as an integer — giving an
+    identical assignment everywhere (the property a persistent layout
+    needs: any engine can recompute which shard a doc lives in)."""
+    d = table(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                          F.lit(":shard"))), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(16),
+    )
+    return (
+        d.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "llm_split_holdout",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))
+              AS BIGINT) % 100 AS bucket
+  FROM documents
+),
+labeled AS (
+  SELECT CASE WHEN bucket < 90 THEN 'train'
+              WHEN bucket < 95 THEN 'val'
+              ELSE 'test' END AS split,
+         lang, n_chars
+  FROM b
+)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM labeled
+GROUP BY split, lang
+ORDER BY split, lang
+""",
+    family=_FAM,
+)
+def llm_split_holdout(spark, sf_dir):
+    """Deterministic train/val/test split (90/5/5) via the md5-bucket
+    coin — the holdout assignment a training pipeline must be able to
+    recompute from the raw corpus forever (no stored split table, no
+    RNG state): bucket = md5(doc_id||':split') mod 100, identical in
+    any engine. Per-(split, lang) doc/char totals are the audit the
+    contamination checks start from."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                          F.lit(":split"))), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
