@@ -125,3 +125,24 @@ def sql_not_in_null_aware(spark, sf_dir):
     second."""
     _register(spark, sf_dir, "orders", "customer")
     return spark.sql(_NOT_IN_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+@query("sql_lateral_topk", oracle=_LATERAL_SQL, family=_FAM)
+def sql_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery with LIMIT — top-2 orders per customer
+    as a lateral join (the SQL spelling of per-group top-k; the window
+    spelling is win_topk_per_group). Catalyst decorrelates it to a
+    join + per-key limit rather than re-running the subquery per row;
+    the total-order tiebreaker keeps the picked rows deterministic."""
+    _register(spark, sf_dir, "customer", "orders")
+    return spark.sql(_LATERAL_SQL)
