@@ -149,3 +149,56 @@ def sample_hash_stratified(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "etl_upsert_merge",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS total
+  FROM orders GROUP BY o_custkey
+),
+upd AS (SELECT o_custkey AS custkey, 'VIP' AS new_segment
+        FROM spend WHERE total > 1500000),
+merged AS (
+  SELECT c.c_custkey,
+         COALESCE(u.new_segment, c.c_mktsegment) AS segment,
+         (u.custkey IS NOT NULL) AS updated
+  FROM customer c LEFT JOIN upd u ON c.c_custkey = u.custkey
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) FILTER (WHERE updated) AS BIGINT) AS n_updated
+FROM merged GROUP BY segment ORDER BY segment
+""",
+    family=_FAM,
+)
+def etl_upsert_merge(spark, sf_dir):
+    """MERGE/upsert expressed relationally (no table format needed): a
+    deterministic change set (customers whose lifetime spend crosses a
+    threshold become 'VIP') is applied to the base table as
+    outer-join + coalesce — the CDC-apply shape. WHEN MATCHED UPDATE is
+    the coalesce, WHEN NOT MATCHED KEEP is the left join's null side; at
+    100 TB the change set is the small side and broadcasts, so the base
+    table never shuffles — the same property a format-native MERGE
+    needs a join rewrite to get."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    upd = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("total"))
+        .filter(F.col("total") > 1500000)
+        .select(F.col("o_custkey").alias("custkey"), F.lit("VIP").alias("new_segment"))
+    )
+    merged = c.join(F.broadcast(upd), c.c_custkey == upd.custkey, "left").select(
+        F.coalesce("new_segment", "c_mktsegment").alias("segment"),
+        F.col("custkey").isNotNull().alias("updated"),
+    )
+    return (
+        merged.groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.count_if(F.col("updated")).cast("bigint").alias("n_updated"),
+        )
+        .orderBy("segment")
+    )

@@ -489,3 +489,41 @@ def scan_multipath(spark, sf_dir):
         )
         .orderBy("src_sf")
     )
+
+
+@query(
+    "sink_compaction",
+    oracle="""
+SELECT 'after' AS phase, CAST(4 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM documents
+UNION ALL
+SELECT 'before', 32, COUNT(*) FROM documents
+ORDER BY phase
+""",
+    family=_FAM,
+)
+def sink_compaction(spark, sf_dir):
+    """Small-files compaction — the lake-maintenance job every long-lived
+    dataset needs (a 100 TB table ingested in tiny micro-batches decays
+    into millions of files; scan cost is then dominated by file-open
+    overhead, not bytes): write documents fragmented into 32 part files,
+    compact by rewriting at repartition(4), and report (phase, file
+    count, row count) from the actual directory listings. The oracle
+    pins both file counts and proves the rewrite is lossless."""
+    frag = str(_fixture_dir(sf_dir) / "compact_in.parquet")
+    comp = str(_fixture_dir(sf_dir) / "compact_out.parquet")
+    docs = table(spark, sf_dir, "documents")
+    docs.repartition(32).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(comp)
+
+    def listing(path, phase):
+        files = spark.read.format("binaryFile").load(path + "/*.parquet")
+        rows = spark.read.parquet(path)
+        return (
+            files.agg(F.count("*").cast("bigint").alias("n_files"))
+            .crossJoin(rows.agg(F.count("*").cast("bigint").alias("n_rows")))
+            .select(F.lit(phase).alias("phase"), "n_files", "n_rows")
+        )
+
+    return listing(frag, "before").union(listing(comp, "after")).orderBy("phase")

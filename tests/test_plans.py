@@ -143,3 +143,14 @@ def test_global_rank_never_single_partitions(spark):
 
         for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
             assert "__bkt" in spec, f"{name}: unpartitioned window: {spec}"
+
+
+def test_bloom_prefilter_probes_before_join(spark):
+    """The bloom probe must be a pre-join Filter on the fact side (pure
+    projection against the broadcast 1-row map), and the exact join a
+    broadcast hash join — the fact table shuffles for nothing but the
+    final aggregate."""
+    nodes = _nodes(_plan(spark, "join_bloom_prefilter"))
+    assert any("BroadcastHashJoin" in n for n in nodes)
+    assert not any("SortMergeJoin" in n for n in nodes)
+    assert not any("CartesianProduct" in n for n in nodes)
