@@ -619,3 +619,44 @@ def agg_argminmax(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, user_id, COUNT(*) AS n
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id AS mode_user, CAST(n AS BIGINT) AS n_events
+FROM counts
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) = 1
+ORDER BY event_type
+""",
+    family=_FAM,
+)
+def agg_mode(spark, sf_dir):
+    """Statistical mode (most frequent user per event type) via the
+    deterministic count-then-rank formulation. Spark and DuckDB both
+    ship a built-in mode() aggregate, but neither defines the tie-break
+    — on a parallel engine the winner can change between runs, which is
+    exactly the class of silent nondeterminism this engine bans
+    (SURVEY §5.2) — so the mode is computed as groupBy-count plus a
+    (n DESC, user_id) row_number, a total order. Two map-side-combined
+    aggregations + one tiny window over |distinct types| rows: the heavy
+    lifting is all partial-aggregate, no wide shuffle of raw events."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("mode_user"),
+            F.col("n").cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

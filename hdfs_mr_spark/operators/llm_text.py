@@ -947,3 +947,148 @@ def llm_split_holdout(spark, sf_dir):
         )
         .orderBy("split", "lang")
     )
+
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "llm_pii_redact",
+    oracle=f"""
+WITH seeded AS (
+  SELECT source,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' contact user' || doc_id || '@example.com now'
+                      ELSE '' END
+              || CASE WHEN doc_id % 7 = 0 THEN ' call 555-0142' ELSE '' END
+           AS t
+  FROM documents
+),
+red AS (
+  SELECT source, t,
+         len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phone,
+         regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+  FROM seeded
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(COUNT(*) FILTER (WHERE n_email + n_phone > 0) AS BIGINT) AS docs_touched,
+       CAST(SUM(len(clean)) AS BIGINT) AS clean_chars
+FROM red GROUP BY source ORDER BY source
+""",
+    family=_FAM,
+)
+def llm_pii_redact(spark, sf_dir):
+    """PII redaction — the compliance pass every training-data pipeline
+    runs before anything else. The synthetic corpus carries no organic
+    PII, so a deterministic seeding step (doc_id-keyed email/phone
+    suffixes, identical formula on both engines) plants known positives
+    first; the redactor then regexp-counts and regexp-replaces emails
+    and phone numbers and reports per-source hit counts plus the total
+    redacted-text length (which pins the replacement output itself, not
+    just the counts). Patterns stay in the Java-regex/RE2 common subset
+    so both engines match identical spans. Pure per-row JVM string ops:
+    embarrassingly parallel, no shuffle until the final small
+    aggregate — the 100 TB plan is scan -> project -> partial agg."""
+    d = table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-0142")).otherwise(F.lit("")),
+    )
+    t = d.select("source", seeded.alias("t"))
+    red = t.select(
+        "source",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).alias("n_email"),
+        F.regexp_count("t", F.lit(_PHONE_RE)).alias("n_phone"),
+        F.regexp_replace(
+            F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("clean"),
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("emails_redacted"),
+            F.sum("n_phone").cast("bigint").alias("phones_redacted"),
+            F.count_if(F.col("n_email") + F.col("n_phone") > 0)
+            .cast("bigint")
+            .alias("docs_touched"),
+            F.sum(F.length("clean")).cast("bigint").alias("clean_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "llm_chunk_split",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, toks, n,
+         (GREATEST(0, n - 32) + 23) // 24 + 1 AS n_chunks
+  FROM base
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(0, n_chunks)) AS chunk_id,
+         toks, n
+  FROM spans
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT)
+         AS n_tokens,
+       md5(array_to_string(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32),
+                           ' ')) AS chunk_hash
+FROM chunks
+ORDER BY doc_id, chunk_id
+""",
+    family=_FAM,
+)
+def llm_chunk_split(spark, sf_dir):
+    """Sliding-window document chunking (size 32 tokens, stride 24,
+    overlap 8) — the context-window packing precursor: every RAG index
+    and pretraining tokenizer shards long documents this way. Chunk
+    count is computed with non-negative integer arithmetic only
+    (GREATEST(0, n-32) guard), because floored vs truncated negative
+    division differs between engines; each chunk row carries its token
+    count and an md5 of the joined chunk text, so the oracle pins exact
+    chunk boundaries and content, not just counts. The explode
+    duplicates only (doc_id, array-ref) per chunk — at 100 TB the
+    overlap factor (~1.33x here) is the only data amplification, and
+    chunk rows inherit the document partitioning (no shuffle at all:
+    scan -> generate -> project)."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    spans = base.withColumn(
+        "n_chunks",
+        F.expr("(GREATEST(0, n - 32) + 23) div 24 + 1"),
+    )
+    chunks = spans.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_id"),
+        "toks",
+    )
+    sl = F.expr("slice(toks, chunk_id * 24 + 1, 32)")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(sl).cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(sl, " ").cast("binary")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")

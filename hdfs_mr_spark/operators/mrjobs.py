@@ -454,3 +454,180 @@ def mr_kmeans(spark, sf_dir):
         .select("vec_id", F.col("cid").cast("bigint").alias("cluster"), "cluster_size")
         .orderBy("vec_id")
     )
+
+
+_EDGE_CTES = """
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+),
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+  SELECT i.d1, i.d2 FROM inter i
+  JOIN sizes s1 ON i.d1 = s1.doc_id
+  JOIN sizes s2 ON i.d2 = s2.doc_id
+  WHERE CAST(i.n_common AS DOUBLE)
+        / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) >= 0.5
+)"""
+
+
+@query(
+    "mr_triangle_count",
+    oracle=f"""
+WITH
+{_EDGE_CTES},
+bidir AS (
+  SELECT d1 AS src, d2 AS dst FROM edges
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM edges
+),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM bidir GROUP BY src),
+okey AS (SELECT node, deg * 100000000 + node AS k FROM deg),
+oriented AS (
+  SELECT CASE WHEN ka.k < kb.k THEN e.d1 ELSE e.d2 END AS src,
+         CASE WHEN ka.k < kb.k THEN e.d2 ELSE e.d1 END AS dst,
+         CASE WHEN ka.k < kb.k THEN kb.k ELSE ka.k END AS kdst
+  FROM edges e
+  JOIN okey ka ON ka.node = e.d1
+  JOIN okey kb ON kb.node = e.d2
+),
+tri AS (
+  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+  FROM oriented w1
+  JOIN oriented w2 ON w1.src = w2.src AND w1.kdst < w2.kdst
+  JOIN oriented w3 ON w3.src = w1.dst AND w3.dst = w2.dst
+),
+member AS (
+  SELECT unnest([a, b, c]) AS node FROM tri
+)
+SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM member GROUP BY node ORDER BY doc_id
+""",
+    family=_FAM,
+)
+def mr_triangle_count(spark, sf_dir):
+    """Triangle counting over the exact near-dup graph — the canonical
+    multi-round MR graph benchmark (Cohen 2009's MapReduce graph suite;
+    near-dup cliques make triangles abundant here). Uses the
+    degree-ordered ORIENTATION algorithm, not the naive wedge join: each
+    undirected edge is directed from its (degree, id)-smaller endpoint
+    to the larger, so every wedge fan-out is bounded by arboricity
+    (O(sqrt(E)) out-degree even on power-law graphs) instead of the max
+    degree — THE difference between a plan that survives a 100 TB
+    power-law graph and one whose hub nodes produce quadratic wedge
+    blowup. Each triangle is enumerated exactly once (its orientation-
+    minimal vertex is the wedge apex), so no /3 correction or distinct
+    pass is needed. Three self-equi-joins + one aggregate; the oriented
+    edge list is localCheckpointed since it's consumed three times."""
+    from hdfs_mr_spark.operators.llm_dedup import _trigram_exact_pairs
+
+    edges = _trigram_exact_pairs(spark, sf_dir).select("d1", "d2")
+    bidir = edges.union(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )
+    okey = (
+        bidir.groupBy(F.col("d1").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .select("node", (F.col("deg") * 100000000 + F.col("node")).alias("k"))
+    )
+    ka = okey.select(F.col("node").alias("d1"), F.col("k").alias("ka"))
+    kb = okey.select(F.col("node").alias("d2"), F.col("k").alias("kb"))
+    lt = F.col("ka") < F.col("kb")
+    oriented = (
+        edges.join(ka, "d1")
+        .join(kb, "d2")
+        .select(
+            F.when(lt, F.col("d1")).otherwise(F.col("d2")).alias("src"),
+            F.when(lt, F.col("d2")).otherwise(F.col("d1")).alias("dst"),
+            F.when(lt, F.col("kb")).otherwise(F.col("ka")).alias("kdst"),
+        )
+        .localCheckpoint()
+    )
+    w1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("kdst").alias("k1")
+    )
+    w2 = oriented.select(
+        F.col("src").alias("a2"), F.col("dst").alias("c"), F.col("kdst").alias("k2")
+    )
+    w3 = oriented.select(F.col("src").alias("b3"), F.col("dst").alias("c3"))
+    tri = (
+        w1.join(w2, (F.col("a") == F.col("a2")) & (F.col("k1") < F.col("k2")))
+        .join(w3, (F.col("b") == F.col("b3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "mr_matrix_multiply",
+    oracle="""
+WITH
+a AS (
+  SELECT l_orderkey % 97 AS i, l_suppkey % 16 AS k,
+         SUM(CAST(l_quantity AS BIGINT)) AS av
+  FROM lineitem GROUP BY 1, 2
+),
+b AS (
+  SELECT s_suppkey % 16 AS k, s_nationkey % 10 AS j,
+         SUM((s_suppkey % 7) + 1) AS bw
+  FROM supplier GROUP BY 1, 2
+)
+SELECT a.i, b.j, CAST(SUM(a.av * b.bw) AS BIGINT) AS cval
+FROM a JOIN b ON a.k = b.k
+GROUP BY a.i, b.j
+ORDER BY a.i, b.j
+""",
+    family=_FAM,
+)
+def mr_matrix_multiply(spark, sf_dir):
+    """Sparse matrix multiply C = A x B — the textbook two-job MR
+    workload (job 1: map tags cells with their k and the reduce joins
+    A-row/B-column cells; job 2: sum products by (i, j)). Relationally
+    it is join-on-k + aggregate-on-(i,j), and the critical scale move is
+    AGGREGATE BEFORE JOIN: both operand matrices are first reduced to
+    their distinct (row, k) / (k, col) cells, so the join input is the
+    matrix's sparsity pattern, not the raw fact table — at 100 TB the
+    pre-aggregations are map-side-combined partial HashAggregates and
+    the join ships only O(nnz) cells. Dense blocks would use the same
+    plan with (i-block, k-block) grid keys as the shuffle partitioning.
+    All-integer values keep the product sums exact under any partial-
+    aggregation order."""
+    li = table(spark, sf_dir, "lineitem")
+    su = table(spark, sf_dir, "supplier")
+    a = (
+        li.select(
+            (F.col("l_orderkey") % 97).alias("i"),
+            (F.col("l_suppkey") % 16).alias("k"),
+            F.col("l_quantity").cast("bigint").alias("v"),
+        )
+        .groupBy("i", "k")
+        .agg(F.sum("v").alias("av"))
+    )
+    b = (
+        su.select(
+            (F.col("s_suppkey") % 16).alias("k"),
+            ((F.col("s_nationkey") % 10)).alias("j"),
+            ((F.col("s_suppkey") % 7) + 1).alias("w"),
+        )
+        .groupBy("k", "j")
+        .agg(F.sum("w").alias("bw"))
+    )
+    return (
+        a.join(F.broadcast(b), "k")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("av") * F.col("bw")).cast("bigint").alias("cval"))
+        .orderBy("i", "j")
+    )

@@ -146,3 +146,46 @@ def sql_lateral_topk(spark, sf_dir):
     the total-order tiebreaker keeps the picked rows deterministic."""
     _register(spark, sf_dir, "customer", "orders")
     return spark.sql(_LATERAL_SQL)
+
+
+_RECURSIVE_SPARK = """
+WITH RECURSIVE tree(k, depth) AS (
+  SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+  UNION ALL
+  SELECT s.s_suppkey + 1 AS k, t.depth + 1 AS depth
+  FROM supplier s JOIN tree t ON (s.s_suppkey + 1) div 2 = t.k
+  WHERE s.s_suppkey + 1 >= 2
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM tree GROUP BY depth ORDER BY depth
+"""
+
+_RECURSIVE_DUCK = """
+WITH RECURSIVE tree(k, depth) AS (
+  SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+  UNION ALL
+  SELECT s.s_suppkey + 1 AS k, t.depth + 1 AS depth
+  FROM supplier s JOIN tree t ON (s.s_suppkey + 1) // 2 = t.k
+  WHERE s.s_suppkey + 1 >= 2
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM tree GROUP BY depth ORDER BY depth
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE_DUCK, family=_FAM)
+def sql_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4's WITH RECURSIVE): BFS over the implicit
+    binary tree parent(k) = k div 2 rooted at supplier key 1, reporting
+    node count and key range per depth. Iterative graph traversal
+    expressed in pure SQL — what MR runs as a driver-side loop of
+    chained jobs — with each recursion step a join against the previous
+    frontier only (frontier-sized, not graph-sized, intermediate state).
+    The engine unions the per-level results; the depth histogram
+    deterministically pins every level's membership (integer keys, no
+    floats). The only dialect delta vs the DuckDB oracle is integer
+    division spelling (`div` vs `//`)."""
+    _register(spark, sf_dir, "supplier")
+    return spark.sql(_RECURSIVE_SPARK)

@@ -402,3 +402,104 @@ def win_range_frame(spark, sf_dir):
         F.count("*").over(w).cast("bigint").alias("n_trailing_30d"),
         (F.sum("price_cents").over(w).cast("double") / 100.0).alias("trailing_30d_spend"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "win_ntile",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       NTILE(4)      OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+""",
+    family=_FAM,
+)
+def win_ntile(spark, sf_dir):
+    """Distribution window family: NTILE quartiles, PERCENT_RANK and
+    CUME_DIST per market segment — the score-normalization shape every
+    quality-ranking pipeline needs (e.g. keep the top quartile of
+    documents per source). The window order carries c_custkey as a
+    total-order tiebreaker so equal balances can't flip ranks between
+    runs or engines; percent_rank/cume_dist are single IEEE divisions
+    of the same two integers on both engines, hence bit-exact. Scales
+    as one hash-partition shuffle on the segment key; no global sort."""
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy(F.col("c_mktsegment"), F.col("c_acctbal").desc(), F.col("c_custkey"))
+    )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bucket,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ranked
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+""",
+    family=_FAM,
+)
+def ts_resample_ohlc(spark, sf_dir):
+    """Time-series downsampling to hourly OHLC bars (open/high/low/close
+    per event type) — the canonical resample every metrics store runs.
+    Open/close are picked by a ROW_NUMBER over (ts, event_id) — the
+    event_id tiebreaker makes same-microsecond ticks deterministic on
+    both engines, where a naive first()/last() is partition-order-
+    dependent and silently nondeterministic on any parallel engine.
+    High/low/count are plain min/max (no summation-order exposure). At
+    100 TB this is one hash shuffle on (type, hour); the two window
+    ranks and the aggregate share the same partitioning, so Catalyst
+    plans a single exchange."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts")).alias("bucket")
+    base = ev.select("event_type", bucket, "value", "ts", "event_id")
+    wa = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = base.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("event_type", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type", "bucket")
+    )
