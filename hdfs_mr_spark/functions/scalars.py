@@ -522,3 +522,55 @@ def fn_try_safe(spark, sf_dir):
         F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
         F.col("l_linenumber").cast("string").try_cast("int").alias("roundtrip_int"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || lower(source) || '.example.com/' || lang || '/doc-'
+           || doc_id
+           || CASE WHEN doc_id % 3 = 0
+                   THEN '?ref=feed&page=' || (doc_id % 7) ELSE '' END AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+       regexp_extract(url, 'https?://[^/?#]+(/[^?#]*)', 1) AS path,
+       NULLIF(regexp_extract(url, '\\?([^#]*)', 1), '') AS query,
+       NULLIF(regexp_extract(url, '[?&]page=([^&#]*)', 1), '') AS page
+FROM u ORDER BY doc_id
+""",
+    family=_FAM,
+)
+def fn_url(spark, sf_dir):
+    """URL parsing family — `parse_url` (HOST / PATH / QUERY / keyed
+    query param), the first thing a web-crawl pipeline does to every
+    record. URLs are built deterministically from document columns (the
+    corpus has no organic URLs), with a query string on every third doc
+    so the NULL path (parse_url returns NULL for an absent component /
+    param) is exercised and pinned — the DuckDB twin gets the same via
+    NULLIF(regexp_extract, ''). Pure JVM per-row projection: no
+    shuffle, whole-stage-codegen, scales as a straight scan."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?ref=feed&page="), F.col("doc_id") % 7),
+        ).otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page"),
+    ).orderBy("doc_id")

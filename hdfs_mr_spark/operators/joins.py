@@ -600,3 +600,40 @@ def join_bloom_prefilter(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+WITH l AS (
+  SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS pk FROM orders
+),
+d AS (SELECT DISTINCT NULLIF(o_orderpriority, '3-MEDIUM') AS pk FROM orders)
+SELECT d.pk, CAST(COUNT(l.o_orderkey) AS BIGINT) AS n_orders
+FROM d JOIN l ON d.pk IS NOT DISTINCT FROM l.pk
+GROUP BY d.pk ORDER BY d.pk NULLS FIRST
+""",
+    family=_FAM,
+)
+def join_null_safe_eq(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantic a
+    plain equi-join gets wrong when a dimension legitimately contains
+    an "unknown" bucket (here '3-MEDIUM' is nulled out on both sides to
+    manufacture one). Catalyst treats `<=>` as a true equi-join key
+    (hash/broadcast-joinable: EqualNullSafe is in the join-key
+    extractor), NOT a theta join — so at 100 TB this stays a broadcast
+    hash join, where the naive `a = b OR (a IS NULL AND b IS NULL)`
+    predicate degenerates to a nested-loop cross."""
+    o = table(spark, sf_dir, "orders")
+    left = o.select(
+        "o_orderkey", F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("pk")
+    )
+    dim = left.select("pk").distinct()
+    return (
+        left.alias("l")
+        .join(F.broadcast(dim.alias("d")), F.expr("d.pk <=> l.pk"))
+        .groupBy("d.pk")
+        .agg(F.count("l.o_orderkey").cast("bigint").alias("n_orders"))
+        .orderBy(F.col("pk").asc_nulls_first())
+    )

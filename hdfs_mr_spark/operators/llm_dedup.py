@@ -603,3 +603,69 @@ def llm_dedup_clusters(spark, sf_dir):
         .withColumn("is_representative", F.col("doc_id") == F.col("component"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_dedup_url",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id % 2 = 1 THEN 'HTTPS://' || upper(source) ELSE
+              'https://' || lower(source) END
+           || '.example.com/' || lang || '/p' || (doc_id % 40)
+           || CASE WHEN doc_id % 3 = 0 THEN '?utm=feed' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, n_chars,
+         lower(regexp_replace(url, '[?#].*$', '')) AS canon
+  FROM raw
+)
+SELECT canon,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       MIN(doc_id) AS kept_doc,
+       CAST(SUM(n_chars) AS BIGINT) AS bytes_clustered
+FROM norm GROUP BY canon ORDER BY canon
+""",
+    family=_FAM,
+)
+def llm_dedup_url(spark, sf_dir):
+    """URL-canonical dedup — the FIRST dedup stage of every web-crawl
+    corpus (CCNet/C4 drop exact-URL recrawls before any content
+    hashing, cutting the corpus ~2-5x for free). Raw URLs are seeded
+    with the real-world noise classes (case-varying scheme/host, utm
+    query params, fragments); canonicalization = lowercase + strip
+    query/fragment, then keep the smallest doc_id per canonical URL —
+    min() as the deterministic survivor rule, where "first crawled"
+    would be partition-order luck. One combiner-shape aggregate on the
+    canonical-URL key: at 100 TB this is the cheapest possible dedup
+    (no content reads — the text column is never touched) and exactly
+    why it runs before MinHash."""
+    d = table(spark, sf_dir, "documents")
+    raw_url = F.concat(
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.lit("HTTPS://"), F.upper("source")),
+        ).otherwise(F.concat(F.lit("https://"), F.lower("source"))),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/p"),
+        (F.col("doc_id") % 40),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm=feed")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    norm = d.select(
+        "doc_id",
+        "n_chars",
+        F.lower(F.regexp_replace(raw_url, r"[?#].*$", "")).alias("canon"),
+    )
+    return (
+        norm.groupBy("canon")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dups"),
+            F.min("doc_id").alias("kept_doc"),
+            F.sum("n_chars").cast("bigint").alias("bytes_clustered"),
+        )
+        .orderBy("canon")
+    )

@@ -147,3 +147,77 @@ def limit_offset(spark, sf_dir):
         .offset(200)
         .limit(50)
     )
+
+
+@query(
+    "sort_secondary_mr",
+    oracle="""
+SELECT CAST(8 AS BIGINT) AS n_partitions,
+       TRUE AS all_sorted,
+       TRUE AS users_colocated,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+""",
+    family=_FAM,
+)
+def sort_secondary_mr(spark, sf_dir):
+    """MR secondary sort — the classic Hadoop pattern (composite key,
+    custom partitioner on the natural key, grouping comparator) that
+    delivers each user's events to one reducer in timestamp order. In
+    Spark it is two primitives: `repartition(8, user_id)` (the
+    partitioner) + `sortWithinPartitions(user_id, ts, event_id)` (the
+    comparator) — NO global sort, no single-partition funnel; each task
+    sorts only its own slice, which is exactly what makes the pattern
+    scale. The verification runs inside the partitions themselves (an
+    Arrow mapInPandas pass that checks monotonicity and counts each
+    partition's users), and the oracle pins: 8 partitions reported,
+    every partition sorted, per-partition user counts summing to the
+    GLOBAL distinct count — the last only holds if hashing really
+    co-located every user, so colocation is itself oracle-checked."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    part = ev.repartition(8, "user_id").sortWithinPartitions(
+        "user_id", "ts", "event_id"
+    )
+
+    def check(batches):
+        # Self-contained closure (engine rule: no module-level refs).
+        import pandas as pd
+
+        frames = [b for b in batches]
+        pdf = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame({"user_id": [], "ts": [], "event_id": []})
+        )
+        keys = list(zip(pdf["user_id"], pdf["ts"], pdf["event_id"]))
+        ok = all(a <= b for a, b in zip(keys, keys[1:]))
+        out = pd.DataFrame(
+            {
+                "p_rows": [len(pdf)],
+                "p_sorted": [bool(ok)],
+                "p_users": [int(pdf["user_id"].nunique())],
+            }
+        )
+        yield out.astype({"p_rows": "int64", "p_sorted": "bool", "p_users": "int64"})
+
+    per_part = part.mapInPandas(
+        check, "p_rows bigint, p_sorted boolean, p_users bigint"
+    )
+    ev2 = ev.agg(F.count_distinct("user_id").alias("global_users"))
+    return (
+        per_part.agg(
+            F.count("*").cast("bigint").alias("n_partitions"),
+            F.bool_and("p_sorted").alias("all_sorted"),
+            F.sum("p_rows").cast("bigint").alias("n_rows"),
+            F.sum("p_users").cast("bigint").alias("part_users"),
+        )
+        .crossJoin(ev2)
+        .select(
+            "n_partitions",
+            "all_sorted",
+            (F.col("part_users") == F.col("global_users")).alias("users_colocated"),
+            "n_rows",
+            F.col("global_users").cast("bigint").alias("n_users"),
+        )
+    )

@@ -503,3 +503,56 @@ def ts_resample_ohlc(spark, sf_dir):
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "ts_funnel",
+    oracle="""
+WITH stage1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+stage2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN stage1 s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.t1
+  GROUP BY e.user_id
+),
+stage3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN stage2 s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.t2
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM stage1) AS BIGINT) AS n_viewed,
+       CAST((SELECT COUNT(*) FROM stage2) AS BIGINT) AS n_clicked_after,
+       CAST((SELECT COUNT(*) FROM stage3) AS BIGINT) AS n_purchased_after
+""",
+    family=_FAM,
+)
+def ts_funnel(spark, sf_dir):
+    """Ordered-funnel analysis (view -> click -> purchase, strictly
+    increasing timestamps per user) — the canonical product-analytics
+    event query. Each stage is the MIN event time AFTER the previous
+    stage's time, so the result is a pure function of the event set
+    (no window-order luck); MIN makes timestamp ties harmless. Three
+    stage joins all hash-partition on user_id — one logical shuffle
+    key end to end, so AQE coalesces this into a short chain of
+    co-partitioned joins, never a global sort. The funnel shrinks at
+    every stage, so each successive join's build side is smaller."""
+    ev = table(spark, sf_dir, "events")
+
+    def stage(types, prev, tcol):
+        e = ev.filter(F.col("event_type") == types)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev.columns[1]))
+        return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    s1 = stage("view", None, "t1")
+    s2 = stage("click", s1, "t2")
+    s3 = stage("purchase", s2, "t3")
+    return (
+        s1.agg(F.count("*").cast("bigint").alias("n_viewed"))
+        .crossJoin(s2.agg(F.count("*").cast("bigint").alias("n_clicked_after")))
+        .crossJoin(s3.agg(F.count("*").cast("bigint").alias("n_purchased_after")))
+    )

@@ -527,3 +527,53 @@ def sink_compaction(spark, sf_dir):
         )
 
     return listing(frag, "before").union(listing(comp, "after")).orderBy("phase")
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 2 = 0
+),
+v2 AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1),
+merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(n_chars) AS BIGINT) AS n_with_chars,
+       CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS chars_total
+FROM merged GROUP BY lang ORDER BY lang
+""",
+    family=_FAM,
+)
+def scan_schema_evolution(spark, sf_dir):
+    """Schema evolution across parquet generations — the lake-drift
+    reality: v1 files written before a column existed, v2 files after.
+    `mergeSchema=true` unions the footers so old files surface the new
+    column as NULL (per-file schema reconciliation at the scan, no
+    rewrite of petabytes of v1 data — the whole point at 100 TB; the
+    flag costs a footer pass, which is why it's off by default and
+    enabled here explicitly). The aggregate pins both generations:
+    COUNT(n_chars) counts only v2 rows, COUNT(*) both."""
+    base = _fixture_dir(sf_dir)
+    p1 = str(base / "evolve_v1.parquet")
+    p2 = str(base / "evolve_v2.parquet")
+    d = table(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(p1)
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(p2)
+    merged = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("n_chars").cast("bigint").alias("n_with_chars"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+            .cast("bigint")
+            .alias("chars_total"),
+        )
+        .orderBy("lang")
+    )
