@@ -15,6 +15,8 @@ pandas' summation order.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -449,4 +451,43 @@ def udf_arrow_scalar(spark, sf_dir):
     return li.select(
         "l_orderkey", "l_linenumber",
         net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@query(
+    "udf_scalar_iter",
+    oracle="""
+SELECT lang,
+       CAST(SUM(len(text) + 7) AS BIGINT) AS scored_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    family=_FAM,
+)
+def udf_scalar_iter(spark, sf_dir):
+    """Iterator-of-Series pandas UDF (SCALAR_ITER) — the variant for
+    expensive per-executor initialization: the "model" (here a constant
+    bias, standing in for a tokenizer or ONNX session) is loaded ONCE
+    per task before the batch loop, not once per batch — at 100 TB with
+    ~10^5 tasks that's the difference between 10^5 model loads and one
+    per core. Arithmetic is integer (length + bias), so the aggregate
+    is order-exact."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # Self-contained closure; expensive init happens HERE, once.
+        bias = 7
+        for s in batches:
+            yield s.str.len().astype("int64") + bias
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", score(F.col("text")).alias("sc"))
+        .groupBy("lang")
+        .agg(
+            F.sum("sc").cast("bigint").alias("scored_chars"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("lang")
     )

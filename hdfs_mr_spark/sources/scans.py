@@ -577,3 +577,170 @@ def scan_schema_evolution(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+SELECT CAST(COUNT(*) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT) AS n_good,
+       CAST(COUNT(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_corrupt,
+       CAST(SUM(n_chars) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT) AS chars_good
+FROM documents
+""",
+    family=_FAM,
+)
+def scan_csv_malformed(spark, sf_dir):
+    """Malformed-record handling on text ingestion — the reality of any
+    100 TB crawl/log corpus (truncated lines, encoding garbage, schema
+    drift). A CSV fixture is derived from `documents` with every 7th
+    row deliberately mangled; the PERMISSIVE reader (the only mode that
+    scales — FAILFAST kills a 10^5-task job for one bad line,
+    DROPMALFORMED silently lies about row counts) lands unparseable
+    lines in `_corrupt_record` with NULL data columns. The aggregate
+    pins good rows, quarantined rows, and that good-row payloads
+    survived intact. The frame is cached before touching
+    `_corrupt_record` (Spark forbids filtering a lazily-derived
+    corrupt-record column alone — documented engine behavior)."""
+    out = _fixture_dir(sf_dir) / "malformed.csv"
+    if not (out / "_DONE").exists():
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+        rows = sorted(zip(tbl["doc_id"].to_pylist(), tbl["n_chars"].to_pylist()))
+        out.mkdir(parents=True, exist_ok=True)
+        with open(out / "part-00000.csv", "w") as f:
+            for did, nch in rows:
+                if did % 7 == 0:
+                    f.write(f"GARBAGE<<{did}>>unparseable\n")
+                else:
+                    f.write(f"{did},{nch}\n")
+        (out / "_DONE").touch()
+    df = (
+        spark.read.schema("doc_id BIGINT, n_chars BIGINT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(out / "part-00000.csv"))
+        .cache()
+    )
+    return df.agg(
+        F.count_if(F.col("_corrupt_record").isNull()).cast("bigint").alias("n_good"),
+        F.count_if(F.col("_corrupt_record").isNotNull())
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_chars")))
+        .cast("bigint")
+        .alias("chars_good"),
+    )
+
+
+@query(
+    "sink_dynamic_overwrite",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN lang = 'en' THEN n_chars + 1000 ELSE n_chars END)
+            AS BIGINT) AS chars_total
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    family=_FAM,
+)
+def sink_dynamic_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite — the idempotent-backfill primitive:
+    rewriting one day/language of a 100 TB partitioned table must
+    replace ONLY the partitions present in the incoming frame, never
+    truncate siblings (static overwrite mode's default behavior, the
+    classic data-loss footgun). A lang-partitioned tree is written,
+    then just the 'en' partition is rewritten (n_chars + 1000) under
+    partitionOverwriteMode=dynamic; the re-read aggregate proves 'en'
+    changed and every other partition survived byte-identical."""
+    base = str(_fixture_dir(sf_dir) / "dyn_overwrite.parquet")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d.write.mode("overwrite").partitionBy("lang").parquet(base)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            d.filter(F.col("lang") == "en")
+            .withColumn("n_chars", F.col("n_chars") + 1000)
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(base)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(base)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+WITH synth AS (
+  SELECT i AS id, (i * 2654435761) % 1000000007 AS val
+  FROM range(0, 1000) t(i)
+)
+SELECT CAST(id % 4 AS BIGINT) AS part,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(val) AS BIGINT) AS val_sum,
+       MIN(val) AS val_min,
+       MAX(val) AS val_max
+FROM synth GROUP BY id % 4 ORDER BY part
+""",
+    family=_FAM,
+)
+def scan_python_datasource(spark, sf_dir):
+    """Custom connector via Spark 4's Python Data Source API — the
+    literal analogue of writing a custom Hadoop InputFormat, the MR
+    extension point for "my data lives somewhere your readers don't
+    speak". The source plans its own InputPartitions (4 here, honored
+    1:1 as Spark partitions — split planning lives in the connector,
+    exactly like InputFormat.getSplits) and each task materializes only
+    its own split; rows are Knuth-hash synthetics so the DuckDB twin
+    regenerates the identical set from range(). At scale the partition
+    count comes from the remote system's natural sharding; no driver-
+    side materialization ever happens."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class SynthReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(4)]
+
+        def read(self, part):
+            # Rows interleave across partitions by id % 4 so the split
+            # key is visible in the result (id ranges would also work).
+            for i in range(part.value, 1000, 4):
+                yield (i, (i * 2654435761) % 1000000007)
+
+    class SynthSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "hdfs_mr_synth"
+
+        def schema(self):
+            return "id bigint, val bigint"
+
+        def reader(self, schema):
+            return SynthReader()
+
+    try:
+        spark.dataSource.register(SynthSource)
+    except Exception:
+        pass  # already registered in this session — idempotent re-run
+    df = spark.read.format("hdfs_mr_synth").load()
+    return (
+        df.groupBy((F.col("id") % 4).cast("bigint").alias("part"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("val").cast("bigint").alias("val_sum"),
+            F.min("val").alias("val_min"),
+            F.max("val").alias("val_max"),
+        )
+        .orderBy("part")
+    )
