@@ -50,6 +50,8 @@ HEADLINE = [
     "llm_tfidf",             # 2.11
     "llm_quality_filter",    # 2.11
     "llm_dedup_near_decision",  # 2.11 O(n)-output dense-regime dedup (scale default)
+    "llm_chunk_split",       # 2.11 sliding-window chunking (zero-shuffle generate)
+    "mr_triangle_count",     # 2.9 degree-oriented graph triangles
     "udf_grouped_map",       # 2.12 Arrow-batched python path
 ]
 

@@ -660,3 +660,101 @@ def agg_mode(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS n_values,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    family=_FAM,
+)
+def agg_multi_distinct(spark, sf_dir):
+    """Multiple DISTINCT aggregates over different columns in ONE pass —
+    Catalyst plans this via the Expand operator (each input row is
+    replicated once per distinct group with a grouping-id, then a
+    two-level aggregate dedups and counts), so the fact table is
+    scanned once, not once per distinct column, at the price of a
+    bounded row multiplication (x3 here: 2 distincts + the plain
+    count). At 100 TB one scan + expand beats N scans whenever the
+    table dominates — which is always. Values are quantized to integer
+    cents BEFORE the distinct so both engines count identical sets
+    (raw-double distinctness is representation-fragile)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.count_distinct(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("n_values"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_hll_sketch",
+    oracle="""
+WITH per AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY event_type
+),
+total AS (
+  SELECT 'ALL' AS event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
+)
+SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+       TRUE AS est_within_5pct
+FROM (SELECT * FROM per UNION ALL SELECT * FROM total)
+ORDER BY event_type
+""",
+    family=_FAM,
+)
+def agg_hll_sketch(spark, sf_dir):
+    """HyperLogLog sketch aggregation (Apache DataSketches via Spark's
+    hll_sketch_agg / hll_union_agg / hll_sketch_estimate): per-group
+    distinct-user sketches plus an 'ALL' row produced by UNIONING the
+    per-group sketches — never re-scanning the input. Mergeability is
+    the entire point at 100 TB: sketches combine across partitions,
+    groups, days, and clusters in O(sketch size), which is how a
+    petabyte rollup keeps distinct counts without a global shuffle.
+    HLL register state is order-independent (max of hashed values), so
+    the estimate is deterministic; the oracle checks the exact twin and
+    a 5%-tolerance boolean (lgConfigK=12 => ~1.6% rse)."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("hll_events")
+    per = spark.sql(
+        """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       hll_sketch_estimate(hll_sketch_agg(user_id, 12)) AS est
+FROM hll_events GROUP BY event_type
+"""
+    )
+    total = spark.sql(
+        """
+SELECT 'ALL' AS event_type,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM hll_events) AS n_exact,
+       hll_sketch_estimate(hll_union_agg(s)) AS est
+FROM (SELECT hll_sketch_agg(user_id, 12) AS s
+      FROM hll_events GROUP BY event_type)
+"""
+    )
+    return (
+        per.unionByName(total)
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("est") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("event_type")
+    )

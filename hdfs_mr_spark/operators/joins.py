@@ -637,3 +637,54 @@ def join_null_safe_eq(spark, sf_dir):
         .agg(F.count("l.o_orderkey").cast("bigint").alias("n_orders"))
         .orderBy(F.col("pk").asc_nulls_first())
     )
+
+
+@query(
+    "join_dpp_partition_pruned",
+    oracle="""
+WITH dim AS (
+  SELECT lang FROM documents GROUP BY lang HAVING COUNT(*) >= 90
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d JOIN dim ON d.lang = dim.lang
+GROUP BY d.lang ORDER BY d.lang
+""",
+    family=_FAM,
+)
+def join_dpp_partition_pruned(spark, sf_dir):
+    """Dynamic partition pruning: the fact side is a lang-partitioned
+    parquet tree and the dim side's qualifying langs are only known at
+    RUNTIME (a HAVING over counts), so static pruning can't fire —
+    instead Catalyst injects the broadcast dim as a `dynamicpruning#`
+    subquery INTO the fact scan's PartitionFilters, and fact partitions
+    for non-qualifying langs are never opened. At 100 TB this is the
+    difference between scanning a full fact table and only the joined
+    slices whenever the filter lives on the dimension (every star-schema
+    date-dim query); locked by a plan test asserting the dynamicpruning
+    filter on the scan."""
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    out_p = _fixture_dir(sf_dir) / "docs_by_lang.parquet"
+    out = str(out_p)
+    if not (out_p / "_SUCCESS").exists():
+        table(spark, sf_dir, "documents").write.mode("overwrite").partitionBy(
+            "lang"
+        ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        fact.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 90)
+        .select("lang")
+    )
+    return (
+        fact.join(F.broadcast(dim), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

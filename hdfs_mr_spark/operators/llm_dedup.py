@@ -669,3 +669,60 @@ def llm_dedup_url(spark, sf_dir):
         )
         .orderBy("canon")
     )
+
+
+@query(
+    "llm_dedup_incremental",
+    oracle="""
+WITH base AS (
+  SELECT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1
+),
+batch AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+)
+SELECT b.doc_id,
+       CASE WHEN base.h IS NOT NULL THEN 'dup_base'
+            WHEN ROW_NUMBER() OVER (PARTITION BY b.h ORDER BY b.doc_id) > 1
+              THEN 'dup_batch'
+            ELSE 'keep' END AS verdict
+FROM batch b LEFT JOIN base ON b.h = base.h
+ORDER BY b.doc_id
+""",
+    family=_FAM,
+)
+def llm_dedup_incremental(spark, sf_dir):
+    """Incremental dedup — the daily-crawl reality: a NEW batch must
+    dedup against the EXISTING corpus without re-deduping the corpus
+    itself. Batch docs are checked (1) against the base's distinct
+    content-hash set via a left join on md5 — at 100 TB this side
+    becomes a bloom-filter prefilter + shuffle-hash join on the ~16-byte
+    hash column only, never the text — and (2) within-batch via a
+    min-doc_id window (the same deterministic survivor rule as
+    dedup_by_key). Every batch doc gets an explicit verdict
+    (dup_base / dup_batch / keep) so downstream stages are replayable
+    decisions, not implicit row drops."""
+    d = table(spark, sf_dir, "documents")
+    base = (
+        d.filter(F.col("doc_id") % 3 != 0)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+        .withColumn("in_base", F.lit(True))
+    )
+    batch = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        batch.join(base, "h", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.when(F.col("in_base"), F.lit("dup_base"))
+            .when(F.col("rn") > 1, F.lit("dup_batch"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )

@@ -202,3 +202,38 @@ def etl_upsert_merge(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+WITH v1 AS (SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+            FROM documents WHERE source = 'src0'),
+v2 AS (SELECT doc_id, lang, n_chars FROM documents WHERE source = 'src1')
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(n_chars) AS BIGINT) AS n_with_chars
+FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+GROUP BY lang ORDER BY lang
+""",
+    family=_FAM,
+)
+def set_union_by_name(spark, sf_dir):
+    """Schema-drift union: `unionByName(allowMissingColumns=True)` aligns
+    columns BY NAME and null-fills the missing ones — where positional
+    UNION ALL silently mismatches columns when two extracts evolved
+    apart (the classic multi-source ingestion bug: same column count,
+    different order, no error, garbage data). The null-fill is pinned by
+    counting the populated column per language."""
+    d = table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("source") == "src0").select("doc_id", "lang")
+    v2 = d.filter(F.col("source") == "src1").select("n_chars", "doc_id", "lang")
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count("n_chars").cast("bigint").alias("n_with_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -154,3 +154,42 @@ def test_bloom_prefilter_probes_before_join(spark):
     assert any("BroadcastHashJoin" in n for n in nodes)
     assert not any("SortMergeJoin" in n for n in nodes)
     assert not any("CartesianProduct" in n for n in nodes)
+
+
+def test_null_safe_join_is_broadcast_hash(spark):
+    """EqualNullSafe (<=>) must stay an extractable equi-join key: a
+    BroadcastHashJoin, never the nested-loop degeneration the OR-spelled
+    predicate produces."""
+    nodes = _nodes(_plan(spark, "join_null_safe_eq"))
+    assert any("BroadcastHashJoin" in n for n in nodes)
+    assert not any("BroadcastNestedLoopJoin" in n for n in nodes)
+    assert not any("CartesianProduct" in n for n in nodes)
+
+
+def test_matmul_aggregates_before_join(spark):
+    """mr_matrix_multiply must reduce both operands to their sparsity
+    patterns BEFORE the k-join (partial HashAggregates upstream of the
+    join) and broadcast the small operand."""
+    plan = _plan(spark, "mr_matrix_multiply")
+    nodes = _nodes(plan)
+    assert any("BroadcastHashJoin" in n for n in nodes)
+    assert not any("CartesianProduct" in n for n in nodes)
+    assert sum("HashAggregate" in n for n in nodes) >= 4  # 2 per operand + final pair
+
+
+def test_chunk_split_no_hash_shuffle(spark):
+    """llm_chunk_split claims scan->generate->project with no hash
+    exchange: chunk rows inherit the document partitioning. Only the
+    declared output orderBy may range-exchange."""
+    nodes = _nodes(_plan(spark, "llm_chunk_split"))
+    assert not any(
+        "Exchange hashpartitioning" in n for n in nodes
+    ), "chunking must not hash-shuffle"
+
+
+def test_dpp_join_prunes_fact_partitions(spark):
+    """join_dpp_partition_pruned must show a dynamicpruning expression in
+    the fact scan's PartitionFilters — runtime partition pruning driven
+    by the broadcast dim, not a full fact scan."""
+    plan = _plan(spark, "join_dpp_partition_pruned")
+    assert "dynamicpruning" in plan.lower(), "no dynamic partition pruning in plan"
