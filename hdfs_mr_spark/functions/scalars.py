@@ -574,3 +574,51 @@ def fn_url(spark, sf_dir):
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page"),
     ).orderBy("doc_id")
+
+
+@query(
+    "fn_timezone",
+    oracle="""
+SELECT event_id,
+       strftime(timezone('America/New_York',
+                to_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0)),
+                '%Y-%m-%d %H:%M:%S') AS ny_wall,
+       strftime(timezone('Asia/Tokyo',
+                to_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0)),
+                '%Y-%m-%d %H:%M:%S') AS tokyo_wall,
+       CAST(hour(timezone('America/New_York',
+                 to_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0)))
+            AS INTEGER) AS ny_hour,
+       CAST((CAST(ts AS TIMESTAMP)
+             = timezone('UTC',
+               to_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0)))
+            AS BOOLEAN) AS utc_roundtrip
+FROM events
+""",
+    family=_FAM,
+)
+def fn_timezone(spark, sf_dir):
+    """Timezone conversion (SURVEY.md §2.8 date family): UTC instants to
+    wall-clock time in named IANA zones, DST-correct (America/New_York
+    spans EST/EDT across the events range). The session timezone is
+    pinned to UTC (session.py), so `convert_timezone` is the only zone
+    math and results stay engine-portable. Outputs are formatted strings
+    / integers, never zoned-timestamp cells, so the hash compare is
+    byte-stable. The DuckDB twin goes through epoch-microseconds ->
+    TIMESTAMPTZ -> `timezone(zone, ...)`, which is instant-preserving
+    regardless of the oracle connection's local zone setting."""
+    ev = table(spark, sf_dir, "events")
+    def wall(zone):
+        return F.date_format(
+            F.expr(f"convert_timezone('UTC', '{zone}', ts)"),
+            "yyyy-MM-dd HH:mm:ss",
+        )
+    return ev.select(
+        "event_id",
+        wall("America/New_York").alias("ny_wall"),
+        wall("Asia/Tokyo").alias("tokyo_wall"),
+        F.hour(F.expr("convert_timezone('UTC', 'America/New_York', ts)"))
+        .cast("int").alias("ny_hour"),
+        (F.col("ts") == F.expr("convert_timezone('UTC', 'UTC', ts)"))
+        .cast("boolean").alias("utc_roundtrip"),
+    )

@@ -758,3 +758,47 @@ FROM (SELECT hll_sketch_agg(user_id, 12) AS s
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+WITH b AS (
+  SELECT o_orderpriority,
+         o_custkey // 60 AS bucket,
+         bit_or(CAST(1 AS BIGINT) << CAST(o_custkey % 60 AS INTEGER)) AS bm
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+       CAST(SUM(bit_count(bm)) AS BIGINT) AS n_distinct_bitmap,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM b GROUP BY o_orderpriority
+""",
+    family=_FAM,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """Exact COUNT(DISTINCT) via fixed-width bitmap buckets — the
+    roaring-bitmap idea in pure relational form (SURVEY.md §2.4). Keys
+    bucket by `id DIV 60`; each bucket packs presence into one BIGINT
+    via `bit_or(1 << id%60)`, then `sum(bit_count(...))` counts bits.
+
+    100 TB stance: this is the scale path for exact distinct counts —
+    the shuffle carries one 8-byte word per (group, bucket) instead of
+    one row per distinct key (COUNT DISTINCT's expand+dedup does), and
+    both aggregations are combiner-friendly (bit_or and sum are
+    associative+commutative, so map-side partials collapse dense key
+    ranges 60:1 before the exchange). 60 bits (not 64) keeps the shift
+    in-range for engines that reject 1<<63 overflow (DuckDB)."""
+    o = table(spark, sf_dir, "orders")
+    b = o.groupBy(
+        "o_orderpriority",
+        F.expr("CAST(o_custkey DIV 60 AS BIGINT)").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 60 AS INT)))"
+        ).alias("bm")
+    )
+    return b.groupBy("o_orderpriority").agg(
+        F.expr("CAST(SUM(bit_count(bm)) AS BIGINT)").alias("n_distinct_bitmap"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+    )

@@ -1092,3 +1092,86 @@ def llm_chunk_split(spark, sf_dir):
         F.size(sl).cast("bigint").alias("n_tokens"),
         F.md5(F.array_join(sl, " ").cast("binary")).alias("chunk_hash"),
     ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "llm_quality_gopher",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS words, text FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         len(words) AS n_words,
+         length(replace(text, ' ', '')) AS n_word_chars,
+         len(list_filter(words, x -> regexp_full_match(x, '[a-z]+'))) AS n_alpha,
+         len(list_intersect(list_distinct(words),
+                            ['the','a','of','and','to','in'])) AS n_stop
+  FROM w
+)
+SELECT doc_id, lang,
+       CAST(n_words AS INTEGER) AS n_words,
+       CAST(n_word_chars AS DOUBLE) / n_words AS mean_word_len,
+       CAST(n_alpha AS DOUBLE) / n_words AS frac_alpha,
+       CAST(n_stop AS INTEGER) AS n_stopword_hits,
+       (n_words BETWEEN 50 AND 100000) AS words_ok,
+       (CAST(n_word_chars AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0) AS wordlen_ok,
+       (CAST(n_alpha AS DOUBLE) / n_words >= 0.8) AS alpha_ok,
+       (n_stop >= 2) AS stopwords_ok,
+       ((n_words BETWEEN 50 AND 100000)
+        AND (CAST(n_word_chars AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+        AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
+        AND n_stop >= 2) AS keep
+FROM m
+""",
+    family=_FAM,
+)
+def llm_quality_gopher(spark, sf_dir):
+    """Gopher-style document quality battery (Rae et al. 2021 §A1.1, the
+    non-repetition rules — the repetition family lives in
+    llm_quality_repetition): word-count bounds, mean word length in
+    [3,10], >=80% alphabetic words, and >=2 distinct English stopwords
+    present. Emits the raw metrics plus per-rule booleans and the final
+    keep decision, so downstream mixes can re-threshold without a
+    rescan.
+
+    Scale notes: everything is a per-row projection — no shuffle at all;
+    the only divisions are single IEEE ops over exact integer counts, so
+    doubles hash-match the oracle. The token array is materialized once
+    (localCheckpoint) before the higher-order filter, since interpreted
+    lambdas re-evaluate referenced expressions per element (PERF.md 2b)."""
+    d = table(spark, sf_dir, "documents")
+    w = fan_out(
+        d.select("doc_id", "lang", "text", F.split("text", " ").alias("words"))
+    ).localCheckpoint()
+    m = w.select(
+        "doc_id", "lang",
+        F.size("words").alias("n_words"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_word_chars"),
+        F.size(F.filter("words", lambda x: x.rlike("^[a-z]+$"))).alias("n_alpha"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct("words"),
+                F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "to", "in"]]),
+            )
+        ).alias("n_stop"),
+    )
+    n_w = F.col("n_words")
+    mean_wl = F.col("n_word_chars").cast("double") / n_w
+    frac_alpha = F.col("n_alpha").cast("double") / n_w
+    words_ok = n_w.between(50, 100000)
+    wordlen_ok = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    alpha_ok = frac_alpha >= 0.8
+    stop_ok = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id", "lang",
+        n_w.cast("int").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha"),
+        F.col("n_stop").cast("int").alias("n_stopword_hits"),
+        words_ok.alias("words_ok"),
+        wordlen_ok.alias("wordlen_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stopwords_ok"),
+        (words_ok & wordlen_ok & alpha_ok & stop_ok).alias("keep"),
+    )

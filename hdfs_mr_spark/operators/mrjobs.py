@@ -631,3 +631,136 @@ def mr_matrix_multiply(spark, sf_dir):
         .agg(F.sum(F.col("av") * F.col("bw")).cast("bigint").alias("cval"))
         .orderBy("i", "j")
     )
+
+
+@query(
+    "mr_tera_validate",
+    oracle="""
+WITH h AS (
+  SELECT o_totalprice, o_orderkey,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10))::BIGINT AS rh
+  FROM orders
+),
+ord AS (
+  SELECT o_totalprice, o_orderkey, rh,
+         lag(o_totalprice) OVER w AS pp,
+         lag(o_orderkey)  OVER w AS pk
+  FROM h
+  WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT_IF(pp > o_totalprice
+                     OR (pp = o_totalprice AND pk > o_orderkey)) AS BIGINT)
+         AS n_violations,
+       CAST(SUM(rh) AS BIGINT) AS checksum
+FROM ord
+""",
+    family=_FAM,
+)
+def mr_tera_validate(spark, sf_dir):
+    """TeraValidate — the companion job to TeraSort (mr_sort): prove a
+    range-partitioned sort IS globally sorted without ever funneling the
+    data through one task. Three facts are established distributedly:
+    (1) every partition is internally sorted (vectorized adjacent-pair
+    scan inside mapInPandas, carrying the last key across Arrow
+    batches); (2) partition boundaries are ordered (each partition's
+    [min,max] summary — 1 row per partition — joined to its successor's
+    on pid+1); (3) a content checksum (sum of 40-bit md5-derived row
+    hashes, bounded < 2^57 so an int64 sum cannot overflow) matches the
+    source, proving no row was lost or duplicated by the exchange.
+
+    100 TB stance: the validation scan is embarrassingly parallel and
+    single-pass per partition; only P summary rows (P = partitions)
+    reach the boundary check, so the plan scales with partition count,
+    not data volume — exactly the original TeraValidate contract. The
+    oracle recomputes all three facts with a serial global window."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        "o_orderkey",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 10), 16, 10)"
+            " AS BIGINT)"
+        ).alias("rh"),
+    )
+    parts = (
+        o.repartitionByRange(16, F.col("o_totalprice"), F.col("o_orderkey"))
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+    )
+
+    def summarize(batches):
+        import numpy as np
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        viol = 0
+        cks = 0
+        prev = None  # (price, key) of the previous row, across batches
+        mn = mx = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            p = pdf["o_totalprice"].to_numpy()
+            k = pdf["o_orderkey"].to_numpy()
+            viol += int(
+                ((p[:-1] > p[1:]) | ((p[:-1] == p[1:]) & (k[:-1] > k[1:]))).sum()
+            )
+            if prev is not None and (
+                prev[0] > p[0] or (prev[0] == p[0] and prev[1] > k[0])
+            ):
+                viol += 1
+            if mn is None:
+                mn = (float(p[0]), int(k[0]))
+            mx = (float(p[-1]), int(k[-1]))
+            prev = (float(p[-1]), int(k[-1]))
+            n += len(pdf)
+            cks += int(pdf["rh"].sum())
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "pid": np.array([pid], dtype="int64"),
+                "n_rows": np.array([n], dtype="int64"),
+                "n_violations": np.array([viol], dtype="int64"),
+                "min_price": np.array([mn[0]], dtype="float64"),
+                "min_key": np.array([mn[1]], dtype="int64"),
+                "max_price": np.array([mx[0]], dtype="float64"),
+                "max_key": np.array([mx[1]], dtype="int64"),
+                "checksum": np.array([cks], dtype="int64"),
+            }
+        )
+
+    summary = parts.mapInPandas(
+        summarize,
+        schema=(
+            "pid bigint, n_rows bigint, n_violations bigint, "
+            "min_price double, min_key bigint, "
+            "max_price double, max_key bigint, checksum bigint"
+        ),
+    )
+    # Boundary order check: partition i's max must be <= partition i+1's
+    # min. Range partition ids are key-ordered by construction, so a
+    # pid->pid+1 self-join (P rows, broadcast) sees every boundary.
+    s = summary.alias("s")
+    nxt = summary.select(
+        (F.col("pid") - 1).alias("ppid"),
+        F.col("min_price").alias("nmin_price"),
+        F.col("min_key").alias("nmin_key"),
+    ).alias("n")
+    joined = s.join(F.broadcast(nxt), F.col("s.pid") == F.col("ppid"), "left")
+    boundary_bad = F.when(
+        (F.col("max_price") > F.col("nmin_price"))
+        | (
+            (F.col("max_price") == F.col("nmin_price"))
+            & (F.col("max_key") > F.col("nmin_key"))
+        ),
+        1,
+    ).otherwise(0)
+    return joined.agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        (F.sum("n_violations") + F.sum(boundary_bad)).cast("bigint").alias(
+            "n_violations"
+        ),
+        F.sum("checksum").cast("bigint").alias("checksum"),
+    )

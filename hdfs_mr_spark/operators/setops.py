@@ -237,3 +237,27 @@ def set_union_by_name(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+SELECT l_suppkey, l_returnflag
+FROM lineitem WHERE l_quantity <= 25
+INTERSECT ALL
+SELECT l_suppkey, l_returnflag
+FROM lineitem WHERE l_quantity >= 20
+""",
+    family=_FAM,
+)
+def set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — multiset intersection keeping min(m, n) copies of
+    each duplicated row (SURVEY.md §2.7). The two sides overlap on the
+    20..25 quantity band, so genuine multiplicities survive: `intersect`
+    (distinct semantics) would collapse them, which is why this is a
+    separate surface. Physically one hash shuffle on the full row, same
+    as the MR identity-map/count-min-reduce formulation."""
+    li = table(spark, sf_dir, "lineitem")
+    lo = li.filter(F.col("l_quantity") <= 25).select("l_suppkey", "l_returnflag")
+    hi = li.filter(F.col("l_quantity") >= 20).select("l_suppkey", "l_returnflag")
+    return lo.intersectAll(hi)

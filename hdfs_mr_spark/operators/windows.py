@@ -556,3 +556,43 @@ def ts_funnel(spark, sf_dir):
         .crossJoin(s2.agg(F.count("*").cast("bigint").alias("n_clicked_after")))
         .crossJoin(s3.agg(F.count("*").cast("bigint").alias("n_purchased_after")))
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       nth_value(o_orderkey, 2) OVER w AS second_order,
+       first_value(CASE WHEN o_orderstatus <> 'O' THEN o_totalprice END
+                   IGNORE NULLS) OVER w AS first_closed_price,
+       lag(o_orderkey, 1, -1) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC, o_orderkey ASC)
+         AS prev_or_sentinel
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    family=_FAM,
+)
+def win_nth_value(spark, sf_dir):
+    """nth_value / IGNORE NULLS first_value / lag-with-default — the
+    navigation-function corners beyond plain first/last (SURVEY.md §2.5):
+    the customer's 2nd-ever order, the first non-open order's price
+    (null-skipping scan over an unbounded frame), and lag with an
+    explicit sentinel default so the partition head is distinguishable
+    from a null value. One shuffle + one sort serves all three frames."""
+    o = table(spark, sf_dir, "orders")
+    ordering = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wlag = Window.partitionBy("o_custkey").orderBy(*ordering)
+    closed = F.when(F.col("o_orderstatus") != "O", F.col("o_totalprice"))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.first(closed, ignorenulls=True).over(w).alias("first_closed_price"),
+        F.lag("o_orderkey", 1, -1).over(wlag).alias("prev_or_sentinel"),
+    )
