@@ -764,3 +764,85 @@ def mr_tera_validate(spark, sf_dir):
         ),
         F.sum("checksum").cast("bigint").alias("checksum"),
     )
+
+
+@query(
+    "mr_bfs",
+    oracle="""
+WITH RECURSIVE inc AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= 40
+),
+bidir AS (
+  SELECT 'c' || c AS src, 'p' || p AS dst FROM inc
+  UNION ALL
+  SELECT 'p' || p, 'c' || c FROM inc
+),
+bfs(node, lvl) AS (
+  SELECT 'c' || c, 0 FROM (SELECT DISTINCT c FROM inc) WHERE c % 500 = 0
+  UNION ALL
+  SELECT e.dst, b.lvl + 1 FROM bfs b JOIN bidir e ON e.src = b.node
+  WHERE b.lvl < 4
+)
+SELECT node, CAST(MIN(lvl) AS INTEGER) AS hop
+FROM bfs GROUP BY node
+""",
+    family=_FAM,
+)
+def mr_bfs(spark, sf_dir):
+    """Multi-source BFS, 4 hops, over the customer-part purchase graph —
+    the chained-MR graph-traversal classic (one MR pass per hop in the
+    Hadoop formulation; 'degrees of separation' shape). Nodes are
+    namespaced customers and parts; the graph is BIPARTITE INCIDENCE
+    (customer—bought—part, high-quantity lines only), traversed
+    directly: co-purchase 'customers sharing a part' clique edges are
+    never materialized — a clique expansion is quadratic per part and
+    is exactly what dies first at 100 TB, while the incidence list is
+    linear in the fact table.
+
+    Scale design — frontier-delta iteration: each round expands ONLY
+    the newly discovered frontier (anti-join against the known set), so
+    per-round shuffle volume tracks the frontier and total work is
+    O(|E|) over all rounds (Pregel discipline); frontiers are
+    localCheckpoint'ed to cut the iterative lineage. The oracle replays
+    the definition as a level-bounded recursive CTE + MIN(lvl): BFS
+    first-discovery level IS the minimum level, so they agree."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    inc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cnode"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("pnode"),
+        )
+        .distinct()
+    )
+    bidir = (
+        inc.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst"))
+        .union(inc.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst")))
+        .localCheckpoint()
+    )
+    seeds = (
+        inc.select(F.col("cnode").alias("node"))
+        .distinct()
+        .filter(F.substring("node", 2, 100).cast("bigint") % 500 == 0)
+        .select("node", F.lit(0).cast("int").alias("hop"))
+        .localCheckpoint()
+    )
+    dist = seeds
+    frontier = seeds
+    for _ in range(4):
+        reached = bidir.join(
+            frontier, bidir.src == frontier.node
+        ).select(F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop"))
+        frontier = (
+            reached.join(dist, "node", "left_anti")
+            .groupBy("node")
+            .agg(F.min("hop").cast("int").alias("hop"))
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        dist = dist.unionByName(frontier).localCheckpoint()
+    return dist

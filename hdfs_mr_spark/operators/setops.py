@@ -261,3 +261,82 @@ def set_intersect_all(spark, sf_dir):
     lo = li.filter(F.col("l_quantity") <= 25).select("l_suppkey", "l_returnflag")
     hi = li.filter(F.col("l_quantity") >= 20).select("l_suppkey", "l_returnflag")
     return lo.intersectAll(hi)
+
+
+@query(
+    "etl_scd2",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_type IS NULL
+                   OR prev_type <> event_type THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+versioned AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS version
+  FROM flagged
+),
+spans AS (
+  SELECT user_id, event_type, version,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM versioned GROUP BY user_id, event_type, version
+)
+SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL)
+         AS is_current,
+       CAST(n_events AS BIGINT) AS n_events
+FROM spans
+""",
+    family=_FAM,
+)
+def etl_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type 2 build: collapse each user's
+    event-type run-lengths into versioned validity intervals
+    [valid_from, valid_to) with an is_current marker — the dimension-
+    table ETL pattern (Kimball SCD2) expressed as gaps-and-islands:
+    lag() change flags -> running-sum version ids -> per-version span
+    aggregate -> lead() to close each interval.
+
+    Scale: every window and the aggregate share ONE hash partitioning
+    on user_id, so the whole build is a single shuffle however wide the
+    history; no self-joins, no driver state. Timestamps leave as
+    formatted strings so the hash compare is byte-stable."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    flagged = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0).alias("brk"),
+    )
+    versioned = flagged.withColumn(
+        "version",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    spans = versioned.groupBy("user_id", "event_type", "version").agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("valid_from").over(wv)
+    return spans.select(
+        "user_id",
+        F.col("version").cast("bigint").alias("version"),
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
