@@ -622,3 +622,47 @@ def fn_timezone(spark, sf_dir):
         (F.col("ts") == F.expr("convert_timezone('UTC', 'UTC', ts)"))
         .cast("boolean").alias("utc_roundtrip"),
     )
+
+
+@query(
+    "fn_interval",
+    oracle="""
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       CAST(CAST(o_orderdate AS DATE) - INTERVAL 2 WEEK AS DATE) AS minus2w,
+       CAST(CAST(o_orderdate AS DATE)
+            + CAST(CASE WHEN (8 - isodow(CAST(o_orderdate AS DATE))) % 7 = 0
+                        THEN 7
+                        ELSE (8 - isodow(CAST(o_orderdate AS DATE))) % 7 END
+                   AS INTEGER) AS DATE) AS next_mon,
+       CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS qstart,
+       CAST((1998 - year(o_orderdate)) * 12 + (6 - month(o_orderdate))
+            AS BIGINT) AS whole_months_to_jun98
+FROM orders
+""",
+    family=_FAM,
+)
+def fn_interval(spark, sf_dir):
+    """Calendar-interval arithmetic (SURVEY.md §2.8 date family, beyond
+    fn_date's field extraction): month addition with end-of-month clamp
+    (add_months — Jan 31 + 1 month = Feb 28 on both engines), week
+    subtraction, next-Monday (Spark's next_day vs an isodow formula in
+    the oracle — same function, independently derived), quarter
+    truncation, and whole-month distance to a fixed anchor expressed in
+    year/month integers (portable, unlike fractional months_between
+    whose 31-day convention is engine-specific). Pure per-row projection
+    — no shuffle at any scale."""
+    o = table(spark, sf_dir, "orders")
+    d = F.expr("CAST(o_orderdate AS DATE)")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus3m"),
+        F.date_sub(d, 14).alias("minus2w"),
+        F.next_day(d, "Mon").alias("next_mon"),
+        F.expr("CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)")
+        .alias("qstart"),
+        (
+            (F.lit(1998) - F.year("o_orderdate")) * 12
+            + (F.lit(6) - F.month("o_orderdate"))
+        ).cast("bigint").alias("whole_months_to_jun98"),
+    )

@@ -491,3 +491,51 @@ def udf_scalar_iter(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "udf_window_agg",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(price_cents) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / 100.0 AS trailing3_spend
+FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders)
+""",
+    family=_FAM,
+)
+def udf_window_agg(spark, sf_dir):
+    """Pandas UDAF evaluated OVER A WINDOW FRAME — the fourth pandas-UDF
+    execution mode next to scalar/grouped-agg/grouped-map: Spark slices
+    each bounded frame (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) into
+    an Arrow batch and calls the Python aggregator per frame. Integer
+    cents keep the Python sum exact so the oracle's window SUM matches
+    bit-for-bit.
+
+    Scale: same physical shape as any window — one shuffle + sort on
+    the partition key; the per-frame Python round trip is the cost of
+    custom frame logic (use built-in SUM when the aggregator isn't
+    custom; this query's purpose is the API surface, same stance as
+    udf_grouped_map)."""
+    from pyspark.sql import Window
+
+    @F.pandas_udf("long")
+    def csum(cents: pd.Series) -> int:
+        return int(cents.sum())
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        (csum("price_cents").over(w).cast("double") / 100.0).alias("trailing3_spend"),
+    )

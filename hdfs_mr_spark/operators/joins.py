@@ -688,3 +688,85 @@ def join_dpp_partition_pruned(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "join_spatial_grid",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey,
+         ('0x' || substr(md5('c' || c_custkey || 'x'), 1, 6))::BIGINT % 1000 AS x,
+         ('0x' || substr(md5('c' || c_custkey || 'y'), 1, 6))::BIGINT % 1000 AS y
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey,
+         ('0x' || substr(md5('s' || s_suppkey || 'x'), 1, 6))::BIGINT % 1000 AS x,
+         ('0x' || substr(md5('s' || s_suppkey || 'y'), 1, 6))::BIGINT % 1000 AS y
+  FROM supplier
+)
+SELECT c.c_custkey, s.s_suppkey,
+       CAST((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS BIGINT)
+         AS dist2
+FROM c, s
+WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 2500
+""",
+    family=_FAM,
+)
+def join_spatial_grid(spark, sf_dir):
+    """Spatial distance join via grid bucketing (the geohash/S2 cell
+    idea in relational form): points live on a 1000x1000 integer grid
+    (deterministic md5-derived coordinates); radius r=50 pairs are found
+    by equi-joining on 50-unit grid cells, with the probe side exploded
+    to its 3x3 cell neighborhood so no qualifying pair can straddle a
+    cell boundary unseen, then exact distance^2 filtering.
+
+    100 TB stance: the naive form is a cross join (customers x
+    suppliers) with a distance predicate — quadratic and unshippable.
+    Cell bucketing turns it into an equi-join whose work is
+    sum-over-cells(|A_cell| * |B_3x3|): linear in data for bounded
+    density, the standard spatial-partitioning contract; the 9x probe
+    replication is the price of boundary correctness and is constant.
+    All-integer coordinates keep distance^2 exact, so the oracle can be
+    the brute-force cross join — equality of the two result sets PROVES
+    the grid decomposition loses no pair (completeness check, not just
+    spot agreement)."""
+    R, CELL = 50, 50
+
+    def pts(df, key, prefix):
+        def h(ax):
+            return F.expr(
+                f"CAST(conv(substr(md5(concat('{prefix}', {key}, '{ax}')),"
+                f" 1, 6), 16, 10) AS BIGINT) % 1000"
+            )
+        return df.select(F.col(key), h("x").alias("x"), h("y").alias("y"))
+
+    c = pts(table(spark, sf_dir, "customer"), "c_custkey", "c")
+    s = pts(table(spark, sf_dir, "supplier"), "s_suppkey", "s")
+    cg = c.select(
+        "c_custkey", "x", "y",
+        F.expr(f"CAST(x DIV {CELL} AS BIGINT)").alias("cx"),
+        F.expr(f"CAST(y DIV {CELL} AS BIGINT)").alias("cy"),
+    )
+    sg = (
+        s.select(
+            "s_suppkey",
+            F.col("x").alias("sx"),
+            F.col("y").alias("sy"),
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx"),
+        )
+        .select("*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy"))
+        .select(
+            "s_suppkey", "sx", "sy",
+            (F.expr(f"CAST(sx DIV {CELL} AS BIGINT)") + F.col("dx")).alias("cx"),
+            (F.expr(f"CAST(sy DIV {CELL} AS BIGINT)") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
+        F.col("y") - F.col("sy")
+    ) * (F.col("y") - F.col("sy"))
+    return (
+        cg.join(sg, ["cx", "cy"])
+        .filter(d2 <= R * R)
+        .select("c_custkey", "s_suppkey", d2.cast("bigint").alias("dist2"))
+    )

@@ -596,3 +596,73 @@ def win_nth_value(spark, sf_dir):
         F.first(closed, ignorenulls=True).over(w).alias("first_closed_price"),
         F.lag("o_orderkey", 1, -1).over(wlag).alias("prev_or_sentinel"),
     )
+
+
+# EWMA weights: round(1e6 * 0.8^k) for lags k = 0..9, frozen as integer
+# literals so both engines run pure integer arithmetic — no pow()/exp()
+# in the plan (libm rounding differs across engines; PERF.md determinism
+# rules). The tail beyond lag 9 carries < 11% total weight for alpha=0.2
+# and is dropped on both sides identically.
+_EWMA_W = [1000000, 800000, 640000, 512000, 409600,
+           327680, 262144, 209715, 167772, 134218]
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+lagged AS (
+  SELECT user_id, event_id, ts,
+         {', '.join(f'lag(cents, {k}) OVER w AS c{k}' for k in range(10))}
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, event_id,
+       CAST(({' + '.join(f'COALESCE(c{k} * {w}, 0)' for k, w in enumerate(_EWMA_W))})
+            AS DOUBLE)
+       / ({' + '.join(f'(CASE WHEN c{k} IS NOT NULL THEN {w} ELSE 0 END)' for k, w in enumerate(_EWMA_W))})
+       / 100.0 AS ewma_value
+FROM lagged
+""",
+    family=_FAM,
+)
+def ts_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average (alpha = 0.2, 10-lag
+    truncation) of each user's event values — the time-series smoothing
+    primitive behind anomaly baselines. EWMA is a recurrence, which SQL
+    windows can't express directly; the truncated expansion
+    sum(w_k * x_{{t-k}}) / sum(w_k) turns it into a fixed linear
+    combination of lags, renormalized over however many lags exist near
+    the partition head (so early rows are exact partial EWMAs, not
+    zero-padded).
+
+    Determinism: weights are frozen integer micro-unit literals (no
+    runtime pow()), values ride integer cents, so the numerator/
+    denominator are exact integers on both engines and the one double
+    division at the end is a single IEEE op. Scale: ten lag() calls
+    share ONE window sort — one shuffle on user_id, streaming frame
+    evaluation, no self-joins."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    lags = [F.lag("cents", k).over(w).alias(f"c{k}") for k in range(10)]
+    lagged = base.select("user_id", "event_id", *lags)
+    num = sum(
+        (F.coalesce(F.col(f"c{k}") * wt, F.lit(0)) for k, wt in enumerate(_EWMA_W)),
+        start=F.lit(0),
+    )
+    den = sum(
+        (F.when(F.col(f"c{k}").isNotNull(), wt).otherwise(0) for k, wt in enumerate(_EWMA_W)),
+        start=F.lit(0),
+    )
+    return lagged.select(
+        "user_id", "event_id",
+        (num.cast("double") / den / 100.0).alias("ewma_value"),
+    )
