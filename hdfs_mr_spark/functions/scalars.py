@@ -666,3 +666,57 @@ def fn_interval(spark, sf_dir):
             + (F.lit(6) - F.month("o_orderdate"))
         ).cast("bigint").alias("whole_months_to_jun98"),
     )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+WITH mixed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS lang_mixed,
+         text
+  FROM documents
+)
+SELECT lower(lang_mixed) AS lang_ci,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE contains(lower(text), 'the')) AS BIGINT)
+         AS n_contains_the
+FROM mixed
+GROUP BY lower(lang_mixed)
+""",
+    family=_FAM,
+)
+def fn_collation(spark, sf_dir):
+    """Collation-aware string semantics (Spark 4 collations): grouping
+    and substring search under UTF8_LCASE merge case variants WITHOUT
+    rewriting the data — the engine hashes/compares collation-aware, so
+    'DE' and 'de' land in one group and contains() matches any case.
+    The oracle lowers explicitly (DuckDB has no per-column collation in
+    this form) — result equality proves the collated semantics equal
+    the normalize-then-compare formulation.
+
+    Scale: collation is metadata on the comparison, not a projection —
+    no extra pass over 100 TB of text to normalize case before a
+    group-by, and the aggregate still gets map-side partials."""
+    d = table(spark, sf_dir, "documents")
+    mixed = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.col("lang"))
+        .alias("lang_mixed"),
+        "text",
+    )
+    ci = F.collate(F.col("lang_mixed"), "UTF8_LCASE")
+    return (
+        mixed.groupBy(ci.alias("lang_grp"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_if(
+                F.contains(F.collate(F.col("text"), "UTF8_LCASE"), F.lit("THE"))
+            ).cast("bigint").alias("n_contains_the"),
+        )
+        .select(
+            F.lower(F.col("lang_grp")).alias("lang_ci"),
+            "n_docs",
+            "n_contains_the",
+        )
+    )

@@ -12,6 +12,7 @@ order-independent and hash-match the DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hdfs_mr_spark.exprs import (
@@ -801,4 +802,72 @@ def agg_bitmap_distinct(spark, sf_dir):
     return b.groupBy("o_orderpriority").agg(
         F.expr("CAST(SUM(bit_count(bm)) AS BIGINT)").alias("n_distinct_bitmap"),
         F.count("*").cast("bigint").alias("n_buckets"),
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(round(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+),
+cum AS (
+  SELECT l_returnflag, price_cents, w,
+         SUM(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY price_cents ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM base
+)
+SELECT l_returnflag,
+       CAST(MIN(price_cents) AS DOUBLE) / 100.0 AS weighted_median_price,
+       CAST(MIN(tw) AS BIGINT) AS total_weight
+FROM cum
+WHERE cw * 2 >= tw
+GROUP BY l_returnflag
+""",
+    family=_FAM,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact weighted median (quantity-weighted 50th-percentile price
+    per return flag): the smallest value whose cumulative weight reaches
+    half the total — the definition evaluated literally via a running-
+    sum window + filter + min. All arithmetic is integer (cents,
+    integer-valued quantities), so the cut point is exact and engine-
+    identical; ties on price_cents share a cumulative value and both
+    engines pick the same representative.
+
+    Scale: one shuffle on the group key; the window is a streaming
+    frame over the in-partition sort — no global sort, no collect. The
+    built-in alternative (percentile with weights) doesn't exist in
+    either engine, which is why the relational formulation matters."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("w"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.col("price_cents").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = base.select(
+        "l_returnflag", "price_cents",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            (F.min("price_cents").cast("double") / 100.0).alias(
+                "weighted_median_price"
+            ),
+            F.min("tw").cast("bigint").alias("total_weight"),
+        )
     )

@@ -1175,3 +1175,66 @@ def llm_quality_gopher(spark, sf_dir):
         stop_ok.alias("stopwords_ok"),
         (words_ok & wordlen_ok & alpha_ok & stop_ok).alias("keep"),
     )
+
+
+@query(
+    "llm_corpus_summary",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, source, len(string_split(text, ' ')) AS n_tok,
+         md5(text) AS h
+  FROM documents
+),
+top_lang AS (
+  SELECT lang FROM tok GROUP BY lang
+  ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS mean_doc_tokens,
+       CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dup_docs,
+       CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE) / COUNT(*) AS exact_dup_rate,
+       (SELECT lang FROM top_lang) AS top_lang
+FROM tok
+""",
+    family=_FAM,
+)
+def llm_corpus_summary(spark, sf_dir):
+    """Dataset datasheet (the 'datasets card' summary block): corpus
+    cardinalities, token totals, exact-duplicate rate (docs beyond the
+    first per content hash), and the dominant language — the one-row
+    report a training-data pipeline publishes per snapshot.
+
+    Scale: one scan computes every metric — counts, distincts and token
+    sums ride a single aggregate; the dominant language is a tiny
+    count-then-rank (deterministic lang tiebreak) broadcast-joined onto
+    the one-row summary. No collect, no second pass over text."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", "source",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.md5("text").alias("h"),
+    )
+    summary = tok.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        (F.sum("n_tok").cast("double") / F.count("*")).alias("mean_doc_tokens"),
+        (F.count("*") - F.countDistinct("h")).cast("bigint").alias(
+            "n_exact_dup_docs"
+        ),
+        (
+            (F.count("*") - F.countDistinct("h")).cast("double") / F.count("*")
+        ).alias("exact_dup_rate"),
+    )
+    top = (
+        tok.groupBy("lang")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    return summary.crossJoin(F.broadcast(top))

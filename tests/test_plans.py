@@ -193,3 +193,38 @@ def test_dpp_join_prunes_fact_partitions(spark):
     by the broadcast dim, not a full fact scan."""
     plan = _plan(spark, "join_dpp_partition_pruned")
     assert "dynamicpruning" in plan.lower(), "no dynamic partition pruning in plan"
+
+
+def test_spatial_grid_join_is_equi(spark):
+    """The grid-cell decomposition must plan as a hash EQUI-join on the
+    cell keys — the quadratic cross-join-with-distance-predicate form is
+    exactly what the operator exists to avoid."""
+    nodes = _nodes(_plan(spark, "join_spatial_grid"))
+    assert any("BroadcastHashJoin" in n or "SortMergeJoin" in n for n in nodes)
+    assert not any("CartesianProduct" in n for n in nodes)
+    assert not any("BroadcastNestedLoopJoin" in n for n in nodes)
+
+
+def test_bitmap_distinct_two_combiner_pairs(spark):
+    """Both aggregation levels (bucket bit_or, then bit_count sum) must
+    have map-side partials — 4 HashAggregate nodes, 2 exchanges."""
+    nodes = _nodes(_plan(spark, "agg_bitmap_distinct"))
+    assert sum("HashAggregate" in n for n in nodes) == 4
+    assert sum("Exchange" in n for n in nodes) == 2
+
+
+def test_scd2_single_partitioning(spark):
+    """All three windows AND the span aggregate must reuse ONE hash
+    partitioning on user_id (hashpartitioning(user_id) satisfies the
+    grouped distribution because its keys are a subset of the group
+    keys) — one Exchange total, the single-shuffle SCD2 claim."""
+    nodes = _nodes(_plan(spark, "etl_scd2"))
+    assert sum("Exchange" in n for n in nodes) == 1
+
+
+def test_ewma_single_window_sort(spark):
+    """Ten lag() columns must share one window sort — one Exchange, no
+    self-joins."""
+    nodes = _nodes(_plan(spark, "ts_ewma"))
+    assert sum("Exchange" in n for n in nodes) == 1
+    assert not any("Join" in n for n in nodes)
