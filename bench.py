@@ -53,6 +53,10 @@ HEADLINE = [
     "llm_chunk_split",       # 2.11 sliding-window chunking (zero-shuffle generate)
     "mr_triangle_count",     # 2.9 degree-oriented graph triangles
     "udf_grouped_map",       # 2.12 Arrow-batched python path
+    "mr_tera_validate",      # 2.9 distributed sort validation (TeraValidate)
+    "mr_bfs",                # 2.9 frontier-delta graph traversal
+    "join_spatial_grid",     # 2.3 grid-cell spatial join
+    "agg_bitmap_distinct",   # 2.4 bitmap exact-distinct (combiner-shape)
 ]
 
 
