@@ -1238,3 +1238,141 @@ def llm_corpus_summary(spark, sf_dir):
         .select(F.col("lang").alias("top_lang"))
     )
     return summary.crossJoin(F.broadcast(top))
+
+
+@query(
+    "llm_lm_score",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+lm AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+total AS (SELECT SUM(cnt) AS t FROM lm),
+scored AS (
+  SELECT tok.doc_id,
+         COUNT(*) AS n_tokens,
+         SUM(CAST(round(-ln((CAST(lm.cnt AS DOUBLE) + 1.0)
+                            / (CAST(total.t AS DOUBLE) + CAST(vocab.v AS DOUBLE)))
+                        * 1000000.0) AS BIGINT)) AS nll_micro
+  FROM tok
+  JOIN lm ON lm.w = tok.w
+  CROSS JOIN total CROSS JOIN vocab
+  GROUP BY tok.doc_id
+),
+thresh AS (
+  SELECT (CAST(CAST(SUM(CAST(CAST(nll_micro AS DOUBLE) / n_tokens
+                             AS DECIMAL(38,8))) * 100000000 AS DECIMAL(38,0))
+               AS DOUBLE) / 100000000.0) / COUNT(*) AS mean_of_means
+  FROM scored
+)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS INTEGER) AS n_tokens,
+       CAST(s.nll_micro AS BIGINT) AS nll_micro,
+       CAST(s.nll_micro AS DOUBLE) / s.n_tokens AS mean_nll_micro,
+       (CAST(s.nll_micro AS DOUBLE) / s.n_tokens <= t.mean_of_means)
+         AS keep_fluent
+FROM scored s CROSS JOIN thresh t
+""",
+    family=_FAM,
+)
+def llm_lm_score(spark, sf_dir):
+    """CCNet-style LM quality scoring: a corpus-learned unigram language
+    model (add-one smoothing) scores each document by mean negative
+    log-likelihood per token — low = fluent/common, high = noise — and
+    docs at or below the corpus mean-of-means are flagged keep. The
+    LM-filtering stage of the CCNet/RefinedWeb pipelines, with the LM
+    itself built relationally in the same plan.
+
+    Determinism: the score stays in the LOG domain (no exp(): libm
+    exp/pow rounding is engine-specific) and each token's -ln p is
+    quantized to integer micro-units BEFORE summing, so per-doc sums
+    are order-independent; per-doc means are one IEEE division and the
+    keep threshold rides the decimal-exact mean-of-means. Scale: the LM
+    is vocabulary-sized (broadcast); the token stream shuffles once for
+    the per-doc aggregate."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("w"))
+    v = tok.select("w").distinct().count()  # scalar vocab size, one tiny job
+    lm = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    t = lm.agg(F.sum("cnt").alias("t"))
+    scored = (
+        tok.join(F.broadcast(lm), "w")
+        .crossJoin(F.broadcast(t))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.round(
+                    -F.log(
+                        (F.col("cnt").cast("double") + 1.0)
+                        / (F.col("t").cast("double") + float(v))
+                    )
+                    * 1000000.0
+                ).cast("bigint")
+            ).alias("nll_micro"),
+        )
+    )
+    mean_nll = F.col("nll_micro").cast("double") / F.col("n_tokens")
+    from hdfs_mr_spark.exprs import davg
+
+    thresh = scored.agg(davg(mean_nll, 8).alias("mean_of_means"))
+    return (
+        scored.crossJoin(F.broadcast(thresh))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("nll_micro").cast("bigint").alias("nll_micro"),
+            mean_nll.alias("mean_nll_micro"),
+            (mean_nll <= F.col("mean_of_means")).alias("keep_fluent"),
+        )
+    )
+
+
+@query(
+    "llm_global_shuffle",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id || ':shuffle:42'), 1, 12))::BIGINT
+           AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key ASC, doc_id ASC)
+            AS BIGINT) AS shuffle_pos
+FROM keyed
+""",
+    family=_FAM,
+)
+def llm_global_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle (the pre-training-order
+    shuffle before sequence packing): each doc gets a seeded md5 shuffle
+    key — random-looking but exactly reproducible in any engine, unlike
+    rand() — and its global shuffle position is materialized.
+
+    Scale: the position comes from the distributed TeraSort-style rank
+    (bucketed_global_rank: per-bucket row_number + cumulative offsets),
+    NEVER an unpartitioned row_number window — the md5 key is uniform,
+    so fixed high-bit buckets are balanced by construction, no sampling
+    pass needed. Reshuffling for a new epoch is a salt change, not a
+    data move."""
+    from hdfs_mr_spark.operators.sorts import bucketed_global_rank
+
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substr(md5(concat(doc_id, ':shuffle:42')), 1, 12),"
+            " 16, 10) AS BIGINT)"
+        ).alias("shuffle_key"),
+    )
+    # 48-bit uniform key: top 4 bits give 16 balanced, order-aligned buckets
+    bucket = F.expr("CAST(shuffle_key DIV 17592186044416 AS BIGINT)")
+    return bucketed_global_rank(
+        keyed,
+        bucket,
+        [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
+        ["doc_id", "shuffle_key"],
+        "shuffle_pos",
+    )

@@ -744,3 +744,49 @@ def scan_python_datasource(spark, sf_dir):
         )
         .orderBy("part")
     )
+
+
+@query(
+    "scan_range_source",
+    oracle="""
+WITH g AS (
+  SELECT range AS id,
+         (range * range) % 1000003 AS x,
+         ('0x' || substr(md5(CAST(range AS VARCHAR)), 1, 10))::BIGINT AS h
+  FROM range(0, 100000)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(id) AS BIGINT) AS id_sum,
+       CAST(SUM(x) AS BIGINT) AS x_sum,
+       CAST(COUNT(DISTINCT x) AS BIGINT) AS x_distinct,
+       CAST(SUM(h) AS BIGINT) AS content_checksum
+FROM g
+""",
+    family=_FAM,
+)
+def scan_range_source(spark, sf_dir):
+    """Parallel synthetic-data source: `spark.range` generates the rows
+    ON the executors (16 partitions, no input files, no driver
+    materialization) — the benchmark-generator / backfill-spine source
+    every MR shop reimplements as a 'teragen' job. Derived columns are
+    pure integer/hash functions of the id, so the aggregate fingerprint
+    (sums, distinct count, md5-derived checksum) is engine-exact and
+    proves the generated content, not just its cardinality.
+
+    Scale: generation is embarrassingly parallel and zero-I/O;
+    partition count is the only knob (one Range split per task)."""
+    g = spark.range(0, 100000, 1, 16).select(
+        F.col("id"),
+        ((F.col("id") * F.col("id")) % 1000003).alias("x"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 10), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h"),
+    )
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+        F.sum("x").cast("bigint").alias("x_sum"),
+        F.countDistinct("x").cast("bigint").alias("x_distinct"),
+        F.sum("h").cast("bigint").alias("content_checksum"),
+    )

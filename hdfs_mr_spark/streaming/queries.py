@@ -561,3 +561,61 @@ def stream_incremental_restart(spark, sf_dir):
     sh.copy(h2, os.path.join(src, "h2.parquet"))
     name = drain()  # restart: reads ONLY h2, emits state over h1+h2
     return spark.table(name).orderBy("event_type")
+
+
+@query(
+    "stream_chained_agg",
+    oracle="""
+WITH mx AS (
+  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS wm FROM events
+),
+q AS (
+  SELECT CAST(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+              AS TIMESTAMP) AS qstart,
+         COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT CAST(time_bucket(INTERVAL '1 hour', qstart) AS TIMESTAMP) AS hour_start,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_active_quarters,
+       CAST(MAX(n) AS BIGINT) AS peak_quarter_events
+FROM q, mx
+WHERE time_bucket(INTERVAL '1 hour', qstart) + INTERVAL 1 HOUR <= mx.wm
+GROUP BY 1
+ORDER BY 1
+""",
+    family=_FAM,
+)
+def stream_chained_agg(spark, sf_dir):
+    """CHAINED stateful streaming aggregations (Spark 3.5+/4.x multiple-
+    stateful-operator support): 15-minute tumbling counts re-aggregated
+    into hourly rollups (total, active quarters, peak quarter) inside
+    ONE streaming query — two state stores, the outer keyed on
+    window_time() of the inner's window. The pre-1.5 workaround was two
+    queries with an intermediate sink; chaining removes the double
+    persistence, which at 100 TB/day of events is the difference
+    between one and two full materializations of the stream.
+
+    Determinism: single-batch availableNow drain => final watermark =
+    max(ts) - 10min; a sealed hour seals all four of its quarters, so
+    the emitted set is exactly the hours whose end the watermark passed
+    — replayed relationally by the two-level batch twin."""
+    s = _event_stream(spark, sf_dir)
+    quarter = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    hourly = (
+        quarter.groupBy(F.window(F.window_time("window"), "1 hour"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count("*").cast("bigint").alias("n_active_quarters"),
+            F.max("n").cast("bigint").alias("peak_quarter_events"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "n_events", "n_active_quarters", "peak_quarter_events",
+        )
+    )
+    return _run_to_memory(hourly, "append").orderBy("hour_start")
