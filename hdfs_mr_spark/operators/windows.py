@@ -666,3 +666,143 @@ def ts_ewma(spark, sf_dir):
         "user_id", "event_id",
         (num.cast("double") / den / 100.0).alias("ewma_value"),
     )
+
+
+@query(
+    "ts_retention_cohort",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CAST(time_bucket(INTERVAL '1 week', CAST(ts AS TIMESTAMP))
+                  AS TIMESTAMP)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id,
+         CAST(time_bucket(INTERVAL '1 week', CAST(ts AS TIMESTAMP))
+              AS TIMESTAMP) AS active_week
+  FROM events
+),
+cohort_sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_n FROM firsts GROUP BY cohort_week
+)
+SELECT f.cohort_week,
+       CAST(date_diff('week', f.cohort_week, a.active_week) AS INTEGER)
+         AS weeks_since,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(MIN(cs.cohort_n) AS BIGINT) AS cohort_size,
+       CAST(COUNT(*) AS DOUBLE) / MIN(cs.cohort_n) AS retention
+FROM firsts f
+JOIN activity a ON a.user_id = f.user_id
+JOIN cohort_sizes cs ON cs.cohort_week = f.cohort_week
+GROUP BY f.cohort_week, date_diff('week', f.cohort_week, a.active_week)
+""",
+    family=_FAM,
+)
+def ts_retention_cohort(spark, sf_dir):
+    """Cohort retention matrix — the canonical product-analytics rollup:
+    users cohorted by first-active week, then for every (cohort, weeks-
+    since) cell the fraction of the cohort still active. Three
+    aggregations and one join, all hash-partitioned on user_id /
+    cohort_week; the distinct-week activity set collapses the event
+    stream BEFORE the cohort join, so the join input is |users x weeks|,
+    not |events|.
+
+    Determinism: week buckets are fixed epoch-aligned truncations;
+    retention is one IEEE division of exact integers. Scale: no window
+    over the full stream, no driver loops — the biggest shuffle is the
+    per-user MIN, a combiner-shape aggregate."""
+    ev = table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = ev.select("user_id", week.alias("active_week")).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_n"))
+    weeks_since = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("int")
+    return (
+        firsts.join(activity, "user_id")
+        .join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", weeks_since.alias("weeks_since"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_active"),
+            F.min("cohort_n").cast("bigint").alias("cohort_size"),
+            (F.count("*").cast("double") / F.min("cohort_n")).alias("retention"),
+        )
+    )
+
+
+@query(
+    "ts_anomaly_mad",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT user_id, quantile_cont(cents, 0.5) * 2 AS med2
+  FROM base GROUP BY user_id
+),
+dev AS (
+  SELECT b.user_id, b.event_id, b.cents, m.med2,
+         abs(2 * b.cents - m.med2) AS dev2
+  FROM base b JOIN med m ON m.user_id = b.user_id
+),
+mad AS (
+  SELECT user_id, quantile_cont(dev2, 0.5) * 2 AS mad4
+  FROM dev GROUP BY user_id
+)
+SELECT d.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE d.dev2 * 2 * 10000 > 44478 * m.mad4)
+            AS BIGINT) AS n_anomalies,
+       MIN(d.med2) / 2.0 / 100.0 AS median_value,
+       MIN(m.mad4) / 4.0 / 100.0 AS mad_value
+FROM dev d JOIN mad m ON m.user_id = d.user_id
+GROUP BY d.user_id
+""",
+    family=_FAM,
+)
+def ts_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection via Median Absolute Deviation: per user,
+    flag events where |x - median| > 3 * 1.4826 * MAD (the normal-
+    consistent robust z-score — immune to the outliers it hunts, unlike
+    stddev thresholds). Two exact per-group medians (values, then
+    absolute deviations) and one integer comparison.
+
+    Determinism: cents are integers, so 2*median and 4*MAD are exact
+    integer-valued doubles in BOTH engines (percentile/quantile_cont
+    midpoint-interpolate identically on integers); the 3-sigma_hat
+    threshold compares integers scaled by 10^4 — no float rounding
+    anywhere near the decision boundary. Scale: two combiner-friendly
+    aggregations + one broadcastable per-user stats join; exact medians
+    at 100 TB swap in the approx_percentile sketch with the same plan
+    (agg_approx_quantile documents the error contract)."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    med = base.groupBy("user_id").agg(
+        (F.expr("percentile(cents, 0.5)") * 2).alias("med2")
+    )
+    dev = base.join(med, "user_id").select(
+        "user_id", "event_id", "cents", "med2",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("user_id").agg(
+        (F.expr("percentile(dev2, 0.5)") * 2).alias("mad4")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count_if(
+                F.col("dev2") * 2 * 10000 > 44478 * F.col("mad4")
+            ).cast("bigint").alias("n_anomalies"),
+            (F.min("med2") / 2.0 / 100.0).alias("median_value"),
+            (F.min("mad4") / 4.0 / 100.0).alias("mad_value"),
+        )
+    )
