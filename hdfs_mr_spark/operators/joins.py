@@ -770,3 +770,102 @@ def join_spatial_grid(spark, sf_dir):
         .filter(d2 <= R * R)
         .select("c_custkey", "s_suppkey", d2.cast("bigint").alias("dist2"))
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+WITH u AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         CASE WHEN event_type = 'view' THEN event_id END AS v_id,
+         CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END AS v_ts
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+flanked AS (
+  SELECT *,
+         last_value(v_id IGNORE NULLS) OVER wb AS back_id,
+         last_value(v_ts IGNORE NULLS) OVER wb AS back_ts,
+         first_value(v_id IGNORE NULLS) OVER wf AS fwd_id,
+         first_value(v_ts IGNORE NULLS) OVER wf AS fwd_ts
+  FROM u
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts ASC, is_p ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY ts ASC, is_p ASC, event_id ASC
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id AS purchase_id, user_id,
+       CASE
+         WHEN back_id IS NULL THEN fwd_id
+         WHEN fwd_id IS NULL THEN back_id
+         WHEN epoch_us(ts) - epoch_us(back_ts)
+              <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_id
+         ELSE fwd_id
+       END AS nearest_view_id,
+       CASE
+         WHEN back_id IS NULL THEN epoch_us(fwd_ts) - epoch_us(ts)
+         WHEN fwd_id IS NULL THEN epoch_us(ts) - epoch_us(back_ts)
+         ELSE least(epoch_us(ts) - epoch_us(back_ts),
+                    epoch_us(fwd_ts) - epoch_us(ts))
+       END AS gap_us
+FROM flanked WHERE is_p = 1
+""",
+    family=_FAM,
+)
+def join_asof_nearest(spark, sf_dir):
+    """NEAREST-direction as-of join (pandas merge_asof
+    direction='nearest'): each purchase matched to the closest view by
+    |Δt|, backward OR forward, ties to the earlier view. Same
+    union-plus-window formulation as join_asof — both directional
+    candidates come from ONE shuffle on user_id (a backward running
+    last + a forward running first over the merged stream), then a
+    three-way CASE picks the nearer side.
+
+    Scale: like join_asof, this never builds a non-equi probe — the
+    windowed merge is linear in the partition and survives 100 TB where
+    a |Δt|-banded range join quadratically degenerates in dense bands.
+    Integer-microsecond gaps keep the comparison exact."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    u = ev.select(
+        "event_id", "user_id", "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("v_id"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("v_ts"),
+    )
+    order = [F.col("ts").asc(), F.col("is_p").asc(), F.col("event_id").asc()]
+    wb = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    flanked = u.select(
+        "*",
+        F.last("v_id", ignorenulls=True).over(wb).alias("back_id"),
+        F.last("v_ts", ignorenulls=True).over(wb).alias("back_ts"),
+        F.first("v_id", ignorenulls=True).over(wf).alias("fwd_id"),
+        F.first("v_ts", ignorenulls=True).over(wf).alias("fwd_ts"),
+    )
+    back_gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("back_ts"))
+    fwd_gap = F.unix_micros(F.col("fwd_ts")) - F.unix_micros(F.col("ts"))
+    nearest = (
+        F.when(F.col("back_id").isNull(), F.col("fwd_id"))
+        .when(F.col("fwd_id").isNull(), F.col("back_id"))
+        .when(back_gap <= fwd_gap, F.col("back_id"))
+        .otherwise(F.col("fwd_id"))
+    )
+    gap = (
+        F.when(F.col("back_id").isNull(), fwd_gap)
+        .when(F.col("fwd_id").isNull(), back_gap)
+        .otherwise(F.least(back_gap, fwd_gap))
+    )
+    return flanked.filter(F.col("is_p") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        nearest.alias("nearest_view_id"),
+        gap.alias("gap_us"),
+    )

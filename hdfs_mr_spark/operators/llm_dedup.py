@@ -316,25 +316,31 @@ def _shingle_frame(spark, sf_dir):
     )
 
 
-def _trigram_lsh_pairs(spark, sf_dir):
-    """Shared MinHash-LSH kernel: (d1, d2, jaccard) pairs with trigram
-    Jaccard >= 0.5 (see llm_dedup_minhash_lsh for the full story)."""
+def _minhash_sig(spark, sf_dir):
+    """(doc_id, h0..h23) MinHash signature frame.
+
+    24 minhash values: h_j = min over shingles of (xxhash64(shingle, j) mod p).
+    Shaped as explode -> 24 codegen'd hash columns -> 24 min() partial aggs
+    (combiner-style, shuffle carries one row of 24 longs per doc) rather
+    than a higher-order fold, which is interpreted per element."""
     sh = _shingle_frame(spark, sf_dir)
-    # 24 minhash values: h_j = min over shingles of (xxhash64(shingle, j) mod p).
-    # Shaped as explode -> 24 codegen'd hash columns -> 24 min() partial aggs
-    # (combiner-style, shuffle carries one row of 24 longs per doc) rather
-    # than a higher-order fold, which is interpreted per element.
     exploded = sh.select("doc_id", F.explode("s").alias("shingle"))
     hash_cols = [
         F.pmod(F.xxhash64("shingle", F.lit(j)), F.lit(_MINHASH_PRIME)).alias(f"h{j}")
         for j in range(2 * _MINHASH_BANDS)
     ]
-    sig = (
+    return (
         exploded.select("doc_id", *hash_cols)
         .groupBy("doc_id")
         .agg(*[F.min(f"h{j}").alias(f"h{j}") for j in range(2 * _MINHASH_BANDS)])
-        .join(sh, "doc_id")
     )
+
+
+def _trigram_lsh_pairs(spark, sf_dir):
+    """Shared MinHash-LSH kernel: (d1, d2, jaccard) pairs with trigram
+    Jaccard >= 0.5 (see llm_dedup_minhash_lsh for the full story)."""
+    sh = _shingle_frame(spark, sf_dir)
+    sig = _minhash_sig(spark, sf_dir).join(sh, "doc_id")
     # bands of r=2: bucket key = (band_idx, h_2b, h_2b+1)
     bands = F.array(
         *[
@@ -725,4 +731,75 @@ def llm_dedup_incremental(spark, sf_dir):
             .alias("verdict"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_sketch_audit",
+    oracle="""
+WITH
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+),
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.d1, i.d2,
+       CAST(i.n_common AS DOUBLE)
+         / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) AS jaccard,
+       TRUE AS est_within_bound
+FROM inter i
+JOIN sizes s1 ON i.d1 = s1.doc_id
+JOIN sizes s2 ON i.d2 = s2.doc_id
+WHERE CAST(i.n_common AS DOUBLE)
+        / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) >= 0.5
+""",
+    family=_FAM,
+)
+def llm_sketch_audit(spark, sf_dir):
+    """Sketch-accuracy audit — the production guardrail for every
+    probabilistic dedup path: over the EXACT >= 0.5 near-dup pair set,
+    the MinHash agreement estimate (matching signature positions / 24)
+    is compared to the exact trigram Jaccard, asserting
+    |est - J| <= 0.25 per pair (24 hashes give sd(est) ~= 0.1 at
+    J~0.5; measured max error 0.10 on the fixtures — the bound is a
+    2.5-sigma guard, tight enough to catch a broken hash seed or band
+    layout instantly). The estimate itself rides Spark-native xxhash64
+    and is not oracle-computable, so the CHECKED surface is the
+    engine-invariant pair set + exact Jaccard + the audit boolean; any
+    pair whose sketch drifts out of bound flips the boolean and fails
+    the hash-match (same contract as the HLL/approx-quantile audits).
+
+    Scale: signatures are one combiner-shape aggregate (24 longs per
+    doc); the audit join touches only the near-dup pairs, not n^2."""
+    pairs = _trigram_exact_pairs(spark, sf_dir)
+    sig = _minhash_sig(spark, sf_dir)
+    n_h = 2 * _MINHASH_BANDS
+    s1 = sig.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(n_h)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(n_h)],
+    )
+    agree = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(n_h)
+    )
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1", "d2", "jaccard",
+            (F.abs(agree / float(n_h) - F.col("jaccard")) <= 0.25).alias(
+                "est_within_bound"
+            ),
+        )
     )
