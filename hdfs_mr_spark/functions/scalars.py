@@ -720,3 +720,56 @@ def fn_collation(spark, sf_dir):
             "n_contains_the",
         )
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+WITH built AS (
+  SELECT event_id,
+         '{"k": ' || CAST(json_extract(props, '$.k') AS VARCHAR)
+         || ', "who": {"user": ' || CAST(user_id AS VARCHAR)
+         || ', "type": "' || event_type
+         || '"}, "trail": [' || CAST(event_id % 7 AS VARCHAR)
+         || ', ' || CAST(event_id % 11 AS VARCHAR) || ']}' AS doc
+  FROM events
+)
+SELECT event_id,
+       CAST(json_extract(doc, '$.k') AS INTEGER) AS k,
+       CAST(json_extract(doc, '$.who.user') AS BIGINT) AS who_user,
+       CAST(json_extract_string(doc, '$.who.type') AS VARCHAR) AS who_type,
+       CAST(json_extract(doc, '$.trail[1]') AS INTEGER) AS trail_second,
+       CAST((json_extract(doc, '$.missing') IS NULL) AS BOOLEAN) AS missing_is_null
+FROM built
+""",
+    family=_FAM,
+)
+def fn_variant(spark, sf_dir):
+    """Spark 4 VARIANT ingestion of semi-structured data: a nested JSON
+    document (object-in-object + array, built deterministically from row
+    fields so every path is NON-null and the test can't pass vacuously)
+    is parsed ONCE by `parse_json`, then typed `variant_get` paths walk
+    it — object field, nested field, array index, and an absent path
+    (NULL). Repeated get_json_object re-tokenizes the string per call;
+    the variant is parsed once and each path is an O(path) binary walk —
+    1 vs k parses per row when k fields are read, the cost model for
+    wide event props at 100 TB. The oracle reads identical paths through
+    DuckDB's JSON extraction."""
+    ev = table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"k": '), F.get_json_object("props", "$.k"),
+        F.lit(', "who": {"user": '), F.col("user_id").cast("string"),
+        F.lit(', "type": "'), F.col("event_type"),
+        F.lit('"}, "trail": ['), (F.col("event_id") % 7).cast("string"),
+        F.lit(", "), (F.col("event_id") % 11).cast("string"), F.lit("]}"),
+    )
+    v = ev.select("event_id", F.parse_json(doc).alias("vp"))
+    return v.select(
+        "event_id",
+        F.variant_get(F.col("vp"), "$.k", "int").alias("k"),
+        F.variant_get(F.col("vp"), "$.who.user", "bigint").alias("who_user"),
+        F.variant_get(F.col("vp"), "$.who.type", "string").alias("who_type"),
+        F.variant_get(F.col("vp"), "$.trail[1]", "int").alias("trail_second"),
+        F.variant_get(F.col("vp"), "$.missing", "string")
+        .isNull().alias("missing_is_null"),
+    )

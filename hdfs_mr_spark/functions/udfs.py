@@ -539,3 +539,56 @@ def udf_window_agg(spark, sf_dir):
         "o_custkey", "o_orderkey",
         (csum("price_cents").over(w).cast("double") / 100.0).alias("trailing3_spend"),
     )
+
+
+@query(
+    "udf_udtf_analyze",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, 'a', '')) AS INTEGER) AS n_a,
+       CAST(length(text) - length(replace(text, 'e', '')) AS INTEGER) AS n_e,
+       CAST(length(text) - length(replace(text, 's', '')) AS INTEGER) AS n_s
+FROM documents
+""",
+    family=_FAM,
+)
+def udf_udtf_analyze(spark, sf_dir):
+    """Polymorphic Python UDTF (Spark 4 `analyze()`): the OUTPUT SCHEMA
+    is computed at plan time from a constant argument — here a CSV of
+    letters produces one count column per letter (n_a, n_e, n_s). This
+    is the table-function analogue of schema inference: one UDTF serves
+    any column set without code changes, and Catalyst sees the concrete
+    schema (pruning/codegen-friendly) instead of a generic map.
+
+    The letter counts themselves are trivial on purpose — the surface
+    under test is plan-time schema synthesis; the oracle rebuilds the
+    same columns with string arithmetic."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, LongType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    @udtf
+    class LetterCounts:
+        @staticmethod
+        def analyze(doc_id, text, letters):
+            schema = StructType().add("doc_id", LongType())
+            for c in letters.value.split(","):
+                schema = schema.add(f"n_{c}", IntegerType())
+            return AnalyzeResult(schema=schema)
+
+        def __init__(self, analyze_result=None):
+            self._letters = None
+
+        def eval(self, doc_id, text, letters):
+            # analyze() sees AnalyzeArgument (.value); eval() gets the
+            # plain string
+            yield (doc_id, *[text.count(c) for c in letters.split(",")])
+
+    spark.udtf.register("hmr_letter_counts", LetterCounts)
+    return spark.sql(
+        f"""
+SELECT t.*
+FROM parquet.`{sf_dir}/documents.parquet` d,
+LATERAL hmr_letter_counts(d.doc_id, d.text, 'a,e,s') t
+"""
+    )

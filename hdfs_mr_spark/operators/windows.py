@@ -806,3 +806,51 @@ def ts_anomaly_mad(spark, sf_dir):
             (F.min("mad4") / 4.0 / 100.0).alias("mad_value"),
         )
     )
+
+
+@query(
+    "win_moving_median",
+    oracle="""
+SELECT user_id, event_id,
+       quantile_cont(cents, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+       ) / 100.0 AS moving_median_value
+FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+""",
+    family=_FAM,
+)
+def win_moving_median(spark, sf_dir):
+    """Moving median over the trailing 5 events per user — the robust
+    sibling of win_moving_avg (a single spike shifts a mean, not a
+    median). Spark has no percentile-over-frame, so the frame is
+    materialized per row (collect_list over ROWS BETWEEN 4 PRECEDING),
+    sorted, and the midpoint taken — O(k log k) per row for frame size
+    k, the right trade at small fixed k; a large-k deployment would
+    switch to the two-heap streaming median inside applyInPandas.
+
+    Determinism: cents are integers, so the even-count midpoint
+    (a+b)/2 is an exact half-integer in both engines (DuckDB's
+    quantile_cont interpolation computes the same value bit-for-bit);
+    one final division rescales."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, Window.currentRow)
+    )
+    frame = F.array_sort(F.collect_list("cents").over(w))
+    n = F.size(frame)
+    med2 = F.element_at(frame, ((n + 1) / 2).cast("int")) + F.element_at(
+        frame, (n / 2 + 1).cast("int")
+    )
+    return base.select(
+        "user_id", "event_id",
+        (med2 / 2.0 / 100.0).alias("moving_median_value"),
+    )
