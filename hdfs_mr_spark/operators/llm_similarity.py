@@ -510,3 +510,77 @@ def llm_embed_quantize(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "llm_ann_recall_audit",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS nrm,
+         list_reduce(list_prepend(0, list_transform(range(1, {_SKETCH_BITS + 1}),
+           i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0.0
+                     THEN CAST(2 ** (i - 1) AS INTEGER) ELSE 0 END)),
+           (a, x) -> a + x) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bucket FROM n
+      WHERE vec_id < 10),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, n.vec_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY {_SQL_DOT.format(a='q.qe', b='n.embedding')}
+                      / (q.qn * n.nrm) DESC, n.vec_id ASC) AS rk
+    FROM q JOIN n ON n.vec_id <> q.qid
+  ) WHERE rk <= 5
+),
+approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, n.vec_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY {_SQL_DOT.format(a='q.qe', b='n.embedding')}
+                      / (q.qn * n.nrm) DESC, n.vec_id ASC) AS rk
+    FROM q JOIN n ON n.bucket = q.bucket AND n.vec_id <> q.qid
+  ) WHERE rk <= 5
+)
+SELECT e.qid,
+       CAST(COUNT(a.vec_id) AS INTEGER) AS n_hits,
+       CAST(COUNT(a.vec_id) AS DOUBLE) / 5.0 AS recall_at_5
+FROM exact e
+LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+GROUP BY e.qid
+""",
+    family=_FAM,
+)
+def llm_ann_recall_audit(spark, sf_dir):
+    """ANN recall audit — the metric every approximate index must
+    publish: per query vector, recall@5 of the sign-bit LSH candidate
+    path (llm_sim_knn_lsh) against the exact brute-force top-5
+    (llm_sim_knn). Both sides are deterministic, so the recall itself is
+    an engine-invariant number the oracle recomputes exactly — unlike
+    llm_sketch_audit (whose estimator is Spark-native xxhash64), this
+    audit is fully value-checked, not boolean-attested.
+
+    Scale: reuses both registered kernels unchanged (broadcast queries;
+    the exact side scans the corpus once, the LSH side only its bucket);
+    the audit join touches 10 x 5 rows. In production this runs on a
+    sampled query set per index build — recall drift is the first sign
+    a sketch no longer matches the data distribution."""
+    exact = llm_sim_knn(spark, sf_dir).select("qid", "vec_id")
+    approx = llm_sim_knn_lsh(spark, sf_dir).select(
+        F.col("qid").alias("aqid"), F.col("vec_id").alias("avid")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("qid") == F.col("aqid")) & (F.col("vec_id") == F.col("avid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("avid").cast("int").alias("n_hits"),
+            (F.count("avid").cast("double") / 5.0).alias("recall_at_5"),
+        )
+    )

@@ -189,3 +189,35 @@ def sql_recursive_cte(spark, sf_dir):
     division spelling (`div` vs `//`)."""
     _register(spark, sf_dir, "supplier")
     return spark.sql(_RECURSIVE_SPARK)
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+""",
+    family=_FAM,
+)
+def sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL / ORDER BY ALL (Spark 4 + DuckDB share the
+    shorthand): every non-aggregate select item becomes a group key —
+    kills the classic bug where a projection edit silently desyncs from
+    a positional GROUP BY 1,2 list. Same physical plan as the explicit
+    form (combiner-shape aggregate); purely a front-end surface, which
+    is exactly why it's worth pinning cross-engine."""
+    _register(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+"""
+    )

@@ -854,3 +854,62 @@ def win_moving_median(spark, sf_dir):
         "user_id", "event_id",
         (med2 / 2.0 / 100.0).alias("moving_median_value"),
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER (
+                PARTITION BY user_id
+                ORDER BY event_type ASC, ts ASC, event_id ASC)
+              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS first_seen
+  FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events)
+)
+SELECT user_id, event_id,
+       CAST(SUM(first_seen) OVER (
+         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS distinct_types_so_far
+FROM flagged
+""",
+    family=_FAM,
+)
+def win_running_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) per partition — window SQL can't say
+    COUNT(DISTINCT x) OVER an arbitrary frame in either engine, so it
+    decomposes into first-occurrence flags + a running SUM: each user's
+    stream reports how many distinct event types it has seen so far
+    (the 'feature adoption' curve). NOTE: the flag marks the first
+    occurrence in (type, ts) order, and distinct-so-far counts in ts
+    order — the combination is exact because a type's first ts-ordered
+    occurrence is also its first in (type, ts) order within that type.
+
+    Scale: BOTH windows partition by user_id alone — the flag window
+    sorts by (event_type, ts) inside the same partitioning instead of
+    re-keying on (user_id, event_type), so the plan is ONE exchange +
+    two in-partition sorts (plan-gated; the naive two-keyed form pays a
+    second full shuffle)."""
+    ev = table(spark, sf_dir, "events")
+    wf = Window.partitionBy("user_id").orderBy(
+        F.col("event_type").asc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev = F.lag("event_type").over(wf)
+    flagged = ev.select(
+        "user_id", "event_id", "ts",
+        F.when(
+            prev.isNull() | (prev != F.col("event_type")), 1
+        ).otherwise(0).alias("first_seen"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.select(
+        "user_id", "event_id",
+        F.sum("first_seen").over(wrun).cast("bigint")
+        .alias("distinct_types_so_far"),
+    )

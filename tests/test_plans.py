@@ -228,3 +228,10 @@ def test_ewma_single_window_sort(spark):
     nodes = _nodes(_plan(spark, "ts_ewma"))
     assert sum("Exchange" in n for n in nodes) == 1
     assert not any("Join" in n for n in nodes)
+
+
+def test_running_distinct_single_exchange(spark):
+    """Both windows (first-seen flag, running sum) must share the
+    user_id partitioning — one Exchange, two in-partition sorts."""
+    nodes = _nodes(_plan(spark, "win_running_distinct"))
+    assert sum("Exchange" in n for n in nodes) == 1
