@@ -39,6 +39,12 @@ BASELINE_R01 = {
     "llm_tfidf": 0.934,
     "llm_quality_filter": 0.345,
     "udf_grouped_map": 5.206,
+    # session-3 additions, baselined from the 2026-08-13 local run
+    # (BASELINE.md round-2 final row)
+    "mr_tera_validate": 0.962,
+    "mr_bfs": 2.249,
+    "join_spatial_grid": 0.388,
+    "agg_bitmap_distinct": 0.241,
 }
 
 
