@@ -149,7 +149,12 @@ def _bitmask_near_pairs(spark, sf_dir):
             ]
         )
     )
-    enc = toks.join(masks, "doc_id")
+    # checkpoint: enc feeds BOTH join sides (a exploded, b broadcast) and
+    # AQE re-plans pull the whole dictionary+mask subtree — including the
+    # tiny-vocab global window — 16-20x per query without it (counted in
+    # the sf0.1 sweep log via WindowExec warnings). One materialization
+    # removes the re-execution and the warning noise.
+    enc = toks.join(masks, "doc_id").localCheckpoint()
     mask_cols = [f"m{k}" for k in range(n_words)]
     # integer-exact admissible partner sizes: ceil(4*sz/5) .. floor(5*sz/4)
     a = fan_out(enc).select(
