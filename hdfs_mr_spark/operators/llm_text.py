@@ -1376,3 +1376,100 @@ def llm_global_shuffle(spark, sf_dir):
         ["doc_id", "shuffle_key"],
         "shuffle_pos",
     )
+
+
+@query(
+    "llm_sample_temperature",
+    oracle="""
+WITH tl AS (
+  SELECT lang, SUM(len(string_split(text, ' '))) AS total_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(total_tokens) AS corpus_tokens FROM tl),
+w AS (
+  SELECT lang, total_tokens,
+         sqrt(CAST(total_tokens AS DOUBLE) / corpus_tokens) AS wt
+  FROM tl CROSS JOIN tot
+),
+mx AS (SELECT MAX(wt) AS max_wt FROM w),
+rates AS (
+  SELECT lang, total_tokens,
+         CAST(floor(wt / max_wt * 1000000.0) AS BIGINT) AS rate_micro
+  FROM w CROSS JOIN mx
+),
+kept AS (
+  SELECT d.lang,
+         COUNT(*) AS n_kept,
+         SUM(len(string_split(d.text, ' '))) AS kept_tokens
+  FROM documents d
+  JOIN rates r ON r.lang = d.lang
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000 < r.rate_micro
+  GROUP BY d.lang
+)
+SELECT r.lang,
+       CAST(r.total_tokens AS BIGINT) AS total_tokens,
+       r.rate_micro,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM rates r LEFT JOIN kept k ON k.lang = r.lang
+ORDER BY r.lang
+""",
+    family=_FAM,
+)
+def llm_sample_temperature(spark, sf_dir):
+    """Temperature-scaled language sampling (the Gopher/LLaMA T=2 mix:
+    sample each language proportionally to share^(1/T) = sqrt(share),
+    normalized so the largest language keeps everything) — upsamples the
+    tail relative to proportional sampling without the fixed equal-token
+    floor of llm_domain_mix. Rates are derived relationally and the
+    keep decision is the md5-bucket integer coin.
+
+    Determinism: sqrt is IEEE-754 correctly rounded — the ONE libm-free
+    transcendental — so both engines compute bit-identical weights from
+    bit-identical shares; floor(w/max_w * 1e6) then quantizes identical
+    doubles to identical integers (pow(x, 0.7)-style temperatures are
+    NOT portable; 1/T = 0.5 is chosen exactly because sqrt is). Scale:
+    two tiny broadcast rate frames; the corpus is scanned once, no
+    shuffle beyond the per-lang token sums."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(_toks())
+    tl = d.groupBy("lang").agg(F.sum(n_tok).cast("bigint").alias("total_tokens"))
+    tot = tl.agg(F.sum("total_tokens").alias("corpus_tokens"))
+    w = tl.crossJoin(F.broadcast(tot)).select(
+        "lang", "total_tokens",
+        F.sqrt(
+            F.col("total_tokens").cast("double") / F.col("corpus_tokens")
+        ).alias("wt"),
+    )
+    mx = w.agg(F.max("wt").alias("max_wt"))
+    rates = w.crossJoin(F.broadcast(mx)).select(
+        "lang", "total_tokens",
+        F.floor(F.col("wt") / F.col("max_wt") * 1000000.0)
+        .cast("bigint").alias("rate_micro"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 1000000
+    )
+    kept = (
+        d.select("lang", n_tok.alias("nt"), bucket.alias("bucket"))
+        .join(F.broadcast(rates.select("lang", "rate_micro")), "lang")
+        .filter(F.col("bucket") < F.col("rate_micro"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("nt").cast("bigint").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            "rate_micro",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )

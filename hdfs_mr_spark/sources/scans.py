@@ -790,3 +790,79 @@ def scan_range_source(spark, sf_dir):
         F.countDistinct("x").cast("bigint").alias("x_distinct"),
         F.sum("h").cast("bigint").alias("content_checksum"),
     )
+
+
+@query(
+    "sink_zorder_cluster",
+    oracle="""
+WITH coded AS (
+  SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y,
+         (((l_partkey % 1024) >> 0 & 1) << 0) | (((l_suppkey % 1024) >> 0 & 1) << 1)
+       | (((l_partkey % 1024) >> 1 & 1) << 2) | (((l_suppkey % 1024) >> 1 & 1) << 3)
+       | (((l_partkey % 1024) >> 2 & 1) << 4) | (((l_suppkey % 1024) >> 2 & 1) << 5)
+       | (((l_partkey % 1024) >> 3 & 1) << 6) | (((l_suppkey % 1024) >> 3 & 1) << 7)
+       | (((l_partkey % 1024) >> 4 & 1) << 8) | (((l_suppkey % 1024) >> 4 & 1) << 9)
+       | (((l_partkey % 1024) >> 5 & 1) << 10) | (((l_suppkey % 1024) >> 5 & 1) << 11)
+       | (((l_partkey % 1024) >> 6 & 1) << 12) | (((l_suppkey % 1024) >> 6 & 1) << 13)
+       | (((l_partkey % 1024) >> 7 & 1) << 14) | (((l_suppkey % 1024) >> 7 & 1) << 15)
+       | (((l_partkey % 1024) >> 8 & 1) << 16) | (((l_suppkey % 1024) >> 8 & 1) << 17)
+       | (((l_partkey % 1024) >> 9 & 1) << 18) | (((l_suppkey % 1024) >> 9 & 1) << 19)
+         AS z
+  FROM lineitem
+)
+SELECT CAST(z >> 14 AS BIGINT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max,
+       CAST((MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS BIGINT)
+         AS bbox_area
+FROM coded
+GROUP BY z >> 14
+""",
+    family=_FAM,
+)
+def sink_zorder_cluster(spark, sf_dir):
+    """Z-order (Morton-curve) clustered write — what Delta/Iceberg
+    OPTIMIZE ZORDER does, expressed relationally: interleave the bits of
+    the two filter columns, bucket rows by the code's high bits, write
+    one partition directory per bucket, and audit each bucket's (x, y)
+    bounding box from the files actually re-read. Z-ordering makes BOTH
+    columns selective at the file level — each bucket covers a small
+    2-D tile (bbox_area ~= 1024^2 / nbuckets) instead of a full-range
+    stripe, so a predicate on either column prunes most files by
+    min/max stats alone; a 1-D sort gives that for one column only.
+
+    Determinism: bucket boundaries are fixed bit prefixes of the code —
+    a pure per-row function (NOT sampled range partitioning, which is
+    plan-instance-dependent) — so the oracle recomputes the identical
+    layout and the bbox audit proves tile locality, not just row
+    conservation."""
+    out = str(_fixture_dir(sf_dir) / "zorder_lineitem.parquet")
+    li = table(spark, sf_dir, "lineitem")
+    x = (F.col("l_partkey") % 1024).alias("x")
+    y = (F.col("l_suppkey") % 1024).alias("y")
+    z = sum(
+        (
+            F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+            for i in range(10)
+        ),
+        F.lit(0),
+    )
+    coded = li.select(x, y).select(
+        "x", "y", z.alias("z")
+    ).withColumn("zbucket", F.expr("CAST(z >> 14 AS BIGINT)"))
+    coded.write.mode("overwrite").partitionBy("zbucket").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("zbucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("x").cast("bigint").alias("x_min"),
+        F.max("x").cast("bigint").alias("x_max"),
+        F.min("y").cast("bigint").alias("y_min"),
+        F.max("y").cast("bigint").alias("y_max"),
+        (
+            (F.max("x") - F.min("x") + 1) * (F.max("y") - F.min("y") + 1)
+        ).cast("bigint").alias("bbox_area"),
+    )
