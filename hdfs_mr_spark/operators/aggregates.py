@@ -871,3 +871,62 @@ def agg_weighted_median(spark, sf_dir):
             F.min("tw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+WITH tok AS (
+  SELECT d.lang, unnest(string_split(d.text, ' ')) AS w FROM documents d
+),
+wc AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY lang, w),
+tot AS (SELECT lang, SUM(c) AS n FROM wc GROUP BY lang)
+SELECT wc.lang,
+       CAST(tot.n AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(-SUM(wc.c * CAST(round(ln(CAST(wc.c AS DOUBLE) / tot.n)
+                                   * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS entropy_micro_sum,
+       CAST(-SUM(wc.c * CAST(round(ln(CAST(wc.c AS DOUBLE) / tot.n)
+                                   * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / tot.n / 1000000.0 AS entropy_nats
+FROM wc JOIN tot ON tot.lang = wc.lang
+GROUP BY wc.lang, tot.n
+""",
+    family=_FAM,
+)
+def agg_entropy(spark, sf_dir):
+    """Shannon entropy of each language's word distribution
+    (H = -sum p ln p, in nats) — the corpus-diversity statistic behind
+    vocabulary-collapse and mode-collapse checks on training data.
+    Computed as a two-level aggregate over word counts; each word's
+    ln(p) is quantized to integer micro-units BEFORE the weighted sum
+    (the llm_lang_id determinism rule: raw libm ln sums are not
+    portable, integer-quantized ones are), and the final normalization
+    is one IEEE division pair. The exact integer `entropy_micro_sum` is
+    emitted next to the readable nats value so the hash pins the exact
+    arithmetic. Scale: both aggregations are combiner-shape; the word-
+    count relation is the only shuffle."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    wc = tok.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    tot = wc.groupBy("lang").agg(F.sum("c").alias("n"))
+    term = F.col("c") * F.round(
+        F.log(F.col("c").cast("double") / F.col("n")) * 1000000.0
+    ).cast("bigint")
+    return (
+        wc.join(tot, "lang")
+        .groupBy("lang", "n")
+        .agg(
+            F.count("*").cast("bigint").alias("vocab"),
+            (-F.sum(term)).cast("bigint").alias("entropy_micro_sum"),
+            ((-F.sum(term)).cast("double") / F.col("n") / 1000000.0).alias(
+                "entropy_nats"
+            ),
+        )
+        .select(
+            "lang",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "vocab", "entropy_micro_sum", "entropy_nats",
+        )
+    )

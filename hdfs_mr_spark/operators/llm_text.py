@@ -1473,3 +1473,65 @@ def llm_sample_temperature(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "llm_bpe_pair_counts",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w),
+pairs AS (
+  SELECT w, freq, unnest(list_transform(range(1, length(w)),
+                         i -> substr(w, i, 2))) AS pair
+  FROM wc WHERE length(w) >= 2
+),
+pc AS (SELECT pair, SUM(freq) AS n FROM pairs GROUP BY pair)
+SELECT pair, CAST(n AS BIGINT) AS n,
+       CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS INTEGER) AS merge_rank
+FROM pc
+QUALIFY merge_rank <= 20
+ORDER BY merge_rank
+""",
+    family=_FAM,
+)
+def llm_bpe_pair_counts(spark, sf_dir):
+    """BPE merge-table statistics (the first merge round of byte-pair
+    encoding, Sennrich et al.): count adjacent character pairs across
+    the corpus — weighted by word frequency, the exact quantity the BPE
+    trainer maximizes — and rank the top-20 merge candidates. The full
+    trainer iterates this (merge top pair, recount); one round exposes
+    the core aggregate, and the iteration composes exactly like
+    mr_pagerank's rounds.
+
+    Scale: pair generation runs on the WORD-FREQUENCY table, not the
+    token stream — the corpus collapses to its vocabulary before any
+    per-character work (|vocab| << corpus, the trick that makes BPE
+    training feasible at all); the tiny top-20 rank is a 20-row window.
+    Pure integer counts, no float anywhere. The one unpartitioned
+    window ranks the PAIR-COUNT relation, whose cardinality is
+    bounded by alphabet^2 (~676), not by data volume — the same
+    bounded-frame exemption as the dedup vocabulary dictionary."""
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(_toks()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = wc.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        pc.withColumn("merge_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("merge_rank") <= 20)
+        .orderBy("merge_rank")
+    )

@@ -846,3 +846,79 @@ def mr_bfs(spark, sf_dir):
             break
         dist = dist.unionByName(frontier).localCheckpoint()
     return dist
+
+
+@query(
+    "mr_merkle_checksum",
+    oracle="""
+WITH leaf AS (
+  SELECT o_orderkey % 64 AS bucket,
+         md5(string_agg(
+           md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+               || '|' || o_orderstatus),
+           '' ORDER BY o_orderkey)) AS leaf_hash,
+         COUNT(*) AS n_rows
+  FROM orders GROUP BY o_orderkey % 64
+)
+SELECT md5(string_agg(leaf_hash, '' ORDER BY bucket)) AS root_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_leaves,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows
+FROM leaf
+""",
+    family=_FAM,
+)
+def mr_merkle_checksum(spark, sf_dir):
+    """Merkle-style table checksum — the HDFS/DistCp block-checksum
+    story as a two-level relational job: per-row content hashes fold
+    into per-bucket leaf hashes (hash of the bucket's row hashes in key
+    order), and the leaf hashes fold into one root hash. Two tables
+    with equal roots are byte-identical on the hashed columns; with
+    unequal roots, comparing the 64 leaf rows locates the divergent
+    bucket without rescanning — the O(log) drill-down that makes
+    cross-cluster replication audits tractable at 100 TB.
+
+    Determinism: Spark side sorts each bucket's hashes with
+    array_sort-free explicit ordering (sort_array over collect_list of
+    (key, hash) structs), DuckDB with string_agg ORDER BY — same
+    canonical order, so the roots are comparable across engines, runs,
+    and partitionings (the checksum is layout-independent by
+    construction). Scale: leaf hashing is a combiner-unfriendly but
+    bucket-local aggregate (64 shuffle keys); only 64 leaf rows reach
+    the root fold."""
+    o = table(spark, sf_dir, "orders")
+    rowh = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+        )
+    )
+    leaf = (
+        o.select((F.col("o_orderkey") % 64).alias("bucket"),
+                 F.struct(F.col("o_orderkey").alias("k"), rowh.alias("h")).alias("kh"))
+        .groupBy("bucket")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list("kh")), lambda s: s["h"]
+                    ),
+                )
+            ).alias("leaf_hash"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    return leaf.select(
+        F.struct(F.col("bucket").alias("b"), F.col("leaf_hash").alias("h")).alias("bh"),
+        "n_rows",
+    ).agg(
+        F.md5(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("bh")), lambda s: s["h"])
+            )
+        ).alias("root_hash"),
+        F.count("*").cast("bigint").alias("n_leaves"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )

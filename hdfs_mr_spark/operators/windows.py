@@ -913,3 +913,67 @@ def win_running_distinct(spark, sf_dir):
         F.sum("first_seen").over(wrun).cast("bigint")
         .alias("distinct_types_so_far"),
     )
+
+
+@query(
+    "ts_active_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day_no
+  FROM events
+),
+runs AS (
+  SELECT user_id, day_no,
+         day_no - row_number() OVER (PARTITION BY user_id ORDER BY day_no ASC)
+           AS run_id
+  FROM days
+),
+streaks AS (
+  SELECT user_id, run_id, COUNT(*) AS len,
+         MIN(day_no) AS start_day, MAX(day_no) AS end_day
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MIN(start_day) AS BIGINT) AS first_active_day,
+       CAST(MAX(end_day) AS BIGINT) AS last_active_day
+FROM streaks GROUP BY user_id
+""",
+    family=_FAM,
+)
+def ts_active_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the retention
+    metric product teams actually chase, and the cleanest gaps-and-
+    islands instance: distinct active days, then `day_no − row_number`
+    is constant exactly within a consecutive run, so one window + one
+    aggregate finds every streak (vs win_sessionize, which islands on
+    time gaps, this islands on calendar days).
+
+    Scale: the distinct-day collapse shrinks the stream to
+    |users × days| BEFORE any window; every stage shares the user_id
+    hash partitioning — one exchange end to end (the distinct's finer
+    (user, day) key satisfies its distribution via the subset rule).
+    Day numbers are integer offsets from a fixed epoch — no date math
+    ambiguity between engines."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint").alias("day_no"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy(F.col("day_no").asc())
+    runs = days.withColumn("run_id", F.col("day_no") - F.row_number().over(w))
+    streaks = runs.groupBy("user_id", "run_id").agg(
+        F.count("*").alias("len"),
+        F.min("day_no").alias("start_day"),
+        F.max("day_no").alias("end_day"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak_days"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.min("start_day").cast("bigint").alias("first_active_day"),
+        F.max("end_day").cast("bigint").alias("last_active_day"),
+    )
