@@ -584,3 +584,130 @@ def llm_ann_recall_audit(spark, sf_dir):
             (F.count("avid").cast("double") / 5.0).alias("recall_at_5"),
         )
     )
+
+
+@query(
+    "llm_hard_negative_mining",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, label, embedding, {_SQL_NORM.format(a='embedding')} AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe, nrm AS qn
+      FROM n WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, q.qlabel, n.vec_id, n.label,
+         {_SQL_DOT.format(a='q.qe', b='n.embedding')} / (q.qn * n.nrm) AS cosine
+  FROM q JOIN n ON n.label <> q.qlabel
+)
+SELECT qid, qlabel, vec_id AS neg_id, label AS neg_label, cosine,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, vec_id ASC)
+            AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 3
+ORDER BY qid, rank
+""",
+    family=_FAM,
+)
+def llm_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive training (the dataset prep
+    behind embedding-model fine-tuning): for each query vector, the
+    top-3 MOST similar vectors with a DIFFERENT label — near-misses the
+    loss learns the most from, versus easy random negatives. Same
+    broadcast-probe shape as llm_sim_knn with the label inequality
+    folded into the join condition, so excluded same-label pairs are
+    never scored.
+
+    Scale: the corpus is scanned once; at 100 TB the exact scorer swaps
+    for the IVF/LSH candidate paths (llm_sim_knn_ivf/_lsh) with the
+    same label predicate — mining quality then audits exactly like
+    llm_ann_recall_audit."""
+    e = table(spark, sf_dir, "embeddings")
+    n = fan_out(
+        e.select("vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    )
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = n.join(F.broadcast(q), n.label != q.qlabel).select(
+        "qid", "qlabel",
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        (_dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neg_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("qid", "rank")
+    )
+
+
+@query(
+    "llm_class_rebalance",
+    oracle="""
+WITH counts AS (
+  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+),
+mx AS (SELECT MAX(n) AS max_n FROM counts),
+factors AS (
+  SELECT label, n, CAST((max_n + n - 1) // n AS BIGINT) AS rep
+  FROM counts CROSS JOIN mx
+),
+expanded AS (
+  SELECT e.label, f.rep,
+         unnest(range(0, f.rep)) AS copy_idx
+  FROM embeddings e JOIN factors f ON f.label = e.label
+)
+SELECT f.label,
+       CAST(f.n AS BIGINT) AS n_before,
+       f.rep AS replication,
+       CAST(COUNT(x.copy_idx) AS BIGINT) AS n_after
+FROM factors f
+LEFT JOIN expanded x ON x.label = f.label
+GROUP BY f.label, f.n, f.rep
+""",
+    family=_FAM,
+)
+def llm_class_rebalance(spark, sf_dir):
+    """Minority-class oversampling (classification fine-tuning prep):
+    each label is replicated ceil(max_count / count) times so every
+    class reaches at least the majority's cardinality — implemented as
+    a per-row `explode(sequence(0, rep-1))` against a broadcast factor
+    table, with before/after audit counts. Deterministic by
+    construction (integer ceiling factors, no random duplication), so
+    the resampled set is replayable in any engine.
+
+    Scale: the factor table is |labels| rows (broadcast); amplification
+    is the explode itself — each task expands its own rows, no shuffle
+    of the replicated data until a downstream op asks for one. Epoch
+    variety at train time comes from composing with llm_global_shuffle,
+    not from nondeterministic sampling here."""
+    e = table(spark, sf_dir, "embeddings")
+    counts = e.groupBy("label").agg(F.count("*").alias("n"))
+    mx = counts.agg(F.max("n").alias("max_n"))
+    factors = counts.crossJoin(F.broadcast(mx)).select(
+        "label", "n",
+        F.expr("CAST((max_n + n - 1) DIV n AS BIGINT)").alias("rep"),
+    )
+    expanded = (
+        e.join(F.broadcast(factors), "label")
+        .select(
+            "label", "n", "rep",
+            F.explode(F.expr("sequence(0, rep - 1)")).alias("copy_idx"),
+        )
+    )
+    return expanded.groupBy("label", "n", "rep").agg(
+        F.count("*").cast("bigint").alias("n_after")
+    ).select(
+        "label",
+        F.col("n").cast("bigint").alias("n_before"),
+        F.col("rep").alias("replication"),
+        "n_after",
+    )
