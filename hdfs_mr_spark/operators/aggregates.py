@@ -930,3 +930,81 @@ def agg_entropy(spark, sf_dir):
             "vocab", "entropy_micro_sum", "entropy_nats",
         )
     )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT SUM(c) AS n FROM wc)
+SELECT wc.w AS token,
+       CAST(wc.c AS BIGINT) AS cnt,
+       CAST(wc.c * 1000000 // tot.n AS BIGINT) AS share_ppm
+FROM wc CROSS JOIN tot
+WHERE wc.c * 200 >= tot.n
+ORDER BY cnt DESC, token ASC
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def agg_heavy_hitters(spark, sf_dir):
+    """Frequent-items (heavy hitters): every token with global frequency
+    >= 0.5% of the corpus, found with the two-pass bounded-memory scheme
+    that scales where a raw GROUP BY cannot: pass 1 runs a Misra-Gries
+    summary (capacity 400) inside each partition via Arrow-batched
+    ``mapInPandas`` — per-partition state is bounded by the capacity,
+    NOT by the partition's vocabulary, which is what survives a 100 TB
+    corpus whose per-partition vocab exceeds executor memory; pass 2
+    exactly recounts only the surviving candidates through a broadcast
+    semi-join. The MG merge guarantee (Agarwal et al., mergeable
+    summaries) makes the final answer EXACT and partitioning-
+    independent: any token with global share >= 1/200 must exceed the
+    1/401 MG threshold in at least one partition (pigeonhole), so the
+    candidate set is a superset of the true heavy hitters and the exact
+    recount-then-filter removes all false positives. Partition token
+    counts ride along in the same pass-1 summary rows (w=NULL carrier),
+    so the corpus total costs no extra scan."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("w"))
+
+    def mg_partition(batches):
+        cap = 400
+        counts: dict[str, int] = {}
+        n_part = 0
+        for pdf in batches:
+            n_part += len(pdf)
+            for w_val, c in pdf["w"].value_counts().items():
+                counts[w_val] = counts.get(w_val, 0) + int(c)
+            if len(counts) > cap:
+                # mergeable-summary compression: subtract the (cap+1)-th
+                # largest counter from all, drop the non-positive
+                kth = sorted(counts.values(), reverse=True)[cap]
+                counts = {k: v - kth for k, v in counts.items() if v > kth}
+        yield pd.DataFrame(
+            {"w": list(counts) + [None], "pn": [None] * len(counts) + [n_part]}
+        )
+
+    summary = toks.mapInPandas(mg_partition, schema="w string, pn long")
+    summary = summary.localCheckpoint()  # consumed twice (candidates + total)
+    tot = summary.agg(F.sum("pn").alias("n"))
+    cands = summary.filter(F.col("w").isNotNull()).select("w").distinct()
+    exact = (
+        toks.join(F.broadcast(cands), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("c") * 200 >= F.col("n"))
+        .select(
+            F.col("w").alias("token"),
+            F.col("c").cast("bigint").alias("cnt"),
+            F.expr("CAST(c * 1000000 DIV n AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+    )

@@ -1535,3 +1535,158 @@ def llm_bpe_pair_counts(spark, sf_dir):
         .filter(F.col("merge_rank") <= 20)
         .orderBy("merge_rank")
     )
+
+
+@query(
+    "llm_readability",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, n_words, n_syll, n_sent,
+         CAST(round((206.835
+            - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+            - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)))
+            * 1000.0) AS BIGINT) AS score_milli
+  FROM s WHERE n_words > 0
+)
+SELECT CAST(floor(CAST(score_milli AS DOUBLE) / 10000.0) AS BIGINT) AS bucket10,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(score_milli) AS BIGINT) AS sum_score_milli,
+       CAST(MIN(score_milli) AS BIGINT) AS min_score_milli,
+       CAST(MAX(score_milli) AS BIGINT) AS max_score_milli
+FROM sc GROUP BY 1 ORDER BY 1
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def llm_readability(spark, sf_dir):
+    """Flesch reading-ease scoring — the classic readability gate used
+    to stratify pretraining corpora by difficulty. Words and syllables
+    are regex-counted JVM-side (letter runs and vowel-group runs — the
+    standard cheap syllable estimator), sentences by terminal-
+    punctuation runs with a floor of 1. The per-doc score is one
+    fixed-shape IEEE expression quantized to milli-units, then the
+    corpus ships as a 10-point histogram with count/sum/min/max per
+    bucket — integer-exact aggregates over the quantized score, so the
+    hash pins the full distribution, not just the mean. Scale: pure
+    per-row map + one combiner-shape aggregate over ~60 buckets; no
+    join, no window, nothing leaves the scan stage but bucket
+    partials."""
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias(
+            "n_words"
+        ),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).alias(
+            "n_syll"
+        ),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        ).alias("n_sent"),
+    ).filter(F.col("n_words") > 0)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sent").cast("double"))
+        - F.lit(84.6)
+        * (F.col("n_syll").cast("double") / F.col("n_words").cast("double"))
+    )
+    sc = s.select(
+        (F.round(score * 1000.0)).cast("bigint").alias("score_milli")
+    )
+    return (
+        sc.groupBy(
+            F.floor(F.col("score_milli").cast("double") / 10000.0)
+            .cast("bigint")
+            .alias("bucket10")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("score_milli").cast("bigint").alias("sum_score_milli"),
+            F.min("score_milli").cast("bigint").alias("min_score_milli"),
+            F.max("score_milli").cast("bigint").alias("max_score_milli"),
+        )
+        .orderBy("bucket10")
+    )
+
+
+@query(
+    "llm_zipf_slope",
+    oracle="""
+WITH wc AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+top AS (SELECT w, c FROM wc ORDER BY c DESC, w ASC LIMIT 100),
+rk AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS BIGINT) AS rnk
+  FROM top
+),
+xy AS (
+  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+  FROM rk
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS sxy_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS sxx_den,
+       CAST(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+            / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+            AS DOUBLE) AS zipf_slope
+FROM xy
+""",
+    family=_FAM,
+)
+def llm_zipf_slope(spark, sf_dir):
+    """Zipf-law slope of the corpus vocabulary: OLS fit of log(freq)
+    against log(rank) over the top-100 tokens — natural text sits near
+    slope -1, and deviation is a cheap corpus-health signal (template
+    spam flattens the head, boilerplate dedup failures steepen it).
+    The top-100 head is a TakeOrderedAndProject (per-partition top-k
+    merge, never a global sort); ranking the 100 survivors is a
+    single-partition window over exactly 100 rows — bounded by the
+    constant k, not the corpus, so it is scale-safe the same way the
+    <=31-row vocab window in llm_dedup is. Both lns are quantized to
+    integer micro-units per point (the llm_lang_id portability rule)
+    and the slope is assembled from exact integer moment sums; the raw
+    numerator/denominator ship next to the readable double so the hash
+    pins the exact arithmetic."""
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    top = wc.orderBy(F.col("c").desc(), F.col("w").asc()).limit(100)
+    rk = top.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    xy = rk.select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1000000.0)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1000000.0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    n = F.count("*")
+    sxy = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    sxx = n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    return xy.agg(
+        n.cast("bigint").alias("n_points"),
+        sxy.cast("bigint").alias("sxy_num"),
+        sxx.cast("bigint").alias("sxx_den"),
+        (sxy.cast("double") / sxx.cast("double")).alias("zipf_slope"),
+    )

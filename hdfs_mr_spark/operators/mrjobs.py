@@ -479,6 +479,47 @@ edges AS (
 )"""
 
 
+def _oriented_triangles(spark, sf_dir):
+    """Degree-ordered oriented-triangle enumeration over the exact
+    near-dup graph. Returns ``(tri, deg)``: each triangle exactly once
+    as (a, b, c), and the undirected degree per node — shared by
+    mr_triangle_count and mr_clustering_coeff."""
+    from hdfs_mr_spark.operators.llm_dedup import _trigram_exact_pairs
+
+    edges = _trigram_exact_pairs(spark, sf_dir).select("d1", "d2")
+    bidir = edges.union(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )
+    deg = bidir.groupBy(F.col("d1").alias("node")).agg(F.count("*").alias("deg"))
+    okey = deg.select("node", (F.col("deg") * 100000000 + F.col("node")).alias("k"))
+    ka = okey.select(F.col("node").alias("d1"), F.col("k").alias("ka"))
+    kb = okey.select(F.col("node").alias("d2"), F.col("k").alias("kb"))
+    lt = F.col("ka") < F.col("kb")
+    oriented = (
+        edges.join(ka, "d1")
+        .join(kb, "d2")
+        .select(
+            F.when(lt, F.col("d1")).otherwise(F.col("d2")).alias("src"),
+            F.when(lt, F.col("d2")).otherwise(F.col("d1")).alias("dst"),
+            F.when(lt, F.col("kb")).otherwise(F.col("ka")).alias("kdst"),
+        )
+        .localCheckpoint()
+    )
+    w1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("kdst").alias("k1")
+    )
+    w2 = oriented.select(
+        F.col("src").alias("a2"), F.col("dst").alias("c"), F.col("kdst").alias("k2")
+    )
+    w3 = oriented.select(F.col("src").alias("b3"), F.col("dst").alias("c3"))
+    tri = (
+        w1.join(w2, (F.col("a") == F.col("a2")) & (F.col("k1") < F.col("k2")))
+        .join(w3, (F.col("b") == F.col("b3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    return tri, deg
+
+
 @query(
     "mr_triangle_count",
     oracle=f"""
@@ -527,42 +568,7 @@ def mr_triangle_count(spark, sf_dir):
     minimal vertex is the wedge apex), so no /3 correction or distinct
     pass is needed. Three self-equi-joins + one aggregate; the oriented
     edge list is localCheckpointed since it's consumed three times."""
-    from hdfs_mr_spark.operators.llm_dedup import _trigram_exact_pairs
-
-    edges = _trigram_exact_pairs(spark, sf_dir).select("d1", "d2")
-    bidir = edges.union(
-        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    )
-    okey = (
-        bidir.groupBy(F.col("d1").alias("node"))
-        .agg(F.count("*").alias("deg"))
-        .select("node", (F.col("deg") * 100000000 + F.col("node")).alias("k"))
-    )
-    ka = okey.select(F.col("node").alias("d1"), F.col("k").alias("ka"))
-    kb = okey.select(F.col("node").alias("d2"), F.col("k").alias("kb"))
-    lt = F.col("ka") < F.col("kb")
-    oriented = (
-        edges.join(ka, "d1")
-        .join(kb, "d2")
-        .select(
-            F.when(lt, F.col("d1")).otherwise(F.col("d2")).alias("src"),
-            F.when(lt, F.col("d2")).otherwise(F.col("d1")).alias("dst"),
-            F.when(lt, F.col("kb")).otherwise(F.col("ka")).alias("kdst"),
-        )
-        .localCheckpoint()
-    )
-    w1 = oriented.select(
-        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("kdst").alias("k1")
-    )
-    w2 = oriented.select(
-        F.col("src").alias("a2"), F.col("dst").alias("c"), F.col("kdst").alias("k2")
-    )
-    w3 = oriented.select(F.col("src").alias("b3"), F.col("dst").alias("c3"))
-    tri = (
-        w1.join(w2, (F.col("a") == F.col("a2")) & (F.col("k1") < F.col("k2")))
-        .join(w3, (F.col("b") == F.col("b3")) & (F.col("c") == F.col("c3")))
-        .select("a", "b", "c")
-    )
+    tri, _deg = _oriented_triangles(spark, sf_dir)
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
         .groupBy("doc_id")
@@ -921,4 +927,79 @@ def mr_merkle_checksum(spark, sf_dir):
         ).alias("root_hash"),
         F.count("*").cast("bigint").alias("n_leaves"),
         F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+@query(
+    "mr_clustering_coeff",
+    oracle=f"""
+WITH
+{_EDGE_CTES},
+bidir AS (
+  SELECT d1 AS src, d2 AS dst FROM edges
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM edges
+),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM bidir GROUP BY src),
+okey AS (SELECT node, deg * 100000000 + node AS k FROM deg),
+oriented AS (
+  SELECT CASE WHEN ka.k < kb.k THEN e.d1 ELSE e.d2 END AS src,
+         CASE WHEN ka.k < kb.k THEN e.d2 ELSE e.d1 END AS dst,
+         CASE WHEN ka.k < kb.k THEN kb.k ELSE ka.k END AS kdst
+  FROM edges e
+  JOIN okey ka ON ka.node = e.d1
+  JOIN okey kb ON kb.node = e.d2
+),
+tri AS (
+  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+  FROM oriented w1
+  JOIN oriented w2 ON w1.src = w2.src AND w1.kdst < w2.kdst
+  JOIN oriented w3 ON w3.src = w1.dst AND w3.dst = w2.dst
+),
+member AS (
+  SELECT unnest([a, b, c]) AS node FROM tri
+),
+tcnt AS (SELECT node, COUNT(*) AS t FROM member GROUP BY node)
+SELECT d.node AS doc_id,
+       CAST(d.deg AS BIGINT) AS degree,
+       CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+       CAST(2 * COALESCE(t.t, 0) * 1000000 // (d.deg * (d.deg - 1)) AS BIGINT)
+         AS lcc_ppm
+FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+WHERE d.deg >= 2
+ORDER BY doc_id
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def mr_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per node — 2*T(v) / (deg(v) *
+    (deg(v)-1)), the transitivity statistic that separates clique-like
+    near-dup clusters (lcc=1) from chain/star artifacts (lcc~0), which
+    is exactly the triage a dedup-graph audit needs before picking
+    cluster representatives. Rides the shared degree-ordered triangle
+    enumeration (_oriented_triangles): same arboricity-bounded wedge
+    join as mr_triangle_count, then one left join back to the degree
+    relation so zero-triangle nodes keep an explicit lcc of 0. The
+    coefficient is emitted in integer ppm (2*T*1e6 DIV deg*(deg-1)) —
+    exact, order-independent, no float division to diverge across
+    engines."""
+    tri, deg = _oriented_triangles(spark, sf_dir)
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tcnt, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr(
+                "CAST(2 * COALESCE(t, 0) * 1000000 DIV (deg * (deg - 1)) AS BIGINT)"
+            ).alias("lcc_ppm"),
+        )
+        .orderBy("doc_id")
     )

@@ -340,3 +340,64 @@ def etl_scd2(spark, sf_dir):
         nxt.isNull().alias("is_current"),
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "sample_weighted_priority",
+    oracle="""
+WITH pr AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':wsample'),
+                              1, 8)) AS BIGINT) AS h
+  FROM orders
+)
+SELECT o_orderkey, w_cents,
+       CAST(w_cents * 4294967296 // (h + 1) AS BIGINT) AS priority
+FROM pr
+ORDER BY priority DESC, o_orderkey ASC
+LIMIT 64
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def sample_weighted_priority(spark, sf_dir):
+    """Weighted sample of 64 orders via priority sampling (Duffield-
+    Lund-Thorup): each row draws u ~ U(0,1) from the md5 coin and gets
+    priority w/u, and the global top-64 priorities form the sample —
+    high-weight rows enter with probability ~min(1, w/threshold), the
+    weighted-sampling scheme whose subset-sum estimates are provably
+    near-optimal. All arithmetic is integer-exact and engine-portable:
+    w in cents (the 2-dp money column is exact), u as a 32-bit md5
+    uniform, priority = w_cents * 2^32 DIV (h+1) -- max ~2.4e17, inside
+    int64, no libm and no float division anywhere (raw ln()/pow()
+    priorities would be a cross-engine ulp hazard).
+
+    Scale: the plan is TakeOrderedAndProject — each partition keeps its
+    own top-64 and only 64 rows per partition reach the driver-side
+    merge; no global sort, no single-partition stage, at any corpus
+    size."""
+    o = table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":wsample"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    pr = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("w_cents"),
+        h.alias("h"),
+    )
+    return (
+        pr.select(
+            "o_orderkey",
+            "w_cents",
+            F.expr("CAST(w_cents * 4294967296 DIV (h + 1) AS BIGINT)").alias(
+                "priority"
+            ),
+        )
+        .orderBy(F.col("priority").desc(), F.col("o_orderkey").asc())
+        .limit(64)
+    )

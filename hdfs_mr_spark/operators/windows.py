@@ -977,3 +977,94 @@ def ts_active_streaks(spark, sf_dir):
         F.min("start_day").cast("bigint").alias("first_active_day"),
         F.max("end_day").cast("bigint").alias("last_active_day"),
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+WITH m AS (
+  SELECT event_id, user_id, ts, value,
+         (event_id % 5 = 0) AS missing,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE epoch_us(ts) END AS tus,
+         epoch_us(ts) AS t
+  FROM events
+),
+f AS (
+  SELECT event_id, user_id, ts, value, missing, t,
+         LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         LAST_VALUE(tus IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+         FIRST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(tus IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+  FROM m
+)
+SELECT event_id, user_id, ts, missing AS was_missing,
+       CASE WHEN NOT missing THEN value
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+            WHEN pv IS NOT NULL THEN pv
+            ELSE nv END AS value_filled
+FROM f
+ORDER BY user_id, ts, event_id
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def ts_interpolate_linear(spark, sf_dir):
+    """Linear interpolation of missing sensor values — the time-series
+    repair step gap-fill alone can't do (ts_gap_fill carries the LAST
+    value forward; here the fill is time-proportional between the
+    bracketing observations, with boundary rows falling back to
+    nearest-neighbor). Missingness is a deterministic mask (event_id %
+    5) so both engines repair the identical holes. The bracketing
+    observation and its timestamp come from two IGNORE NULLS window
+    frames per direction — one shuffle on user_id, one in-partition
+    sort, all four frames evaluated in a single WindowExec pass.
+    Interpolation arithmetic is a fixed-shape IEEE expression tree
+    (sub, div, mul, add — one rounding each) over integer microsecond
+    gaps, so results are bit-identical across engines without
+    quantization.
+
+    Scale: state per window frame is O(1) (running last / first
+    non-null), frames never buffer the partition; the only shuffle is
+    the user_id hash partitioning shared by all four frames."""
+    e = table(spark, sf_dir, "events")
+    missing = F.col("event_id") % 5 == 0
+    m = e.select(
+        "event_id", "user_id", "ts", "value",
+        missing.alias("missing"),
+        F.when(~missing, F.col("value")).alias("v"),
+        F.when(~missing, F.unix_micros("ts")).alias("tus"),
+        F.unix_micros("ts").alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    back = w.rowsBetween(Window.unboundedPreceding, -1)
+    fwd = w.rowsBetween(1, Window.unboundedFollowing)
+    f = m.select(
+        "event_id", "user_id", "ts", "value", "missing", "t",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last("tus", ignorenulls=True).over(back).alias("pt"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first("tus", ignorenulls=True).over(fwd).alias("nt"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("t") - F.col("pt")).cast("double")
+        / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    return f.select(
+        "event_id", "user_id", "ts",
+        F.col("missing").alias("was_missing"),
+        F.when(~F.col("missing"), F.col("value"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+        .alias("value_filled"),
+    ).orderBy("user_id", "ts", "event_id")
