@@ -37,15 +37,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) parquet, read as nanos-long via
-        # spark.sql.legacy.parquet.nanosAsLong; normalize to µs timestamp —
-        # same truncation DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP,
-        # so oracle comparisons see identical instants (FIXTURES.md).
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        # integer `div`, not `/`: double division loses precision on ~1e18
-        # nanosecond epochs and lands ±1µs off DuckDB's truncating cast.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        from pyspark.sql.types import TimestampNTZType
+
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, TimestampNTZType):
+            # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+            # TIMESTAMP_NTZ in Spark 4. Every downstream query (unix_micros,
+            # window ranges, watermarks) is written against TIMESTAMP; with
+            # the session timezone pinned to UTC above, the NTZ->LTZ cast is
+            # instant-preserving and matches DuckDB's naive read bit-for-bit.
+            df = df.withColumn("ts", df["ts"].cast("timestamp"))
+        elif isinstance(ts_type, LongType):
+            # ts is TIMESTAMP(NANOS) parquet, read as nanos-long via
+            # spark.sql.legacy.parquet.nanosAsLong; normalize to µs
+            # timestamp — same truncation DuckDB applies casting
+            # TIMESTAMP_NS -> TIMESTAMP, so oracle comparisons see
+            # identical instants (FIXTURES.md). Integer `div`, not `/`:
+            # double division loses precision on ~1e18 ns epochs.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # else: already TIMESTAMP(MICROS); both engines read it natively.
     return df
 
 
