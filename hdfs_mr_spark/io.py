@@ -38,9 +38,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        from pyspark.sql.types import TimestampNTZType
+        from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, TimestampNTZType):
@@ -49,7 +47,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # window ranges, watermarks) is written against TIMESTAMP; with
             # the session timezone pinned to UTC above, the NTZ->LTZ cast is
             # instant-preserving and matches DuckDB's naive read bit-for-bit.
-            df = df.withColumn("ts", df["ts"].cast("timestamp"))
+            # Explicit TimestampType, not the "timestamp" string: the
+            # string resolves via spark.sql.timestampType, and a session
+            # pinned to TIMESTAMP_NTZ would make the cast a no-op.
+            df = df.withColumn("ts", df["ts"].cast(TimestampType()))
         elif isinstance(ts_type, LongType):
             # ts is TIMESTAMP(NANOS) parquet, read as nanos-long via
             # spark.sql.legacy.parquet.nanosAsLong; normalize to µs

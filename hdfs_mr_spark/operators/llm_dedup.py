@@ -390,9 +390,14 @@ def _trigram_lsh_pairs(spark, sf_dir):
     jac = n_common.cast("double") / (
         (F.col("sz1") + F.col("sz2") - n_common).cast("double")
     )
+    # Verify join is UNHINTED on purpose: the shingle frame is O(corpus),
+    # so broadcasting it OOMs long before 100 TB. A shuffle equi-join on
+    # d1/d2 scales on both sides, and AQE is still free to build-side a
+    # genuinely small candidate set at runtime (tests/test_plans.py
+    # asserts no BroadcastExchange feeds off the shingle frame here).
     return (
-        cand.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+        cand.join(s1, "d1")
+        .join(s2, "d2")
         .select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )

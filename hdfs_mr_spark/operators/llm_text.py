@@ -128,8 +128,12 @@ def llm_tfidf(spark, sf_dir):
     idf = (
         F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df").cast("double") + 1.0)) + 1.0
     )
+    # Unhinted shuffle join on term: the document-frequency table is
+    # vocabulary-sized, and vocabulary grows with the corpus (Heaps'
+    # law) — a broadcast hint here dies at 100 TB. Both sides are
+    # already term-keyed aggregates off the same shuffle key.
     scored = (
-        tf_lang.join(F.broadcast(df), "term")
+        tf_lang.join(df, "term")
         .select(
             "lang", "term",
             F.round(F.col("tf").cast("double") * idf, 6).alias("score"),
@@ -1289,15 +1293,18 @@ def llm_lm_score(spark, sf_dir):
     quantized to integer micro-units BEFORE summing, so per-doc sums
     are order-independent; per-doc means are one IEEE division and the
     keep threshold rides the decimal-exact mean-of-means. Scale: the LM
-    is vocabulary-sized (broadcast); the token stream shuffles once for
-    the per-doc aggregate."""
+    is vocabulary-sized, and vocab grows with the corpus (Heaps' law) —
+    so the token->LM join is an UNHINTED shuffle equi-join on the word
+    (both sides come off the same shuffle key; AQE may still build-side
+    a genuinely small LM at runtime). Only the single-row token total is
+    broadcast. The token stream shuffles once for the per-doc aggregate."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_toks()).alias("w"))
     v = tok.select("w").distinct().count()  # scalar vocab size, one tiny job
     lm = tok.groupBy("w").agg(F.count("*").alias("cnt"))
     t = lm.agg(F.sum("cnt").alias("t"))
     scored = (
-        tok.join(F.broadcast(lm), "w")
+        tok.join(lm, "w")
         .crossJoin(F.broadcast(t))
         .groupBy("doc_id")
         .agg(

@@ -1,16 +1,20 @@
 """Structured Streaming operators (SURVEY.md §2.10 + §2.1 scan_stream).
 
-The events table doubles as a bounded stream: readStream over the same
-parquet, trigger(availableNow=True) drains it, and a memory/parquet
-sink materializes the result for the oracle. Every streaming query has
-deterministic final-state semantics (complete-mode windowed aggregates,
-keyed dedup of already-unique keys, stream-static joins), so most get a
-full hash-check against a batch-twin oracle — stronger than the ⚠
-rows-only floor SURVEY assigns them. Watermark-dependent append output
-is deterministic too for a single-file availableNow drain (one batch →
-final watermark = max(ts) - delay), so it now gets a sealed-windows
-batch oracle as well; checked sums route through the single-rounding
-decimal kernel (exprs.dsum) like the batch aggregates.
+The events table doubles as a bounded stream: readStream over a
+directory of time-ordered parquet splits, trigger(availableNow=True)
+with maxFilesPerTrigger=1 drains it across REAL multiple micro-batches
+(state carries between batches — the HDFS-ingest shape), and a
+memory/parquet sink materializes the result for the oracle. Every
+streaming query has deterministic final-state semantics (complete-mode
+windowed aggregates, keyed dedup of already-unique keys, stream-static
+joins), so most get a full hash-check against a batch-twin oracle —
+stronger than the ⚠ rows-only floor SURVEY assigns them.
+Watermark-dependent append output stays deterministic because the
+splits are sorted by (ts, event_id): event time only moves forward, the
+final watermark lands at max(ts) - delay, and the union of per-batch
+emissions equals the sealed-window set the oracle replays. Checked sums
+route through the single-rounding decimal kernel (exprs.dsum) like the
+batch aggregates.
 
 State at scale: windows/dedup keys live in the executor StateStore;
 watermarks bound that state. Session windows use the native
@@ -33,42 +37,112 @@ _FAM = "2.10 streaming"
 
 _COUNTER = itertools.count()
 
-# events.parquet carries TIMESTAMP(NANOS); with nanosAsLong the stream
-# schema sees a long we convert exactly like the batch reader (io.table).
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_ts_kind(sf_dir: str) -> str:
+    """Probe the parquet physical type of events.ts WITHOUT a Spark job.
+
+    The batch reader (io.table) dispatches on what Spark inferred; a
+    readStream needs the schema up front, so we ask pyarrow directly.
+    Three shapes exist in the wild: TIMESTAMP(NANOS) (only readable as a
+    nanos long via the legacy conf), TIMESTAMP(MICROS, adjusted=false)
+    (Spark 4 reads it as TIMESTAMP_NTZ), and TIMESTAMP(MICROS,
+    adjusted=true) (plain TIMESTAMP). Hard-coding any one of them is how
+    round 2 silently broke every windowed stream."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    if t.unit == "ns":
+        return "nanos"
+    return "micros_ltz" if t.tz is not None else "micros_ntz"
 
 
-def _stream_src_dir(sf_dir: str) -> str:
-    """FileStreamSource wants a directory; testdata is a read-only single
-    file — expose it through a symlink under /tmp."""
+def _events_schema(kind: str) -> T.StructType:
+    ts_type = {
+        "nanos": T.LongType(),  # via spark.sql.legacy.parquet.nanosAsLong
+        "micros_ntz": T.TimestampNTZType(),
+        "micros_ltz": T.TimestampType(),
+    }[kind]
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+_N_STREAM_FILES = 4
+
+
+def _stream_src_dir(sf_dir: str, multi: bool = True) -> str:
+    """FileStreamSource wants a directory of arriving files.
+
+    multi=True (default): events split into _N_STREAM_FILES time-ordered
+    parquet files (content-fingerprinted fixture dir), so an availableNow
+    drain with maxFilesPerTrigger=1 runs REAL multiple micro-batches and
+    state genuinely carries across them — the HDFS-ingest shape. The
+    split is sorted by (ts, event_id), so event time only moves forward
+    across batches and watermark semantics match the single-batch run.
+
+    multi=False: the read-only single testdata file through a symlink —
+    for the two queries whose per-batch emission (append-mode running
+    state, update-mode deltas) is only oracle-exact as a single batch."""
     import os
     from pathlib import Path
 
-    d = Path("/tmp/hmr_stream_src") / Path(sf_dir).name / "events"
-    d.mkdir(parents=True, exist_ok=True)
-    link = d / "events.parquet"
-    if not link.exists():
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    if not multi:
+        d = Path("/tmp/hmr_stream_src") / Path(sf_dir).name / "events"
+        d.mkdir(parents=True, exist_ok=True)
+        link = d / "events.parquet"
+        if not link.exists():
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        return str(d)
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    d = _fixture_dir(sf_dir) / "events_stream"
+    done = d / "_SPLIT_DONE"
+    if not done.exists():
+        d.mkdir(parents=True, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        t = t.take(
+            pc.sort_indices(
+                t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        step = -(-t.num_rows // _N_STREAM_FILES)
+        for i in range(_N_STREAM_FILES):
+            part = t.slice(i * step, step)
+            if part.num_rows:
+                # written in order => mtime order == time order, which is
+                # the order FileStreamSource picks files up in
+                pq.write_table(part, d / f"events_{i:03d}.parquet")
+        done.touch()
     return str(d)
 
 
-def _event_stream(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+def _event_stream(spark, sf_dir, multi: bool = True):
+    """readStream over events with the SAME type dispatch as io.table:
+    nanos-long -> timestamp_micros(div 1000); micros-NTZ -> instant-
+    preserving cast under the pinned UTC session; micros-LTZ as-is."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .parquet(_stream_src_dir(sf_dir))
-    )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    kind = _events_ts_kind(sf_dir)
+    if kind == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_events_schema(kind))
+    if multi:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    raw = reader.parquet(_stream_src_dir(sf_dir, multi))
+    if kind == "nanos":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if kind == "micros_ntz":
+        return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def _run_to_memory(df, mode: str):
@@ -369,9 +443,9 @@ ORDER BY user_id
 def stream_stateful_custom(spark, sf_dir):
     """Custom stateful operator via applyInPandasWithState: per-user
     running (count, integer-cents sum) kept in executor state across
-    micro-batches, one emitted row per user per batch. The source
-    directory holds exactly one parquet file, so the availableNow drain
-    is a single batch and the emission equals the final state — which is
+    micro-batches, one emitted row per user per batch. This query reads
+    the single-file source (multi=False): a one-batch drain makes the
+    append-mode emission equal the final state — which is
     why the oracle can hash-check a *custom* stateful operator (SURVEY
     §2.10: the weaker rows-only floor is beaten here too). Integer-cents
     state keeps the float sum exact and order-independent, matching the
@@ -394,7 +468,7 @@ def stream_stateful_custom(spark, sf_dir):
             }
         )
 
-    s = _event_stream(spark, sf_dir).select("user_id", "ts", "value")
+    s = _event_stream(spark, sf_dir, multi=False).select("user_id", "ts", "value")
     out = (
         s.withWatermark("ts", "10 minutes")
         .groupBy("user_id")
@@ -477,11 +551,11 @@ ORDER BY 1, 2
 def stream_update_mode(spark, sf_dir):
     """Update output mode — the third of the three streaming output
     modes (append/complete covered elsewhere): each micro-batch emits
-    only the rows whose aggregate changed. The bounded single-file
-    availableNow drain is exactly one batch, so every touched key is
-    emitted exactly once and the update stream equals the complete-mode
-    final state — which the batch oracle hash-checks."""
-    s = _event_stream(spark, sf_dir)
+    only the rows whose aggregate changed. Reads the single-file source
+    (multi=False): a one-batch drain emits every touched key exactly
+    once, so the update stream equals the complete-mode final state —
+    which the batch oracle hash-checks."""
+    s = _event_stream(spark, sf_dir, multi=False)
     agg = (
         s.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count("*").alias("n"))
@@ -533,11 +607,13 @@ def stream_incremental_restart(spark, sf_dir):
     h1, h2 = _event_halves(sf_dir)
     src = tempfile.mkdtemp(prefix="hmr_incr_src_")
     ckpt = tempfile.mkdtemp(prefix="hmr_incr_ckpt_")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    kind = _events_ts_kind(sf_dir)
+    if kind == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def drain():
-        raw = spark.readStream.schema(_EVENTS_SCHEMA).parquet(src)
+        raw = spark.readStream.schema(_events_schema(kind)).parquet(src)
         agg = raw.groupBy("event_type").agg(F.count("*").alias("n"))
         name = f"hmr_incr_{next(_COUNTER)}"
         prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -235,3 +235,43 @@ def test_running_distinct_single_exchange(spark):
     user_id partitioning — one Exchange, two in-partition sorts."""
     nodes = _nodes(_plan(spark, "win_running_distinct"))
     assert sum("Exchange" in n for n in nodes) == 1
+
+
+def _plan_no_auto_broadcast(spark, name: str) -> str:
+    """Plan with auto-broadcast disabled: any BroadcastExchange left is
+    an EXPLICIT hint, so these tests see hints only — not the size-based
+    choices Catalyst makes on tiny fixtures (which don't exist at 100 TB)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        return _plan(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_minhash_verify_join_never_broadcasts_shingles(spark):
+    """The LSH verify join must NOT broadcast the shingle frame — it is
+    O(corpus) and would OOM at 100 TB. All three joins (band-bucket
+    candidates + the two verify sides) are unhinted equi-joins."""
+    nodes = _nodes(_plan_no_auto_broadcast(spark, "llm_dedup_minhash_lsh"))
+    assert not any("BroadcastExchange" in n for n in nodes)
+    assert sum("SortMergeJoin" in n for n in nodes) >= 3
+
+
+def test_tfidf_vocab_join_not_broadcast(spark):
+    """The term->document-frequency join must stay a shuffle equi-join:
+    the df table is vocabulary-sized and vocab grows with the corpus."""
+    nodes = _nodes(_plan_no_auto_broadcast(spark, "llm_tfidf"))
+    assert not any("BroadcastExchange" in n for n in nodes)
+    assert any("SortMergeJoin" in n for n in nodes)
+
+
+def test_lm_score_vocab_join_not_broadcast(spark):
+    """The token->unigram-LM join must stay a shuffle equi-join (vocab-
+    sized build side); only the single-row scalar frames (token total,
+    keep-threshold) may ride explicit broadcasts — the token total shows
+    up twice (main branch + threshold branch), so three single-row
+    BroadcastExchanges total."""
+    nodes = _nodes(_plan_no_auto_broadcast(spark, "llm_lm_score"))
+    assert any("SortMergeJoin" in n for n in nodes)
+    assert sum("BroadcastExchange" in n for n in nodes) <= 3
