@@ -157,21 +157,36 @@ def udf_map_in_pandas(spark, sf_dir):
     )
 
 
-def mm_decode(payload: bytes, mime: str, backend: str = "fake") -> dict:
+def mm_decode(payload: bytes, mime: str, backend: str = "auto") -> dict:
     """Decode one multimodal payload into typed metadata.
 
-    ``backend="fake"`` is the deterministic stand-in used by tests and
-    the oracle-checked query below: header fields are read straight from
-    the payload bytes, so the full Spark plumbing (binary column ->
-    Arrow batch -> python decode -> typed rows) is real and verifiable.
-    Real codecs (PIL/ffmpeg/librosa) are not in this container; wiring
-    one in means implementing the matching branch here — the call sites
-    do not change.
+    ``backend="auto"`` sniffs magic bytes and runs the REAL header
+    parsers for PNG (chunk walk) and JPEG (marker scan) from
+    :mod:`hdfs_mr_spark.sources.media`; anything else falls back to the
+    deterministic ``fake`` decoder. ``backend="png"``/``"jpeg"`` force a
+    real parse (raising on wrong bytes); ``backend="fake"`` forces the
+    stand-in, which reads header-shaped fields straight from arbitrary
+    bytes so synthetic fixtures stay oracle-checkable. Pixel-level
+    codecs (PIL/ffmpeg/librosa) are not in this container; wiring one in
+    means adding the matching branch here — call sites do not change.
     """
+    from hdfs_mr_spark.sources.media import parse_jpeg_dims, parse_png_dims
+
+    if backend == "auto":
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            backend = "png"
+        elif payload[:2] == b"\xff\xd8":
+            backend = "jpeg"
+        else:
+            backend = "fake"
+    if backend in ("png", "jpeg"):
+        w, h = (parse_png_dims if backend == "png" else parse_jpeg_dims)(payload)
+        return {"width": w, "height": h, "n_frames": 1, "byte_sum": sum(payload)}
     if backend != "fake":
         raise NotImplementedError(
             f"media backend {backend!r} not available in this environment; "
-            "only the deterministic 'fake' decoder is wired in"
+            "only png/jpeg header parsers and the deterministic 'fake' "
+            "decoder are wired in"
         )
     b = payload
     return {
@@ -264,6 +279,103 @@ def llm_multimodal_decode(spark, sf_dir):
     return payloads.mapInPandas(
         decode_batches,
         "doc_id long, mime string, width int, height int, n_frames int, byte_sum int",
+    ).orderBy("doc_id")
+
+
+# Static media fixture for the REAL-decode query: oracle SQL is a static
+# string (driver contract), so both engines must read one fixed path —
+# same pattern as scans._ORACLE_FIX. Best-effort at import in case the
+# driver runs the oracle before our spark callable.
+try:  # pragma: no cover
+    from hdfs_mr_spark.sources.media import materialize_media
+
+    _MEDIA_FIX = materialize_media()
+except Exception:  # noqa: BLE001
+    _MEDIA_FIX = "/tmp/hmr_media_unavailable.parquet"
+
+
+@query(
+    "llm_multimodal_decode_real",
+    oracle=f"""
+SELECT doc_id, mime,
+       CAST(CASE WHEN mime = 'image/png'
+                 THEN ('0x' || substr(hex(payload), 33, 8))::BIGINT
+                 ELSE ('0x' || substr(hex(payload), 193, 4))::BIGINT
+            END AS INTEGER) AS width,
+       CAST(CASE WHEN mime = 'image/png'
+                 THEN ('0x' || substr(hex(payload), 41, 8))::BIGINT
+                 ELSE ('0x' || substr(hex(payload), 189, 4))::BIGINT
+            END AS INTEGER) AS height,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes
+FROM '{_MEDIA_FIX}'
+ORDER BY doc_id
+""",
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_decode_real(spark, sf_dir):
+    """REAL multimodal decode (round-2 verdict item 6): genuine PNG blobs
+    (zlib IDAT, CRC-checked chunks) and structurally valid JPEG marker
+    streams, parsed the way real decoders do it — PNG by walking chunks
+    to IHDR, JPEG by scanning markers to SOFn — inside mapInPandas over
+    the binary column. The DuckDB oracle extracts the same dimensions
+    from the same bytes via hex-offset arithmetic (PNG IHDR at the fixed
+    post-signature offset; SOF0 at the generator's fixed segment layout),
+    so a parser that misreads a single byte hash-mismatches. Fixture is
+    static (oracle SQL can't parameterize paths), bounded to 64 blobs."""
+
+    def decode_batches(batches):
+        # self-contained closure (cloudpickle by value; executor workers
+        # can't import hdfs_mr_spark from the driver's arbitrary cwd) —
+        # logic mirrors sources/media.py parse_png_dims/parse_jpeg_dims,
+        # which unit tests exercise against mangled inputs.
+        import struct
+
+        def png_dims(b):
+            if b[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("bad PNG signature")
+            pos = 8
+            while pos + 8 <= len(b):
+                (length,) = struct.unpack_from(">I", b, pos)
+                if b[pos + 4 : pos + 8] == b"IHDR":
+                    return struct.unpack_from(">II", b, pos + 8)
+                pos += 12 + length
+            raise ValueError("no IHDR")
+
+        def jpeg_dims(b):
+            if b[:2] != b"\xff\xd8":
+                raise ValueError("no SOI")
+            pos = 2
+            while pos + 4 <= len(b):
+                marker = b[pos + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack_from(">HH", b, pos + 5)
+                    return w, h
+                if marker == 0xD9:
+                    break
+                (seglen,) = struct.unpack_from(">H", b, pos + 2)
+                pos += 2 + seglen
+            raise ValueError("no SOFn")
+
+        for pdf in batches:
+            out = pdf[["doc_id", "mime"]].copy()
+            dims = [
+                png_dims(p) if m == "image/png" else jpeg_dims(p)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            out["width"] = [d[0] for d in dims]
+            out["height"] = [d[1] for d in dims]
+            out["n_bytes"] = [len(p) for p in pdf["payload"]]
+            yield out.astype(
+                {"doc_id": "int64", "width": "int32",
+                 "height": "int32", "n_bytes": "int64"}
+            )
+
+    from hdfs_mr_spark.sources.media import materialize_media
+
+    df = spark.read.parquet(materialize_media())
+    return df.mapInPandas(
+        decode_batches,
+        "doc_id long, mime string, width int, height int, n_bytes long",
     ).orderBy("doc_id")
 
 

@@ -19,9 +19,64 @@ def test_mm_decode_fake_backend():
     assert video["n_frames"] == (4 % 30) + 1
 
 
-def test_mm_decode_real_backend_is_stubbed():
+def test_mm_decode_unavailable_backend_raises():
     with pytest.raises(NotImplementedError):
         mm_decode(b"\x00" * 32, "image/png", backend="pil")
+
+
+def test_png_roundtrip_and_parser():
+    from hdfs_mr_spark.sources.media import make_png, parse_png_dims
+
+    blob = make_png(123, 45, (10, 20, 30))
+    assert parse_png_dims(blob) == (123, 45)
+    # fully valid PNG: CRCs check out and the IDAT inflates to the
+    # expected scanline volume (h * (1 filter byte + 3w))
+    import struct
+    import zlib
+
+    pos, idat = 8, b""
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+        assert crc == zlib.crc32(ctype + data) & 0xFFFFFFFF
+        if ctype == b"IDAT":
+            idat += data
+        pos += 12 + length
+    assert len(zlib.decompress(idat)) == 45 * (1 + 3 * 123)
+    with pytest.raises(ValueError):
+        parse_png_dims(b"\x89PNX" + blob[4:])  # mangled signature
+
+
+def test_jpeg_marker_scan_parser():
+    from hdfs_mr_spark.sources.media import make_jpeg, parse_jpeg_dims
+
+    blob = make_jpeg(640, 480)
+    assert parse_jpeg_dims(blob) == (640, 480)
+    # parser must SCAN markers, not peek a fixed offset: inject an extra
+    # COM segment before SOF0 and it still finds the dimensions
+    com = b"\xff\xfe\x00\x0chello jpeg"
+    shifted = blob[:2] + com + blob[2:]
+    assert parse_jpeg_dims(shifted) == (640, 480)
+    # DHT (C4) must not be mistaken for an SOF marker
+    dht = b"\xff\xc4\x00\x05" + bytes(3)
+    with_dht = blob[:2] + dht + blob[2:]
+    assert parse_jpeg_dims(with_dht) == (640, 480)
+    with pytest.raises(ValueError):
+        parse_jpeg_dims(b"\x00\x00" + blob)
+
+
+def test_mm_decode_auto_dispatch():
+    from hdfs_mr_spark.sources.media import make_jpeg, make_png
+
+    png = mm_decode(make_png(33, 44, (1, 2, 3)), "image/png")
+    assert (png["width"], png["height"]) == (33, 44)
+    jpg = mm_decode(make_jpeg(55, 66), "image/jpeg")
+    assert (jpg["width"], jpg["height"]) == (55, 66)
+    # non-media bytes fall back to the deterministic fake
+    fake = mm_decode(bytes(range(32)), "application/octet-stream")
+    assert fake["byte_sum"] == sum(range(32))
 
 
 def test_registry_hygiene():

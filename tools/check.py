@@ -19,6 +19,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--family", default=None, help="substring filter on family")
+    ap.add_argument(
+        "--json", default=None, metavar="PATH",
+        help="write per-query results as JSON (the CHECK_rN.json artifact)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -35,6 +39,7 @@ def main() -> int:
     spark = get_spark("parity-check")
     con = oracle_connection(args.sf)
     n_pass = n_fail = 0
+    records = {}
     for name, spec in sorted(specs.items()):
         t0 = time.time()
         res = check_query(spec, spark, con, args.sf)
@@ -44,8 +49,24 @@ def main() -> int:
             n_pass += 1
         else:
             n_fail += 1
+        records[name] = {
+            "ok": res.ok, "mode": res.mode, "family": spec.family,
+            "sec": round(dt, 2), "detail": res.detail,
+        }
         print(f"{mark} [{res.mode:9s}] {name:28s} {dt:6.2f}s  {res.detail}")
     print(f"\n{n_pass} passed, {n_fail} failed / {len(specs)} checked @ {args.sf}")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(
+                {
+                    "sf": args.sf, "passed": n_pass, "failed": n_fail,
+                    "total": len(specs), "queries": records,
+                },
+                f, indent=1, sort_keys=True,
+            )
+            f.write("\n")
     return 1 if n_fail else 0
 
 
