@@ -813,3 +813,92 @@ def llm_sketch_audit(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "llm_dedup_substring",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+kg AS (
+  SELECT doc_id, i, array_to_string(l[i:i+7], ' ') AS g
+  FROM tok, LATERAL unnest(range(1, len(l) - 6)) AS u(i)
+),
+dup AS (
+  SELECT g FROM kg GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dpos AS (
+  SELECT doc_id, i FROM kg WHERE g IN (SELECT g FROM dup)
+),
+isl AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM dpos
+)
+SELECT doc_id,
+       CAST(MIN(i) AS BIGINT) AS span_start,
+       CAST(MAX(i) + 7 AS BIGINT) AS span_end,
+       CAST(MAX(i) + 7 - MIN(i) + 1 AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_kgrams
+FROM isl
+GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+""",
+    family=_FAM,
+)
+def llm_dedup_substring(spark, sf_dir):
+    """Substring-level exact duplication spans — the ExactSubstr
+    formulation of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed relationally instead of via
+    a suffix array: every 8-token k-gram that occurs in >= 2 distinct
+    docs marks its start position as duplicated; maximal runs of
+    consecutive duplicated positions merge (gaps-and-islands on
+    pos - row_number) into spans [span_start, span_end] a trainer can
+    cut, with span_tokens the cut length. Unlike doc-level MinHash this
+    catches boilerplate embedded inside otherwise-unique documents —
+    the dominant contamination mode in web corpora.
+
+    Scale: the posting list (k-gram -> docs) is the suffix array's
+    distributed stand-in. The duplicated-k-gram filter is an unhinted
+    shuffle semi-join on the k-gram string (corpus-sized build side —
+    never broadcast); islands need one window sort per doc partition.
+    Shuffle volume is O(total k-grams); no pairwise doc join ever
+    materializes, so dense duplication can't go quadratic."""
+    d = table(spark, sf_dir, "documents")
+    toks = fan_out(
+        d.select("doc_id", F.split("text", " ").alias("l"))
+    ).localCheckpoint()
+    kg = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "IF(size(l) >= 8,"
+                " transform(sequence(1, size(l) - 7),"
+                "  i -> concat_ws(' ', slice(l, i, 8))),"
+                " array())"
+            )
+        ).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "g")
+    dup = (
+        kg.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    dpos = kg.join(dup, "g", "left_semi").select("doc_id", "i")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("i")
+    isl = dpos.withColumn("grp", F.col("i") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").cast("bigint").alias("span_start"),
+            (F.max("i") + 7).cast("bigint").alias("span_end"),
+            (F.max("i") + 7 - F.min("i") + 1).cast("bigint").alias("span_tokens"),
+            F.count("*").cast("bigint").alias("n_kgrams"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens", "n_kgrams")
+        .orderBy("doc_id", "span_start")
+    )

@@ -711,3 +711,85 @@ def llm_class_rebalance(spark, sf_dir):
         F.col("rep").alias("replication"),
         "n_after",
     )
+
+
+@query(
+    "llm_embed_gram",
+    oracle="""
+WITH x AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xi
+  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+)
+SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+       CAST(SUM(CAST(floor(a.xi * b.xi * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS gram_micro,
+       CAST(SUM(CAST(floor(a.xi * b.xi * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS gram
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    family=_FAM,
+)
+def llm_embed_gram(spark, sf_dir):
+    """Distributed Gram matrix X^T X over the embedding column — the
+    one-pass statistic behind PCA / ZCA whitening / covariance of an
+    embedding table (subtract the mean outer product downstream and
+    you have covariance). Output is the upper triangle: d(d+1)/2 =
+    2080 rows for d=64, regardless of corpus size.
+
+    Shape: mapInPandas computes per-partition partial Gram matrices
+    with a vectorized numpy outer-product sum (chunked at 1024 rows so
+    the (chunk, d, d) tensor stays ~34 MB), emits ONE triangle per
+    partition, and a 2080-key groupBy folds partials — the classic
+    map-side-combine linear-algebra shape: shuffle volume is
+    O(partitions * d^2), never O(n). Each elementwise product is
+    floor-quantized to integer micro-units BEFORE summing (floor, not
+    round: identical on every engine; ties in half-rounding are not),
+    so the fold is order-independent and the oracle matches bit-exactly.
+    At 100 TB this is the only viable covariance shape: no per-pair
+    join, no driver collect, d^2 state per task."""
+    e = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+
+    def gram_batches(batches):
+        # self-contained closure (cloudpickle by value; executor workers
+        # can't import hdfs_mr_spark from the driver's arbitrary cwd)
+        import numpy as np
+        import pandas as pd
+
+        d = None
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            if acc is None:
+                d = X.shape[1]
+                acc = np.zeros((d, d), dtype=np.int64)
+            for s in range(0, len(X), 1024):
+                chunk = X[s : s + 1024]
+                P = chunk[:, :, None] * chunk[:, None, :]
+                acc += np.floor(P * 1000000.0).astype(np.int64).sum(axis=0)
+        if acc is None:
+            return
+        iu = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": iu[0].astype("int32"),
+                "j": iu[1].astype("int32"),
+                "part_micro": acc[iu],
+            }
+        )
+
+    partials = e.mapInPandas(gram_batches, "i int, j int, part_micro long")
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("part_micro").alias("gram_micro"))
+        .select(
+            "i", "j", "gram_micro",
+            (F.col("gram_micro").cast("double") / 1000000.0).alias("gram"),
+        )
+        .orderBy("i", "j")
+    )

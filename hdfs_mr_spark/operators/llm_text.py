@@ -1697,3 +1697,125 @@ def llm_zipf_slope(spark, sf_dir):
         sxx.cast("bigint").alias("sxx_den"),
         (sxy.cast("double") / sxx.cast("double")).alias("zipf_slope"),
     )
+
+
+@query(
+    "llm_lm_score_bigram",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+big AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+  FROM tok, LATERAL unnest(range(1, len(l))) AS u(i)
+),
+train_uni AS (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT doc_id, unnest(l) AS w FROM tok WHERE doc_id % 2 = 0
+  ) GROUP BY w
+),
+train_big AS (
+  SELECT w1, w2, COUNT(*) AS cnt FROM big WHERE doc_id % 2 = 0 GROUP BY w1, w2
+),
+tv AS (
+  SELECT SUM(cnt) AS t, COUNT(*) AS v FROM train_uni
+),
+scored AS (
+  SELECT b.doc_id,
+         COUNT(*) AS n_transitions,
+         SUM(CAST(round(-ln(
+           CASE WHEN tb.cnt IS NOT NULL
+                THEN CAST(tb.cnt AS DOUBLE) / CAST(u1.cnt AS DOUBLE)
+                ELSE 0.4 * (CAST(COALESCE(u2.cnt, 0) AS DOUBLE) + 1.0)
+                     / (CAST(tv.t AS DOUBLE) + CAST(tv.v AS DOUBLE))
+           END) * 1000000.0) AS BIGINT)) AS nll_micro,
+         SUM(CASE WHEN tb.cnt IS NULL THEN 1 ELSE 0 END) AS n_backoff
+  FROM big b
+  LEFT JOIN train_big tb ON b.w1 = tb.w1 AND b.w2 = tb.w2
+  LEFT JOIN train_uni u1 ON b.w1 = u1.w
+  LEFT JOIN train_uni u2 ON b.w2 = u2.w
+  CROSS JOIN tv
+  GROUP BY b.doc_id
+)
+SELECT doc_id,
+       CAST(n_transitions AS BIGINT) AS n_transitions,
+       CAST(nll_micro AS BIGINT) AS nll_micro,
+       CAST(nll_micro AS DOUBLE) / n_transitions AS mean_nll_micro,
+       CAST(n_backoff AS BIGINT) AS n_backoff,
+       doc_id % 2 = 0 AS in_train
+FROM scored
+""",
+    family=_FAM,
+)
+def llm_lm_score_bigram(spark, sf_dir):
+    """Bigram LM scoring with stupid backoff — the CCNet refinement over
+    :func:`llm_lm_score`'s unigram model: the LM trains on HALF the
+    corpus (even doc_id = the blessed reference set, the
+    Wikipedia-trains / CommonCrawl-scores shape) and scores EVERY doc's
+    transitions, so held-out docs genuinely hit the backoff path
+    (P = C(w1,w2)/C(w1) when the bigram was seen in training, else
+    0.4 * (C(w2)+1)/(T+V) — Brants et al.'s stupid backoff with add-one
+    smoothing on the unigram fallback). n_backoff per doc doubles as an
+    out-of-domain signal.
+
+    Determinism: same discipline as the unigram scorer — log domain
+    only, each transition's -ln p quantized to integer micro-units
+    before the order-independent sum. Scale: bigram and unigram tables
+    grow with the corpus (vocab^2 worst case), so ALL THREE LM joins
+    are unhinted shuffle equi-joins — no broadcast anywhere; T and V
+    are two scalars from one tiny aggregate, embedded as literals."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", _toks().alias("l"))
+    big = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "IF(size(l) >= 2,"
+                " transform(sequence(1, size(l) - 1),"
+                "  i -> struct(element_at(l, i) AS w1, element_at(l, i+1) AS w2)),"
+                " array())"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    train_tok = tok.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode("l").alias("w")
+    )
+    train_uni = train_tok.groupBy("w").agg(F.count("*").alias("ucnt"))
+    train_big = (
+        big.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("bcnt"))
+    )
+    t, v = train_uni.agg(
+        F.sum("ucnt").alias("t"), F.count("*").alias("v")
+    ).first()
+    u1 = train_uni.select(F.col("w").alias("w1"), F.col("ucnt").alias("u1cnt"))
+    u2 = train_uni.select(F.col("w").alias("w2"), F.col("ucnt").alias("u2cnt"))
+    p = F.when(
+        F.col("bcnt").isNotNull(),
+        F.col("bcnt").cast("double") / F.col("u1cnt").cast("double"),
+    ).otherwise(
+        0.4 * (F.coalesce(F.col("u2cnt"), F.lit(0)).cast("double") + 1.0)
+        / F.lit(float(t) + float(v))
+    )
+    scored = (
+        big.join(train_big, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.sum(F.round(-F.log(p) * 1000000.0).cast("bigint")).alias("nll_micro"),
+            F.sum(F.when(F.col("bcnt").isNull(), 1).otherwise(0)).alias("n_backoff"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        F.col("nll_micro").cast("bigint").alias("nll_micro"),
+        (F.col("nll_micro").cast("double") / F.col("n_transitions")).alias(
+            "mean_nll_micro"
+        ),
+        F.col("n_backoff").cast("bigint").alias("n_backoff"),
+        (F.col("doc_id") % 2 == 0).alias("in_train"),
+    )

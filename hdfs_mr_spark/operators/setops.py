@@ -401,3 +401,121 @@ def sample_weighted_priority(spark, sf_dir):
         .orderBy(F.col("priority").desc(), F.col("o_orderkey").asc())
         .limit(64)
     )
+
+
+@query(
+    "dq_constraint_audit",
+    oracle="""
+WITH checks AS (
+  SELECT 'orders_fk_customer' AS check_name,
+         (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS n_violations,
+         (SELECT COUNT(*) FROM orders) AS n_checked
+  UNION ALL
+  SELECT 'lineitem_fk_orders',
+         (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+         (SELECT COUNT(*) FROM lineitem)
+  UNION ALL
+  SELECT 'customer_pk_unique',
+         (SELECT COALESCE(SUM(cnt - 1), 0) FROM
+            (SELECT COUNT(*) AS cnt FROM customer GROUP BY c_custkey) g
+          WHERE cnt > 1),
+         (SELECT COUNT(*) FROM customer)
+  UNION ALL
+  SELECT 'lineitem_qty_range',
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50),
+         (SELECT COUNT(*) FROM lineitem)
+  UNION ALL
+  SELECT 'lineitem_discount_range',
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1),
+         (SELECT COUNT(*) FROM lineitem)
+  UNION ALL
+  SELECT 'orders_total_nonneg',
+         (SELECT COUNT(*) FROM orders
+          WHERE o_totalprice IS NULL OR o_totalprice < 0),
+         (SELECT COUNT(*) FROM orders)
+  UNION ALL
+  SELECT 'events_value_notnull',
+         (SELECT COUNT(*) FROM events WHERE value IS NULL),
+         (SELECT COUNT(*) FROM events)
+)
+SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_checked AS BIGINT) AS n_checked,
+       n_violations = 0 AS passed
+FROM checks ORDER BY check_name
+""",
+    family=_FAM,
+)
+def dq_constraint_audit(spark, sf_dir):
+    """Data-quality constraint audit — the pre-ingest gate every
+    production training-data pipeline runs before a snapshot is blessed:
+    referential integrity (FK orphans via LEFT-join-null probes, which
+    Catalyst plans as the same shuffle as a dedicated anti-join),
+    primary-key uniqueness (excess-row count per duplicated key), range
+    and null checks. One summary row per constraint.
+
+    Scale: each check is a single filter+aggregate or equi-join over one
+    pass of its table (no per-check re-scan of anything wide; counts are
+    map-side partial-aggregated). The seven checks are independent jobs
+    unioned into a 7-row frame — at 100 TB a scheduler runs them
+    concurrently; nothing here collects rows to the driver."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+
+    def check(name, violations_df, checked_df):
+        return (
+            violations_df.agg(F.count("*").alias("n_violations"))
+            .crossJoin(
+                F.broadcast(checked_df.agg(F.count("*").alias("n_checked")))
+            )
+            .select(
+                F.lit(name).alias("check_name"),
+                F.col("n_violations").cast("bigint").alias("n_violations"),
+                F.col("n_checked").cast("bigint").alias("n_checked"),
+                (F.col("n_violations") == 0).alias("passed"),
+            )
+        )
+
+    fk_orders = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_anti"
+    )
+    fk_li = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+    pk_dupes = (
+        cust.groupBy("c_custkey").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n_violations"))
+        .crossJoin(F.broadcast(cust.agg(F.count("*").alias("n_checked"))))
+        .select(
+            F.lit("customer_pk_unique").alias("check_name"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            F.col("n_checked").cast("bigint").alias("n_checked"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )
+    qty_bad = li.filter(
+        F.col("l_quantity").isNull()
+        | (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+    )
+    disc_bad = li.filter(
+        F.col("l_discount").isNull()
+        | (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+    )
+    total_bad = orders.filter(
+        F.col("o_totalprice").isNull() | (F.col("o_totalprice") < 0)
+    )
+    val_null = ev.filter(F.col("value").isNull())
+    out = (
+        check("orders_fk_customer", fk_orders, orders)
+        .unionAll(check("lineitem_fk_orders", fk_li, li))
+        .unionAll(pk_dupes)
+        .unionAll(check("lineitem_qty_range", qty_bad, li))
+        .unionAll(check("lineitem_discount_range", disc_bad, li))
+        .unionAll(check("orders_total_nonneg", total_bad, orders))
+        .unionAll(check("events_value_notnull", val_null, ev))
+    )
+    return out.orderBy("check_name")

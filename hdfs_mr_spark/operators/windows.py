@@ -1068,3 +1068,43 @@ def ts_interpolate_linear(spark, sf_dir):
         .otherwise(F.col("nv"))
         .alias("value_filled"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "win_percent_rank_cume",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(CASE WHEN cume_dist() OVER w <= 0.25 THEN 'top_quartile'
+                 WHEN cume_dist() OVER w <= 0.75 THEN 'mid'
+                 ELSE 'bottom_quartile' END AS VARCHAR) AS band
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+ORDER BY c_mktsegment, pct_rank, c_custkey
+""",
+    family="2.5 windows",
+)
+def win_percent_rank_cume(spark, sf_dir):
+    """Relative-standing window functions: percent_rank (rank-1)/(n-1)
+    and cume_dist over account balance within market segment, banded
+    into quartile labels. percent_rank/cume_dist are exact rational
+    values both engines compute as one IEEE division, so the full
+    doubles hash-match without quantization. One window sort serves
+    both functions (single Exchange — same property test_plans locks
+    for the other window ops)."""
+    c = table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    )
+    cume = F.cume_dist().over(w)
+    return c.select(
+        "c_mktsegment", "c_custkey", "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        cume.alias("cume"),
+        F.when(cume <= 0.25, "top_quartile")
+        .when(cume <= 0.75, "mid")
+        .otherwise("bottom_quartile")
+        .alias("band"),
+    ).orderBy("c_mktsegment", "pct_rank", "c_custkey")
