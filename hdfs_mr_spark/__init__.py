@@ -19,6 +19,7 @@ _FAMILY_MODULES = (
     "hdfs_mr_spark.operators.setops",
     "hdfs_mr_spark.operators.subqueries",
     "hdfs_mr_spark.operators.mrjobs",
+    "hdfs_mr_spark.operators.tpch",
     "hdfs_mr_spark.operators.llm_text",
     "hdfs_mr_spark.operators.llm_dedup",
     "hdfs_mr_spark.operators.llm_similarity",

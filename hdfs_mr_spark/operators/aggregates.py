@@ -1008,3 +1008,102 @@ def agg_heavy_hitters(spark, sf_dir):
         )
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
     )
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+@query(
+    "agg_countmin_sketch",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+cells AS (
+  SELECT j,
+         ('0x' || substr(md5(w || ':cms:' || j), 1, 12))::BIGINT % {_CMS_WIDTH}
+           AS b,
+         COUNT(*) AS cnt
+  FROM tok, (SELECT unnest(range(0, {_CMS_DEPTH})) AS j)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT w, COUNT(*) AS exact_cnt FROM tok GROUP BY w
+  ORDER BY exact_cnt DESC, w ASC LIMIT 20
+),
+est AS (
+  SELECT e.w, e.exact_cnt, MIN(c.cnt) AS est_cnt
+  FROM exact e, (SELECT unnest(range(0, {_CMS_DEPTH})) AS j) js
+  JOIN cells c
+    ON c.j = js.j
+   AND c.b = ('0x' || substr(md5(e.w || ':cms:' || js.j), 1, 12))::BIGINT
+             % {_CMS_WIDTH}
+  GROUP BY e.w, e.exact_cnt
+)
+SELECT w, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(est_cnt AS BIGINT) AS est_cnt,
+       CAST(est_cnt - exact_cnt AS BIGINT) AS overcount,
+       est_cnt >= exact_cnt AS sound
+FROM est
+ORDER BY exact_cnt DESC, w ASC
+""",
+    family=_FAM,
+)
+def agg_countmin_sketch(spark, sf_dir):
+    """Count-Min sketch (Cormode–Muthukrishnan) as a mergeable
+    distributed aggregate: a 4x256 counter grid
+    where cell[j][b] = total count of tokens hashing to b under seeded
+    hash j. The build is ONE combiner-shape groupBy over (j, bucket) —
+    per-partition partial grids merge by addition, which is the whole
+    point of CMS at 100 TB: sketch state is fixed 1 Ki cells no matter
+    the corpus, so it broadcasts for the probe join where a true
+    vocabulary table (Heaps-law-sized) could not. Probed here with the
+    exact top-20 tokens: est = min over rows of the probed cells,
+    overcount >= 0 by construction (the `sound` column hash-checks the
+    one-sided error guarantee per token).
+
+    Determinism: the hash is the engine-common 48-bit md5 fold (same
+    idiom as llm_global_shuffle), identical in Spark (conv/substr/md5)
+    and DuckDB ('0x'||substr(md5)), so the sketch — not just the
+    answers — is bit-identical across engines."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("w"))
+
+    def bucket(w_col: str, j: int):
+        return F.expr(
+            f"CAST(conv(substr(md5(concat({w_col}, ':cms:', {j})), 1, 12),"
+            f" 16, 10) AS BIGINT) % {_CMS_WIDTH}"
+        )
+
+    probes = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), bucket("w", j).alias("b"))
+            for j in range(_CMS_DEPTH)
+        ]
+    )
+    keyed = tok.select("w", F.explode(probes).alias("p")).select(
+        "w", F.col("p.j").alias("j"), F.col("p.b").alias("b")
+    )
+    cells = keyed.groupBy("j", "b").agg(F.count("*").alias("cnt"))
+    exact = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("w").asc())
+        .limit(20)
+    )
+    probe = exact.select(
+        "w", "exact_cnt", F.explode(probes).alias("p")
+    ).select("w", "exact_cnt", F.col("p.j").alias("j"), F.col("p.b").alias("b"))
+    est = (
+        probe.join(F.broadcast(cells), ["j", "b"])
+        .groupBy("w", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.select(
+        "w",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        F.col("est_cnt").cast("bigint").alias("est_cnt"),
+        (F.col("est_cnt") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias("sound"),
+    ).orderBy(F.col("exact_cnt").desc(), F.col("w").asc())

@@ -275,3 +275,31 @@ def test_lm_score_vocab_join_not_broadcast(spark):
     nodes = _nodes(_plan_no_auto_broadcast(spark, "llm_lm_score"))
     assert any("SortMergeJoin" in n for n in nodes)
     assert sum("BroadcastExchange" in n for n in nodes) <= 3
+
+
+def test_tpch_topk_uses_take_ordered(spark):
+    """The TPC-H composites' LIMIT-after-agg must plan as
+    TakeOrderedAndProject (per-partition heaps), never a global sort."""
+    for name in ("sql_tpch_q3_shipping_priority", "sql_tpch_q10_returned_items"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert not any("CartesianProduct" in n for n in _nodes(plan)), name
+
+
+def test_substring_dedup_semi_join_not_broadcast(spark):
+    """The duplicated-k-gram semi-join build side is corpus-sized
+    (posting list) — must stay a shuffle join, like the other
+    vocab-scale joins."""
+    plan = _plan_no_auto_broadcast(spark, "llm_dedup_substring")
+    nodes = _nodes(plan)
+    assert not any("BroadcastExchange" in n for n in nodes)
+    assert any("SortMergeJoin" in n for n in nodes)
+    assert "LeftSemi" in plan
+
+
+def test_countmin_cells_probe_is_broadcast(spark):
+    """CMS probe join SHOULD broadcast: sketch state is fixed 1 Ki cells
+    at any corpus size — the justified-broadcast counterexample to the
+    vocab-table rule."""
+    nodes = _nodes(_plan_no_auto_broadcast(spark, "agg_countmin_sketch"))
+    assert any("BroadcastHashJoin" in n for n in nodes)
