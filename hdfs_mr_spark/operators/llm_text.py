@@ -1819,3 +1819,174 @@ def llm_lm_score_bigram(spark, sf_dir):
         F.col("n_backoff").cast("bigint").alias("n_backoff"),
         (F.col("doc_id") % 2 == 0).alias("in_train"),
     )
+
+
+@query(
+    "llm_quality_ensemble",
+    oracle="""
+WITH feat AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tok,
+         n_chars,
+         (SELECT AVG(len(w)) FROM unnest(string_split(text, ' ')) AS t(w))
+           AS mean_word_len,
+         len(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+               i -> string_split(text, ' ')[i] || ' '
+                    || string_split(text, ' ')[i+1] || ' '
+                    || string_split(text, ' ')[i+2])))
+           AS n_dist_tri,
+         greatest(len(string_split(text, ' ')) - 2, 0) AS n_tri
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id,
+         n_tok < 15 AS fail_short,
+         n_chars > 500 AS fail_long,
+         lang NOT IN ('en', 'de', 'fr', 'es') AS fail_lang,
+         mean_word_len < 3.0 OR mean_word_len > 12.0 AS fail_word_len,
+         n_tri > 0 AND (1.0 - CAST(n_dist_tri AS DOUBLE) / n_tri) > 0.3
+           AS fail_repetition
+  FROM feat
+)
+SELECT doc_id, fail_short, fail_long, fail_lang, fail_word_len,
+       fail_repetition,
+       NOT (fail_short OR fail_long OR fail_lang OR fail_word_len
+            OR fail_repetition) AS kept,
+       CASE WHEN fail_short THEN 'short'
+            WHEN fail_long THEN 'long'
+            WHEN fail_lang THEN 'lang'
+            WHEN fail_word_len THEN 'word_len'
+            WHEN fail_repetition THEN 'repetition'
+       END AS first_fail
+FROM flagged
+ORDER BY doc_id
+""",
+    family=_FAM,
+)
+def llm_quality_ensemble(spark, sf_dir):
+    """Quality-filter ENSEMBLE with per-rule attribution — the artifact a
+    curation pipeline actually ships: every doc gets all five rule
+    verdicts (C4 length/language gates + two Gopher signals: mean word
+    length band, duplicate-trigram fraction), the combined keep bit, and
+    `first_fail` = the first rule in pipeline order that killed it (NULL
+    if kept), which is what makes filter-funnel dashboards and rule
+    ablations possible downstream. Single pass, all JVM expressions —
+    features come from one projection (no joins, no shuffle except the
+    presentation sort); the decision stays replayable because every
+    threshold is in the output schema, not hidden in code."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    mean_wl = F.expr(
+        "aggregate(transform(split(text, ' '), w -> length(w)),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x)"
+    ).cast("double") / n_tok.cast("double")
+    n_tri = F.greatest(n_tok - 2, F.lit(0))
+    n_dist_tri = F.size(
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+                " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+                " element_at(split(text, ' '), i+1),"
+                " element_at(split(text, ' '), i+2)))"
+            )
+        )
+    )
+    feat = d.select(
+        "doc_id",
+        (n_tok < 15).alias("fail_short"),
+        (F.col("n_chars") > 500).alias("fail_long"),
+        (~F.col("lang").isin("en", "de", "fr", "es")).alias("fail_lang"),
+        ((mean_wl < 3.0) | (mean_wl > 12.0)).alias("fail_word_len"),
+        (
+            (n_tri > 0)
+            & ((1.0 - n_dist_tri.cast("double") / n_tri.cast("double")) > 0.3)
+        ).alias("fail_repetition"),
+    )
+    any_fail = (
+        F.col("fail_short") | F.col("fail_long") | F.col("fail_lang")
+        | F.col("fail_word_len") | F.col("fail_repetition")
+    )
+    return feat.select(
+        "*",
+        (~any_fail).alias("kept"),
+        F.when(F.col("fail_short"), "short")
+        .when(F.col("fail_long"), "long")
+        .when(F.col("fail_lang"), "lang")
+        .when(F.col("fail_word_len"), "word_len")
+        .when(F.col("fail_repetition"), "repetition")
+        .alias("first_fail"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle="""
+WITH tri AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(l) - 1),
+           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+),
+first_seen AS (
+  SELECT g, MIN(doc_id) AS fd FROM tri GROUP BY g
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tri,
+       CAST(COUNT(*) FILTER (WHERE f.fd = t.doc_id) AS BIGINT) AS n_novel,
+       CAST(COUNT(*) FILTER (WHERE f.fd = t.doc_id) AS DOUBLE) / COUNT(*)
+         AS novelty_frac
+FROM tri t JOIN first_seen f ON t.g = f.g
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+    family=_FAM,
+)
+def llm_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty in arrival order (doc_id = ingest
+    sequence): what fraction of a doc's distinct trigrams has NO earlier
+    occurrence in the corpus. The curation signal behind dataset
+    ordering and dedup-priority decisions — a feed whose novelty curve
+    collapses is re-crawling itself; a doc with near-zero novelty is
+    boilerplate even if no single pair-level duplicate exists.
+
+    Shape: trigram -> MIN(doc_id) first-occurrence table (combiner-shape
+    aggregate), then one unhinted shuffle equi-join back on the trigram
+    (the first-occurrence table is corpus-sized — the same
+    never-broadcast rule as tf-idf's df table) and a per-doc conditional
+    aggregate. No windows, no global sort beyond presentation; both
+    shuffles key on the trigram."""
+    d = table(spark, sf_dir, "documents")
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "IF(size(split(text, ' ')) >= 3,"
+                    " transform(sequence(1, size(split(text, ' ')) - 2),"
+                    "  i -> concat_ws(' ', element_at(split(text, ' '), i),"
+                    "  element_at(split(text, ' '), i+1),"
+                    "  element_at(split(text, ' '), i+2))),"
+                    " array())"
+                )
+            )
+        ).alias("g"),
+    )
+    first_seen = tri.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    return (
+        tri.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_tri"),
+            F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_distinct_tri", "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_distinct_tri"))
+            .alias("novelty_frac"),
+        )
+        .orderBy("doc_id")
+    )
