@@ -65,6 +65,11 @@ HEADLINE = [
     "mr_bfs",                # 2.9 frontier-delta graph traversal
     "join_spatial_grid",     # 2.3 grid-cell spatial join
     "agg_bitmap_distinct",   # 2.4 bitmap exact-distinct (combiner-shape)
+    "llm_dedup_substring",   # 2.11 k-gram posting-list span dedup (r3)
+    "llm_lm_score_bigram",   # 2.11 bigram LM + backoff, vocab-scale joins (r3)
+    "llm_embed_gram",        # 2.11 distributed Gram matrix partials (r3)
+    "agg_countmin_sketch",   # 2.4 mergeable CMS grid (r3)
+    "sql_tpch_q5_local_supplier",  # 2.9 6-way join composite (r3)
 ]
 
 

@@ -1108,3 +1108,69 @@ def win_percent_rank_cume(spark, sf_dir):
         .otherwise("bottom_quartile")
         .alias("band"),
     ).orderBy("c_mktsegment", "pct_rank", "c_custkey")
+
+
+@query(
+    "ts_seasonality_profile",
+    oracle="""
+WITH keyed AS (
+  SELECT event_type,
+         CAST((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) + 4) % 7
+              AS INTEGER) AS dow,
+         CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+         value
+  FROM events
+),
+cells AS (
+  SELECT event_type, dow, hod, COUNT(*) AS n,
+         (CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) * 100000000 AS DECIMAL(38,0)) AS DOUBLE) / 100000000.0) AS total_value
+  FROM keyed GROUP BY event_type, dow, hod
+),
+tot AS (
+  SELECT event_type, SUM(n) AS type_n FROM cells GROUP BY event_type
+)
+SELECT c.event_type, c.dow, c.hod, CAST(c.n AS BIGINT) AS n, c.total_value,
+       CAST(c.n AS DOUBLE) / t.type_n AS share
+FROM cells c JOIN tot t ON c.event_type = t.event_type
+ORDER BY c.event_type, dow, hod
+""",
+    family="2.5 windows",
+)
+def ts_seasonality_profile(spark, sf_dir):
+    """Seasonal load profile: event count / value / within-type share per
+    (event_type, day-of-week, hour-of-day) cell — the decomposition
+    behind capacity planning and anomaly baselines ("is this Tuesday-3pm
+    normal for Tuesday 3pm?"). Day-of-week comes from engine-common
+    epoch arithmetic ((epoch_days + 4) % 7, Sunday=0) instead of each
+    engine's dayofweek() — Spark counts 1=Sunday, DuckDB 0=Sunday, and
+    that off-by-one is exactly the class of silent bug the oracle
+    hash-check exists to catch. Two combiner-shape aggregates (cells,
+    then per-type totals off the tiny cell frame) — the second groupBy
+    re-aggregates 168xtypes cells, not events, so event rows shuffle
+    once."""
+    e = table(spark, sf_dir, "events")
+    keyed = e.select(
+        "event_type",
+        (
+            (F.floor(F.unix_timestamp("ts") / 86400).cast("bigint") + 4) % 7
+        ).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+        "value",
+    )
+    from hdfs_mr_spark.exprs import dsum
+
+    cells = keyed.groupBy("event_type", "dow", "hod").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+    tot = cells.groupBy("event_type").agg(F.sum("n").alias("type_n"))
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type", "dow", "hod",
+            F.col("n").cast("bigint").alias("n"),
+            "total_value",
+            (F.col("n").cast("double") / F.col("type_n")).alias("share"),
+        )
+        .orderBy("event_type", "dow", "hod")
+    )

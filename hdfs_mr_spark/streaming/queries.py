@@ -695,3 +695,56 @@ def stream_chained_agg(spark, sf_dir):
         )
     )
     return _run_to_memory(hourly, "append").orderBy("hour_start")
+
+
+@query(
+    "stream_exactly_once_sink",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       (CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) * 100000000 AS DECIMAL(38,0)) AS DOUBLE) / 100000000.0) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    family=_FAM,
+)
+def stream_exactly_once_sink(spark, sf_dir):
+    """Exactly-once file sink under RE-RUN: the multi-batch stream
+    drains into a parquet sink with a checkpoint, then the SAME query
+    (same checkpoint, same sink) is started a second time. The file
+    sink's transaction log (_spark_metadata) + source offsets in the
+    checkpoint mean the rerun commits NOTHING — re-reading the sink
+    aggregates to exactly the batch answer, not double it. This is the
+    idempotent-daily-job property that makes streaming pipelines safe
+    to retry at 100 TB: a failed orchestrator can always just run the
+    job again. (foreachBatch, by contrast, is at-least-once unless the
+    user dedupes — covered by stream_foreachbatch.)"""
+    import os
+
+    out = tempfile.mkdtemp(prefix="hmr_eo_out_")
+    os.rmdir(out)
+    ckpt = tempfile.mkdtemp(prefix="hmr_eo_ckpt_")
+
+    def drain():
+        s = _event_stream(spark, sf_dir).select("event_id", "event_type", "value")
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    drain()  # rerun with the same checkpoint: must commit zero new rows
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -54,6 +54,12 @@ BASELINE_R3 = {
     "mr_bfs": 2.221,
     "join_spatial_grid": 0.403,
     "agg_bitmap_distinct": 0.178,
+    # round-3 additions, baselined from the same-day extended run
+    "llm_dedup_substring": 1.451,
+    "llm_lm_score_bigram": 1.219,
+    "llm_embed_gram": 0.852,
+    "agg_countmin_sketch": 1.505,
+    "sql_tpch_q5_local_supplier": 1.146,
 }
 
 # Per-query seconds from BENCH_r01.json (single-run-per-query era).
