@@ -902,3 +902,94 @@ def llm_dedup_substring(spark, sf_dir):
         .select("doc_id", "span_start", "span_end", "span_tokens", "n_kgrams")
         .orderBy("doc_id", "span_start")
     )
+
+
+@query(
+    "llm_dedup_keep_best",
+    oracle="""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+),
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+  SELECT i.d1, i.d2
+  FROM inter i
+  JOIN sizes s1 ON i.d1 = s1.doc_id
+  JOIN sizes s2 ON i.d2 = s2.doc_id
+  WHERE CAST(i.n_common AS DOUBLE)
+        / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) >= 0.5
+),
+bidir AS (
+  SELECT d1 AS a, d2 AS b FROM edges
+  UNION ALL
+  SELECT d2 AS a, d1 AS b FROM edges
+),
+walk(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.lab FROM walk w JOIN bidir e ON e.a = w.node
+),
+comp AS (SELECT node AS doc_id, MIN(lab) AS component FROM walk GROUP BY node),
+ranked AS (
+  SELECT c.doc_id, c.component, d.n_chars,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+),
+winners AS (
+  SELECT component, doc_id AS kept_doc_id FROM ranked WHERE rk = 1
+)
+SELECT r.doc_id, r.component, CAST(r.n_chars AS INTEGER) AS n_chars,
+       w.kept_doc_id, r.doc_id = w.kept_doc_id AS keep
+FROM ranked r JOIN winners w ON r.component = w.component
+ORDER BY r.doc_id
+""",
+    family=_FAM,
+)
+def llm_dedup_keep_best(spark, sf_dir):
+    """End-to-end dedup survivor selection — the pipeline composition a
+    curation run actually ships: near-dup connected components (from
+    :func:`llm_dedup_clusters`' label-propagation kernel) joined with a
+    quality signal, and ONE winner kept per cluster by (n_chars DESC,
+    doc_id ASC) — "keep the longest copy", the Common-Crawl-era default,
+    with the doc_id tiebreak making the choice total and replayable.
+    Output is the full audit table (every doc, its cluster, the winner
+    it lost to) rather than just the keep-list, because removal
+    decisions need to be reviewable.
+
+    Scale: rides the cluster kernel's O(diameter)-round propagation;
+    the winner selection is one row_number window over the component
+    partitioning plus an equi-join of two component-keyed frames —
+    nothing new shuffles more than once."""
+    comp = llm_dedup_clusters(spark, sf_dir).select("doc_id", "component")
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = comp.join(d, "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    winners = ranked.filter(F.col("rk") == 1).select(
+        "component", F.col("doc_id").alias("kept_doc_id")
+    )
+    return (
+        ranked.join(winners, "component")
+        .select(
+            "doc_id", "component",
+            F.col("n_chars").cast("int").alias("n_chars"),
+            "kept_doc_id",
+            (F.col("doc_id") == F.col("kept_doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

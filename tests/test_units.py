@@ -261,3 +261,31 @@ def test_blocked_kernel_block_size_is_bounded():
         assert rows_per_block <= _TARGET_BLOCK_ROWS
         if n > _TARGET_BLOCK_ROWS * 2:
             assert nblocks >= n // (_TARGET_BLOCK_ROWS * 2)
+
+
+def test_stream_source_drains_multiple_batches(spark):
+    """VERDICT r2 item 7 done-criterion: the default stream source must
+    drain as MULTIPLE micro-batches (state carry-over is only exercised
+    if batch count > 1), and the union of batches must cover every row."""
+    import tempfile
+
+    from hdfs_mr_spark.io import table
+    from hdfs_mr_spark.streaming.queries import _event_stream
+    from tests.conftest import SF_SMOKE
+
+    s = _event_stream(spark, SF_SMOKE).select("event_id")
+    ckpt = tempfile.mkdtemp(prefix="hmr_mb_ckpt_")
+    q = (
+        s.writeStream.format("memory")
+        .queryName("hmr_multibatch_probe")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch_ids = {p["batchId"] for p in q.recentProgress}
+    assert len(batch_ids) > 1, f"expected multi-batch drain, got {batch_ids}"
+    got = spark.table("hmr_multibatch_probe").count()
+    expect = table(spark, SF_SMOKE, "events").count()
+    assert got == expect
