@@ -866,3 +866,45 @@ def sink_zorder_cluster(spark, sf_dir):
             (F.max("x") - F.min("x") + 1) * (F.max("y") - F.min("y") + 1)
         ).cast("bigint").alias("bbox_area"),
     )
+
+
+@query(
+    "sink_compression_codecs",
+    oracle="""
+SELECT codec,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       (CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) * 100000000 AS DECIMAL(38,0)) AS DOUBLE) / 100000000.0) AS sum_price
+FROM lineitem, (SELECT unnest(['gzip', 'snappy', 'zstd']) AS codec)
+GROUP BY codec
+ORDER BY codec
+""",
+    family=_FAM,
+)
+def sink_compression_codecs(spark, sf_dir):
+    """Compression-codec round trip: the same table written as gzip,
+    snappy, and zstd parquet, each re-read and aggregated — the codec
+    choice every storage layer has to prove lossless before it becomes
+    a fleet default (zstd ~halves gzip CPU at similar ratio; snappy
+    trades size for speed — the SIZES are environment-dependent so only
+    content equality is oracle-checked, per codec). At 100 TB the same
+    three writes are how a migration A/B is actually validated: full
+    content hash per codec, not a sample."""
+    from hdfs_mr_spark.exprs import dsum
+
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    outs = []
+    for codec in ("gzip", "snappy", "zstd"):
+        out = str(_fixture_dir(sf_dir) / f"sink_codec_{codec}.parquet")
+        li.write.mode("overwrite").option("compression", codec).parquet(out)
+        outs.append(
+            spark.read.parquet(out)
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                dsum(F.col("l_extendedprice")).alias("sum_price"),
+            )
+            .select(F.lit(codec).alias("codec"), "n_rows", "sum_price")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("codec")

@@ -748,3 +748,82 @@ def stream_exactly_once_sink(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_stream_left_outer",
+    oracle="""
+WITH mx AS (
+  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 3 HOUR AS seal FROM events
+)
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+ AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+CROSS JOIN mx
+WHERE CAST(p.ts AS TIMESTAMP) < mx.seal
+ORDER BY purchase_id, view_id
+""",
+    family=_FAM,
+)
+def stream_stream_left_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER join — the attribution shape where
+    purchases WITHOUT a preceding view must also surface (null-extended)
+    so unattributed conversions are visible. Null rows can only be
+    emitted when the state store evicts the left row, i.e. when the
+    watermark proves no matching view can still arrive — so the
+    stream's tail is incomplete BY DESIGN: a purchase near max(ts) sits
+    in state forever (its null row would be wrong to emit). The exact
+    eviction instant also shifts with micro-batch boundaries (measured:
+    the last ~1.5-2 h of purchases may or may not have flushed,
+    batching-dependent), which is why a production consumer reads only
+    the SEALED region. This query encodes that pattern: the drained
+    result is filtered to purchase_ts < max(ts) - 3 h — comfortably
+    past any eviction-margin variant (delay 1 h + condition bound
+    30 min) — and over that region the stream equals the batch left
+    join exactly, which the oracle hash-checks. Matched rows emit on
+    match (watermark-independent), nulls on eviction; both land inside
+    the seal."""
+    p = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    v = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    ).select("purchase_id", "view_id", "user_id", "purchase_ts")
+    drained = _run_to_memory(joined, "append")
+    from hdfs_mr_spark.io import table
+
+    seal = (
+        table(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("INTERVAL 3 HOURS")).alias("seal"))
+    )
+    return (
+        drained.crossJoin(F.broadcast(seal))
+        .filter(F.col("purchase_ts") < F.col("seal"))
+        .select("purchase_id", "view_id", "user_id", "purchase_ts")
+        .orderBy("purchase_id", "view_id")
+    )
