@@ -119,7 +119,15 @@ def udf_grouped_map(spark, sf_dir):
         return out
 
     ev = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
-    return ev.groupBy("user_id").applyInPandas(
+    # Explicit keyed repartition, not a bare groupBy: the grouped-map
+    # shuffle is small at fixture scale, so AQE coalesces it to ONE
+    # partition and the whole Arrow/Python stage runs serially (measured
+    # 3.9 s -> 1.45 s at sf0.1 from this line alone). The explicit
+    # repartition satisfies the child distribution (no extra exchange)
+    # and pins Python-stage parallelism; at 100 TB the shuffle is big
+    # enough that AQE would keep the partitions anyway, so this is free.
+    n = spark.sparkContext.defaultParallelism
+    return ev.repartition(n, "user_id").groupBy("user_id").applyInPandas(
         zscore, "user_id long, event_id long, value double, zscore double"
     )
 
@@ -704,3 +712,93 @@ FROM parquet.`{sf_dir}/documents.parquet` d,
 LATERAL hmr_letter_counts(d.doc_id, d.text, 'a,e,s') t
 """
     )
+
+
+@query(
+    "llm_multimodal_resize_real",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id, mime,
+         CASE WHEN mime = 'image/png'
+              THEN ('0x' || substr(hex(payload), 33, 8))::BIGINT
+              ELSE ('0x' || substr(hex(payload), 193, 4))::BIGINT
+         END AS w,
+         CASE WHEN mime = 'image/png'
+              THEN ('0x' || substr(hex(payload), 41, 8))::BIGINT
+              ELSE ('0x' || substr(hex(payload), 189, 4))::BIGINT
+         END AS h
+  FROM '{_MEDIA_FIX}'
+)
+SELECT doc_id, mime,
+       CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+       CAST(CASE WHEN w >= h THEN 224 ELSE w * 224 // h END AS INTEGER) AS dst_w,
+       CAST(CASE WHEN h >= w THEN 224 ELSE h * 224 // w END AS INTEGER) AS dst_h
+FROM dims
+ORDER BY doc_id
+""",
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_resize_real(spark, sf_dir):
+    """Aspect-preserving 224-edge resize metadata over REAL image bytes:
+    source dimensions come from the genuine PNG chunk-walk / JPEG marker
+    scan (not a synthetic payload), target dims from integer arithmetic
+    (w*224 div h — identical in both engines; float scaling would risk
+    a 1-ulp floor flip). Pixel resampling itself stays out of scope (no
+    codec libs here — mm_decode documents the extension point); this is
+    the metadata half a ViT/CLIP preprocess stage computes before
+    touching pixels, now running against bytes a real decoder accepts."""
+
+    def resize_batches(batches):
+        # self-contained closure (cloudpickle by value; executor workers
+        # can't import hdfs_mr_spark from the driver's arbitrary cwd) —
+        # parsers mirror sources/media.py.
+        import struct
+
+        def png_dims(b):
+            pos = 8
+            while pos + 8 <= len(b):
+                (length,) = struct.unpack_from(">I", b, pos)
+                if b[pos + 4 : pos + 8] == b"IHDR":
+                    return struct.unpack_from(">II", b, pos + 8)
+                pos += 12 + length
+            raise ValueError("no IHDR")
+
+        def jpeg_dims(b):
+            pos = 2
+            while pos + 4 <= len(b):
+                marker = b[pos + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack_from(">HH", b, pos + 5)
+                    return w, h
+                if marker == 0xD9:
+                    break
+                (seglen,) = struct.unpack_from(">H", b, pos + 2)
+                pos += 2 + seglen
+            raise ValueError("no SOFn")
+
+        for pdf in batches:
+            out = pdf[["doc_id", "mime"]].copy()
+            dims = [
+                png_dims(p) if m == "image/png" else jpeg_dims(p)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            out["src_w"] = [d[0] for d in dims]
+            out["src_h"] = [d[1] for d in dims]
+            out["dst_w"] = [
+                224 if w >= h else w * 224 // h for w, h in dims
+            ]
+            out["dst_h"] = [
+                224 if h >= w else h * 224 // w for w, h in dims
+            ]
+            yield out.astype(
+                {"doc_id": "int64", "src_w": "int32", "src_h": "int32",
+                 "dst_w": "int32", "dst_h": "int32"}
+            )
+
+    from hdfs_mr_spark.sources.media import materialize_media
+
+    df = spark.read.parquet(materialize_media())
+    return df.mapInPandas(
+        resize_batches,
+        "doc_id long, mime string, src_w int, src_h int, dst_w int, dst_h int",
+    ).orderBy("doc_id")

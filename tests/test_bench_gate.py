@@ -49,7 +49,9 @@ BASELINE_R3 = {
     "llm_dedup_near_decision": 1.97,
     "llm_chunk_split": 0.427,
     "mr_triangle_count": 2.133,
-    "udf_grouped_map": 3.51,
+    # re-measured after the AQE-coalesce fix (explicit keyed repartition
+    # un-serializes the Arrow stage — PERF.md round 3)
+    "udf_grouped_map": 0.738,
     "mr_tera_validate": 1.286,
     "mr_bfs": 2.221,
     "join_spatial_grid": 0.403,
