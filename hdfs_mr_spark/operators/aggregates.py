@@ -1107,3 +1107,180 @@ def agg_countmin_sketch(spark, sf_dir):
         (F.col("est_cnt") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
         (F.col("est_cnt") >= F.col("exact_cnt")).alias("sound"),
     ).orderBy(F.col("exact_cnt").desc(), F.col("w").asc())
+
+
+@query(
+    "dq_distribution_drift",
+    oracle="""
+WITH tagged AS (
+  SELECT value, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS s1 FROM events
+),
+per_v AS (
+  SELECT value, SUM(s1) AS n1, SUM(1 - s1) AS n2 FROM tagged GROUP BY value
+),
+tot AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM per_v),
+ecdf AS (
+  SELECT SUM(n1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c1,
+         SUM(n2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c2
+  FROM per_v
+),
+ks AS (
+  SELECT MAX(ABS(CAST(c1 AS DOUBLE) / t1 - CAST(c2 AS DOUBLE) / t2)) AS ks_stat
+  FROM ecdf, tot
+)
+SELECT CAST(t.t1 AS BIGINT) AS n1, CAST(t.t2 AS BIGINT) AS n2,
+       k.ks_stat,
+       1.358 * sqrt((CAST(t.t1 AS DOUBLE) + t.t2) / (CAST(t.t1 AS DOUBLE) * t.t2))
+         AS critical_005,
+       k.ks_stat > 1.358 * sqrt((CAST(t.t1 AS DOUBLE) + t.t2)
+                                / (CAST(t.t1 AS DOUBLE) * t.t2)) AS drift
+FROM ks k, tot t
+""",
+    family=_FAM,
+)
+def dq_distribution_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift monitor — the statistical QA
+    gate between dataset snapshots (did the value distribution shift
+    between cohort A and cohort B / yesterday and today?): exact KS
+    statistic max|ECDF1 - ECDF2| over the pooled distinct values, with
+    the alpha=0.05 rejection threshold 1.358*sqrt((n1+n2)/(n1*n2)).
+
+    Scale shape: the ECDF needs a GLOBAL running sum over value order —
+    the classic single-partition trap. Here it's the TeraSort two-level
+    formulation (same discipline as sorts.bucketed_global_rank): per-
+    distinct-value counts (combiner shape), floor(value)-bucketed
+    partial running sums via a partitioned window, and cumulative bucket
+    offsets from a triangular join over the tiny per-bucket counts
+    relation. No unpartitioned window anywhere — the plan survives a
+    100x value-cardinality blowup. Per-row ECDF arithmetic is one IEEE
+    division each, so the max matches DuckDB's serial window bit-for-bit."""
+    ev = table(spark, sf_dir, "events").select(
+        "value", (F.col("user_id") % 2 == 0).cast("int").alias("s1")
+    )
+    per_v = ev.groupBy("value").agg(
+        F.sum("s1").alias("n1"), F.sum(1 - F.col("s1")).alias("n2")
+    )
+    t1, t2 = per_v.agg(F.sum("n1"), F.sum("n2")).first()
+    bkt = F.floor(F.col("value") / 10.0).cast("bigint")
+    t = per_v.withColumn("__bkt", bkt)
+    bcounts = t.groupBy("__bkt").agg(
+        F.sum("n1").alias("b1"), F.sum("n2").alias("b2")
+    )
+    prior = bcounts.select(
+        F.col("__bkt").alias("__pb"), F.col("b1").alias("p1"), F.col("b2").alias("p2")
+    )
+    offs = (
+        bcounts.join(prior, F.col("__pb") < F.col("__bkt"), "left")
+        .groupBy("__bkt")
+        .agg(
+            F.coalesce(F.sum("p1"), F.lit(0)).alias("o1"),
+            F.coalesce(F.sum("p2"), F.lit(0)).alias("o2"),
+        )
+        .select(F.col("__bkt").alias("__ob"), "o1", "o2")
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        t.withColumn("r1", F.sum("n1").over(w))
+        .withColumn("r2", F.sum("n2").over(w))
+        .join(F.broadcast(offs), F.col("__bkt") == F.col("__ob"))
+        .select(
+            ((F.col("o1") + F.col("r1")).cast("double") / F.lit(float(t1))
+             - (F.col("o2") + F.col("r2")).cast("double") / F.lit(float(t2)))
+            .alias("d")
+        )
+    )
+    crit = 1.358 * ((float(t1) + float(t2)) / (float(t1) * float(t2))) ** 0.5
+    return cum.agg(F.max(F.abs(F.col("d"))).alias("ks_stat")).select(
+        F.lit(int(t1)).cast("bigint").alias("n1"),
+        F.lit(int(t2)).cast("bigint").alias("n2"),
+        "ks_stat",
+        F.lit(crit).alias("critical_005"),
+        (F.col("ks_stat") > F.lit(crit)).alias("drift"),
+    )
+
+
+@query(
+    "agg_chi2_independence",
+    oracle="""
+WITH keyed AS (
+  SELECT event_type,
+         CAST((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) + 4) % 7
+              AS INTEGER) AS dow
+  FROM events
+),
+cells AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS DOUBLE) AS obs
+  FROM keyed GROUP BY event_type, dow
+),
+rt AS (SELECT event_type, SUM(obs) AS r FROM cells GROUP BY event_type),
+ct AS (SELECT dow, SUM(obs) AS c FROM cells GROUP BY dow),
+n AS (SELECT SUM(obs) AS n FROM cells),
+contrib AS (
+  SELECT CAST(round((cells.obs - rt.r * ct.c / n.n)
+                    * (cells.obs - rt.r * ct.c / n.n)
+                    / (rt.r * ct.c / n.n) * 1000000.0) AS BIGINT) AS micro
+  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+),
+agg AS (
+  SELECT CAST(SUM(micro) AS BIGINT) AS chi2_micro, COUNT(*) AS n_cells
+  FROM contrib
+)
+SELECT CAST(a.chi2_micro AS DOUBLE) / 1000000.0 AS chi2,
+       CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+         * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
+       CAST(a.n_cells AS BIGINT) AS n_cells
+FROM agg a
+""",
+    family=_FAM,
+)
+def agg_chi2_independence(spark, sf_dir):
+    """Pearson chi-square independence test over the (event_type x
+    day-of-week) contingency table — the categorical drift/bias QA
+    companion to dq_distribution_drift (is event mix independent of
+    weekday, or did a weekend-only bot skew the crawl?). Expected cell
+    counts from row/column marginals; each cell's (obs-exp)^2/exp
+    contribution is a fixed-shape IEEE expression quantized to integer
+    micro-units BEFORE the sum, so the statistic is order-independent
+    and hash-exact (same discipline as the LM scorers). dof emitted so
+    the consumer applies their own significance table.
+
+    Scale: one combiner-shape aggregate for cells, two re-aggregates of
+    the tiny (types x 7) cell frame for marginals, broadcast joins back
+    — event rows shuffle once; everything downstream is O(cells)."""
+    ev = table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        (
+            (F.floor(F.unix_timestamp("ts") / 86400).cast("bigint") + 4) % 7
+        ).cast("int").alias("dow"),
+    )
+    cells = keyed.groupBy("event_type", "dow").agg(
+        F.count("*").cast("double").alias("obs")
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = cells.groupBy("dow").agg(F.sum("obs").alias("c"))
+    n = float(cells.agg(F.sum("obs")).first()[0])
+    n_rows = rt.count()
+    n_cols = ct.count()
+    exp = F.col("r") * F.col("c") / F.lit(n)
+    contrib = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .select(
+            F.round(
+                (F.col("obs") - exp) * (F.col("obs") - exp) / exp * 1000000.0
+            ).cast("bigint").alias("micro")
+        )
+    )
+    return contrib.agg(
+        F.sum("micro").cast("bigint").alias("chi2_micro"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    ).select(
+        (F.col("chi2_micro").cast("double") / 1000000.0).alias("chi2"),
+        F.lit((n_rows - 1) * (n_cols - 1)).cast("bigint").alias("dof"),
+        "n_cells",
+    )
