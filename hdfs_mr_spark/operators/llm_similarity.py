@@ -793,3 +793,60 @@ def llm_embed_gram(spark, sf_dir):
         )
         .orderBy("i", "j")
     )
+
+
+@query(
+    "llm_embed_mixup",
+    oracle="""
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       a.label AS label1, b.label AS label2,
+       array_to_string(
+         list_transform(
+           list_zip(a.embedding, b.embedding),
+           p -> printf('%.6f', (CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE)) * 0.5)),
+         ',') AS mixed
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+WHERE a.vec_id % 2 = 0
+ORDER BY v1
+""",
+    family=_FAM,
+)
+def llm_embed_mixup(spark, sf_dir):
+    """Mixup augmentation over the embedding table (Zhang et al.: train
+    on convex combinations of example pairs): even vec_id paired with
+    its successor, lambda=0.5 midpoint per dimension. Pairing is an
+    equi-join on vec_id+1 — NOT a lag() over a global vec_id ordering,
+    which would single-partition the window; the join shuffles on the
+    id key and scales. Each mixed element is one IEEE add+multiply
+    rounded to 6 dp and shipped as canonical CSV (array cells don't
+    hash across engines; strings do — same convention as
+    llm_embed_quantize). Both source labels ride along so the consumer
+    can soft-label (mixup's label interpolation is the trainer's side)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("v1"), F.col("label").alias("label1"),
+        F.col("embedding").alias("e1"),
+    )
+    b = e.select(
+        (F.col("vec_id") - 1).alias("v1_match"),
+        F.col("vec_id").alias("v2"), F.col("label").alias("label2"),
+        F.col("embedding").alias("e2"),
+    )
+    # printf-style fixed formatting on BOTH engines: casting a double to
+    # string renders scientific notation in Spark ("2.1E-4") but decimal
+    # in DuckDB ("0.00021"); %.6f of the identical double is identical.
+    mixed = F.array_join(
+        F.transform(
+            F.zip_with(
+                "e1", "e2",
+                lambda x, y: (x.cast("double") + y.cast("double")) * 0.5,
+            ),
+            lambda c: F.format_string("%.6f", c),
+        ),
+        ",",
+    )
+    return (
+        a.join(b, F.col("v1") == F.col("v1_match"))
+        .select("v1", "v2", "label1", "label2", mixed.alias("mixed"))
+        .orderBy("v1")
+    )

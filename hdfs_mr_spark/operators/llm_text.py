@@ -1990,3 +1990,112 @@ def llm_ngram_novelty(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_preference_pairs",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+lm AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+total AS (SELECT SUM(cnt) AS t FROM lm),
+scored AS (
+  SELECT tok.doc_id,
+         SUM(CAST(round(-ln((CAST(lm.cnt AS DOUBLE) + 1.0)
+                            / (CAST(total.t AS DOUBLE) + CAST(vocab.v AS DOUBLE)))
+                        * 1000000.0) AS BIGINT)) AS nll_micro,
+         COUNT(*) AS n_tokens
+  FROM tok JOIN lm ON lm.w = tok.w CROSS JOIN total CROSS JOIN vocab
+  GROUP BY tok.doc_id
+),
+ranked AS (
+  SELECT d.lang, s.doc_id,
+         CAST(s.nll_micro AS DOUBLE) / s.n_tokens AS fluency_nll,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY CAST(s.nll_micro AS DOUBLE) / s.n_tokens ASC,
+                                     s.doc_id ASC) AS rk
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT a.lang,
+       a.doc_id AS chosen_doc,
+       b.doc_id AS rejected_doc,
+       a.fluency_nll AS chosen_nll,
+       b.fluency_nll AS rejected_nll,
+       b.fluency_nll - a.fluency_nll AS nll_gap
+FROM ranked a JOIN ranked b ON a.lang = b.lang AND b.rk = a.rk + 1
+ORDER BY a.lang, a.rk
+""",
+    family=_FAM,
+)
+def llm_preference_pairs(spark, sf_dir):
+    """Preference-pair construction for reward-model / DPO training
+    prep: docs ranked within language by unigram-LM fluency (same
+    scorer as llm_lm_score, integer-micro NLL), then ADJACENT ranks
+    paired as (chosen = more fluent, rejected = next) — adjacent
+    pairing is the standard recipe when converting a scalar judge
+    into pairwise data because it maximizes pair count while keeping
+    margins honest (no trivially-easy far pairs dominating the loss).
+    nll_gap ships with each pair so a trainer can curriculum-filter on
+    margin. Deterministic: the rank's (score, doc_id) tiebreak makes
+    the pairing total.
+
+    Scale: LM join is the unhinted vocab-scale equi-join (never
+    broadcast); ranking is one window per lang partition; pairing is a
+    self-join on (lang, rk+1) — two lang-keyed shuffles of doc-level
+    (not token-level) rows."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("w"))
+    v = tok.select("w").distinct().count()
+    lm = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    t = lm.agg(F.sum("cnt").alias("t"))
+    scored = (
+        tok.join(lm, "w")
+        .crossJoin(F.broadcast(t))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(
+                    -F.log(
+                        (F.col("cnt").cast("double") + 1.0)
+                        / (F.col("t").cast("double") + float(v))
+                    )
+                    * 1000000.0
+                ).cast("bigint")
+            ).alias("nll_micro"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    fluency = F.col("nll_micro").cast("double") / F.col("n_tokens")
+    ranked = (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .select("lang", "doc_id", fluency.alias("fluency_nll"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.col("fluency_nll").asc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+    )
+    a = ranked.select(
+        "lang", F.col("doc_id").alias("chosen_doc"),
+        F.col("fluency_nll").alias("chosen_nll"), F.col("rk").alias("rka"),
+    )
+    b = ranked.select(
+        F.col("lang").alias("lang_b"), F.col("doc_id").alias("rejected_doc"),
+        F.col("fluency_nll").alias("rejected_nll"), F.col("rk").alias("rkb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b")) & (F.col("rkb") == F.col("rka") + 1),
+        )
+        .select(
+            "lang", "chosen_doc", "rejected_doc", "chosen_nll", "rejected_nll",
+            (F.col("rejected_nll") - F.col("chosen_nll")).alias("nll_gap"),
+        )
+        .orderBy("lang", "chosen_doc")
+    )
