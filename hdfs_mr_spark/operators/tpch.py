@@ -174,3 +174,138 @@ def sql_tpch_q10_returned_items(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "sql_tpch_q6_forecast_revenue",
+    oracle=f"""
+SELECT {sql_dsum("l_extendedprice * l_discount")} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+""",
+    family=_FAM,
+)
+def sql_tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the pure scan-filter-aggregate revenue forecast —
+    the query whose ENTIRE cost is the scan, so it measures pushdown
+    honesty: all three predicates reach the parquet reader as
+    PushedFilters, the projection prunes to three columns, and the
+    aggregate is one partial/final pair. No joins, no windows — if this
+    query shuffles anything but two partial-agg rows per partition,
+    something is wrong."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(rev).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "sql_tpch_q12_shipmode_priority",
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def sql_tpch_q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: returnflag stands in for the missing
+    shipmode column): priority-mix accounting per line class. The
+    pattern being proved is conditional aggregation AFTER a fact-fact
+    join — the CASE/WHEN counters partial-aggregate map-side, so the
+    post-join shuffle carries two counters per (partition, flag), not
+    the joined rows."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "sql_tpch_q18_large_orders",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       {sql_dsum("l.l_quantity")} AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def sql_tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose line
+    quantities sum past 300, re-joined to full detail, top-100 by
+    price. The scale lesson is the semi-join: the HAVING aggregate
+    reduces lineitem to a small key set FIRST, and that key set
+    prefilters the detail join — the same aggregate-then-semi-join
+    discipline as mr_matrix_multiply's sparsity patterns. Top-100 is
+    TakeOrderedAndProject."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )

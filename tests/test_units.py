@@ -289,3 +289,28 @@ def test_stream_source_drains_multiple_batches(spark):
     got = spark.table("hmr_multibatch_probe").count()
     expect = table(spark, SF_SMOKE, "events").count()
     assert got == expect
+
+
+def test_media_parsers_roundtrip_property():
+    """Property test: ANY dimensions round-trip through the generators
+    and the real parsers — the parsers read structure, not fixtures."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hdfs_mr_spark.sources.media import (
+        make_jpeg, make_png, parse_jpeg_dims, parse_png_dims,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=4096),
+        h=st.integers(min_value=1, max_value=4096),
+        rgb=st.tuples(
+            st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+        ),
+    )
+    def check(w, h, rgb):
+        assert parse_png_dims(make_png(w, h, rgb)) == (w, h)
+        assert parse_jpeg_dims(make_jpeg(w, h)) == (w, h)
+
+    check()
