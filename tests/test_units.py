@@ -314,3 +314,51 @@ def test_media_parsers_roundtrip_property():
         assert parse_jpeg_dims(make_jpeg(w, h)) == (w, h)
 
     check()
+
+
+def test_results_invariant_to_shuffle_partitioning(spark):
+    """Determinism stress: the decimal-sum kernel, quantized LM scores,
+    and bucketed ECDF must produce IDENTICAL results whether the shuffle
+    runs in 5 partitions or 32 — partial-aggregation order must never
+    leak into checked values (the core claim behind every dsum/quantize
+    discipline in the repo)."""
+    from hdfs_mr_spark.registry import all_specs
+    from tests.conftest import SF_SMOKE
+
+    specs = all_specs()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in ("agg_groupby", "llm_lm_score", "dq_distribution_drift"):
+            results = []
+            for n in ("5", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                rows = [
+                    tuple(r) for r in specs[name].fn(spark, SF_SMOKE).collect()
+                ]
+                results.append(sorted(rows, key=str))
+            assert results[0] == results[1], f"{name}: partition-count leak"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_results_invariant_to_session_timezone(spark):
+    """Driver-proofing: a session arriving with a non-UTC timezone must
+    not change any timestamp-derived result — io.table and the streaming
+    reader re-pin UTC themselves (the DuckDB oracle is timezone-naive)."""
+    from hdfs_mr_spark.registry import all_specs
+    from tests.conftest import SF_SMOKE
+
+    specs = all_specs()
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        results = []
+        for tz in ("America/New_York", "UTC"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            rows = [
+                tuple(r)
+                for r in specs["ts_seasonality_profile"].fn(spark, SF_SMOKE).collect()
+            ]
+            results.append(rows)
+        assert results[0] == results[1], "session timezone leaked into results"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
