@@ -2099,3 +2099,78 @@ def llm_preference_pairs(spark, sf_dir):
         )
         .orderBy("lang", "chosen_doc")
     )
+
+
+@query(
+    "llm_watermark_detect",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(l[i] || ':wm:' || l[i + 1]), 1, 12))::BIGINT
+                   % 2 = 0
+              THEN 1 ELSE 0 END AS green
+  FROM tok, LATERAL unnest(range(1, len(l))) AS u(i)
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_scored, SUM(green) AS n_green
+  FROM pairs GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_scored AS BIGINT) AS n_scored,
+       CAST(n_green AS BIGINT) AS n_green,
+       CAST(n_green AS DOUBLE) / n_scored AS green_frac,
+       (CAST(n_green AS DOUBLE) - 0.5 * n_scored) / sqrt(0.25 * n_scored) AS z,
+       (CAST(n_green AS DOUBLE) - 0.5 * n_scored) / sqrt(0.25 * n_scored) > 4.0
+         AS watermark_suspect
+FROM agg
+ORDER BY doc_id
+""",
+    family=_FAM,
+)
+def llm_watermark_detect(spark, sf_dir):
+    """Green-list watermark detection (Kirchenbauer et al. 2023) — the
+    synthetic-text hygiene gate a pretraining corpus increasingly
+    needs: a watermarking LLM biases each token toward a pseudorandom
+    "green list" seeded by the previous token, so detection is pure
+    counting — hash(prev, token) parity marks green, and a one-sided
+    z-test against the null green-rate 0.5 flags documents whose
+    fraction is inexplicably high (z > 4 ~ p < 3e-5). Human text sits
+    at z ~ 0 (the oracle hash-checks the whole z column, so the
+    statistic itself is verified, not just the flags).
+
+    Determinism: the green decision is the engine-common 48-bit md5
+    fold (same idiom as the CMS sketch / global shuffle); the z
+    arithmetic is a fixed-shape IEEE expression on two integers. One
+    explode + one combiner-shape aggregate — token pairs never
+    shuffle; only (doc, 2 counters) rows do."""
+    d = table(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "IF(size(split(text, ' ')) >= 2,"
+                " transform(sequence(1, size(split(text, ' ')) - 1),"
+                "  i -> IF(CAST(conv(substr(md5(concat("
+                "element_at(split(text, ' '), i), ':wm:',"
+                " element_at(split(text, ' '), i + 1))), 1, 12), 16, 10)"
+                " AS BIGINT) % 2 = 0, 1, 0)),"
+                " array())"
+            )
+        ).alias("green"),
+    )
+    agg = pairs.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_scored"),
+        F.sum("green").cast("bigint").alias("n_green"),
+    )
+    z = (
+        F.col("n_green").cast("double") - 0.5 * F.col("n_scored")
+    ) / F.sqrt(0.25 * F.col("n_scored"))
+    return agg.select(
+        "doc_id", "n_scored", "n_green",
+        (F.col("n_green").cast("double") / F.col("n_scored")).alias("green_frac"),
+        z.alias("z"),
+        (z > 4.0).alias("watermark_suspect"),
+    ).orderBy("doc_id")

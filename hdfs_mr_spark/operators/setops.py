@@ -519,3 +519,47 @@ def dq_constraint_audit(spark, sf_dir):
         .unionAll(check("events_value_notnull", val_null, ev))
     )
     return out.orderBy("check_name")
+
+
+@query(
+    "dq_freshness_lag",
+    oracle="""
+WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS global_max FROM events),
+per AS (
+  SELECT event_type, max(CAST(ts AS TIMESTAMP)) AS last_seen, COUNT(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type, p.last_seen, CAST(p.n AS BIGINT) AS n,
+       CAST(floor((epoch(m.global_max) - epoch(p.last_seen)) / 60) AS BIGINT)
+         AS lag_minutes,
+       floor((epoch(m.global_max) - epoch(p.last_seen)) / 60) > 1440 AS stale
+FROM per p CROSS JOIN mx m
+ORDER BY p.event_type
+""",
+    family=_FAM,
+)
+def dq_freshness_lag(spark, sf_dir):
+    """Per-feed freshness monitor — the pipeline-health check every
+    ingest dashboard leads with: how far behind the most recent event
+    does each feed's newest record sit? A feed lagging > 24 h is
+    flagged stale (a dead producer shows up here long before volume
+    alarms fire). Two combiner-shape MAX aggregates and one scalar
+    broadcast — the cheapest query in the DQ family, which is the
+    point: it runs every few minutes in production."""
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("global_max"))
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_seen"), F.count("*").cast("bigint").alias("n")
+    )
+    lag_min = F.floor(
+        (F.unix_timestamp("global_max") - F.unix_timestamp("last_seen")) / 60
+    ).cast("bigint")
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type", "last_seen", "n",
+            lag_min.alias("lag_minutes"),
+            (lag_min > 1440).alias("stale"),
+        )
+        .orderBy("event_type")
+    )
