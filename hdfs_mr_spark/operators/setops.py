@@ -563,3 +563,157 @@ def dq_freshness_lag(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "etl_cdc_apply",
+    oracle="""
+WITH changes AS (
+  -- synthetic ordered change stream over orders: every 3rd key updates
+  -- its price by +10.00 (one exact IEEE add — round(x*1.1) would hit
+  -- engine-specific half-tie rounding), every 7th deletes
+  SELECT o_orderkey AS key, o_custkey, o_totalprice + 10.0 AS price,
+         'U' AS op
+  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 != 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, NULL, 'D' FROM orders WHERE o_orderkey % 7 = 0
+),
+applied AS (
+  SELECT b.o_orderkey AS key,
+         COALESCE(c.op, 'K') AS final_op,
+         CASE WHEN c.op = 'U' THEN c.price ELSE b.o_totalprice END AS price
+  FROM orders b LEFT JOIN changes c ON b.o_orderkey = c.key
+)
+SELECT final_op,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       (CAST(CAST(SUM(CAST(price AS DECIMAL(38,8))) * 100000000 AS DECIMAL(38,0)) AS DOUBLE) / 100000000.0) AS total_price
+FROM applied
+WHERE final_op != 'D'
+GROUP BY final_op
+ORDER BY final_op
+""",
+    family=_FAM,
+)
+def etl_cdc_apply(spark, sf_dir):
+    """CDC change-stream application — the Debezium-consumer / lakehouse
+    MERGE shape: an ordered stream of upserts and deletes applied to a
+    base snapshot, summarized by disposition (K kept untouched, U
+    updated) over the surviving rows. Update rows override base values,
+    delete keys drop out; the audit aggregate proves the application
+    was exactly-once per key (a double-applied update or an unapplied
+    delete shifts the decimal-exact totals and fails the hash).
+
+    Scale: one equi-join of base to changes on the key (the change
+    stream is normally <<1%% of base — AQE build-sides it; unhinted
+    here so either side may grow), then a combiner-shape aggregate.
+    Per-key ordering within a real stream collapses to last-write-wins
+    before the join — etl_upsert_merge covers that window; this op
+    covers the apply+audit."""
+    o = table(spark, sf_dir, "orders")
+    upd = o.filter(
+        ((F.col("o_orderkey") % 3) == 0) & ((F.col("o_orderkey") % 7) != 0)
+    ).select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_totalprice") + 10.0).alias("new_price"),
+        F.lit("U").alias("op"),
+    )
+    dele = o.filter((F.col("o_orderkey") % 7) == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(None).cast("double").alias("new_price"),
+        F.lit("D").alias("op"),
+    )
+    changes = upd.unionAll(dele)
+    from hdfs_mr_spark.exprs import dsum
+
+    applied = (
+        o.join(changes, o.o_orderkey == changes.key, "left")
+        .select(
+            F.coalesce(F.col("op"), F.lit("K")).alias("final_op"),
+            F.when(F.col("op") == "U", F.col("new_price"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+        )
+        .filter(F.col("final_op") != "D")
+    )
+    return (
+        applied.groupBy("final_op")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            dsum(F.col("price")).alias("total_price"),
+        )
+        .orderBy("final_op")
+    )
+
+
+@query(
+    "etl_snapshot_diff",
+    oracle="""
+WITH snap2 AS (
+  -- deterministic second snapshot: every 5th customer changes segment,
+  -- every 11th is removed, and 10 synthetic keys are added
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED' ELSE c_mktsegment END
+           AS c_mktsegment
+  FROM customer WHERE c_custkey % 11 != 0
+  UNION ALL
+  SELECT 1000000 + r.r, 'new#' || CAST(1000000 + r.r AS VARCHAR), 'NEW'
+  FROM (SELECT unnest(range(0, 10)) AS r) r
+)
+SELECT CASE WHEN a.c_custkey IS NULL THEN 'added'
+            WHEN b.c_custkey IS NULL THEN 'removed'
+            WHEN a.c_mktsegment != b.c_mktsegment THEN 'changed'
+            ELSE 'unchanged' END AS diff_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer a FULL OUTER JOIN snap2 b ON a.c_custkey = b.c_custkey
+GROUP BY 1
+ORDER BY 1
+""",
+    family=_FAM,
+)
+def etl_snapshot_diff(spark, sf_dir):
+    """Table snapshot diff — the regression gate between two versions of
+    a dataset (yesterday's blessed snapshot vs today's candidate):
+    FULL OUTER join on the key classifies every row as
+    added / removed / changed / unchanged, and the count-by-class
+    summary is what a publish pipeline thresholds on ("refuse to ship
+    if >0.5%% of rows changed"). Column-level comparison here is the
+    segment column; widening to a struct-equality mask is a projection
+    change, not a plan change.
+
+    Scale: ONE full-outer sort-merge join on the key + a combiner
+    aggregate — at 100 TB this is strictly cheaper than the
+    hash-the-whole-table alternative (mr_merkle_checksum) when you need
+    to know WHICH rows moved, not just whether any did."""
+    c = table(spark, sf_dir, "customer")
+    changed_seg = F.when(
+        (F.col("c_custkey") % 5) == 0, F.lit("CHANGED")
+    ).otherwise(F.col("c_mktsegment"))
+    kept = c.filter((F.col("c_custkey") % 11) != 0).select(
+        "c_custkey", "c_name", changed_seg.alias("c_mktsegment")
+    )
+    added = spark.range(10).select(
+        (F.lit(1000000) + F.col("id")).alias("c_custkey"),
+        F.concat(F.lit("new#"), (F.lit(1000000) + F.col("id")).cast("string"))
+        .alias("c_name"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    snap2 = kept.unionAll(added)
+    a = c.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_mktsegment").alias("seg_a")
+    )
+    b = snap2.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_mktsegment").alias("seg_b")
+    )
+    diff_type = (
+        F.when(F.col("key_a").isNull(), "added")
+        .when(F.col("key_b").isNull(), "removed")
+        .when(F.col("seg_a") != F.col("seg_b"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        a.join(b, F.col("key_a") == F.col("key_b"), "full_outer")
+        .select(diff_type.alias("diff_type"))
+        .groupBy("diff_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("diff_type")
+    )
