@@ -717,3 +717,52 @@ def etl_snapshot_diff(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("diff_type")
     )
+
+
+@query(
+    "etl_scd2_asof",
+    oracle="""
+SELECT user_id,
+       arg_max(event_type,
+               printf('%020d#%010d', epoch_us(CAST(ts AS TIMESTAMP)), event_id))
+         AS state_at,
+       strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS since,
+       CAST(COUNT(*) AS BIGINT) AS n_events_before
+FROM events
+WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY user_id
+ORDER BY user_id
+""",
+    family=_FAM,
+)
+def etl_scd2_asof(spark, sf_dir):
+    """Point-in-time (AS OF) dimension lookup — the consumer side of the
+    SCD2 build: what state was each user in at the snapshot instant
+    T = 2024-01-15? One combiner-shape aggregate per user: max_by picks
+    the latest event at-or-before T ((ts, event_id) tiebreak makes it
+    total), with the since-timestamp and how much history preceded the
+    snapshot. The time predicate pushes to the scan, so a partitioned
+    history table prunes everything after T before any shuffle — this
+    is why the as-of aggregate beats joining the materialized interval
+    table when you need ONE instant (the intervals win when you need
+    many)."""
+    ev = table(spark, sf_dir, "events")
+    t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return (
+        ev.filter(F.col("ts") <= t)
+        .groupBy("user_id")
+        .agg(
+            # composite key as a zero-padded string: lexicographic order
+            # == (ts, event_id) order, and BOTH engines' arg_max/max_by
+            # accept it (DuckDB 1.x arg_max has no struct-key overload)
+            F.max_by(
+                "event_type",
+                F.format_string(
+                    "%020d#%010d", F.unix_micros("ts"), F.col("event_id")
+                ),
+            ).alias("state_at"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("since"),
+            F.count("*").cast("bigint").alias("n_events_before"),
+        )
+        .orderBy("user_id")
+    )
