@@ -869,3 +869,70 @@ def join_asof_nearest(spark, sf_dir):
         nearest.alias("nearest_view_id"),
         gap.alias("gap_us"),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT v.event_id FROM v
+        WHERE v.user_id = p.user_id AND v.ts >= p.ts
+        ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) AS next_view_event_id,
+       (SELECT v.ts FROM v
+        WHERE v.user_id = p.user_id AND v.ts >= p.ts
+        ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) AS next_view_ts
+FROM p
+ORDER BY p.event_id
+""",
+    family="2.3 joins",
+)
+def join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join — each purchase matched to the EARLIEST view
+    at-or-after it (the follow-up/readmission direction; the backward
+    and nearest variants complete the family). Same 100 TB-safe
+    formulation as join_asof: union both sides, ONE user-keyed window
+    scanning from the future (first ignorenulls over the following
+    frame) — no non-equi probe, no range-join blowup. Ties at equal ts
+    resolve purchase-before-view in the window order (so the
+    same-instant view stays inside the forward frame and counts),
+    mirroring the oracle's >=; event_id is the final tiebreak."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("_kind"),
+        F.lit(None).cast("long").alias("view_event_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts",
+        F.lit(0).alias("_kind"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    u = p.unionByName(v)
+    # _kind DESC at equal ts: the purchase (1) must sort BEFORE the view
+    # (0) so a same-instant view lands inside the purchase's following
+    # frame — matching the oracle's v.ts >= p.ts. (The backward variant
+    # needs the opposite: view first, inside the preceding frame.)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("_kind").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        u.withColumn(
+            "_next_view_id", F.first("view_event_id", ignorenulls=True).over(w)
+        )
+        .withColumn("_next_view_ts", F.first("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("_kind") == 1)
+        .select(
+            "event_id", "user_id", "ts",
+            F.col("_next_view_id").alias("next_view_event_id"),
+            F.col("_next_view_ts").alias("next_view_ts"),
+        )
+        .orderBy("event_id")
+    )
