@@ -850,3 +850,110 @@ def llm_embed_mixup(spark, sf_dir):
         .select("v1", "v2", "label1", "label2", mixed.alias("mixed"))
         .orderBy("v1")
     )
+
+
+@query(
+    "llm_dedup_semdedup",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS nrm FROM embeddings
+),
+c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n WHERE vec_id < {_IVF_C}),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT n.vec_id, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             {_SQL_DOT.format(a='n.embedding', b='c.ce')} / (n.nrm * c.cn) DESC,
+             c.cid ASC) AS rk
+    FROM n CROSS JOIN c
+  ) WHERE rk = 1
+),
+dups AS (
+  SELECT a2.vec_id AS v, MIN(a1.vec_id) AS dup_of
+  FROM assign a1
+  JOIN assign a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+  JOIN n n1 ON n1.vec_id = a1.vec_id
+  JOIN n n2 ON n2.vec_id = a2.vec_id
+  WHERE {_SQL_DOT.format(a='n1.embedding', b='n2.embedding')}
+        / (n1.nrm * n2.nrm) >= 0.35
+  GROUP BY a2.vec_id
+)
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       d.v IS NULL AS kept, d.dup_of
+FROM assign a LEFT JOIN dups d ON a.vec_id = d.v
+ORDER BY a.vec_id
+""",
+    family="2.11 llm dedup",
+)
+def llm_dedup_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup that makes the
+    quadratic LOCAL — vectors are coarse-quantized into IVF cells
+    (same deterministic 16-centroid quantizer as llm_sim_knn_ivf) and
+    pairwise cosine runs only WITHIN a cell; a vector is dropped when a
+    lower-id cell-mate sits at cosine >= 0.35, keeping the
+    lowest-id representative (dup_of names it, so removals are
+    auditable). The paper's observation is that near-duplicates land in
+    the same cell with overwhelming probability, so cross-cell pairs —
+    the O(n^2) bulk — are never computed.
+
+    Scale: assignment is a broadcast argmax against 16 centroids (big
+    side scanned, never shuffled); the pair join shuffles once on the
+    cell key and is quadratic only in cell occupancy (n/C on balanced
+    cells; a k-means++-seeded quantizer at 100 TB keeps cells bounded).
+    The cosine threshold rides INSIDE the join condition (the measured
+    ~5x _dot residual discipline)."""
+    e = table(spark, sf_dir, "embeddings")
+    n = fan_out(
+        e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    ).localCheckpoint()
+    c = n.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = n.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cid",
+        (_dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
+         ).alias("cos"),
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cid").asc()
+    )
+    assign = (
+        scored.withColumn("rk", F.row_number().over(wcell))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+        .join(n, "vec_id")
+    )
+    a1 = assign.select(
+        F.col("vec_id").alias("v1"), F.col("cell").alias("cell1"),
+        F.col("embedding").alias("e1"), F.col("nrm").alias("nrm1"),
+    )
+    a2 = assign.select(
+        F.col("vec_id").alias("v2"), F.col("cell").alias("cell2"),
+        F.col("embedding").alias("e2"), F.col("nrm").alias("nrm2"),
+    )
+    dups = (
+        a1.join(
+            a2,
+            (F.col("cell1") == F.col("cell2"))
+            & (F.col("v1") < F.col("v2"))
+            & (
+                _dot(F.col("e1"), F.col("e2"))
+                / (F.col("nrm1") * F.col("nrm2"))
+                >= 0.35
+            ),
+        )
+        .groupBy(F.col("v2").alias("vec_id"))
+        .agg(F.min("v1").alias("dup_of"))
+    )
+    return (
+        assign.select("vec_id", F.col("cell").cast("bigint").alias("cell"))
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id", "cell",
+            F.col("dup_of").isNull().alias("kept"), "dup_of",
+        )
+        .orderBy("vec_id")
+    )
