@@ -773,3 +773,46 @@ def fn_variant(spark, sf_dir):
         F.variant_get(F.col("vp"), "$.missing", "string")
         .isNull().alias("missing_is_null"),
     )
+
+
+@query(
+    "fn_uuid_deterministic",
+    oracle="""
+WITH h AS (
+  SELECT o_orderkey, md5('hmr:order:' || CAST(o_orderkey AS VARCHAR)) AS hx
+  FROM orders
+)
+SELECT o_orderkey,
+       substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-'
+         || '3' || substr(hx, 14, 3) || '-'
+         || 'a' || substr(hx, 18, 3) || '-' || substr(hx, 21, 12) AS surrogate_id
+FROM h
+ORDER BY o_orderkey
+""",
+    family=_FAM,
+)
+def fn_uuid_deterministic(spark, sf_dir):
+    """Deterministic surrogate-key minting — name-based UUIDs (the
+    v3/v5 idea: hash a namespaced natural key, format as UUID) instead
+    of uuid()/monotonically_increasing_id(), both of which are
+    nondeterministic across retries and partitionings and therefore
+    poison at 100 TB: a retried task would mint DIFFERENT ids and
+    downstream joins silently fork. md5(namespace || natural_key)
+    formatted 8-4-4-4-12 with fixed version/variant nibbles is
+    replayable everywhere — the oracle hash-matches every minted id."""
+    o = table(spark, sf_dir, "orders")
+    hx = F.md5(F.concat(F.lit("hmr:order:"), F.col("o_orderkey").cast("string")))
+    return (
+        o.select("o_orderkey", hx.alias("hx"))
+        .select(
+            "o_orderkey",
+            F.concat(
+                F.substring("hx", 1, 8), F.lit("-"),
+                F.substring("hx", 9, 4), F.lit("-"),
+                F.lit("3"), F.substring("hx", 14, 3), F.lit("-"),
+                F.lit("a"), F.substring("hx", 18, 3), F.lit("-"),
+                F.substring("hx", 21, 12),
+            ).alias("surrogate_id"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -936,3 +936,70 @@ def join_asof_forward(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "join_fuzzy_string",
+    oracle="""
+WITH dirty AS (
+  -- deterministic corruption: drop the 6th character of every 3rd name
+  SELECT c_custkey AS dirty_key,
+         substr(c_name, 1, 5) || substr(c_name, 7) AS dirty_name
+  FROM customer WHERE c_custkey % 3 = 0
+),
+clean AS (SELECT c_custkey, c_name FROM customer)
+SELECT d.dirty_key, d.dirty_name, c.c_custkey AS matched_key, c.c_name,
+       CAST(levenshtein(d.dirty_name, c.c_name) AS BIGINT) AS edit_dist
+FROM dirty d
+JOIN clean c
+  ON substr(d.dirty_name, len(d.dirty_name) - 3) = substr(c.c_name, len(c.c_name) - 3)
+ AND abs(len(d.dirty_name) - len(c.c_name)) <= 2
+ AND levenshtein(d.dirty_name, c.c_name) <= 2
+ORDER BY d.dirty_key, c.c_custkey
+""",
+    family="2.3 joins",
+)
+def join_fuzzy_string(spark, sf_dir):
+    """Fuzzy string join with blocking — the entity-resolution staple
+    (match dirty inbound records against a master list): candidate
+    pairs come from an EQUI-join on the blocking key plus a length
+    band, and only those candidates pay Levenshtein. Un-blocked
+    edit-distance matching is an O(n*m) cross product — the classic
+    scale-killer; an extractable blocking key makes Catalyst plan a
+    hash join, with the length band and distance <= 2 residual
+    filtering inside it. BLOCKING KEY CHOICE IS THE WHOLE GAME: these
+    names share a constant 'Customer#' prefix, so a prefix block is
+    degenerate (one giant block = the cross product again, and
+    near-miss ids at distance 1 flood the result — measured 13.5k rows
+    for 500 dirty names). The last-4-chars block is discriminative AND
+    survives the drop-6th-char corruption, yielding exactly the true
+    matches; real pipelines run multiple passes with different keys
+    (prefix, suffix, phonetic) and union them.
+
+    The dirty side is derived from customer deterministically (drop the
+    6th char of every 3rd name), so both engines corrupt identically."""
+    c = table(spark, sf_dir, "customer")
+    dirty = c.filter((F.col("c_custkey") % 3) == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.concat(
+            F.substring("c_name", 1, 5), F.expr("substr(c_name, 7)")
+        ).alias("dirty_name"),
+    )
+    clean = c.select("c_custkey", "c_name")
+    return (
+        dirty.join(
+            clean,
+            (F.expr("substr(dirty_name, length(dirty_name) - 3)")
+             == F.expr("substr(c_name, length(c_name) - 3)"))
+            & (
+                F.abs(F.length("dirty_name") - F.length("c_name")) <= 2
+            )
+            & (F.levenshtein("dirty_name", "c_name") <= 2),
+        )
+        .select(
+            "dirty_key", "dirty_name",
+            F.col("c_custkey").alias("matched_key"), "c_name",
+            F.levenshtein("dirty_name", "c_name").cast("bigint").alias("edit_dist"),
+        )
+        .orderBy("dirty_key", "matched_key")
+    )
