@@ -957,3 +957,67 @@ def llm_dedup_semdedup(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "llm_label_centroids",
+    oracle="""
+WITH x AS (
+  SELECT label, i, CAST(embedding[i] AS DOUBLE) AS xi
+  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+dims AS (
+  SELECT label, i,
+         (CAST(CAST(SUM(CAST(xi AS DECIMAL(38,8))) * 100000000 AS DECIMAL(38,0))
+               AS DOUBLE) / 100000000.0) / COUNT(*) AS mu
+  FROM x GROUP BY label, i
+)
+SELECT label,
+       CAST((SELECT COUNT(*) FROM embeddings e WHERE e.label = dims.label)
+            AS BIGINT) AS n_vectors,
+       string_agg(printf('%.6f', mu), ',' ORDER BY i) AS centroid
+FROM dims
+GROUP BY label
+ORDER BY label
+""",
+    family=_FAM,
+)
+def llm_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids — the class prototypes behind
+    prototype classification, centroid-seeded clustering, and
+    embedding-drift monitors (compare today's centroid to yesterday's).
+    Per-dimension means ride the decimal-exact sum (order-independent),
+    divided once per dim (one IEEE op), assembled in dimension order as
+    %.6f canonical CSV (the cross-engine array convention).
+
+    Scale: posexplode to (label, dim, x) triples, ONE combiner-shape
+    aggregate keyed on (label, dim) — shuffle volume is labels x d
+    partial rows per partition, never the vectors; the CSV assembly
+    re-aggregates the tiny (labels x d) frame."""
+    from hdfs_mr_spark.exprs import davg
+
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label", F.posexplode("embedding").alias("i0", "xi")
+    ).select("label", (F.col("i0") + 1).alias("i"), F.col("xi").cast("double").alias("xi"))
+    dims = x.groupBy("label", "i").agg(davg(F.col("xi")).alias("mu"))
+    counts = e.groupBy("label").agg(F.count("*").cast("bigint").alias("n_vectors"))
+    cent = (
+        dims.groupBy("label")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("mu")))
+                    ),
+                    lambda s: F.format_string("%.6f", s["mu"]),
+                ),
+                ",",
+            ).alias("centroid")
+        )
+    )
+    return (
+        counts.join(cent, "label")
+        .select("label", "n_vectors", "centroid")
+        .orderBy("label")
+    )

@@ -1174,3 +1174,84 @@ def ts_seasonality_profile(spark, sf_dir):
         )
         .orderBy("event_type", "dow", "hod")
     )
+
+
+@query(
+    "ts_autocorrelation",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT AVG(c) AS mu,
+         SUM(CAST(round((c - (SELECT AVG(c) FROM daily))
+                        * (c - (SELECT AVG(c) FROM daily)) * 1000000.0)
+             AS BIGINT)) AS den_micro
+  FROM daily
+),
+lags AS (SELECT unnest(range(1, 8)) AS k),
+pairs AS (
+  SELECT l.k,
+         SUM(CAST(round((a.c - s.mu) * (b.c - s.mu) * 1000000.0) AS BIGINT))
+           AS num_micro,
+         COUNT(*) AS n_pairs
+  FROM lags l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.day = a.day + l.k
+  CROSS JOIN stats s
+  GROUP BY l.k
+)
+SELECT CAST(p.k AS INTEGER) AS k,
+       CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       CAST(p.num_micro AS DOUBLE) / s.den_micro AS acf
+FROM pairs p CROSS JOIN stats s
+ORDER BY p.k
+""",
+    family="2.5 windows",
+)
+def ts_autocorrelation(spark, sf_dir):
+    """Autocorrelation function of the daily event-count series at lags
+    1..7 — the weekly-pattern detector (a spike at k=7 says weekly
+    seasonality; ts_seasonality_profile then shows WHERE). Textbook ACF
+    with the series mean: numerator and denominator products are each
+    quantized to integer micro-units BEFORE summing, so both sums are
+    order-independent and the final ratio is one IEEE division —
+    hash-exact without losing the statistic's shape.
+
+    Scale: the daily series is a combiner-shape aggregate (events
+    shuffle once); everything after operates on the tiny day-count
+    frame (one row per day), where a 7-way lag self-join costs
+    nothing — at 100 TB the day frame is still ~37k rows for a century."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day")
+    ).agg(F.count("*").cast("double").alias("c"))
+    mu, = daily.agg(F.avg("c")).first()
+    den, = daily.agg(
+        F.sum(
+            F.round((F.col("c") - mu) * (F.col("c") - mu) * 1000000.0)
+            .cast("bigint")
+        )
+    ).first()
+    lags = spark.range(1, 8).select(F.col("id").alias("k"))
+    a = daily.select(F.col("day").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(F.col("day").alias("db"), F.col("c").alias("cb"))
+    pairs = (
+        lags.crossJoin(a)
+        .join(b, F.col("db") == F.col("da") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.round((F.col("ca") - mu) * (F.col("cb") - mu) * 1000000.0)
+                .cast("bigint")
+            ).alias("num_micro"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+    )
+    return pairs.select(
+        F.col("k").cast("int").alias("k"),
+        "n_pairs",
+        (F.col("num_micro").cast("double") / float(den)).alias("acf"),
+    ).orderBy("k")
