@@ -2174,3 +2174,92 @@ def llm_watermark_detect(spark, sf_dir):
         z.alias("z"),
         (z > 4.0).alias("watermark_suspect"),
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_span_corruption",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':span:'
+                             || CAST(i AS VARCHAR)), 1, 12))::BIGINT % 8 = 0
+           AS is_start
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d,
+       LATERAL unnest(range(1, len(l) + 1)) AS u(i)
+),
+marked AS (
+  SELECT doc_id, i, is_start,
+         MAX(CASE WHEN is_start THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS masked
+  FROM tok
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE is_start) AS BIGINT) AS n_spans,
+       CAST(COUNT(*) FILTER (WHERE masked) AS BIGINT) AS n_masked,
+       CAST(COUNT(*) FILTER (WHERE masked) AS DOUBLE) / COUNT(*)
+         AS corruption_rate
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    family=_FAM,
+)
+def llm_span_corruption(spark, sf_dir):
+    """T5-style span-corruption planning (Raffel et al.): seeded
+    pseudorandom span starts (engine-common md5 fold, rate 1/8) each
+    mask a 3-token span; a position is masked iff a start fell within
+    the 2 preceding positions or on it (window MAX over a 3-row frame —
+    overlapping spans merge for free). Emits the per-doc corruption
+    plan audit (span count, masked count, realized corruption rate
+    ~3/8 pre-overlap) — the deterministic, REPLAYABLE preprocessing
+    decision a seq2seq pretraining pipeline must be able to reproduce
+    exactly for any example at any time (debugging a loss spike means
+    re-deriving the exact mask a sample saw).
+
+    Scale: positions explode once, the mask decision is one per-doc
+    window over position order (doc-keyed partitioning — no global
+    sort), then a combiner-shape aggregate."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("i0", "w"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"))
+    is_start = (
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':span:',"
+            " CAST(i AS STRING))), 1, 12), 16, 10) AS BIGINT) % 8"
+        )
+        == 0
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    marked = tok.select(
+        "doc_id", "i", is_start.alias("is_start")
+    ).withColumn(
+        "masked",
+        F.max(F.when(F.col("is_start"), 1).otherwise(0)).over(w) == 1,
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("is_start"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_spans"),
+            F.sum(F.when(F.col("masked"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_masked"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_spans", "n_masked",
+            (F.col("n_masked").cast("double") / F.col("n_tokens")).alias(
+                "corruption_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
