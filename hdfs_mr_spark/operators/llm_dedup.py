@@ -993,3 +993,74 @@ def llm_dedup_keep_best(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_dup_graph_stats",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+),
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+  SELECT i.d1, i.d2
+  FROM inter i
+  JOIN sizes s1 ON i.d1 = s1.doc_id
+  JOIN sizes s2 ON i.d2 = s2.doc_id
+  WHERE CAST(i.n_common AS DOUBLE)
+        / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) >= 0.5
+),
+deg AS (
+  SELECT d.doc_id, COUNT(e.other) AS degree
+  FROM documents d
+  LEFT JOIN (
+    SELECT d1 AS doc_id, d2 AS other FROM edges
+    UNION ALL
+    SELECT d2, d1 FROM edges
+  ) e ON d.doc_id = e.doc_id
+  GROUP BY d.doc_id
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM deg
+GROUP BY degree
+ORDER BY degree
+""",
+    family=_FAM,
+)
+def llm_dup_graph_stats(spark, sf_dir):
+    """Degree distribution of the near-dup graph — the corpus
+    duplication PROFILE (how many docs have 0 / 1 / k near-duplicates)
+    that decides which dedup regime to run: a mass at degree 0 with a
+    thin tail says pair-listing is fine; a heavy tail says go decision-
+    form or clustering (this histogram is how you'd discover the dense
+    regime llm_dedup_near documents). Degree-0 docs are kept via the
+    left join, so the histogram covers the whole corpus.
+
+    Scale: rides the exact posting-list pair kernel (sub-quadratic);
+    degree is a combiner count over the symmetrized edge list; the
+    histogram re-aggregates the per-doc degree frame."""
+    pairs = _trigram_exact_pairs(spark, sf_dir).select("d1", "d2")
+    sym = pairs.select(F.col("d1").alias("doc_id")).unionAll(
+        pairs.select(F.col("d2").alias("doc_id"))
+    )
+    deg_pos = sym.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    deg = d.join(deg_pos, "doc_id", "left").select(
+        F.coalesce(F.col("degree"), F.lit(0)).alias("degree")
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .select(F.col("degree").cast("bigint").alias("degree"), "n_docs")
+        .orderBy("degree")
+    )

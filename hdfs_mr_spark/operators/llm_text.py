@@ -2263,3 +2263,68 @@ def llm_span_corruption(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_tokenizer_fertility",
+    oracle="""
+WITH per_doc AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_words,
+         list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+                t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS INTEGER))),
+              (a, b) -> a + b) AS n_pieces
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+       CAST(SUM(n_pieces) AS DOUBLE) / SUM(n_words) AS fertility,
+       MAX(CAST(n_pieces AS DOUBLE) / n_words) AS max_doc_fertility
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+""",
+    family=_FAM,
+)
+def llm_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by language — pieces-per-word, THE metric for
+    judging whether a tokenizer serves a language fairly (high fertility
+    = more pieces per word = fewer effective context tokens and higher
+    cost for that language; multilingual tokenizer papers report
+    exactly this table). Uses the same BPE-ish piece count as
+    llm_token_count; integer totals make the corpus-level ratio one
+    IEEE division, and the per-doc max is a plain aggregate of exact
+    per-row ratios.
+
+    Scale: one projection + one lang-keyed combiner aggregate — the
+    shuffle carries (lang, 4 counters) partials."""
+    d = table(spark, sf_dir, "documents")
+    n_pieces = F.aggregate(
+        F.transform(
+            _toks(), lambda t: F.ceil(F.length(t).cast("double") / 4.0).cast("int")
+        ),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    per = d.select(
+        "lang",
+        F.size(_toks()).alias("n_words"),
+        n_pieces.alias("n_pieces"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum("n_pieces").cast("bigint").alias("total_pieces"),
+            (
+                F.sum("n_pieces").cast("double") / F.sum("n_words")
+            ).alias("fertility"),
+            F.max(
+                F.col("n_pieces").cast("double") / F.col("n_words")
+            ).alias("max_doc_fertility"),
+        )
+        .orderBy("lang")
+    )
