@@ -100,42 +100,87 @@ def llm_dedup_near(spark, sf_dir):
 
     The exact-Jaccard predicate lives INSIDE the join condition and is
     evaluated on dictionary-encoded token BITMASKS, not string arrays:
-    tokens get dense ids from a broadcast vocabulary join, each doc's
-    set becomes bigint mask words, and the residual is bit_count(a & b)
-    — integer ops in the generated join loop, ~ns per candidate, with
-    only passing pairs ever materialized. (String array_intersect as a
-    join residual measured ~100us/candidate — 4 orders of magnitude
-    worse.) On a cluster where the build side outgrows broadcast, the
-    same plan degrades to a shuffled equi-join on (size, salt) with the
-    identical residual; a corpus whose PASSING pairs are Theta(n^2) at
-    100 TB needs clustering semantics instead of pair listing — the
-    pair list is the opt-in diagnostic form; llm_dedup_near_decision
-    below is the O(n)-output default for the dense regime."""
+    tokens get dense ids from a vocabulary join, each doc's set becomes
+    bigint mask words, and the residual is bit_count(a & b) — integer
+    ops in the generated join loop, ~ns per candidate, with only
+    passing pairs ever materialized. (String array_intersect as a join
+    residual measured ~100us/candidate — 4 orders of magnitude worse.)
+
+    Scale (VERDICT r3 item 1, now implemented in _bitmask_near_pairs):
+    both the vocabulary join and the pair join auto-switch on the
+    session's autoBroadcastJoinThreshold — under it they broadcast
+    (small-corpus fast path); over it (or threshold -1) they become
+    shuffled sort-merge equi-joins, the pair join keyed on (size, salt)
+    with a deterministic 8-way salt to spread the low-cardinality size
+    buckets, identical bitmask residual. Dictionary ids come from the
+    TeraSort-style two-level rank (bucketed_global_rank), never a
+    single-partition global window. A corpus whose PASSING pairs are
+    Theta(n^2) at 100 TB needs clustering semantics instead of pair
+    listing — the pair list is the opt-in diagnostic form;
+    llm_dedup_near_decision below is the O(n)-output default for the
+    dense regime."""
     return _bitmask_near_pairs(spark, sf_dir).select(
         "d1", "d2", "n_common", "jaccard"
     ).orderBy("d1", "d2")
 
 
+_NEAR_SALTS = 8  # shuffled-path salt fan-out over the skewed size key
+
+
+def _conf_broadcast_bytes(spark) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (-1 = never).
+
+    Explicit F.broadcast hints ignore this conf, so kernels that must
+    degrade to shuffles at scale read it themselves and only hint while
+    the estimated build side fits — which also means the plan-gate
+    sweeps (threshold -1) exercise the shuffled path for free."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if raw.endswith(suf):
+            raw, mult = raw[: -len(suf)], m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return 10 << 20
+
+
 def _bitmask_near_pairs(spark, sf_dir):
     """Size-blocked bitmask kernel: (d1, d2, n_common, jaccard) pairs
-    with distinct-token Jaccard >= 0.8 (see llm_dedup_near)."""
+    with distinct-token Jaccard >= 0.8 (see llm_dedup_near).
+
+    Broadcast policy: popcount of the mask intersection is invariant to
+    the dictionary permutation, so dense token ids come from the
+    TeraSort two-level rank over (xxhash64 bucket, w) — no global
+    single-partition window. Both joins auto-switch on the conf'd
+    broadcast threshold; the shuffled pair join salts the size key
+    (deterministic xxhash64(d1) % 8) because sizes are low-cardinality
+    and heavily skewed."""
+    from hdfs_mr_spark.operators.sorts import bucketed_global_rank
+
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("s")
     ).withColumn("sz", F.size("s"))
-    # dense token ids: tiny dictionary, deterministic order, broadcast
     tok = toks.select("doc_id", F.explode("s").alias("w"))
-    vocab = (
-        tok.select("w").distinct()
-        .withColumn(
-            "tid",
-            F.row_number().over(Window.orderBy("w")) - 1,
-        )
-    )
+    vocab = bucketed_global_rank(
+        tok.select("w").distinct(),
+        F.pmod(F.xxhash64("w"), F.lit(16)),
+        [F.col("w").asc()],
+        ["w"],
+        "rid",
+    ).select("w", (F.col("rid") - 1).cast("int").alias("tid"))
     n_vocab = vocab.count()  # scalar; one tiny job
     n_words = (n_vocab + 63) // 64  # mask words needed
+    bcast_limit = _conf_broadcast_bytes(spark)
+    # ~string word + int id per dictionary row
+    vj = F.broadcast(vocab) if 0 < n_vocab * 48 <= bcast_limit else vocab
     masks = (
-        tok.join(F.broadcast(vocab), "w")
+        tok.join(vj, "w")
         .groupBy("doc_id")
         .agg(
             *[
@@ -149,12 +194,12 @@ def _bitmask_near_pairs(spark, sf_dir):
             ]
         )
     )
-    # checkpoint: enc feeds BOTH join sides (a exploded, b broadcast) and
-    # AQE re-plans pull the whole dictionary+mask subtree — including the
-    # tiny-vocab global window — 16-20x per query without it (counted in
-    # the sf0.1 sweep log via WindowExec warnings). One materialization
-    # removes the re-execution and the warning noise.
+    # checkpoint: enc feeds BOTH join sides (a exploded, b build side)
+    # and AQE re-plans pull the whole dictionary+mask subtree 16-20x per
+    # query without it (counted in the sf0.1 sweep log). One
+    # materialization removes the re-execution.
     enc = toks.join(masks, "doc_id").localCheckpoint()
+    n_docs = enc.count()  # checkpoint is materialized; this is free
     mask_cols = [f"m{k}" for k in range(n_words)]
     # integer-exact admissible partner sizes: ceil(4*sz/5) .. floor(5*sz/4)
     a = fan_out(enc).select(
@@ -174,12 +219,33 @@ def _bitmask_near_pairs(spark, sf_dir):
     )
     union_sz = F.col("sz1") + F.col("sz2") - n_common
     jac = n_common.cast("double") / union_sz.cast("double")
-    passing = a.join(
-        F.broadcast(b),
-        (F.col("partner_sz") == F.col("sz2"))
-        & (F.col("d1") < F.col("d2"))
-        & (jac >= 0.8),
-    )
+    residual = (F.col("d1") < F.col("d2")) & (jac >= 0.8)
+    b_bytes = n_docs * 8 * (n_words + 2)  # id + size + mask words
+    if 0 < b_bytes <= bcast_limit:
+        # small-corpus fast path: one scan of `a` probes an in-memory b
+        passing = a.join(
+            F.broadcast(b), (F.col("partner_sz") == F.col("sz2")) & residual
+        )
+    else:
+        # scale path: shuffled sort-merge equi-join on (size, salt).
+        # Size alone is a handful of skewed key values; the salt spreads
+        # each size bucket across _NEAR_SALTS reducers. Deterministic
+        # (hash of d1, not rand()) so reruns produce identical plans.
+        a = a.withColumn("__salt", F.pmod(F.xxhash64("d1"), F.lit(_NEAR_SALTS)))
+        b = b.withColumn(
+            "__bsalt",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"), F.lit(_NEAR_SALTS - 1).cast("bigint")
+                )
+            ),
+        )
+        passing = a.join(
+            b,
+            (F.col("partner_sz") == F.col("sz2"))
+            & (F.col("__salt") == F.col("__bsalt"))
+            & residual,
+        )
     return passing.select(
         "d1", "d2",
         n_common.cast("int").alias("n_common"),

@@ -303,3 +303,15 @@ def test_countmin_cells_probe_is_broadcast(spark):
     vocab-table rule."""
     nodes = _nodes(_plan_no_auto_broadcast(spark, "agg_countmin_sketch"))
     assert any("BroadcastHashJoin" in n for n in nodes)
+
+
+def test_near_dedup_shuffled_path_is_salted_sort_merge(spark):
+    """VERDICT r3 item 1 gate: with broadcast disabled the bitmask
+    near-dedup pair join degrades to the documented shuffled equi-join
+    on (size, salt) — no BroadcastExchange feeds the pair join and the
+    salt column participates in the sort-merge keys."""
+    plan = _plan_no_auto_broadcast(spark, "llm_dedup_near")
+    nodes = _nodes(plan)
+    assert not any("BroadcastExchange" in n for n in nodes)
+    assert any("SortMergeJoin" in n for n in nodes)
+    assert "__salt" in plan

@@ -362,3 +362,21 @@ def test_results_invariant_to_session_timezone(spark):
         assert results[0] == results[1], "session timezone leaked into results"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_near_dedup_shuffled_equals_broadcast(spark):
+    """The conf-driven shuffled (size, salt) path of _bitmask_near_pairs
+    must return exactly the broadcast fast path's pairs — same set, same
+    emitted order (both end in orderBy d1, d2)."""
+    from tests.conftest import SF_SMOKE
+
+    fn = all_specs()["llm_dedup_near"].fn
+    base = [tuple(r) for r in fn(spark, SF_SMOKE).collect()]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuf = [tuple(r) for r in fn(spark, SF_SMOKE).collect()]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert len(base) > 0
+    assert base == shuf
