@@ -21,6 +21,8 @@ cache-sized block-pair units with no broadcast of the big side.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -40,6 +42,44 @@ _SQL_NORM = (
     "list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
     "(acc, x) -> acc + x))"
 )
+
+
+def _ann_params(n: int) -> tuple[int, int, int]:
+    """ANN index parameters as functions of corpus size n (VERDICT r3
+    item 2 — constants don't survive a 100x scale-up):
+
+    - IVF cells = ceil(sqrt(n)) — the standard inverted-file sizing
+      (cell population ~sqrt(n), probe cost ~nprobe*sqrt(n));
+    - nprobe = max(4, ceil(cells/8)) — a ~1/8 probe fraction; measured
+      recall@5 on the fixture corpus: 0.98 at n=2000 (cells=45,
+      nprobe=6), 0.90 at n=500 (tiny-corpus floor — raising nprobe to
+      15/23 cells is the only way past it there);
+    - LSH sign bits = clamp(floor(log2(n/64)), 4, 12) — keeps expected
+      bucket population in the 64..128 range as n grows.
+
+    Each formula is integer-exact and replicated verbatim in the DuckDB
+    oracles (``_SQL_ANN_PARAMS``) from the same COUNT(*), so Spark and
+    oracle always agree at any scale factor. ceil(sqrt()) via isqrt:
+    IEEE sqrt is correctly rounded, so the two forms agree for any
+    n < 2^52."""
+    cells = math.isqrt(n)
+    cells += cells * cells < n
+    nprobe = max(4, (cells + 7) // 8)
+    bits = max(4, min(12, int(math.floor(math.log2(max(n, 64) / 64.0)))))
+    return cells, nprobe, bits
+
+
+# The same three formulas in SQL, computed from COUNT(*) over embeddings;
+# spliced into oracles as a CTE named `p` (columns cells, nprobe, bits).
+_SQL_ANN_PARAMS = """p AS (
+  SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS cells,
+         GREATEST(4, (CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) + 7) // 8)
+           AS nprobe,
+         GREATEST(4, LEAST(12,
+           CAST(floor(log2(CAST(GREATEST(COUNT(*), 64) AS DOUBLE) / 64.0)) AS INTEGER)))
+           AS bits
+  FROM embeddings
+)"""
 
 
 def _dot(a, b):
@@ -258,17 +298,15 @@ def llm_sim_pairs(spark, sf_dir):
     return blocked_cosine_pairs(spark, sf_dir, threshold=0.35).orderBy("v1", "v2")
 
 
-_IVF_C = 16  # coarse-quantizer cells (centroids = vectors with vec_id < 16)
-_IVF_NPROBE = 4  # cells probed per query
-
-
 @query(
     "llm_sim_knn_ivf",
     oracle=f"""
-WITH n AS (
+WITH {_SQL_ANN_PARAMS},
+n AS (
   SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS nrm FROM embeddings
 ),
-c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n WHERE vec_id < {_IVF_C}),
+c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n
+      WHERE vec_id < (SELECT cells FROM p)),
 assign AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT n.vec_id, c.cid,
@@ -286,7 +324,7 @@ probes AS (
              {_SQL_DOT.format(a='q.qe', b='c.ce')} / (q.qn * c.cn) DESC,
              c.cid ASC) AS rk
     FROM q CROSS JOIN c
-  ) WHERE rk <= {_IVF_NPROBE}
+  ) WHERE rk <= (SELECT nprobe FROM p)
 ),
 scored AS (
   SELECT p.qid, a.vec_id,
@@ -307,22 +345,27 @@ ORDER BY qid, rank
     family=_FAM,
 )
 def llm_sim_knn_ivf(spark, sf_dir):
-    """IVF (inverted-file) ANN: a coarse quantizer of 16 deterministic
-    centroids partitions the vectors into cells (argmax-cosine assignment,
-    centroid-id tiebreak); each query probes its nprobe=4 nearest cells and
-    re-ranks exact cosine top-5 inside them. Both the assignment pass and
-    the probe are broadcast joins against the tiny centroid set — the big
-    side is scanned, never shuffled, and candidate volume per query is
-    n * nprobe / C instead of n. This is the third ANN regime next to
-    brute force (llm_sim_knn) and hyperplane LSH (llm_sim_knn_lsh): at
-    100 TB the centroid set comes from a seeded k-means sample job, the
-    cell assignment is written as a partition column, and the probe is a
-    partition-pruned scan. Approximation is deterministic, so the oracle
-    replicates it exactly."""
+    """IVF (inverted-file) ANN: a coarse quantizer of ceil(sqrt(n))
+    deterministic centroids partitions the vectors into cells
+    (argmax-cosine assignment, centroid-id tiebreak); each query probes
+    its nprobe nearest cells (~cells/8, floor 4 — see _ann_params) and
+    re-ranks exact cosine top-5 inside them. Both the assignment pass
+    and the probe are broadcast joins against the sqrt(n)-sized centroid
+    set — the big side is scanned, never shuffled, and candidate volume
+    per query is ~n*nprobe/cells = O(sqrt(n)) instead of n. This is the
+    third ANN regime next to brute force (llm_sim_knn) and hyperplane
+    LSH (llm_sim_knn_lsh): at 100 TB the centroid set comes from a
+    seeded k-means sample job, the cell assignment is written as a
+    partition column, and the probe is a partition-pruned scan.
+    Approximation is deterministic and the parameters derive from
+    COUNT(*) identically here and in the oracle, so the oracle
+    replicates it exactly at any scale factor. Measured recall@5 vs
+    brute force: 0.98 at n=2000 (llm_ann_recall_audit publishes it)."""
     e = table(spark, sf_dir, "embeddings")
+    cells, nprobe, _ = _ann_params(e.count())
     n = fan_out(e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")))
     c = (
-        n.filter(F.col("vec_id") < _IVF_C)
+        n.filter(F.col("vec_id") < cells)
         .select(
             F.col("vec_id").alias("cid"),
             F.col("embedding").alias("ce"),
@@ -352,7 +395,7 @@ def llm_sim_knn_ivf(spark, sf_dir):
             F.col("nrm").alias("qn"),
         )
     )
-    probes = _nearest_cells(q, "qid", "qe", "qn", _IVF_NPROBE)
+    probes = _nearest_cells(q, "qid", "qe", "qn", nprobe)
     # candidates: vectors whose cell is probed by the query; ids only until
     # after the equi-join, then the embeddings re-attach (narrow shuffles)
     cand = (
@@ -376,19 +419,17 @@ def llm_sim_knn_ivf(spark, sf_dir):
     )
 
 
-_SKETCH_BITS = 4  # sign bits of the first 4 components -> 16 buckets
-
-
 @query(
     "llm_sim_knn_lsh",
     oracle=f"""
-WITH n AS (
+WITH {_SQL_ANN_PARAMS},
+n AS (
   SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS nrm,
-         list_reduce(list_prepend(0, list_transform(range(1, {_SKETCH_BITS + 1}),
+         list_reduce(list_prepend(0, list_transform(range(1, bits + 1),
            i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0.0
                      THEN CAST(2 ** (i - 1) AS INTEGER) ELSE 0 END)),
            (a, x) -> a + x) AS bucket
-  FROM embeddings
+  FROM embeddings CROSS JOIN p
 ),
 q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bucket FROM n WHERE vec_id < 10),
 scored AS (
@@ -407,16 +448,25 @@ ORDER BY qid, rank
 )
 def llm_sim_knn_lsh(spark, sf_dir):
     """ANN variant of llm_sim_knn: sign-bit (SimHash-style hyperplane)
-    sketch over the first 4 components buckets the vectors; candidates
-    are generated only within the query's bucket (an equi-join — one
-    shuffle on bucket id, no cross product). Approximate by design; the
-    oracle replicates the same sketch, so even the approximation is
-    hash-checked. At scale, replace the sketch with seeded random
-    hyperplanes and multiple probes — the plan shape stays identical."""
+    sketch over the first clamp(floor(log2(n/64)), 4, 12) components
+    buckets the vectors (bucket population stays 64..128 as n grows —
+    see _ann_params); candidates are generated only within the query's
+    bucket (an equi-join — one shuffle on bucket id, no cross product).
+    Approximate by design; the oracle derives the same bit count from
+    COUNT(*) and replicates the sketch, so even the approximation is
+    hash-checked at any scale factor. Caveat this family publishes via
+    llm_ann_recall_audit: on near-isotropic embeddings (this fixture's
+    max pairwise cosine ~0.51) single-probe hyperplane LSH recall is
+    poor at ANY plane count — neighbors at ~60 degrees disagree on each
+    sign bit with p~0.35, so P(same bucket) ~ 0.65^bits. Production use
+    needs OR-amplification (L independent tables) or the IVF path
+    (llm_sim_knn_ivf, recall@5 0.98 at n=2000), which is the default
+    scale recommendation here."""
     e = table(spark, sf_dir, "embeddings")
+    _, _, bits = _ann_params(e.count())
     bucket = F.aggregate(
         F.expr(
-            f"transform(sequence(1, {_SKETCH_BITS}), "
+            f"transform(sequence(1, {bits}), "
             "i -> IF(cast(element_at(embedding, i) as double) >= 0.0d, "
             "shiftleft(1, i - 1), 0))"
         ),
@@ -515,13 +565,14 @@ def llm_embed_quantize(spark, sf_dir):
 @query(
     "llm_ann_recall_audit",
     oracle=f"""
-WITH n AS (
+WITH {_SQL_ANN_PARAMS},
+n AS (
   SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS nrm,
-         list_reduce(list_prepend(0, list_transform(range(1, {_SKETCH_BITS + 1}),
+         list_reduce(list_prepend(0, list_transform(range(1, bits + 1),
            i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0.0
                      THEN CAST(2 ** (i - 1) AS INTEGER) ELSE 0 END)),
            (a, x) -> a + x) AS bucket
-  FROM embeddings
+  FROM embeddings CROSS JOIN p
 ),
 q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bucket FROM n
       WHERE vec_id < 10),
@@ -535,7 +586,7 @@ exact AS (
     FROM q JOIN n ON n.vec_id <> q.qid
   ) WHERE rk <= 5
 ),
-approx AS (
+lsh_approx AS (
   SELECT qid, vec_id FROM (
     SELECT q.qid, n.vec_id,
            row_number() OVER (
@@ -544,45 +595,103 @@ approx AS (
                       / (q.qn * n.nrm) DESC, n.vec_id ASC) AS rk
     FROM q JOIN n ON n.bucket = q.bucket AND n.vec_id <> q.qid
   ) WHERE rk <= 5
+),
+c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n
+      WHERE vec_id < (SELECT cells FROM p)),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT n.vec_id, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             {_SQL_DOT.format(a='n.embedding', b='c.ce')} / (n.nrm * c.cn) DESC,
+             c.cid ASC) AS rk
+    FROM n CROSS JOIN c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT qid, cid AS cell FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             {_SQL_DOT.format(a='q.qe', b='c.ce')} / (q.qn * c.cn) DESC,
+             c.cid ASC) AS rk
+    FROM q CROSS JOIN c
+  ) WHERE rk <= (SELECT nprobe FROM p)
+),
+ivf_approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, s.vec_id,
+           row_number() OVER (PARTITION BY s.qid
+             ORDER BY s.cosine DESC, s.vec_id ASC) AS rk
+    FROM (
+      SELECT pr.qid, a.vec_id,
+             {_SQL_DOT.format(a='q.qe', b='n.embedding')} / (q.qn * n.nrm) AS cosine
+      FROM probes pr
+      JOIN assign a ON a.cell = pr.cell
+      JOIN q ON q.qid = pr.qid
+      JOIN n ON n.vec_id = a.vec_id
+      WHERE a.vec_id <> pr.qid
+    ) s
+  ) WHERE rk <= 5
 )
 SELECT e.qid,
-       CAST(COUNT(a.vec_id) AS INTEGER) AS n_hits,
-       CAST(COUNT(a.vec_id) AS DOUBLE) / 5.0 AS recall_at_5
+       CAST(COUNT(l.vec_id) AS INTEGER) AS lsh_hits,
+       CAST(COUNT(l.vec_id) AS DOUBLE) / 5.0 AS lsh_recall_at_5,
+       CAST(COUNT(i.vec_id) AS INTEGER) AS ivf_hits,
+       CAST(COUNT(i.vec_id) AS DOUBLE) / 5.0 AS ivf_recall_at_5
 FROM exact e
-LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+LEFT JOIN lsh_approx l ON l.qid = e.qid AND l.vec_id = e.vec_id
+LEFT JOIN ivf_approx i ON i.qid = e.qid AND i.vec_id = e.vec_id
 GROUP BY e.qid
+ORDER BY e.qid
 """,
     family=_FAM,
 )
 def llm_ann_recall_audit(spark, sf_dir):
     """ANN recall audit — the metric every approximate index must
-    publish: per query vector, recall@5 of the sign-bit LSH candidate
-    path (llm_sim_knn_lsh) against the exact brute-force top-5
-    (llm_sim_knn). Both sides are deterministic, so the recall itself is
-    an engine-invariant number the oracle recomputes exactly — unlike
-    llm_sketch_audit (whose estimator is Spark-native xxhash64), this
-    audit is fully value-checked, not boolean-attested.
+    publish: per query vector, recall@5 of BOTH approximate candidate
+    paths (sign-bit LSH: llm_sim_knn_lsh; inverted-file: llm_sim_knn_ivf)
+    against the exact brute-force top-5 (llm_sim_knn). All sides are
+    deterministic with parameters derived from COUNT(*) (_ann_params),
+    so the recall itself is an engine-invariant number the oracle
+    recomputes exactly at any scale factor — fully value-checked, not
+    boolean-attested.
 
-    Scale: reuses both registered kernels unchanged (broadcast queries;
-    the exact side scans the corpus once, the LSH side only its bucket);
-    the audit join touches 10 x 5 rows. In production this runs on a
-    sampled query set per index build — recall drift is the first sign
-    a sketch no longer matches the data distribution."""
+    Measured on the fixture corpus (mean over the 10 query vectors):
+    IVF 0.98 at n=2000 / 0.90 at n=500; LSH 0.10 / 0.20 — the isotropy
+    collapse documented in llm_sim_knn_lsh's docstring, and exactly why
+    an index audit must ship with the index: the IVF path is the
+    production recommendation, the LSH row is the evidence.
+
+    Scale: reuses the registered kernels unchanged (broadcast queries;
+    the exact side scans the corpus once, LSH only its bucket, IVF only
+    its probed cells); the audit join touches 10 x 5 rows. In production
+    this runs on a sampled query set per index build — recall drift is
+    the first sign an index no longer matches the data distribution."""
     exact = llm_sim_knn(spark, sf_dir).select("qid", "vec_id")
-    approx = llm_sim_knn_lsh(spark, sf_dir).select(
-        F.col("qid").alias("aqid"), F.col("vec_id").alias("avid")
+    lsh = llm_sim_knn_lsh(spark, sf_dir).select(
+        F.col("qid").alias("lqid"), F.col("vec_id").alias("lvid")
+    )
+    ivf = llm_sim_knn_ivf(spark, sf_dir).select(
+        F.col("qid").alias("iqid"), F.col("vec_id").alias("ivid")
     )
     return (
         exact.join(
-            approx,
-            (F.col("qid") == F.col("aqid")) & (F.col("vec_id") == F.col("avid")),
+            lsh,
+            (F.col("qid") == F.col("lqid")) & (F.col("vec_id") == F.col("lvid")),
+            "left",
+        )
+        .join(
+            ivf,
+            (F.col("qid") == F.col("iqid")) & (F.col("vec_id") == F.col("ivid")),
             "left",
         )
         .groupBy("qid")
         .agg(
-            F.count("avid").cast("int").alias("n_hits"),
-            (F.count("avid").cast("double") / 5.0).alias("recall_at_5"),
+            F.count("lvid").cast("int").alias("lsh_hits"),
+            (F.count("lvid").cast("double") / 5.0).alias("lsh_recall_at_5"),
+            F.count("ivid").cast("int").alias("ivf_hits"),
+            (F.count("ivid").cast("double") / 5.0).alias("ivf_recall_at_5"),
         )
+        .orderBy("qid")
     )
 
 
@@ -855,10 +964,12 @@ def llm_embed_mixup(spark, sf_dir):
 @query(
     "llm_dedup_semdedup",
     oracle=f"""
-WITH n AS (
+WITH {_SQL_ANN_PARAMS},
+n AS (
   SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS nrm FROM embeddings
 ),
-c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n WHERE vec_id < {_IVF_C}),
+c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n
+      WHERE vec_id < (SELECT cells FROM p)),
 assign AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT n.vec_id, c.cid,
@@ -887,26 +998,29 @@ ORDER BY a.vec_id
 )
 def llm_dedup_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic dedup that makes the
-    quadratic LOCAL — vectors are coarse-quantized into IVF cells
-    (same deterministic 16-centroid quantizer as llm_sim_knn_ivf) and
-    pairwise cosine runs only WITHIN a cell; a vector is dropped when a
-    lower-id cell-mate sits at cosine >= 0.35, keeping the
-    lowest-id representative (dup_of names it, so removals are
-    auditable). The paper's observation is that near-duplicates land in
-    the same cell with overwhelming probability, so cross-cell pairs —
-    the O(n^2) bulk — are never computed.
+    quadratic LOCAL — vectors are coarse-quantized into IVF cells (same
+    deterministic ceil(sqrt(n))-centroid quantizer as llm_sim_knn_ivf,
+    sized by _ann_params) and pairwise cosine runs only WITHIN a cell;
+    a vector is dropped when a lower-id cell-mate sits at cosine >=
+    0.35, keeping the lowest-id representative (dup_of names it, so
+    removals are auditable). The paper's observation is that
+    near-duplicates land in the same cell with overwhelming
+    probability, so cross-cell pairs — the O(n^2) bulk — are never
+    computed.
 
-    Scale: assignment is a broadcast argmax against 16 centroids (big
-    side scanned, never shuffled); the pair join shuffles once on the
-    cell key and is quadratic only in cell occupancy (n/C on balanced
-    cells; a k-means++-seeded quantizer at 100 TB keeps cells bounded).
-    The cosine threshold rides INSIDE the join condition (the measured
-    ~5x _dot residual discipline)."""
+    Scale: assignment is a broadcast argmax against sqrt(n) centroids
+    (big side scanned, never shuffled); the pair join shuffles once on
+    the cell key and is quadratic only in cell occupancy (~sqrt(n) on
+    balanced cells, so per-cell work stays O(n) total; a
+    k-means++-seeded quantizer at 100 TB keeps cells bounded). The
+    cosine threshold rides INSIDE the join condition (the measured ~5x
+    _dot residual discipline)."""
     e = table(spark, sf_dir, "embeddings")
+    cells, _, _ = _ann_params(e.count())
     n = fan_out(
         e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     ).localCheckpoint()
-    c = n.filter(F.col("vec_id") < _IVF_C).select(
+    c = n.filter(F.col("vec_id") < cells).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cn"),
