@@ -298,7 +298,15 @@ try:  # pragma: no cover
     from hdfs_mr_spark.sources.media import materialize_media
 
     _MEDIA_FIX = materialize_media()
-except Exception:  # noqa: BLE001
+except Exception as _media_exc:  # noqa: BLE001
+    # placeholder path keeps import working; log the real cause so a
+    # later oracle file-not-found is diagnosable (ADVICE r3)
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "media fixture materialization failed (media oracles will miss "
+        "their parquet): %r", _media_exc,
+    )
     _MEDIA_FIX = "/tmp/hmr_media_unavailable.parquet"
 
 

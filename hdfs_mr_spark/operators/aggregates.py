@@ -1161,6 +1161,15 @@ def dq_distribution_drift(spark, sf_dir):
         F.sum("s1").alias("n1"), F.sum(1 - F.col("s1")).alias("n2")
     )
     t1, t2 = per_v.agg(F.sum("n1"), F.sum("n2")).first()
+    if t1 in (None, 0) or t2 in (None, 0):
+        # an empty cohort has no ECDF: degenerate NULL-stat row, the
+        # same NULL propagation the oracle's division produces (ADVICE
+        # r3 — previously this crashed on float(None)/div-by-zero)
+        return spark.createDataFrame(
+            [(int(t1 or 0), int(t2 or 0), None, None, None)],
+            "n1 bigint, n2 bigint, ks_stat double, "
+            "critical_005 double, drift boolean",
+        )
     bkt = F.floor(F.col("value") / 10.0).cast("bigint")
     t = per_v.withColumn("__bkt", bkt)
     bcounts = t.groupBy("__bkt").agg(

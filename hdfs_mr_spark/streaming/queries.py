@@ -721,9 +721,12 @@ def stream_exactly_once_sink(spark, sf_dir):
     user dedupes — covered by stream_foreachbatch.)"""
     import os
 
-    out = tempfile.mkdtemp(prefix="hmr_eo_out_")
-    os.rmdir(out)
-    ckpt = tempfile.mkdtemp(prefix="hmr_eo_ckpt_")
+    # one temp root, sink/checkpoint as subpaths (no mkdtemp+rmdir TOCTOU),
+    # removed wholesale after the result is materialized — sweeps no
+    # longer leak /tmp/hmr_eo_* dirs (ADVICE r3)
+    root = tempfile.mkdtemp(prefix="hmr_eo_")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
 
     def drain():
         s = _event_stream(spark, sf_dir).select("event_id", "event_type", "value")
@@ -738,8 +741,7 @@ def stream_exactly_once_sink(spark, sf_dir):
 
     drain()
     drain()  # rerun with the same checkpoint: must commit zero new rows
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return (
+    res = (
         spark.read.parquet(out)
         .groupBy("event_type")
         .agg(
@@ -747,7 +749,10 @@ def stream_exactly_once_sink(spark, sf_dir):
             dsum(F.col("value")).alias("total_value"),
         )
         .orderBy("event_type")
+        .localCheckpoint()  # materialize before the sink dir is removed
     )
+    shutil.rmtree(root, ignore_errors=True)
+    return res
 
 
 @query(

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from hdfs_mr_spark.functions.udfs import mm_decode
 from hdfs_mr_spark.registry import all_specs
@@ -380,3 +381,18 @@ def test_near_dedup_shuffled_equals_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert len(base) > 0
     assert base == shuf
+
+
+def test_distribution_drift_empty_cohort_guard(spark, tmp_path):
+    """An events slice where one user_id-parity cohort is empty must
+    yield a NULL-stat row, not a division-by-zero crash (ADVICE r3)."""
+    from hdfs_mr_spark.io import table
+
+    src = table(spark, "/root/testdata/sf0.001", "events")
+    # keep only odd user_ids -> cohort s1 (even) is empty
+    src.filter((F.col("user_id") % 2) == 1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    row = all_specs()["dq_distribution_drift"].fn(spark, str(tmp_path)).first()
+    assert row.n1 == 0 and row.n2 > 0
+    assert row.ks_stat is None and row.critical_005 is None and row.drift is None

@@ -40,10 +40,10 @@ def main() -> int:
         src = Path(inspect.getsourcefile(fn)).relative_to(REPO)
         line = inspect.getsourcelines(fn)[1]
         c = check.get(name)
-        status = ("PASS" if c["ok"] else "FAIL") if c else "-"
+        status = ("PASS" if c["ok"] else "FAIL") if c is not None else "-"
         b = bench.get(name)
         rows.append((spec.family, name, f"{src}:{line}", status,
-                     f"{b:.2f}" if b else "-"))
+                     f"{b:.2f}" if b is not None else "-"))
     rows.sort()
 
     out = [
