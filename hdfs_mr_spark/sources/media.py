@@ -153,3 +153,159 @@ def materialize_media(sf_dir: str = ORACLE_SF) -> str:
             path,
         )
     return str(path)
+
+
+# ---------------------------------------------------------------------------
+# Pixel-true path (VERDICT r3 "what's missing" item 1): gradient PNGs with
+# all five scanline filter types, a full stdlib decoder (inflate +
+# per-scanline unfilter), and an integer box-filter downsample.
+
+N_MEDIA_PX = 48  # bounded pixel fixture
+
+
+def media_px_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic dims for the pixel fixture (8..63, both parities,
+    so downsample edge blocks of 1x2/2x1/1x1 all occur)."""
+    return 8 + (doc_id * 37) % 56, 8 + (doc_id * 53) % 56
+
+
+def media_px_value(x: int, y: int, c: int, doc_id: int) -> int:
+    """The generative pixel formula: channel c of pixel (x, y).
+
+    This is the ground truth BOTH engines reference: the Spark side
+    decodes the actual PNG bytes back to pixels; the DuckDB oracle
+    (which cannot inflate zlib) recomputes the same sums from this
+    formula — a decoder that misreads one byte hash-mismatches."""
+    return (x + 2 * y + 7 * c + doc_id) % 256
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def make_gradient_png(doc_id: int) -> bytes:
+    """A decodable RGB8 PNG whose pixels follow media_px_value and whose
+    scanline filters cycle through ALL five PNG filter types
+    ((doc_id + y) % 5), so a decoder must implement real unfiltering —
+    not just strip a leading zero byte."""
+    w, h = media_px_dims(doc_id)
+    bpp = 3
+    raw = bytearray()
+    prior = bytes(w * bpp)
+    for y in range(h):
+        row = bytes(
+            media_px_value(x, y, c, doc_id) for x in range(w) for c in range(3)
+        )
+        ft = (doc_id + y) % 5
+        raw.append(ft)
+        for i in range(len(row)):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            upleft = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = row[i]
+            elif ft == 1:
+                f = row[i] - left
+            elif ft == 2:
+                f = row[i] - up
+            elif ft == 3:
+                f = row[i] - (left + up) // 2
+            else:
+                f = row[i] - _paeth(left, up, upleft)
+            raw.append(f & 0xFF)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode_pixels(b: bytes) -> tuple[int, int, bytes]:
+    """Full pixel-true PNG decode for RGB8 non-interlaced images:
+    chunk walk, multi-IDAT concat, zlib inflate, per-scanline unfilter
+    (all five filter types). Returns (width, height, raw RGB bytes)."""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, w, h, idat = 8, None, None, b""
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, ctyp, _, _, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or ctyp != 2 or interlace != 0:
+                raise ValueError("only RGB8 non-interlaced supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("no IHDR")
+    raw = zlib.decompress(idat)
+    bpp, stride = 3, 3 * w
+    out = bytearray(stride * h)
+    prior = bytes(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        for i in range(stride):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            upleft = prior[i - bpp] if i >= bpp else 0
+            if ft == 1:
+                row[i] = (row[i] + left) & 0xFF
+            elif ft == 2:
+                row[i] = (row[i] + up) & 0xFF
+            elif ft == 3:
+                row[i] = (row[i] + (left + up) // 2) & 0xFF
+            elif ft == 4:
+                row[i] = (row[i] + _paeth(left, up, upleft)) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"bad filter type {ft}")
+        out[y * stride : (y + 1) * stride] = row
+        prior = bytes(row)
+    return w, h, bytes(out)
+
+
+def box_downsample(px: bytes, w: int, h: int, factor: int = 2):
+    """Integer box-filter downsample of raw RGB bytes: each output
+    channel is floor(mean) over its (up to factor x factor) input
+    block; edge blocks clamp to the image. Returns (ow, oh, bytes)."""
+    ow, oh = (w + factor - 1) // factor, (h + factor - 1) // factor
+    out = bytearray(ow * oh * 3)
+    for oy in range(oh):
+        for ox in range(ow):
+            xs = range(ox * factor, min((ox + 1) * factor, w))
+            ys = range(oy * factor, min((oy + 1) * factor, h))
+            cnt = len(xs) * len(ys)
+            for c in range(3):
+                s = 0
+                for y in ys:
+                    for x in xs:
+                        s += px[(y * w + x) * 3 + c]
+                out[(oy * ow + ox) * 3 + c] = s // cnt
+    return ow, oh, bytes(out)
+
+
+def materialize_media_px(sf_dir: str = ORACLE_SF) -> str:
+    """Write the pixel fixture parquet (doc_id, payload) of gradient
+    PNGs once per testdata fingerprint."""
+    path = _fixture_dir(sf_dir) / "media_px.parquet"
+    if not path.exists():
+        ids = list(range(N_MEDIA_PX))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array([make_gradient_png(i) for i in ids], pa.binary()),
+            }),
+            path,
+        )
+    return str(path)

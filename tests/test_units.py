@@ -396,3 +396,31 @@ def test_distribution_drift_empty_cohort_guard(spark, tmp_path):
     row = all_specs()["dq_distribution_drift"].fn(spark, str(tmp_path)).first()
     assert row.n1 == 0 and row.n2 > 0
     assert row.ks_stat is None and row.critical_005 is None and row.drift is None
+
+
+def test_png_pixel_decode_roundtrip_all_filters():
+    """make_gradient_png cycles all five PNG filter types; the decoder
+    must unfilter back to the exact generative pixels, and the box
+    downsample must floor-average with edge clamping (odd dims)."""
+    from hdfs_mr_spark.sources.media import (
+        box_downsample,
+        make_gradient_png,
+        media_px_dims,
+        media_px_value,
+        png_decode_pixels,
+    )
+
+    for did in (0, 1, 2, 3, 4, 7, 13):  # covers every starting filter type
+        w, h, px = png_decode_pixels(make_gradient_png(did))
+        assert (w, h) == media_px_dims(did)
+        for x, y, c in [(0, 0, 0), (w - 1, h - 1, 2), (w // 2, h // 3, 1)]:
+            assert px[(y * w + x) * 3 + c] == media_px_value(x, y, c, did)
+        ow, oh, dpx = box_downsample(px, w, h)
+        assert (ow, oh) == ((w + 1) // 2, (h + 1) // 2)
+        # corner block is 2x2 when dims are even, clamped otherwise
+        xs = range(2 * (ow - 1), min(2 * ow, w))
+        ys = range(2 * (oh - 1), min(2 * oh, h))
+        exp = sum(
+            media_px_value(x, y, 0, did) for y in ys for x in xs
+        ) // (len(xs) * len(ys))
+        assert dpx[((oh - 1) * ow + (ow - 1)) * 3] == exp
