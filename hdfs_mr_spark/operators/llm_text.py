@@ -2328,3 +2328,122 @@ def llm_tokenizer_fertility(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+def _bpe_rounds_oracle(k: int = 5) -> str:
+    """Unrolled-CTE DuckDB twin of llm_bpe_train_rounds: k merge rounds,
+    each = pair-count over the current segmentation, deterministic top-1
+    (count desc, left asc, right asc), then the marker-string replace.
+    Both engines share the (\\x01 sym \\x02) wrapping, so `replace` is
+    greedy, non-overlapping, and cannot match across symbol boundaries."""
+    parts = [
+        "wc AS (SELECT w, COUNT(*) AS freq FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+        "GROUP BY w)",
+        "s0 AS (SELECT freq, "
+        "regexp_replace(w, '(.)', e'\\x01\\\\1\\x02', 'g') AS seg FROM wc)",
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"sy{r} AS (SELECT freq, "
+            "list_transform(string_split(seg, e'\\x02\\x01'), "
+            f"s -> trim(s, e'\\x01\\x02')) AS syms FROM s{r - 1})"
+        )
+        parts.append(
+            f"pr{r} AS (SELECT pr[1] AS lft, pr[2] AS rgt, SUM(freq) AS n "
+            "FROM (SELECT freq, unnest(list_transform(range(1, len(syms)), "
+            f"i -> [syms[i], syms[i + 1]])) AS pr FROM sy{r}) "
+            "GROUP BY pr[1], pr[2])"
+        )
+        parts.append(
+            f"t{r} AS (SELECT lft, rgt, n FROM pr{r} "
+            "ORDER BY n DESC, lft ASC, rgt ASC LIMIT 1)"
+        )
+        parts.append(
+            f"s{r} AS (SELECT freq, replace(seg, "
+            "e'\\x01' || t.lft || e'\\x02\\x01' || t.rgt || e'\\x02', "
+            "e'\\x01' || t.lft || t.rgt || e'\\x02') AS seg "
+            f"FROM s{r - 1} CROSS JOIN t{r} t)"
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, lft AS left_sym, rgt AS right_sym, "
+        f"lft || rgt AS merged, CAST(n AS BIGINT) AS n FROM t{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + unions + "\nORDER BY round"
+
+
+_BPE_ROUNDS = 5
+
+
+@query("llm_bpe_train_rounds", oracle=_bpe_rounds_oracle(_BPE_ROUNDS), family=_FAM)
+def llm_bpe_train_rounds(spark, sf_dir):
+    """Iterated BPE training (VERDICT r3 item 6 — llm_bpe_pair_counts
+    computes only round 1's statistics): 5 full merge rounds of the
+    Sennrich et al. trainer — count adjacent symbol pairs weighted by
+    word frequency, merge the argmax pair corpus-wide, re-segment,
+    repeat — emitting the merge table (round, pair, merged symbol,
+    count at merge time) that IS a BPE tokenizer's model file.
+
+    Representation: each word's segmentation is a string of
+    marker-wrapped symbols (\\x01 sym \\x02). A merge round is then one
+    literal `replace` of \\x01 a \\x02 \\x01 b \\x02 with \\x01 ab \\x02
+    — left-to-right, non-overlapping (exactly BPE's greedy semantics,
+    including the aaa -> (aa, a) case) and boundary-safe (a pattern
+    cannot match inside a longer symbol because the wrapping markers
+    must line up). DuckDB's `replace` has identical semantics, so the
+    oracle unrolls the same 5 rounds as CTEs and the merge tables
+    hash-match.
+
+    Scale: all per-round work runs on the WORD-FREQUENCY table
+    (|vocab| rows, not corpus rows) — the standard trick that makes BPE
+    training feasible; each round is a combiner-shape pair count plus a
+    top-1 (TakeOrdered, no global sort) and a map-side replace. The
+    driver loop is k iterations of tiny scalar actions — the merge
+    sequence is inherently serial (round r+1's counts depend on round
+    r's merge), same discipline as mr_pagerank's rounds; seg frames are
+    localCheckpoint'ed per round so the plan doesn't grow with k."""
+    a_m, b_m = chr(1), chr(2)
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(_toks()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    seg = wc.select(
+        "freq", F.regexp_replace("w", "(.)", a_m + "$1" + b_m).alias("seg")
+    ).localCheckpoint()
+    rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        syms = seg.select(
+            "freq",
+            F.expr(
+                f"transform(split(seg, '{b_m}{a_m}'), "
+                f"s -> trim(BOTH '{a_m}{b_m}' FROM s))"
+            ).alias("syms"),
+        ).filter(F.expr("size(syms) >= 2"))
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) AS lft, "
+                    "element_at(syms, i + 1) AS rgt))"
+                )
+            ).alias("p"),
+        ).select("freq", "p.lft", "p.rgt")
+        top = (
+            pairs.groupBy("lft", "rgt")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("lft").asc(), F.col("rgt").asc())
+            .first()
+        )
+        rows.append((r, top.lft, top.rgt, top.lft + top.rgt, int(top.n)))
+        pat = a_m + top.lft + b_m + a_m + top.rgt + b_m
+        rep = a_m + top.lft + top.rgt + b_m
+        seg = seg.select(
+            "freq", F.replace(F.col("seg"), F.lit(pat), F.lit(rep)).alias("seg")
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rows, "round int, left_sym string, right_sym string, merged string, n bigint"
+    ).orderBy("round")
