@@ -351,18 +351,76 @@ ORDER BY l_returnflag
 @query("agg_stats", oracle=_sql_moments("l_extendedprice", "l_quantity"), family=_FAM)
 def agg_stats(spark, sf_dir):
     """stddev/variance/covariance/correlation/percentiles — computed from
-    decimal-exact moments so they hash-match the oracle (SURVEY §2.4)."""
+    decimal-exact moments so they hash-match the oracle (SURVEY §2.4).
+
+    Percentile plan (VERDICT r3 item 7 — the sort-buffer `percentile`
+    aggregate was the one non-combiner agg left here): l_quantity has a
+    BOUNDED value domain (TPC-H: 50 distinct), so the whole query is
+    ONE scan and one exchange — a combiner-shape aggregate by
+    (flag, qty) carrying decimal partial sums (~150 output rows), then
+    window functions over the per-flag histogram: running counts give
+    the exact quantile_cont positions (identical lower +
+    frac*(upper - lower) interpolation both engines use), unbounded
+    window sums re-total the decimal partials (decimal addition is
+    exact, so two-level == one-level bit-for-bit), and the one
+    cum == total row per flag carries everything out. The shuffle moves
+    value counts, never values; no sort buffer grows with group size.
+    For an UNBOUNDED domain the histogram degenerates and the swap is
+    approx_percentile's GK sketch with a rank-error contract
+    (agg_approx_quantile documents it) — same plan shape, sketch
+    instead of histogram."""
+    from hdfs_mr_spark.exprs import _dec, _to_double_single_rounding
+
     li = table(spark, sf_dir, "lineitem")
     x, y = F.col("l_extendedprice"), F.col("l_quantity")
-    agg = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        dsum(x).alias("_sx"),
-        dsum(y).alias("_sy"),
-        dsum(x * x, 4).alias("_sxx"),
-        dsum(y * y, 4).alias("_syy"),
-        dsum(x * y, 4).alias("_sxy"),
-        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
-        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+    lvl1 = li.groupBy("l_returnflag", y.alias("qty")).agg(
+        F.count("*").alias("c"),
+        F.sum(x.cast(_dec(8))).alias("_psx"),
+        F.sum(y.cast(_dec(8))).alias("_psy"),
+        F.sum((x * x).cast(_dec(4))).alias("_psxx"),
+        F.sum((y * y).cast(_dec(4))).alias("_psyy"),
+        F.sum((x * y).cast(_dec(4))).alias("_psxy"),
+    )
+    wall = Window.partitionBy("l_returnflag")
+    wcum = wall.orderBy("qty").rowsBetween(Window.unboundedPreceding, 0)
+    hist = lvl1.select(
+        "l_returnflag", "qty",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("gn"),
+        *[
+            _to_double_single_rounding(F.sum(pc).over(wall), sc).alias(col)
+            for pc, sc, col in (
+                ("_psx", 8, "_sx"), ("_psy", 8, "_sy"), ("_psxx", 4, "_sxx"),
+                ("_psyy", 4, "_syy"), ("_psxy", 4, "_sxy"),
+            )
+        ],
+    )
+
+    def _w_pct(p: float):
+        # quantile_cont from the histogram: v_lo/v_hi are the values at
+        # floor/ceil of the continuous position, found as windowed
+        # conditional mins over the running counts
+        pos = f"({p} * (cast(gn as double) - 1.0))"
+        over = "OVER (PARTITION BY l_returnflag)"
+        lo = f"min(CASE WHEN cum >= floor({pos}) + 1 THEN qty END) {over}"
+        hi = (
+            f"coalesce(min(CASE WHEN cum >= floor({pos}) + 2 THEN qty END) "
+            f"{over}, {lo})"
+        )
+        frac = f"({pos} - floor({pos}))"
+        return F.expr(
+            f"cast({lo} as double) + {frac} "
+            f"* (cast({hi} as double) - cast({lo} as double))"
+        )
+
+    agg = (
+        hist.select(
+            "l_returnflag", "cum", "gn", "_sx", "_sy", "_sxx", "_syy", "_sxy",
+            F.col("gn").alias("n"),
+            _w_pct(0.5).alias("p50_qty"),
+            _w_pct(0.9).alias("p90_qty"),
+        )
+        .filter(F.col("cum") == F.col("gn"))  # one row per flag
     )
     nd = F.col("n").cast("double")
     var_x = (F.col("_sxx") - F.col("_sx") * F.col("_sx") / nd) / (nd - F.lit(1.0))

@@ -315,3 +315,12 @@ def test_near_dedup_shuffled_path_is_salted_sort_merge(spark):
     assert not any("BroadcastExchange" in n for n in nodes)
     assert any("SortMergeJoin" in n for n in nodes)
     assert "__salt" in plan
+
+
+def test_agg_stats_is_combiner_shape_only(spark):
+    """VERDICT r3 item 7 gate: agg_stats must carry no sort-buffer
+    percentile aggregate — only hash aggregates (value-count histogram)
+    plus bounded per-flag windows."""
+    nodes = _nodes(_plan(spark, "agg_stats"))
+    assert not any("ObjectHashAggregate" in n or "SortAggregate" in n for n in nodes)
+    assert any("HashAggregate" in n for n in nodes)
