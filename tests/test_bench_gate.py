@@ -128,3 +128,34 @@ def test_no_headline_query_regressed_past_2x():
         if q in baseline and t > 2.0 * baseline[q] + floor
     }
     assert not offenders, f"queries past 2x steady-state baseline: {offenders}"
+
+
+def test_full_sweep_wall_budget():
+    """VERDICT r3 item 8: the headline gate above covers 35 queries; a
+    quadratic regression in any of the other ~220 would previously pass
+    CI unnoticed. Gate the latest committed full-sweep artifact
+    (CHECK_r*.json, tools/check.py --json) against a committed budget:
+    mean sec/query <= 2x the r3 baseline mean (normalized per query so
+    registry growth doesn't move the bar) and no single query above an
+    absolute cap (a quadratic blowup at sf0.01 concentrates in one
+    query's wall time)."""
+    budget = json.loads((REPO / "tests" / "full_sweep_budget.json").read_text())
+    sweeps = sorted(
+        REPO.glob("CHECK_r*.json"),
+        key=lambda p: [int(x) for x in re.findall(r"\d+", p.name)],
+    )
+    assert sweeps, "no committed CHECK_r*.json full-sweep artifact"
+    latest = json.loads(sweeps[-1].read_text())
+    qs = {
+        name: rec for name, rec in latest["queries"].items()
+        if isinstance(rec, dict) and rec.get("sec") is not None
+    }
+    assert qs, f"{sweeps[-1].name} has no per-query timings"
+    mean = sum(rec["sec"] for rec in qs.values()) / len(qs)
+    cap = budget["baseline_mean_sec_per_query"] * budget["max_mean_multiplier"]
+    assert mean <= cap, (
+        f"{sweeps[-1].name}: mean {mean:.3f}s/query exceeds budget {cap:.3f}s"
+    )
+    over = {n: r["sec"] for n, r in qs.items()
+            if r["sec"] > budget["per_query_cap_sec"]}
+    assert not over, f"queries over {budget['per_query_cap_sec']}s cap: {over}"

@@ -324,3 +324,51 @@ def test_agg_stats_is_combiner_shape_only(spark):
     nodes = _nodes(_plan(spark, "agg_stats"))
     assert not any("ObjectHashAggregate" in n or "SortAggregate" in n for n in nodes)
     assert any("HashAggregate" in n for n in nodes)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """VERDICT r3 item 9: runtime evidence that AQE's skew-join handling
+    fires. A deliberately skewed big x big join (90% of rows on one key,
+    generated executor-side like scan_range_source) with skew thresholds
+    tuned to fixture scale must execute with the hot partition SPLIT —
+    `skew=true` on the final adaptive join. This is the runtime half of
+    the salting story: join_skew_salted writes the salt out manually
+    because persistent layouts (bucketing, writer partitioning) are
+    beyond AQE's reach; for transient shuffles, AQE's split is the
+    zero-code path demonstrated here."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "131072",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {}
+    for k in confs:
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 300000, 1, 8).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN CAST(0 AS BIGINT) "
+            "ELSE id % 1000 END AS k",
+            "id AS v",
+        )
+        right = spark.range(0, 1000, 1, 4).selectExpr("id AS k", "id * 2 AS w")
+        j = big.join(right, "k")
+        # execute THIS DataFrame's plan (count() would wrap it in a new
+        # QueryExecution and the adaptive plan would never finalize)
+        n = len(j.collect())
+        assert n == 300000  # every big row matches exactly one right key
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE skew split did not fire:\n{plan[:1500]}"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
