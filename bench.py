@@ -70,6 +70,8 @@ HEADLINE = [
     "llm_embed_gram",        # 2.11 distributed Gram matrix partials (r3)
     "agg_countmin_sketch",   # 2.4 mergeable CMS grid (r3)
     "sql_tpch_q5_local_supplier",  # 2.9 6-way join composite (r3)
+    "llm_multimodal_pixels",  # 2.11 pixel-true PNG decode kernel (r4)
+    "llm_bpe_train_rounds",  # 2.11 iterated BPE merge rounds (r4)
 ]
 
 

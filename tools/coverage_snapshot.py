@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Generate COVERAGE.md: one row per registered query — family, file:line,
-CHECK_r3.json verdict, and steady-state bench time where measured. The
+latest CHECK_r*.json verdict, and steady-state bench time where measured. The
 auditable crosswalk from SURVEY.md §2's inventory to the code and the
 committed correctness artifact.
 
@@ -23,9 +23,22 @@ def main() -> int:
 
     specs = all_specs()
     check = {}
-    check_path = REPO / "CHECK_r3.json"
-    if check_path.exists():
-        check = json.loads(check_path.read_text()).get("queries", {})
+    # latest round's sweep; prefer the plain (sf0.01) artifact over
+    # sf-suffixed siblings of the same round
+    import re
+
+    best = None
+    for p in REPO.glob("CHECK_r*.json"):
+        m = re.match(r"CHECK_r(\d+)", p.name)
+        if not m:
+            continue
+        key = (int(m.group(1)), p.name == f"CHECK_r{m.group(1)}.json")
+        if best is None or key > best[0]:
+            best = (key, p)
+    check_name = "-"
+    if best:
+        check_name = best[1].name
+        check = json.loads(best[1].read_text()).get("queries", {})
     bench = {}
     bench_probe = None
     for p in sorted(REPO.glob("BENCH_r*.json")):
@@ -49,13 +62,13 @@ def main() -> int:
     out = [
         "# Coverage crosswalk (auto-generated)\n",
         "`python tools/coverage_snapshot.py` — every registered query, its",
-        "implementation site, its verdict in the committed CHECK_r3.json",
+        f"implementation site, its verdict in the committed {check_name}",
         "full-sweep artifact (sf0.01 DuckDB oracle), and its steady-state",
         "bench time at sf0.1 where it is in the headline suite.\n",
         f"Total: {len(rows)} queries; "
-        f"{sum(1 for r in rows if r[3] == 'PASS')} PASS in CHECK_r3.json "
+        f"{sum(1 for r in rows if r[3] == 'PASS')} PASS in {check_name} "
         f"(rows marked '-' postdate that sweep or were checked separately).\n",
-        "| family | query | impl | CHECK_r3 | bench s |",
+        f"| family | query | impl | {check_name} | bench s |",
         "|---|---|---|---|---|",
     ]
     for fam, name, loc, status, b in rows:
