@@ -1135,3 +1135,135 @@ def llm_label_centroids(spark, sf_dir):
         .select("label", "n_vectors", "centroid")
         .orderBy("label")
     )
+
+
+_KM_K = 8  # clusters (init = first k vectors)
+_KM_ROUNDS = 3  # Lloyd update rounds (assignment after the last update)
+
+# squared-L2 as the same left-fold both engines replay bit-for-bit
+_SQL_D2 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _kmeans_oracle(k: int = _KM_K, rounds: int = _KM_ROUNDS) -> str:
+    """Unrolled-CTE DuckDB twin of llm_cluster_kmeans: per round, argmin
+    squared-L2 assignment (cid tiebreak) then decimal-exact centroid
+    means (the dsum single-rounding trick per dimension)."""
+    # floor-quantized micro-units: float->decimal rounds differently in
+    # the two engines (Spark goes through the shortest string repr), but
+    # floor(double*1e6) is pure IEEE and bit-identical (llm_embed_gram's
+    # established pattern)
+    mean = (
+        "(CAST(SUM(CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 1000000.0) "
+        "AS BIGINT)) AS DOUBLE) / 1000000.0) / CAST(COUNT(*) AS DOUBLE)"
+    )
+    parts = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce "
+        f"FROM e WHERE vec_id < {k})",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"a{r} AS (SELECT vec_id, cid FROM ("
+            "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {_SQL_D2.format(a='e.embedding', b='c.ce')} ASC, c.cid ASC) AS rk "
+            f"FROM e CROSS JOIN c{r - 1} c) WHERE rk = 1)"
+        )
+        parts.append(
+            f"c{r} AS (SELECT cid, list(m ORDER BY dim) AS ce FROM ("
+            f"SELECT a.cid, u.i AS dim, {mean} AS m "
+            f"FROM a{r} a JOIN e ON e.vec_id = a.vec_id, "
+            "LATERAL unnest(range(1, len(e.embedding) + 1)) AS u(i) "
+            "GROUP BY a.cid, u.i) GROUP BY cid)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT vec_id, cid AS cluster, d2 AS dist2 FROM (
+  SELECT e.vec_id, c.cid,
+         {_SQL_D2.format(a='e.embedding', b='c.ce')} AS d2,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           {_SQL_D2.format(a='e.embedding', b='c.ce')} ASC, c.cid ASC) AS rk
+  FROM e CROSS JOIN c{rounds} c
+) WHERE rk = 1
+ORDER BY vec_id
+"""
+    )
+
+
+@query("llm_cluster_kmeans", oracle=_kmeans_oracle(), family=_FAM)
+def llm_cluster_kmeans(spark, sf_dir):
+    """K-means corpus clustering (Lloyd's algorithm, k=8, 3 update
+    rounds + final assignment) over the embedding column — the iterative
+    ML workload behind cluster-balanced sampling, SemDeDup's quantizer
+    training, and topic-stratified curation. Deterministic end to end:
+    init = first k vectors, squared-L2 argmin with cid tiebreak, and
+    centroid means computed as decimal(38,9) sums with the dsum
+    single-rounding conversion before one IEEE division by the count —
+    so the DuckDB oracle replays every round bit-for-bit (unrolled
+    CTEs), including which clusters survive.
+
+    Scale: each round is one broadcast of k*d centroid doubles (fixed
+    size at any corpus — the justified-broadcast class), one argmin
+    window per vector over k candidates, and one (cid, dim)-keyed
+    combiner aggregate; only k*d values ever reach the driver per round
+    (to cut the lineage, not to compute). This is the Pregel-discipline
+    loop of mr_bfs applied to an ML kernel; at 100 TB rounds are
+    identical jobs over a cached assignment frame."""
+    e = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+
+    def d2(emb, ce):
+        return F.aggregate(
+            F.zip_with(
+                emb, ce,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cent = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("ce"),
+    ).localCheckpoint()
+    for _r in range(_KM_ROUNDS):
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+        assign = (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "cid", "embedding", d2(F.col("embedding"), F.col("ce")).alias("d2"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+        )
+        dims = assign.select(
+            "cid", F.posexplode("embedding").alias("dim", "val")
+        )
+        vq = F.floor(F.col("val").cast("double") * F.lit(1000000.0)).cast("bigint")
+        means = dims.groupBy("cid", "dim").agg(
+            (
+                (F.sum(vq).cast("double") / F.lit(1000000.0))
+                / F.count("*").cast("double")
+            ).alias("m")
+        )
+        cent = (
+            means.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.m,
+                ).alias("ce")
+            )
+            .localCheckpoint()
+        )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", d2(F.col("embedding"), F.col("ce")).alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"), F.col("d2").alias("dist2"))
+        .orderBy("vec_id")
+    )
