@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from hdfs_mr_spark.exprs import dsum, sql_dsum
+from hdfs_mr_spark.exprs import davg, dsum, sql_davg, sql_dsum
 from hdfs_mr_spark.io import table
 from hdfs_mr_spark.registry import query
 
@@ -308,4 +308,327 @@ def sql_tpch_q18_large_orders(spark, sf_dir):
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
+    )
+
+
+@query(
+    "sql_tpch_q4_order_priority",
+    oracle="""
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    family=_FAM,
+)
+def sql_tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: order-priority count of one quarter's orders that
+    had at least one late lineitem. The fixture has no
+    l_commitdate/l_receiptdate, so "late" adapts to shipped more than
+    30 days after the order date — same correlated-EXISTS shape.
+    Physical: the EXISTS decorrelates to a LEFT SEMI join on orderkey
+    with the date residual; the orders quarter-filter pushes to the
+    scan, and the priority count is a 5-group combiner aggregate."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "sql_tpch_q13_customer_distribution",
+    oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def sql_tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution (how many
+    customers placed 0, 1, 2, ... qualifying orders) — the classic
+    LEFT-JOIN-with-join-condition-filter trap: the priority predicate
+    must live IN the join condition, not a WHERE (a WHERE would turn
+    the outer join inner and silently drop 0-order customers, the very
+    rows Q13 exists to count). Two-level aggregate, both combiner-shape;
+    the histogram is at most max-orders-per-customer rows."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "sql_tpch_q14_promo_revenue",
+    oracle=f"""
+SELECT (100.0 * {sql_dsum(f"CASE WHEN p.p_type = 'PROMO' THEN {_REV} ELSE 0.0 END", 4)})
+       / {sql_dsum(_REV, 4)} AS promo_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+""",
+    family=_FAM,
+)
+def sql_tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promotion revenue share for one month — a
+    conditional aggregate over a fact-dimension join, emitting one
+    scalar. Physical: part broadcasts (dimension), the month filter
+    pushes to the lineitem scan, both sums share one aggregate pass.
+    Both numerator and denominator are single-rounded decimal sums, so
+    the final division is one deterministic IEEE op in both engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            ((F.lit(100.0) * dsum(promo, 4)) / dsum(rev, 4)).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "sql_tpch_q17_small_quantity_revenue",
+    oracle=f"""
+WITH pq AS (
+  SELECT l_partkey,
+         0.2 * ({sql_davg("l_quantity")}) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {sql_dsum("l.l_extendedprice")} / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pq ON pq.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#21'
+  AND CAST(l.l_quantity AS DOUBLE) < pq.qty_threshold
+""",
+    family=_FAM,
+)
+def sql_tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average order quantity) went
+    unfilled. The correlated scalar subquery decorrelates to a per-part
+    aggregate joined back on partkey — the canonical correlated-agg
+    rewrite. The threshold is a decimal-exact average times 0.2 (one
+    IEEE multiply), so the comparison is bit-identical in both engines.
+    Physical: per-part stats are a combiner agg over the same
+    partkey-partitioned shuffle the probe join reuses; the brand filter
+    broadcasts."""
+    li = table(spark, sf_dir, "lineitem")
+    pq = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * davg(F.col("l_quantity"))).alias("qty_threshold")
+    ).select(F.col("l_partkey").alias("pq_partkey"), "qty_threshold")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#21").select(
+        "p_partkey"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pq, li.l_partkey == pq.pq_partkey)
+        .filter(F.col("l_quantity").cast("double") < F.col("qty_threshold"))
+        .agg((dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@query(
+    "sql_tpch_q19_disjunctive_revenue",
+    oracle=f"""
+SELECT {sql_dsum(_REV, 4)} AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    family=_FAM,
+)
+def sql_tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under three disjunctive brand/size/
+    quantity arms — the classic test of disjunction handling: the join
+    key (partkey) must still be extracted as the equi-condition with
+    the OR-of-ANDs evaluated as a residual, NOT a cartesian product;
+    Catalyst also derives the implied common filters. One scalar out."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    arm1 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11)
+    arm2 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20)
+    arm3 = (F.col("p_brand") == "Brand#21") & F.col("p_size").between(1, 15) & q.between(20, 30)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(arm1 | arm2 | arm3)
+        .agg(dsum(rev, 4).alias("revenue"))
+    )
+
+
+@query(
+    "sql_tpch_q21_waiting_supplier",
+    oracle="""
+WITH fo AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+),
+late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN fo ON fo.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate > fo.o_orderdate + INTERVAL 90 DAY
+  GROUP BY l.l_orderkey, l.l_suppkey
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 20
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def sql_tpch_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape — the hardest classic: suppliers who were the
+    SOLE late shipper on multi-supplier finalized orders ("who kept the
+    order waiting"). Adapted lateness = shipped more than 90 days after
+    the order date (no l_commitdate/l_receiptdate in the fixture).
+    Composition: an EXISTS (another supplier participated) and a NOT
+    EXISTS (no OTHER supplier was late) over the same order — planned
+    as a LEFT SEMI then LEFT ANTI join on orderkey with the suppkey
+    inequality as residual; late-line dedup by (order, supp) keeps the
+    count per waiting incident, not per line. Top-20 via
+    TakeOrderedAndProject."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    cand = late.join(
+        l2,
+        (late.l_orderkey == l2.x_orderkey) & (late.l_suppkey != l2.x_suppkey),
+        "left_semi",
+    ).join(
+        l3,
+        (late.l_orderkey == l3.y_orderkey) & (late.l_suppkey != l3.y_suppkey),
+        "left_anti",
+    )
+    return (
+        cand.join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "sql_tpch_q22_global_sales_opportunity",
+    oracle=f"""
+WITH avg_bal AS (
+  SELECT {sql_davg("c_acctbal")} AS ab FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       {sql_dsum("c.c_acctbal")} AS totacctbal
+FROM customer c CROSS JOIN avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+""",
+    family=_FAM,
+)
+def sql_tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: dormant high-value customers — above-average
+    account balance but no order since mid-2000 — grouped by country
+    (the fixture has no c_phone, so nationkey IS the country code; and
+    every fixture customer has SOME order, so the classic zero-orders
+    predicate is vacuous — "no recent orders" keeps the anti-join arm
+    doing real work: 135 qualifying customers at sf0.01, 1331 at
+    sf0.1). Composition: a global scalar aggregate (decimal-exact
+    average over positive balances) broadcast as the filter threshold,
+    then a LEFT ANTI join against recent orders — the shape a NOT IN
+    would get wrong under nulls (sql_not_in_null_aware covers that
+    trap); per-country combiner aggregate out."""
+    c = table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg(F.col("c_acctbal")).alias("ab")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
     )
