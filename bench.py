@@ -72,6 +72,8 @@ HEADLINE = [
     "sql_tpch_q5_local_supplier",  # 2.9 6-way join composite (r3)
     "llm_multimodal_pixels",  # 2.11 pixel-true PNG decode kernel (r4)
     "llm_bpe_train_rounds",  # 2.11 iterated BPE merge rounds (r4)
+    "llm_cluster_kmeans",    # 2.11 iterative Lloyd rounds (r4)
+    "sql_tpch_q21_waiting_supplier",  # 2.9 double EXISTS/NOT-EXISTS composite (r4)
 ]
 
 

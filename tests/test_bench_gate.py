@@ -140,10 +140,14 @@ def test_full_sweep_wall_budget():
     absolute cap (a quadratic blowup at sf0.01 concentrates in one
     query's wall time)."""
     budget = json.loads((REPO / "tests" / "full_sweep_budget.json").read_text())
+    # latest round's PLAIN (sf0.01) artifact — the budget is calibrated
+    # at sf0.01; sf-suffixed siblings of the same round time a bigger
+    # input and would trip the mean for the wrong reason
     sweeps = sorted(
-        REPO.glob("CHECK_r*.json"),
-        key=lambda p: [int(x) for x in re.findall(r"\d+", p.name)],
-    )
+        p for p in REPO.glob("CHECK_r*.json")
+        if re.fullmatch(r"CHECK_r\d+\.json", p.name)
+    ) or sorted(REPO.glob("CHECK_r*.json"))
+    sweeps.sort(key=lambda p: [int(x) for x in re.findall(r"\d+", p.name)])
     assert sweeps, "no committed CHECK_r*.json full-sweep artifact"
     latest = json.loads(sweeps[-1].read_text())
     qs = {
