@@ -372,3 +372,29 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_q21_plans_semi_and_anti(spark):
+    """Q21's EXISTS / NOT EXISTS pair must plan as LEFT SEMI + LEFT ANTI
+    joins (never a Cartesian or a subquery re-execution per row)."""
+    plan = _plan(spark, "sql_tpch_q21_waiting_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert not any("Cartesian" in n for n in _nodes(plan))
+
+
+def test_q19_disjunction_keeps_equi_join(spark):
+    """Q19's OR-of-ANDs must ride as a residual on the partkey equi-join
+    — Catalyst must not fall back to a Cartesian for the disjunction."""
+    nodes = _nodes(_plan(spark, "sql_tpch_q19_disjunctive_revenue"))
+    assert any("Join" in n and "Cartesian" not in n for n in nodes)
+    assert not any("Cartesian" in n for n in nodes)
+
+
+def test_kmeans_final_assign_broadcasts_centroids(spark):
+    """llm_cluster_kmeans' assignment joins against the fixed k*d
+    centroid frame — a justified broadcast (size independent of n); the
+    vector side must never be the build side."""
+    nodes = _nodes(_plan(spark, "llm_cluster_kmeans"))
+    assert any("BroadcastNestedLoopJoin" in n or "BroadcastHashJoin" in n for n in nodes)
+    assert not any("CartesianProduct" in n for n in nodes)

@@ -424,3 +424,23 @@ def test_png_pixel_decode_roundtrip_all_filters():
             media_px_value(x, y, 0, did) for y in ys for x in xs
         ) // (len(xs) * len(ys))
         assert dpx[((oh - 1) * ow + (ow - 1)) * 3] == exp
+
+
+def test_ann_params_match_oracle_formulas():
+    """_ann_params (Python) and _SQL_ANN_PARAMS (DuckDB) must agree for
+    any corpus size — the contract that keeps scaled ANN queries
+    hash-green at every scale factor."""
+    import duckdb
+
+    from hdfs_mr_spark.operators.llm_similarity import _SQL_ANN_PARAMS, _ann_params
+
+    con = duckdb.connect()
+    for n in (64, 100, 500, 2000, 4096, 65536, 10**6, 10**7, 123457):
+        sql = (
+            "WITH "
+            + _SQL_ANN_PARAMS.replace("COUNT(*)", str(n)).replace(
+                "FROM embeddings", ""
+            )
+            + " SELECT cells, nprobe, bits FROM p"
+        )
+        assert tuple(con.execute(sql).fetchone()) == _ann_params(n), n
