@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Generate ANN_RECALL_r{N}.json: measured recall@5 of every ANN path
+(single-probe LSH, multiprobe LSH, IVF) against the exact brute-force
+top-5, per query vector and as means, at sf0.01 and sf0.1 — the audit
+artifact the index recommendation in llm_sim_knn_lsh's docstring cites.
+
+Usage: python tools/ann_recall.py [--out ANN_RECALL_r4.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=str(REPO / "ANN_RECALL_r4.json"))
+    args = ap.parse_args()
+
+    import pyarrow.parquet as pq
+
+    from hdfs_mr_spark.operators.llm_similarity import _ann_params
+    from hdfs_mr_spark.registry import all_specs
+    from hdfs_mr_spark.session import get_spark
+
+    spark = get_spark("ann-recall")
+    qs = all_specs()
+    out = {}
+    for sf in ("0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}"
+        audit = [r.asDict() for r in qs["llm_ann_recall_audit"].fn(spark, path).collect()]
+        exact = {(r.qid, r.vec_id) for r in qs["llm_sim_knn"].fn(spark, path).collect()}
+        mp = {
+            (r.qid, r.vec_id)
+            for r in qs["llm_sim_knn_lsh_multiprobe"].fn(spark, path).collect()
+        }
+        n = pq.ParquetFile(f"{path}/embeddings.parquet").metadata.num_rows
+        cells, nprobe, bits = _ann_params(n)
+        out[f"sf{sf}"] = {
+            "per_query": audit,
+            "mean_ivf_recall_at_5": sum(r["ivf_recall_at_5"] for r in audit) / len(audit),
+            "mean_lsh_recall_at_5": sum(r["lsh_recall_at_5"] for r in audit) / len(audit),
+            "mean_lsh_multiprobe_recall_at_5": len(exact & mp) / len(exact),
+            "params": {"n": n, "ivf_cells": cells, "ivf_nprobe": nprobe, "lsh_bits": bits},
+        }
+    Path(args.out).write_text(json.dumps(out, indent=1))
+    print(f"wrote {args.out}")
+    for sf, rec in out.items():
+        print(sf, {k: round(v, 3) for k, v in rec.items() if k.startswith("mean")})
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
