@@ -632,3 +632,563 @@ def sql_tpch_q22_global_sales_opportunity(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "sql_tpch_q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum("l_quantity")} AS sum_qty,
+       {sql_dsum("l_extendedprice")} AS sum_base_price,
+       {sql_dsum(_REV)} AS sum_disc_price,
+       {sql_dsum("(l_extendedprice * (1 - l_discount)) * (1 + l_tax)")} AS sum_charge,
+       {sql_davg("l_quantity")} AS avg_qty,
+       {sql_davg("l_extendedprice")} AS avg_price,
+       {sql_davg("l_discount")} AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def sql_tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the pricing summary report — eight aggregates
+    over one fact scan, grouped by the 6-cell (returnflag, linestatus)
+    key. The scale story is pure map-side combine: every sum/avg
+    partial-aggregates per partition, so the shuffle carries ~6 rows
+    per partition no matter how many billions of lineitems feed it.
+    All money sums ride the single-rounding decimal kernel; the charge
+    expression is parenthesized identically in both engines so the
+    per-row doubles are bit-equal before aggregation."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (
+        1 + F.col("l_tax")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "sql_tpch_q7_volume_shipping",
+    oracle=f"""
+WITH shipping AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+      OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT supp_nation, cust_nation, l_year,
+       {sql_dsum("volume")} AS revenue
+FROM shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def sql_tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year — the two-role nation join (supplier's nation AND
+    customer's nation, self-joined dimension under different aliases)
+    with a symmetric either-direction predicate. Physical: both nation
+    legs and supplier broadcast; the disjunctive nation-pair filter
+    applies after the broadcast joins so lineitem still shuffles only
+    once (on orderkey); the 2x2xyears group is a combiner aggregate."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+        | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dsum(vol).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "sql_tpch_q8_market_share",
+    oracle=f"""
+WITH all_sales AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'AMERICA'
+    AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       {sql_dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END")}
+       / {sql_dsum("volume")} AS mkt_share
+FROM all_sales
+GROUP BY o_year
+ORDER BY o_year
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def sql_tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's market share of a part type sold
+    into a region, by order year — the deepest classic join tree
+    (8 relations, nation joined twice in different roles) feeding a
+    ratio-of-conditional-sums aggregate. Physical: every non-fact
+    relation broadcasts, lineitem shuffles once on orderkey; numerator
+    and denominator are computed in the SAME aggregate pass (no second
+    scan) as single-rounded decimal sums, so the final division is one
+    deterministic IEEE op per year row."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA").select(
+        "r_regionkey"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg((dsum(target) / dsum(vol)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "sql_tpch_q9_product_profit",
+    oracle=f"""
+WITH profit AS (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         (l.l_extendedprice * (1 - l.l_discount))
+           - ((0.6 * p.p_retailprice) * l.l_quantity) AS amount
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE p.p_name LIKE '%bolt%'
+)
+SELECT nation, o_year, {sql_dsum("amount")} AS sum_profit
+FROM profit
+GROUP BY nation, o_year
+ORDER BY nation ASC, o_year DESC
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def sql_tpch_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit on a product line by supplying nation and
+    year. The fixture has no partsupp, so supply cost adapts to
+    0.6 * p_retailprice per unit (same join tree, same profit
+    arithmetic shape). Physical: the part-name filter prunes the
+    broadcast build side BEFORE the fact join (partkey semi-filter
+    rides the broadcast), supplier/nation broadcast, lineitem shuffles
+    once on orderkey; the profit expression keeps identical
+    parenthesization in both engines so per-row doubles are bit-equal
+    and the decimal sum is order-independent."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) - (
+        (F.lit(0.6) * F.col("p_retailprice")) * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(dsum(amount).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@query(
+    "sql_tpch_q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+ec AS (
+  SELECT c.l_partkey, c.l_suppkey, c.unit_cost
+  FROM cost c JOIN eu ON eu.s_suppkey = c.l_suppkey
+),
+mn AS (
+  SELECT l_partkey, MIN(unit_cost) AS min_cost FROM ec GROUP BY l_partkey
+)
+SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey, ec.unit_cost AS supply_cost
+FROM part p
+JOIN ec ON ec.l_partkey = p.p_partkey
+JOIN mn ON mn.l_partkey = p.p_partkey AND ec.unit_cost = mn.min_cost
+JOIN eu ON eu.s_suppkey = ec.l_suppkey
+WHERE p.p_type = 'LARGE' AND p.p_size BETWEEN 10 AND 20
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def sql_tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each qualifying part, the European supplier
+    offering the minimum supply cost. The fixture has no partsupp, so
+    supply cost adapts to the supplier's minimum observed unit price
+    (min of l_extendedprice / l_quantity per (part, supplier) pair) —
+    the same correlated-scalar-MIN subquery decorrelated to a per-part
+    aggregate joined back on (partkey, cost). Determinism: unit price
+    is one IEEE division per row and MIN never rounds, so the
+    cost-equality probe compares bit-identical doubles in both
+    engines. Physical: per-pair and per-part mins are combiner aggs on
+    the same partkey-shuffled exchange; the region-filtered supplier
+    set broadcasts; ties (two EU suppliers at the same min) both
+    survive, exactly like classic Q2."""
+    li = table(spark, sf_dir, "lineitem")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ec = cost.join(F.broadcast(eu.select("s_suppkey")), cost.l_suppkey == F.col("s_suppkey")).drop(
+        "s_suppkey"
+    )
+    mn = ec.groupBy(F.col("l_partkey").alias("mn_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    ).select("p_partkey")
+    return (
+        ec.join(F.broadcast(p), ec.l_partkey == p.p_partkey)
+        .join(
+            mn,
+            (F.col("l_partkey") == F.col("mn_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(eu), F.col("l_suppkey") == eu.s_suppkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.col("unit_cost").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("n_name").asc(),
+            F.col("s_name").asc(), F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "sql_tpch_q11_important_stock",
+    oracle=f"""
+WITH nl AS (
+  SELECT l.l_partkey, l.l_extendedprice * (1 - l.l_discount) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE s.s_nationkey = 8
+),
+per_part AS (
+  SELECT l_partkey, {sql_dsum("val")} AS value FROM nl GROUP BY l_partkey
+),
+tot AS (
+  SELECT {sql_dsum("val")} * 0.001 AS threshold FROM nl
+)
+SELECT pp.l_partkey AS p_partkey, pp.value
+FROM per_part pp CROSS JOIN tot
+WHERE pp.value > tot.threshold
+ORDER BY pp.value DESC, p_partkey ASC
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def sql_tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: the parts representing a significant share of
+    one nation's supplied value. No partsupp in the fixture, so value
+    adapts from availqty*supplycost to the nation's shipped revenue
+    per part — identical composition: per-key aggregate, a GLOBAL
+    scalar aggregate over the same rows as the significance threshold,
+    and a filter of one against the other. Physical: the nation's
+    supplier keys broadcast into the fact scan; both aggregates are
+    combiner-shape over one shuffle; the single-row threshold
+    broadcasts back (scalar cross join), so nothing big moves twice.
+    Threshold semantics are scale-invariant (a fraction of total), so
+    the query returns the same concentration profile at any SF."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 8).select(
+        "s_suppkey"
+    )
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nl = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).select(
+        "l_partkey", val.alias("val")
+    )
+    per_part = nl.groupBy("l_partkey").agg(dsum(F.col("val")).alias("value"))
+    tot = nl.agg((dsum(F.col("val")) * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+        .orderBy(F.col("value").desc(), F.col("p_partkey").asc())
+    )
+
+
+@query(
+    "sql_tpch_q15_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, {sql_dsum(_REV)} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT MAX(total_rev) AS m FROM rev)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM supplier s
+JOIN rev r ON r.l_suppkey = s.s_suppkey
+CROSS JOIN mx
+WHERE r.total_rev = mx.m
+ORDER BY s.s_suppkey
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def sql_tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in one
+    quarter — the classic view + scalar-MAX-subquery composition,
+    decorrelated to a per-supplier combiner aggregate, a 1-row global
+    MAX, and an equality probe. The revenue values are single-rounded
+    decimal sums, so the MAX and the = probe compare bit-identical
+    doubles in both engines (the reason the classic query is safe to
+    write with = at all). Physical: per-supplier agg shuffles once;
+    the scalar max broadcasts; supplier is a broadcast dim. Ties all
+    survive, ordered by suppkey."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(dsum(rev_expr).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "sql_tpch_q16_supplier_part_counts",
+    oracle="""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC, p.p_size ASC
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def sql_tpch_q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct suppliers can furnish each
+    qualifying (brand, type, size) bucket, excluding flagged
+    suppliers. The partsupp relation adapts to the observed DISTINCT
+    (l_partkey, l_suppkey) pairs from lineitem; the classic
+    customer-complaints NOT IN adapts to negative-balance suppliers —
+    preserving the anti-join arm (suppkey is non-null so NOT IN is
+    safe; the null-poisoned variant is sql_not_in_null_aware's job).
+    Physical: the pair-dedup is a combiner distinct on the fact; part
+    broadcasts with all three predicates pre-applied; the exclusion
+    list broadcasts as a LEFT ANTI; COUNT(DISTINCT) expands partial
+    per-group supplier sets before the final count."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), F.col("p_brand").asc(),
+            F.col("p_type").asc(), F.col("p_size").asc(),
+        )
+    )
+
+
+@query(
+    "sql_tpch_q20_potential_promotion",
+    oracle="""
+WITH sp AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+),
+shipped AS (
+  SELECT l.l_partkey, l.l_suppkey, SUM(l.l_quantity) AS qty
+  FROM lineitem l JOIN sp ON sp.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+part_total AS (
+  SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey
+)
+SELECT DISTINCT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
+JOIN part_total pt ON pt.l_partkey = sh.l_partkey
+WHERE s.s_nationkey = 15
+  AND sh.qty > 0.5 * pt.total_qty
+ORDER BY s.s_name
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def sql_tpch_q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in one nation who dominated a product
+    line's shipments in one year (shipped more than half of a
+    qualifying part's annual volume — adapting the availqty-vs-half-
+    shipped test to the fixture, which has no partsupp). Same nested
+    composition: name-filtered part keys -> per-(part,supplier)
+    aggregate -> correlated per-part total -> threshold semi-join ->
+    DISTINCT suppliers. Quantities are integer-valued doubles, so
+    plain SUM is exact and order-independent (every partial is an
+    exact integer < 2^53) and 0.5 * total is one exact IEEE multiply.
+    Physical: part keys broadcast into the fact scan; both aggregates
+    are combiner-shape over one (partkey, suppkey) shuffle; the
+    nation's suppliers broadcast."""
+    sp = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(sp), li.l_partkey == sp.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 15).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return (
+        shipped.join(part_total, F.col("l_partkey") == F.col("pt_partkey"))
+        .filter(F.col("qty") > F.lit(0.5) * F.col("total_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "s_acctbal")
+        .distinct()
+        .orderBy("s_name")
+    )
