@@ -398,3 +398,54 @@ def test_kmeans_final_assign_broadcasts_centroids(spark):
     nodes = _nodes(_plan(spark, "llm_cluster_kmeans"))
     assert any("BroadcastNestedLoopJoin" in n or "BroadcastHashJoin" in n for n in nodes)
     assert not any("CartesianProduct" in n for n in nodes)
+
+
+def test_tpch_q1_is_one_combiner_pass(spark):
+    """Q1's eight aggregates must ride ONE partial/final HashAggregate
+    pair over the pushed-down scan — the map-side-combine showcase."""
+    plan = _plan(spark, "sql_tpch_q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+    assert sum("HashAggregate" in n for n in _nodes(plan)) == 2
+
+
+def test_tpch_q2_topk_and_no_cartesian(spark):
+    """Q2's LIMIT 100 over the min-cost probe must be a bounded
+    TakeOrderedAndProject, and the double-equality min-cost probe must
+    stay an equi-join."""
+    plan = _plan(spark, "sql_tpch_q2_min_cost_supplier")
+    assert "TakeOrderedAndProject" in plan
+    assert not any("Cartesian" in n for n in _nodes(plan))
+
+
+def test_tpch_q8_broadcasts_all_dims(spark):
+    """Q8's 8-relation tree: every non-fact relation broadcasts; the
+    only shuffle join is lineitem-orders on orderkey."""
+    nodes = _nodes(_plan(spark, "sql_tpch_q8_market_share"))
+    assert sum("BroadcastHashJoin" in n for n in nodes) >= 5
+    assert sum("SortMergeJoin" in n for n in nodes) <= 1
+
+
+def test_tpch_q15_scalar_max_broadcasts(spark):
+    """Q15's scalar MAX threshold must come back as a broadcast — and
+    Catalyst actually does one better: the crossJoin+filter collapses
+    to a broadcast HASH join on the total_rev = m equi-condition. Gate
+    on broadcast-anything, never a Cartesian."""
+    nodes = _nodes(_plan(spark, "sql_tpch_q15_top_supplier"))
+    assert any("BroadcastHashJoin" in n or "BroadcastNestedLoopJoin" in n for n in nodes)
+    assert not any("CartesianProduct" in n for n in nodes)
+
+
+def test_tpch_q16_plans_anti_join(spark):
+    """Q16's NOT IN exclusion (non-null key) must plan as a broadcast
+    LEFT ANTI join."""
+    plan = _plan(spark, "sql_tpch_q16_supplier_part_counts")
+    assert "LeftAnti" in plan
+
+
+def test_tpch_q20_two_level_combiner_aggs(spark):
+    """Q20's per-(part,supplier) and per-part aggregates are both
+    combiner-shape (two partial/final pairs) and the threshold join
+    stays equi on partkey."""
+    nodes = _nodes(_plan(spark, "sql_tpch_q20_potential_promotion"))
+    assert sum("HashAggregate" in n for n in nodes) >= 4
+    assert not any("Cartesian" in n for n in nodes)
