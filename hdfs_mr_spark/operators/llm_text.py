@@ -2447,3 +2447,107 @@ def llm_bpe_train_rounds(spark, sf_dir):
     return spark.createDataFrame(
         rows, "round int, left_sym string, right_sym string, merged string, n bigint"
     ).orderBy("round")
+
+
+@query(
+    "llm_bm25_score",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT COUNT(*) FROM tok) AS DOUBLE)
+           / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl
+),
+qtf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ('spark', 'table', 'hash', 'sort')
+  GROUP BY doc_id, term
+),
+qdf AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tok WHERE term IN ('spark', 'table', 'hash', 'sort')
+  GROUP BY term
+),
+contrib AS (
+  SELECT t.doc_id,
+         round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * ((t.tf * 2.2)
+                  / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl)))),
+               6) AS c
+  FROM qtf t
+  JOIN qdf d ON d.term = t.term
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       (CAST(CAST(SUM(CAST(c AS DECIMAL(38,6))) * 1000000
+             AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0) AS bm25,
+       CAST(row_number() OVER (
+         ORDER BY SUM(CAST(c AS DECIMAL(38,6))) DESC, doc_id ASC
+       ) AS BIGINT) AS rank
+FROM contrib
+GROUP BY doc_id
+QUALIFY rank <= 20
+ORDER BY rank
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def llm_bm25_score(spark, sf_dir):
+    """Okapi BM25 retrieval scoring (k1=1.2, b=0.75) of the corpus
+    against a fixed query term set — the lexical-retrieval complement
+    to llm_tfidf and the standard first-stage ranker in front of the
+    ANN family. Determinism: idf and the tf-saturation factor are
+    per-row IEEE chains with identical parenthesization in both
+    engines; each term's contribution rounds to 6 dp (the llm_tfidf
+    ln-ulp discipline) and the per-doc sum rides the decimal kernel so
+    aggregation order can't perturb the ranking. Physical shape at
+    100 TB: doc-length and term-frequency aggregates are combiner-shape
+    over one doc_id shuffle; the query-term df table is tiny but the
+    JOIN is written unhinted on term like llm_tfidf's (vocab-scale df
+    generalizes); global scalars (N, avgdl) embed as literals; top-20
+    is a bounded TakeOrdered, never a global sort."""
+    from hdfs_mr_spark.exprs import dsum
+
+    q_terms = ["spark", "table", "hash", "sort"]
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("term"))
+    # Two tiny scalar jobs -> literals (llm_tfidf's N pattern): both
+    # engines then evaluate the identical double constants.
+    n_docs = d.count()
+    n_toks = tok.count()
+    n = float(n_docs)
+    avgdl = float(n_toks) / float(n_docs)
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    qtok = tok.filter(F.col("term").isin(q_terms))
+    qtf = qtok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    qdf = qtok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    sat = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.lit(avgdl)))
+    )
+    contrib = (
+        qtf.join(qdf, "term")
+        .join(dl, "doc_id")
+        .select("doc_id", F.round(idf * sat, 6).alias("c"))
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(dsum(F.col("c"), 6).alias("bm25"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+            .cast("bigint"),
+        )
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+    )
