@@ -995,3 +995,129 @@ def llm_multimodal_resize_real(spark, sf_dir):
         resize_batches,
         "doc_id long, mime string, src_w int, src_h int, dst_w int, dst_h int",
     ).orderBy("doc_id")
+
+
+try:  # pragma: no cover — same static-path contract as _MEDIA_FIX
+    from hdfs_mr_spark.sources.media import materialize_audio
+
+    _AUDIO_FIX = materialize_audio()
+except Exception as _audio_exc:  # noqa: BLE001
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "audio fixture materialization failed: %r", _audio_exc,
+    )
+    _AUDIO_FIX = "/tmp/hmr_media_audio_unavailable.parquet"
+
+
+@query(
+    "llm_multimodal_audio_frames",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+         800 + (doc_id * 191) % 1600 AS n
+  FROM '{_AUDIO_FIX}'
+),
+pf AS (
+  SELECT doc_id, rate, n, rate // 50 AS frame,
+         n // (rate // 50) AS nf
+  FROM p
+),
+s AS (
+  SELECT pf.doc_id, pf.rate, pf.n, pf.frame, pf.nf, r.i,
+         ((r.i * (pf.doc_id + 3) + 17) % 2003) - 1001 AS v
+  FROM pf, range(0, 2400) r(i)
+  WHERE r.i < pf.nf * pf.frame
+),
+sl AS (
+  SELECT *, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s
+)
+SELECT doc_id,
+       CAST(MAX(rate) AS INTEGER) AS sample_rate,
+       CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST(MAX(nf) AS BIGINT) AS n_frames,
+       CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(MAX(abs(v)) AS INTEGER) AS peak,
+       CAST(SUM(CASE WHEN i % frame <> 0 AND pv * v < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings
+FROM sl
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_audio_frames(spark, sf_dir):
+    """Audio as a first-class multimodal column: REAL RIFF/WAVE clips
+    (PCM16 mono, fmt + LIST filler + data chunks) parsed by a genuine
+    chunk walker inside mapInPandas, then framed into 20 ms windows
+    (rate // 50 samples — both 160 and 320 occur) for the classic
+    speech front-end features: per-clip sum of absolute amplitude,
+    peak, and intra-frame zero-crossing count over the full frames.
+    All features are exact integer arithmetic, so the DuckDB oracle —
+    which cannot parse WAV — recomputes them from the generative
+    sample formula (sources/media.py:audio_sample): agreement proves
+    the byte-level parse AND the framing are both exact.
+
+    Scale: identical shape to the image kernels — one Arrow batch per
+    task, per-row numpy work, no shuffle before the tiny per-clip
+    aggregate; at 100 TB parallelism is the clip count and this is the
+    feature-extract stage of an audio ingest DAG."""
+    df = spark.read.parquet(_AUDIO_FIX)
+
+    def frame_batches(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def wav_parse(b):
+            # mirrors sources/media.py:parse_wav (self-contained for the
+            # executor; unit-tested against mangled inputs there)
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise ValueError("not RIFF/WAVE")
+            pos, rate, data = 12, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", b, pos + 4)
+                body = b[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    afmt, ch, rate = struct.unpack_from("<HHI", body, 0)
+                    (bits,) = struct.unpack_from("<H", body, 14)
+                    if (afmt, ch, bits) != (1, 1, 16):
+                        raise ValueError("only PCM16 mono")
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)
+            if rate is None or data is None:
+                raise ValueError("missing fmt or data")
+            return rate, data
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, data = wav_parse(bytes(payload))
+                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                frame = rate // 50
+                nf = len(samples) // frame
+                full = samples[: nf * frame]
+                prod = full[1:] * full[:-1]
+                idx = np.arange(1, len(full))
+                zc = int(((prod < 0) & (idx % frame != 0)).sum())
+                out.append(
+                    (int(doc_id), int(rate), len(samples), nf,
+                     int(np.abs(full).sum()), int(np.abs(full).max()), zc)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "sample_rate", "n_samples", "n_frames",
+                         "sum_abs", "peak", "zero_crossings"],
+            )
+
+    return df.mapInPandas(
+        frame_batches,
+        schema=(
+            "doc_id bigint, sample_rate int, n_samples bigint, "
+            "n_frames bigint, sum_abs bigint, peak int, zero_crossings bigint"
+        ),
+    ).orderBy("doc_id")

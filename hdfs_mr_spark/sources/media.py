@@ -309,3 +309,84 @@ def materialize_media_px(sf_dir: str = ORACLE_SF) -> str:
             path,
         )
     return str(path)
+
+
+# ---------------------------------------------------------------------------
+# Audio path: real RIFF/WAVE blobs (PCM16 mono) with a deterministic
+# integer sample formula, so the frame-feature oracle is exact-integer
+# (no FP at all) while the Spark side must genuinely parse the bytes.
+
+N_AUDIO = 48  # bounded audio fixture
+
+
+def audio_params(doc_id: int) -> tuple[int, int]:
+    """(sample_rate, n_samples) for a fixture clip — rates alternate so
+    the 20 ms frame length (rate // 50) takes both 160 and 320."""
+    return (8000 if doc_id % 2 == 0 else 16000, 800 + (doc_id * 191) % 1600)
+
+
+def audio_sample(i: int, doc_id: int) -> int:
+    """The generative PCM formula: sample i of clip doc_id, an integer
+    in [-1001, 1001]. Ground truth for BOTH engines (the audio analog
+    of media_px_value): Spark decodes the actual WAV bytes; the DuckDB
+    oracle recomputes the same frame features from this formula."""
+    return ((i * (doc_id + 3) + 17) % 2003) - 1001
+
+
+def make_wav(doc_id: int) -> bytes:
+    """A complete, playable RIFF/WAVE file: PCM16 mono, fmt chunk, a
+    LIST/INFO filler chunk (forcing parsers to WALK chunks rather than
+    assume data at a fixed offset), then the data chunk."""
+    rate, n = audio_params(doc_id)
+    data = b"".join(
+        struct.pack("<h", audio_sample(i, doc_id)) for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    info = b"INFO" + b"INAM" + struct.pack("<I", 8) + b"clip\x00\x00\x00\x00"
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(info)) + info
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def parse_wav(b: bytes) -> tuple[int, bytes]:
+    """Chunk-walking WAV parse (the way libsndfile finds fmt/data —
+    not a fixed-offset peek). Returns (sample_rate, raw PCM bytes);
+    validates RIFF/WAVE magic, PCM16 mono format, and handles the RIFF
+    odd-size pad byte."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if (audio_format, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF pads odd chunks to even
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, data
+
+
+def materialize_audio(sf_dir: str = ORACLE_SF) -> str:
+    """Write the audio fixture parquet (doc_id, payload) of WAV clips
+    once per testdata fingerprint."""
+    path = _fixture_dir(sf_dir) / "media_audio.parquet"
+    if not path.exists():
+        ids = list(range(N_AUDIO))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array([make_wav(i) for i in ids], pa.binary()),
+            }),
+            path,
+        )
+    return str(path)

@@ -444,3 +444,40 @@ def test_ann_params_match_oracle_formulas():
             + " SELECT cells, nprobe, bits FROM p"
         )
         assert tuple(con.execute(sql).fetchone()) == _ann_params(n), n
+
+
+def test_wav_chunk_walker_parser():
+    import struct
+
+    from hdfs_mr_spark.sources.media import (
+        audio_params,
+        audio_sample,
+        make_wav,
+        parse_wav,
+    )
+
+    blob = make_wav(5)
+    rate, data = parse_wav(blob)
+    er, en = audio_params(5)
+    assert rate == er and len(data) == 2 * en
+    samples = struct.unpack(f"<{en}h", data)
+    assert [samples[i] for i in (0, 1, en - 1)] == [
+        audio_sample(i, 5) for i in (0, 1, en - 1)
+    ]
+    # the parser must WALK chunks: an extra odd-sized junk chunk (with
+    # its RIFF pad byte) spliced before data is skipped correctly
+    pos = 12
+    while blob[pos : pos + 4] != b"data":
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        pos += 8 + size + (size & 1)
+    junk = b"junk" + struct.pack("<I", 3) + b"odd" + b"\x00"
+    spliced = blob[:pos] + junk + blob[pos:]
+    assert parse_wav(spliced) == (rate, data)
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFX" + blob[4:])  # mangled magic
+    # stereo/float formats refuse rather than silently mis-decode
+    bad_fmt = bytearray(blob)
+    fmt_off = blob.index(b"fmt ") + 8
+    struct.pack_into("<H", bad_fmt, fmt_off + 2, 2)  # channels = 2
+    with pytest.raises(ValueError):
+        parse_wav(bytes(bad_fmt))
