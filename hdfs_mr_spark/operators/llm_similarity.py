@@ -1365,3 +1365,124 @@ def llm_sim_knn_lsh_multiprobe(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .orderBy("qid", "rank")
     )
+
+
+@query(
+    "llm_embed_pq",
+    oracle="""
+WITH long AS (
+  SELECT e.vec_id, r.i AS dim, r.i // 8 AS sub,
+         CAST(round(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS val
+  FROM embeddings e, range(0, 64) r(i)
+),
+cb0 AS (
+  SELECT vec_id AS code, sub, dim, val AS cval FROM long WHERE vec_id < 16
+),
+d1 AS (
+  SELECT l.vec_id, l.sub, c.code,
+         SUM((l.val - c.cval) * (l.val - c.cval)) AS dist
+  FROM long l JOIN cb0 c ON c.dim = l.dim
+  GROUP BY l.vec_id, l.sub, c.code
+),
+a1 AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist ASC, code ASC) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+cb1 AS (
+  SELECT a.sub, a.code, l.dim, SUM(l.val) // COUNT(*) AS cval
+  FROM a1 a
+  JOIN long l ON l.vec_id = a.vec_id AND l.sub = a.sub
+  GROUP BY a.sub, a.code, l.dim
+),
+d2 AS (
+  SELECT l.vec_id, l.sub, c.code,
+         SUM((l.val - c.cval) * (l.val - c.cval)) AS dist
+  FROM long l JOIN cb1 c ON c.dim = l.dim AND c.sub = l.sub
+  GROUP BY l.vec_id, l.sub, c.code
+)
+SELECT vec_id, CAST(sub AS INTEGER) AS subspace,
+       CAST(code AS INTEGER) AS code, CAST(dist AS BIGINT) AS sq_err
+FROM (
+  SELECT vec_id, sub, code, dist,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY dist ASC, code ASC) AS rn
+  FROM d2
+) WHERE rn = 1
+ORDER BY vec_id, subspace
+""",
+    family=_FAM,
+)
+def llm_embed_pq(spark, sf_dir):
+    """Product quantization (PQ), the memory side of IVF-PQ ANN: split
+    the 64-dim embedding into m=8 contiguous 8-dim subspaces, quantize
+    each against a k=16 codebook (seeded from the 16 lowest vec_ids,
+    refined by one Lloyd round), emit each vector's 8 codes + residual
+    squared error. 64 floats compress to 8 nibble codes — the 32x
+    compression that lets a 100 TB corpus's ANN index fit in executor
+    memory for ADC scanning; llm_sim_knn_ivf supplies the coarse cells
+    this composes with.
+
+    Determinism is mr_kmeans' integer discipline (a first decimal-cast
+    draft diverged by 1 ulp of the scale-8 decimal: casting IRRATIONAL
+    doubles to decimal is not engine-identical — the exprs.dsum kernel
+    is only exact for near-decimal inputs): components quantize once to
+    integer micro-units, so distances and floor-div centroid means are
+    exact BIGINT arithmetic that commutes, and the argmin (tie-break:
+    lowest code) can never flip. Physical shape: the dim-equi-join
+    against the 128-row codebook broadcasts; both distance reductions
+    and the centroid update are combiner-shape aggs over the
+    (vec, sub) shuffle; nothing quadratic in n — cost is n*k*(d/m),
+    the PQ contract."""
+    e = table(spark, sf_dir, "embeddings")
+    long = fan_out(
+        e.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "x")
+        ).select(
+            "vec_id", "dim", (F.col("dim") / 8).cast("int").alias("sub"),
+            F.expr("cast(round(cast(x as double) * 1000000) as bigint)").alias("val"),
+        )
+    ).localCheckpoint()  # consumed by both assignment rounds + the update
+    cb0 = long.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code"), F.col("sub").alias("c_sub"),
+        F.col("dim").alias("c_dim"), F.col("val").alias("cval"),
+    )
+    sq = (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+
+    def assign(codebook):
+        d = (
+            long.join(
+                F.broadcast(codebook),
+                (F.col("dim") == F.col("c_dim")) & (F.col("sub") == F.col("c_sub")),
+            )
+            .groupBy("vec_id", "sub", "code")
+            .agg(F.sum(sq).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy(
+            F.col("dist").asc(), F.col("code").asc()
+        )
+        return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    a1 = assign(cb0).select(
+        F.col("vec_id").alias("a_vec"), F.col("sub").alias("a_sub"), "code"
+    )
+    cb1 = (
+        a1.join(
+            long,
+            (F.col("a_vec") == long.vec_id) & (F.col("a_sub") == long.sub),
+        )
+        .groupBy(F.col("a_sub").alias("c_sub"), "code", F.col("dim").alias("c_dim"))
+        .agg(F.expr("sum(val) div count(*)").alias("cval"))
+    )
+    return (
+        assign(cb1)
+        .select(
+            "vec_id", F.col("sub").cast("int").alias("subspace"),
+            F.col("code").cast("int").alias("code"),
+            F.col("dist").cast("bigint").alias("sq_err"),
+        )
+        .orderBy("vec_id", "subspace")
+    )
