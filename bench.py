@@ -74,6 +74,10 @@ HEADLINE = [
     "llm_bpe_train_rounds",  # 2.11 iterated BPE merge rounds (r4)
     "llm_cluster_kmeans",    # 2.11 iterative Lloyd rounds (r4)
     "sql_tpch_q21_waiting_supplier",  # 2.9 double EXISTS/NOT-EXISTS composite (r4)
+    "sql_tpch_q1_pricing_summary",  # 2.9 pricing-summary 8-agg scan (r4)
+    "sql_tpch_q8_market_share",  # 2.9 deepest classic join tree (r4)
+    "llm_bm25_score",        # 2.11 lexical first-stage retriever (r4)
+    "llm_embed_pq",          # 2.11 product quantization codes (r4)
 ]
 
 

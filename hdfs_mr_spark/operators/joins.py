@@ -1003,3 +1003,62 @@ def join_fuzzy_string(spark, sf_dir):
         )
         .orderBy("dirty_key", "matched_key")
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.ts,
+       v.event_id AS view_event_id, v.ts AS view_ts
+FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+                  AND v.ts >= p.ts - INTERVAL 10 MINUTE
+QUALIFY row_number() OVER (
+  PARTITION BY p.event_id ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST
+) = 1
+""",
+    family=_FAM,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness tolerance (pandas merge_asof's
+    ``tolerance=``): each purchase takes the latest prior view of the
+    same user ONLY if it happened within the last 10 minutes; older
+    matches are nulled out, not substituted. Same single-shuffle
+    union+window formulation as join_asof — the tolerance is a pure
+    post-predicate on the carried match (the latest prior view is the
+    only candidate that can be within tolerance, so filtering after the
+    window is exact, not an approximation), which keeps the 100 TB
+    story identical: no range join, no candidate blow-up."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("_kind"),
+        F.lit(None).cast("long").alias("view_event_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts",
+        F.lit(0).alias("_kind"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    u = p.unionByName(v)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("_kind").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fresh = F.col("_last_view_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES")
+    return (
+        u.withColumn("_last_view_id", F.last("view_event_id", ignorenulls=True).over(w))
+        .withColumn("_last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("_kind") == 1)
+        .select(
+            "event_id", "user_id", "ts",
+            F.when(fresh, F.col("_last_view_id")).alias("view_event_id"),
+            F.when(fresh, F.col("_last_view_ts")).alias("view_ts"),
+        )
+    )
