@@ -1351,3 +1351,80 @@ def agg_chi2_independence(spark, sf_dir):
         F.lit((n_rows - 1) * (n_cols - 1)).cast("bigint").alias("dof"),
         "n_cells",
     )
+
+
+@query(
+    "dq_key_skew_profile",
+    oracle="""
+WITH wc AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_count
+  FROM wc
+),
+top AS (SELECT k AS top_key FROM wc ORDER BY c DESC, k ASC LIMIT 1),
+ent AS (
+  SELECT CAST(-SUM(wc.c * CAST(round(ln(CAST(wc.c AS DOUBLE) / tot.n)
+                                     * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS entropy_micro_sum
+  FROM wc CROSS JOIN tot
+)
+SELECT tot.n AS n_rows, tot.n_keys, tot.max_count, top.top_key,
+       CAST(tot.max_count AS DOUBLE) / tot.n AS max_share,
+       CAST(tot.max_count * tot.n_keys AS DOUBLE) / tot.n AS skew_ratio,
+       ent.entropy_micro_sum,
+       CAST(ent.entropy_micro_sum AS DOUBLE) / tot.n / 1000000.0 AS entropy_nats
+FROM tot CROSS JOIN top CROSS JOIN ent
+""",
+    family=_FAM,
+)
+def dq_key_skew_profile(spark, sf_dir):
+    """Shuffle-key skew diagnostic — the PLANNING counterpart of
+    join_skew_salted: before running a big join or aggregation keyed on
+    a column, profile it. Emits row/key counts, the hottest key and its
+    share, skew_ratio (hottest key's count vs the uniform expectation
+    n/keys — the factor by which its reducer partition outweighs the
+    average, i.e. the number AQE's skew-split or a salting factor must
+    absorb), and key-distribution entropy (agg_entropy's integer
+    micro-unit ln discipline, so the hash is exact).
+
+    Scale: the per-key count is one combiner-shape shuffle — the SAME
+    shuffle the profiled join would do, but carrying one counter per
+    key instead of payload rows; everything downstream is single-row
+    broadcast algebra. Running this at 0.1% sample cost before a
+    100 TB join is how you decide between plain shuffle, AQE skew
+    handling, and manual salting."""
+    ev = table(spark, sf_dir, "events")
+    wc = ev.groupBy(F.col("user_id").alias("k")).agg(F.count("*").alias("c"))
+    tot = wc.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_count"),
+    )
+    top = (
+        wc.orderBy(F.col("c").desc(), F.col("k").asc())
+        .limit(1)
+        .select(F.col("k").alias("top_key"))
+    )
+    term = F.col("c") * F.round(
+        F.log(F.col("c").cast("double") / F.col("n")) * 1000000.0
+    ).cast("bigint")
+    ent = (
+        wc.crossJoin(F.broadcast(tot.select("n")))
+        .agg((-F.sum(term)).cast("bigint").alias("entropy_micro_sum"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            F.col("n").alias("n_rows"), "n_keys", "max_count", "top_key",
+            (F.col("max_count").cast("double") / F.col("n")).alias("max_share"),
+            ((F.col("max_count") * F.col("n_keys")).cast("double") / F.col("n")).alias(
+                "skew_ratio"
+            ),
+            "entropy_micro_sum",
+            (F.col("entropy_micro_sum").cast("double") / F.col("n") / 1000000.0).alias(
+                "entropy_nats"
+            ),
+        )
+    )
