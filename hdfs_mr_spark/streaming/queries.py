@@ -27,6 +27,7 @@ import itertools
 import shutil
 import tempfile
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -831,4 +832,51 @@ def stream_stream_left_outer(spark, sf_dir):
         .filter(F.col("purchase_ts") < F.col("seal"))
         .select("purchase_id", "view_id", "user_id", "purchase_ts")
         .orderBy("purchase_id", "view_id")
+    )
+
+
+@query(
+    "stream_windowed_topk",
+    oracle="""
+WITH counts AS (
+  SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+           AS window_start,
+         user_id, COUNT(*) AS n
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT window_start, user_id, n,
+       CAST(row_number() OVER (PARTITION BY window_start
+                               ORDER BY n DESC, user_id ASC) AS INTEGER) AS rnk
+FROM counts
+QUALIFY rnk <= 3
+ORDER BY window_start, rnk
+""",
+    family=_FAM,
+)
+def stream_windowed_topk(spark, sf_dir):
+    """Streaming top-k: the 3 most active users of every tumbling hour.
+    Rank-over-window isn't expressible INSIDE a streaming aggregation
+    (no window functions on unbounded input), so this is the canonical
+    two-stage serving pattern: the stream maintains the per-(window,
+    user) counts incrementally (complete-mode state store — the only
+    state that must persist), and the bounded top-k rank runs as a
+    BATCH query over the materialized sink each refresh. At 100 TB the
+    streaming stage shuffles one counter per (window, user) and the
+    rank stage touches only the sink table — never the raw stream; ties
+    break deterministically by user_id."""
+    s = _event_stream(spark, sf_dir)
+    counts = (
+        s.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "user_id", "n")
+    )
+    sink = _run_to_memory(counts, "complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    return (
+        sink.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("window_start", "rnk")
     )
