@@ -1367,10 +1367,85 @@ def llm_sim_knn_lsh_multiprobe(spark, sf_dir):
     )
 
 
-@query(
-    "llm_embed_pq",
-    oracle="""
-WITH long AS (
+# --- shared PQ kernel (llm_embed_pq + llm_sim_knn_pq_adc) ------------------
+
+_PQ_M, _PQ_DSUB, _PQ_K = 8, 8, 16  # subspaces x dims each, codewords per subspace
+
+
+def _pq_subs(spark, sf_dir):
+    """Embeddings as per-subspace integer micro-unit arrays:
+    (vec_id, sub, v: array<bigint>). The one-time quantization that
+    makes every downstream PQ distance exact BIGINT arithmetic."""
+    e = table(spark, sf_dir, "embeddings")
+    qz = lambda x: F.round(x.cast("double") * 1000000).cast("bigint")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.transform(
+                        F.slice("embedding", s * _PQ_DSUB + 1, _PQ_DSUB), qz
+                    ).alias("v"),
+                )
+                for s in range(_PQ_M)
+            ])
+        ).alias("sv"),
+    ).select("vec_id", F.col("sv.sub").alias("sub"), F.col("sv.v").alias("v"))
+
+
+def _pq_dist():
+    # built lazily: higher-order-function lambdas need an active session
+    return F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(subs, codebook):
+    """Nearest codeword per (vector, subspace): JVM-side zip_with fold
+    against the broadcast k*m-row codebook, argmin as ONE combiner
+    min(struct(dist, code)) — no window, ties to the lowest code."""
+    return (
+        subs.join(F.broadcast(codebook), F.col("sub") == F.col("c_sub"))
+        .select("vec_id", "sub", "code", _pq_dist().alias("dist"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("dist", "code")).alias("m"))
+        .select("vec_id", "sub", F.col("m.code").alias("code"),
+                F.col("m.dist").alias("dist"))
+    )
+
+
+def _pq_codebook(subs):
+    """The refined codebook: seed codewords from the _PQ_K lowest
+    vec_ids, one Lloyd round of floor-div integer means, re-assembled
+    into per-(sub, code) arrays ordered by dim."""
+    cb0 = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), F.col("sub").alias("c_sub"),
+        F.col("v").alias("cv"),
+    )
+    a1 = _pq_assign(subs, cb0).select(
+        F.col("vec_id").alias("a_vec"), F.col("sub").alias("a_sub"), "code"
+    )
+    return (
+        a1.join(subs, (F.col("a_vec") == subs.vec_id) & (F.col("a_sub") == subs.sub))
+        .select("a_sub", "code", F.posexplode("v").alias("dim", "val"))
+        .groupBy("a_sub", "code", "dim")
+        .agg(F.expr("sum(val) div count(*)").alias("cval"))
+        .groupBy(F.col("a_sub").alias("c_sub"), "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
+        )
+    )
+
+
+# DuckDB rendering of the same kernel (shared CTE prefix of both PQ oracles).
+_PQ_CTES = """
+long AS (
   SELECT e.vec_id, r.i AS dim, r.i // 8 AS sub,
          CAST(round(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS val
   FROM embeddings e, range(0, 64) r(i)
@@ -1403,15 +1478,25 @@ d2 AS (
          SUM((l.val - c.cval) * (l.val - c.cval)) AS dist
   FROM long l JOIN cb1 c ON c.dim = l.dim AND c.sub = l.sub
   GROUP BY l.vec_id, l.sub, c.code
+),
+a2 AS (
+  SELECT vec_id, sub, code, dist FROM (
+    SELECT vec_id, sub, code, dist,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist ASC, code ASC) AS rn
+    FROM d2
+  ) WHERE rn = 1
 )
+"""
+
+
+@query(
+    "llm_embed_pq",
+    oracle=f"""
+WITH {_PQ_CTES}
 SELECT vec_id, CAST(sub AS INTEGER) AS subspace,
        CAST(code AS INTEGER) AS code, CAST(dist AS BIGINT) AS sq_err
-FROM (
-  SELECT vec_id, sub, code, dist,
-         row_number() OVER (PARTITION BY vec_id, sub
-                            ORDER BY dist ASC, code ASC) AS rn
-  FROM d2
-) WHERE rn = 1
+FROM a2
 ORDER BY vec_id, subspace
 """,
     family=_FAM,
@@ -1423,8 +1508,8 @@ def llm_embed_pq(spark, sf_dir):
     refined by one Lloyd round), emit each vector's 8 codes + residual
     squared error. 64 floats compress to 8 nibble codes — the 32x
     compression that lets a 100 TB corpus's ANN index fit in executor
-    memory for ADC scanning; llm_sim_knn_ivf supplies the coarse cells
-    this composes with.
+    memory for ADC scanning; llm_sim_knn_pq_adc is that scan and
+    llm_sim_knn_ivf supplies the coarse cells the pair composes with.
 
     Determinism is mr_kmeans' integer discipline (a first decimal-cast
     draft diverged by 1 ulp of the scale-8 decimal: casting IRRATIONAL
@@ -1439,66 +1524,92 @@ def llm_embed_pq(spark, sf_dir):
     windows): subvectors stay ARRAYS, distances are JVM-side
     zip_with/aggregate folds against the broadcast 128-row codebook
     (n*m*k skinny rows, no dim explosion), and each argmin is ONE
-    combiner-shape min(struct) aggregate — no window, no row_number.
-    Only the centroid update explodes dims (n*64 rows, combiner agg).
-    Cost is n*k*(d/m) arithmetic with m shuffle rows per vector — the
-    PQ contract at any scale."""
-    e = table(spark, sf_dir, "embeddings")
-    qz = lambda x: F.round(x.cast("double") * 1000000).cast("bigint")  # noqa: E731
-    subs = e.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    F.transform(F.slice("embedding", s * 8 + 1, 8), qz).alias("v"),
-                )
-                for s in range(8)
-            ])
-        ).alias("sv"),
-    ).select("vec_id", F.col("sv.sub").alias("sub"), F.col("sv.v").alias("v"))
-    cb0 = subs.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("code"), F.col("sub").alias("c_sub"),
-        F.col("v").alias("cv"),
-    )
-    dist = F.aggregate(
-        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-
-    def assign(codebook):
-        return (
-            subs.join(F.broadcast(codebook), F.col("sub") == F.col("c_sub"))
-            .select("vec_id", "sub", "code", dist.alias("dist"))
-            .groupBy("vec_id", "sub")
-            .agg(F.min(F.struct("dist", "code")).alias("m"))
-            .select("vec_id", "sub", F.col("m.code").alias("code"),
-                    F.col("m.dist").alias("dist"))
-        )
-
-    a1 = assign(cb0).select(
-        F.col("vec_id").alias("a_vec"), F.col("sub").alias("a_sub"), "code"
-    )
-    cb1 = (
-        a1.join(subs, (F.col("a_vec") == subs.vec_id) & (F.col("a_sub") == subs.sub))
-        .select("a_sub", "code", F.posexplode("v").alias("dim", "val"))
-        .groupBy("a_sub", "code", "dim")
-        .agg(F.expr("sum(val) div count(*)").alias("cval"))
-        .groupBy(F.col("a_sub").alias("c_sub"), "code")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
-                lambda s: s["cval"],
-            ).alias("cv")
-        )
-    )
+    combiner-shape min(struct) aggregate — no window, no row_number
+    (2.7 s steady-state, same hashes). Only the centroid update
+    explodes dims (n*64 rows, combiner agg). Cost is n*k*(d/m)
+    arithmetic with m shuffle rows per vector — the PQ contract at any
+    scale."""
+    subs = _pq_subs(spark, sf_dir)
     return (
-        assign(cb1)
+        _pq_assign(subs, _pq_codebook(subs))
         .select(
             "vec_id", F.col("sub").cast("int").alias("subspace"),
             F.col("code").cast("int").alias("code"),
             F.col("dist").cast("bigint").alias("sq_err"),
         )
         .orderBy("vec_id", "subspace")
+    )
+
+
+@query(
+    "llm_sim_knn_pq_adc",
+    oracle=f"""
+WITH {_PQ_CTES},
+qsub AS (
+  SELECT vec_id AS qid, sub, dim, val FROM long WHERE vec_id < 10
+),
+qdist AS (
+  SELECT q.qid, q.sub, c.code,
+         SUM((q.val - c.cval) * (q.val - c.cval)) AS qd
+  FROM qsub q JOIN cb1 c ON c.dim = q.dim AND c.sub = q.sub
+  GROUP BY q.qid, q.sub, c.code
+),
+adc AS (
+  SELECT qd.qid, a2.vec_id, SUM(qd.qd) AS dist_adc
+  FROM a2 JOIN qdist qd ON qd.sub = a2.sub AND qd.code = a2.code
+  GROUP BY qd.qid, a2.vec_id
+)
+SELECT qid, vec_id, CAST(dist_adc AS BIGINT) AS dist_adc,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY dist_adc ASC, vec_id ASC)
+            AS BIGINT) AS rank
+FROM adc
+WHERE vec_id <> qid
+QUALIFY rank <= 5
+ORDER BY qid, rank
+""",
+    family=_FAM,
+)
+def llm_sim_knn_pq_adc(spark, sf_dir):
+    """Flat-PQ ANN search via Asymmetric Distance Computation — the
+    scan llm_embed_pq's codes exist for: each of the 10 query vectors
+    precomputes its EXACT squared distance to all k codewords per
+    subspace (the 128-entry ADC lookup table, m*k work independent of
+    n), and every database vector's approximate distance is then just
+    m table lookups summed over its codes — no float math per
+    candidate, no original vectors touched. Top-5 per query, self
+    excluded, ties to the lowest vec_id.
+
+    At 100 TB this is the memory-resident scan pattern: the corpus is
+    8 bytes/vector of codes instead of 256 bytes of floats, the ADC
+    tables broadcast (m*k rows regardless of n), and the per-candidate
+    sum is a combiner aggregate over m skinny rows. All arithmetic
+    inherits the PQ kernel's integer micro-units, so distances are
+    exact BIGINT and the ranking is engine-identical by construction.
+    Compose with llm_sim_knn_ivf's cells to probe a fraction of the
+    corpus; recall vs the exact baseline is llm_ann_recall_audit's
+    job."""
+    subs = _pq_subs(spark, sf_dir)
+    cb1 = _pq_codebook(subs)
+    codes = _pq_assign(subs, cb1).select("vec_id", "sub", "code")
+    qdist = (
+        subs.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("qid"), "sub", "v")
+        .join(F.broadcast(cb1), F.col("sub") == F.col("c_sub"))
+        .select("qid", "sub", "code", _pq_dist().alias("qd"))
+    )
+    adc = (
+        codes.join(F.broadcast(qdist), ["sub", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd").alias("dist_adc"))
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dist_adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "vec_id", F.col("dist_adc").cast("bigint").alias("dist_adc"), "rank")
+        .orderBy("qid", "rank")
     )

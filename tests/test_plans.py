@@ -449,3 +449,12 @@ def test_tpch_q20_two_level_combiner_aggs(spark):
     nodes = _nodes(_plan(spark, "sql_tpch_q20_potential_promotion"))
     assert sum("HashAggregate" in n for n in nodes) >= 4
     assert not any("Cartesian" in n for n in nodes)
+
+
+def test_pq_adc_scan_broadcasts_lookup_tables(spark):
+    """The ADC scan must broadcast the m*k query lookup tables into the
+    code join (their size is independent of n — the whole point) and
+    never plan a Cartesian."""
+    nodes = _nodes(_plan(spark, "llm_sim_knn_pq_adc"))
+    assert any("BroadcastHashJoin" in n for n in nodes)
+    assert not any("Cartesian" in n for n in nodes)
