@@ -78,6 +78,7 @@ HEADLINE = [
     "sql_tpch_q8_market_share",  # 2.9 deepest classic join tree (r4)
     "llm_bm25_score",        # 2.11 lexical first-stage retriever (r4)
     "llm_embed_pq",          # 2.11 product quantization codes (r4)
+    "llm_sim_knn_pq_adc",    # 2.11 flat-PQ ADC scan (r4)
 ]
 
 
