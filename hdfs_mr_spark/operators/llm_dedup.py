@@ -149,17 +149,17 @@ def _conf_broadcast_bytes(spark) -> int:
         return 10 << 20
 
 
-def _bitmask_near_pairs(spark, sf_dir):
-    """Size-blocked bitmask kernel: (d1, d2, n_common, jaccard) pairs
-    with distinct-token Jaccard >= 0.8 (see llm_dedup_near).
+def _bitmask_encoded_docs(spark, sf_dir):
+    """Dictionary-encoded distinct-token bitmasks per document:
+    returns (enc, mask_cols, n_docs) where enc has (doc_id, s, sz,
+    m0..mK) — the shared front half of every mask-residual dedup
+    kernel (_bitmask_near_pairs, llm_dedup_containment).
 
-    Broadcast policy: popcount of the mask intersection is invariant to
-    the dictionary permutation, so dense token ids come from the
-    TeraSort two-level rank over (xxhash64 bucket, w) — no global
-    single-partition window. Both joins auto-switch on the conf'd
-    broadcast threshold; the shuffled pair join salts the size key
-    (deterministic xxhash64(d1) % 8) because sizes are low-cardinality
-    and heavily skewed."""
+    Dense token ids come from the TeraSort two-level rank over
+    (xxhash64 bucket, w) — no global single-partition window — and the
+    vocabulary join auto-switches on the conf'd broadcast threshold
+    (popcount of a mask intersection is invariant to the dictionary
+    permutation, so any deterministic id assignment works)."""
     from hdfs_mr_spark.operators.sorts import bucketed_global_rank
 
     d = table(spark, sf_dir, "documents")
@@ -201,6 +201,20 @@ def _bitmask_near_pairs(spark, sf_dir):
     enc = toks.join(masks, "doc_id").localCheckpoint()
     n_docs = enc.count()  # checkpoint is materialized; this is free
     mask_cols = [f"m{k}" for k in range(n_words)]
+    return enc, mask_cols, n_docs
+
+
+def _bitmask_near_pairs(spark, sf_dir):
+    """Size-blocked bitmask kernel: (d1, d2, n_common, jaccard) pairs
+    with distinct-token Jaccard >= 0.8 (see llm_dedup_near).
+
+    Both joins auto-switch on the conf'd broadcast threshold; the
+    shuffled pair join salts the size key (deterministic
+    xxhash64(d1) % 8) because sizes are low-cardinality and heavily
+    skewed."""
+    enc, mask_cols, n_docs = _bitmask_encoded_docs(spark, sf_dir)
+    n_words = len(mask_cols)
+    bcast_limit = _conf_broadcast_bytes(spark)
     # integer-exact admissible partner sizes: ceil(4*sz/5) .. floor(5*sz/4)
     a = fan_out(enc).select(
         F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"),
@@ -1150,4 +1164,111 @@ def llm_dup_graph_stats(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .select(F.col("degree").cast("bigint").alias("degree"), "n_docs")
         .orderBy("degree")
+    )
+
+
+@query(
+    "llm_dedup_containment",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nc
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+dir AS (
+  SELECT i.d1 AS sub_id, i.d2 AS super_id, i.nc, s1.sz AS ssz, s2.sz AS psz
+  FROM inter i
+  JOIN sizes s1 ON i.d1 = s1.doc_id
+  JOIN sizes s2 ON i.d2 = s2.doc_id
+  UNION ALL
+  SELECT i.d2, i.d1, i.nc, s2.sz, s1.sz
+  FROM inter i
+  JOIN sizes s1 ON i.d1 = s1.doc_id
+  JOIN sizes s2 ON i.d2 = s2.doc_id
+),
+super AS (
+  SELECT sub_id AS doc_id, MIN(super_id) AS subset_of
+  FROM dir
+  WHERE nc = ssz AND (psz > ssz OR (psz = ssz AND super_id < sub_id))
+  GROUP BY sub_id
+)
+SELECT d.doc_id, s.subset_of, (s.subset_of IS NULL) AS kept
+FROM documents d LEFT JOIN super s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+""",
+    family=_FAM,
+)
+def llm_dedup_containment(spark, sf_dir):
+    """Set-containment dedup, decision form: a doc is redundant when
+    its distinct-token set is a SUBSET of another doc's (a proper
+    superset, or an identical set held by a lower doc_id) — the
+    near-subset relation Jaccard misses (a short doc fully quoted
+    inside a long one has containment 1.0 but low Jaccard because the
+    union is dominated by the long doc). Output is one row per doc:
+    (doc_id, subset_of = lowest qualifying superset holder, kept).
+
+    Why decision form and threshold 1.0: a thresholded PAIR-listing
+    containment (C >= 0.9) measured 8.28M passing pairs at sf0.1 on
+    this dense 31-word-vocabulary corpus — Theta(n^2) OUTPUT, the same
+    dense-regime trap llm_dedup_near documents — and with <= 31
+    distinct tokens per doc, 0.9*sz rounds up to sz anyway. The O(n)
+    decision output is what a 100 TB pipeline consumes.
+
+    Plan: the shared _bitmask_encoded_docs kernel — subset is
+    bit_count(a & b) == sz_a on dictionary-encoded bigint masks,
+    evaluated INSIDE the join loop (integer ops, only qualifying pairs
+    materialize), and the per-doc MIN(super) collapses map-side
+    (combiner shape). Candidate generation is the dense-regime salted
+    all-pairs equi-join (size blocking prunes nothing for containment:
+    any larger doc is admissible), auto-switching to a broadcast probe
+    under the conf'd threshold. A sparse-vocab corpus would flip to
+    posting-list candidates first (llm_dedup_near_ngram's formulation);
+    the mask residual is the regime choice, not the only one."""
+    d = table(spark, sf_dir, "documents")
+    enc, mask_cols, n_docs = _bitmask_encoded_docs(spark, sf_dir)
+    n_words = len(mask_cols)
+    bcast_limit = _conf_broadcast_bytes(spark)
+    a = fan_out(enc).select(
+        F.col("doc_id").alias("da"), F.col("sz").alias("sza"),
+        *[F.col(m).alias(f"a_{m}") for m in mask_cols],
+    )
+    b = enc.select(
+        F.col("doc_id").alias("db"), F.col("sz").alias("szb"),
+        *[F.col(m).alias(f"b_{m}") for m in mask_cols],
+    )
+    nc = sum(
+        (F.bit_count(F.col(f"a_{m}").bitwiseAND(F.col(f"b_{m}"))) for m in mask_cols),
+        F.lit(0),
+    )
+    qualifies = (nc == F.col("sza")) & (
+        (F.col("szb") > F.col("sza"))
+        | ((F.col("szb") == F.col("sza")) & (F.col("db") < F.col("da")))
+    )
+    b_bytes = n_docs * 8 * (n_words + 2)
+    if 0 < b_bytes <= bcast_limit:
+        passing = a.join(F.broadcast(b), qualifies)
+    else:
+        a = a.withColumn("__salt", F.pmod(F.xxhash64("da"), F.lit(_NEAR_SALTS)))
+        b = b.withColumn(
+            "__bsalt",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"), F.lit(_NEAR_SALTS - 1).cast("bigint")
+                )
+            ),
+        )
+        passing = a.join(b, (F.col("__salt") == F.col("__bsalt")) & qualifies)
+    sup = passing.groupBy(F.col("da").alias("doc_id")).agg(
+        F.min("db").alias("subset_of")
+    )
+    return (
+        d.select("doc_id")
+        .join(sup, "doc_id", "left")
+        .select("doc_id", "subset_of", F.col("subset_of").isNull().alias("kept"))
+        .orderBy("doc_id")
     )

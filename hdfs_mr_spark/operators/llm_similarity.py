@@ -1613,3 +1613,136 @@ def llm_sim_knn_pq_adc(spark, sf_dir):
         .select("qid", "vec_id", F.col("dist_adc").cast("bigint").alias("dist_adc"), "rank")
         .orderBy("qid", "rank")
     )
+
+
+@query(
+    "llm_sim_knn_ivf_pq",
+    oracle=f"""
+WITH {_SQL_ANN_PARAMS},
+{_PQ_CTES},
+cc AS (
+  SELECT vec_id AS ccode, dim, val AS cval
+  FROM long CROSS JOIN p WHERE vec_id < cells
+),
+cdist AS (
+  SELECT l.vec_id, c.ccode, SUM((l.val - c.cval) * (l.val - c.cval)) AS cd
+  FROM long l JOIN cc c ON c.dim = l.dim
+  GROUP BY l.vec_id, c.ccode
+),
+ranked AS (
+  SELECT vec_id, ccode,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cd ASC, ccode ASC) AS rn
+  FROM cdist
+),
+assign AS (SELECT vec_id, ccode AS cell FROM ranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS qid, ccode AS cell FROM ranked CROSS JOIN p
+  WHERE vec_id < 10 AND rn <= nprobe
+),
+qd AS (
+  SELECT q.vec_id AS qid, c.sub, c.code,
+         SUM((q.val - c.cval) * (q.val - c.cval)) AS qd
+  FROM long q JOIN cb1 c ON c.dim = q.dim AND c.sub = q.sub
+  WHERE q.vec_id < 10
+  GROUP BY q.vec_id, c.sub, c.code
+),
+cand AS (
+  SELECT pr.qid, a.vec_id
+  FROM probes pr JOIN assign a ON a.cell = pr.cell
+  WHERE a.vec_id <> pr.qid
+),
+adc AS (
+  SELECT c.qid, c.vec_id, SUM(q.qd) AS dist_adc
+  FROM cand c
+  JOIN a2 ON a2.vec_id = c.vec_id
+  JOIN qd q ON q.qid = c.qid AND q.sub = a2.sub AND q.code = a2.code
+  GROUP BY c.qid, c.vec_id
+)
+SELECT qid, vec_id, CAST(dist_adc AS BIGINT) AS dist_adc,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY dist_adc ASC, vec_id ASC) AS BIGINT) AS rank
+FROM adc QUALIFY rank <= 5
+ORDER BY qid, rank
+""",
+    family=_FAM,
+)
+def llm_sim_knn_ivf_pq(spark, sf_dir):
+    """IVF-PQ ANN — the composition the flat variants exist for, and
+    the memory/compute shape a 100 TB vector corpus actually deploys:
+    an inverted-file coarse quantizer (cells = ceil(sqrt(n)) centroids,
+    _ann_params) prunes the corpus to nprobe cells per query, and
+    inside the probed cells distance is PQ-ADC — m=8 table lookups per
+    candidate against the query's precomputed per-subspace codeword
+    distances, no original vectors touched (llm_sim_knn_pq_adc's scan
+    restricted to ~n*nprobe/cells = O(sqrt(n)) candidates instead of
+    the full corpus).
+
+    All arithmetic lives in llm_embed_pq's integer micro-unit space:
+    the coarse assignment is exact BIGINT L2 over the full 64 dims
+    (per-subspace zip_with partials summed — associative integer adds),
+    so argmin cells, probe ranking, and ADC sums are all
+    engine-identical by construction; parameters derive from COUNT(*)
+    in both engines. Classic IVFADC additionally encodes RESIDUALS
+    (v - coarse centroid) for tighter quantization error — same plan,
+    one extra subtraction pass; documented extension, not needed for
+    the ranking contract here.
+
+    Plan: centroids and ADC tables broadcast (O(sqrt(n)) and m*k rows —
+    never corpus-sized), the corpus is scanned once for assignment and
+    once for codes, candidates flow through ids-only equi-joins, and
+    the final top-5 is one windowed rank over O(sqrt(n)) rows per
+    query. At cluster scale the cell id becomes a partition column and
+    the probe a partition-pruned scan."""
+    e = table(spark, sf_dir, "embeddings")
+    cells, nprobe, _ = _ann_params(e.count())
+    subs = _pq_subs(spark, sf_dir)
+    coarse = subs.filter(F.col("vec_id") < cells).select(
+        F.col("vec_id").alias("ccode"),
+        F.col("sub").alias("c_sub"),
+        F.col("v").alias("cv"),
+    )
+    cdist = (
+        subs.join(F.broadcast(coarse), F.col("sub") == F.col("c_sub"))
+        .select("vec_id", "ccode", _pq_dist().alias("d"))
+        .groupBy("vec_id", "ccode")
+        .agg(F.sum("d").alias("cd"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cd").asc(), F.col("ccode").asc())
+    ranked = cdist.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("ccode").alias("cell")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < 10) & (F.col("rn") <= nprobe)
+    ).select(F.col("vec_id").alias("qid"), F.col("ccode").alias("cell"))
+    cb1 = _pq_codebook(subs)
+    codes = _pq_assign(subs, cb1).select("vec_id", "sub", "code")
+    qdist = (
+        subs.filter(F.col("vec_id") < 10)
+        .join(F.broadcast(cb1), F.col("sub") == F.col("c_sub"))
+        .select(F.col("vec_id").alias("qid"), "sub", "code", _pq_dist().alias("qd"))
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qdist), ["qid", "sub", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd").alias("dist_adc"))
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("dist_adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "qid", "vec_id",
+            F.col("dist_adc").cast("bigint").alias("dist_adc"), "rank",
+        )
+        .orderBy("qid", "rank")
+    )

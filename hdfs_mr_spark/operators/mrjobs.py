@@ -1003,3 +1003,98 @@ def mr_clustering_coeff(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "mr_sssp",
+    oracle="""
+WITH RECURSIVE inc AS (
+  SELECT o.o_custkey AS c, l.l_partkey AS p,
+         CAST(MIN(l.l_quantity) AS BIGINT) AS w
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= 40
+  GROUP BY o.o_custkey, l.l_partkey
+),
+bidir AS (
+  SELECT 'c' || c AS src, 'p' || p AS dst, w FROM inc
+  UNION ALL
+  SELECT 'p' || p, 'c' || c, w FROM inc
+),
+sp(node, d, hops) AS (
+  SELECT 'c' || c, CAST(0 AS BIGINT), 0
+  FROM (SELECT DISTINCT c FROM inc) WHERE c % 500 = 0
+  UNION ALL
+  SELECT e.dst, s.d + e.w, s.hops + 1
+  FROM sp s JOIN bidir e ON e.src = s.node
+  WHERE s.hops < 4
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+FROM sp GROUP BY node
+""",
+    family=_FAM,
+)
+def mr_sssp(spark, sf_dir):
+    """Weighted single-source (multi-seed) shortest path, Bellman-Ford
+    relaxation bounded to 4 hops, over the same bipartite purchase
+    incidence graph as mr_bfs — edge weight = MIN(l_quantity) over the
+    lines forming the customer—part edge (exact BIGINT, so path sums
+    never see float order effects).
+
+    The MR classic is one relax-pass per job; here each round is one
+    equi-join + combiner min. Scale design is mr_bfs' frontier-delta
+    discipline upgraded for weights: a round relaxes ONLY nodes whose
+    tentative distance improved last round (classic delta Bellman-Ford
+    — a settled node's out-edges were already relaxed with its final
+    distance, re-relaxing them cannot produce anything new), so shuffle
+    volume per round tracks the improving frontier, not |V|. Each
+    round's candidate set collapses map-side (groupBy min BEFORE the
+    merge join), frontiers/dist localCheckpoint to cut lineage, and an
+    early-exit fires when a round improves nothing. The hop bound makes
+    the semantics 'shortest distance using <= 4 edges' — exactly what
+    the oracle's level-bounded recursive CTE + MIN(d) enumerates."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    inc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cnode"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("pnode"),
+        )
+        .agg(F.min("l_quantity").cast("bigint").alias("w"))
+    )
+    edges = (
+        inc.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst"), "w")
+        .union(inc.select(F.col("pnode"), F.col("cnode"), "w"))
+        .localCheckpoint()
+    )
+    dist = (
+        inc.select(F.col("cnode").alias("node"))
+        .distinct()
+        .filter(F.substring("node", 2, 100).cast("bigint") % 500 == 0)
+        .select("node", F.lit(0).cast("bigint").alias("d"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(4):
+        cand = (
+            frontier.join(edges, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        improved = (
+            cand.withColumnRenamed("d", "nd")
+            .join(dist, "node", "left")
+            .filter(F.col("d").isNull() | (F.col("nd") < F.col("d")))
+            .select("node", F.col("nd").alias("d"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.withColumnRenamed("d", "nd"), "node", "full")
+            .select("node", F.coalesce("nd", "d").alias("d"))
+            .localCheckpoint()
+        )
+        frontier = improved
+    return dist.select("node", F.col("d").alias("dist"))

@@ -766,3 +766,72 @@ def etl_scd2_asof(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+_PROFILE_COLS = (
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderdate", False),
+    ("o_orderpriority", False),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, numeric in _PROFILE_COLS:
+        mn = f"CAST(MIN({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(MAX({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+            f"COUNT(*) - COUNT({c}) AS n_nulls, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, "
+            f"{mn} AS min_val, {mx} AS max_val FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
+
+
+@query("dq_profile_columns", oracle=_profile_oracle(), family=_FAM)
+def dq_profile_columns(spark, sf_dir):
+    """Column-level data profiling (the ANALYZE TABLE / data-catalog
+    summary every ingestion pipeline runs before anything else): one
+    row per column with row count, null count, exact distinct count,
+    and numeric min/max (NULL for non-numeric columns).
+
+    Plan: ONE scan — every per-column statistic is an aggregate over
+    the same pass, so Catalyst plans a single Aggregate (the multi
+    COUNT(DISTINCT) triggers one Expand of x|cols| rows, the standard
+    exact-multi-distinct shape also used by agg_multi_distinct), and
+    the single result row is exploded into the per-column frame by an
+    inline array-of-structs — no per-column re-scan, no driver loop.
+    At 100 TB the exact distincts swap for approx_count_distinct's HLL
+    (agg_approx_distinct documents the contract), collapsing the
+    Expand back to one combiner pass; null/min/max stats are free
+    either way."""
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, numeric in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if numeric:
+            aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+    one = o.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            (F.col(f"mn_{c}") if numeric else null_d).alias("min_val"),
+            (F.col(f"mx_{c}") if numeric else null_d).alias("max_val"),
+        )
+        for c, numeric in _PROFILE_COLS
+    ]
+    return (
+        one.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .orderBy("column_name")
+    )

@@ -1255,3 +1255,102 @@ def ts_autocorrelation(spark, sf_dir):
         "n_pairs",
         (F.col("num_micro").cast("double") / float(den)).alias("acf"),
     ).orderBy("k")
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cum AS (
+  SELECT user_id, event_id,
+         SUM(cents) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS BIGINT) AS t,
+         SUM(cents) OVER (PARTITION BY user_id) AS total,
+         COUNT(*)   OVER (PARTITION BY user_id) AS n
+  FROM base
+),
+dev AS (
+  SELECT user_id, event_id, t, n, n * cum - t * total AS d FROM cum
+),
+best AS (
+  SELECT user_id, event_id AS cp_event_id, t AS cp_seq, n, abs(d) AS absd,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY abs(d) DESC, t ASC) AS rn
+  FROM dev
+)
+SELECT user_id, cp_event_id, CAST(cp_seq AS BIGINT) AS cp_seq,
+       CAST(n AS BIGINT) AS n,
+       CAST(absd AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS cusum_peak
+FROM best WHERE rn = 1
+ORDER BY user_id
+""",
+    family=_FAM,
+)
+def ts_changepoint_cusum(spark, sf_dir):
+    """Offline CUSUM changepoint estimate per user series: the classic
+    argmax_t |S_t| statistic where S_t = sum_{i<=t}(x_i - mean) — the
+    point where the cumulative deviation from the series mean peaks is
+    the max-likelihood single changepoint under a mean-shift model
+    (Page's CUSUM, offline form).
+
+    Determinism is the ts_ewma cents discipline taken one step
+    further: values quantize to integer cents once, and instead of
+    dividing by n early (mean as a double — engine-dependent rounding),
+    the statistic is SCALED BY n: D_t = n*cum_t - t*total is exact
+    BIGINT arithmetic, and argmax|D_t| == argmax|S_t| since n > 0. The
+    only float op is the final |D|/(n*100) presentation division.
+
+    Scale: one window exchange on user_id (ordered cum + per-partition
+    totals share the hash partitioning), then the argmax collapses
+    map-side as ONE combiner max(struct(absd, -t, ...)) — no second
+    window, no sort of the full series after the frame evaluation. At
+    100 TB a per-user series fits a partition by construction (user
+    cardinality >> executor count); a single pathological mega-series
+    would switch to the two-level bucketed cum-sum (the
+    llm_global_shuffle formulation)."""
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w_ord = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wcum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("user_id")
+    dev = base.select(
+        "user_id", "event_id",
+        F.sum("cents").over(wcum).alias("cum"),
+        F.row_number().over(w_ord).cast("bigint").alias("t"),
+        F.sum("cents").over(wall).alias("total"),
+        F.count("*").over(wall).alias("n"),
+    ).select(
+        "user_id", "event_id", "t", "n",
+        (F.col("n") * F.col("cum") - F.col("t") * F.col("total")).alias("d"),
+    )
+    best = dev.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.abs("d").alias("absd"),
+                (-F.col("t")).alias("nt"),
+                F.col("event_id").alias("eid"),
+                F.col("n").alias("n"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "user_id",
+        F.col("m.eid").alias("cp_event_id"),
+        (-F.col("m.nt")).alias("cp_seq"),
+        F.col("m.n").alias("n"),
+        (
+            F.col("m.absd").cast("double")
+            / (F.col("m.n").cast("double") * F.lit(100.0))
+        ).alias("cusum_peak"),
+    ).orderBy("user_id")

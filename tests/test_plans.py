@@ -458,3 +458,49 @@ def test_pq_adc_scan_broadcasts_lookup_tables(spark):
     nodes = _nodes(_plan(spark, "llm_sim_knn_pq_adc"))
     assert any("BroadcastHashJoin" in n for n in nodes)
     assert not any("Cartesian" in n for n in nodes)
+
+
+def test_cusum_single_window_exchange_then_combiner(spark):
+    """ts_changepoint_cusum: one hash exchange on user_id serves both
+    window specs, and the argmax collapses as a partial/final
+    HashAggregate pair (no second window, no global sort before the
+    presentation orderBy)."""
+    nodes = _nodes(_plan(spark, "ts_changepoint_cusum"))
+    # one hash exchange for the windows + the presentation range exchange
+    assert sum(n == "Exchange" for n in nodes) <= 2
+    # max(struct(...)) argmax plans as a Sort/HashAggregate partial+final pair
+    assert sum("Aggregate" in n for n in nodes) >= 2
+    assert sum(n == "Window" for n in nodes) <= 2
+
+
+def test_containment_shuffled_path_is_salted(spark):
+    """llm_dedup_containment: with broadcast disabled the subset-mask
+    pair join degrades to the salted all-pairs equi-join (no
+    BroadcastExchange — the build side is corpus-sized), the per-doc
+    MIN(super) collapses combiner-shape, and nothing plans a
+    Cartesian."""
+    plan = _plan_no_auto_broadcast(spark, "llm_dedup_containment")
+    nodes = _nodes(plan)
+    assert not any("BroadcastExchange" in n for n in nodes)
+    assert any("SortMergeJoin" in n for n in nodes)
+    assert "__salt" in plan
+    assert not any("Cartesian" in n for n in nodes)
+
+
+def test_ivf_pq_broadcasts_index_sides(spark):
+    """llm_sim_knn_ivf_pq: coarse centroids and ADC tables broadcast
+    (O(sqrt n) / m*k rows); the corpus-sized sides (assignments, codes)
+    flow through shuffle equi-joins; no Cartesian."""
+    nodes = _nodes(_plan(spark, "llm_sim_knn_ivf_pq"))
+    assert sum("BroadcastHashJoin" in n for n in nodes) >= 2
+    assert not any("Cartesian" in n for n in nodes)
+
+
+def test_profile_single_scan_single_aggregate(spark):
+    """dq_profile_columns: ONE parquet scan feeds one multi-distinct
+    Aggregate (Expand is the exact-multi-distinct shape); no join, no
+    per-column re-scan."""
+    nodes = _nodes(_plan(spark, "dq_profile_columns"))
+    assert sum("Scan parquet" in n for n in nodes) == 1
+    assert any("Expand" in n for n in nodes)
+    assert not any("Join" in n for n in nodes)
