@@ -1272,3 +1272,130 @@ def llm_dedup_containment(spark, sf_dir):
         .select("doc_id", "subset_of", F.col("subset_of").isNull().alias("kept"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_pipeline_clean",
+    oracle="""
+WITH q AS (
+  SELECT doc_id, text,
+         (len(string_split(text, ' ')) >= 15 AND n_chars <= 500
+          AND lang IN ('en', 'de', 'fr', 'es')) AS q_ok
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, sha256(lower(trim(text))) AS h FROM q WHERE q_ok
+),
+exrep AS (SELECT h, MIN(doc_id) AS rep FROM ex GROUP BY h),
+exj AS (SELECT e.doc_id, r.rep FROM ex e JOIN exrep r ON e.h = r.h),
+tok AS (
+  SELECT d.doc_id, unnest(list_distinct(string_split(d.text, ' '))) AS w
+  FROM documents d JOIN exj x ON d.doc_id = x.doc_id AND d.doc_id = x.rep
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nc
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+near_pairs AS (
+  SELECT i.d1, i.d2
+  FROM inter i
+  JOIN sizes s1 ON i.d1 = s1.doc_id
+  JOIN sizes s2 ON i.d2 = s2.doc_id
+  WHERE CAST(i.nc AS DOUBLE)
+        / CAST(s1.sz + s2.sz - i.nc AS DOUBLE) >= 0.8
+),
+near_dropped AS (SELECT d2 AS doc_id, MIN(d1) AS rep FROM near_pairs GROUP BY d2)
+SELECT d.doc_id,
+       CASE WHEN NOT q.q_ok THEN 'quality'
+            WHEN ed.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS stage,
+       CASE WHEN q.q_ok AND ed.doc_id IS NOT NULL THEN ed.rep
+            WHEN q.q_ok AND ed.doc_id IS NULL AND nd.doc_id IS NOT NULL
+              THEN nd.rep END AS dup_of
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN (SELECT doc_id, rep FROM exj WHERE doc_id <> rep) ed
+  ON ed.doc_id = d.doc_id
+LEFT JOIN near_dropped nd ON nd.doc_id = d.doc_id
+ORDER BY d.doc_id
+""",
+    family=_FAM,
+)
+def llm_pipeline_clean(spark, sf_dir):
+    """End-to-end corpus-cleaning pipeline — the composition a
+    training-data user actually runs, registered as ONE auditable
+    operator: quality gate (>= 15 tokens, <= 500 chars, target langs —
+    llm_quality_filter's rules) -> exact dedup (lowest doc_id per
+    content hash survives — llm_dedup_exact's rule) -> near-dup
+    decision (distinct-token Jaccard >= 0.8 against a LOWER-id
+    survivor — llm_dedup_near_decision's rule, applied to the docs
+    still standing). Output is the per-doc disposition table: first
+    failing stage + the representative the doc lost to (NULL for
+    quality drops and keepers) — the provenance artifact that lets a
+    pipeline answer 'why is this doc not in the training set'.
+
+    Near-dup stage semantics are single-hop min-id (near_decision),
+    not transitive closure — cluster resolution is llm_dedup_clusters /
+    llm_dedup_keep_best's job and composing it here would hide a
+    driver-side iteration inside a 'one query' surface.
+
+    Plan: each stage is the already-plan-gated kernel — the quality
+    gate fuses into the scan, the exact stage is a combiner-shape
+    hash agg + unhinted shuffle join on the hash, the near stage
+    reuses _bitmask_near_pairs (size-blocked salted bitmask join)
+    restricted to survivors via ids-only semi-ish joins, and the final
+    disposition is two LEFT joins on doc_id. Nothing corpus-sized
+    broadcasts; every intermediate is O(n) except the near pair set,
+    which the bitmask kernel already bounds to the admissible-size
+    candidates."""
+    d = table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", "text",
+        (
+            (F.size(F.split("text", " ")) >= 15)
+            & (F.col("n_chars") <= 500)
+            & F.col("lang").isin("en", "de", "fr", "es")
+        ).alias("q_ok"),
+    )
+    ex = q.filter("q_ok").select(
+        "doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h")
+    )
+    exrep = ex.groupBy("h").agg(F.min("doc_id").alias("rep"))
+    exj = ex.join(exrep, "h").select("doc_id", "rep")
+    exact_dropped = exj.filter(F.col("doc_id") != F.col("rep")).select(
+        "doc_id", F.col("rep").alias("ex_rep")
+    )
+    remaining = exj.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    pairs = _bitmask_near_pairs(spark, sf_dir).select("d1", "d2")
+    rp = pairs.join(
+        remaining.withColumnRenamed("doc_id", "d1"), "d1"
+    ).join(remaining.withColumnRenamed("doc_id", "d2"), "d2")
+    near_dropped = rp.groupBy(F.col("d2").alias("doc_id")).agg(
+        F.min("d1").alias("near_rep")
+    )
+    out = (
+        q.select("doc_id", "q_ok")
+        .join(exact_dropped, "doc_id", "left")
+        .join(near_dropped, "doc_id", "left")
+    )
+    stage = (
+        F.when(~F.col("q_ok"), F.lit("quality"))
+        .when(F.col("ex_rep").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("near_rep").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    dup_of = (
+        F.when(F.col("q_ok") & F.col("ex_rep").isNotNull(), F.col("ex_rep"))
+        .when(
+            F.col("q_ok")
+            & F.col("ex_rep").isNull()
+            & F.col("near_rep").isNotNull(),
+            F.col("near_rep"),
+        )
+    )
+    return out.select(
+        "doc_id", stage.alias("stage"), dup_of.alias("dup_of")
+    ).orderBy("doc_id")

@@ -504,3 +504,15 @@ def test_profile_single_scan_single_aggregate(spark):
     assert sum("Scan parquet" in n for n in nodes) == 1
     assert any("Expand" in n for n in nodes)
     assert not any("Join" in n for n in nodes)
+
+
+def test_pipeline_clean_no_corpus_broadcast(spark):
+    """llm_pipeline_clean: with broadcast disabled, no stage broadcasts
+    a corpus-sized side (hash-dedup join, survivor joins, and the
+    bitmask pair join are all shuffle equi-joins) and nothing plans a
+    Cartesian."""
+    plan = _plan_no_auto_broadcast(spark, "llm_pipeline_clean")
+    nodes = _nodes(plan)
+    assert not any("BroadcastExchange" in n for n in nodes)
+    assert not any("Cartesian" in n for n in nodes)
+    assert any("SortMergeJoin" in n for n in nodes)
