@@ -1428,3 +1428,89 @@ def dq_key_skew_profile(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) * 100000000 AS DECIMAL(38,0)) AS DOUBLE) / 100000000.0) AS s1,
+         (CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0) AS s2,
+         (CAST(CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,4))) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0) AS s3,
+         (CAST(CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,4))) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0) AS s4
+  FROM lineitem GROUP BY l_returnflag
+),
+mm AS (
+  SELECT l_returnflag, n,
+         s1 / CAST(n AS DOUBLE) AS mu,
+         s2 / CAST(n AS DOUBLE) AS e2,
+         s3 / CAST(n AS DOUBLE) AS e3,
+         s4 / CAST(n AS DOUBLE) AS e4
+  FROM s
+),
+cc AS (
+  SELECT l_returnflag, n, mu,
+         e2 - mu * mu AS m2,
+         e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu AS m3,
+         e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2 - 3.0 * mu * mu * mu * mu AS m4
+  FROM mm
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n, mu AS mean_qty, m2 AS var_pop,
+       m3 / (m2 * sqrt(m2)) AS skewness,
+       m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+FROM cc
+ORDER BY l_returnflag
+""",
+    family=_FAM,
+)
+def agg_skew_kurtosis(spark, sf_dir):
+    """Skewness and excess kurtosis per return flag from decimal-exact
+    raw moments — agg_stats' discipline extended to 3rd/4th order:
+    Spark's skewness()/kurtosis() builtins accumulate FLOATS in shuffle
+    order (non-deterministic across engines AND across runs), so
+    instead the four power sums ride the decimal kernel (q <= 50 with
+    exact double powers, so every cast and sum is exact), and the
+    central-moment algebra is an identically-parenthesized IEEE chain
+    in both engines; m2^1.5 is spelled m2*sqrt(m2) because IEEE sqrt is
+    correctly rounded while libm pow(x,1.5) is engine-specific.
+
+    Plan: ONE combiner-shape aggregate (partial/final pair) over one
+    scan — higher moments cost nothing extra at 100 TB because the
+    per-row work is four multiplies folded into the same pass."""
+    li = table(spark, sf_dir, "lineitem")
+    qc = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(qc, 8).alias("s1"),
+        dsum(qc * qc, 4).alias("s2"),
+        dsum(qc * qc * qc, 4).alias("s3"),
+        dsum(qc * qc * qc * qc, 4).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mm = s.select(
+        "l_returnflag", "n",
+        (F.col("s1") / nd).alias("mu"),
+        (F.col("s2") / nd).alias("e2"),
+        (F.col("s3") / nd).alias("e3"),
+        (F.col("s4") / nd).alias("e4"),
+    )
+    mu, e2, e3, e4 = F.col("mu"), F.col("e2"), F.col("e3"), F.col("e4")
+    cc = mm.select(
+        "l_returnflag", "n", "mu",
+        (e2 - mu * mu).alias("m2"),
+        (e3 - F.lit(3.0) * mu * e2 + F.lit(2.0) * mu * mu * mu).alias("m3"),
+        (
+            e4 - F.lit(4.0) * mu * e3 + F.lit(6.0) * mu * mu * e2
+            - F.lit(3.0) * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    return cc.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("mu").alias("mean_qty"),
+        m2.alias("var_pop"),
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis_excess"),
+    ).orderBy("l_returnflag")

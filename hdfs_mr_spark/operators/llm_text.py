@@ -2551,3 +2551,118 @@ def llm_bm25_score(spark, sf_dir):
         .filter(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+@query(
+    "llm_rag_retrieve",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT COUNT(*) FROM tok) AS DOUBLE)
+           / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl
+),
+qterms AS (
+  SELECT doc_id AS qid, unnest(list_distinct(string_split(text, ' '))) AS term
+  FROM documents WHERE doc_id < 3
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tok GROUP BY term
+),
+contrib AS (
+  SELECT q.qid, t.doc_id,
+         round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * ((t.tf * 2.2)
+                  / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl)))),
+               6) AS c
+  FROM qterms q
+  JOIN tf t ON t.term = q.term AND t.doc_id <> q.qid
+  JOIN df d ON d.term = q.term
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+)
+SELECT qid, doc_id,
+       (CAST(CAST(SUM(CAST(c AS DECIMAL(38,6))) * 1000000 AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0) AS bm25,
+       CAST(row_number() OVER (
+         PARTITION BY qid
+         ORDER BY SUM(CAST(c AS DECIMAL(38,6))) DESC, doc_id ASC
+       ) AS BIGINT) AS rank
+FROM contrib
+GROUP BY qid, doc_id
+QUALIFY rank <= 5
+ORDER BY qid, rank
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def llm_rag_retrieve(spark, sf_dir):
+    """First-stage RAG retrieval: each query document (doc_id < 3,
+    its distinct tokens as the query bag) retrieves its BM25 top-5
+    from the rest of the corpus — llm_bm25_score generalized from one
+    literal term set to a QUERY FRAME, which is the actual retrieval
+    shape (documents-as-queries is also how dense retrievers mine
+    training pairs; llm_hard_negative_mining is the embedding-space
+    sibling).
+
+    Determinism inherits llm_bm25_score's discipline wholesale:
+    contributions round to 6 dp after an identically-parenthesized
+    IEEE chain, per-(query, doc) sums ride the decimal kernel, global
+    scalars embed as literals, ranking tiebreaks on doc_id.
+
+    Plan: tf/df/dl are combiner-shape aggregates off ONE doc_id/term
+    shuffle each; the query frame joins UNHINTED on term (query bags
+    are tiny here, but a production query batch is unbounded — same
+    vocab-scale reasoning as llm_tfidf's df join); top-5 per query is
+    a qid-partitioned window, never a global sort. At 100 TB the tf
+    table is the posting index: partition by term and both the df join
+    and the query join co-locate."""
+    from hdfs_mr_spark.exprs import dsum
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    n_docs = d.count()
+    n_toks = tok.count()
+    n = float(n_docs)
+    avgdl = float(n_toks) / float(n_docs)
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    qterms = (
+        d.filter(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+        )
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    sat = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.lit(avgdl)))
+    )
+    contrib = (
+        qterms.join(tf, (tf.term == qterms.term) & (tf.doc_id != qterms.qid))
+        .drop(qterms.term)
+        .join(df, "term")
+        .join(dl, "doc_id")
+        .select("qid", "doc_id", F.round(idf * sat, 6).alias("c"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        contrib.groupBy("qid", "doc_id")
+        .agg(dsum(F.col("c"), 6).alias("bm25"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("qid", "rank")
+    )

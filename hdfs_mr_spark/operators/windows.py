@@ -1354,3 +1354,98 @@ def ts_changepoint_cusum(spark, sf_dir):
             / (F.col("m.n").cast("double") * F.lit(100.0))
         ).alias("cusum_peak"),
     ).orderBy("user_id")
+
+
+@query(
+    "ts_theilsen_trend",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id, day
+),
+slopes AS (
+  SELECT a.user_id,
+         CAST(b.cents - a.cents AS DOUBLE)
+           / CAST(b.day - a.day AS DOUBLE) AS slope,
+         a.day AS day1, b.day AS day2
+  FROM daily a JOIN daily b ON a.user_id = b.user_id AND a.day < b.day
+),
+ranked AS (
+  SELECT user_id, slope,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY slope ASC, day1 ASC, day2 ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS k
+  FROM slopes
+),
+med AS (
+  SELECT user_id, CAST(k AS BIGINT) AS n_pairs,
+         MIN(CASE WHEN rn = (k + 1) // 2 THEN slope END) AS lo,
+         MIN(CASE WHEN rn = k // 2 + 1 THEN slope END) AS hi
+  FROM ranked GROUP BY user_id, k
+)
+SELECT user_id, n_pairs, (lo + hi) / 2.0 / 100.0 AS theil_sen_slope
+FROM med ORDER BY user_id
+""",
+    family=_FAM,
+)
+def ts_theilsen_trend(spark, sf_dir):
+    """Theil-Sen robust trend per user series: the median of all
+    pairwise slopes over the user's DAILY totals — the
+    breakdown-point-0.29 estimator that shrugs off the outliers an
+    OLS slope (agg_linreg) chases. Slopes are exact-integer deltas
+    (cents, epoch days) divided once into doubles, so every slope is
+    engine-identical; the median is an EXPLICIT rank selection
+    (row_number with a total-order tiebreak, values at floor/ceil
+    positions averaged) rather than either engine's percentile
+    built-in, whose interpolation contracts differ.
+
+    Plan: the daily rollup is a combiner-shape aggregate; the pair
+    join is user-local (equi on user_id + day residual — a user's
+    day count is bounded by the calendar, so per-user pairs are
+    O(days^2) with a small constant, ~27 days -> 351 pairs here);
+    one window exchange on user_id ranks the slopes; the selection
+    collapses combiner-shape. At 100 TB user count scales but the
+    per-user pair space does not — no quadratic blowup in n."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    a = daily.select(
+        "user_id", F.col("day").alias("day1"), F.col("cents").alias("c1")
+    )
+    b = daily.select(
+        "user_id", F.col("day").alias("day2"), F.col("cents").alias("c2")
+    )
+    slopes = a.join(b, "user_id").filter(F.col("day1") < F.col("day2")).select(
+        "user_id", "day1", "day2",
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / (F.col("day2") - F.col("day1")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("slope").asc(), F.col("day1").asc(), F.col("day2").asc()
+    )
+    ranked = slopes.select(
+        "user_id", "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("k"),
+    )
+    med = ranked.groupBy("user_id", "k").agg(
+        F.min(
+            F.when(F.col("rn") == F.floor((F.col("k") + 1) / 2), F.col("slope"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("rn") == F.floor(F.col("k") / 2) + 1, F.col("slope"))
+        ).alias("hi"),
+    )
+    return med.select(
+        "user_id",
+        F.col("k").cast("bigint").alias("n_pairs"),
+        ((F.col("lo") + F.col("hi")) / F.lit(2.0) / F.lit(100.0)).alias(
+            "theil_sen_slope"
+        ),
+    ).orderBy("user_id")

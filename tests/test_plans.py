@@ -516,3 +516,34 @@ def test_pipeline_clean_no_corpus_broadcast(spark):
     assert not any("BroadcastExchange" in n for n in nodes)
     assert not any("Cartesian" in n for n in nodes)
     assert any("SortMergeJoin" in n for n in nodes)
+
+
+def test_skew_kurtosis_one_combiner_pass(spark):
+    """agg_skew_kurtosis: one scan, one partial/final HashAggregate
+    pair — higher moments must not add passes."""
+    nodes = _nodes(_plan(spark, "agg_skew_kurtosis"))
+    assert sum("Scan parquet" in n for n in nodes) == 1
+    assert sum("HashAggregate" in n for n in nodes) == 2
+    assert not any("Join" in n for n in nodes)
+
+
+def test_rag_retrieve_term_join_not_broadcast(spark):
+    """llm_rag_retrieve: the tf/df/query joins on term must stay
+    shuffle equi-joins with broadcast disabled (posting lists are
+    corpus-sized) and the top-k window is qid-partitioned (no
+    single-partition exchange)."""
+    plan = _plan_no_auto_broadcast(spark, "llm_rag_retrieve")
+    nodes = _nodes(plan)
+    assert not any("BroadcastExchange" in n for n in nodes)
+    assert any("SortMergeJoin" in n for n in nodes)
+    assert not any("Exchange SinglePartition" in n for n in nodes)
+
+
+def test_theilsen_user_local_pairs(spark):
+    """ts_theilsen_trend: the slope pair join is an equi-join on
+    user_id (user-local pairs — never a Cartesian), and the median
+    selection collapses as a combiner aggregate."""
+    nodes = _nodes(_plan(spark, "ts_theilsen_trend"))
+    assert not any("Cartesian" in n for n in nodes)
+    assert any("SortMergeJoin" in n or "ShuffledHashJoin" in n or "BroadcastHashJoin" in n for n in nodes)
+    assert sum("HashAggregate" in n for n in nodes) >= 2
