@@ -1121,3 +1121,168 @@ def llm_multimodal_audio_frames(spark, sf_dir):
             "n_frames bigint, sum_abs bigint, peak int, zero_crossings bigint"
         ),
     ).orderBy("doc_id")
+
+
+def _phash_oracle_sql() -> str:
+    """Build the llm_multimodal_phash oracle: the 63-bit gradient dHash
+    recomputed from the generative formula media_px_value (the
+    llm_multimodal_pixels proof pattern — DuckDB can't inflate zlib, so
+    the formula is its ground truth while Spark hashes the decoded
+    bytes), then the Hamming-radius dup decision over the hash table."""
+
+    def gray(xe: str, ye: str) -> str:
+        v = [f"((({xe}) + 2*({ye}) + {7 * c} + doc_id) % 256)" for c in range(3)]
+        return f"(({v[0]}) + 2*({v[1]}) + ({v[2]})) // 4"
+
+    x1, x2, y = "((k % 7) * w) // 8", "(((k % 7) + 1) * w) // 8", "((k // 7) * h) // 9"
+    bit = (
+        f"CASE WHEN {gray(x2, y)} > {gray(x1, y)} "
+        f"THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END"
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         8 + (doc_id * 37) % 56 AS w,
+         8 + (doc_id * 53) % 56 AS h
+  FROM '{_MEDIA_PX}'
+),
+p AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(0, 63), k -> {bit})),
+           (a, x) -> a + x) AS phash
+  FROM m
+),
+rep AS (
+  SELECT a.doc_id, MIN(b.doc_id) AS dup_of
+  FROM p a JOIN p b
+    ON b.doc_id < a.doc_id AND bit_count(xor(a.phash, b.phash)) <= 8
+  GROUP BY a.doc_id
+)
+SELECT p.doc_id, p.phash, r.dup_of, (r.dup_of IS NULL) AS kept
+FROM p LEFT JOIN rep r ON p.doc_id = r.doc_id
+ORDER BY p.doc_id
+"""
+
+
+@query(
+    "llm_multimodal_phash",
+    oracle=_phash_oracle_sql(),
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_phash(spark, sf_dir):
+    """Perceptual image hashing + Hamming-radius dedup — the IMAGE
+    near-dup primitive of a multimodal training pipeline (text gets
+    MinHash/SimHash; images get dHash): each fixture PNG is fully
+    decoded (same chunk-walk/inflate/unfilter kernel as
+    llm_multimodal_pixels), grayscale is grid-sampled on a 8x9 lattice
+    (integer coordinates (gx*w)//8, (gy*h)//9 — sampling, not
+    resampling, keeps the hash integer-exact and engine-replicable),
+    and the 63-bit dHash sets bit gy*7+gx when brightness rises between
+    horizontal neighbors. Images within Hamming distance 8 collapse to
+    the lowest doc_id (decision form, O(n) output). The DuckDB oracle
+    recomputes the hash from the gradient PNGs' generative formula, so
+    a single wrong pixel anywhere in the decode flips bits and
+    hash-mismatches.
+
+    Scale: hashing is pure per-row mapInPandas work (no shuffle); the
+    dup join here is a bounded-fixture self-join, and at corpus scale
+    the standard index is multi-index LSH over hash BANDS (split the
+    64 bits into 4x16-bit bands, equi-join on band value — Hamming<=8
+    pairs share a band by pigeonhole... the llm_dedup_minhash_lsh
+    banding argument verbatim), so the pair stage stays sub-quadratic."""
+
+    def phash_batches(batches):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+            if pa_ <= pb_ and pa_ <= pc_:
+                return a
+            return b if pb_ <= pc_ else c
+
+        def decode(b):
+            if b[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("bad PNG signature")
+            pos, w, h, idat = 8, None, None, b""
+            while pos + 8 <= len(b):
+                (length,) = struct.unpack_from(">I", b, pos)
+                ctype = b[pos + 4 : pos + 8]
+                if ctype == b"IHDR":
+                    w, h = struct.unpack_from(">II", b, pos + 8)
+                elif ctype == b"IDAT":
+                    idat += b[pos + 8 : pos + 8 + length]
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + length
+            raw = zlib.decompress(idat)
+            bpp, stride = 3, 3 * w
+            out = bytearray(stride * h)
+            prior = bytes(stride)
+            for y in range(h):
+                ft = raw[y * (stride + 1)]
+                row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+                for i in range(stride):
+                    left = row[i - bpp] if i >= bpp else 0
+                    up = prior[i]
+                    upleft = prior[i - bpp] if i >= bpp else 0
+                    if ft == 1:
+                        row[i] = (row[i] + left) & 0xFF
+                    elif ft == 2:
+                        row[i] = (row[i] + up) & 0xFF
+                    elif ft == 3:
+                        row[i] = (row[i] + (left + up) // 2) & 0xFF
+                    elif ft == 4:
+                        row[i] = (row[i] + paeth(left, up, upleft)) & 0xFF
+                out[y * stride : (y + 1) * stride] = row
+                prior = bytes(row)
+            return w, h, bytes(out)
+
+        def gray_at(px, w, x, y):
+            base = (y * w + x) * 3
+            return (px[base] + 2 * px[base + 1] + px[base + 2]) // 4
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode(bytes(payload))
+                hv = 0
+                for k in range(63):
+                    gx, gy = k % 7, k // 7
+                    yq = (gy * h) // 9
+                    g1 = gray_at(px, w, (gx * w) // 8, yq)
+                    g2 = gray_at(px, w, ((gx + 1) * w) // 8, yq)
+                    if g2 > g1:
+                        hv |= 1 << k
+                rows.append((int(did), hv))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"]).astype("int64")
+
+    from hdfs_mr_spark.io import fan_out
+    from hdfs_mr_spark.sources.media import materialize_media_px
+
+    df = spark.read.parquet(materialize_media_px())
+    hashes = fan_out(df).mapInPandas(
+        phash_batches, "doc_id long, phash long"
+    ).localCheckpoint()
+    a = hashes.select(F.col("doc_id").alias("da"), F.col("phash").alias("ha"))
+    b = hashes.select(F.col("doc_id").alias("db"), F.col("phash").alias("hb"))
+    rep = (
+        a.join(
+            F.broadcast(b),
+            (F.col("db") < F.col("da"))
+            & (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 8),
+        )
+        .groupBy(F.col("da").alias("doc_id"))
+        .agg(F.min("db").alias("dup_of"))
+    )
+    return (
+        hashes.join(rep, "doc_id", "left")
+        .select(
+            "doc_id", "phash", "dup_of", F.col("dup_of").isNull().alias("kept")
+        )
+        .orderBy("doc_id")
+    )

@@ -547,3 +547,16 @@ def test_theilsen_user_local_pairs(spark):
     assert not any("Cartesian" in n for n in nodes)
     assert any("SortMergeJoin" in n or "ShuffledHashJoin" in n or "BroadcastHashJoin" in n for n in nodes)
     assert sum("HashAggregate" in n for n in nodes) >= 2
+
+
+def test_phash_hamming_join_is_bounded_broadcast(spark):
+    """llm_multimodal_phash: the Hamming dup join probes the bounded
+    48-row hash table (explicit broadcast — a genuinely bounded
+    fixture, like the ADC tables) and hashing itself is a python
+    kernel with no pre-shuffle."""
+    nodes = _nodes(_plan(spark, "llm_multimodal_phash"))
+    # the hash frame is localCheckpoint'ed (ExistingRDD hides the
+    # MapInPandas kernel); the non-equi Hamming probe must be the
+    # bounded broadcast nested loop, never a Cartesian
+    assert any("BroadcastNestedLoopJoin" in n for n in nodes)
+    assert not any("Cartesian" in n for n in nodes)
