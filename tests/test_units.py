@@ -481,3 +481,146 @@ def test_wav_chunk_walker_parser():
     struct.pack_into("<H", bad_fmt, fmt_off + 2, 2)  # channels = 2
     with pytest.raises(ValueError):
         parse_wav(bytes(bad_fmt))
+
+
+def test_phash_decode_matches_generative_formula():
+    """Third implementation of the dHash: decode the real PNG bytes with
+    the tested pixel decoder, grid-sample per llm_multimodal_phash's
+    spec, and compare against the hash computed straight from the
+    gradient formula (the DuckDB oracle's ground truth) — proves
+    decoder, sampler, and formula agree without either engine."""
+    from hdfs_mr_spark.sources.media import make_gradient_png, png_decode_pixels
+
+    def formula_gray(x, y, doc_id):
+        v = [((x + 2 * y + 7 * c + doc_id) % 256) for c in range(3)]
+        return (v[0] + 2 * v[1] + v[2]) // 4
+
+    for doc_id in (0, 5, 17, 40):
+        w, h, px = png_decode_pixels(make_gradient_png(doc_id))
+        hv_decoded = 0
+        hv_formula = 0
+        for k in range(63):
+            gx, gy = k % 7, k // 7
+            yq = (gy * h) // 9
+            x1, x2 = (gx * w) // 8, ((gx + 1) * w) // 8
+            base1, base2 = (yq * w + x1) * 3, (yq * w + x2) * 3
+            g1 = (px[base1] + 2 * px[base1 + 1] + px[base1 + 2]) // 4
+            g2 = (px[base2] + 2 * px[base2 + 1] + px[base2 + 2]) // 4
+            if g2 > g1:
+                hv_decoded |= 1 << k
+            if formula_gray(x2, yq, doc_id) > formula_gray(x1, yq, doc_id):
+                hv_formula |= 1 << k
+        assert hv_decoded == hv_formula, doc_id
+
+
+def test_sssp_matches_python_bellman_ford(spark):
+    """mr_sssp vs an independent driver-side Bellman-Ford over the same
+    edge list (third implementation, neither Spark-iterative nor
+    recursive-CTE): 4-hop-bounded distances must agree exactly."""
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+        )
+    edges = con.execute("""
+        SELECT 'c' || o.o_custkey, 'p' || l.l_partkey,
+               CAST(MIN(l.l_quantity) AS BIGINT)
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_quantity >= 40 GROUP BY 1, 2
+    """).fetchall()
+    adj: dict[str, list[tuple[str, int]]] = {}
+    for c, p, w in edges:
+        adj.setdefault(c, []).append((p, w))
+        adj.setdefault(p, []).append((c, w))
+    dist = {
+        n: 0 for n in adj
+        if n.startswith("c") and int(n[1:]) % 500 == 0
+    }
+    frontier = dict(dist)
+    for _ in range(4):
+        nxt: dict[str, int] = {}
+        for n, d in frontier.items():
+            for m, w in adj.get(n, ()):
+                nd = d + w
+                if nd < dist.get(m, 1 << 60) and nd < nxt.get(m, 1 << 60):
+                    nxt[m] = nd
+        if not nxt:
+            break
+        dist.update(nxt)
+        frontier = nxt
+    got = {
+        r.node: r.dist
+        for r in all_specs()["mr_sssp"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dist
+
+
+def test_theilsen_matches_python_reference(spark):
+    """ts_theilsen_trend vs a statistics-free python reference (exact
+    integer slopes, explicit middle selection)."""
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    rows = con.execute("""
+        SELECT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT),
+               SUM(CAST(round(value * 100) AS BIGINT))
+        FROM events GROUP BY 1, 2
+    """).fetchall()
+    series: dict[int, list[tuple[int, int]]] = {}
+    for u, day, cents in rows:
+        series.setdefault(u, []).append((day, cents))
+    expect = {}
+    for u, pts in series.items():
+        pts.sort()
+        slopes = sorted(
+            (c2 - c1) / (d2 - d1)
+            for i, (d1, c1) in enumerate(pts)
+            for (d2, c2) in pts[i + 1:]
+        )
+        k = len(slopes)
+        if k == 0:
+            continue
+        lo, hi = slopes[(k + 1) // 2 - 1], slopes[k // 2]
+        expect[u] = (k, (lo + hi) / 2.0 / 100.0)
+    got = {
+        r.user_id: (r.n_pairs, r.theil_sen_slope)
+        for r in all_specs()["ts_theilsen_trend"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_containment_subset_semantics(spark):
+    """llm_dedup_containment vs a python brute force over the distinct
+    token sets: subset_of must be the lowest proper-superset (or
+    identical-set lower id) holder, per doc."""
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    toks = {d: frozenset(t.split(" ")) for d, t in docs}
+    expect = {}
+    for d, s in toks.items():
+        cands = [
+            o for o, so in toks.items()
+            if o != d and s <= so and (len(so) > len(s) or o < d)
+        ]
+        expect[d] = min(cands) if cands else None
+    got = {
+        r.doc_id: r.subset_of
+        for r in all_specs()["llm_dedup_containment"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Generate ANN_RECALL_r{N}.json: measured recall@5 of every ANN path
-(single-probe LSH, multiprobe LSH, IVF) against the exact brute-force
-top-5, per query vector and as means, at sf0.01 and sf0.1 — the audit
-artifact the index recommendation in llm_sim_knn_lsh's docstring cites.
+(single-probe LSH, multiprobe LSH, IVF, flat-PQ ADC, fused IVF-PQ)
+against the exact brute-force top-5, per query vector and as means, at
+sf0.01 and sf0.1 — the audit artifact the index recommendation in
+llm_sim_knn_lsh's docstring cites.
 
 Usage: python tools/ann_recall.py [--out ANN_RECALL_r4.json]
 """
@@ -40,6 +41,14 @@ def main() -> int:
             (r.qid, r.vec_id)
             for r in qs["llm_sim_knn_lsh_multiprobe"].fn(spark, path).collect()
         }
+        adc = {
+            (r.qid, r.vec_id)
+            for r in qs["llm_sim_knn_pq_adc"].fn(spark, path).collect()
+        }
+        ivfpq = {
+            (r.qid, r.vec_id)
+            for r in qs["llm_sim_knn_ivf_pq"].fn(spark, path).collect()
+        }
         n = pq.ParquetFile(f"{path}/embeddings.parquet").metadata.num_rows
         cells, nprobe, bits = _ann_params(n)
         out[f"sf{sf}"] = {
@@ -47,6 +56,8 @@ def main() -> int:
             "mean_ivf_recall_at_5": sum(r["ivf_recall_at_5"] for r in audit) / len(audit),
             "mean_lsh_recall_at_5": sum(r["lsh_recall_at_5"] for r in audit) / len(audit),
             "mean_lsh_multiprobe_recall_at_5": len(exact & mp) / len(exact),
+            "mean_pq_adc_recall_at_5": len(exact & adc) / len(exact),
+            "mean_ivf_pq_recall_at_5": len(exact & ivfpq) / len(exact),
             "params": {"n": n, "ivf_cells": cells, "ivf_nprobe": nprobe, "lsh_bits": bits},
         }
     Path(args.out).write_text(json.dumps(out, indent=1))
