@@ -1615,10 +1615,9 @@ def llm_sim_knn_pq_adc(spark, sf_dir):
     )
 
 
-@query(
-    "llm_sim_knn_ivf_pq",
-    oracle=f"""
-WITH {_SQL_ANN_PARAMS},
+# Shared oracle CTE chain of the IVF-PQ pair: coarse cells, probes, ADC
+# tables, candidate scores — ends with `adc(qid, vec_id, dist_adc)`.
+_IVF_PQ_ADC_CTES = f"""WITH {_SQL_ANN_PARAMS},
 {_PQ_CTES},
 cc AS (
   SELECT vec_id AS ccode, dim, val AS cval
@@ -1658,7 +1657,13 @@ adc AS (
   JOIN a2 ON a2.vec_id = c.vec_id
   JOIN qd q ON q.qid = c.qid AND q.sub = a2.sub AND q.code = a2.code
   GROUP BY c.qid, c.vec_id
-)
+)"""
+
+
+@query(
+    "llm_sim_knn_ivf_pq",
+    oracle=f"""
+{_IVF_PQ_ADC_CTES}
 SELECT qid, vec_id, CAST(dist_adc AS BIGINT) AS dist_adc,
        CAST(row_number() OVER (PARTITION BY qid
                                ORDER BY dist_adc ASC, vec_id ASC) AS BIGINT) AS rank
@@ -1694,6 +1699,26 @@ def llm_sim_knn_ivf_pq(spark, sf_dir):
     the final top-5 is one windowed rank over O(sqrt(n)) rows per
     query. At cluster scale the cell id becomes a partition column and
     the probe a partition-pruned scan."""
+    adc = _ivf_pq_adc_frame(spark, sf_dir)
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("dist_adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "qid", "vec_id",
+            F.col("dist_adc").cast("bigint").alias("dist_adc"), "rank",
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+def _ivf_pq_adc_frame(spark, sf_dir):
+    """(qid, vec_id, dist_adc) for candidates in the query's nprobe
+    probed IVF cells, scored by PQ-ADC — the shared inner pipeline of
+    llm_sim_knn_ivf_pq (ADC ranking) and llm_sim_knn_ivf_pq_rerank
+    (exact-cosine refinement of the ADC shortlist)."""
     e = table(spark, sf_dir, "embeddings")
     cells, nprobe, _ = _ann_params(e.count())
     subs = _pq_subs(spark, sf_dir)
@@ -1728,21 +1753,101 @@ def llm_sim_knn_ivf_pq(spark, sf_dir):
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
     )
-    adc = (
+    return (
         cand.join(codes, "vec_id")
         .join(F.broadcast(qdist), ["qid", "sub", "code"])
         .groupBy("qid", "vec_id")
         .agg(F.sum("qd").alias("dist_adc"))
     )
-    wr = Window.partitionBy("qid").orderBy(
+
+
+@query(
+    "llm_sim_knn_ivf_pq_rerank",
+    oracle=f"""
+{_IVF_PQ_ADC_CTES},
+short AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY dist_adc ASC, vec_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= 50
+),
+scored AS (
+  SELECT s.qid, s.vec_id,
+         {_SQL_DOT.format(a='q.embedding', b='n.embedding')}
+           / ({_SQL_NORM.format(a='q.embedding')}
+              * {_SQL_NORM.format(a='n.embedding')}) AS cosine
+  FROM short s
+  JOIN embeddings q ON q.vec_id = s.qid
+  JOIN embeddings n ON n.vec_id = s.vec_id
+)
+SELECT qid, vec_id, cosine,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, vec_id ASC) AS BIGINT)
+         AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY qid, rank
+""",
+    family=_FAM,
+)
+def llm_sim_knn_ivf_pq_rerank(spark, sf_dir):
+    """IVFADC + exact refinement — the full production ANN stack: the
+    IVF-PQ pipeline produces a cheap ADC top-50 SHORTLIST per query
+    (table lookups over 8-byte codes inside the probed cells), and only
+    those ~50 candidates fetch their original vectors for an exact
+    cosine top-5. This is the standard fix for the measured flat-ADC
+    recall ceiling (ANN_RECALL_r4.json: ADC-ranked top-5 recall 0.20 at
+    n=2000 — 16-codeword-per-subspace quantization error dominates the
+    tail): measured recall@5 climbs to 0.82 at n=2000 (0.66 with a
+    20-deep shortlist; the residue is probe misses + shortlist
+    truncation, tuned via nprobe/K/codebook rounds) at ~50/n of the
+    exact path's vector reads; the shortlist stage touches no original
+    vectors at all.
+
+    Plan inherits both parents': everything up to the shortlist is the
+    shared _ivf_pq_adc_frame (broadcast centroids + ADC tables,
+    ids-only candidates), the refinement joins are a 10-row broadcast
+    (query vectors) and a narrow shuffle equi-join attaching the ~500
+    shortlisted vectors, and the final top-5 is a qid-partitioned
+    window. At 100 TB the shortlist fetch is the only stage that reads
+    full vectors — a point-lookup pattern a columnstore serves from the
+    vec_id sort order."""
+    adc = _ivf_pq_adc_frame(spark, sf_dir)
+    ws = Window.partitionBy("qid").orderBy(
         F.col("dist_adc").asc(), F.col("vec_id").asc()
     )
-    return (
-        adc.withColumn("rank", F.row_number().over(wr).cast("bigint"))
-        .filter(F.col("rank") <= 5)
+    short = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= 50)
+        .select("qid", "vec_id")
+    )
+    e = table(spark, sf_dir, "embeddings")
+    n = fan_out(
+        e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    )
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        short.join(F.broadcast(q), "qid")
+        .join(n, "vec_id")
         .select(
             "qid", "vec_id",
-            F.col("dist_adc").cast("bigint").alias("dist_adc"), "rank",
+            (
+                _dot(F.col("qe"), F.col("embedding"))
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cosine"),
         )
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= 5)
         .orderBy("qid", "rank")
     )

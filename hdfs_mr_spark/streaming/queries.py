@@ -880,3 +880,85 @@ def stream_windowed_topk(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .orderBy("window_start", "rnk")
     )
+
+
+@query(
+    "stream_cdc_upsert",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
+         event_id AS last_event_id, value AS last_value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, last_ts, last_event_id, last_value
+FROM latest WHERE rn = 1
+ORDER BY user_id
+""",
+    family=_FAM,
+)
+def stream_cdc_upsert(spark, sf_dir):
+    """Streaming keyed upsert — the foreachBatch MERGE pattern every
+    lakehouse CDC consumer runs (Delta/Iceberg MERGE stand-in on plain
+    parquet): each micro-batch merges into the keyed state table
+    (latest row per user by (ts, event_id)), state versions are written
+    to fresh directories so a batch never reads the files it is
+    rewriting (the read-overwrite hazard the versioning exists to
+    kill), and the final version IS the answer. Last-wins is a TOTAL
+    order, so the result is independent of how the drain batches the
+    files — which is exactly what the batch oracle hash-checks.
+
+    Scale: per batch the merge is one combiner-shape argmax agg over
+    (previous state ∪ batch) — state stays O(|keys|); at 100 TB the
+    state table is partitioned by key-hash and each merge rewrites only
+    partitions the batch touches (dynamic partition overwrite —
+    sink_dynamic_overwrite demonstrates the primitive)."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="hmr_cdc_state_")
+    latest_dir: dict[str, str | None] = {"path": None}
+
+    def merge(batch_df, batch_id):
+        b = batch_df.select("user_id", "ts", "event_id", "value")
+        prev = latest_dir["path"]
+        if prev is not None:
+            b = batch_df.sparkSession.read.parquet(prev).unionByName(b)
+        merged = (
+            b.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+            .select(
+                "user_id",
+                F.col("m.ts").alias("ts"),
+                F.col("m.event_id").alias("event_id"),
+                F.col("m.value").alias("value"),
+            )
+        )
+        new_dir = os.path.join(root, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(new_dir)
+        latest_dir["path"] = new_dir
+
+    s = _event_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    ckpt = tempfile.mkdtemp(prefix="hmr_ckpt_")
+    q = (
+        s.writeStream.foreachBatch(merge)
+        .queryName(f"hmr_cdc_{next(_COUNTER)}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    final = (
+        spark.read.parquet(latest_dir["path"])
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return final

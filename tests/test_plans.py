@@ -560,3 +560,12 @@ def test_phash_hamming_join_is_bounded_broadcast(spark):
     # bounded broadcast nested loop, never a Cartesian
     assert any("BroadcastNestedLoopJoin" in n for n in nodes)
     assert not any("Cartesian" in n for n in nodes)
+
+
+def test_ivf_pq_rerank_narrow_fetch(spark):
+    """llm_sim_knn_ivf_pq_rerank: the refinement stage broadcasts only
+    the 10 query vectors; the shortlist fetch is an equi-join; no
+    Cartesian anywhere."""
+    nodes = _nodes(_plan(spark, "llm_sim_knn_ivf_pq_rerank"))
+    assert sum("BroadcastHashJoin" in n for n in nodes) >= 2
+    assert not any("Cartesian" in n for n in nodes)

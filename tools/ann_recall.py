@@ -49,6 +49,10 @@ def main() -> int:
             (r.qid, r.vec_id)
             for r in qs["llm_sim_knn_ivf_pq"].fn(spark, path).collect()
         }
+        rerank = {
+            (r.qid, r.vec_id)
+            for r in qs["llm_sim_knn_ivf_pq_rerank"].fn(spark, path).collect()
+        }
         n = pq.ParquetFile(f"{path}/embeddings.parquet").metadata.num_rows
         cells, nprobe, bits = _ann_params(n)
         out[f"sf{sf}"] = {
@@ -58,6 +62,7 @@ def main() -> int:
             "mean_lsh_multiprobe_recall_at_5": len(exact & mp) / len(exact),
             "mean_pq_adc_recall_at_5": len(exact & adc) / len(exact),
             "mean_ivf_pq_recall_at_5": len(exact & ivfpq) / len(exact),
+            "mean_ivf_pq_rerank_recall_at_5": len(exact & rerank) / len(exact),
             "params": {"n": n, "ivf_cells": cells, "ivf_nprobe": nprobe, "lsh_bits": bits},
         }
     Path(args.out).write_text(json.dumps(out, indent=1))
