@@ -80,6 +80,7 @@ HEADLINE = [
     "llm_embed_pq",          # 2.11 product quantization codes (r4)
     "llm_sim_knn_pq_adc",    # 2.11 flat-PQ ADC scan (r4)
     "llm_sim_knn_ivf_pq",    # 2.11 IVF-PQ composite, the production ANN shape (r4)
+    "llm_sim_knn_ivf_pq_rerank",  # 2.11 IVFADC + exact refinement (r4)
     "llm_pipeline_clean",    # 2.11 end-to-end cleaning composite (r4)
     "llm_dedup_containment", # 2.11 subset-containment decision dedup (r4)
     "llm_rag_retrieve",      # 2.11 query-frame BM25 retrieval (r4)

@@ -1440,6 +1440,11 @@ def _pq_codebook(subs):
                 lambda s: s["cval"],
             ).alias("cv")
         )
+        # k*m rows (128) — BOUNDED at any corpus size, so materializing
+        # is always safe; without it every consumer (codes, ADC tables)
+        # re-runs the two-pass Lloyd subtree (measured in the pq_adc
+        # plan: the codebook joins appear 3x)
+        .localCheckpoint()
     )
 
 
