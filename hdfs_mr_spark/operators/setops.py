@@ -835,3 +835,69 @@ def dq_profile_columns(spark, sf_dir):
         .select("p.*")
         .orderBy("column_name")
     )
+
+
+@query(
+    "etl_orphan_repair",
+    oracle="""
+WITH probe AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+         (p.p_partkey IS NOT NULL) AS fk_ok
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+),
+repaired AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN fk_ok THEN l_partkey ELSE -1 END AS part_fk,
+         fk_ok
+  FROM probe
+)
+SELECT (CASE WHEN fk_ok THEN 'kept' ELSE 'repaired' END) AS disposition,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(part_fk) AS BIGINT) AS fk_checksum,
+       CAST(COUNT(DISTINCT part_fk) AS BIGINT) AS n_distinct_fk
+FROM repaired
+GROUP BY disposition
+ORDER BY disposition
+""",
+    family=_FAM,
+)
+def etl_orphan_repair(spark, sf_dir):
+    """Referential-integrity REPAIR (the action after
+    dq_constraint_audit's detection): fact rows whose part FK has no
+    dimension row are remapped to the sentinel dimension (-1, the
+    Kimball 'unknown member' row) instead of being dropped — dropping
+    facts silently corrupts additive measures downstream, remapping
+    preserves totals while isolating the breakage. The disposition
+    summary (counts + FK checksum per outcome) is the audit row a
+    backfill job logs; this fixture has no orphans, so the 'repaired'
+    arm proves itself by absence against the oracle (the CASE and the
+    checksum still execute per row).
+
+    Plan: one LEFT probe join against the dimension (broadcast when it
+    fits, the usual dim-join shape) and one combiner-shape aggregate.
+    At 100 TB the probe is the same join the fact load already does —
+    repair costs one CASE."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey")
+    probe = li.select("l_orderkey", "l_linenumber", "l_partkey").join(
+        p, li.l_partkey == p.p_partkey, "left"
+    )
+    repaired = probe.select(
+        F.when(F.col("p_partkey").isNotNull(), F.col("l_partkey"))
+        .otherwise(F.lit(-1).cast("bigint"))
+        .alias("part_fk"),
+        F.col("p_partkey").isNotNull().alias("fk_ok"),
+    )
+    return (
+        repaired.groupBy(
+            F.when(F.col("fk_ok"), F.lit("kept"))
+            .otherwise(F.lit("repaired"))
+            .alias("disposition")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("part_fk").cast("bigint").alias("fk_checksum"),
+            F.countDistinct("part_fk").alias("n_distinct_fk"),
+        )
+        .orderBy("disposition")
+    )

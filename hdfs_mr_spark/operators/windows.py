@@ -1449,3 +1449,180 @@ def ts_theilsen_trend(spark, sf_dir):
             "theil_sen_slope"
         ),
     ).orderBy("user_id")
+
+
+@query(
+    "win_rolling_regression",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+frames AS (
+  SELECT user_id, event_id, x,
+         COUNT(*)   OVER w AS n,
+         SUM(x)     OVER w AS sx,
+         SUM(y)     OVER w AS sy,
+         SUM(x * y) OVER w AS sxy,
+         SUM(x * x) OVER w AS sxx
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY x
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0
+       END AS slope10
+FROM frames
+ORDER BY user_id, x
+""",
+    family=_FAM,
+    tags=("ordered",),
+)
+def win_rolling_regression(spark, sf_dir):
+    """Rolling OLS slope over the trailing 10 events per user — the
+    windowed version of agg_linreg's closed form, the shape online
+    trend monitors compute per tick. Every frame statistic (n, Σx, Σy,
+    Σxy, Σx²) is an exact-integer windowed sum (cents and the per-user
+    sequence index, which keeps products small), so the normal-equation
+    numerator/denominator are exact BIGINTs and the only float op is
+    the final division; degenerate frames (n=1, zero variance) emit
+    NULL via the denominator guard in both engines identically.
+
+    Plan: ONE window exchange on user_id serves the sequencing AND all
+    five frame sums (same partition key + order); no join, no second
+    shuffle. At 100 TB this is the canonical one-pass streaming-frame
+    evaluation — WindowExec holds 10 rows of state per user."""
+    e = table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    base = e.select(
+        "user_id", "event_id",
+        F.row_number().over(w_ord).cast("bigint").alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("x").asc())
+        .rowsBetween(-9, 0)
+    )
+    frames = base.select(
+        "user_id", "event_id", "x",
+        F.count("*").over(wf).alias("n"),
+        F.sum("x").over(wf).alias("sx"),
+        F.sum("y").over(wf).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(wf).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wf).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return frames.select(
+        "user_id", "event_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.when(
+            den != 0, num.cast("double") / den.cast("double") / F.lit(100.0)
+        ).alias("slope10"),
+        "x",
+    ).orderBy("user_id", "x").drop("x")
+
+
+@query(
+    "ts_interval_merge",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+           + CAST(round(value * 60) AS BIGINT) AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -9223372036854775808)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id
+                               ORDER BY s ASC, event_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       CAST(MIN(s) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM islands
+GROUP BY user_id, island
+ORDER BY user_id, island
+""",
+    family=_FAM,
+)
+def ts_interval_merge(spark, sf_dir):
+    """Overlapping-interval merge (union of time intervals) per user —
+    the other gaps-and-islands classic next to win_sessionize's
+    gap-based form: each event claims [ts, ts + value minutes), and
+    overlapping or touching claims coalesce into maximal spans. The
+    standard relational formulation: an interval starts a NEW island
+    exactly when its start exceeds the running MAX of all previous
+    ends (not lag(e) — an earlier long interval can swallow several
+    later ones), island ids are a conditional running sum, spans are a
+    combiner-shape min/max per island. Everything is integer epoch
+    seconds, so island boundaries are exact in both engines.
+
+    Plan: one window exchange on user_id serves the running-max frame
+    AND the island cumsum (same key + order), then one partial/final
+    aggregate pair. No join, no self-join — the naive interval-overlap
+    self-join is Theta(n^2) per user and is exactly what this
+    formulation replaces at 100 TB."""
+    e = table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    iv = e.select(
+        "user_id", "event_id",
+        sec.alias("s"),
+        (sec + F.round(F.col("value") * 60).cast("bigint")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("s").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id", "event_id", "s", "e",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(w_prev), F.lit(-(1 << 63)).cast("bigint")
+            ),
+            1,
+        ).otherwise(0).alias("new_island"),
+    )
+    # same TOTAL order as the flag window — a (s, e) tie between two
+    # events would make the flag/cumsum pairing order-dependent
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("s").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e",
+        F.sum("new_island").over(w_cum).alias("island"),
+    )
+    return (
+        islands.groupBy("user_id", F.col("island").cast("bigint").alias("island"))
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "island")
+    )

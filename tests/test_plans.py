@@ -569,3 +569,28 @@ def test_ivf_pq_rerank_narrow_fetch(spark):
     nodes = _nodes(_plan(spark, "llm_sim_knn_ivf_pq_rerank"))
     assert sum("BroadcastHashJoin" in n for n in nodes) >= 2
     assert not any("Cartesian" in n for n in nodes)
+
+
+def test_rolling_regression_single_window_exchange(spark):
+    """win_rolling_regression: one hash exchange serves the sequencing
+    row_number and all five frame sums; no join."""
+    nodes = _nodes(_plan(spark, "win_rolling_regression"))
+    assert sum(n == "Exchange" for n in nodes) <= 2  # hash + presentation
+    assert not any("Join" in n for n in nodes)
+
+
+def test_interval_merge_no_self_join(spark):
+    """ts_interval_merge: the windowed formulation must plan WITHOUT a
+    join (the naive overlap self-join is the Θ(n²) trap) and with a
+    combiner aggregate pair."""
+    nodes = _nodes(_plan(spark, "ts_interval_merge"))
+    assert not any("Join" in n for n in nodes)
+    assert sum("HashAggregate" in n for n in nodes) >= 2
+
+
+def test_orphan_repair_dim_probe_broadcast(spark):
+    """etl_orphan_repair: the dimension probe is a broadcast LEFT join
+    at fixture scale; the aggregate is combiner-shape."""
+    nodes = _nodes(_plan(spark, "etl_orphan_repair"))
+    assert any("BroadcastHashJoin" in n for n in nodes)
+    assert not any("Cartesian" in n for n in nodes)
