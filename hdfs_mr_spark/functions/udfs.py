@@ -19,6 +19,7 @@ from typing import Iterator
 
 import pandas as pd
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hdfs_mr_spark.io import table
@@ -1283,6 +1284,175 @@ def llm_multimodal_phash(spark, sf_dir):
         hashes.join(rep, "doc_id", "left")
         .select(
             "doc_id", "phash", "dup_of", F.col("dup_of").isNull().alias("kept")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_multimodal_audio_vad",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+         800 + (doc_id * 191) % 1600 AS n
+  FROM '{_AUDIO_FIX}'
+),
+pf AS (
+  SELECT doc_id, rate // 50 AS frame, n // (rate // 50) AS nf FROM p
+),
+s AS (
+  SELECT pf.doc_id, pf.frame, r.i // pf.frame AS f,
+         ((r.i * (pf.doc_id + 3) + 17) % 2003) - 1001 AS v
+  FROM pf, range(0, 2400) r(i)
+  WHERE r.i < pf.nf * pf.frame
+),
+fe AS (
+  SELECT doc_id, f, SUM(v * v) AS energy FROM s GROUP BY doc_id, f
+),
+act AS (
+  SELECT doc_id, f, energy, (energy > 50000000) AS active FROM fe
+),
+flagged AS (
+  SELECT doc_id, f, energy, active,
+         CASE WHEN active AND NOT COALESCE(lag(active) OVER (
+                PARTITION BY doc_id ORDER BY f), FALSE)
+              THEN 1 ELSE 0 END AS seg_start
+  FROM act
+),
+segs AS (
+  SELECT doc_id, f, active,
+         SUM(seg_start) OVER (PARTITION BY doc_id ORDER BY f
+                              ROWS UNBOUNDED PRECEDING) AS seg
+  FROM flagged
+),
+seg_len AS (
+  SELECT doc_id, seg, COUNT(*) AS len
+  FROM segs WHERE active GROUP BY doc_id, seg
+)
+SELECT a.doc_id,
+       CAST(COUNT(*) FILTER (WHERE a.active) AS BIGINT) AS n_active_frames,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(COALESCE(MAX(sl.mx), 0) AS BIGINT) AS longest_segment,
+       CAST(COALESCE(MAX(sl.ns), 0) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN a.active THEN a.energy ELSE 0 END) AS BIGINT)
+         AS active_energy
+FROM act a
+LEFT JOIN (
+  SELECT doc_id, MAX(len) AS mx, COUNT(*) AS ns FROM seg_len GROUP BY doc_id
+) sl ON sl.doc_id = a.doc_id
+GROUP BY a.doc_id
+ORDER BY a.doc_id
+""",
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_audio_vad(spark, sf_dir):
+    """Energy-threshold voice-activity detection over the WAV clips —
+    the segmentation stage an audio training pipeline runs after
+    llm_multimodal_audio_frames' feature pass: per 20 ms frame an
+    exact-integer energy (sum of squared PCM samples from the REAL
+    byte parse), frames above threshold are active, and consecutive
+    active frames merge into segments (the ts_interval_merge
+    gaps-and-islands formulation at frame granularity). Output per
+    clip: active/total frames, segment count, longest segment, active
+    energy — the trim/split decisions a speech pipeline logs. The
+    DuckDB oracle re-derives every frame energy from the generative
+    PCM formula, so one misparsed byte anywhere flips a frame's
+    activity and hash-mismatches.
+
+    Scale: the kernel emits FRAME rows (clip count x <=15), the
+    segmentation is one window exchange on doc_id, and the final
+    rollup is combiner-shape — same audio-DAG stage shape as the
+    frames op, parallelism = clip count."""
+    df = spark.read.parquet(_AUDIO_FIX)
+
+    def energy_batches(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def wav_parse(b):
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise ValueError("not RIFF/WAVE")
+            pos, rate, data = 12, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", b, pos + 4)
+                body = b[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    afmt, ch, rate = struct.unpack_from("<HHI", body, 0)
+                    (bits,) = struct.unpack_from("<H", body, 14)
+                    if (afmt, ch, bits) != (1, 1, 16):
+                        raise ValueError("only PCM16 mono")
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)
+            if rate is None or data is None:
+                raise ValueError("missing fmt or data")
+            return rate, data
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, data = wav_parse(bytes(payload))
+                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                frame = rate // 50
+                nf = len(samples) // frame
+                en = (
+                    (samples[: nf * frame] ** 2)
+                    .reshape(nf, frame)
+                    .sum(axis=1)
+                )
+                out.extend(
+                    (int(doc_id), int(f), int(en[f])) for f in range(nf)
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "f", "energy"])
+
+    fe = df.mapInPandas(
+        energy_batches, schema="doc_id bigint, f bigint, energy bigint"
+    )
+    act = fe.select(
+        "doc_id", "f", "energy", (F.col("energy") > 50000000).alias("active")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy(F.col("f").asc())
+    flagged = act.select(
+        "doc_id", "f", "energy", "active",
+        F.when(
+            F.col("active")
+            & ~F.coalesce(F.lag("active").over(w_ord), F.lit(False)),
+            1,
+        ).otherwise(0).alias("seg_start"),
+    )
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    segs = flagged.select(
+        "doc_id", "f", "energy", "active",
+        F.sum("seg_start").over(w_cum).alias("seg"),
+    )
+    seg_stats = (
+        segs.filter("active")
+        .groupBy("doc_id", "seg")
+        .agg(F.count("*").alias("len"))
+        .groupBy("doc_id")
+        .agg(F.max("len").alias("mx"), F.count("*").alias("ns"))
+    )
+    return (
+        segs.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("active"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_active_frames"),
+            F.count("*").alias("n_frames"),
+            F.sum(F.when(F.col("active"), F.col("energy")).otherwise(0))
+            .cast("bigint")
+            .alias("active_energy"),
+        )
+        .join(seg_stats, "doc_id", "left")
+        .select(
+            "doc_id", "n_active_frames", "n_frames",
+            F.coalesce(F.col("mx"), F.lit(0)).cast("bigint").alias("longest_segment"),
+            F.coalesce(F.col("ns"), F.lit(0)).cast("bigint").alias("n_segments"),
+            "active_energy",
         )
         .orderBy("doc_id")
     )

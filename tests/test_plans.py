@@ -594,3 +594,12 @@ def test_orphan_repair_dim_probe_broadcast(spark):
     nodes = _nodes(_plan(spark, "etl_orphan_repair"))
     assert any("BroadcastHashJoin" in n for n in nodes)
     assert not any("Cartesian" in n for n in nodes)
+
+
+def test_audio_vad_kernel_then_single_window(spark):
+    """llm_multimodal_audio_vad: python kernel emits frame rows, then
+    one doc_id window exchange serves lag + cumsum, rollups are
+    combiner-shape, no Cartesian."""
+    nodes = _nodes(_plan(spark, "llm_multimodal_audio_vad"))
+    assert any("MapInPandas" in n for n in nodes)
+    assert not any("Cartesian" in n for n in nodes)
