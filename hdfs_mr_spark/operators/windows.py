@@ -1626,3 +1626,53 @@ def ts_interval_merge(spark, sf_dir):
         )
         .orderBy("user_id", "island")
     )
+
+
+@query(
+    "win_ratio_to_report",
+    oracle="""
+WITH g AS (
+  SELECT o_orderstatus, o_orderpriority,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT o_orderstatus, o_orderpriority,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(cents AS DOUBLE)
+         / CAST(SUM(cents) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+         AS share_of_status,
+       CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER () AS DOUBLE)
+         AS share_of_total
+FROM g
+ORDER BY o_orderstatus, o_orderpriority
+""",
+    family=_FAM,
+)
+def win_ratio_to_report(spark, sf_dir):
+    """Ratio-to-report (share-of-parent / share-of-total) — the
+    windowed division every BI rollup renders: per (status, priority)
+    revenue as a fraction of its status subtotal and of the grand
+    total. Sums ride integer cents (exact, order-independent); both
+    shares are one double division each, so the only windows are
+    unordered SUMs.
+
+    Plan: the fact table collapses FIRST (combiner-shape group agg to
+    |status|x|priority| = 15 rows); the windows — including the
+    global-total one — run over that bounded grouped frame, so the
+    single-partition exchange the global SUM implies holds 15 rows,
+    not the fact table (the unpartitioned-window rule is about
+    unbounded frames; a grouped-cardinality frame is the sanctioned
+    exception, same reasoning as agg_stats' per-flag histogram)."""
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    w_status = Window.partitionBy("o_orderstatus")
+    w_all = Window.partitionBy()
+    cd = F.col("cents").cast("double")
+    return g.select(
+        "o_orderstatus", "o_orderpriority",
+        (cd / F.lit(100.0)).alias("revenue"),
+        (cd / F.sum("cents").over(w_status).cast("double")).alias("share_of_status"),
+        (cd / F.sum("cents").over(w_all).cast("double")).alias("share_of_total"),
+    ).orderBy("o_orderstatus", "o_orderpriority")
