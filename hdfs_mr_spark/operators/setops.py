@@ -901,3 +901,107 @@ def etl_orphan_repair(spark, sf_dir):
         )
         .orderBy("disposition")
     )
+
+
+@query(
+    "etl_view_maintenance",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_type,
+         COUNT(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE event_id % 10 <> 0
+  GROUP BY user_id, event_type
+),
+delta AS (
+  SELECT user_id, event_type,
+         COUNT(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE event_id % 10 = 0
+  GROUP BY user_id, event_type
+),
+merged AS (
+  SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+         COALESCE(b.event_type, d.event_type) AS event_type,
+         COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
+         COALESCE(b.cents, 0) + COALESCE(d.cents, 0) AS cents
+  FROM base b FULL OUTER JOIN delta d
+    ON b.user_id = d.user_id AND b.event_type = d.event_type
+),
+full_recompute AS (
+  SELECT user_id, event_type,
+         COUNT(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id, event_type
+)
+SELECT m.user_id, m.event_type, CAST(m.n AS BIGINT) AS n,
+       CAST(m.cents AS DOUBLE) / 100.0 AS total_value,
+       (m.n = f.n AND m.cents = f.cents) AS matches_recompute
+FROM merged m
+JOIN full_recompute f
+  ON f.user_id = m.user_id AND f.event_type = m.event_type
+ORDER BY m.user_id, m.event_type
+""",
+    family=_FAM,
+)
+def etl_view_maintenance(spark, sf_dir):
+    """Incremental materialized-view maintenance — the warehouse
+    pattern that makes aggregates affordable at 100 TB: the base
+    aggregate (90% of events) absorbs an insert delta (the other 10%)
+    by MERGING partial states (count and integer-cents sum are
+    self-mergeable monoids — the same property that makes them
+    combiner-shape), instead of recomputing over the full fact table.
+    Every output row also carries `matches_recompute`, the inline
+    self-audit comparing merged state against the ground-truth full
+    recompute — the invariant a production maintenance job asserts
+    before publishing. Exact integers make it a bit-equality, not a
+    tolerance.
+
+    Plan: two combiner-shape aggregates (each scans only its slice —
+    the delta predicate is pushed to the scan), one FULL OUTER merge
+    join on the group key, and the audit join; at scale the recompute
+    arm drops out (it exists here to PROVE the merge) and maintenance
+    cost is O(delta) + one state-table join. AVG/stddev maintain the
+    same way via (sum, count, sum-of-squares) partials; MIN/MAX only
+    under insert-only deltas; exact distinct needs the bitmap
+    (agg_bitmap_distinct) or HLL state — noted for the op's contract."""
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+
+    def agg_slice(df):
+        return df.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n"), F.sum(cents).alias("cents")
+        )
+
+    base = agg_slice(e.filter(F.col("event_id") % 10 != 0)).select(
+        F.col("user_id").alias("bu"), F.col("event_type").alias("bt"),
+        F.col("n").alias("bn"), F.col("cents").alias("bc"),
+    )
+    delta = agg_slice(e.filter(F.col("event_id") % 10 == 0)).select(
+        F.col("user_id").alias("du"), F.col("event_type").alias("dt"),
+        F.col("n").alias("dn"), F.col("cents").alias("dc"),
+    )
+    merged = base.join(
+        delta, (F.col("bu") == F.col("du")) & (F.col("bt") == F.col("dt")), "full"
+    ).select(
+        F.coalesce(F.col("bu"), F.col("du")).alias("user_id"),
+        F.coalesce(F.col("bt"), F.col("dt")).alias("event_type"),
+        (F.coalesce(F.col("bn"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
+        (F.coalesce(F.col("bc"), F.lit(0)) + F.coalesce(F.col("dc"), F.lit(0))).alias("cents"),
+    )
+    full = agg_slice(e).select(
+        F.col("user_id").alias("fu"), F.col("event_type").alias("ft"),
+        F.col("n").alias("fn"), F.col("cents").alias("fc"),
+    )
+    return (
+        merged.join(
+            full,
+            (F.col("user_id") == F.col("fu")) & (F.col("event_type") == F.col("ft")),
+        )
+        .select(
+            "user_id", "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("total_value"),
+            ((F.col("n") == F.col("fn")) & (F.col("cents") == F.col("fc"))).alias(
+                "matches_recompute"
+            ),
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -603,3 +603,15 @@ def test_audio_vad_kernel_then_single_window(spark):
     nodes = _nodes(_plan(spark, "llm_multimodal_audio_vad"))
     assert any("MapInPandas" in n for n in nodes)
     assert not any("Cartesian" in n for n in nodes)
+
+
+def test_view_maintenance_pushes_slice_predicates(spark):
+    """etl_view_maintenance: the base/delta slice predicates must reach
+    the parquet scans (pushed filters), aggregates are combiner-shape,
+    and the state merge is an equi FULL OUTER join."""
+    plan = _plan(spark, "etl_view_maintenance")
+    nodes = _nodes(plan)
+    assert "PushedFilters" in plan
+    assert sum("HashAggregate" in n for n in nodes) >= 6  # 3 slices x pair
+    assert any("SortMergeJoin FullOuter" in n or "FullOuter" in plan for n in nodes) or "FullOuter" in plan
+    assert not any("Cartesian" in n for n in nodes)
