@@ -1514,3 +1514,64 @@ def agg_skew_kurtosis(spark, sf_dir):
         (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
         (m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis_excess"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_histogram_equi_depth",
+    oracle="""
+WITH vc AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c
+  FROM lineitem GROUP BY v
+),
+cum AS (
+  SELECT v, c,
+         SUM(c) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) - c AS cb,
+         SUM(c) OVER () AS total
+  FROM vc
+)
+SELECT CAST((cb * 10) // total AS BIGINT) AS decile,
+       CAST(MIN(v) AS BIGINT) AS lo,
+       CAST(MAX(v) AS BIGINT) AS hi,
+       CAST(SUM(c) AS BIGINT) AS n
+FROM cum GROUP BY decile ORDER BY decile
+""",
+    family=_FAM,
+)
+def agg_histogram_equi_depth(spark, sf_dir):
+    """Equi-DEPTH (decile) histogram of quantities — agg_histogram's
+    complement and what an optimizer's column statistics actually
+    store (equi-width buckets are useless under skew). Formulation is
+    agg_stats' bounded-domain histogram trick: collapse to per-value
+    counts first (combiner shape, ~50 rows), then decile assignment is
+    pure integer arithmetic on running counts ((cum_before * 10) //
+    total), so bucket boundaries — including how a value straddling a
+    boundary lands wholly in one bucket, the defining tie rule of
+    value-granular equi-depth — are engine-identical. The windows run
+    over the 50-row value frame (the sanctioned bounded-frame
+    exception); an unbounded domain swaps in approx_percentile
+    boundaries (agg_approx_quantile's contract) with the same output
+    schema."""
+    li = table(spark, sf_dir, "lineitem")
+    vc = li.groupBy(F.col("l_quantity").cast("bigint").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    w_cum = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = vc.select(
+        "v", "c",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("cb"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    return (
+        # integer div, not double: (cb*10)/total as a double would lose
+        # boundary exactness once counts pass 2^53 at full scale
+        cum.groupBy(F.expr("(cb * 10) div total").alias("decile"))
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("c").alias("n"),
+        )
+        .orderBy("decile")
+    )
