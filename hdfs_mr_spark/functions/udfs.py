@@ -1188,10 +1188,14 @@ def llm_multimodal_phash(spark, sf_dir):
 
     Scale: hashing is pure per-row mapInPandas work (no shuffle); the
     dup join here is a bounded-fixture self-join, and at corpus scale
-    the standard index is multi-index LSH over hash BANDS (split the
-    64 bits into 4x16-bit bands, equi-join on band value — Hamming<=8
-    pairs share a band by pigeonhole... the llm_dedup_minhash_lsh
-    banding argument verbatim), so the pair stage stays sub-quadratic."""
+    the standard index is multi-index hashing (Norouzi et al. 2012)
+    over hash BANDS: split the 63 bits into m bands; by pigeonhole a
+    Hamming<=r pair agrees within floor(r/m) flips on SOME band, so
+    probing each band's Hamming-<=floor(r/m) ball (r=8, m=4 -> radius-2
+    ball per 16-bit band) is recall-lossless — note plain equi-join
+    banding (the MinHash trick) is only exact for r < m, a distinction
+    that silently costs recall if ignored. Pair stage stays
+    sub-quadratic either way."""
 
     def phash_batches(batches):
         import struct
