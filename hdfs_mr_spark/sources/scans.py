@@ -908,3 +908,131 @@ def sink_compression_codecs(spark, sf_dir):
     for o in outs[1:]:
         res = res.unionAll(o)
     return res.orderBy("codec")
+
+
+def materialize_xml(sf_dir: str) -> str:
+    """Derive supplier.xml from the parquet testdata (deterministic
+    order, entity-escaped, acctbal serialized as exact integer cents —
+    float repr is engine-specific, cents round-trip bit-exact)."""
+    import pyarrow.parquet as pq
+    from xml.sax.saxutils import escape
+
+    path = _fixture_dir(sf_dir) / "supplier.xml"
+    if not path.exists():
+        rows = pq.read_table(f"{sf_dir}/supplier.parquet").to_pylist()
+        rows.sort(key=lambda r: r["s_suppkey"])
+        with open(path, "w") as f:
+            f.write("<suppliers>\n")
+            for r in rows:
+                f.write(
+                    "  <supplier>"
+                    f"<s_suppkey>{r['s_suppkey']}</s_suppkey>"
+                    f"<s_name>{escape(r['s_name'])}</s_name>"
+                    f"<s_nationkey>{r['s_nationkey']}</s_nationkey>"
+                    f"<acctbal_cents>{round(r['s_acctbal'] * 100)}</acctbal_cents>"
+                    "</supplier>\n"
+                )
+            f.write("</suppliers>\n")
+    return str(path)
+
+
+try:  # pragma: no cover — same import-time contract as the csv fixtures
+    if os.path.isdir(ORACLE_SF):
+        materialize_xml(ORACLE_SF)
+except Exception:  # noqa: BLE001
+    pass
+
+
+@query(
+    "scan_xml",
+    oracle="""
+SELECT s_suppkey, s_name, CAST(s_nationkey AS INTEGER) AS s_nationkey,
+       CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM supplier
+ORDER BY s_suppkey
+""",
+    family=_FAM,
+)
+def scan_xml(spark, sf_dir):
+    """Native XML source (Spark 4's donated spark-xml): the supplier
+    table serialized to entity-escaped XML (deterministically from the
+    parquet testdata, money as exact integer cents since float repr is
+    engine-specific), read back via format('xml') rowTag=supplier with
+    an EXPLICIT schema — schema inference on XML samples the whole
+    file. DuckDB has no XML reader, so the oracle is the parquet
+    original: agreement proves the serialize -> XML-parse loop loses
+    nothing, the same roundtrip contract as the csv/json scans.
+
+    Scale: XML is the slowest of the text formats (per-record tag
+    soup, no vectorized reader) — the op exists because feeds arrive
+    as XML, not because anyone should store it; first job in a real
+    DAG rewrites to parquet (sink_parquet)."""
+    path = materialize_xml(sf_dir)
+    schema = T.StructType([
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.IntegerType()),
+        T.StructField("acctbal_cents", T.LongType()),
+    ])
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(schema)
+        .load(path)
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "fn_xml",
+    oracle="""
+WITH x AS (
+  SELECT o_orderkey,
+         '<o><k>' || o_orderkey || '</k><p>' || o_orderpriority
+           || '</p><t>' || CAST(round(o_totalprice * 100) AS BIGINT)
+           || '</t></o>' AS doc
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(regexp_extract(doc, '<k>([0-9]+)</k>', 1) AS BIGINT) AS xml_key,
+       regexp_extract(doc, '<p>([^<]*)</p>', 1) AS xml_priority,
+       CAST(regexp_extract(doc, '<t>([0-9]+)</t>', 1) AS BIGINT) AS xml_cents
+FROM x
+ORDER BY o_orderkey
+""",
+    family="2.8 scalar functions",
+)
+def fn_xml(spark, sf_dir):
+    """XML scalar functions (Spark 4 from_xml + xpath family) — the
+    semi-structured parse surface next to fn_json: each order row is
+    serialized to an XML fragment, then parsed BACK two independent
+    ways — from_xml with an explicit struct schema (key, cents) and
+    xpath_string (priority) — so the test covers both the
+    schema-driven and the query-driven API. The DuckDB oracle extracts
+    the same fields with regexes from the identically-constructed
+    string: three implementations of the same parse, any tag-handling
+    bug in one mismatches. Values stay integer/string (cents for
+    money) so no float formatting enters the XML.
+
+    Scale: pure per-row projections — codegen'd concat, one JVM XML
+    parse per row, no shuffle except the presentation sort."""
+    o = table(spark, sf_dir, "orders")
+    doc = F.concat(
+        F.lit("<o><k>"), F.col("o_orderkey").cast("string"),
+        F.lit("</k><p>"), F.col("o_orderpriority"),
+        F.lit("</p><t>"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.lit("</t></o>"),
+    )
+    x = o.select("o_orderkey", doc.alias("doc"))
+    parsed = x.select(
+        "o_orderkey",
+        F.from_xml("doc", "k BIGINT, t BIGINT").alias("p"),
+        F.xpath_string("doc", F.lit("/o/p")).alias("xml_priority"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("p.k").alias("xml_key"),
+        "xml_priority",
+        F.col("p.t").alias("xml_cents"),
+    ).orderBy("o_orderkey")
