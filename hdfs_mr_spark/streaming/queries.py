@@ -962,3 +962,106 @@ def stream_cdc_upsert(spark, sf_dir):
     )
     shutil.rmtree(root, ignore_errors=True)
     return final
+
+
+@query(
+    "stream_python_datasource",
+    oracle="""
+WITH g AS (
+  SELECT range AS id, (range * 2654435761) % 1000000007 AS val
+  FROM range(0, 1000)
+)
+SELECT CAST(id % 4 AS BIGINT) AS part,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(val) AS BIGINT) AS val_sum,
+       CAST(MIN(val) AS BIGINT) AS val_min,
+       CAST(MAX(val) AS BIGINT) AS val_max
+FROM g GROUP BY part ORDER BY part
+""",
+    family=_FAM,
+)
+def stream_python_datasource(spark, sf_dir):
+    """Custom STREAMING connector via Spark 4's Python Data Source
+    simple-stream API — the streaming sibling of
+    scan_python_datasource's custom InputFormat analogue: the source
+    owns its offset protocol (initialOffset / read(start) -> (rows,
+    next) / readBetweenOffsets for checkpoint replay), serves five
+    deterministic 200-row micro-batches of the same Knuth-hash
+    synthetics, then reports no-new-data so processAllAvailable
+    reaches a fixed point. Consumed as a complete-mode windowless
+    aggregate into the memory sink; the DuckDB twin regenerates the
+    identical row set from range(), so the value hash proves no batch
+    was lost, duplicated, or torn across the offset protocol.
+
+    Scale: offsets are the connector's own cursor (a Kafka offset, a
+    log LSN, a ledger sequence) — the pattern for streaming ingest
+    from systems Spark has no native reader for; partition planning
+    belongs to the full StreamReader API, the simple variant trades
+    that for single-cursor simplicity (stated contract of the API)."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class SynthStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"batch": 0}
+
+        def read(self, start):
+            b = start["batch"]
+            if b >= 5:
+                return iter([]), {"batch": b}
+            rows = [
+                (i, (i * 2654435761) % 1000000007)
+                for i in range(b * 200, (b + 1) * 200)
+            ]
+            return iter(rows), {"batch": b + 1}
+
+        def readBetweenOffsets(self, start, end):
+            rows = []
+            for b in range(start["batch"], end["batch"]):
+                rows.extend(
+                    (i, (i * 2654435761) % 1000000007)
+                    for i in range(b * 200, (b + 1) * 200)
+                )
+            return iter(rows)
+
+    class SynthStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "hmr_synth_stream"
+
+        def schema(self):
+            return "id bigint, val bigint"
+
+        def simpleStreamReader(self, schema):
+            return SynthStreamReader()
+
+    try:
+        spark.dataSource.register(SynthStreamSource)
+    except Exception:
+        pass  # idempotent re-registration within a session
+
+    agg = (
+        spark.readStream.format("hmr_synth_stream")
+        .load()
+        .groupBy((F.col("id") % 4).cast("bigint").alias("part"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("val").cast("bigint").alias("val_sum"),
+            F.min("val").cast("bigint").alias("val_min"),
+            F.max("val").cast("bigint").alias("val_max"),
+        )
+    )
+    name = f"hmr_pyds_{next(_COUNTER)}"
+    ckpt = tempfile.mkdtemp(prefix="hmr_ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name).orderBy("part").localCheckpoint()
