@@ -1098,3 +1098,50 @@ def mr_sssp(spark, sf_dir):
         )
         frontier = improved
     return dist.select("node", F.col("d").alias("dist"))
+
+
+@query(
+    "mr_pipe_streaming",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word ASC
+""",
+    family=_FAM,
+)
+def mr_pipe_streaming(spark, sf_dir):
+    """Hadoop Streaming, literally: the mapper is an EXTERNAL process
+    (`tr -s ' ' '\\n'`, stdin->stdout, one token per line) that each
+    task pipes its partition through — `rdd.pipe()` is the 1:1
+    analogue of `hadoop jar hadoop-streaming.jar -mapper ...`, the
+    compatibility path for the awk/perl/binary mappers an MR shop has
+    accumulated. The reduce side stays in Spark (combiner-shape count
+    per token), and the oracle is the same wordcount in SQL — so the
+    external process's token stream must agree byte-for-byte with
+    string_split, proving the pipe adds or drops nothing.
+
+    Scale: one external process per task (not per row), streaming
+    through the partition with bounded memory — exactly Hadoop
+    Streaming's contract; the cost is one serialization to text and
+    back, which is why mr_wordcount (declarative) and mr_wordcount_rdd
+    (native RDD) are the preferred paths when the mapper CAN be
+    ported. Empty lines from the squeeze are filtered like Streaming's
+    own empty-key convention."""
+    d = table(spark, sf_dir, "documents")
+    tokens = (
+        d.select("text")
+        .rdd.map(lambda row: row["text"])
+        .pipe("tr -s ' ' '\\n'")
+        .map(lambda w: (w,))
+    )
+    return (
+        spark.createDataFrame(tokens, "word string")
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+    )
