@@ -1145,3 +1145,62 @@ def mr_pipe_streaming(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy(F.col("n").desc(), F.col("word").asc())
     )
+
+
+@query(
+    "mr_accumulators",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(COUNT(*) FILTER (WHERE l_quantity >= 40) AS BIGINT) AS n_high_qty,
+       CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_seen
+FROM lineitem
+""",
+    family=_FAM,
+)
+def mr_accumulators(spark, sf_dir):
+    """Hadoop COUNTERS, the MR job-observability primitive, as Spark
+    accumulators: a single mapPartitions pass tallies record counts,
+    predicate hits, and an exact integer checksum into driver-side
+    accumulators while the job runs — the pattern for side-channel
+    metrics a pipeline logs without a second aggregation job. The
+    accumulated values are then emitted as the result row, and the
+    oracle recomputes them relationally: agreement proves the pass saw
+    every record exactly once.
+
+    Correctness discipline accumulators REQUIRE (their classic trap):
+    updates from re-executed transformation stages double-count, so
+    the tallying pass must be consumed by EXACTLY ONE action with no
+    caching/AQE re-use — here one count() drives the single job, and
+    the result frame is built from the settled values afterwards. At
+    cluster scale task RETRIES can still inflate transformation-stage
+    accumulators (only action/foreach accumulators get the
+    exactly-once guarantee) — which is why the relational twin
+    (agg_global / this oracle) remains the auditable source of truth
+    and counters stay an observability channel, not an answer. That
+    caveat is the point of registering this op with an oracle."""
+    sc = spark.sparkContext
+    n_records = sc.accumulator(0)
+    n_high = sc.accumulator(0)
+    n_disc = sc.accumulator(0)
+    cents = sc.accumulator(0)
+
+    def tally(rows):
+        for r in rows:
+            n_records.add(1)
+            if r["l_quantity"] >= 40:
+                n_high.add(1)
+            if r["l_discount"] > 0.05:
+                n_disc.add(1)
+            cents.add(round(r["l_extendedprice"] * 100))
+            yield 1
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    )
+    li.rdd.mapPartitions(tally).count()  # the ONE action driving the pass
+    return spark.createDataFrame(
+        [(n_records.value, n_high.value, n_disc.value, cents.value)],
+        "n_records bigint, n_high_qty bigint, n_discounted bigint, cents_seen bigint",
+    )
