@@ -1676,3 +1676,63 @@ def win_ratio_to_report(spark, sf_dir):
         (cd / F.sum("cents").over(w_status).cast("double")).alias("share_of_status"),
         (cd / F.sum("cents").over(w_all).cast("double")).alias("share_of_total"),
     ).orderBy("o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "ts_forecast_seasonal_naive",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hr,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY hr
+),
+fc AS (
+  SELECT hr, cents,
+         lag(cents, 168) OVER (ORDER BY hr ASC) AS forecast
+  FROM hourly
+)
+SELECT CAST(COUNT(forecast) AS BIGINT) AS n_forecasts,
+       CAST(SUM(abs(cents - forecast)) AS BIGINT) AS abs_err_cents,
+       CAST(CAST(SUM(abs(cents - forecast)) AS DOUBLE)
+            / CAST(COUNT(forecast) AS DOUBLE) / 100.0 AS DOUBLE) AS mae,
+       CAST(SUM(CASE WHEN cents = forecast THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact
+FROM fc
+""",
+    family=_FAM,
+)
+def ts_forecast_seasonal_naive(spark, sf_dir):
+    """Seasonal-naive forecasting baseline (y_hat_t = y_{t-168h}: same
+    hour last week) with its backtest error report — the baseline
+    every forecasting pipeline must beat before a model earns its
+    compute, and the cheapest one to run at 100 TB. Hourly totals
+    collapse combiner-shape to integer cents; the forecast is one
+    lag(168) over the bounded hourly frame (8 760 rows/year however
+    big the fact table — the agg-then-window discipline), and MAE is
+    an exact integer sum with one presentation division.
+
+    The hourly frame is globally ordered, so the lag window is
+    single-partition — sanctioned ONLY because the frame is
+    calendar-bounded (same argument as ts_autocorrelation's day
+    frame); the fact-table scan below it never single-partitions."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    w = Window.orderBy(F.col("hr").asc())
+    fc = hourly.select(
+        "cents", F.lag("cents", 168).over(w).alias("forecast")
+    )
+    err = F.abs(F.col("cents") - F.col("forecast"))
+    return fc.agg(
+        F.count("forecast").alias("n_forecasts"),
+        F.sum(err).cast("bigint").alias("abs_err_cents"),
+        (
+            F.sum(err).cast("double")
+            / F.count("forecast").cast("double")
+            / F.lit(100.0)
+        ).alias("mae"),
+        F.sum(
+            F.when(F.col("cents") == F.col("forecast"), 1).otherwise(0)
+        ).cast("bigint").alias("n_exact"),
+    )
