@@ -1253,12 +1253,17 @@ def llm_dedup_containment(spark, sf_dir):
     if 0 < b_bytes <= bcast_limit:
         passing = a.join(F.broadcast(b), qualifies)
     else:
-        a = a.withColumn("__salt", F.pmod(F.xxhash64("da"), F.lit(_NEAR_SALTS)))
+        # salt is the ONLY equi key here (no size blocking prunes
+        # containment candidates), so its cardinality IS the join's
+        # parallelism ceiling — use a wider fan-out than the near
+        # kernel, whose (size, salt) key already spreads
+        n_salts = _NEAR_SALTS * 4
+        a = a.withColumn("__salt", F.pmod(F.xxhash64("da"), F.lit(n_salts)))
         b = b.withColumn(
             "__bsalt",
             F.explode(
                 F.sequence(
-                    F.lit(0).cast("bigint"), F.lit(_NEAR_SALTS - 1).cast("bigint")
+                    F.lit(0).cast("bigint"), F.lit(n_salts - 1).cast("bigint")
                 )
             ),
         )
