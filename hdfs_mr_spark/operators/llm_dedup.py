@@ -127,6 +127,23 @@ def llm_dedup_near(spark, sf_dir):
 _NEAR_SALTS = 8  # shuffled-path salt fan-out over the skewed size key
 
 
+def _salted_pair_join(a, b, cond, n_salts: int, a_key: str):
+    """Shuffled all-pairs scaffold shared by the mask kernels: salt the
+    probe side deterministically (xxhash64 of its id — reruns produce
+    identical plans), explode the build side across every salt, and
+    evaluate ``cond`` INSIDE the join so only passing pairs
+    materialize. The salt is an equi key, so Catalyst plans a
+    sort-merge/shuffled-hash join with n_salts-way parallelism."""
+    a = a.withColumn("__salt", F.pmod(F.xxhash64(a_key), F.lit(n_salts)))
+    b = b.withColumn(
+        "__bsalt",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(n_salts - 1).cast("bigint"))
+        ),
+    )
+    return a.join(b, (F.col("__salt") == F.col("__bsalt")) & cond)
+
+
 def _conf_broadcast_bytes(spark) -> int:
     """The session's autoBroadcastJoinThreshold in bytes (-1 = never).
 
@@ -204,15 +221,25 @@ def _bitmask_encoded_docs(spark, sf_dir):
     return enc, mask_cols, n_docs
 
 
-def _bitmask_near_pairs(spark, sf_dir):
+def _bitmask_near_pairs(spark, sf_dir, keep=None):
     """Size-blocked bitmask kernel: (d1, d2, n_common, jaccard) pairs
     with distinct-token Jaccard >= 0.8 (see llm_dedup_near).
+
+    ``keep`` (optional DataFrame of doc_id) restricts BOTH pair sides
+    before the expensive join — pipeline consumers that only need
+    pairs among surviving docs (llm_pipeline_clean) prune the
+    candidate space to |survivors|^2 instead of filtering after the
+    full-corpus join. Restriction commutes with the pairwise
+    predicate, so semantics are identical.
 
     Both joins auto-switch on the conf'd broadcast threshold; the
     shuffled pair join salts the size key (deterministic
     xxhash64(d1) % 8) because sizes are low-cardinality and heavily
     skewed."""
     enc, mask_cols, n_docs = _bitmask_encoded_docs(spark, sf_dir)
+    if keep is not None:
+        enc = enc.join(keep.select("doc_id"), "doc_id")
+        n_docs = enc.count()
     n_words = len(mask_cols)
     bcast_limit = _conf_broadcast_bytes(spark)
     # integer-exact admissible partner sizes: ceil(4*sz/5) .. floor(5*sz/4)
@@ -245,20 +272,9 @@ def _bitmask_near_pairs(spark, sf_dir):
         # Size alone is a handful of skewed key values; the salt spreads
         # each size bucket across _NEAR_SALTS reducers. Deterministic
         # (hash of d1, not rand()) so reruns produce identical plans.
-        a = a.withColumn("__salt", F.pmod(F.xxhash64("d1"), F.lit(_NEAR_SALTS)))
-        b = b.withColumn(
-            "__bsalt",
-            F.explode(
-                F.sequence(
-                    F.lit(0).cast("bigint"), F.lit(_NEAR_SALTS - 1).cast("bigint")
-                )
-            ),
-        )
-        passing = a.join(
-            b,
-            (F.col("partner_sz") == F.col("sz2"))
-            & (F.col("__salt") == F.col("__bsalt"))
-            & residual,
+        passing = _salted_pair_join(
+            a, b, (F.col("partner_sz") == F.col("sz2")) & residual,
+            _NEAR_SALTS, "d1",
         )
     return passing.select(
         "d1", "d2",
@@ -1255,19 +1271,9 @@ def llm_dedup_containment(spark, sf_dir):
     else:
         # salt is the ONLY equi key here (no size blocking prunes
         # containment candidates), so its cardinality IS the join's
-        # parallelism ceiling — use a wider fan-out than the near
-        # kernel, whose (size, salt) key already spreads
-        n_salts = _NEAR_SALTS * 4
-        a = a.withColumn("__salt", F.pmod(F.xxhash64("da"), F.lit(n_salts)))
-        b = b.withColumn(
-            "__bsalt",
-            F.explode(
-                F.sequence(
-                    F.lit(0).cast("bigint"), F.lit(n_salts - 1).cast("bigint")
-                )
-            ),
-        )
-        passing = a.join(b, (F.col("__salt") == F.col("__bsalt")) & qualifies)
+        # parallelism ceiling — wider fan-out than the near kernel,
+        # whose (size, salt) key already spreads
+        passing = _salted_pair_join(a, b, qualifies, _NEAR_SALTS * 4, "da")
     sup = passing.groupBy(F.col("da").alias("doc_id")).agg(
         F.min("db").alias("subset_of")
     )
@@ -1373,12 +1379,11 @@ def llm_pipeline_clean(spark, sf_dir):
     exact_dropped = exj.filter(F.col("doc_id") != F.col("rep")).select(
         "doc_id", F.col("rep").alias("ex_rep")
     )
-    remaining = exj.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    pairs = _bitmask_near_pairs(spark, sf_dir).select("d1", "d2")
-    rp = pairs.join(
-        remaining.withColumnRenamed("doc_id", "d1"), "d1"
-    ).join(remaining.withColumnRenamed("doc_id", "d2"), "d2")
-    near_dropped = rp.groupBy(F.col("d2").alias("doc_id")).agg(
+    remaining = exj.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id"
+    ).localCheckpoint()  # feeds the kernel's both-sides restriction
+    pairs = _bitmask_near_pairs(spark, sf_dir, keep=remaining).select("d1", "d2")
+    near_dropped = pairs.groupBy(F.col("d2").alias("doc_id")).agg(
         F.min("d1").alias("near_rep")
     )
     out = (

@@ -1193,7 +1193,10 @@ def mr_accumulators(spark, sf_dir):
                 n_high.add(1)
             if r["l_discount"] > 0.05:
                 n_disc.add(1)
-            cents.add(round(r["l_extendedprice"] * 100))
+            # floor(x+0.5) = SQL round() half-away-from-zero for the
+            # positive prices; python round() is banker's rounding and
+            # would diverge from the oracle on exact halves
+            cents.add(int(r["l_extendedprice"] * 100 + 0.5))
             yield 1
 
     li = table(spark, sf_dir, "lineitem").select(

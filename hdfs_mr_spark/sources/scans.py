@@ -731,8 +731,10 @@ def scan_python_datasource(spark, sf_dir):
 
     try:
         spark.dataSource.register(SynthSource)
-    except Exception:
-        pass  # already registered in this session — idempotent re-run
+    except Exception as exc:
+        # idempotent re-run only; real registration failures surface
+        if "exist" not in str(exc).lower() and "already" not in str(exc).lower():
+            raise
     df = spark.read.format("hdfs_mr_synth").load()
     return (
         df.groupBy((F.col("id") % 4).cast("bigint").alias("part"))
@@ -929,7 +931,10 @@ def materialize_xml(sf_dir: str) -> str:
                     f"<s_suppkey>{r['s_suppkey']}</s_suppkey>"
                     f"<s_name>{escape(r['s_name'])}</s_name>"
                     f"<s_nationkey>{r['s_nationkey']}</s_nationkey>"
-                    f"<acctbal_cents>{round(r['s_acctbal'] * 100)}</acctbal_cents>"
+                    # floor(x+0.5): SQL round() semantics (half away
+                    # from zero for the positive acctbals), NOT python
+                    # round()'s banker's rounding
+                    f"<acctbal_cents>{int(r['s_acctbal'] * 100 + 0.5)}</acctbal_cents>"
                     "</supplier>\n"
                 )
             f.write("</suppliers>\n")

@@ -947,8 +947,22 @@ def stream_cdc_upsert(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # timed-out drain: stop before reading state, or the final read
+        # races a version still being written
+        q.stop()
+        q.awaitTermination(60)
     shutil.rmtree(ckpt, ignore_errors=True)
+    if latest_dir["path"] is None:
+        # zero micro-batches (empty source slice): the upsert state is
+        # legitimately empty — emit the empty keyed frame, same schema
+        shutil.rmtree(root, ignore_errors=True)
+        return (
+            s.sparkSession.createDataFrame(
+                [], "user_id bigint, last_ts timestamp, "
+                    "last_event_id bigint, last_value double"
+            )
+        )
     final = (
         spark.read.parquet(latest_dir["path"])
         .select(
@@ -1036,8 +1050,12 @@ def stream_python_datasource(spark, sf_dir):
 
     try:
         spark.dataSource.register(SynthStreamSource)
-    except Exception:
-        pass  # idempotent re-registration within a session
+    except Exception as exc:
+        # idempotent re-registration only — a genuine registration
+        # failure (API absent, bad source class) must surface here,
+        # not as an opaque not-found at load()
+        if "exist" not in str(exc).lower() and "already" not in str(exc).lower():
+            raise
 
     agg = (
         spark.readStream.format("hmr_synth_stream")

@@ -613,5 +613,10 @@ def test_view_maintenance_pushes_slice_predicates(spark):
     nodes = _nodes(plan)
     assert "PushedFilters" in plan
     assert sum("HashAggregate" in n for n in nodes) >= 6  # 3 slices x pair
-    assert any("SortMergeJoin FullOuter" in n or "FullOuter" in plan for n in nodes) or "FullOuter" in plan
+    # node labels are bare ("SortMergeJoin"); the join type lives in
+    # the plan detail text — require BOTH a merge/shuffled-hash join
+    # node and the FullOuter detail, and forbid the nested-loop shape
+    assert any("SortMergeJoin" in n or "ShuffledHashJoin" in n for n in nodes)
+    assert "FullOuter" in plan
+    assert not any("NestedLoop" in n for n in nodes)
     assert not any("Cartesian" in n for n in nodes)
