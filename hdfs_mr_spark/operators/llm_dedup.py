@@ -1409,3 +1409,121 @@ def llm_pipeline_clean(spark, sf_dir):
     return out.select(
         "doc_id", stage.alias("stage"), dup_of.alias("dup_of")
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_dedup_near_weighted",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) GROUP BY doc_id, w
+),
+tot AS (SELECT doc_id, SUM(c) AS t FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(LEAST(a.c, b.c)) AS mn
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.d1, i.d2, CAST(i.mn AS BIGINT) AS n_min,
+       CAST(i.mn AS DOUBLE)
+         / CAST(t1.t + t2.t - i.mn AS DOUBLE) AS jaccard_w
+FROM inter i
+JOIN tot t1 ON i.d1 = t1.doc_id
+JOIN tot t2 ON i.d2 = t2.doc_id
+WHERE 17 * i.mn >= 7 * (t1.t + t2.t)
+ORDER BY d1, d2
+""",
+    family=_FAM,
+)
+def llm_dedup_near_weighted(spark, sf_dir):
+    """WEIGHTED (multiset/bag) Jaccard near-dup: J_w = Σ min(c_a, c_b)
+    / Σ max(c_a, c_b) over token COUNTS, threshold 0.7 — the form that
+    distinguishes docs sharing a vocabulary but repeating it
+    differently, which distinct-token Jaccard (llm_dedup_near) is
+    blind to by construction. Σmax = t_a + t_b − Σmin, so the
+    threshold becomes the exact integer predicate 17·Σmin ≥
+    7·(t_a + t_b) — no float at the decision boundary.
+
+    Plan is the near kernel's structure with counts instead of bits:
+    docs encode ONCE as dense count vectors over the TeraSort-ranked
+    dictionary (dictionary join auto-switches on the broadcast conf;
+    Σmin is invariant to the id permutation), candidates are blocked
+    by the integer-exact admissible TOTAL range (J_w ≥ 0.7 bounds
+    totals within 10/7 of each other — same derivation as the 0.8 size
+    band), the Σmin residual is a zip_with/least fold evaluated INSIDE
+    the join, and the pair join itself auto-switches between a
+    broadcast probe and the shared salted scaffold. Θ(n²)-output
+    caveat and the decision-form escape are llm_dedup_near's,
+    unchanged."""
+    from hdfs_mr_spark.operators.sorts import bucketed_global_rank
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tc = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    vocab = bucketed_global_rank(
+        tok.select("w").distinct(),
+        F.pmod(F.xxhash64("w"), F.lit(16)),
+        [F.col("w").asc()],
+        ["w"],
+        "rid",
+    ).select("w", (F.col("rid") - 1).cast("int").alias("tid"))
+    n_vocab = vocab.count()
+    bcast_limit = _conf_broadcast_bytes(spark)
+    vj = F.broadcast(vocab) if 0 < n_vocab * 48 <= bcast_limit else vocab
+    enc = (
+        tc.join(vj, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("tid"), F.col("c")))
+            ).alias("m"),
+            F.sum("c").alias("t"),
+        )
+        .select(
+            "doc_id", "t",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_vocab - 1)),
+                lambda i: F.coalesce(
+                    F.try_element_at("m", i.cast("int")), F.lit(0).cast("bigint")
+                ),
+            ).alias("cv"),
+        )
+        .localCheckpoint()
+    )
+    n_docs = enc.count()
+    # integer-exact admissible partner totals: ceil(7t/10) .. floor(10t/7)
+    a = fan_out(enc).select(
+        F.col("doc_id").alias("d1"), F.col("t").alias("t1"),
+        F.col("cv").alias("acv"),
+        F.explode(
+            F.expr("sequence((t * 7 + 9) div 10, (t * 10) div 7)")
+        ).alias("partner_t"),
+    )
+    b = enc.select(
+        F.col("doc_id").alias("d2"), F.col("t").alias("t2"),
+        F.col("cv").alias("bcv"),
+    )
+    mn = F.aggregate(
+        F.zip_with("acv", "bcv", lambda x, y: F.least(x, y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    residual = (
+        (F.col("d1") < F.col("d2"))
+        & (F.lit(17) * mn >= F.lit(7) * (F.col("t1") + F.col("t2")))
+    )
+    b_bytes = n_docs * 8 * (n_vocab + 2)
+    if 0 < b_bytes <= bcast_limit:
+        passing = a.join(
+            F.broadcast(b), (F.col("partner_t") == F.col("t2")) & residual
+        )
+    else:
+        passing = _salted_pair_join(
+            a, b, (F.col("partner_t") == F.col("t2")) & residual,
+            _NEAR_SALTS, "d1",
+        )
+    jac = mn.cast("double") / (F.col("t1") + F.col("t2") - mn).cast("double")
+    return passing.select(
+        "d1", "d2", mn.cast("bigint").alias("n_min"), jac.alias("jaccard_w")
+    ).orderBy("d1", "d2")

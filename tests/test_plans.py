@@ -620,3 +620,15 @@ def test_view_maintenance_pushes_slice_predicates(spark):
     assert "FullOuter" in plan
     assert not any("NestedLoop" in n for n in nodes)
     assert not any("Cartesian" in n for n in nodes)
+
+
+def test_weighted_near_shuffled_path_is_salted(spark):
+    """llm_dedup_near_weighted: with broadcast disabled the count-vector
+    pair join degrades to the shared salted scaffold (no corpus-sized
+    BroadcastExchange), and nothing plans a Cartesian."""
+    plan = _plan_no_auto_broadcast(spark, "llm_dedup_near_weighted")
+    nodes = _nodes(plan)
+    assert not any("BroadcastExchange" in n for n in nodes)
+    assert any("SortMergeJoin" in n for n in nodes)
+    assert "__salt" in plan
+    assert not any("Cartesian" in n for n in nodes)
