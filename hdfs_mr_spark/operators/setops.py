@@ -1005,3 +1005,28 @@ def etl_view_maintenance(spark, sf_dir):
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "set_except_all",
+    oracle="""
+SELECT l_suppkey, l_returnflag
+FROM lineitem WHERE l_quantity <= 25
+EXCEPT ALL
+SELECT l_suppkey, l_returnflag
+FROM lineitem WHERE l_quantity >= 20
+""",
+    family=_FAM,
+)
+def set_except_all(spark, sf_dir):
+    """EXCEPT ALL — multiset difference keeping max(m − n, 0) copies of
+    each duplicated row, set_intersect_all's sibling and the last of
+    the bag-semantics set ops: the overlapping 20..25 quantity band
+    makes the subtraction arithmetic (not just membership) observable,
+    which plain EXCEPT's distinct semantics would erase. Physically the
+    same single hash shuffle on the full row — count per row on each
+    side, emit the positive count difference."""
+    li = table(spark, sf_dir, "lineitem")
+    lo = li.filter(F.col("l_quantity") <= 25).select("l_suppkey", "l_returnflag")
+    hi = li.filter(F.col("l_quantity") >= 20).select("l_suppkey", "l_returnflag")
+    return lo.exceptAll(hi)
