@@ -1207,3 +1207,103 @@ def mr_accumulators(spark, sf_dir):
         [(n_records.value, n_high.value, n_disc.value, cents.value)],
         "n_records bigint, n_high_qty bigint, n_discounted bigint, cents_seen bigint",
     )
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    return f"""
+{out}_cnt AS (
+  SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+  FROM {prev} l JOIN bidir e ON e.src = l.node
+  GROUP BY e.dst, l.lbl
+),
+{out} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl ASC) AS rn
+    FROM {out}_cnt
+  ) WHERE rn = 1
+)"""
+
+
+@query(
+    "mr_label_propagation",
+    oracle=f"""
+WITH inc AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= 40
+),
+bidir AS (
+  SELECT 'c' || c AS src, 'p' || p AS dst FROM inc
+  UNION ALL
+  SELECT 'p' || p, 'c' || c FROM inc
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM bidir),
+{_lpa_round_sql('l0', 'l1')},
+{_lpa_round_sql('l1', 'l2')},
+{_lpa_round_sql('l2', 'l3')}
+SELECT l3.node, l3.lbl AS community,
+       CAST(COUNT(*) OVER (PARTITION BY l3.lbl) AS BIGINT) AS community_size
+FROM l3
+ORDER BY node
+""",
+    family=_FAM,
+)
+def mr_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), 3 rounds over the purchase incidence graph — the
+    last graph classic next to BFS/SSSP/PageRank/components/triangles:
+    every node adopts its neighbors' MOST FREQUENT label each round,
+    ties broken to the lexicographically smallest label (LPA's
+    classic nondeterminism — random tie-breaks and asynchronous
+    update order — is replaced by a total order and synchronous
+    rounds, which is what makes an oracle possible at all; bounded
+    rounds are also the honest contract, since unbounded synchronous
+    LPA can oscillate on bipartite graphs — this one IS bipartite, so
+    a fixpoint loop would never be correct here).
+
+    Scale: each round is one equi-join against the edge list + a
+    combiner-shape (node, label) count + one per-node window —
+    shuffle volume O(|E|) per round, labels localCheckpoint'ed so the
+    3-round lineage never re-executes; identical plan discipline to
+    mr_pagerank's rounds."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    inc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cnode"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("pnode"),
+        )
+        .distinct()
+    )
+    edges = (
+        inc.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst"))
+        .union(inc.select(F.col("pnode"), F.col("cnode")))
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint()
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(3):
+        cnt = (
+            labels.join(edges, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("nnode"), "lbl")
+            .agg(F.count("*").alias("c"))
+            .withColumnRenamed("nnode", "node")
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    return labels.select(
+        "node",
+        F.col("lbl").alias("community"),
+        F.count("*").over(Window.partitionBy("lbl")).cast("bigint").alias(
+            "community_size"
+        ),
+    ).orderBy("node")
