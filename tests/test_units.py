@@ -624,3 +624,98 @@ def test_containment_subset_semantics(spark):
         for r in all_specs()["llm_dedup_containment"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_cusum_scaling_identity_property():
+    """Property (hypothesis): argmax_t |n*cum_t - t*total| picks the
+    same index as the textbook argmax_t |cum_t - t*mean| for any
+    integer series — the identity ts_changepoint_cusum relies on to
+    stay in exact BIGINTs (ties resolved to the earliest t in both
+    forms)."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=50))
+    def prop(xs):
+        n = len(xs)
+        total = sum(xs)
+        cum = 0
+        best_scaled = None
+        best_exact = None
+        for t, x in enumerate(xs, start=1):
+            cum += x
+            d_scaled = abs(n * cum - t * total)
+            d_exact = abs(Fraction(cum) - Fraction(t * total, n))
+            if best_scaled is None or d_scaled > best_scaled[0]:
+                best_scaled = (d_scaled, t)
+            if best_exact is None or d_exact > best_exact[0]:
+                best_exact = (d_exact, t)
+        assert best_scaled[1] == best_exact[1]
+
+    prop()
+
+
+def test_equi_depth_bucket_rule_property():
+    """Property (hypothesis): the integer decile rule
+    (cum_before * B) // total yields monotone bucket ids in 0..B-1,
+    assigns each distinct value wholly to one bucket, and puts at
+    most ceil(total/B) + (max value multiplicity - 1) rows per bucket
+    — the value-granular equi-depth contract of
+    agg_histogram_equi_depth."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(1, 50), min_size=1, max_size=300))
+    def prop(vals):
+        from collections import Counter
+
+        B = 10
+        counts = sorted(Counter(vals).items())
+        total = len(vals)
+        cb = 0
+        buckets = {}
+        last_bucket = -1
+        for v, c in counts:
+            b = (cb * B) // total
+            assert 0 <= b < B
+            assert b >= last_bucket  # monotone in value order
+            last_bucket = b
+            buckets[b] = buckets.get(b, 0) + c
+            cb += c
+        max_mult = max(c for _, c in counts)
+        cap = -(-total // B) + (max_mult - 1)
+        assert all(n <= cap for n in buckets.values())
+
+    prop()
+
+
+def test_weighted_jaccard_blocking_bound_property():
+    """Property (hypothesis): if bag-Jaccard(a, b) >= 0.7 then the
+    total counts satisfy 7*(ta+tb) <= 17*min(ta,tb) — wait, the
+    implemented bound is max <= (10/7)*min, equivalently the partner
+    total lies in [ceil(7t/10), floor(10t/7)] — so the size-explode
+    candidate generation of llm_dedup_near_weighted can never miss a
+    passing pair."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.sampled_from("abcdefgh")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(words, min_size=1, max_size=40),
+           st.lists(words, min_size=1, max_size=40))
+    def prop(xs, ys):
+        ca, cb = Counter(xs), Counter(ys)
+        mn = sum((ca & cb).values())
+        ta, tb = len(xs), len(ys)
+        if 17 * mn >= 7 * (ta + tb):  # J_w >= 0.7 in exact integers
+            lo, hi = (7 * ta + 9) // 10, (10 * ta) // 7
+            assert lo <= tb <= hi, (ta, tb, mn)
+
+    prop()
