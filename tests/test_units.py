@@ -695,11 +695,9 @@ def test_equi_depth_bucket_rule_property():
 
 def test_weighted_jaccard_blocking_bound_property():
     """Property (hypothesis): if bag-Jaccard(a, b) >= 0.7 then the
-    total counts satisfy 7*(ta+tb) <= 17*min(ta,tb) — wait, the
-    implemented bound is max <= (10/7)*min, equivalently the partner
-    total lies in [ceil(7t/10), floor(10t/7)] — so the size-explode
-    candidate generation of llm_dedup_near_weighted can never miss a
-    passing pair."""
+    partner's total count lies in [ceil(7t/10), floor(10t/7)] of the
+    probe's — so llm_dedup_near_weighted's size-explode candidate
+    generation can never miss a passing pair."""
     from collections import Counter
 
     from hypothesis import given, settings
