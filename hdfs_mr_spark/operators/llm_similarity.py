@@ -1747,6 +1747,11 @@ def _ivf_pq_adc_frame(spark, sf_dir):
         (F.col("vec_id") < 10) & (F.col("rn") <= nprobe)
     ).select(F.col("vec_id").alias("qid"), F.col("ccode").alias("cell"))
     cb1 = _pq_codebook(subs)
+    # NOTE: checkpointing the code table here measured SLOWER (5.3s vs
+    # 3.4s at sf0.1) — the eager materialization serializes the DAG,
+    # while lazy evaluation lets the assignment fuse into the ADC join
+    # stage. At 100 TB the codes are a PRE-BUILT stored index anyway,
+    # so the build-per-query cost this op pays is a fixture artifact.
     codes = _pq_assign(subs, cb1).select("vec_id", "sub", "code")
     qdist = (
         subs.filter(F.col("vec_id") < 10)
