@@ -1300,10 +1300,17 @@ def mr_label_propagation(spark, sf_dir):
             .select("node", "lbl")
             .localCheckpoint()
         )
-    return labels.select(
-        "node",
-        F.col("lbl").alias("community"),
-        F.count("*").over(Window.partitionBy("lbl")).cast("bigint").alias(
-            "community_size"
-        ),
-    ).orderBy("node")
+    # community size via combiner groupBy + join, NOT a window
+    # partitioned by label: a dominant community would make that
+    # window one giant partition (the skew shape the plan gates exist
+    # to forbid); the count table is |communities| rows
+    sizes = labels.groupBy("lbl").agg(
+        F.count("*").cast("bigint").alias("community_size")
+    )
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            "node", F.col("lbl").alias("community"), "community_size"
+        )
+        .orderBy("node")
+    )

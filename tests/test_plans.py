@@ -632,3 +632,16 @@ def test_weighted_near_shuffled_path_is_salted(spark):
     assert any("SortMergeJoin" in n for n in nodes)
     assert "__salt" in plan
     assert not any("Cartesian" in n for n in nodes)
+
+
+def test_lpa_community_size_is_combiner_not_window(spark):
+    """mr_label_propagation: community sizes must come from a
+    partial/final aggregate + join, never a label-partitioned window
+    (a dominant community would be one giant window partition)."""
+    plan = _plan(spark, "mr_label_propagation")
+    nodes = _nodes(plan)
+    assert sum("HashAggregate" in n for n in nodes) >= 2
+    import re as _re
+
+    for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "lbl" not in spec and "community" not in spec
