@@ -2666,3 +2666,81 @@ def llm_rag_retrieve(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .orderBy("qid", "rank")
     )
+
+
+@query(
+    "llm_vocab_coverage",
+    oracle="""
+WITH tc AS (
+  SELECT w, COUNT(*) AS c FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) GROUP BY w
+),
+tot AS (SELECT SUM(c) AS total, COUNT(*) AS n_vocab FROM tc),
+top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r FROM tc
+  ORDER BY c DESC, w ASC LIMIT 20
+),
+ks AS (SELECT unnest([5, 10, 20]) AS k)
+SELECT ks.k,
+       CAST(t.n_vocab AS BIGINT) AS n_vocab,
+       CAST(SUM(CASE WHEN top.r <= ks.k THEN top.c ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       CAST(SUM(CASE WHEN top.r <= ks.k THEN top.c ELSE 0 END) AS DOUBLE)
+         / CAST(t.total AS DOUBLE) AS coverage
+FROM ks CROSS JOIN tot t CROSS JOIN top
+GROUP BY ks.k, t.n_vocab, t.total
+ORDER BY ks.k
+""",
+    family=_FAM,
+)
+def llm_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve — what fraction of all token
+    OCCURRENCES the top-k most frequent types cover (k = 5/10/20):
+    the tokenizer-design metric that, with llm_zipf_slope and
+    llm_tokenizer_fertility, decides vocab size (coverage saturating
+    early = a small vocab suffices; a long tail = bigger vocab or
+    subword units).
+
+    Plan: term counts are one combiner-shape aggregate; the top-20
+    frame comes from a bounded TakeOrdered (never a global sort or a
+    vocab-wide rank window — vocabulary grows with the corpus by
+    Heaps' law, so a global row_number over it is the scale trap);
+    the three coverage points are conditional sums over those 20 rows
+    against broadcast scalar totals."""
+    d = table(spark, sf_dir, "documents")
+    tc = d.select(F.explode(F.split("text", " ")).alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    total_row = tc.agg(
+        F.sum("c").alias("total"), F.count("*").alias("n_vocab")
+    ).first()
+    total, n_vocab = int(total_row["total"]), int(total_row["n_vocab"])
+    top = (
+        tc.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(20)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("w").asc())
+            ),
+        )
+    )
+    ks = spark.createDataFrame([(5,), (10,), (20,)], "k int")
+    return (
+        ks.crossJoin(top)
+        .groupBy("k")
+        .agg(
+            F.lit(n_vocab).cast("bigint").alias("n_vocab"),
+            F.sum(F.when(F.col("r") <= F.col("k"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            (
+                F.sum(
+                    F.when(F.col("r") <= F.col("k"), F.col("c")).otherwise(0)
+                ).cast("double")
+                / F.lit(float(total))
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
