@@ -1527,3 +1527,81 @@ def llm_dedup_near_weighted(spark, sf_dir):
     return passing.select(
         "d1", "d2", mn.cast("bigint").alias("n_min"), jac.alias("jaccard_w")
     ).orderBy("d1", "d2")
+
+
+@query(
+    "llm_boilerplate_segments",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+segs AS (
+  SELECT b.doc_id,
+         md5(array_to_string(b.toks[(t.i - 1) * 8 + 1 : t.i * 8], ' ')) AS h
+  FROM base b, unnest(generate_series(1, len(b.toks) // 8)) AS t(i)
+),
+df AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY h
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_segs,
+       CAST(SUM(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS boiler_segs,
+       CAST(SUM(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS boiler_frac
+FROM segs s JOIN df ON s.h = df.h
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+""",
+    family=_FAM,
+)
+def llm_boilerplate_segments(spark, sf_dir):
+    """CCNet-style boilerplate detection — per-document fraction of
+    8-token segments whose exact hash recurs in >= 3 distinct docs
+    (headers, footers, navigation chrome in a crawl corpus; the
+    removal pass a training pipeline runs before near-dedup, since
+    shared boilerplate inflates every pairwise Jaccard).
+
+    Plan: segments are non-overlapping md5-hashed 8-grams, so the
+    corpus-frequency table is one combiner-shape COUNT(DISTINCT doc)
+    over (hash) — the paragraph analogue of the exact-dedup hash agg —
+    and flagging is a hash-only shuffle equi-join (never broadcast:
+    the segment-frequency table is corpus-sized, the same build-side
+    rule as the tf-idf df join). Per-doc rollup is one more shuffle
+    on doc_id. Everything is linear in corpus tokens; no pairwise
+    stage exists at any scale."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_full = F.floor(F.size(toks) / F.lit(8)).cast("int")
+    segs = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    n_full >= 1,
+                    F.transform(
+                        F.sequence(F.lit(1), n_full),
+                        lambda i: F.md5(
+                            F.array_join(
+                                F.slice(toks, (i - F.lit(1)) * 8 + 1, 8), " "
+                            )
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("h"),
+        )
+    )
+    df = segs.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    boiler = F.when(F.col("df") >= 3, 1).otherwise(0)
+    return (
+        segs.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(boiler).alias("boiler_segs"),
+            (
+                F.sum(boiler).cast("double") / F.count("*").cast("double")
+            ).alias("boiler_frac"),
+        )
+        .orderBy("doc_id")
+    )
