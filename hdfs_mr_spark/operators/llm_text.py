@@ -2744,3 +2744,64 @@ def llm_vocab_coverage(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@query(
+    "llm_keyword_extract",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+scored AS (
+  SELECT t.doc_id, t.term,
+         round(CAST(t.tf AS DOUBLE)
+               * (ln((CAST(n.n AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0)) + 1.0),
+               6) AS score
+  FROM tf t, n_docs n
+  JOIN df d ON t.term = d.term
+)
+SELECT doc_id, term, score,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC)
+            AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 3
+ORDER BY doc_id, rank
+""",
+    family=_FAM,
+)
+def llm_keyword_extract(spark, sf_dir):
+    """Per-document keyword extraction — the top-3 TF-IDF terms each
+    document would be tagged with (the metadata-enrichment pass a
+    training pipeline runs to drive topic-balanced sampling and
+    retrieval indexing; the per-LANG rollup is llm_tfidf's job).
+
+    Plan: tf is a (doc_id, term) combiner agg, df a term-keyed agg;
+    their join stays an unhinted shuffle on term (vocabulary-sized
+    build side — same Heaps'-law rule as llm_tfidf's df join). The
+    rank window is partitioned by doc_id, so no partition ever holds
+    more than one document's vocabulary. Scores are rounded to 6 dp
+    on both engines BEFORE ranking so the ln() ulp difference can
+    neither flip values nor ordering."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("term"))
+    n_docs = d.count()
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    idf = (
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df").cast("double") + 1.0)) + 1.0
+    )
+    scored = tf.join(df, "term").select(
+        "doc_id", "term",
+        F.round(F.col("tf").cast("double") * idf, 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    )
