@@ -1736,3 +1736,111 @@ def ts_forecast_seasonal_naive(spark, sf_dir):
             F.when(F.col("cents") == F.col("forecast"), 1).otherwise(0)
         ).cast("bigint").alias("n_exact"),
     )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS x
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+walked AS (
+  SELECT event_type, h, x,
+         CAST(row_number() OVER w AS BIGINT) AS i,
+         SUM(x) OVER w AS prefix,
+         SUM(x) OVER (PARTITION BY event_type) AS total,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT event_type, h, i, n, prefix, total,
+         CAST(n AS BIGINT) * prefix - i * CAST(total AS BIGINT)
+           AS cusum_scaled
+  FROM walked WHERE i < n
+),
+best AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY ABS(cusum_scaled) DESC, i ASC) AS r
+  FROM scored
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_hours,
+       h AS cp_hour,
+       i AS cp_idx,
+       CAST(ABS(cusum_scaled) AS BIGINT) AS cusum_scaled_abs,
+       round(CAST(prefix AS DOUBLE) / CAST(i AS DOUBLE), 6) AS mean_before,
+       round(CAST(total - prefix AS DOUBLE) / CAST(n - i AS DOUBLE), 6)
+         AS mean_after
+FROM best WHERE r = 1
+ORDER BY event_type
+""",
+    family=_FAM,
+)
+def ts_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection per event_type over the hourly
+    event-count series: the hour i maximizing |Σ_{j<=i}(x_j - mean)|
+    is the most likely mean-shift point (Page's CUSUM statistic, the
+    monitoring primitive behind rate-change alerting).
+
+    Determinism: the CUSUM value is kept INTEGER-exact by scaling with
+    the series length — n·prefix_i − i·total equals n·Σ(x_j − mean)
+    with identical sign and argmax — so no float accumulation order
+    can perturb the winner; the two means are single per-row double
+    divisions rounded to 6 dp. i = n is excluded (CUSUM_n ≡ 0, a
+    degenerate candidate that would also divide by zero).
+
+    Plan: hourly counts are one combiner-shape agg; both windows and
+    the final pick share the event_type partitioning, so the whole
+    query is two exchanges (agg shuffle + window shuffle reused).
+    Partition height is bounded by the time range in hours, not by
+    row count — safe at 100 TB."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.partitionBy("event_type")
+    walked = hourly.select(
+        "event_type", "h", "x",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+        .cast("bigint").alias("i"),
+        F.sum("x").over(w).alias("prefix"),
+        F.sum("x").over(full).alias("total"),
+        F.count("*").over(full).alias("n"),
+    )
+    scored = walked.filter(F.col("i") < F.col("n")).withColumn(
+        "cusum_scaled",
+        F.col("n") * F.col("prefix") - F.col("i") * F.col("total"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("i").asc()
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(pick))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.col("h").alias("cp_hour"),
+            F.col("i").alias("cp_idx"),
+            F.abs(F.col("cusum_scaled")).alias("cusum_scaled_abs"),
+            F.round(
+                F.col("prefix").cast("double") / F.col("i").cast("double"), 6
+            ).alias("mean_before"),
+            F.round(
+                (F.col("total") - F.col("prefix")).cast("double")
+                / (F.col("n") - F.col("i")).cast("double"),
+                6,
+            ).alias("mean_after"),
+        )
+        .orderBy("event_type")
+    )
