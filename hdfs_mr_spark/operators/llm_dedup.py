@@ -1605,3 +1605,163 @@ def llm_boilerplate_segments(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_dedup_prefix",
+    oracle="""
+WITH pref AS (
+  SELECT doc_id, n_chars,
+         md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS h
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 16
+),
+fam AS (
+  SELECT h, COUNT(*) AS family_size, MIN(doc_id) AS canonical_id,
+         CAST(MAX(n_chars) AS BIGINT) AS max_chars
+  FROM pref GROUP BY h
+)
+SELECT p.doc_id, f.canonical_id, f.family_size, f.max_chars,
+       p.doc_id <> f.canonical_id AS is_dup
+FROM pref p JOIN fam f ON p.h = f.h
+WHERE f.family_size >= 2
+ORDER BY p.doc_id
+""",
+    family=_FAM,
+)
+def llm_dedup_prefix(spark, sf_dir):
+    """Prefix-family dedup — documents sharing an identical 16-token
+    PREFIX hash (the crawl-truncation artifact class: the same page
+    fetched twice with different cutoffs, near-dup by leading content
+    even when tails diverge; CC pipelines run this between exact and
+    near dedup because it is hash-cheap and catches what exact-hash
+    misses). min(doc_id) is the canonical survivor; max_chars shows
+    the longest variant a keep-best pass would prefer.
+
+    Plan: one md5 over the first 16 tokens per doc (docs shorter than
+    16 tokens can't form a truncation family and are excluded on both
+    engines), a combiner-shape family agg on the hash, and a hash-only
+    shuffle equi-join back (family table is corpus-sized — never
+    broadcast). Linear; the same shape as llm_dedup_exact with a
+    prefix key."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pref = d.filter(F.size(toks) >= 16).select(
+        "doc_id", "n_chars",
+        F.md5(F.array_join(F.slice(toks, 1, 16), " ")).alias("h"),
+    )
+    fam = pref.groupBy("h").agg(
+        F.count("*").alias("family_size"),
+        F.min("doc_id").alias("canonical_id"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return (
+        pref.join(fam, "h")
+        .filter(F.col("family_size") >= 2)
+        .select(
+            "doc_id", "canonical_id", "family_size", "max_chars",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_cross_source_overlap",
+    oracle="""
+WITH base AS (
+  SELECT source, string_split(text, ' ') AS toks FROM documents
+),
+segs AS (
+  SELECT DISTINCT b.source,
+         md5(array_to_string(b.toks[(t.i - 1) * 8 + 1 : t.i * 8], ' ')) AS h
+  FROM base b, unnest(generate_series(1, len(b.toks) // 8)) AS t(i)
+),
+per_src AS (SELECT source, COUNT(*) AS n FROM segs GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_segs
+  FROM segs a JOIN segs b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.src_a, p.src_b, p.shared_segs,
+       round(CAST(p.shared_segs AS DOUBLE)
+             / CAST(pa.n + pb.n - p.shared_segs AS DOUBLE), 6) AS seg_jaccard
+FROM pairs p
+JOIN per_src pa ON p.src_a = pa.source
+JOIN per_src pb ON p.src_b = pb.source
+ORDER BY p.src_a, p.src_b
+""",
+    family=_FAM,
+)
+def llm_cross_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix — for every pair of sources,
+    how many distinct 8-token segments they SHARE, and the Jaccard of
+    their segment sets (the inter-snapshot audit a crawl pipeline runs
+    to decide whether two feeds are re-serving the same content; exact
+    whole-doc hashes find nothing here, segment granularity does).
+
+    Plan: the distinct (source, segment-hash) set is one combiner
+    distinct; the pair count is a segment-hash-keyed self equi-join
+    whose fan-out per hash is bounded by the SOURCE count (a catalog
+    quantity, ~dozens), never by corpus size — so output is at most
+    |sources|² rows. The per-source totals frame is source-keyed and
+    equally bounded, hence broadcastable by AQE on its own. Linear in
+    corpus tokens."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_full = F.floor(F.size(toks) / F.lit(8)).cast("int")
+    segs = (
+        d.select(
+            "source",
+            F.explode(
+                F.when(
+                    n_full >= 1,
+                    F.transform(
+                        F.sequence(F.lit(1), n_full),
+                        lambda i: F.md5(
+                            F.array_join(
+                                F.slice(toks, (i - F.lit(1)) * 8 + 1, 8), " "
+                            )
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    per_src = segs.groupBy("source").agg(F.count("*").alias("n"))
+    a = segs.alias("a")
+    b = segs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("shared_segs"))
+    )
+    pa = per_src.select(
+        F.col("source").alias("src_a"), F.col("n").alias("na")
+    )
+    pb = per_src.select(
+        F.col("source").alias("src_b"), F.col("n").alias("nb")
+    )
+    return (
+        pairs.join(pa, "src_a")
+        .join(pb, "src_b")
+        .select(
+            "src_a", "src_b", "shared_segs",
+            F.round(
+                F.col("shared_segs").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared_segs")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("seg_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
