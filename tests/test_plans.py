@@ -645,3 +645,40 @@ def test_lpa_community_size_is_combiner_not_window(spark):
 
     for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "lbl" not in spec and "community" not in spec
+
+
+def test_segment_family_joins_not_broadcast(spark):
+    """The segment/prefix dedup ops join a corpus-sized hash-frequency
+    frame back to the corpus — that build side must stay a shuffle
+    equi-join (same Heaps'-law rule as the tf-idf df join), and the
+    per-doc keyword df join likewise."""
+    for name in (
+        "llm_boilerplate_segments",
+        "llm_dedup_prefix",
+        "llm_keyword_extract",
+    ):
+        nodes = _nodes(_plan_no_auto_broadcast(spark, name))
+        assert not any("BroadcastExchange" in n for n in nodes), name
+        assert any("SortMergeJoin" in n for n in nodes), name
+        assert not any("Cartesian" in n for n in nodes), name
+
+
+def test_cross_source_overlap_is_equi_join(spark):
+    """The source-pair overlap self-join must plan as a hash-keyed
+    equi-join (fan-out bounded by |sources|), never a nested loop or
+    Cartesian; nothing rides an explicit broadcast."""
+    nodes = _nodes(_plan_no_auto_broadcast(spark, "llm_cross_source_overlap"))
+    assert not any("BroadcastExchange" in n for n in nodes)
+    assert sum("SortMergeJoin" in n for n in nodes) >= 3
+    assert not any("Cartesian" in n for n in nodes)
+    assert not any("BroadcastNestedLoop" in n for n in nodes)
+
+
+def test_cusum_shares_event_type_partitioning(spark):
+    """ts_cusum_changepoint: hourly agg + all windows key on
+    event_type, so the whole query needs few exchanges and no join;
+    the CUSUM statistic stays integer (no float accumulation node)."""
+    plan = _plan(spark, "ts_cusum_changepoint")
+    nodes = _nodes(plan)
+    assert not any("Join" in n for n in nodes)
+    assert sum("Exchange" in n for n in nodes) <= 3
