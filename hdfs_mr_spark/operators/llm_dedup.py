@@ -1765,3 +1765,173 @@ def llm_cross_source_overlap(spark, sf_dir):
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "llm_dedup_lsh_audit",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+),
+tok AS (SELECT doc_id, unnest(shingles) AS sg FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT i.d1, i.d2 FROM inter i
+  JOIN sizes s1 ON i.d1 = s1.doc_id
+  JOIN sizes s2 ON i.d2 = s2.doc_id
+  WHERE CAST(i.n_common AS DOUBLE)
+        / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) >= 0.5
+),
+mh AS (
+  SELECT doc_id, t.j,
+         MIN(CAST('0x' || substr(md5(sg || ':mh:' || CAST(t.j AS VARCHAR)),
+                                 1, 12) AS BIGINT)) AS h
+  FROM tok, unnest(generate_series(0, 23)) AS t(j)
+  GROUP BY doc_id, t.j
+),
+sig AS (SELECT doc_id, list(h ORDER BY j) AS hs FROM mh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, t.b AS band, hs[2 * t.b + 1] AS h1, hs[2 * t.b + 2] AS h2
+  FROM sig, unnest(generate_series(0, 11)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+                 AND a.doc_id < b.doc_id
+),
+hit AS (SELECT t.d1, t.d2 FROM truth t JOIN cand c
+        ON t.d1 = c.d1 AND t.d2 = c.d2),
+m AS (
+  SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+         (SELECT COUNT(*) FROM cand) AS n_candidates,
+         (SELECT COUNT(*) FROM hit) AS n_hit
+)
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       round(CASE WHEN n_true = 0 THEN 1.0
+                  ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END, 6)
+         AS recall,
+       round(CASE WHEN n_candidates = 0 THEN 1.0
+                  ELSE CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+             END, 6) AS precision
+FROM m
+""",
+    family=_FAM,
+)
+def llm_dedup_lsh_audit(spark, sf_dir):
+    """Recall/precision audit of the MinHash banding scheme against
+    exact posting-list ground truth — the text-dedup analogue of
+    llm_ann_recall_audit: before trusting LSH at 100 TB you measure,
+    on a slice, how many true near-dup pairs (trigram Jaccard >= 0.5)
+    the band collisions actually surface, and how much candidate
+    fan-out you pay per true pair (precision is the verify-stage cost
+    model: every candidate buys one exact-Jaccard check).
+
+    Uses md5-derived minhashes (first 12 hex chars as int) instead of
+    the production xxhash64 so BOTH engines compute the identical
+    sketch — the audit's numbers are bit-reproducible, not just
+    Spark's claim about itself. Same r=2 x 12-band geometry as
+    llm_dedup_minhash_lsh.
+
+    Plan: ground truth is the sub-quadratic posting-list equi-join
+    (shared shingle -> pair, never all-pairs); candidates are an
+    id-only band-bucket equi-join; the three counts are combiner
+    aggregates cross-joined as 1-row scalar frames."""
+    sh = _shingle_frame(spark, sf_dir)
+    tok = sh.select("doc_id", F.explode("s").alias("sg"))
+    sizes = sh.select("doc_id", "sz")
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sg") == F.col("b.sg"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    truth = (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("sz1") + F.col("sz2") - F.col("n_common")).cast("double")
+            >= 0.5
+        )
+        .select("d1", "d2")
+    )
+    n_bands = 12
+    hash_cols = [
+        F.expr(
+            f"CAST(conv(substr(md5(concat(sg, ':mh:', '{j}')), 1, 12),"
+            " 16, 10) AS BIGINT)"
+        ).alias(f"h{j}")
+        for j in range(2 * n_bands)
+    ]
+    sig = (
+        tok.select("doc_id", *hash_cols)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{j}").alias(f"h{j}") for j in range(2 * n_bands)])
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bn).alias("band"),
+                F.col(f"h{2 * bn}").alias("h1"),
+                F.col(f"h{2 * bn + 1}").alias("h2"),
+            )
+            for bn in range(n_bands)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id", F.explode(bands).alias("bk")
+    ).select("doc_id", "bk.band", "bk.h1", "bk.h2")
+    ba, bb = buckets.alias("ba"), buckets.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.h1") == F.col("bb.h1"))
+            & (F.col("ba.h2") == F.col("bb.h2"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("d1"), F.col("bb.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    hit = truth.join(cand, ["d1", "d2"])
+    t = truth.agg(F.count("*").alias("n_true"))
+    c = cand.agg(F.count("*").alias("n_candidates"))
+    h = hit.agg(F.count("*").alias("n_hit"))
+    m = t.crossJoin(c).crossJoin(h)
+    return m.select(
+        "n_true", "n_candidates", "n_hit",
+        F.round(
+            F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
+                F.col("n_hit").cast("double") / F.col("n_true").cast("double")
+            ),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("n_candidates") == 0, F.lit(1.0)).otherwise(
+                F.col("n_hit").cast("double")
+                / F.col("n_candidates").cast("double")
+            ),
+            6,
+        ).alias("precision"),
+    )
