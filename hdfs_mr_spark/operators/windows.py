@@ -1781,10 +1781,14 @@ ORDER BY event_type
     family=_FAM,
 )
 def ts_cusum_changepoint(spark, sf_dir):
-    """CUSUM change-point detection per event_type over the hourly
-    event-count series: the hour i maximizing |Σ_{j<=i}(x_j - mean)|
-    is the most likely mean-shift point (Page's CUSUM statistic, the
-    monitoring primitive behind rate-change alerting).
+    """CUSUM change-point detection over the ARRIVAL RATE: per
+    event_type, the hour i maximizing |Σ_{j<=i}(x_j - mean)| of the
+    hourly COUNT series is the most likely rate-shift point (Page's
+    CUSUM on a counting process — did this event type speed up or
+    slow down, and when). Companion to ts_changepoint_cusum, which
+    applies the same statistic to the VALUE series per user (did the
+    amounts shift); the two watch different failure modes and share
+    only the scaled-integer discipline.
 
     Determinism: the CUSUM value is kept INTEGER-exact by scaling with
     the series length — n·prefix_i − i·total equals n·Σ(x_j − mean)
