@@ -24,6 +24,7 @@ static-fixture pattern scan_csv uses.
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 
@@ -305,6 +306,389 @@ def materialize_media_px(sf_dir: str = ORACLE_SF) -> str:
             pa.table({
                 "doc_id": pa.array(ids, pa.int64()),
                 "payload": pa.array([make_gradient_png(i) for i in ids], pa.binary()),
+            }),
+            path,
+        )
+    return str(path)
+
+
+# ---------------------------------------------------------------------------
+# JPEG pixel-true path (VERDICT r4 item 2): real baseline-sequential
+# GRAYSCALE JPEGs — standard Annex K Huffman tables shipped in DHT
+# segments, DQT/SOF0/SOS marker stream, byte-stuffed entropy data —
+# plus a full stdlib decoder (marker walk, canonical Huffman decode,
+# dequantize, de-zigzag, separable IDCT, MCU crop).
+#
+# Exactness discipline (the JPEG analog of media_px_value): fixture
+# images are CONSTANT per 8x8 block and the DC quant step is 8, so the
+# DCT of each block is DC-only with quantized DC = v - 128 EXACTLY —
+# the lossy pipeline is lossless on this family, and decoded pixels
+# equal the generative formula bit-for-bit. The codec itself is
+# general baseline code (arbitrary AC runs, ZRL, EOB, any 8-bit quant
+# table read from the stream); hypothesis tests round-trip random
+# coefficient blocks through encode -> decode.
+
+N_MEDIA_JPEG = 48  # bounded JPEG pixel fixture
+
+# zigzag position -> natural (row-major) index, JPEG spec Figure 5
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K tables K.3 (DC luminance) and K.5 (AC luminance): BITS (count
+# of codes per length 1..16) + HUFFVAL (symbols in code order).
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _huff_encode_map(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman code assignment (JPEG C.2): symbol -> (code, len)."""
+    m, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            m[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return m
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict:
+    """(len, code) -> symbol, same canonical assignment."""
+    m, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            m[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return m
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (F.1.2.3)."""
+
+    def __init__(self):
+        self.buf, self.acc, self.n = bytearray(), 0, 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        while self.n:  # pad final byte with 1-bits (spec F.1.2.3)
+            self.write(1, 1)
+        return bytes(self.buf)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + value bits (one's complement negatives)."""
+    sz = abs(v).bit_length()
+    return sz, (v if v >= 0 else v + (1 << sz) - 1)
+
+
+def jpeg_encode_gray(qblocks, w: int, h: int, qtab) -> bytes:
+    """Baseline-sequential grayscale JPEG from QUANTIZED coefficient
+    blocks (64-int lists in natural order, raster MCU order): standard
+    Annex K Huffman tables, differential DC, AC run-length with ZRL and
+    EOB, byte-stuffed scan. A general encoder — the gradient fixture
+    just happens to feed it DC-only blocks."""
+    dc_codes = _huff_encode_map(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_encode_map(_AC_BITS, _AC_VALS)
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for blk in qblocks:
+        zz = [blk[_ZIGZAG[i]] for i in range(64)]
+        diff, prev_dc = zz[0] - prev_dc, zz[0]
+        sz, bits = _mag_bits(diff)
+        code, ln = dc_codes[sz]
+        bw.write(code, ln)
+        if sz:
+            bw.write(bits, sz)
+        last_nz = 0
+        for i in range(63, 0, -1):
+            if zz[i]:
+                last_nz = i
+                break
+        run = 0
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+                bw.write(code, ln)
+                run -= 16
+            sz, bits = _mag_bits(zz[i])
+            code, ln = ac_codes[(run << 4) | sz]
+            bw.write(code, ln)
+            bw.write(bits, sz)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.write(code, ln)
+    dqt = (
+        b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+        + bytes(qtab[_ZIGZAG[i]] for i in range(64))
+    )
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 19 + len(_DC_VALS)) + b"\x00"
+        + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\xff\xc4" + struct.pack(">H", 19 + len(_AC_VALS)) + b"\x10"
+        + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x01" + bytes([1, 0x11, 0])
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01" + bytes([1, 0x00, 0, 63, 0])
+    return b"\xff\xd8" + dqt + dht + sof + sos + bw.flush() + b"\xff\xd9"
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment; unstuffs
+    FF00 and refuses to run past a real marker."""
+
+    def __init__(self, b: bytes, pos: int):
+        self.b, self.pos, self.acc, self.n = b, pos, 0, 0
+
+    def _fill(self) -> None:
+        byte = self.b[self.pos]
+        if byte == 0xFF:
+            if self.b[self.pos + 1] != 0x00:
+                raise ValueError(
+                    f"marker FF{self.b[self.pos + 1]:02X} inside scan"
+                )
+            self.pos += 2
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def read(self, n: int) -> int:
+        while self.n < n:
+            self._fill()
+        self.n -= n
+        return (self.acc >> self.n) & ((1 << n) - 1)
+
+
+def _huff_read(br: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read(1)
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, sz: int) -> int:
+    """F.2.2.1 EXTEND: map sz received bits to the signed coefficient."""
+    return v if v >= (1 << (sz - 1)) else v - (1 << sz) + 1
+
+
+_IDCT_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+    for x in range(8)
+]
+_IDCT_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def _idct8x8(coefs) -> list[int]:
+    """8x8 inverse DCT-II (separable rows-then-columns), round, level
+    shift +128, clamp to [0, 255]. DC-only blocks short-circuit to the
+    mathematically identical constant round(DC/8) + 128 — that exact
+    integer identity is what makes the constant-block fixture lossless."""
+    if not any(coefs[1:]):
+        val = round(coefs[0] / 8) + 128
+        return [min(255, max(0, val))] * 64
+    tmp = [0.0] * 64
+    for r in range(8):
+        base = r * 8
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                s += _IDCT_C[u] * coefs[base + u] * _IDCT_COS[x][u]
+            tmp[base + x] = s / 2
+    out = [0] * 64
+    for c in range(8):
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                s += _IDCT_C[v] * tmp[v * 8 + c] * _IDCT_COS[y][v]
+            val = round(s / 2) + 128
+            out[y * 8 + c] = min(255, max(0, val))
+    return out
+
+
+def jpeg_decode_gray(b: bytes) -> tuple[int, int, bytes]:
+    """Full baseline-sequential grayscale JPEG decode: marker walk,
+    DQT/DHT/SOF0/SOS parse, canonical Huffman decode of the byte-
+    stuffed scan (differential DC, AC runs, ZRL, EOB), dequantize,
+    de-zigzag, IDCT, MCU-grid crop. Returns (width, height, raw
+    grayscale bytes). Raises on non-baseline / non-grayscale input —
+    the honest scope boundary, same as png_decode_pixels' RGB8 check."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: no SOI")
+    pos, w, h, tq = 2, None, None, 0
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    td = ta = 0
+    scan_pos = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"marker desync at {pos}")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        seg = b[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                if seg[i] >> 4 != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                tab = [0] * 64
+                for k in range(64):
+                    tab[_ZIGZAG[k]] = seg[i + 1 + k]
+                qtabs[seg[i] & 15] = tab
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc_th = seg[i]
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                htabs[(tc_th >> 4, tc_th & 15)] = _huff_decode_map(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:
+            h, w = struct.unpack_from(">HH", seg, 1)
+            if seg[5] != 1:
+                raise ValueError("only grayscale (1 component) supported")
+            if seg[7] != 0x11:
+                raise ValueError("only 1x1 sampling supported")
+            tq = seg[8]
+        elif 0xC1 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+            raise ValueError(f"only baseline SOF0 (got SOF{marker - 0xC0})")
+        elif marker == 0xDA:
+            td, ta = seg[2] >> 4, seg[2] & 15
+            scan_pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if w is None or scan_pos is None:
+        raise ValueError("missing SOF0 or SOS")
+    q = qtabs[tq]
+    dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]
+    br = _JpegBitReader(b, scan_pos)
+    mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+    out = bytearray(w * h)
+    prev_dc = 0
+    for by in range(mcuy):
+        for bx in range(mcux):
+            sz = _huff_read(br, dc_tab)
+            diff = _extend(br.read(sz), sz) if sz else 0
+            prev_dc += diff
+            coefs = [0] * 64
+            coefs[0] = prev_dc * q[0]
+            k = 0
+            while k < 63:
+                rs = _huff_read(br, ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                run, sz = rs >> 4, rs & 15
+                if sz == 0:
+                    if run != 15:
+                        raise ValueError(f"bad AC symbol {rs:02X}")
+                    k += 16  # ZRL
+                    continue
+                k += run + 1
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                nat = _ZIGZAG[k]
+                coefs[nat] = _extend(br.read(sz), sz) * q[nat]
+            px = _idct8x8(coefs)
+            for yy in range(min(8, h - by * 8)):
+                row_base = (by * 8 + yy) * w + bx * 8
+                for xx in range(min(8, w - bx * 8)):
+                    out[row_base + xx] = px[yy * 8 + xx]
+    return w, h, bytes(out)
+
+
+def jpeg_px_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic dims for the JPEG fixture (9..63, rarely a
+    multiple of 8, so MCU padding and edge-block crop always occur)."""
+    return 9 + (doc_id * 41) % 55, 9 + (doc_id * 59) % 55
+
+
+def jpeg_block_value(bx: int, by: int, doc_id: int) -> int:
+    """The generative luma formula: the constant value of 8x8 block
+    (bx, by). Ground truth for BOTH engines — Spark decodes the actual
+    JPEG bytes; the DuckDB oracle (which cannot Huffman-decode)
+    recomputes pixel sums from this formula."""
+    return (5 * bx + 11 * by + 3 * doc_id) % 256
+
+
+def make_gradient_jpeg(doc_id: int) -> bytes:
+    """A real, decodable baseline JPEG whose pixels follow
+    jpeg_block_value exactly: constant 8x8 blocks, DC quant step 8 —
+    quantized DC = v - 128 with zero rounding error, so the normally
+    lossy pipeline is bit-exact on this family."""
+    w, h = jpeg_px_dims(doc_id)
+    qtab = [8] + [16] * 63
+    blocks = []
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            blk = [0] * 64
+            blk[0] = jpeg_block_value(bx, by, doc_id) - 128
+            blocks.append(blk)
+    return jpeg_encode_gray(blocks, w, h, qtab)
+
+
+def materialize_media_jpeg(sf_dir: str = ORACLE_SF) -> str:
+    """Write the JPEG pixel fixture parquet (doc_id, payload) once per
+    testdata fingerprint."""
+    path = _fixture_dir(sf_dir) / "media_jpeg.parquet"
+    if not path.exists():
+        ids = list(range(N_MEDIA_JPEG))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_gradient_jpeg(i) for i in ids], pa.binary()
+                ),
             }),
             path,
         )

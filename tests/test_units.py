@@ -717,3 +717,194 @@ def test_weighted_jaccard_blocking_bound_property():
             assert lo <= tb <= hi, (ta, tb, mn)
 
     prop()
+
+
+def test_jpeg_pixel_decode_roundtrip_fixture():
+    """The gradient JPEGs are constant per 8x8 block with DC quant step
+    8 — the one family where the lossy pipeline is bit-exact — so the
+    full baseline decoder (Huffman, dequantize, IDCT, MCU crop) must
+    reproduce the generative block formula pixel-for-pixel."""
+    from hdfs_mr_spark.sources.media import (
+        jpeg_block_value,
+        jpeg_decode_gray,
+        jpeg_px_dims,
+        make_gradient_jpeg,
+    )
+
+    for did in (0, 1, 5, 13, 31, 47):
+        w, h, px = jpeg_decode_gray(make_gradient_jpeg(did))
+        assert (w, h) == jpeg_px_dims(did)
+        for y in range(h):
+            for x in range(w):
+                assert px[y * w + x] == jpeg_block_value(x // 8, y // 8, did)
+
+
+def test_jpeg_entropy_roundtrip_random_coefficients():
+    """Property (hypothesis): ARBITRARY quantized coefficient blocks
+    survive encode -> decode exactly — Huffman tables, differential DC,
+    AC runs/ZRL/EOB, byte stuffing, and block placement are all
+    content-independent. Reference pixels come from the shared IDCT
+    applied directly to the dequantized coefficients (no entropy layer),
+    so any bitstream bug shows as a pixel diff."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hdfs_mr_spark.sources.media import (
+        _idct8x8,
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+    )
+
+    qtab = [8] + [16] * 63
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def prop(data):
+        w = data.draw(st.integers(min_value=1, max_value=24), label="w")
+        h = data.draw(st.integers(min_value=1, max_value=24), label="h")
+        nb = ((w + 7) // 8) * ((h + 7) // 8)
+        blocks = []
+        for _ in range(nb):
+            blk = data.draw(
+                st.lists(
+                    st.integers(min_value=-100, max_value=100),
+                    min_size=64, max_size=64,
+                )
+            )
+            blk[0] = max(-128, min(127, blk[0]))  # DC category <= 11
+            blocks.append(blk)
+        dw, dh, px = jpeg_decode_gray(jpeg_encode_gray(blocks, w, h, qtab))
+        assert (dw, dh) == (w, h)
+        mcux = (w + 7) // 8
+        for bi, blk in enumerate(blocks):
+            ref = _idct8x8([c * qtab[i] for i, c in enumerate(blk)])
+            by, bx = divmod(bi, mcux)
+            for yy in range(min(8, h - by * 8)):
+                for xx in range(min(8, w - bx * 8)):
+                    assert px[(by * 8 + yy) * w + bx * 8 + xx] == ref[yy * 8 + xx]
+
+    prop()
+
+
+def test_png_unfilter_property_random_scanlines():
+    """Property (hypothesis, VERDICT r4 item 8): the PNG decoder's
+    per-scanline unfilter inverts ALL five filter types on ARBITRARY
+    pixel content — not just the gradient fixture. The test encodes
+    random RGB rows with a random filter type per row (the same
+    filter math make_gradient_png uses, applied to random data) and
+    asserts the decoder returns the exact raw pixels."""
+    import struct
+    import zlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hdfs_mr_spark.sources.media import _paeth, _png_chunk, png_decode_pixels
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def prop(data):
+        w = data.draw(st.integers(min_value=1, max_value=12), label="w")
+        h = data.draw(st.integers(min_value=1, max_value=12), label="h")
+        rows = [
+            bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255), min_size=3 * w, max_size=3 * w
+                    )
+                )
+            )
+            for _ in range(h)
+        ]
+        fts = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h), label="fts"
+        )
+        bpp, raw, prior = 3, bytearray(), bytes(3 * w)
+        for y in range(h):
+            row, ft = rows[y], fts[y]
+            raw.append(ft)
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                upleft = prior[i - bpp] if i >= bpp else 0
+                if ft == 0:
+                    f = row[i]
+                elif ft == 1:
+                    f = row[i] - left
+                elif ft == 2:
+                    f = row[i] - up
+                elif ft == 3:
+                    f = row[i] - (left + up) // 2
+                else:
+                    f = row[i] - _paeth(left, up, upleft)
+                raw.append(f & 0xFF)
+            prior = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+        dw, dh, px = png_decode_pixels(png)
+        assert (dw, dh) == (w, h)
+        assert px == b"".join(rows)
+
+    prop()
+
+
+def test_wav_chunk_walk_property_random_layouts():
+    """Property (hypothesis, VERDICT r4 item 8): parse_wav must find
+    fmt/data by WALKING chunks through arbitrary filler layouts —
+    random unknown chunks (odd sizes included, exercising the RIFF pad
+    byte) before, between, and after the real ones."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hdfs_mr_spark.sources.media import parse_wav
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def prop(data):
+        rate = data.draw(st.sampled_from([8000, 16000, 44100]), label="rate")
+        n = data.draw(st.integers(min_value=1, max_value=64), label="n")
+        pcm = bytes(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=2 * n, max_size=2 * n)
+            )
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+
+        def filler():
+            out = b""
+            for _ in range(data.draw(st.integers(0, 2))):
+                size = data.draw(st.integers(0, 9))
+                body = bytes(
+                    data.draw(
+                        st.lists(st.integers(0, 255), min_size=size, max_size=size)
+                    )
+                )
+                cid = data.draw(
+                    st.sampled_from([b"LIST", b"fake", b"junk", b"bext"])
+                )
+                out += cid + struct.pack("<I", size) + body
+                if size & 1:
+                    out += b"\x00"  # RIFF pad to even
+            return out
+
+        chunks = (
+            filler()
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + filler()
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+            + (b"\x00" if len(pcm) & 1 else b"")
+            + filler()
+        )
+        blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        got_rate, got_pcm = parse_wav(blob)
+        assert got_rate == rate
+        assert got_pcm == pcm
+
+    prop()
