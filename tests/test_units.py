@@ -908,3 +908,23 @@ def test_wav_chunk_walk_property_random_layouts():
         assert got_pcm == pcm
 
     prop()
+
+
+def test_ann_lsh_bits_scale_with_corpus():
+    """VERDICT r4 item 4: lsh_bits is a FUNCTION of n, not a constant —
+    it only looks constant at the two fixture scales because both land
+    inside the bits=4 clamp. Assert the growth schedule (target bucket
+    occupancy 64..128) and the probe-budget consequence: the radius-2
+    multiprobe FRACTION of the corpus shrinks as bits grow."""
+    from hdfs_mr_spark.operators.llm_similarity import _ann_params
+
+    bits_at = {n: _ann_params(n)[2] for n in (500, 2000, 20_000, 100_000, 10_000_000)}
+    assert bits_at[500] == 4 and bits_at[2000] == 4  # fixture scales: clamp floor
+    assert bits_at[20_000] == 8
+    assert bits_at[100_000] == 10
+    assert bits_at[10_000_000] == 12  # clamp ceiling
+    frac = {
+        n: (1 + b + b * (b - 1) // 2) / (1 << b) for n, b in bits_at.items()
+    }
+    assert frac[500] > frac[20_000] > frac[100_000] > frac[10_000_000]
+    assert frac[10_000_000] < 0.02  # ~1/50 of buckets probed at the clamp
