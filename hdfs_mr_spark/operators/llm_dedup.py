@@ -644,9 +644,11 @@ def _trigram_exact_pairs(spark, sf_dir):
     )
 
 
-@query(
-    "llm_dedup_clusters",
-    oracle="""
+# Shared by llm_dedup_clusters (min-label propagation) and
+# llm_dedup_clusters_star (large-star/small-star): connected components
+# are algorithm-independent, so both operators hash against the same
+# recursive-CTE ground truth.
+_CLUSTERS_ORACLE = """
 WITH RECURSIVE sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(l) - 1),
@@ -684,9 +686,10 @@ SELECT doc_id, component,
        (doc_id = component) AS is_representative
 FROM comp
 ORDER BY doc_id
-""",
-    family=_FAM,
-)
+"""
+
+
+@query("llm_dedup_clusters", oracle=_CLUSTERS_ORACLE, family=_FAM)
 def llm_dedup_clusters(spark, sf_dir):
     """Dedup clustering: connected components over the trigram near-dup
     graph (edges from the exact posting-list kernel), each doc labeled with its
@@ -751,6 +754,130 @@ def llm_dedup_clusters(spark, sf_dir):
     logging.getLogger(__name__).info(
         "llm_dedup_clusters converged in %d rounds; frontier sizes: %s",
         len(frontier_trace), frontier_trace,
+    )
+    w = Window.partitionBy("component")
+    return (
+        labels.withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+        .withColumn("is_representative", F.col("doc_id") == F.col("component"))
+        .orderBy("doc_id")
+    )
+
+
+def _cc_star_components(spark, nodes, edges, max_rounds: int = 64):
+    """Alternating large-star/small-star connected components (Kiveris
+    et al. 2014, "Connected Components in MapReduce and Beyond") —
+    the O(log^2 n)-round alternative to min-label propagation's
+    O(diameter) rounds; on a chain-shaped dup graph that is the
+    difference between ~n rounds and a handful (measured in
+    tests/test_units.py: a 64-node chain needs 63 min-label rounds by
+    construction but <= 8 alternations here).
+
+    Each round is two edge-rewrite passes over the symmetric edge list:
+    - large-star: every neighbor v > u re-attaches to m(u) =
+      min(N(u) + {u}) — a groupBy-min plus an equi-join, both
+      combiner-shape;
+    - small-star: u and its neighbors v <= u attach to m(u).
+    The edge set monotonically contracts toward a star forest rooted
+    at each component's minimum id; convergence is detected by an
+    (edge count, xxhash64 bit_xor) signature — one tiny aggregate per
+    round, the only scalars that reach the driver. localCheckpoint
+    per pass cuts the growing lineage exactly like the min-label twin.
+
+    Returns (labels DataFrame (doc_id, component), n_rounds)."""
+
+    def sym(df):
+        e = df.where(F.col("a") != F.col("b")).select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        )
+        return (
+            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+
+    e = sym(
+        edges.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    )
+    prev_sig = None
+    rounds = 0
+    trace: list[tuple[int, int]] = []
+    for _ in range(max_rounds):
+        for phase in ("large", "small"):
+            m = (
+                e.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", "u").alias("m"))
+            )
+            if phase == "large":
+                out = (
+                    e.join(m, "u")
+                    .where(F.col("v") > F.col("u"))
+                    .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                )
+            else:
+                out = (
+                    e.join(m, "u")
+                    .where(F.col("v") <= F.col("u"))
+                    .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                    .union(
+                        m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+                    )
+                )
+            e = sym(out)
+        rounds += 1
+        row = e.agg(
+            F.count("*").alias("c"),
+            # bit_xor, not sum: order-insensitive over the distinct edge
+            # set and cannot overflow under ANSI arithmetic
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        sig = (row["c"], row["h"])
+        trace.append(sig)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"_cc_star_components did not converge within {max_rounds} "
+            f"rounds; (edge count, hash) per round: {trace}"
+        )
+    # fixpoint is a star forest: every node's component is the least of
+    # itself and its (root) neighbors; isolated nodes root themselves
+    roots = (
+        e.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias("doc_id"), F.least("mn", "u").alias("cmp"))
+    )
+    labels = nodes.join(roots, "doc_id", "left").select(
+        "doc_id",
+        F.least(F.coalesce("cmp", "doc_id"), "doc_id").alias("component"),
+    )
+    return labels, rounds
+
+
+@query("llm_dedup_clusters_star", oracle=_CLUSTERS_ORACLE, family=_FAM)
+def llm_dedup_clusters_star(spark, sf_dir):
+    """llm_dedup_clusters' output computed by the alternating
+    large-star/small-star algorithm (VERDICT r4 item 5) instead of
+    min-label propagation: identical components over the identical
+    exact trigram >= 0.5 near-dup graph — both operators hash against
+    the same recursive-CTE oracle — but the driver loop converges in
+    O(log^2 n) edge-contraction rounds instead of O(diameter)
+    propagation rounds. On THIS fixture's cliquey dup graph (diameter
+    ~2) the two are comparable; on a chain- or path-shaped graph
+    (cross-source boilerplate that mutates gradually) min-label needs
+    diameter rounds by construction and this needs ~log n alternations
+    — the unit test pins <= 8 alternating rounds on a 64-node chain
+    whose diameter would force min-label to 63. The converged round
+    count is logged per run (it cannot be an output column: the oracle
+    has no way to replay an algorithm-specific round count)."""
+    import logging
+
+    d = table(spark, sf_dir, "documents")
+    edges = _trigram_exact_pairs(spark, sf_dir).select("d1", "d2")
+    labels, rounds = _cc_star_components(spark, d.select("doc_id"), edges)
+    logging.getLogger(__name__).info(
+        "llm_dedup_clusters_star converged in %d alternating rounds", rounds
     )
     w = Window.partitionBy("component")
     return (

@@ -928,3 +928,34 @@ def test_ann_lsh_bits_scale_with_corpus():
     }
     assert frac[500] > frac[20_000] > frac[100_000] > frac[10_000_000]
     assert frac[10_000_000] < 0.02  # ~1/50 of buckets probed at the clamp
+
+
+def test_cc_star_chain_converges_in_log_rounds(spark):
+    """VERDICT r4 item 5: on a 64-node chain (diameter 63 — the
+    worst case for min-label propagation, which needs one round per
+    hop), the alternating large-star/small-star kernel must converge
+    in O(log^2 n) driver rounds (<= 8 observed) and still label every
+    node with component 0."""
+    from hdfs_mr_spark.operators.llm_dedup import _cc_star_components
+
+    n = 64
+    nodes = spark.range(n).selectExpr("id as doc_id")
+    edges = spark.range(n - 1).selectExpr("id as d1", "id + 1 as d2")
+    labels, rounds = _cc_star_components(spark, nodes, edges)
+    assert rounds <= 8, rounds
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r.component == 0 for r in rows)
+
+
+def test_cc_star_matches_min_label_on_fixture(spark):
+    """Both connected-components algorithms must produce identical
+    labels on the real near-dup graph (they share the recursive-CTE
+    oracle, but this pins Spark-vs-Spark equality directly)."""
+    from hdfs_mr_spark.registry import all_specs
+    from tests.conftest import SF_SMOKE
+
+    specs = all_specs()
+    a = [tuple(r) for r in specs["llm_dedup_clusters"].fn(spark, SF_SMOKE).collect()]
+    b = [tuple(r) for r in specs["llm_dedup_clusters_star"].fn(spark, SF_SMOKE).collect()]
+    assert a == b
