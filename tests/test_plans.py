@@ -721,3 +721,44 @@ def test_cusum_shares_event_type_partitioning(spark):
     nodes = _nodes(plan)
     assert not any("Join" in n for n in nodes)
     assert sum("Exchange" in n for n in nodes) <= 3
+
+
+def test_skew_profiled_join_switches_both_ways(spark):
+    """VERDICT r4 item 7 gate: skew_profiled_join must pick its physical
+    strategy FROM the measured key statistics — salted (key, salt)
+    shuffle on a synthetic 90%-one-key fact, plain shuffled equi-join on
+    a uniform fact — with identical join results either way (the salt is
+    routing-only)."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mr_spark.operators.joins import skew_profiled_join
+
+    dim = spark.range(1200).select(
+        F.col("id").alias("dk"), (F.col("id") % 7).alias("dval")
+    )
+    # 90% of rows on key 0, the rest unique -> skew_ratio >> threshold
+    skewed = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("id") % 1200).alias("k"),
+        F.col("id").alias("rid"),
+    )
+    j1, s1 = skew_profiled_join(skewed, dim, "k", "dk", salt_cols=["rid"])
+    assert s1 == "salted"
+    plan1 = formatted_plan(j1)
+    assert "__skew_salt" in plan1
+    assert not any("BroadcastHashJoin" in n for n in _nodes(plan1))
+    # uniform keys, cardinality >= parallelism -> plain shuffle, no salt
+    uniform = spark.range(10_000).select(
+        (F.col("id") % 1200).alias("k"), F.col("id").alias("rid")
+    )
+    j2, s2 = skew_profiled_join(uniform, dim, "k", "dk", salt_cols=["rid"])
+    assert s2 == "plain"
+    plan2 = formatted_plan(j2)
+    assert "__skew_salt" not in plan2
+    assert not any("BroadcastHashJoin" in n for n in _nodes(plan2))
+    # semantics are strategy-independent
+    c1 = j1.groupBy("k").count().orderBy("k").collect()
+    j1u, _ = skew_profiled_join(skewed, dim, "k", "dk", salt_cols=["rid"],
+                                skew_threshold=1e18)
+    c1u = j1u.groupBy("k").count().orderBy("k").collect()
+    assert c1 == c1u
