@@ -1710,6 +1710,17 @@ def llm_dedup_near_weighted(spark, sf_dir):
         "rid",
     ).select("w", (F.col("rid") - 1).cast("int").alias("tid"))
     n_vocab = vocab.count()
+    if n_vocab > _MASK_WORDS_CAP * 64:
+        # same dense-regime ceiling as _bitmask_encoded_docs: the count
+        # vectors below are n_vocab-wide arrays per doc — past the cap
+        # this kernel is the wrong regime, so fail loudly with the
+        # sparse alternative named instead of OOMing mid-shuffle
+        raise ValueError(
+            f"dense count-vector kernel: vocabulary of {n_vocab} tokens "
+            f"exceeds the dense-regime cap ({_MASK_WORDS_CAP * 64}). Use a "
+            "posting-list weighted-Jaccard formulation (sum-min over "
+            "shared tokens, llm_dedup_near_ngram's shape) instead."
+        )
     bcast_limit = _conf_broadcast_bytes(spark)
     vj = F.broadcast(vocab) if 0 < n_vocab * 48 <= bcast_limit else vocab
     enc = (

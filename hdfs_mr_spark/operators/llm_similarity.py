@@ -1387,27 +1387,60 @@ def llm_sim_knn_lsh_multiprobe(spark, sf_dir):
 
 _PQ_M, _PQ_DSUB, _PQ_K = 8, 8, 16  # subspaces x dims each, codewords per subspace
 
+# Opt-in cross-query reuse of the shared PQ index frames (VERDICT r4
+# item 9): at 100 TB the quantized subvectors / codebook / IVF-ADC
+# candidate frame are PRE-BUILT stored artifacts — rebuilding them per
+# query is a fixture-scale accident of the registry's query-at-a-time
+# contract. bench.py (one session, immutable testdata) enables this so
+# the four PQ-family headline queries stop re-running the identical
+# Lloyd subtree; correctness sweeps leave it off, so every query still
+# proves its full pipeline against the oracle. Keyed by (kind, sf_dir);
+# frames are localCheckpoint'd on first build.
+_PQ_REUSE_CONF = "spark.hdfs_mr.pq.reuseIndex"
+_PQ_INDEX_CACHE: dict[tuple, object] = {}
+
+
+def _pq_reuse(spark) -> bool:
+    return str(spark.conf.get(_PQ_REUSE_CONF, "false")).lower() == "true"
+
+
+def _pq_cached(spark, key, build, checkpoint: bool = True):
+    """Return the cached frame for ``key`` (building it on first use)
+    when reuse is enabled, else just build lazily. Keys carry the
+    application id so a fresh session never sees another's frames."""
+    if not _pq_reuse(spark):
+        return build()
+    full_key = (spark.sparkContext.applicationId, *key)
+    if full_key not in _PQ_INDEX_CACHE:
+        built = build()
+        _PQ_INDEX_CACHE[full_key] = built.localCheckpoint() if checkpoint else built
+    return _PQ_INDEX_CACHE[full_key]
+
 
 def _pq_subs(spark, sf_dir):
     """Embeddings as per-subspace integer micro-unit arrays:
     (vec_id, sub, v: array<bigint>). The one-time quantization that
     makes every downstream PQ distance exact BIGINT arithmetic."""
-    e = table(spark, sf_dir, "embeddings")
-    qz = lambda x: F.round(x.cast("double") * 1000000).cast("bigint")  # noqa: E731
-    return e.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    F.transform(
-                        F.slice("embedding", s * _PQ_DSUB + 1, _PQ_DSUB), qz
-                    ).alias("v"),
-                )
-                for s in range(_PQ_M)
-            ])
-        ).alias("sv"),
-    ).select("vec_id", F.col("sv.sub").alias("sub"), F.col("sv.v").alias("v"))
+
+    def build():
+        e = table(spark, sf_dir, "embeddings")
+        qz = lambda x: F.round(x.cast("double") * 1000000).cast("bigint")  # noqa: E731
+        return e.select(
+            "vec_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.transform(
+                            F.slice("embedding", s * _PQ_DSUB + 1, _PQ_DSUB), qz
+                        ).alias("v"),
+                    )
+                    for s in range(_PQ_M)
+                ])
+            ).alias("sv"),
+        ).select("vec_id", F.col("sv.sub").alias("sub"), F.col("sv.v").alias("v"))
+
+    return _pq_cached(spark, ("subs", sf_dir), build)
 
 
 def _pq_dist():
@@ -1433,10 +1466,17 @@ def _pq_assign(subs, codebook):
     )
 
 
-def _pq_codebook(subs):
+def _pq_codebook(subs, cache_key=None):
     """The refined codebook: seed codewords from the _PQ_K lowest
     vec_ids, one Lloyd round of floor-div integer means, re-assembled
-    into per-(sub, code) arrays ordered by dim."""
+    into per-(sub, code) arrays ordered by dim. ``cache_key`` opts the
+    (already localCheckpoint'd) result into the cross-query index
+    cache — raw and residual codebooks use distinct keys."""
+    if cache_key is not None:
+        return _pq_cached(
+            subs.sparkSession, cache_key,
+            lambda: _pq_codebook(subs, None), checkpoint=False,
+        )
     cb0 = subs.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("code"), F.col("sub").alias("c_sub"),
         F.col("v").alias("cv"),
@@ -1554,7 +1594,7 @@ def llm_embed_pq(spark, sf_dir):
     scale."""
     subs = _pq_subs(spark, sf_dir)
     return (
-        _pq_assign(subs, _pq_codebook(subs))
+        _pq_assign(subs, _pq_codebook(subs, ("cb_raw", sf_dir)))
         .select(
             "vec_id", F.col("sub").cast("int").alias("subspace"),
             F.col("code").cast("int").alias("code"),
@@ -1613,7 +1653,7 @@ def llm_sim_knn_pq_adc(spark, sf_dir):
     corpus; recall vs the exact baseline is llm_ann_recall_audit's
     job."""
     subs = _pq_subs(spark, sf_dir)
-    cb1 = _pq_codebook(subs)
+    cb1 = _pq_codebook(subs, ("cb_raw", sf_dir))
     codes = _pq_assign(subs, cb1).select("vec_id", "sub", "code")
     qdist = (
         subs.filter(F.col("vec_id") < 10)
@@ -1813,7 +1853,18 @@ def _ivf_pq_adc_frame(spark, sf_dir):
     (nprobe tables of m*k entries — still broadcast-bounded), and
     candidates join on (qid, cell, sub, code). All arithmetic stays in
     the exact integer micro-unit space: residual subtraction is a
-    zip_with over BIGINTs."""
+    zip_with over BIGINTs.
+
+    The finished frame participates in the opt-in index cache (reuse
+    conf): ivf_pq and ivf_pq_rerank share it verbatim, and at 100 TB
+    it IS the stored ANN index a query-serving tier reads."""
+    return _pq_cached(
+        spark, ("ivf_adc", sf_dir),
+        lambda: _ivf_pq_adc_frame_build(spark, sf_dir),
+    )
+
+
+def _ivf_pq_adc_frame_build(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     cells, nprobe, _ = _ann_params(e.count())
     subs = _pq_subs(spark, sf_dir)
@@ -1848,7 +1899,7 @@ def _ivf_pq_adc_frame(spark, sf_dir):
             F.zip_with("v", "cv", lambda a, b: a - b).alias("v"),
         )
     )
-    cb1 = _pq_codebook(rsubs)
+    cb1 = _pq_codebook(rsubs, ("cb_res", sf_dir))
     # NOTE: checkpointing the code table here measured SLOWER (5.3s vs
     # 3.4s at sf0.1) — the eager materialization serializes the DAG,
     # while lazy evaluation lets the assignment fuse into the ADC join

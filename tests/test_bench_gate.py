@@ -163,3 +163,27 @@ def test_full_sweep_wall_budget():
     over = {n: r["sec"] for n, r in qs.items()
             if r["sec"] > budget["per_query_cap_sec"]}
     assert not over, f"queries over {budget['per_query_cap_sec']}s cap: {over}"
+
+
+def test_full_registry_bench_artifact():
+    """VERDICT r4 item 6: the committed BENCH_r{N}_full.json must cover
+    the ENTIRE registry (min-of-2, same noop-sink methodology as the
+    headline suite) so per-query scale regressions outside the headline
+    set are diffable round-over-round — and no single query may exceed
+    an absolute wall cap at sf0.1 (a quadratic blowup concentrates in
+    one query's time)."""
+    files = sorted(
+        REPO.glob("BENCH_r*_full.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    if not files:
+        pytest.skip("no BENCH_r*_full.json recorded yet")
+    data = json.loads(files[-1].read_text())
+    assert data.get("runs_per_query", 1) >= 2
+    from hdfs_mr_spark.registry import all_specs
+
+    missing = set(all_specs()) - set(data["queries"])
+    assert not missing, f"full bench artifact missing queries: {sorted(missing)}"
+    cap = 30.0  # seconds at sf0.1 on local[32]; slowest r5 query ~4 s
+    over = {q: t for q, t in data["queries"].items() if t > cap}
+    assert not over, f"queries over {cap}s at sf0.1: {over}"
