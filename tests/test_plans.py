@@ -762,3 +762,17 @@ def test_skew_profiled_join_switches_both_ways(spark):
                                 skew_threshold=1e18)
     c1u = j1u.groupBy("k").count().orderBy("k").collect()
     assert c1 == c1u
+
+
+def test_jpeg_pixels_kernel_no_preshuffle(spark):
+    """llm_multimodal_pixels_jpeg: one MapInPandas decode kernel
+    straight off the scan — no shuffle exchange upstream of the python
+    node (the only exchanges are the round-robin fan-out and the final
+    presentation sort), no Cartesian."""
+    plan = _plan(spark, "llm_multimodal_pixels_jpeg")
+    nodes = _nodes(plan)
+    assert any("MapInPandas" in n for n in nodes)
+    assert not any("Cartesian" in n for n in nodes)
+    assert not any(
+        "Exchange hashpartitioning" in n for n in nodes
+    ), "decode kernel must not require a hash shuffle"

@@ -755,11 +755,13 @@ def test_jpeg_entropy_roundtrip_random_coefficients():
         jpeg_encode_gray,
     )
 
-    qtab = [8] + [16] * 63
-
     @settings(max_examples=30, deadline=None)
     @given(st.data())
     def prop(data):
+        # random quant table too: the decoder must READ it from DQT,
+        # not assume the fixture's values
+        qtab = [data.draw(st.integers(min_value=1, max_value=255))
+                for _ in range(64)]
         w = data.draw(st.integers(min_value=1, max_value=24), label="w")
         h = data.draw(st.integers(min_value=1, max_value=24), label="h")
         nb = ((w + 7) // 8) * ((h + 7) // 8)
