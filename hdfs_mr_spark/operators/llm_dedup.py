@@ -180,7 +180,7 @@ def _conf_broadcast_bytes(spark) -> int:
         return 10 << 20
 
 
-def _bitmask_encoded_docs(spark, sf_dir):
+def _bitmask_encoded_docs(spark, sf_dir, n_vocab: int | None = None):
     """Dictionary-encoded distinct-token bitmasks per document:
     returns (enc, mask_cols, n_docs) where enc has (doc_id, s, sz,
     m0..mK) — the shared front half of every mask-residual dedup
@@ -190,7 +190,9 @@ def _bitmask_encoded_docs(spark, sf_dir):
     (xxhash64 bucket, w) — no global single-partition window — and the
     vocabulary join auto-switches on the conf'd broadcast threshold
     (popcount of a mask intersection is invariant to the dictionary
-    permutation, so any deterministic id assignment works)."""
+    permutation, so any deterministic id assignment works).
+    ``n_vocab`` lets a caller that already counted the vocabulary (the
+    containment regime switch) skip the count job here."""
     from hdfs_mr_spark.operators.sorts import bucketed_global_rank
 
     d = table(spark, sf_dir, "documents")
@@ -205,7 +207,8 @@ def _bitmask_encoded_docs(spark, sf_dir):
         ["w"],
         "rid",
     ).select("w", (F.col("rid") - 1).cast("int").alias("tid"))
-    n_vocab = vocab.count()  # scalar; one tiny job
+    if n_vocab is None:
+        n_vocab = vocab.count()  # scalar; one tiny job
     n_words = (n_vocab + 63) // 64  # mask words needed
     if n_words > _MASK_WORDS_CAP:
         raise ValueError(
@@ -1485,7 +1488,9 @@ def llm_dedup_containment(spark, sf_dir):
     if n_vocab > vocab_cap:
         sup = _containment_sparse_super(spark, sf_dir)
     else:
-        enc, mask_cols, n_docs = _bitmask_encoded_docs(spark, sf_dir)
+        enc, mask_cols, n_docs = _bitmask_encoded_docs(
+            spark, sf_dir, n_vocab=n_vocab
+        )
         n_words = len(mask_cols)
         bcast_limit = _conf_broadcast_bytes(spark)
         a = fan_out(enc).select(

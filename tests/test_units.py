@@ -961,3 +961,37 @@ def test_cc_star_matches_min_label_on_fixture(spark):
     a = [tuple(r) for r in specs["llm_dedup_clusters"].fn(spark, SF_SMOKE).collect()]
     b = [tuple(r) for r in specs["llm_dedup_clusters_star"].fn(spark, SF_SMOKE).collect()]
     assert a == b
+
+
+def test_cc_star_matches_union_find_on_random_graphs(spark):
+    """Third-implementation cross-check: on seeded random graphs the
+    star-contraction labels must equal a pure-python union-find's —
+    independent of Spark, the fixture, and the oracle SQL."""
+    import random
+
+    from hdfs_mr_spark.operators.llm_dedup import _cc_star_components
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        n = rng.randrange(12, 28)
+        edges = sorted({
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(rng.randrange(4, n))
+        })
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        want = {x: min(y for y in range(n) if find(y) == find(x))
+                for x in range(n)}
+        nodes = spark.range(n).selectExpr("id as doc_id")
+        edf = spark.createDataFrame(edges or [(0, 0)], "d1 long, d2 long")
+        labels, _rounds = _cc_star_components(spark, nodes, edf)
+        got = {r.doc_id: r.component for r in labels.collect()}
+        assert got == want, (seed, edges)
