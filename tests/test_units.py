@@ -995,3 +995,56 @@ def test_cc_star_matches_union_find_on_random_graphs(spark):
         labels, _rounds = _cc_star_components(spark, nodes, edf)
         got = {r.doc_id: r.component for r in labels.collect()}
         assert got == want, (seed, edges)
+
+
+def test_containment_sparse_switch_fires_naturally(spark, tmp_path):
+    """The containment regime switch must fire on vocabulary size
+    ALONE (no conf override): a synthetic corpus whose vocabulary
+    exceeds the default dense cap takes the posting-list path, and its
+    decisions match a pure-python brute-force subset check."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hdfs_mr_spark.operators.llm_dedup import (
+        _CONTAINMENT_VOCAB_CAP_CONF,
+        _MASK_WORDS_CAP,
+    )
+    from hdfs_mr_spark.registry import all_specs
+
+    # 120 docs over a >16384-token vocabulary (disjoint 160-token
+    # ranges per doc); every 10th doc is a strict token-subset of its
+    # predecessor, plus one identical pair
+    docs = []
+    for i in range(120):
+        base = [f"w{i * 200 + j}" for j in range(160)]
+        if i % 10 == 1:
+            base = [f"w{(i - 1) * 200 + j}" for j in range(40)]
+        if i == 77:
+            base = [f"w{5 * 200 + j}" for j in range(160)]  # == doc 5
+        docs.append((i, " ".join(base)))
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    assert spark.conf.get(_CONTAINMENT_VOCAB_CAP_CONF, None) is None
+    result = {
+        r.doc_id: (r.subset_of, r.kept)
+        for r in all_specs()["llm_dedup_containment"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    sets = {i: set(t.split(" ")) for i, t in docs}
+    for i in sets:
+        supers = [
+            j for j in sets
+            if j != i and sets[i] <= sets[j]
+            and (len(sets[j]) > len(sets[i]) or j < i)
+        ]
+        want = (min(supers) if supers else None, not supers)
+        assert result[i] == want, (i, result[i], want)
+    # and the vocabulary really was past the dense cap
+    vocab = {w for s in sets.values() for w in s}
+    assert len(vocab) > _MASK_WORDS_CAP * 64
