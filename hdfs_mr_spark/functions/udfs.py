@@ -1549,6 +1549,365 @@ def llm_multimodal_phash(spark, sf_dir):
     )
 
 
+def _phash_mixed_oracle_sql() -> str:
+    """llm_multimodal_phash_mixed oracle: the 63-bit dHash recomputed
+    from BOTH generative formulas — the PNG gradient (media_px_value)
+    and the JPEG constant-block luma (jpeg_block_value) — unioned into
+    one hash table before the same Hamming-radius dup decision. JPEG
+    ids offset by 1000 so the two fixtures share a key space."""
+
+    def png_gray(xe: str, ye: str) -> str:
+        v = [f"((({xe}) + 2*({ye}) + {7 * c} + doc_id) % 256)" for c in range(3)]
+        return f"(({v[0]}) + 2*({v[1]}) + ({v[2]})) // 4"
+
+    def jpeg_gray(xe: str, ye: str) -> str:
+        return f"((5 * (({xe}) // 8) + 11 * (({ye}) // 8) + 3 * jdoc) % 256)"
+
+    x1, x2, y = "((k % 7) * w) // 8", "(((k % 7) + 1) * w) // 8", "((k // 7) * h) // 9"
+
+    def fold(gray) -> str:
+        bit = (
+            f"CASE WHEN {gray(x2, y)} > {gray(x1, y)} "
+            f"THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END"
+        )
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(0, 63), k -> {bit})), (a, x) -> a + x)"
+        )
+
+    return f"""
+WITH mp AS (
+  SELECT doc_id,
+         8 + (doc_id * 37) % 56 AS w,
+         8 + (doc_id * 53) % 56 AS h
+  FROM '{_MEDIA_PX}'
+),
+mj AS (
+  SELECT doc_id + 1000 AS doc_id, doc_id AS jdoc,
+         9 + (doc_id * 41) % 55 AS w,
+         9 + (doc_id * 59) % 55 AS h
+  FROM '{_MEDIA_JPEG}'
+),
+pp AS (SELECT doc_id, {fold(png_gray)} AS phash FROM mp),
+p AS (
+  SELECT doc_id, phash FROM pp
+  UNION ALL
+  SELECT doc_id, {fold(jpeg_gray)} AS phash FROM mj
+  UNION ALL
+  -- the crafted JPEG twin: built to reproduce PNG doc 7's dHash
+  -- bit-for-bit (see the operator), so its oracle hash IS doc 7's
+  SELECT 2007 AS doc_id, phash FROM pp WHERE doc_id = 7
+),
+rep AS (
+  SELECT a.doc_id, MIN(b.doc_id) AS dup_of
+  FROM p a JOIN p b
+    ON b.doc_id < a.doc_id AND bit_count(xor(a.phash, b.phash)) <= 8
+  GROUP BY a.doc_id
+)
+SELECT p.doc_id, p.phash, r.dup_of, (r.dup_of IS NULL) AS kept
+FROM p LEFT JOIN rep r ON p.doc_id = r.doc_id
+ORDER BY p.doc_id
+"""
+
+
+@query(
+    "llm_multimodal_phash_mixed",
+    oracle=_phash_mixed_oracle_sql(),
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_phash_mixed(spark, sf_dir):
+    """Cross-FORMAT image near-dup — the production shape of image
+    dedup, where the corpus mixes encodings and the hash must not care:
+    the PNG gradient fixture and the JPEG constant-block fixture union
+    into one corpus (JPEG ids offset by 1000), ONE mapInPandas kernel
+    sniffs the magic bytes per row (PNG signature vs JPEG SOI — the
+    mm_decode dispatch pattern) and runs the matching pixel-true
+    decoder (chunk-walk/inflate/unfilter for PNG; Huffman/IDCT/MCU-crop
+    for JPEG), grayscale is grid-sampled on the same 8x9 lattice (PNG
+    gray = (r + 2g + b) // 4, JPEG gray = the decoded luma), and the
+    63-bit dHashes feed one Hamming<=8 lowest-id decision across both
+    formats. Closes the round-4 gap 'image dedup only covers PNG
+    payloads': a re-encoded duplicate now collapses regardless of
+    container — and the corpus CONTAINS one: doc 2007 is a real JPEG
+    crafted on a 64x72 canvas (8x9 constant blocks, one per dHash
+    lattice cell, so every hash bit is directly controllable) to
+    reproduce PNG doc 7's dHash bit-for-bit; the decision join must
+    collapse it onto the PNG original. Oracle recomputes both hash
+    families from the generative formulas (the twin's hash IS doc 7's
+    by construction); scale notes (multi-index hashing over hash
+    bands) are llm_multimodal_phash's, unchanged."""
+
+    def mixed_batches(batches):
+        import math
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        # --- PNG: chunk walk + inflate + unfilter (all five filters) --
+        def paeth(a, b, c):
+            p = a + b - c
+            pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+            if pa_ <= pb_ and pa_ <= pc_:
+                return a
+            return b if pb_ <= pc_ else c
+
+        def decode_png(b):
+            pos, w, h, idat = 8, None, None, b""
+            while pos + 8 <= len(b):
+                (length,) = struct.unpack_from(">I", b, pos)
+                ctype = b[pos + 4 : pos + 8]
+                if ctype == b"IHDR":
+                    w, h = struct.unpack_from(">II", b, pos + 8)
+                elif ctype == b"IDAT":
+                    idat += b[pos + 8 : pos + 8 + length]
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + length
+            raw = zlib.decompress(idat)
+            bpp, stride = 3, 3 * w
+            out = bytearray(stride * h)
+            prior = bytes(stride)
+            for yy in range(h):
+                ft = raw[yy * (stride + 1)]
+                row = bytearray(raw[yy * (stride + 1) + 1 : (yy + 1) * (stride + 1)])
+                for i in range(stride):
+                    left = row[i - bpp] if i >= bpp else 0
+                    up = prior[i]
+                    upleft = prior[i - bpp] if i >= bpp else 0
+                    if ft == 1:
+                        row[i] = (row[i] + left) & 0xFF
+                    elif ft == 2:
+                        row[i] = (row[i] + up) & 0xFF
+                    elif ft == 3:
+                        row[i] = (row[i] + (left + up) // 2) & 0xFF
+                    elif ft == 4:
+                        row[i] = (row[i] + paeth(left, up, upleft)) & 0xFF
+                out[yy * stride : (yy + 1) * stride] = row
+                prior = bytes(row)
+
+            def gray(x, yq):
+                base = (yq * w + x) * 3
+                return (out[base] + 2 * out[base + 1] + out[base + 2]) // 4
+
+            return w, h, gray
+
+        # --- JPEG: baseline grayscale (mirrors media.jpeg_decode_gray) -
+        ZIG = [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        ]
+        COS = [
+            [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+            for x in range(8)
+        ]
+        CN = [1 / math.sqrt(2)] + [1.0] * 7
+
+        def huff_map(bits, vals):
+            m, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    m[(ln, code)] = vals[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            return m
+
+        def idct(coefs):
+            if not any(coefs[1:]):
+                v = round(coefs[0] / 8) + 128
+                return [min(255, max(0, v))] * 64
+            tmp = [0.0] * 64
+            for r in range(8):
+                for x in range(8):
+                    s = 0.0
+                    for u in range(8):
+                        s += CN[u] * coefs[r * 8 + u] * COS[x][u]
+                    tmp[r * 8 + x] = s / 2
+            out = [0] * 64
+            for c in range(8):
+                for yy in range(8):
+                    s = 0.0
+                    for v in range(8):
+                        s += CN[v] * tmp[v * 8 + c] * COS[yy][v]
+                    val = round(s / 2) + 128
+                    out[yy * 8 + c] = min(255, max(0, val))
+            return out
+
+        def decode_jpeg(b):
+            pos, w, h, tq, td, ta, scan_pos = 2, None, None, 0, 0, 0, None
+            qtabs, htabs = {}, {}
+            while pos + 4 <= len(b):
+                marker = b[pos + 1]
+                if marker == 0xD9:
+                    break
+                (seglen,) = struct.unpack_from(">H", b, pos + 2)
+                seg = b[pos + 4 : pos + 2 + seglen]
+                if marker == 0xDB:
+                    i = 0
+                    while i < len(seg):
+                        tab = [0] * 64
+                        for k in range(64):
+                            tab[ZIG[k]] = seg[i + 1 + k]
+                        qtabs[seg[i] & 15] = tab
+                        i += 65
+                elif marker == 0xC4:
+                    i = 0
+                    while i < len(seg):
+                        tc_th = seg[i]
+                        bits = list(seg[i + 1 : i + 17])
+                        n = sum(bits)
+                        htabs[(tc_th >> 4, tc_th & 15)] = huff_map(
+                            bits, list(seg[i + 17 : i + 17 + n])
+                        )
+                        i += 17 + n
+                elif marker == 0xC0:
+                    h, w = struct.unpack_from(">HH", seg, 1)
+                    tq = seg[8]
+                elif marker == 0xDA:
+                    td, ta = seg[2] >> 4, seg[2] & 15
+                    scan_pos = pos + 2 + seglen
+                    break
+                pos += 2 + seglen
+            q, dc_tab, ac_tab = qtabs[tq], htabs[(0, td)], htabs[(1, ta)]
+            state = {"pos": scan_pos, "acc": 0, "n": 0}
+
+            def read(n):
+                while state["n"] < n:
+                    byte = b[state["pos"]]
+                    state["pos"] += 2 if byte == 0xFF else 1
+                    state["acc"] = (state["acc"] << 8) | byte
+                    state["n"] += 8
+                state["n"] -= n
+                return (state["acc"] >> state["n"]) & ((1 << n) - 1)
+
+            def huff_read(table):
+                code = 0
+                for ln in range(1, 17):
+                    code = (code << 1) | read(1)
+                    if (ln, code) in table:
+                        return table[(ln, code)]
+                raise ValueError("bad huffman code")
+
+            def extend(v, sz):
+                return v if v >= (1 << (sz - 1)) else v - (1 << sz) + 1
+
+            mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+            out = bytearray(w * h)
+            prev_dc = 0
+            for by in range(mcuy):
+                for bx in range(mcux):
+                    sz = huff_read(dc_tab)
+                    prev_dc += extend(read(sz), sz) if sz else 0
+                    coefs = [0] * 64
+                    coefs[0] = prev_dc * q[0]
+                    k = 0
+                    while k < 63:
+                        rs = huff_read(ac_tab)
+                        if rs == 0x00:
+                            break
+                        run, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            k += 16
+                            continue
+                        k += run + 1
+                        nat = ZIG[k]
+                        coefs[nat] = extend(read(sz), sz) * q[nat]
+                    px = idct(coefs)
+                    for yy in range(min(8, h - by * 8)):
+                        row_base = (by * 8 + yy) * w + bx * 8
+                        for xx in range(min(8, w - bx * 8)):
+                            out[row_base + xx] = px[yy * 8 + xx]
+
+            def gray(x, yq):
+                return out[yq * w + x]
+
+            return w, h, gray
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    w, h, gray = decode_png(b)
+                elif b[:2] == b"\xff\xd8":
+                    w, h, gray = decode_jpeg(b)
+                else:
+                    raise ValueError("unknown image magic")
+                hv = 0
+                for k in range(63):
+                    gx, gy = k % 7, k // 7
+                    yq = (gy * h) // 9
+                    if gray(((gx + 1) * w) // 8, yq) > gray((gx * w) // 8, yq):
+                        hv |= 1 << k
+                rows.append((int(did), hv))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"]).astype("int64")
+
+    from hdfs_mr_spark.io import fan_out
+    from hdfs_mr_spark.sources.media import (
+        jpeg_encode_gray,
+        materialize_media_jpeg,
+        materialize_media_px,
+        media_px_dims,
+        media_px_value,
+    )
+
+    png = spark.read.parquet(materialize_media_px())
+    jpg = spark.read.parquet(materialize_media_jpeg()).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "payload"
+    )
+    # the cross-format duplicate: a real JPEG on a 64x72 canvas whose
+    # 8x9 constant blocks sit one-per-dHash-lattice-cell ((8gx)//8=gx,
+    # (8gy)//8=gy), so bit k of its hash is exactly [f(gx+1,gy) >
+    # f(gx,gy)] — walk the PNG doc's bits to build f, DC-only encode
+    P = 7
+    w0, h0 = media_px_dims(P)
+
+    def png_gray(x, y):
+        v = [media_px_value(x, y, c, P) for c in range(3)]
+        return (v[0] + 2 * v[1] + v[2]) // 4
+
+    f = [[128] * 8 for _ in range(9)]
+    for k in range(63):
+        gx, gy = k % 7, k // 7
+        yq = (gy * h0) // 9
+        rise = png_gray(((gx + 1) * w0) // 8, yq) > png_gray((gx * w0) // 8, yq)
+        f[gy][gx + 1] = f[gy][gx] + (1 if rise else -1)
+    qblocks = []
+    for gy in range(9):
+        for gx in range(8):
+            blk = [0] * 64
+            blk[0] = f[gy][gx] - 128
+            qblocks.append(blk)
+    twin = jpeg_encode_gray(qblocks, 64, 72, [8] + [16] * 63)
+    extra = spark.createDataFrame(
+        [(2000 + P, bytearray(twin))], "doc_id long, payload binary"
+    )
+    hashes = fan_out(png.unionByName(jpg).unionByName(extra)).mapInPandas(
+        mixed_batches, "doc_id long, phash long"
+    ).localCheckpoint()
+    a = hashes.select(F.col("doc_id").alias("da"), F.col("phash").alias("ha"))
+    b = hashes.select(F.col("doc_id").alias("db"), F.col("phash").alias("hb"))
+    rep = (
+        a.join(
+            F.broadcast(b),
+            (F.col("db") < F.col("da"))
+            & (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 8),
+        )
+        .groupBy(F.col("da").alias("doc_id"))
+        .agg(F.min("db").alias("dup_of"))
+    )
+    return (
+        hashes.join(rep, "doc_id", "left")
+        .select(
+            "doc_id", "phash", "dup_of", F.col("dup_of").isNull().alias("kept")
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "llm_multimodal_audio_vad",
     oracle=f"""
