@@ -1442,6 +1442,15 @@ def llm_multimodal_phash(spark, sf_dir):
     a single wrong pixel anywhere in the decode flips bits and
     hash-mismatches.
 
+    Honest fixture note: media_px_value's brightness is strictly
+    monotone in x (its mod-256 never wraps at these dims), so every
+    gradient PNG hashes to the all-ones dHash and the whole fixture
+    collapses to doc 0 — this query's evidence is decode-EXACTNESS
+    (one wrong pixel breaks the oracle match), not hash
+    discrimination. Discrimination is exercised by the JPEG family's
+    wrapping block values in llm_multimodal_phash_mixed, whose kept
+    set varies per doc.
+
     Scale: hashing is pure per-row mapInPandas work (no shuffle); the
     dup join here is a bounded-fixture self-join, and at corpus scale
     the standard index is multi-index hashing (Norouzi et al. 2012)
