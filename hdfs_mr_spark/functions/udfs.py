@@ -1619,33 +1619,13 @@ ORDER BY p.doc_id
 """
 
 
-@query(
-    "llm_multimodal_phash_mixed",
-    oracle=_phash_mixed_oracle_sql(),
-    family="2.11 llm multimodal",
-)
-def llm_multimodal_phash_mixed(spark, sf_dir):
-    """Cross-FORMAT image near-dup — the production shape of image
-    dedup, where the corpus mixes encodings and the hash must not care:
-    the PNG gradient fixture and the JPEG constant-block fixture union
-    into one corpus (JPEG ids offset by 1000), ONE mapInPandas kernel
-    sniffs the magic bytes per row (PNG signature vs JPEG SOI — the
-    mm_decode dispatch pattern) and runs the matching pixel-true
-    decoder (chunk-walk/inflate/unfilter for PNG; Huffman/IDCT/MCU-crop
-    for JPEG), grayscale is grid-sampled on the same 8x9 lattice (PNG
-    gray = (r + 2g + b) // 4, JPEG gray = the decoded luma), and the
-    63-bit dHashes feed one Hamming<=8 lowest-id decision across both
-    formats. Closes the round-4 gap 'image dedup only covers PNG
-    payloads': a re-encoded duplicate now collapses regardless of
-    container — and the corpus CONTAINS one: doc 2007 is a real JPEG
-    crafted on a 64x72 canvas (8x9 constant blocks, one per dHash
-    lattice cell, so every hash bit is directly controllable) to
-    reproduce PNG doc 7's dHash bit-for-bit; the decision join must
-    collapse it onto the PNG original. Oracle recomputes both hash
-    families from the generative formulas (the twin's hash IS doc 7's
-    by construction); scale notes (multi-index hashing over hash
-    bands) are llm_multimodal_phash's, unchanged."""
-
+def _mixed_phash_frame(spark):
+    """Shared hash table of the cross-format image corpus: (doc_id,
+    phash) for PNG fixtures (ids 0..), JPEG fixtures (ids 1000+), and
+    the crafted cross-format twin (id 2007) — ONE magic-sniffing
+    mapInPandas kernel over the union, localCheckpoint'd because both
+    the broadcast decision (llm_multimodal_phash_mixed) and the MIH
+    banded index (llm_multimodal_phash_banded) consume it twice."""
     def mixed_batches(batches):
         import math
         import struct
@@ -1894,15 +1874,126 @@ def llm_multimodal_phash_mixed(spark, sf_dir):
     extra = spark.createDataFrame(
         [(2000 + P, bytearray(twin))], "doc_id long, payload binary"
     )
-    hashes = fan_out(png.unionByName(jpg).unionByName(extra)).mapInPandas(
+    return fan_out(png.unionByName(jpg).unionByName(extra)).mapInPandas(
         mixed_batches, "doc_id long, phash long"
     ).localCheckpoint()
-    a = hashes.select(F.col("doc_id").alias("da"), F.col("phash").alias("ha"))
-    b = hashes.select(F.col("doc_id").alias("db"), F.col("phash").alias("hb"))
+
+
+def _phash_decision(hashes):
+    """Shared tail of both mixed-corpus dedup forms: per-doc lowest-id
+    representative within Hamming 8, given (da, db) candidate pairs
+    already verified, plus the left-join presentation columns."""
+    return (
+        hashes.join(
+            hashes.select(
+                F.col("doc_id").alias("da"), F.col("phash").alias("ha")
+            ).join(
+                F.broadcast(
+                    hashes.select(
+                        F.col("doc_id").alias("db"), F.col("phash").alias("hb")
+                    )
+                ),
+                (F.col("db") < F.col("da"))
+                & (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 8),
+            )
+            .groupBy(F.col("da").alias("doc_id"))
+            .agg(F.min("db").alias("dup_of")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", "phash", "dup_of", F.col("dup_of").isNull().alias("kept")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_multimodal_phash_mixed",
+    oracle=_phash_mixed_oracle_sql(),
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_phash_mixed(spark, sf_dir):
+    """Cross-FORMAT image near-dup — the production shape of image
+    dedup, where the corpus mixes encodings and the hash must not care:
+    the PNG gradient fixture and the JPEG constant-block fixture union
+    into one corpus (JPEG ids offset by 1000), ONE mapInPandas kernel
+    sniffs the magic bytes per row (PNG signature vs JPEG SOI — the
+    mm_decode dispatch pattern) and runs the matching pixel-true
+    decoder (chunk-walk/inflate/unfilter for PNG; Huffman/IDCT/MCU-crop
+    for JPEG), grayscale is grid-sampled on the same 8x9 lattice (PNG
+    gray = (r + 2g + b) // 4, JPEG gray = the decoded luma), and the
+    63-bit dHashes feed one Hamming<=8 lowest-id decision across both
+    formats. Closes the round-4 gap 'image dedup only covers PNG
+    payloads': a re-encoded duplicate now collapses regardless of
+    container — and the corpus CONTAINS one: doc 2007 is a real JPEG
+    crafted on a 64x72 canvas (8x9 constant blocks, one per dHash
+    lattice cell, so every hash bit is directly controllable) to
+    reproduce PNG doc 7's dHash bit-for-bit; the decision join must
+    collapse it onto the PNG original. Oracle recomputes both hash
+    families from the generative formulas (the twin's hash IS doc 7's
+    by construction). The pair stage here is the bounded broadcast
+    self-join; llm_multimodal_phash_banded is the SAME decision
+    computed through the multi-index-hashing candidate index — the
+    100 TB plan — and shares this oracle."""
+    return _phash_decision(_mixed_phash_frame(spark))
+
+
+@query(
+    "llm_multimodal_phash_banded",
+    oracle=_phash_mixed_oracle_sql(),
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_phash_banded(spark, sf_dir):
+    """Multi-index hashing (Norouzi et al. 2012) for the Hamming-radius
+    image dedup — the documented scale path of llm_multimodal_phash,
+    now IMPLEMENTED and hash-checked against the same oracle as the
+    broadcast twin (identical output, different physical plan):
+
+    Split the 63-bit dHash into m=4 bands of <=16 bits. By pigeonhole,
+    two hashes within Hamming r=8 agree within floor(r/m)=2 flips on
+    SOME band, so the candidate set {pairs sharing (band_id, value)
+    after the probe side enumerates its radius-2 ball on that band} is
+    RECALL-LOSSLESS — note a plain equi-join on exact band values (the
+    MinHash banding trick) is only exact for r < m. Probe-side ball:
+    1 + 16 + C(16,2) = 137 variants per band, 548 rows per image —
+    constant fan-out, and the join is an EQUI-join on (band, value):
+    one shuffle, no all-pairs, no broadcast of the corpus. Candidates
+    dedupe structurally via the final groupBy(min); the exact
+    bit_count(xor) <= 8 residual verifies INSIDE the join condition so
+    only true pairs materialize. At corpus scale this index replaces
+    the broadcast self-join; here both forms must hash-match the same
+    DuckDB ground truth (and a plan gate pins the equi-join shape)."""
+    hashes = _mixed_phash_frame(spark)
+    m_bands, band_bits, radius = 4, 16, 2
+    band = F.expr(
+        f"explode(transform(sequence(0, {m_bands - 1}), "
+        f"b -> named_struct('band', b, 'bval', "
+        f"cast((phash >> (b * {band_bits})) "
+        f"& {(1 << band_bits) - 1} as int))))"
+    )
+    build = hashes.select(
+        F.col("doc_id").alias("db"), F.col("phash").alias("hb"), band
+    ).select("db", "hb", F.col("col.band").alias("band"),
+             F.col("col.bval").alias("bval"))
+    # probe side: each band value's Hamming-<=2 ball (137 variants)
+    flips = [0] + [1 << i for i in range(band_bits)] + [
+        (1 << i) | (1 << j)
+        for i in range(band_bits) for j in range(i + 1, band_bits)
+    ]
+    probe = build.select(
+        F.col("db").alias("da"), F.col("hb").alias("ha"),
+        F.col("band").alias("pband"),
+        F.explode(
+            F.array(*[F.col("bval").bitwiseXOR(F.lit(fl)) for fl in flips])
+        ).alias("pbval"),
+    )
     rep = (
-        a.join(
-            F.broadcast(b),
-            (F.col("db") < F.col("da"))
+        probe.join(
+            build,
+            (F.col("pband") == F.col("band"))
+            & (F.col("pbval") == F.col("bval"))
+            & (F.col("db") < F.col("da"))
             & (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 8),
         )
         .groupBy(F.col("da").alias("doc_id"))

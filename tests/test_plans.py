@@ -776,3 +776,24 @@ def test_jpeg_pixels_kernel_no_preshuffle(spark):
     assert not any(
         "Exchange hashpartitioning" in n for n in nodes
     ), "decode kernel must not require a hash shuffle"
+
+
+def test_phash_banded_is_equi_join_not_all_pairs(spark):
+    """llm_multimodal_phash_banded: the MIH candidate stage must be an
+    EQUI-join on (band, value) — with broadcast disabled it degrades to
+    a shuffled sort-merge join, never a Cartesian/nested-loop all-pairs
+    — and its output must be row-identical to the broadcast twin's."""
+    fn = all_specs()["llm_multimodal_phash_banded"].fn
+    twin = all_specs()["llm_multimodal_phash_mixed"].fn
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = fn(spark, SF_SMOKE)
+        plan = formatted_plan(df)
+        nodes = _nodes(plan)
+        assert any("SortMergeJoin" in n or "ShuffledHashJoin" in n for n in nodes)
+        assert not any("Cartesian" in n or "NestedLoop" in n for n in nodes)
+        banded = [tuple(r) for r in df.collect()]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert banded == [tuple(r) for r in twin(spark, SF_SMOKE).collect()]
