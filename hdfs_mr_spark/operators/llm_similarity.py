@@ -1383,6 +1383,111 @@ def llm_sim_knn_lsh_multiprobe(spark, sf_dir):
     )
 
 
+_LSH_TABLES = 8  # OR-amplification width; disjoint sign-bit sets per table
+
+
+@query(
+    "llm_sim_knn_lsh_multitable",
+    oracle=f"""
+WITH {_SQL_ANN_PARAMS},
+n AS (
+  SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS nrm,
+         list_transform(range(0, {_LSH_TABLES}),
+           t -> list_reduce(list_prepend(0, list_transform(range(1, bits + 1),
+             i -> CASE WHEN CAST(embedding[t * bits + i] AS DOUBLE) >= 0.0
+                       THEN CAST(2 ** (i - 1) AS INTEGER) ELSE 0 END)),
+             (a, x) -> a + x)) AS buckets
+  FROM embeddings CROSS JOIN p
+),
+nb AS (
+  SELECT vec_id, embedding, nrm, r.t AS tbl, buckets[r.t + 1] AS bucket
+  FROM n, range(0, {_LSH_TABLES}) r(t)
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe, nrm AS qn, tbl, bucket
+  FROM nb WHERE vec_id < 10
+),
+cand AS (
+  SELECT DISTINCT q.qid, q.qe, q.qn, nb.vec_id, nb.embedding, nb.nrm
+  FROM q JOIN nb ON nb.tbl = q.tbl AND nb.bucket = q.bucket
+                AND nb.vec_id <> q.qid
+),
+scored AS (
+  SELECT qid, vec_id,
+         {_SQL_DOT.format(a='qe', b='embedding')} / (qn * nrm) AS cosine
+  FROM cand
+)
+SELECT qid, vec_id, cosine,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC)
+            AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY qid, rank
+""",
+    family=_FAM,
+)
+def llm_sim_knn_lsh_multitable(spark, sf_dir):
+    """OR-amplified hyperplane LSH — the OTHER standard recall repair
+    (llm_sim_knn_lsh's docstring names it; round 5 implements it):
+    L=8 independent hash tables, table t keyed on the sign
+    bits of dims t*bits+1..t*bits+bits (disjoint hyperplane sets), and
+    a pair is a candidate when it collides in ANY table: single-table
+    retention P = p^bits amplifies to 1 - (1 - p^bits)^L — the classic
+    recall-for-candidates trade, as opposed to multiprobe's
+    recall-for-probes trade on ONE table. Measured
+    (ANN_RECALL_r5.json): recall@5 0.80 at n=500 (vs 0.20
+    single-probe) but 0.56 at n=2000 — the larger corpus's true
+    neighbors sit at lower cosine, so per-bit agreement p drops and
+    OR-amplification decays faster than multiprobe (0.90 at n=2000 at
+    a comparable candidate budget). The honest ranking on this corpus:
+    IVF > multiprobe > multitable > single-probe.
+
+    Plan: buckets for all L tables come from one scan (an array column
+    exploded with its table id), candidates from ONE (table, bucket)
+    equi-join, DISTINCT collapses multi-table collisions BEFORE the
+    expensive cosine (candidate volume ~L*n/2^bits pre-distinct), and
+    the exact top-5 is a qid window. At scale L multiplies index size
+    and candidate cost linearly — the docstring trade IVF still wins
+    on this corpus (0.98), which stays the production recommendation."""
+    e = table(spark, sf_dir, "embeddings")
+    _, _, bits = _ann_params(e.count())
+    buckets = F.expr(
+        f"transform(sequence(0, {_LSH_TABLES - 1}), t -> "
+        f"aggregate(transform(sequence(1, {bits}), "
+        "i -> IF(cast(element_at(embedding, t * "
+        f"{bits} + i) as double) >= 0.0d, shiftleft(1, i - 1), 0)), "
+        "0, (a, x) -> a + x))"
+    )
+    n = e.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"),
+        F.posexplode(buckets).alias("tbl", "bucket"),
+    )
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"), F.col("tbl").alias("qtbl"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = (
+        n.join(
+            F.broadcast(q),
+            (n.tbl == q.qtbl) & (n.bucket == q.qbucket)
+            & (n.vec_id != q.qid),
+        )
+        .select("qid", "qe", "qn", "vec_id", "embedding", "nrm")
+        .distinct()
+    )
+    scored = cand.select(
+        "qid", "vec_id",
+        (_dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("qid", "rank")
+    )
+
+
 # --- shared PQ kernel (llm_embed_pq + llm_sim_knn_pq_adc) ------------------
 
 _PQ_M, _PQ_DSUB, _PQ_K = 8, 8, 16  # subspaces x dims each, codewords per subspace

@@ -41,6 +41,10 @@ def main() -> int:
             (r.qid, r.vec_id)
             for r in qs["llm_sim_knn_lsh_multiprobe"].fn(spark, path).collect()
         }
+        mt = {
+            (r.qid, r.vec_id)
+            for r in qs["llm_sim_knn_lsh_multitable"].fn(spark, path).collect()
+        }
         adc = {
             (r.qid, r.vec_id)
             for r in qs["llm_sim_knn_pq_adc"].fn(spark, path).collect()
@@ -60,6 +64,7 @@ def main() -> int:
             "mean_ivf_recall_at_5": sum(r["ivf_recall_at_5"] for r in audit) / len(audit),
             "mean_lsh_recall_at_5": sum(r["lsh_recall_at_5"] for r in audit) / len(audit),
             "mean_lsh_multiprobe_recall_at_5": len(exact & mp) / len(exact),
+            "mean_lsh_multitable_recall_at_5": len(exact & mt) / len(exact),
             "mean_pq_adc_recall_at_5": len(exact & adc) / len(exact),
             "mean_ivf_pq_recall_at_5": len(exact & ivfpq) / len(exact),
             "mean_ivf_pq_rerank_recall_at_5": len(exact & rerank) / len(exact),
