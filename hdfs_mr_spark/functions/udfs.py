@@ -1193,10 +1193,10 @@ def llm_multimodal_resize_real(spark, sf_dir):
     source dimensions come from the genuine PNG chunk-walk / JPEG marker
     scan (not a synthetic payload), target dims from integer arithmetic
     (w*224 div h — identical in both engines; float scaling would risk
-    a 1-ulp floor flip). Pixel resampling itself stays out of scope (no
-    codec libs here — mm_decode documents the extension point); this is
-    the metadata half a ViT/CLIP preprocess stage computes before
-    touching pixels, now running against bytes a real decoder accepts."""
+    a 1-ulp floor flip). This is the metadata half a ViT/CLIP preprocess
+    stage computes before touching pixels; the pixel half — actual
+    resampling of decoded buffers — is llm_multimodal_resize_pixels
+    (round 5 closed this operator's documented extension point)."""
 
     def resize_batches(batches):
         # self-contained closure (cloudpickle by value; executor workers
@@ -1556,6 +1556,179 @@ def llm_multimodal_phash(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _resize_pixels_oracle_sql() -> str:
+    """llm_multimodal_resize_pixels oracle: the resampled image's
+    channel sums and a position-weighted sum recomputed from the
+    generative formula. The resample partitions source pixels into
+    output blocks by ox = (x*dw)//w (every src pixel lands in exactly
+    one output pixel), each output value is the floor-mean of its
+    block — pure integer arithmetic both engines replay identically."""
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         8 + (doc_id * 37) % 56 AS w,
+         8 + (doc_id * 53) % 56 AS h
+  FROM '{_MEDIA_PX}'
+),
+md AS (
+  SELECT doc_id, w, h,
+         CASE WHEN GREATEST(w, h) <= 16 THEN w
+              ELSE GREATEST(1, w * 16 // GREATEST(w, h)) END AS dw,
+         CASE WHEN GREATEST(w, h) <= 16 THEN h
+              ELSE GREATEST(1, h * 16 // GREATEST(w, h)) END AS dh
+  FROM m
+),
+pj AS (
+  SELECT doc_id, w, h, dw, dh,
+         unnest(range(0, w * h * 3)) AS j
+  FROM md
+),
+px AS (
+  SELECT doc_id, w, h, dw, dh, j % 3 AS c,
+         (((j // 3) % w) + 2 * ((j // 3) // w) + 7 * (j % 3) + doc_id) % 256 AS v,
+         (((j // 3) % w) * dw) // w AS ox,
+         (((j // 3) // w) * dh) // h AS oy
+  FROM pj
+),
+op AS (
+  SELECT doc_id, dw, dh, c, ox, oy, SUM(v) // COUNT(*) AS pv
+  FROM px GROUP BY doc_id, dw, dh, c, ox, oy
+)
+SELECT m.doc_id,
+       CAST(m.w AS INTEGER) AS src_w, CAST(m.h AS INTEGER) AS src_h,
+       CAST(o.dw AS INTEGER) AS dst_w, CAST(o.dh AS INTEGER) AS dst_h,
+       CAST(SUM(CASE WHEN c = 0 THEN pv ELSE 0 END) AS BIGINT) AS rs_sum_r,
+       CAST(SUM(CASE WHEN c = 1 THEN pv ELSE 0 END) AS BIGINT) AS rs_sum_g,
+       CAST(SUM(CASE WHEN c = 2 THEN pv ELSE 0 END) AS BIGINT) AS rs_sum_b,
+       CAST(SUM(pv * (oy * o.dw + ox + 1)) AS BIGINT) AS rs_wsum
+FROM op o JOIN m ON m.doc_id = o.doc_id
+GROUP BY m.doc_id, m.w, m.h, o.dw, o.dh
+ORDER BY m.doc_id
+"""
+
+
+@query(
+    "llm_multimodal_resize_pixels",
+    oracle=_resize_pixels_oracle_sql(),
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_resize_pixels(spark, sf_dir):
+    """Aspect-preserving image resize with REAL pixel resampling —
+    closing llm_multimodal_resize_real's documented extension point
+    (its round-2 scope excuse, 'no codec libs here', stopped being true
+    when the pixel-true decoders landed): each gradient PNG is fully
+    decoded, then box-resampled to a 16-long-edge THUMBNAIL (downscale
+    only — images already within 16px pass through, so every output
+    block is non-empty) by exact integer block partitioning — source pixel x maps to output column
+    (x*dw)//w (each src pixel to exactly one output pixel), and every
+    output value is the floor-mean of its block. No floats anywhere,
+    so the DuckDB oracle replays the identical resample from the
+    generative formula: per-channel sums of the RESAMPLED image plus a
+    position-weighted sum that catches a misplaced output pixel.
+
+    Scale: same shape as every decode kernel here — per-row
+    mapInPandas work, no shuffle before the final sort; this is the
+    ViT/CLIP preprocess stage (decode -> resize -> tensorize) with the
+    tensorize step being the resized buffer itself."""
+
+    def resize_batches(batches):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+            if pa_ <= pb_ and pa_ <= pc_:
+                return a
+            return b if pb_ <= pc_ else c
+
+        def decode(b):
+            pos, w, h, idat = 8, None, None, b""
+            while pos + 8 <= len(b):
+                (length,) = struct.unpack_from(">I", b, pos)
+                ctype = b[pos + 4 : pos + 8]
+                if ctype == b"IHDR":
+                    w, h = struct.unpack_from(">II", b, pos + 8)
+                elif ctype == b"IDAT":
+                    idat += b[pos + 8 : pos + 8 + length]
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + length
+            raw = zlib.decompress(idat)
+            bpp, stride = 3, 3 * w
+            out = bytearray(stride * h)
+            prior = bytes(stride)
+            for y in range(h):
+                ft = raw[y * (stride + 1)]
+                row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+                for i in range(stride):
+                    left = row[i - bpp] if i >= bpp else 0
+                    up = prior[i]
+                    upleft = prior[i - bpp] if i >= bpp else 0
+                    if ft == 1:
+                        row[i] = (row[i] + left) & 0xFF
+                    elif ft == 2:
+                        row[i] = (row[i] + up) & 0xFF
+                    elif ft == 3:
+                        row[i] = (row[i] + (left + up) // 2) & 0xFF
+                    elif ft == 4:
+                        row[i] = (row[i] + paeth(left, up, upleft)) & 0xFF
+                out[y * stride : (y + 1) * stride] = row
+                prior = bytes(row)
+            return w, h, out
+
+        cols = [
+            "doc_id", "src_w", "src_h", "dst_w", "dst_h",
+            "rs_sum_r", "rs_sum_g", "rs_sum_b", "rs_wsum",
+        ]
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode(bytes(payload))
+                mx = max(w, h)
+                dw = w if mx <= 16 else max(1, w * 16 // mx)
+                dh = h if mx <= 16 else max(1, h * 16 // mx)
+                acc = [[0, 0] for _ in range(dw * dh * 3)]  # [sum, count]
+                for y in range(h):
+                    oy = (y * dh) // h
+                    for x in range(w):
+                        ox = (x * dw) // w
+                        base = (y * w + x) * 3
+                        obase = (oy * dw + ox) * 3
+                        for c in range(3):
+                            a = acc[obase + c]
+                            a[0] += px[base + c]
+                            a[1] += 1
+                sums, wsum = [0, 0, 0], 0
+                for oy in range(dh):
+                    for ox in range(dw):
+                        obase = (oy * dw + ox) * 3
+                        for c in range(3):
+                            s, cnt = acc[obase + c]
+                            pv = s // cnt
+                            sums[c] += pv
+                            wsum += pv * (oy * dw + ox + 1)
+                rows.append((int(did), w, h, dw, dh, *sums, wsum))
+            out = pd.DataFrame(rows, columns=cols)
+            yield out.astype(
+                {c: ("int64" if c in ("doc_id", "rs_sum_r", "rs_sum_g",
+                                      "rs_sum_b", "rs_wsum") else "int32")
+                 for c in cols}
+            )
+
+    from hdfs_mr_spark.io import fan_out
+    from hdfs_mr_spark.sources.media import materialize_media_px
+
+    df = spark.read.parquet(materialize_media_px())
+    return fan_out(df).mapInPandas(
+        resize_batches,
+        "doc_id long, src_w int, src_h int, dst_w int, dst_h int, "
+        "rs_sum_r long, rs_sum_g long, rs_sum_b long, rs_wsum long",
+    ).orderBy("doc_id")
 
 
 def _phash_mixed_oracle_sql() -> str:
