@@ -298,9 +298,9 @@ def llm_sim_pairs(spark, sf_dir):
     return blocked_cosine_pairs(spark, sf_dir, threshold=0.35).orderBy("v1", "v2")
 
 
-@query(
-    "llm_sim_knn_ivf",
-    oracle=f"""
+# Shared by llm_sim_knn_ivf (in-flight index) and llm_sim_knn_ivf_stored
+# (persisted, partition-pruned index): identical results by design.
+_IVF_ORACLE = f"""
 WITH {_SQL_ANN_PARAMS},
 n AS (
   SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS nrm FROM embeddings
@@ -341,9 +341,10 @@ SELECT qid, vec_id, cosine,
 FROM scored
 QUALIFY rank <= 5
 ORDER BY qid, rank
-""",
-    family=_FAM,
-)
+"""
+
+
+@query("llm_sim_knn_ivf", oracle=_IVF_ORACLE, family=_FAM)
 def llm_sim_knn_ivf(spark, sf_dir):
     """IVF (inverted-file) ANN: a coarse quantizer of ceil(sqrt(n))
     deterministic centroids partitions the vectors into cells
@@ -412,6 +413,104 @@ def llm_sim_knn_ivf(spark, sf_dir):
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("qid", "rank")
+    )
+
+
+@query("llm_sim_knn_ivf_stored", oracle=_IVF_ORACLE, family=_FAM)
+def llm_sim_knn_ivf_stored(spark, sf_dir):
+    """IVF ANN against a PERSISTED index — the storage claim every IVF
+    docstring here makes ('the cell assignment is written as a
+    partition column and the probe is a partition-pruned scan'), now
+    implemented and hash-checked against the same oracle as the
+    in-flight twin llm_sim_knn_ivf (identical results by design):
+
+    Build (once per sf fingerprint, like every static fixture): assign
+    each vector its argmax-cosine cell and write the corpus parquet
+    PARTITIONED BY cell, centroids as a separate O(sqrt(n)) table —
+    the layout a production ANN serving tier maintains. Query: rank
+    nprobe cells per query against the broadcast centroid table,
+    collect the probed cell ids (<= 10*nprobe ints — the one driver
+    round-trip, and it IS the point: the probe list must reach the
+    scan as a literal partition filter), and read the store with
+    cell IN (...) so Catalyst prunes to the probed directories —
+    `PartitionFilters` in the plan, gated by tests/test_plans.py. The
+    exact cosine top-5 then touches only O(nprobe * n/cells) rows per
+    query straight off disk, never scanning the other cells' files."""
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    e = table(spark, sf_dir, "embeddings")
+    cells, nprobe, _ = _ann_params(e.count())
+    store = _fixture_dir(sf_dir) / "ivf_store"
+    corpus_path, cent_path = str(store / "corpus"), str(store / "centroids")
+    n = e.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    c = n.filter(F.col("vec_id") < cells).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    if not (store / "_built").exists():
+        ccos = (
+            n.join(F.broadcast(c))
+            .select(
+                "vec_id", "embedding", "nrm", "cid",
+                (_dot(F.col("embedding"), F.col("ce"))
+                 / (F.col("nrm") * F.col("cn"))).alias("ccos"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("ccos").desc(), F.col("cid").asc()
+        )
+        assigned = (
+            ccos.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "embedding", "nrm", F.col("cid").alias("cell"))
+        )
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(corpus_path)
+        c.write.mode("overwrite").parquet(cent_path)
+        (store / "_built").touch()
+    cent = F.broadcast(spark.read.parquet(cent_path))
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("qcos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.join(cent)
+        .select(
+            "qid", "qe", "qn", "cid",
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("qcos"),
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= nprobe)
+        .select("qid", "qe", "qn", F.col("cid").alias("cell"))
+    )
+    # the bounded driver round-trip that turns the probe list into a
+    # literal partition filter (<= 10 * nprobe ints)
+    probe_cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    corpus = spark.read.parquet(corpus_path).where(
+        F.col("cell").isin([int(x) for x in probe_cells])
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            (_dot(F.col("qe"), F.col("embedding"))
+             / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 5)

@@ -797,3 +797,20 @@ def test_phash_banded_is_equi_join_not_all_pairs(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert banded == [tuple(r) for r in twin(spark, SF_SMOKE).collect()]
+
+
+def test_ivf_stored_probe_is_partition_pruned(spark):
+    """llm_sim_knn_ivf_stored: the probe must reach the persisted index
+    as a PARTITION filter on the cell column (pruned directories, not a
+    post-scan data filter), and results must equal the in-flight IVF
+    twin's."""
+    fn = all_specs()["llm_sim_knn_ivf_stored"].fn
+    df = fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    after = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cell" in after
+    stored = [tuple(r) for r in df.collect()]
+    twin = [tuple(r) for r in
+            all_specs()["llm_sim_knn_ivf"].fn(spark, SF_SMOKE).collect()]
+    assert stored == twin
