@@ -1558,6 +1558,249 @@ def llm_multimodal_phash(spark, sf_dir):
     )
 
 
+try:  # pragma: no cover — same static-path contract as _MEDIA_JPEG
+    from hdfs_mr_spark.sources.media import materialize_media_jpeg_color
+
+    _MEDIA_JPEG_COLOR = materialize_media_jpeg_color()
+except Exception as _media_jpeg_color_exc:  # noqa: BLE001
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "color JPEG fixture materialization failed: %r", _media_jpeg_color_exc,
+    )
+    _MEDIA_JPEG_COLOR = "/tmp/hmr_media_jpeg_color_unavailable.parquet"
+
+
+def _jpeg_color_oracle_sql() -> str:
+    """llm_multimodal_pixels_jpeg_color oracle: per-channel pixel sums
+    plus position-weighted sums recomputed from jpeg_block_value_c."""
+    val = ("((5 * ((i % w) // 8) + 11 * ((i // w) // 8) + 3 * doc_id "
+           "+ 97 * {c}) % 256)")
+
+    def fold(expr: str, alias: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(0, w*h), "
+            f"i -> CAST({expr} AS BIGINT))), (a, x) -> a + x) AS {alias}"
+        )
+
+    chan = [fold(val.format(c=c), f"sum_c{c}") for c in range(3)]
+    allc = " + ".join(val.format(c=c) for c in range(3))
+    cols = ",\n       ".join(chan + [
+        fold(f"({allc}) * ((i % w) + 1)", "wsum_x"),
+        fold(f"({allc}) * ((i // w) + 1)", "wsum_y"),
+    ])
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         9 + (doc_id * 41) % 55 AS w,
+         9 + (doc_id * 59) % 55 AS h
+  FROM '{_MEDIA_JPEG_COLOR}'
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       {cols}
+FROM m
+ORDER BY doc_id
+"""
+
+
+@query(
+    "llm_multimodal_pixels_jpeg_color",
+    oracle=_jpeg_color_oracle_sql(),
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_pixels_jpeg_color(spark, sf_dir):
+    """Pixel-true COLOR JPEG decode — removes the grayscale-only scope
+    note: 3-component baseline-sequential streams (1x1 sampling,
+    interleaved MCUs, per-component differential DC, shared Annex K
+    tables) decoded end-to-end in mapInPandas. No color-space
+    conversion is applied — the three decoded component planes ARE the
+    output, which keeps the constant-block/DC-step-8 exactness
+    argument per channel, so the DuckDB oracle recomputes per-channel
+    sums and position-weighted sums from the generative formula
+    jpeg_block_value_c. Unit tests round-trip the module twin codec
+    (sources/media.py jpeg_encode_baseline/jpeg_decode_baseline)."""
+
+    def color_batches(batches):
+        import math
+        import struct
+
+        import pandas as pd
+
+        ZIG = [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        ]
+        COS = [
+            [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+            for x in range(8)
+        ]
+        CN = [1 / math.sqrt(2)] + [1.0] * 7
+
+        def huff_map(bits, vals):
+            m, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    m[(ln, code)] = vals[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            return m
+
+        def idct(coefs):
+            if not any(coefs[1:]):
+                v = round(coefs[0] / 8) + 128
+                return [min(255, max(0, v))] * 64
+            tmp = [0.0] * 64
+            for r in range(8):
+                for x in range(8):
+                    s = 0.0
+                    for u in range(8):
+                        s += CN[u] * coefs[r * 8 + u] * COS[x][u]
+                    tmp[r * 8 + x] = s / 2
+            out = [0] * 64
+            for c in range(8):
+                for yy in range(8):
+                    s = 0.0
+                    for v in range(8):
+                        s += CN[v] * tmp[v * 8 + c] * COS[yy][v]
+                    val = round(s / 2) + 128
+                    out[yy * 8 + c] = min(255, max(0, val))
+            return out
+
+        def decode(b):
+            pos, w, h, scan_pos = 2, None, None, None
+            qtabs, htabs, comp_tq, scan_tabs = {}, {}, [], []
+            while pos + 4 <= len(b):
+                marker = b[pos + 1]
+                if marker == 0xD9:
+                    break
+                (seglen,) = struct.unpack_from(">H", b, pos + 2)
+                seg = b[pos + 4 : pos + 2 + seglen]
+                if marker == 0xDB:
+                    i = 0
+                    while i < len(seg):
+                        tab = [0] * 64
+                        for k in range(64):
+                            tab[ZIG[k]] = seg[i + 1 + k]
+                        qtabs[seg[i] & 15] = tab
+                        i += 65
+                elif marker == 0xC4:
+                    i = 0
+                    while i < len(seg):
+                        tc_th = seg[i]
+                        bits = list(seg[i + 1 : i + 17])
+                        n = sum(bits)
+                        htabs[(tc_th >> 4, tc_th & 15)] = huff_map(
+                            bits, list(seg[i + 17 : i + 17 + n])
+                        )
+                        i += 17 + n
+                elif marker == 0xC0:
+                    h, w = struct.unpack_from(">HH", seg, 1)
+                    for ci in range(seg[5]):
+                        comp_tq.append(seg[6 + 3 * ci + 2])
+                elif marker == 0xDA:
+                    for ci in range(seg[0]):
+                        tt = seg[2 + 2 * ci]
+                        scan_tabs.append((tt >> 4, tt & 15))
+                    scan_pos = pos + 2 + seglen
+                    break
+                pos += 2 + seglen
+            ncomp = len(comp_tq)
+            state = {"pos": scan_pos, "acc": 0, "n": 0}
+
+            def read(n):
+                while state["n"] < n:
+                    byte = b[state["pos"]]
+                    state["pos"] += 2 if byte == 0xFF else 1
+                    state["acc"] = (state["acc"] << 8) | byte
+                    state["n"] += 8
+                state["n"] -= n
+                return (state["acc"] >> state["n"]) & ((1 << n) - 1)
+
+            def huff_read(table):
+                code = 0
+                for ln in range(1, 17):
+                    code = (code << 1) | read(1)
+                    if (ln, code) in table:
+                        return table[(ln, code)]
+                raise ValueError("bad huffman code")
+
+            def extend(v, sz):
+                return v if v >= (1 << (sz - 1)) else v - (1 << sz) + 1
+
+            mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+            out = bytearray(w * h * ncomp)
+            prev = [0] * ncomp
+            for by in range(mcuy):
+                for bx in range(mcux):
+                    for ci in range(ncomp):
+                        q = qtabs[comp_tq[ci]]
+                        dc_tab = htabs[(0, scan_tabs[ci][0])]
+                        ac_tab = htabs[(1, scan_tabs[ci][1])]
+                        sz = huff_read(dc_tab)
+                        prev[ci] += extend(read(sz), sz) if sz else 0
+                        coefs = [0] * 64
+                        coefs[0] = prev[ci] * q[0]
+                        k = 0
+                        while k < 63:
+                            rs = huff_read(ac_tab)
+                            if rs == 0x00:
+                                break
+                            run, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                k += 16
+                                continue
+                            k += run + 1
+                            nat = ZIG[k]
+                            coefs[nat] = extend(read(sz), sz) * q[nat]
+                        px = idct(coefs)
+                        for yy in range(min(8, h - by * 8)):
+                            row_base = ((by * 8 + yy) * w + bx * 8) * ncomp + ci
+                            for xx in range(min(8, w - bx * 8)):
+                                out[row_base + xx * ncomp] = px[yy * 8 + xx]
+            return w, h, ncomp, out
+
+        cols = [
+            "doc_id", "width", "height",
+            "sum_c0", "sum_c1", "sum_c2", "wsum_x", "wsum_y",
+        ]
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, nc, px = decode(bytes(payload))
+                sums, wx, wy = [0, 0, 0], 0, 0
+                for y in range(h):
+                    for x in range(w):
+                        base = (y * w + x) * nc
+                        tot = 0
+                        for c in range(nc):
+                            v = px[base + c]
+                            sums[c] += v
+                            tot += v
+                        wx += tot * (x + 1)
+                        wy += tot * (y + 1)
+                rows.append((int(did), w, h, *sums, wx, wy))
+            out = pd.DataFrame(rows, columns=cols)
+            yield out.astype(
+                {c: ("int32" if c in ("width", "height") else "int64")
+                 for c in cols}
+            )
+
+    from hdfs_mr_spark.io import fan_out
+    from hdfs_mr_spark.sources.media import materialize_media_jpeg_color
+
+    df = spark.read.parquet(materialize_media_jpeg_color())
+    return fan_out(df).mapInPandas(
+        color_batches,
+        "doc_id long, width int, height int, "
+        "sum_c0 long, sum_c1 long, sum_c2 long, wsum_x long, wsum_y long",
+    ).orderBy("doc_id")
+
+
 def _resize_pixels_oracle_sql() -> str:
     """llm_multimodal_resize_pixels oracle: the resampled image's
     channel sums and a position-weighted sum recomputed from the

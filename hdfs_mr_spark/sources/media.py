@@ -420,46 +420,60 @@ def _mag_bits(v: int) -> tuple[int, int]:
     return sz, (v if v >= 0 else v + (1 << sz) - 1)
 
 
-def jpeg_encode_gray(qblocks, w: int, h: int, qtab) -> bytes:
-    """Baseline-sequential grayscale JPEG from QUANTIZED coefficient
-    blocks (64-int lists in natural order, raster MCU order): standard
-    Annex K Huffman tables, differential DC, AC run-length with ZRL and
-    EOB, byte-stuffed scan. A general encoder — the gradient fixture
-    just happens to feed it DC-only blocks."""
+def _jpeg_encode_block(bw, zz, prev_dc, dc_codes, ac_codes) -> int:
+    """Write one zigzagged quantized block; returns the new DC predictor."""
+    diff, prev_dc = zz[0] - prev_dc, zz[0]
+    sz, bits = _mag_bits(diff)
+    code, ln = dc_codes[sz]
+    bw.write(code, ln)
+    if sz:
+        bw.write(bits, sz)
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    run = 0
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+            bw.write(code, ln)
+            run -= 16
+        sz, bits = _mag_bits(zz[i])
+        code, ln = ac_codes[(run << 4) | sz]
+        bw.write(code, ln)
+        bw.write(bits, sz)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return prev_dc
+
+
+def jpeg_encode_baseline(comps, w: int, h: int, qtab) -> bytes:
+    """Baseline-sequential JPEG from QUANTIZED coefficient blocks:
+    ``comps`` is a list of 1 (grayscale) or 3 (interleaved color, 1x1
+    sampling, e.g. JFIF YCbCr) per-component block lists (64-int lists
+    in natural order, raster MCU order). Standard Annex K Huffman
+    tables (shared by all components), one shared quant table,
+    differential DC per component, AC run-length with ZRL and EOB,
+    byte-stuffed scan. A general encoder — the gradient fixtures just
+    happen to feed it DC-only blocks."""
+    ncomp = len(comps)
+    if ncomp not in (1, 3):
+        raise ValueError("1 or 3 components")
     dc_codes = _huff_encode_map(_DC_BITS, _DC_VALS)
     ac_codes = _huff_encode_map(_AC_BITS, _AC_VALS)
     bw = _JpegBitWriter()
-    prev_dc = 0
-    for blk in qblocks:
-        zz = [blk[_ZIGZAG[i]] for i in range(64)]
-        diff, prev_dc = zz[0] - prev_dc, zz[0]
-        sz, bits = _mag_bits(diff)
-        code, ln = dc_codes[sz]
-        bw.write(code, ln)
-        if sz:
-            bw.write(bits, sz)
-        last_nz = 0
-        for i in range(63, 0, -1):
-            if zz[i]:
-                last_nz = i
-                break
-        run = 0
-        for i in range(1, last_nz + 1):
-            if zz[i] == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
-                bw.write(code, ln)
-                run -= 16
-            sz, bits = _mag_bits(zz[i])
-            code, ln = ac_codes[(run << 4) | sz]
-            bw.write(code, ln)
-            bw.write(bits, sz)
-            run = 0
-        if last_nz < 63:
-            code, ln = ac_codes[0x00]  # EOB
-            bw.write(code, ln)
+    prev = [0] * ncomp
+    for mcu in range(len(comps[0])):
+        for ci in range(ncomp):
+            blk = comps[ci][mcu]
+            zz = [blk[_ZIGZAG[i]] for i in range(64)]
+            prev[ci] = _jpeg_encode_block(bw, zz, prev[ci], dc_codes, ac_codes)
     dqt = (
         b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
         + bytes(qtab[_ZIGZAG[i]] for i in range(64))
@@ -471,11 +485,21 @@ def jpeg_encode_gray(qblocks, w: int, h: int, qtab) -> bytes:
         + bytes(_AC_BITS) + bytes(_AC_VALS)
     )
     sof = (
-        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
-        + struct.pack(">HH", h, w) + b"\x01" + bytes([1, 0x11, 0])
+        b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08"
+        + struct.pack(">HH", h, w) + bytes([ncomp])
+        + b"".join(bytes([ci + 1, 0x11, 0]) for ci in range(ncomp))
     )
-    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01" + bytes([1, 0x00, 0, 63, 0])
+    sos = (
+        b"\xff\xda" + struct.pack(">H", 6 + 2 * ncomp) + bytes([ncomp])
+        + b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
+        + bytes([0, 63, 0])
+    )
     return b"\xff\xd8" + dqt + dht + sof + sos + bw.flush() + b"\xff\xd9"
+
+
+def jpeg_encode_gray(qblocks, w: int, h: int, qtab) -> bytes:
+    """Grayscale wrapper over jpeg_encode_baseline (original API)."""
+    return jpeg_encode_baseline([qblocks], w, h, qtab)
 
 
 class _JpegBitReader:
@@ -553,19 +577,23 @@ def _idct8x8(coefs) -> list[int]:
     return out
 
 
-def jpeg_decode_gray(b: bytes) -> tuple[int, int, bytes]:
-    """Full baseline-sequential grayscale JPEG decode: marker walk,
-    DQT/DHT/SOF0/SOS parse, canonical Huffman decode of the byte-
-    stuffed scan (differential DC, AC runs, ZRL, EOB), dequantize,
-    de-zigzag, IDCT, MCU-grid crop. Returns (width, height, raw
-    grayscale bytes). Raises on non-baseline / non-grayscale input —
-    the honest scope boundary, same as png_decode_pixels' RGB8 check."""
+def jpeg_decode_baseline(b: bytes) -> tuple[int, int, int, bytes]:
+    """Full baseline-sequential JPEG decode for 1- or 3-component
+    images at 1x1 sampling: marker walk, DQT/DHT/SOF0/SOS parse,
+    canonical Huffman decode of the byte-stuffed scan (per-component
+    differential DC, AC runs, ZRL, EOB), dequantize, de-zigzag, IDCT,
+    MCU-grid crop. Returns (width, height, ncomp, INTERLEAVED
+    component bytes in SOF order — no color conversion: what the
+    stream encodes is what comes out). Raises on progressive /
+    subsampled input — the honest scope boundary, same as
+    png_decode_pixels' RGB8 check."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: no SOI")
-    pos, w, h, tq = 2, None, None, 0
+    pos, w, h = 2, None, None
     qtabs: dict[int, list[int]] = {}
     htabs: dict[tuple[int, int], dict] = {}
-    td = ta = 0
+    comp_tq: list[int] = []
+    scan_tabs: list[tuple[int, int]] = []
     scan_pos = None
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
@@ -596,55 +624,70 @@ def jpeg_decode_gray(b: bytes) -> tuple[int, int, bytes]:
                 i += 17 + n
         elif marker == 0xC0:
             h, w = struct.unpack_from(">HH", seg, 1)
-            if seg[5] != 1:
-                raise ValueError("only grayscale (1 component) supported")
-            if seg[7] != 0x11:
-                raise ValueError("only 1x1 sampling supported")
-            tq = seg[8]
+            nf = seg[5]
+            if nf not in (1, 3):
+                raise ValueError("only 1 or 3 components supported")
+            for ci in range(nf):
+                if seg[6 + 3 * ci + 1] != 0x11:
+                    raise ValueError("only 1x1 sampling supported")
+                comp_tq.append(seg[6 + 3 * ci + 2])
         elif 0xC1 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
             raise ValueError(f"only baseline SOF0 (got SOF{marker - 0xC0})")
         elif marker == 0xDA:
-            td, ta = seg[2] >> 4, seg[2] & 15
+            ns = seg[0]
+            for ci in range(ns):
+                tt = seg[2 + 2 * ci]
+                scan_tabs.append((tt >> 4, tt & 15))
             scan_pos = pos + 2 + seglen
             break
         pos += 2 + seglen
     if w is None or scan_pos is None:
         raise ValueError("missing SOF0 or SOS")
-    q = qtabs[tq]
-    dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]
+    ncomp = len(comp_tq)
     br = _JpegBitReader(b, scan_pos)
     mcux, mcuy = (w + 7) // 8, (h + 7) // 8
-    out = bytearray(w * h)
-    prev_dc = 0
+    out = bytearray(w * h * ncomp)
+    prev = [0] * ncomp
     for by in range(mcuy):
         for bx in range(mcux):
-            sz = _huff_read(br, dc_tab)
-            diff = _extend(br.read(sz), sz) if sz else 0
-            prev_dc += diff
-            coefs = [0] * 64
-            coefs[0] = prev_dc * q[0]
-            k = 0
-            while k < 63:
-                rs = _huff_read(br, ac_tab)
-                if rs == 0x00:  # EOB
-                    break
-                run, sz = rs >> 4, rs & 15
-                if sz == 0:
-                    if run != 15:
-                        raise ValueError(f"bad AC symbol {rs:02X}")
-                    k += 16  # ZRL
-                    continue
-                k += run + 1
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                nat = _ZIGZAG[k]
-                coefs[nat] = _extend(br.read(sz), sz) * q[nat]
-            px = _idct8x8(coefs)
-            for yy in range(min(8, h - by * 8)):
-                row_base = (by * 8 + yy) * w + bx * 8
-                for xx in range(min(8, w - bx * 8)):
-                    out[row_base + xx] = px[yy * 8 + xx]
-    return w, h, bytes(out)
+            for ci in range(ncomp):
+                q = qtabs[comp_tq[ci]]
+                dc_tab = htabs[(0, scan_tabs[ci][0])]
+                ac_tab = htabs[(1, scan_tabs[ci][1])]
+                sz = _huff_read(br, dc_tab)
+                prev[ci] += _extend(br.read(sz), sz) if sz else 0
+                coefs = [0] * 64
+                coefs[0] = prev[ci] * q[0]
+                k = 0
+                while k < 63:
+                    rs = _huff_read(br, ac_tab)
+                    if rs == 0x00:  # EOB
+                        break
+                    run, sz = rs >> 4, rs & 15
+                    if sz == 0:
+                        if run != 15:
+                            raise ValueError(f"bad AC symbol {rs:02X}")
+                        k += 16  # ZRL
+                        continue
+                    k += run + 1
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    nat = _ZIGZAG[k]
+                    coefs[nat] = _extend(br.read(sz), sz) * q[nat]
+                px = _idct8x8(coefs)
+                for yy in range(min(8, h - by * 8)):
+                    row_base = ((by * 8 + yy) * w + bx * 8) * ncomp + ci
+                    for xx in range(min(8, w - bx * 8)):
+                        out[row_base + xx * ncomp] = px[yy * 8 + xx]
+    return w, h, ncomp, bytes(out)
+
+
+def jpeg_decode_gray(b: bytes) -> tuple[int, int, bytes]:
+    """Grayscale wrapper over jpeg_decode_baseline (original API)."""
+    w, h, ncomp, px = jpeg_decode_baseline(b)
+    if ncomp != 1:
+        raise ValueError("not a grayscale JPEG")
+    return w, h, px
 
 
 def jpeg_px_dims(doc_id: int) -> tuple[int, int]:
@@ -675,6 +718,46 @@ def make_gradient_jpeg(doc_id: int) -> bytes:
             blk[0] = jpeg_block_value(bx, by, doc_id) - 128
             blocks.append(blk)
     return jpeg_encode_gray(blocks, w, h, qtab)
+
+
+def jpeg_block_value_c(bx: int, by: int, c: int, doc_id: int) -> int:
+    """Generative per-channel luma formula for the COLOR JPEG fixture:
+    channel c's constant value in 8x8 block (bx, by)."""
+    return (5 * bx + 11 * by + 3 * doc_id + 97 * c) % 256
+
+
+def make_gradient_jpeg_color(doc_id: int) -> bytes:
+    """A real, decodable 3-component baseline JPEG (1x1 sampling, no
+    subsampling, shared tables) whose channels follow
+    jpeg_block_value_c exactly — same constant-block/DC-step-8
+    exactness argument as the grayscale fixture, per component."""
+    w, h = jpeg_px_dims(doc_id)
+    qtab = [8] + [16] * 63
+    comps = [[], [], []]
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            for c in range(3):
+                blk = [0] * 64
+                blk[0] = jpeg_block_value_c(bx, by, c, doc_id) - 128
+                comps[c].append(blk)
+    return jpeg_encode_baseline(comps, w, h, qtab)
+
+
+def materialize_media_jpeg_color(sf_dir: str = ORACLE_SF) -> str:
+    """Write the color JPEG pixel fixture parquet once per fingerprint."""
+    path = _fixture_dir(sf_dir) / "media_jpeg_color.parquet"
+    if not path.exists():
+        ids = list(range(N_MEDIA_JPEG))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_gradient_jpeg_color(i) for i in ids], pa.binary()
+                ),
+            }),
+            path,
+        )
+    return str(path)
 
 
 def materialize_media_jpeg(sf_dir: str = ORACLE_SF) -> str:

@@ -1048,3 +1048,61 @@ def test_containment_sparse_switch_fires_naturally(spark, tmp_path):
     # and the vocabulary really was past the dense cap
     vocab = {w for s in sets.values() for w in s}
     assert len(vocab) > _MASK_WORDS_CAP * 64
+
+
+def test_jpeg_color_roundtrip_fixture_and_random():
+    """Color JPEG codec: the 3-component fixture must decode back to
+    the per-channel generative formula, and random 3-component
+    coefficient blocks must survive the interleaved-MCU entropy layer
+    exactly (per-component DC predictors, shared tables)."""
+    import random
+
+    from hdfs_mr_spark.sources.media import (
+        _idct8x8,
+        jpeg_block_value_c,
+        jpeg_decode_baseline,
+        jpeg_encode_baseline,
+        jpeg_px_dims,
+        make_gradient_jpeg_color,
+    )
+
+    for did in (0, 3, 21, 47):
+        w, h, nc, px = jpeg_decode_baseline(make_gradient_jpeg_color(did))
+        assert nc == 3 and (w, h) == jpeg_px_dims(did)
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    assert px[(y * w + x) * 3 + c] == jpeg_block_value_c(
+                        x // 8, y // 8, c, did
+                    )
+    rng = random.Random(11)
+    qtab = [8] + [16] * 63
+    for _ in range(6):
+        w, h = rng.randrange(1, 20), rng.randrange(1, 20)
+        nb = ((w + 7) // 8) * ((h + 7) // 8)
+        comps = [
+            [
+                [rng.randrange(-60, 61) if rng.random() < 0.25 else 0
+                 for _ in range(64)]
+                for _ in range(nb)
+            ]
+            for _ in range(3)
+        ]
+        for ci in range(3):
+            for blk in comps[ci]:
+                blk[0] = rng.randrange(-128, 128)
+        dw, dh, nc, px = jpeg_decode_baseline(
+            jpeg_encode_baseline(comps, w, h, qtab)
+        )
+        assert (dw, dh, nc) == (w, h, 3)
+        mcux = (w + 7) // 8
+        for ci in range(3):
+            for bi, blk in enumerate(comps[ci]):
+                ref = _idct8x8([v * qtab[i] for i, v in enumerate(blk)])
+                by, bx = divmod(bi, mcux)
+                for yy in range(min(8, h - by * 8)):
+                    for xx in range(min(8, w - bx * 8)):
+                        assert (
+                            px[((by * 8 + yy) * w + bx * 8 + xx) * 3 + ci]
+                            == ref[yy * 8 + xx]
+                        )
