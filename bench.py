@@ -151,6 +151,32 @@ def main() -> int:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
+    # Cold (reuseIndex off) twins for the PQ family (VERDICT r5 item 9 /
+    # ADVICE r5): with reuse on, per-query PQ numbers are execution-order
+    # dependent (the shared index is built once and every later PQ query
+    # rides it), so round-over-round diffs of the warm numbers conflate
+    # methodology with kernels. Record BOTH: `queries` stays the warm
+    # production framing, `pq_cold_queries` times each PQ query with a
+    # per-query index rebuild.
+    PQ_FAMILY = [
+        "llm_embed_pq", "llm_sim_knn_pq_adc",
+        "llm_sim_knn_ivf_pq", "llm_sim_knn_ivf_pq_rerank",
+    ]
+    pq_cold: dict[str, float] = {}
+    for name in [q for q in PQ_FAMILY if q in names]:
+        spark.conf.set("spark.hdfs_mr.pq.reuseIndex", "false")
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        pq_cold[name] = min(runs)
+        print(f"bench: {name} cold {runs} -> {pq_cold[name]}s",
+              file=sys.stderr, flush=True)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+    spark.conf.set("spark.hdfs_mr.pq.reuseIndex", "true")
+
     total = round(sum(timings.values()), 3)
     record = {
         "metric": "full_registry_wall" if args.full else "headline_suite_wall",
@@ -160,6 +186,8 @@ def main() -> int:
         "sf": sf,
         "runs_per_query": 2,
         "agg": "min",
+        "pq_reuse_index": True,
+        "pq_cold_queries": pq_cold,
     }
     line = json.dumps(record)
     print(line)

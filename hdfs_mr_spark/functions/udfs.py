@@ -664,9 +664,17 @@ def llm_multimodal_pixels_jpeg(spark, sf_dir):
             state = {"pos": scan_pos, "acc": 0, "n": 0}
 
             def read(n):
+                # mirrors media._JpegBitReader: bounds + stuffing checks
+                # so corrupt payloads fail loudly, not decode garbage
                 while state["n"] < n:
+                    if state["pos"] >= len(b):
+                        raise ValueError("unexpected EOF inside scan")
                     byte = b[state["pos"]]
                     if byte == 0xFF:
+                        if state["pos"] + 1 >= len(b):
+                            raise ValueError("unexpected EOF after FF")
+                        if b[state["pos"] + 1] != 0x00:
+                            raise ValueError("marker inside scan")
                         state["pos"] += 2  # FF00 stuffing
                     else:
                         state["pos"] += 1
@@ -1713,9 +1721,20 @@ def llm_multimodal_pixels_jpeg_color(spark, sf_dir):
             state = {"pos": scan_pos, "acc": 0, "n": 0}
 
             def read(n):
+                # mirrors media._JpegBitReader: bounds + stuffing checks
+                # so corrupt payloads fail loudly, not decode garbage
                 while state["n"] < n:
+                    if state["pos"] >= len(b):
+                        raise ValueError("unexpected EOF inside scan")
                     byte = b[state["pos"]]
-                    state["pos"] += 2 if byte == 0xFF else 1
+                    if byte == 0xFF:
+                        if state["pos"] + 1 >= len(b):
+                            raise ValueError("unexpected EOF after FF")
+                        if b[state["pos"] + 1] != 0x00:
+                            raise ValueError("marker inside scan")
+                        state["pos"] += 2  # FF00 stuffing
+                    else:
+                        state["pos"] += 1
                     state["acc"] = (state["acc"] << 8) | byte
                     state["n"] += 8
                 state["n"] -= n
@@ -2180,9 +2199,20 @@ def _mixed_phash_frame(spark):
             state = {"pos": scan_pos, "acc": 0, "n": 0}
 
             def read(n):
+                # mirrors media._JpegBitReader: bounds + stuffing checks
+                # so corrupt payloads fail loudly, not decode garbage
                 while state["n"] < n:
+                    if state["pos"] >= len(b):
+                        raise ValueError("unexpected EOF inside scan")
                     byte = b[state["pos"]]
-                    state["pos"] += 2 if byte == 0xFF else 1
+                    if byte == 0xFF:
+                        if state["pos"] + 1 >= len(b):
+                            raise ValueError("unexpected EOF after FF")
+                        if b[state["pos"] + 1] != 0x00:
+                            raise ValueError("marker inside scan")
+                        state["pos"] += 2  # FF00 stuffing
+                    else:
+                        state["pos"] += 1
                     state["acc"] = (state["acc"] << 8) | byte
                     state["n"] += 8
                 state["n"] -= n

@@ -466,7 +466,8 @@ _SALT_BUCKETS = 16
 
 def skew_profiled_join(fact, dim, fact_key: str, dim_key: str, salt_cols,
                        skew_threshold: float = 4.0,
-                       salt_buckets: int | None = None):
+                       salt_buckets: int | None = None,
+                       profile: tuple[int, int, int] | None = None):
     """Statistics-driven join strategy (VERDICT r4 item 7) — the
     end-to-end "plan from statistics" story: run dq_key_skew_profile's
     statistic over the fact side's join key (ONE combiner-shape
@@ -488,28 +489,37 @@ def skew_profiled_join(fact, dim, fact_key: str, dim_key: str, salt_cols,
 
     Returns (joined DataFrame, strategy) with strategy in
     {"plain", "salted"} so plan tests can assert the switch fired.
-    At 100 TB the profile runs on a sample or is read from table
-    statistics; the decision logic is the same."""
+
+    CONTRACT (ADVICE r5): unless ``profile=(n, n_keys, max_count)`` is
+    supplied, the profiling aggregate runs EAGERLY at call time (a full
+    fact-side scan) — plan-only callers (EXPLAIN, plan gates) should
+    pass a precomputed profile (e.g. from dq_key_skew_profile's stored
+    output). At 100 TB the profile runs on a sample or is read from
+    table statistics; the decision logic is the same."""
     spark = fact.sparkSession
-    prof = (
-        fact.groupBy(fact_key)
-        .agg(F.count("*").alias("c"))
-        .agg(
-            F.sum("c").alias("n"),
-            F.count("*").alias("n_keys"),
-            F.max("c").alias("mx"),
+    if profile is None:
+        prof = (
+            fact.groupBy(fact_key)
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.sum("c").alias("n"),
+                F.count("*").alias("n_keys"),
+                F.max("c").alias("mx"),
+            )
+            .first()
         )
-        .first()
-    )
-    n, n_keys, mx = prof["n"] or 0, prof["n_keys"] or 0, prof["mx"] or 0
+        profile = (prof["n"] or 0, prof["n_keys"] or 0, prof["mx"] or 0)
+    n, n_keys, mx = profile
     parallelism = spark.sparkContext.defaultParallelism
     skew_ratio = (mx * n_keys / n) if n else 0.0
     if n_keys >= parallelism and skew_ratio <= skew_threshold:
         # shuffle_hash hint, not broadcast: the switch demonstrates the
         # shuffled strategies; broadcast is a size decision made earlier
+        # resolve keys against their own side: F.col() raises an
+        # ambiguity error whenever fact and dim share either key name
         return (
             fact.join(
-                dim.hint("shuffle_hash"), F.col(fact_key) == F.col(dim_key)
+                dim.hint("shuffle_hash"), fact[fact_key] == dim[dim_key]
             ),
             "plain",
         )
@@ -525,7 +535,7 @@ def skew_profiled_join(fact, dim, fact_key: str, dim_key: str, salt_cols,
     return (
         salted_fact.join(
             salted_dim.hint("shuffle_hash"),
-            (F.col(fact_key) == F.col(dim_key))
+            (salted_fact[fact_key] == salted_dim[dim_key])
             & (salted_fact["__skew_salt"] == salted_dim["__skew_salt"]),
         ).drop("__skew_salt"),
         "salted",

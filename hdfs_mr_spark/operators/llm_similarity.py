@@ -439,7 +439,15 @@ def llm_sim_knn_ivf_stored(spark, sf_dir):
     cell IN (...) so Catalyst prunes to the probed directories —
     `PartitionFilters` in the plan, gated by tests/test_plans.py. The
     exact cosine top-5 then touches only O(nprobe * n/cells) rows per
-    query straight off disk, never scanning the other cells' files."""
+    query straight off disk, never scanning the other cells' files.
+
+    The build is ATOMIC (ADVICE r5): corpus + centroids are written
+    into a pid-suffixed temp dir and os.rename'd into place as one
+    unit, so concurrent sessions sharing the fingerprinted fixture
+    dir (parallel pytest workers) either see the complete store or no
+    store — never a half-overwritten corpus under a reader."""
+    import os
+
     from hdfs_mr_spark.sources.scans import _fixture_dir
 
     e = table(spark, sf_dir, "embeddings")
@@ -471,9 +479,24 @@ def llm_sim_knn_ivf_stored(spark, sf_dir):
             .filter(F.col("rk") == 1)
             .select("vec_id", "embedding", "nrm", F.col("cid").alias("cell"))
         )
-        assigned.write.mode("overwrite").partitionBy("cell").parquet(corpus_path)
-        c.write.mode("overwrite").parquet(cent_path)
-        (store / "_built").touch()
+        import shutil
+
+        if store.exists():  # torn remains of a pre-atomic build
+            shutil.rmtree(store, ignore_errors=True)
+        tmp = store.parent / f"{store.name}.tmp.{os.getpid()}"
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            str(tmp / "corpus")
+        )
+        c.write.mode("overwrite").parquet(str(tmp / "centroids"))
+        (tmp / "_built").touch()
+        try:
+            os.rename(tmp, store)  # atomic publish: all-or-nothing
+        except OSError:
+            # another session won the race; ours is redundant — discard
+            # it and read theirs (which carries its own _built marker)
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (store / "_built").exists():
+                raise
     cent = F.broadcast(spark.read.parquet(cent_path))
     q = n.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
@@ -1489,18 +1512,27 @@ _LSH_TABLES = 8  # OR-amplification width; disjoint sign-bit sets per table
     "llm_sim_knn_lsh_multitable",
     oracle=f"""
 WITH {_SQL_ANN_PARAMS},
+lp AS (
+  SELECT GREATEST(1, LEAST({_LSH_TABLES},
+           (SELECT MIN(len(embedding)) FROM embeddings) // bits)) AS ntab,
+         bits
+  FROM p
+),
 n AS (
   SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS nrm,
-         list_transform(range(0, {_LSH_TABLES}),
+         list_transform(range(0, ntab),
            t -> list_reduce(list_prepend(0, list_transform(range(1, bits + 1),
              i -> CASE WHEN CAST(embedding[t * bits + i] AS DOUBLE) >= 0.0
                        THEN CAST(2 ** (i - 1) AS INTEGER) ELSE 0 END)),
              (a, x) -> a + x)) AS buckets
-  FROM embeddings CROSS JOIN p
+  FROM embeddings CROSS JOIN lp
 ),
 nb AS (
-  SELECT vec_id, embedding, nrm, r.t AS tbl, buckets[r.t + 1] AS bucket
-  FROM n, range(0, {_LSH_TABLES}) r(t)
+  -- range() can't take a lateral column parameter in DuckDB: enumerate
+  -- the max table count and filter to the dim-derived ntab
+  SELECT n.vec_id, n.embedding, n.nrm, r.t AS tbl, buckets[r.t + 1] AS bucket
+  FROM n CROSS JOIN lp, range(0, {_LSH_TABLES}) r(t)
+  WHERE r.t < lp.ntab
 ),
 q AS (
   SELECT vec_id AS qid, embedding AS qe, nrm AS qn, tbl, bucket
@@ -1547,11 +1579,24 @@ def llm_sim_knn_lsh_multitable(spark, sf_dir):
     expensive cosine (candidate volume ~L*n/2^bits pre-distinct), and
     the exact top-5 is a qid window. At scale L multiplies index size
     and candidate cost linearly — the docstring trade IVF still wins
-    on this corpus (0.98), which stays the production recommendation."""
+    on this corpus (0.98), which stays the production recommendation.
+
+    Table count is derived from the embedding dimension, L =
+    clamp(dim // bits, 1, 8), in BOTH engines (ADVICE r5): the tables
+    key on disjoint dim slices t*bits+1..t*bits+bits, and a fixed L=8
+    with bits scaling to 12 via _ann_params would read past dim 64 for
+    n >= ~32k — element_at past the end is NULL -> bit 0, silently
+    collapsing those tables into one corpus-sized bucket (a near
+    all-pairs candidate join exactly at the scale the operator exists
+    to serve)."""
     e = table(spark, sf_dir, "embeddings")
-    _, _, bits = _ann_params(e.count())
+    stats = e.agg(
+        F.count("*").alias("n"), F.min(F.size("embedding")).alias("dim")
+    ).first()
+    _, _, bits = _ann_params(stats["n"])
+    ntab = max(1, min(_LSH_TABLES, stats["dim"] // bits))
     buckets = F.expr(
-        f"transform(sequence(0, {_LSH_TABLES - 1}), t -> "
+        f"transform(sequence(0, {ntab - 1}), t -> "
         f"aggregate(transform(sequence(1, {bits}), "
         "i -> IF(cast(element_at(embedding, t * "
         f"{bits} + i) as double) >= 0.0d, shiftleft(1, i - 1), 0)), "

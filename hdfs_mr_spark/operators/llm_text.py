@@ -1871,25 +1871,31 @@ def llm_quality_ensemble(spark, sf_dir):
     length band, duplicate-trigram fraction), the combined keep bit, and
     `first_fail` = the first rule in pipeline order that killed it (NULL
     if kept), which is what makes filter-funnel dashboards and rule
-    ablations possible downstream. Single pass, all JVM expressions —
-    features come from one projection (no joins, no shuffle except the
-    presentation sort); the decision stays replayable because every
-    threshold is in the output schema, not hidden in code."""
-    d = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    ablations possible downstream. All JVM expressions; the token array
+    is bound as a materialized column BEFORE the shingle lambda (PERF.md
+    §2b — `element_at(split(text), i)` inside transform re-runs the full
+    split per shingle index, measured ~8x on this query at sf0.1); the
+    decision stays replayable because every threshold is in the output
+    schema, not hidden in code."""
+    d = fan_out(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars", F.split("text", " ").alias("toks")
+        )
+    ).localCheckpoint()
+    toks = F.col("toks")
     n_tok = F.size(toks)
     mean_wl = F.expr(
-        "aggregate(transform(split(text, ' '), w -> length(w)),"
+        "aggregate(transform(toks, w -> length(w)),"
         " CAST(0 AS BIGINT), (a, x) -> a + x)"
     ).cast("double") / n_tok.cast("double")
     n_tri = F.greatest(n_tok - 2, F.lit(0))
     n_dist_tri = F.size(
         F.array_distinct(
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
-                " i -> concat_ws(' ', element_at(split(text, ' '), i),"
-                " element_at(split(text, ' '), i+1),"
-                " element_at(split(text, ' '), i+2)))"
+                "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+                " i -> concat_ws(' ', element_at(toks, i),"
+                " element_at(toks, i+1),"
+                " element_at(toks, i+2)))"
             )
         )
     )
@@ -1956,18 +1962,26 @@ def llm_ngram_novelty(spark, sf_dir):
     (the first-occurrence table is corpus-sized — the same
     never-broadcast rule as tf-idf's df table) and a per-doc conditional
     aggregate. No windows, no global sort beyond presentation; both
-    shuffles key on the trigram."""
+    shuffles key on the trigram. The token array is bound as a
+    materialized column before the shingle lambda (PERF.md §2b — the
+    nested `element_at(split(text), i)` form re-runs the split per
+    shingle index, ~8x on this query at sf0.1); tri is checkpointed
+    because both the first-seen aggregate and the join probe consume
+    it."""
     d = table(spark, sf_dir, "documents")
-    tri = d.select(
+    toks = fan_out(
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+    ).localCheckpoint()
+    tri = toks.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    "IF(size(split(text, ' ')) >= 3,"
-                    " transform(sequence(1, size(split(text, ' ')) - 2),"
-                    "  i -> concat_ws(' ', element_at(split(text, ' '), i),"
-                    "  element_at(split(text, ' '), i+1),"
-                    "  element_at(split(text, ' '), i+2))),"
+                    "IF(size(toks) >= 3,"
+                    " transform(sequence(1, size(toks) - 2),"
+                    "  i -> concat_ws(' ', element_at(toks, i),"
+                    "  element_at(toks, i+1),"
+                    "  element_at(toks, i+2))),"
                     " array())"
                 )
             )

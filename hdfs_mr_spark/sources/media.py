@@ -510,8 +510,14 @@ class _JpegBitReader:
         self.b, self.pos, self.acc, self.n = b, pos, 0, 0
 
     def _fill(self) -> None:
+        # bounds-check first (ADVICE r5): a truncated scan must raise
+        # the decoder's ValueError contract, not a bare IndexError
+        if self.pos >= len(self.b):
+            raise ValueError("unexpected EOF inside entropy-coded scan")
         byte = self.b[self.pos]
         if byte == 0xFF:
+            if self.pos + 1 >= len(self.b):
+                raise ValueError("unexpected EOF after FF inside scan")
             if self.b[self.pos + 1] != 0x00:
                 raise ValueError(
                     f"marker FF{self.b[self.pos + 1]:02X} inside scan"

@@ -1010,14 +1010,18 @@ ORDER BY o_orderkey
 def fn_xml(spark, sf_dir):
     """XML scalar functions (Spark 4 from_xml + xpath family) — the
     semi-structured parse surface next to fn_json: each order row is
-    serialized to an XML fragment, then parsed BACK two independent
-    ways — from_xml with an explicit struct schema (key, cents) and
-    xpath_string (priority) — so the test covers both the
-    schema-driven and the query-driven API. The DuckDB oracle extracts
-    the same fields with regexes from the identically-constructed
-    string: three implementations of the same parse, any tag-handling
-    bug in one mismatches. Values stay integer/string (cents for
-    money) so no float formatting enters the XML.
+    serialized to an XML fragment, then parsed BACK with from_xml
+    using an explicit struct schema (key, priority, cents); every 20th
+    row additionally sources the priority from xpath_string so the
+    query-driven API stays in the hashed output as a cross-check
+    against the schema-driven parse (a disagreement mismatches the
+    regex oracle on those rows). One JVM XML parse per row plus a 5%
+    xpath slice — the earlier form parsed every row TWICE (from_xml +
+    xpath), the registry's slowest query at 16 s/sf0.1 for pure
+    cross-check redundancy (VERDICT r5 item 5). The DuckDB oracle
+    extracts the same fields with regexes from the
+    identically-constructed string. Values stay integer/string (cents
+    for money) so no float formatting enters the XML.
 
     Scale: pure per-row projections — codegen'd concat, one JVM XML
     parse per row, no shuffle except the presentation sort."""
@@ -1032,12 +1036,17 @@ def fn_xml(spark, sf_dir):
     x = o.select("o_orderkey", doc.alias("doc"))
     parsed = x.select(
         "o_orderkey",
-        F.from_xml("doc", "k BIGINT, t BIGINT").alias("p"),
-        F.xpath_string("doc", F.lit("/o/p")).alias("xml_priority"),
+        "doc",
+        F.from_xml("doc", "k BIGINT, p STRING, t BIGINT").alias("p"),
     )
     return parsed.select(
         "o_orderkey",
         F.col("p.k").alias("xml_key"),
-        "xml_priority",
+        # conditional branch evaluates lazily per row: xpath runs on the
+        # 5% slice only, yet lands in the value hash for those rows
+        F.when(
+            F.col("o_orderkey") % 20 == 0,
+            F.xpath_string("doc", F.lit("/o/p")),
+        ).otherwise(F.col("p.p")).alias("xml_priority"),
         F.col("p.t").alias("xml_cents"),
     ).orderBy("o_orderkey")

@@ -172,13 +172,12 @@ def test_full_registry_bench_artifact():
     set are diffable round-over-round — and no single query may exceed
     an absolute wall cap at sf0.1 (a quadratic blowup concentrates in
     one query's time)."""
-    files = sorted(
-        REPO.glob("BENCH_r*_full.json"),
-        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
-    )
-    if not files:
+    from hdfs_mr_spark.lockstep import latest_full_bench
+
+    fb = latest_full_bench(REPO)
+    if fb is None:
         pytest.skip("no BENCH_r*_full.json recorded yet")
-    data = json.loads(files[-1].read_text())
+    _, data = fb
     assert data.get("runs_per_query", 1) >= 2
     from hdfs_mr_spark.registry import all_specs
 
