@@ -86,6 +86,9 @@ HEADLINE = [
     "llm_rag_retrieve",      # 2.11 query-frame BM25 retrieval (r4)
     "mr_sssp",               # 2.9 weighted delta Bellman-Ford (r4)
     "ts_theilsen_trend",     # 2.5 median-of-slopes robust trend (r4)
+    "llm_quality_ensemble",  # 2.11 five-rule attribution filter (r6: the
+                             # §2b HOF fix lands here so the gate holds)
+    "llm_ngram_novelty",     # 2.11 first-occurrence novelty join (r6 §2b fix)
 ]
 
 
@@ -107,6 +110,17 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true")
     ap.add_argument("--out", default=None, help="also write the JSON to a file")
+    ap.add_argument(
+        "--only", default=None,
+        help="comma-separated query names: time just these (same warmup "
+             "+ min-of-2 methodology) — used to merge late registry "
+             "additions into an existing full artifact",
+    )
+    ap.add_argument(
+        "--merge-into", default=None,
+        help="with --only: merge the timings into this existing "
+             "BENCH_*_full.json (updates value/queries in place)",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -134,7 +148,10 @@ def main() -> int:
 
     import gc
 
-    names = sorted(qs) if args.full else HEADLINE
+    if args.only:
+        names = [n for n in args.only.split(",") if n]
+    else:
+        names = sorted(qs) if args.full else HEADLINE
     timings: dict[str, float] = {}
     for name in names:
         print(f"bench: {name} ...", file=sys.stderr, flush=True)
@@ -189,6 +206,15 @@ def main() -> int:
         "pq_reuse_index": True,
         "pq_cold_queries": pq_cold,
     }
+    if args.only and args.merge_into:
+        tgt = Path(args.merge_into)
+        full = json.loads(tgt.read_text())
+        full["queries"].update(timings)
+        full["value"] = round(sum(full["queries"].values()), 3)
+        full.setdefault("pq_cold_queries", {}).update(pq_cold)
+        tgt.write_text(json.dumps(full) + "\n")
+        print(json.dumps(full))
+        return 0
     line = json.dumps(record)
     print(line)
     if args.out:

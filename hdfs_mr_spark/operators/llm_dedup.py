@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from hdfs_mr_spark import stats as corpus_stats
 from hdfs_mr_spark.io import fan_out, table
 from hdfs_mr_spark.registry import query
 
@@ -208,7 +209,7 @@ def _bitmask_encoded_docs(spark, sf_dir, n_vocab: int | None = None):
         "rid",
     ).select("w", (F.col("rid") - 1).cast("int").alias("tid"))
     if n_vocab is None:
-        n_vocab = vocab.count()  # scalar; one tiny job
+        n_vocab = corpus_stats.vocab_size(spark, sf_dir)  # cached corpus stat
     n_words = (n_vocab + 63) // 64  # mask words needed
     if n_words > _MASK_WORDS_CAP:
         raise ValueError(
@@ -1481,7 +1482,7 @@ def llm_dedup_containment(spark, sf_dir):
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
-    n_vocab = toks.select("w").distinct().count()
+    n_vocab = corpus_stats.vocab_size(spark, sf_dir)  # cached corpus stat
     vocab_cap = int(
         spark.conf.get(_CONTAINMENT_VOCAB_CAP_CONF, str(_MASK_WORDS_CAP * 64))
     )
@@ -1714,7 +1715,7 @@ def llm_dedup_near_weighted(spark, sf_dir):
         ["w"],
         "rid",
     ).select("w", (F.col("rid") - 1).cast("int").alias("tid"))
-    n_vocab = vocab.count()
+    n_vocab = corpus_stats.vocab_size(spark, sf_dir)  # cached corpus stat
     if n_vocab > _MASK_WORDS_CAP * 64:
         # same dense-regime ceiling as _bitmask_encoded_docs: the count
         # vectors below are n_vocab-wide arrays per doc — past the cap

@@ -541,6 +541,125 @@ def llm_sim_knn_ivf_stored(spark, sf_dir):
     )
 
 
+@query("llm_sim_knn_ivf_delta", oracle=_IVF_ORACLE, family=_FAM)
+def llm_sim_knn_ivf_delta(spark, sf_dir):
+    """INCREMENTAL maintenance of the persisted IVF index (VERDICT r5
+    item 4 — the 100 TB story for a corpus that grows daily): the base
+    index is built from the first ~7/8 of the corpus and published
+    atomically (partitioned-by-cell corpus + centroid table, exactly
+    llm_sim_knn_ivf_stored's layout); the remaining vectors arrive as
+    an INSERT DELTA and are absorbed by assigning them against the
+    EXISTING broadcast centroids and APPENDING to the corpus — a
+    dynamic-partition append that writes only the cell partitions the
+    delta's vectors land in, never rewriting base data (the
+    etl_view_maintenance delta-merge discipline applied to index
+    state). Centroids are fixed at build time (the standard IVF
+    insert path — re-clustering is a rebuild, drift is monitored, see
+    llm_ann_recall_audit), and since assignment depends only on the
+    centroids, base+delta produces the BIT-IDENTICAL index a full
+    one-shot build would: the query — the same partition-pruned probe
+    as the stored twin — hash-matches the full-corpus _IVF_ORACLE,
+    which IS the self-audit vs the full rebuild. A cell-set audit in
+    tests/ verifies the absorb touched only the delta's partitions."""
+    import os
+    import shutil
+
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    e = table(spark, sf_dir, "embeddings")
+    n_total = e.count()
+    cells, nprobe, _ = _ann_params(n_total)
+    n_base = max(cells, n_total - n_total // 8)
+    store = _fixture_dir(sf_dir) / "ivf_store_delta"
+    corpus_path, cent_path = str(store / "corpus"), str(store / "centroids")
+    n = e.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    c = n.filter(F.col("vec_id") < cells).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+
+    def _assign(vectors):
+        ccos = vectors.join(F.broadcast(c)).select(
+            "vec_id", "embedding", "nrm", "cid",
+            (_dot(F.col("embedding"), F.col("ce"))
+             / (F.col("nrm") * F.col("cn"))).alias("ccos"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("ccos").desc(), F.col("cid").asc()
+        )
+        return (
+            ccos.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "embedding", "nrm", F.col("cid").alias("cell"))
+        )
+
+    if not (store / "_built_base").exists():
+        if store.exists():
+            shutil.rmtree(store, ignore_errors=True)
+        tmp = store.parent / f"{store.name}.tmp.{os.getpid()}"
+        _assign(n.filter(F.col("vec_id") < n_base)).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(str(tmp / "corpus"))
+        c.write.mode("overwrite").parquet(str(tmp / "centroids"))
+        (tmp / "_built_base").touch()
+        try:
+            os.rename(tmp, store)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (store / "_built_base").exists():
+                raise
+    if not (store / "_delta_done").exists():
+        # the incremental path: append-only, touches ONLY the cell
+        # partitions present in the delta's assignment
+        _assign(n.filter(F.col("vec_id") >= n_base)).write.mode(
+            "append"
+        ).partitionBy("cell").parquet(corpus_path)
+        (store / "_delta_done").touch()
+    cent = F.broadcast(spark.read.parquet(cent_path))
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("qcos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.join(cent)
+        .select(
+            "qid", "qe", "qn", "cid",
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("qcos"),
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= nprobe)
+        .select("qid", "qe", "qn", F.col("cid").alias("cell"))
+    )
+    probe_cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    corpus = spark.read.parquet(corpus_path).where(
+        F.col("cell").isin([int(x) for x in probe_cells])
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            (_dot(F.col("qe"), F.col("embedding"))
+             / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("qid", "rank")
+    )
+
+
 @query(
     "llm_sim_knn_lsh",
     oracle=f"""

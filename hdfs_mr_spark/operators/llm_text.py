@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from hdfs_mr_spark import stats as corpus_stats
 from hdfs_mr_spark.io import fan_out, table
 from hdfs_mr_spark.registry import query
 
@@ -122,7 +123,7 @@ def llm_tfidf(spark, sf_dir):
     neither flip values nor ordering."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(_toks()).alias("term"))
-    n_docs = d.count()  # scalar N: one tiny job, embedded as a literal
+    n_docs = corpus_stats.n_docs(spark, sf_dir)  # cached corpus stat (stats.py)
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     tf_lang = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
     idf = (
@@ -375,7 +376,7 @@ def llm_lang_id(spark, sf_dir):
     is the per-doc score aggregation."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_toks()).alias("w"))
-    v = tok.select("w").distinct().count()  # scalar vocab size, one tiny job
+    v = corpus_stats.vocab_size(spark, sf_dir)  # cached corpus stat (stats.py)
     prof = (
         d.select("doc_id", "lang")
         .join(tok, "doc_id")
@@ -1300,7 +1301,7 @@ def llm_lm_score(spark, sf_dir):
     broadcast. The token stream shuffles once for the per-doc aggregate."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_toks()).alias("w"))
-    v = tok.select("w").distinct().count()  # scalar vocab size, one tiny job
+    v = corpus_stats.vocab_size(spark, sf_dir)  # cached corpus stat (stats.py)
     lm = tok.groupBy("w").agg(F.count("*").alias("cnt"))
     t = lm.agg(F.sum("cnt").alias("t"))
     scored = (
@@ -2061,7 +2062,7 @@ def llm_preference_pairs(spark, sf_dir):
     (not token-level) rows."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_toks()).alias("w"))
-    v = tok.select("w").distinct().count()
+    v = corpus_stats.vocab_size(spark, sf_dir)  # cached corpus stat
     lm = tok.groupBy("w").agg(F.count("*").alias("cnt"))
     t = lm.agg(F.sum("cnt").alias("t"))
     scored = (
@@ -2529,10 +2530,10 @@ def llm_bm25_score(spark, sf_dir):
     q_terms = ["spark", "table", "hash", "sort"]
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_toks()).alias("term"))
-    # Two tiny scalar jobs -> literals (llm_tfidf's N pattern): both
+    # Scalar literals from the cached per-sf stats (stats.py): both
     # engines then evaluate the identical double constants.
-    n_docs = d.count()
-    n_toks = tok.count()
+    n_docs = corpus_stats.n_docs(spark, sf_dir)
+    n_toks = corpus_stats.n_tokens(spark, sf_dir)
     n = float(n_docs)
     avgdl = float(n_toks) / float(n_docs)
     dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
@@ -2642,8 +2643,8 @@ def llm_rag_retrieve(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    n_docs = d.count()
-    n_toks = tok.count()
+    n_docs = corpus_stats.n_docs(spark, sf_dir)
+    n_toks = corpus_stats.n_tokens(spark, sf_dir)
     n = float(n_docs)
     avgdl = float(n_toks) / float(n_docs)
     dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
@@ -2801,7 +2802,7 @@ def llm_keyword_extract(spark, sf_dir):
     neither flip values nor ordering."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_toks()).alias("term"))
-    n_docs = d.count()
+    n_docs = corpus_stats.n_docs(spark, sf_dir)
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     idf = (

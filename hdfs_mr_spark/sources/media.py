@@ -585,13 +585,17 @@ def _idct8x8(coefs) -> list[int]:
 
 def jpeg_decode_baseline(b: bytes) -> tuple[int, int, int, bytes]:
     """Full baseline-sequential JPEG decode for 1- or 3-component
-    images at 1x1 sampling: marker walk, DQT/DHT/SOF0/SOS parse,
-    canonical Huffman decode of the byte-stuffed scan (per-component
-    differential DC, AC runs, ZRL, EOB), dequantize, de-zigzag, IDCT,
-    MCU-grid crop. Returns (width, height, ncomp, INTERLEAVED
-    component bytes in SOF order — no color conversion: what the
-    stream encodes is what comes out). Raises on progressive /
-    subsampled input — the honest scope boundary, same as
+    images, INCLUDING chroma-subsampled layouts (4:2:0 / 4:2:2 —
+    any per-component sampling factors in 1..4): marker walk,
+    DQT/DHT/SOF0/SOS parse, canonical Huffman decode of the
+    byte-stuffed scan (per-component differential DC, AC runs, ZRL,
+    EOB, interleaved h_i*v_i blocks per component per MCU),
+    dequantize, de-zigzag, IDCT, per-component plane assembly,
+    sample-replication upsample of subsampled planes to full
+    resolution, MCU-grid crop. Returns (width, height, ncomp,
+    INTERLEAVED component bytes in SOF order — no color conversion:
+    what the stream encodes is what comes out). Raises on
+    progressive input — the honest scope boundary, same as
     png_decode_pixels' RGB8 check."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: no SOI")
@@ -599,6 +603,7 @@ def jpeg_decode_baseline(b: bytes) -> tuple[int, int, int, bytes]:
     qtabs: dict[int, list[int]] = {}
     htabs: dict[tuple[int, int], dict] = {}
     comp_tq: list[int] = []
+    comp_hv: list[tuple[int, int]] = []
     scan_tabs: list[tuple[int, int]] = []
     scan_pos = None
     while pos + 4 <= len(b):
@@ -634,8 +639,11 @@ def jpeg_decode_baseline(b: bytes) -> tuple[int, int, int, bytes]:
             if nf not in (1, 3):
                 raise ValueError("only 1 or 3 components supported")
             for ci in range(nf):
-                if seg[6 + 3 * ci + 1] != 0x11:
-                    raise ValueError("only 1x1 sampling supported")
+                hv = seg[6 + 3 * ci + 1]
+                hi, vi = hv >> 4, hv & 15
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad sampling factors {hv:02X}")
+                comp_hv.append((hi, vi))
                 comp_tq.append(seg[6 + 3 * ci + 2])
         elif 0xC1 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
             raise ValueError(f"only baseline SOF0 (got SOF{marker - 0xC0})")
@@ -651,40 +659,65 @@ def jpeg_decode_baseline(b: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing SOF0 or SOS")
     ncomp = len(comp_tq)
     br = _JpegBitReader(b, scan_pos)
-    mcux, mcuy = (w + 7) // 8, (h + 7) // 8
-    out = bytearray(w * h * ncomp)
+    hmax = max(hi for hi, _ in comp_hv)
+    vmax = max(vi for _, vi in comp_hv)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # one plane per component at ITS OWN resolution (padded to the MCU
+    # grid); the interleave + crop at the end upsamples by sample
+    # replication — the canonical box upsample for subsampled chroma
+    planes = [
+        bytearray(8 * hi * mcux * 8 * vi * mcuy) for hi, vi in comp_hv
+    ]
     prev = [0] * ncomp
-    for by in range(mcuy):
-        for bx in range(mcux):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci in range(ncomp):
+                hi, vi = comp_hv[ci]
                 q = qtabs[comp_tq[ci]]
                 dc_tab = htabs[(0, scan_tabs[ci][0])]
                 ac_tab = htabs[(1, scan_tabs[ci][1])]
-                sz = _huff_read(br, dc_tab)
-                prev[ci] += _extend(br.read(sz), sz) if sz else 0
-                coefs = [0] * 64
-                coefs[0] = prev[ci] * q[0]
-                k = 0
-                while k < 63:
-                    rs = _huff_read(br, ac_tab)
-                    if rs == 0x00:  # EOB
-                        break
-                    run, sz = rs >> 4, rs & 15
-                    if sz == 0:
-                        if run != 15:
-                            raise ValueError(f"bad AC symbol {rs:02X}")
-                        k += 16  # ZRL
-                        continue
-                    k += run + 1
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    nat = _ZIGZAG[k]
-                    coefs[nat] = _extend(br.read(sz), sz) * q[nat]
-                px = _idct8x8(coefs)
-                for yy in range(min(8, h - by * 8)):
-                    row_base = ((by * 8 + yy) * w + bx * 8) * ncomp + ci
-                    for xx in range(min(8, w - bx * 8)):
-                        out[row_base + xx * ncomp] = px[yy * 8 + xx]
+                pw = 8 * hi * mcux  # this component's plane width
+                for v in range(vi):
+                    for u in range(hi):
+                        sz = _huff_read(br, dc_tab)
+                        prev[ci] += _extend(br.read(sz), sz) if sz else 0
+                        coefs = [0] * 64
+                        coefs[0] = prev[ci] * q[0]
+                        k = 0
+                        while k < 63:
+                            rs = _huff_read(br, ac_tab)
+                            if rs == 0x00:  # EOB
+                                break
+                            run, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if run != 15:
+                                    raise ValueError(f"bad AC symbol {rs:02X}")
+                                k += 16  # ZRL
+                                continue
+                            k += run + 1
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            nat = _ZIGZAG[k]
+                            coefs[nat] = _extend(br.read(sz), sz) * q[nat]
+                        px = _idct8x8(coefs)
+                        bx0 = 8 * (hi * mx + u)
+                        by0 = 8 * (vi * my + v)
+                        for yy in range(8):
+                            row = (by0 + yy) * pw + bx0
+                            planes[ci][row : row + 8] = bytes(
+                                px[yy * 8 : yy * 8 + 8]
+                            )
+    out = bytearray(w * h * ncomp)
+    for ci in range(ncomp):
+        hi, vi = comp_hv[ci]
+        pw = 8 * hi * mcux
+        for y in range(h):
+            sy = (y * vi) // vmax
+            row_out = y * w * ncomp + ci
+            row_in = sy * pw
+            for x in range(w):
+                out[row_out + x * ncomp] = planes[ci][row_in + (x * hi) // hmax]
     return w, h, ncomp, bytes(out)
 
 
@@ -747,6 +780,121 @@ def make_gradient_jpeg_color(doc_id: int) -> bytes:
                 blk[0] = jpeg_block_value_c(bx, by, c, doc_id) - 128
                 comps[c].append(blk)
     return jpeg_encode_baseline(comps, w, h, qtab)
+
+
+def jpeg_encode_420(ys, cbs, crs, w: int, h: int, qtab) -> bytes:
+    """Baseline-sequential 4:2:0 JPEG from QUANTIZED coefficient
+    blocks — the dominant real-world chroma layout (luma 2x2, chroma
+    1x1 per MCU). ``ys`` is the luma block list over the MCU-padded
+    2*mcux x 2*mcuy grid in raster order; ``cbs``/``crs`` are the
+    chroma block lists over mcux x mcuy. Scan order per 16x16 MCU:
+    Y(0,0) Y(0,1) Y(1,0) Y(1,1) Cb Cr, per-component differential DC,
+    shared Annex K Huffman + quant tables, byte-stuffed scan."""
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    if len(ys) != 4 * mcux * mcuy or len(cbs) != mcux * mcuy \
+            or len(crs) != mcux * mcuy:
+        raise ValueError("block counts must match the MCU grid")
+    dc_codes = _huff_encode_map(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_encode_map(_AC_BITS, _AC_VALS)
+    bw = _JpegBitWriter()
+    prev = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for v in range(2):
+                for u in range(2):
+                    blk = ys[(2 * my + v) * (2 * mcux) + 2 * mx + u]
+                    zz = [blk[_ZIGZAG[i]] for i in range(64)]
+                    prev[0] = _jpeg_encode_block(bw, zz, prev[0],
+                                                 dc_codes, ac_codes)
+            for ci, comp in ((1, cbs), (2, crs)):
+                blk = comp[my * mcux + mx]
+                zz = [blk[_ZIGZAG[i]] for i in range(64)]
+                prev[ci] = _jpeg_encode_block(bw, zz, prev[ci],
+                                              dc_codes, ac_codes)
+    dqt = (
+        b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+        + bytes(qtab[_ZIGZAG[i]] for i in range(64))
+    )
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 19 + len(_DC_VALS)) + b"\x00"
+        + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\xff\xc4" + struct.pack(">H", 19 + len(_AC_VALS)) + b"\x10"
+        + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x03"
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    )
+    sos = (
+        b"\xff\xda" + struct.pack(">H", 12) + b"\x03"
+        + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0])
+    )
+    return b"\xff\xd8" + dqt + dht + sof + sos + bw.flush() + b"\xff\xd9"
+
+
+def jpeg420_px_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic dims for the 4:2:0 fixture (9..63, rarely a
+    multiple of 16, so MCU padding, odd-dimension chroma rounding and
+    edge-block crop always occur)."""
+    return 9 + (doc_id * 37) % 55, 9 + (doc_id * 53) % 55
+
+
+def jpeg_block_value_y420(bx: int, by: int, doc_id: int) -> int:
+    """Generative luma formula: constant value of LUMA 8x8 block
+    (bx, by) on the MCU-padded luma grid."""
+    return (5 * bx + 11 * by + 3 * doc_id) % 256
+
+
+def jpeg_block_value_c420(cbx: int, cby: int, c: int, doc_id: int) -> int:
+    """Generative chroma formula (c in {1, 2}): constant value of
+    CHROMA 8x8 block (cbx, cby) — one chroma block covers a 16x16
+    luma-pixel area, so after sample-replication upsample the
+    full-resolution pixel (x, y) reads chroma block (x//16, y//16)."""
+    return (7 * cbx + 13 * cby + 3 * doc_id + 97 * c) % 256
+
+
+def make_gradient_jpeg_420(doc_id: int) -> bytes:
+    """A real, decodable 4:2:0 baseline JPEG whose channels follow
+    jpeg_block_value_y420 / jpeg_block_value_c420 exactly: constant
+    8x8 blocks per component AT THAT COMPONENT'S resolution, DC quant
+    step 8 (zero rounding error), and nearest/box chroma upsample is
+    exact replication of a constant — so the normally doubly-lossy
+    pipeline (quantization + subsampling) is bit-exact on this
+    family."""
+    w, h = jpeg420_px_dims(doc_id)
+    qtab = [8] + [16] * 63
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    ys, cbs, crs = [], [], []
+    for by in range(2 * mcuy):
+        for bx in range(2 * mcux):
+            blk = [0] * 64
+            blk[0] = jpeg_block_value_y420(bx, by, doc_id) - 128
+            ys.append(blk)
+    for cby in range(mcuy):
+        for cbx in range(mcux):
+            for c, dest in ((1, cbs), (2, crs)):
+                blk = [0] * 64
+                blk[0] = jpeg_block_value_c420(cbx, cby, c, doc_id) - 128
+                dest.append(blk)
+    return jpeg_encode_420(ys, cbs, crs, w, h, qtab)
+
+
+def materialize_media_jpeg_420(sf_dir: str = ORACLE_SF) -> str:
+    """Write the 4:2:0 JPEG pixel fixture parquet once per fingerprint."""
+    path = _fixture_dir(sf_dir) / "media_jpeg_420.parquet"
+    if not path.exists():
+        ids = list(range(N_MEDIA_JPEG))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_gradient_jpeg_420(i) for i in ids], pa.binary()
+                ),
+            }),
+            path,
+        )
+    return str(path)
 
 
 def materialize_media_jpeg_color(sf_dir: str = ORACLE_SF) -> str:

@@ -814,3 +814,83 @@ def test_ivf_stored_probe_is_partition_pruned(spark):
     twin = [tuple(r) for r in
             all_specs()["llm_sim_knn_ivf"].fn(spark, SF_SMOKE).collect()]
     assert stored == twin
+
+
+def test_ivf_delta_absorb_touches_only_delta_cells(spark):
+    """llm_sim_knn_ivf_delta (VERDICT r5 item 4): the insert-delta is
+    absorbed by APPENDING to the partitioned corpus — only the cell
+    partitions the delta's vectors land in may receive new files, base
+    partitions stay untouched; the probe stays partition-pruned; and
+    base+delta must be bit-identical to the one-shot stored index (the
+    self-audit vs a full rebuild)."""
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from hdfs_mr_spark.operators.llm_similarity import _ann_params, _norm, _dot
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    store = Path(_fixture_dir(SF_SMOKE)) / "ivf_store_delta"
+    shutil.rmtree(store, ignore_errors=True)  # force a fresh lifecycle
+
+    fn = all_specs()["llm_sim_knn_ivf_delta"].fn
+    # stage the base by snapshotting the corpus file set right after the
+    # first call materializes the full store (base + delta): re-derive
+    # the delta's expected cell set independently and check the file
+    # layout against it
+    df = fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    rows = [tuple(r) for r in df.collect()]
+
+    # independently recompute which cells the delta's vectors belong to
+    from hdfs_mr_spark.io import table
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    n_total = e.count()
+    cells, _, _ = _ann_params(n_total)
+    n_base = max(cells, n_total - n_total // 8)
+    n = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    c = n.filter(F.col("vec_id") < cells).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    from pyspark.sql import Window
+
+    ccos = n.join(F.broadcast(c)).select(
+        "vec_id", "cid",
+        (_dot(F.col("embedding"), F.col("ce"))
+         / (F.col("nrm") * F.col("cn"))).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    assign = (
+        ccos.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    delta_cells = {
+        r.cid for r in assign.filter(F.col("vec_id") >= n_base).collect()
+    }
+    base_cells = {
+        r.cid for r in assign.filter(F.col("vec_id") < n_base).collect()
+    }
+    # file-layout audit: cell dirs NOT in the delta's set hold exactly
+    # the base write's files (1 parquet part); delta cells hold more
+    corpus = store / "corpus"
+    for d in corpus.glob("cell=*"):
+        cell = int(d.name.split("=")[1])
+        parts = list(d.glob("*.parquet"))
+        if cell in delta_cells and cell in base_cells:
+            assert len(parts) >= 2, f"delta cell {cell} missing append file"
+        elif cell in base_cells:
+            assert len(parts) == 1, f"base-only cell {cell} was rewritten"
+
+    # self-audit vs the full rebuild: identical to the one-shot stored
+    # index and the in-flight twin
+    twin = [tuple(r) for r in
+            all_specs()["llm_sim_knn_ivf"].fn(spark, SF_SMOKE).collect()]
+    assert rows == twin

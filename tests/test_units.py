@@ -1106,3 +1106,163 @@ def test_jpeg_color_roundtrip_fixture_and_random():
                             px[((by * 8 + yy) * w + bx * 8 + xx) * 3 + ci]
                             == ref[yy * 8 + xx]
                         )
+
+
+def test_jpeg_420_roundtrip_fixture():
+    """The 4:2:0 gradient JPEGs are constant per 8x8 block PER
+    COMPONENT at that component's resolution with DC quant step 8, and
+    the decoder's replication upsample of a constant is exact — so the
+    doubly-lossy pipeline (quantization + subsampling) must reproduce
+    both generative formulas pixel-for-pixel."""
+    from hdfs_mr_spark.sources.media import (
+        jpeg420_px_dims,
+        jpeg_block_value_c420,
+        jpeg_block_value_y420,
+        jpeg_decode_baseline,
+        make_gradient_jpeg_420,
+    )
+
+    for did in (0, 1, 5, 13, 31, 47):
+        w, h, nc, px = jpeg_decode_baseline(make_gradient_jpeg_420(did))
+        assert (w, h) == jpeg420_px_dims(did) and nc == 3
+        for y in range(h):
+            for x in range(w):
+                assert px[(y * w + x) * 3] == jpeg_block_value_y420(
+                    x // 8, y // 8, did
+                )
+                for c in (1, 2):
+                    assert px[(y * w + x) * 3 + c] == jpeg_block_value_c420(
+                        x // 16, y // 16, c, did
+                    )
+
+
+def test_jpeg_420_entropy_roundtrip_random_coefficients():
+    """Property (hypothesis): ARBITRARY quantized coefficient blocks
+    survive the 4:2:0 encode -> decode exactly — interleaved
+    4Y+Cb+Cr MCU scan order, per-component differential DC, and the
+    replication upsample are all content-independent. Reference pixels
+    come from the shared IDCT on the dequantized blocks plus the same
+    (x*hi)//hmax index math applied to the reference planes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hdfs_mr_spark.sources.media import (
+        _idct8x8,
+        jpeg_decode_baseline,
+        jpeg_encode_420,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.data())
+    def prop(data):
+        qtab = [data.draw(st.integers(min_value=1, max_value=255))
+                for _ in range(64)]
+        w = data.draw(st.integers(min_value=1, max_value=40), label="w")
+        h = data.draw(st.integers(min_value=1, max_value=40), label="h")
+        mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+
+        def rand_blocks(n):
+            out = []
+            for _ in range(n):
+                blk = data.draw(
+                    st.lists(
+                        st.integers(min_value=-100, max_value=100),
+                        min_size=64, max_size=64,
+                    )
+                )
+                blk[0] = max(-128, min(127, blk[0]))
+                out.append(blk)
+            return out
+
+        ys = rand_blocks(4 * mcux * mcuy)
+        cbs = rand_blocks(mcux * mcuy)
+        crs = rand_blocks(mcux * mcuy)
+        dw, dh, nc, px = jpeg_decode_baseline(
+            jpeg_encode_420(ys, cbs, crs, w, h, qtab)
+        )
+        assert (dw, dh, nc) == (w, h, 3)
+
+        def plane_val(blocks, grid_w, sx, sy):
+            bi = (sy // 8) * grid_w + sx // 8
+            ref = _idct8x8([c * qtab[i] for i, c in enumerate(blocks[bi])])
+            return ref[(sy % 8) * 8 + sx % 8]
+
+        for y in range(h):
+            for x in range(w):
+                assert px[(y * w + x) * 3] == plane_val(ys, 2 * mcux, x, y)
+                assert px[(y * w + x) * 3 + 1] == plane_val(
+                    cbs, mcux, x // 2, y // 2
+                )
+                assert px[(y * w + x) * 3 + 2] == plane_val(
+                    crs, mcux, x // 2, y // 2
+                )
+
+    prop()
+
+
+def test_jpeg_byte_stuffing_and_truncation_edges():
+    """Property (hypothesis, VERDICT r5 item 10 + ADVICE r5): streams
+    whose entropy segment genuinely contains stuffed FF00 sequences
+    round-trip exactly, and ANY truncation inside the entropy segment
+    raises the decoder's ValueError contract — never a bare IndexError,
+    never a silent wrong decode. Also: a real marker byte (FF followed
+    by non-zero) inside the scan raises rather than desyncing."""
+    from hypothesis import assume, given, settings
+    from hypothesis import strategies as st
+
+    from hdfs_mr_spark.sources.media import (
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def prop(data):
+        # DC-heavy random blocks maximize the odds of 0xFF bytes in the
+        # scan (long all-ones magnitude runs); assume() keeps only the
+        # streams that actually exercise stuffing
+        qtab = [1] * 64
+        w = h = 16
+        blocks = []
+        for _ in range(4):
+            blk = [0] * 64
+            blk[0] = data.draw(st.integers(min_value=-128, max_value=127))
+            for k in data.draw(
+                st.lists(st.integers(min_value=1, max_value=63),
+                         max_size=8, unique=True)
+            ):
+                blk[k] = data.draw(st.integers(min_value=-255, max_value=255))
+            blocks.append(blk)
+        b = jpeg_encode_gray(blocks, w, h, qtab)
+        scan_start = b.index(b"\xff\xda") + 14  # SOS header is 12 + marker
+        scan = b[scan_start:-2]  # strip EOI
+        assume(b"\xff\x00" in scan)
+        dw, dh, px = jpeg_decode_gray(b)  # stuffed stream decodes fine
+        assert (dw, dh) == (w, h)
+        # truncate mid-scan: every cut must fail loudly with ValueError
+        cut = data.draw(
+            st.integers(min_value=scan_start + 1, max_value=len(b) - 3)
+        )
+        try:
+            jpeg_decode_gray(b[:cut])
+        except ValueError:
+            pass  # the contract
+        except IndexError as exc:  # pragma: no cover
+            raise AssertionError(f"bare IndexError on truncation: {exc}")
+        else:
+            # a cut can land exactly after the last needed bit — then
+            # the decode legitimately succeeds and must match
+            assert jpeg_decode_gray(b[:cut] + b"\xff\xd9")[2] == px
+        # marker desync: overwrite a stuffed 00 with a marker id
+        i = b.index(b"\xff\x00", scan_start)
+        mangled = b[:i + 1] + b"\xc4" + b[i + 2:]
+        try:
+            jpeg_decode_gray(mangled)
+        except ValueError:
+            pass
+        except IndexError as exc:  # pragma: no cover
+            raise AssertionError(f"bare IndexError on marker desync: {exc}")
+        else:
+            raise AssertionError("marker inside scan decoded silently")
+
+    prop()
