@@ -2105,6 +2105,130 @@ def llm_multimodal_pixels_jpeg_420(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+try:  # pragma: no cover — same static-path contract as _MEDIA_JPEG
+    from hdfs_mr_spark.sources.media import materialize_media_jpeg_rst
+
+    _MEDIA_JPEG_RST = materialize_media_jpeg_rst()
+except Exception as _media_jpeg_rst_exc:  # noqa: BLE001
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "restart-marker JPEG fixture materialization failed: %r",
+        _media_jpeg_rst_exc,
+    )
+    _MEDIA_JPEG_RST = "/tmp/hmr_media_jpeg_rst_unavailable.parquet"
+
+
+def _jpeg_rst_oracle_sql() -> str:
+    """llm_multimodal_pixels_jpeg_rst oracle: same generative formula
+    as the plain grayscale fixture (restart markers change the
+    bitstream layout, not the pixels) over the DRI-encoded blobs."""
+    val = "((5 * ((i % w) // 8) + 11 * ((i // w) // 8) + 3 * doc_id) % 256)"
+
+    def fold(expr: str, alias: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(0, w*h), "
+            f"i -> CAST({expr} AS BIGINT))), (a, x) -> a + x) AS {alias}"
+        )
+
+    cols = ",\n       ".join([
+        fold(val, "sum_px"),
+        fold(f"{val} * ((i % w) + 1)", "wsum_x"),
+        fold(f"{val} * ((i // w) + 1)", "wsum_y"),
+    ])
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         9 + (doc_id * 41) % 55 AS w,
+         9 + (doc_id * 59) % 55 AS h
+  FROM '{_MEDIA_JPEG_RST}'
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(1 + doc_id % 3 AS INTEGER) AS restart_interval,
+       {cols}
+FROM m
+ORDER BY doc_id
+"""
+
+
+@query(
+    "llm_multimodal_pixels_jpeg_rst",
+    oracle=_jpeg_rst_oracle_sql(),
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_pixels_jpeg_rst(spark, sf_dir):
+    """Pixel-true decode of RESTART-MARKER JPEGs (DRI/RSTn — the
+    error-resilience layout most camera and libjpeg output uses):
+    every Ri MCUs the scan byte-aligns, carries an RST marker whose
+    index must cycle 0..7 in sequence, and resets the per-component DC
+    predictors; a decoder that ignores any of the three desyncs or
+    mis-predicts every post-restart DC. The fixture re-encodes the
+    grayscale gradient family with DRI = 1 + doc_id % 3, so pixels are
+    unchanged and the same generative-formula oracle applies — the
+    output additionally carries the parsed restart_interval so the DRI
+    segment itself is hash-checked. The kernel decodes via the MODULE
+    codec (sources/media.py jpeg_decode_gray, pickled by reference
+    into the Arrow workers): the restart logic lives in ONE tested
+    implementation instead of a third inline twin, and the hypothesis
+    suite (random blocks x random DRI) covers it directly."""
+
+    def rst_batches(batches):
+        import struct
+
+        import pandas as pd
+
+        from hdfs_mr_spark.sources.media import jpeg_decode_gray
+
+        def parse_dri(b):
+            pos = 2
+            while pos + 4 <= len(b):
+                marker = b[pos + 1]
+                if marker in (0xD9, 0xDA):
+                    break
+                (seglen,) = struct.unpack_from(">H", b, pos + 2)
+                if marker == 0xDD:
+                    (ri,) = struct.unpack_from(">H", b, pos + 4)
+                    return ri
+                pos += 2 + seglen
+            return 0
+
+        cols = [
+            "doc_id", "width", "height", "restart_interval",
+            "sum_px", "wsum_x", "wsum_y",
+        ]
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h, px = jpeg_decode_gray(b)
+                s = wx = wy = 0
+                for y in range(h):
+                    row = y * w
+                    for x in range(w):
+                        v = px[row + x]
+                        s += v
+                        wx += v * (x + 1)
+                        wy += v * (y + 1)
+                rows.append((int(did), w, h, parse_dri(b), s, wx, wy))
+            out = pd.DataFrame(rows, columns=cols)
+            yield out.astype(
+                {c: ("int32" if c in ("width", "height", "restart_interval")
+                     else "int64") for c in cols}
+            )
+
+    from hdfs_mr_spark.io import fan_out
+    from hdfs_mr_spark.sources.media import materialize_media_jpeg_rst
+
+    df = spark.read.parquet(materialize_media_jpeg_rst())
+    return fan_out(df).mapInPandas(
+        rst_batches,
+        "doc_id long, width int, height int, restart_interval int, "
+        "sum_px long, wsum_x long, wsum_y long",
+    ).orderBy("doc_id")
+
+
 def _resize_pixels_oracle_sql() -> str:
     """llm_multimodal_resize_pixels oracle: the resampled image's
     channel sums and a position-weighted sum recomputed from the

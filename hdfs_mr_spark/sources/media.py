@@ -453,27 +453,45 @@ def _jpeg_encode_block(bw, zz, prev_dc, dc_codes, ac_codes) -> int:
     return prev_dc
 
 
-def jpeg_encode_baseline(comps, w: int, h: int, qtab) -> bytes:
+def jpeg_encode_baseline(comps, w: int, h: int, qtab,
+                         restart_interval: int | None = None) -> bytes:
     """Baseline-sequential JPEG from QUANTIZED coefficient blocks:
     ``comps`` is a list of 1 (grayscale) or 3 (interleaved color, 1x1
     sampling, e.g. JFIF YCbCr) per-component block lists (64-int lists
     in natural order, raster MCU order). Standard Annex K Huffman
     tables (shared by all components), one shared quant table,
     differential DC per component, AC run-length with ZRL and EOB,
-    byte-stuffed scan. A general encoder — the gradient fixtures just
-    happen to feed it DC-only blocks."""
+    byte-stuffed scan. With ``restart_interval`` a DRI segment is
+    emitted and every Ri MCUs the scan byte-aligns (1-bit padding),
+    inserts RSTn (n cycling 0..7) and resets the DC predictors —
+    the real-world error-resilience layout (B.2.4.4 / E.2.4). A
+    general encoder — the gradient fixtures just happen to feed it
+    DC-only blocks."""
     ncomp = len(comps)
     if ncomp not in (1, 3):
         raise ValueError("1 or 3 components")
     dc_codes = _huff_encode_map(_DC_BITS, _DC_VALS)
     ac_codes = _huff_encode_map(_AC_BITS, _AC_VALS)
+    scan_bytes = bytearray()
     bw = _JpegBitWriter()
     prev = [0] * ncomp
+    rst = 0
     for mcu in range(len(comps[0])):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            scan_bytes += bw.flush()
+            scan_bytes += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _JpegBitWriter()
+            prev = [0] * ncomp  # predictors reset at every restart
         for ci in range(ncomp):
             blk = comps[ci][mcu]
             zz = [blk[_ZIGZAG[i]] for i in range(64)]
             prev[ci] = _jpeg_encode_block(bw, zz, prev[ci], dc_codes, ac_codes)
+    scan_bytes += bw.flush()
+    dri = (
+        b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        if restart_interval else b""
+    )
     dqt = (
         b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
         + bytes(qtab[_ZIGZAG[i]] for i in range(64))
@@ -494,12 +512,16 @@ def jpeg_encode_baseline(comps, w: int, h: int, qtab) -> bytes:
         + b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
         + bytes([0, 63, 0])
     )
-    return b"\xff\xd8" + dqt + dht + sof + sos + bw.flush() + b"\xff\xd9"
+    return (
+        b"\xff\xd8" + dqt + dht + dri + sof + sos
+        + bytes(scan_bytes) + b"\xff\xd9"
+    )
 
 
-def jpeg_encode_gray(qblocks, w: int, h: int, qtab) -> bytes:
+def jpeg_encode_gray(qblocks, w: int, h: int, qtab,
+                     restart_interval: int | None = None) -> bytes:
     """Grayscale wrapper over jpeg_encode_baseline (original API)."""
-    return jpeg_encode_baseline([qblocks], w, h, qtab)
+    return jpeg_encode_baseline([qblocks], w, h, qtab, restart_interval)
 
 
 class _JpegBitReader:
@@ -533,6 +555,22 @@ class _JpegBitReader:
             self._fill()
         self.n -= n
         return (self.acc >> self.n) & ((1 << n) - 1)
+
+    def restart(self, idx: int) -> None:
+        """Consume an expected RSTn marker (E.2.4): discard the
+        current byte's 1-bit padding, verify FFD0+(idx%8) sits next in
+        the stream, and advance past it. Raises ValueError on a
+        missing or out-of-sequence restart marker."""
+        self.acc, self.n = 0, 0  # drop pad bits to the byte boundary
+        if self.pos + 1 >= len(self.b):
+            raise ValueError("unexpected EOF at restart boundary")
+        want = 0xD0 + (idx % 8)
+        if self.b[self.pos] != 0xFF or self.b[self.pos + 1] != want:
+            raise ValueError(
+                f"expected RST{idx % 8} at {self.pos}, got "
+                f"{self.b[self.pos]:02X}{self.b[self.pos + 1]:02X}"
+            )
+        self.pos += 2
 
 
 def _huff_read(br: _JpegBitReader, table: dict) -> int:
@@ -606,6 +644,7 @@ def jpeg_decode_baseline(b: bytes) -> tuple[int, int, int, bytes]:
     comp_hv: list[tuple[int, int]] = []
     scan_tabs: list[tuple[int, int]] = []
     scan_pos = None
+    restart_interval = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"marker desync at {pos}")
@@ -645,6 +684,8 @@ def jpeg_decode_baseline(b: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError(f"bad sampling factors {hv:02X}")
                 comp_hv.append((hi, vi))
                 comp_tq.append(seg[6 + 3 * ci + 2])
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif 0xC1 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
             raise ValueError(f"only baseline SOF0 (got SOF{marker - 0xC0})")
         elif marker == 0xDA:
@@ -670,8 +711,13 @@ def jpeg_decode_baseline(b: bytes) -> tuple[int, int, int, bytes]:
         bytearray(8 * hi * mcux * 8 * vi * mcuy) for hi, vi in comp_hv
     ]
     prev = [0] * ncomp
+    mcu_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                br.restart(mcu_idx // restart_interval - 1)
+                prev = [0] * ncomp  # predictors reset at every restart
+            mcu_idx += 1
             for ci in range(ncomp):
                 hi, vi = comp_hv[ci]
                 q = qtabs[comp_tq[ci]]
@@ -878,6 +924,44 @@ def make_gradient_jpeg_420(doc_id: int) -> bytes:
                 blk[0] = jpeg_block_value_c420(cbx, cby, c, doc_id) - 128
                 dest.append(blk)
     return jpeg_encode_420(ys, cbs, crs, w, h, qtab)
+
+
+def make_gradient_jpeg_rst(doc_id: int) -> bytes:
+    """The grayscale gradient fixture re-encoded WITH restart markers
+    (DRI = 1 + doc_id % 3 MCUs): identical pixels to
+    make_gradient_jpeg by the same constant-block/DC-step-8 argument —
+    predictor resets at restarts change the encoded DIFFs but not the
+    decoded DC values — so the same generative formula is ground
+    truth, while the decoder must genuinely byte-align, consume RSTn
+    in sequence, and reset predictors to get there."""
+    w, h = jpeg_px_dims(doc_id)
+    qtab = [8] + [16] * 63
+    blocks = []
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            blk = [0] * 64
+            blk[0] = jpeg_block_value(bx, by, doc_id) - 128
+            blocks.append(blk)
+    return jpeg_encode_gray(blocks, w, h, qtab,
+                            restart_interval=1 + doc_id % 3)
+
+
+def materialize_media_jpeg_rst(sf_dir: str = ORACLE_SF) -> str:
+    """Write the restart-marker JPEG fixture parquet once per
+    fingerprint."""
+    path = _fixture_dir(sf_dir) / "media_jpeg_rst.parquet"
+    if not path.exists():
+        ids = list(range(N_MEDIA_JPEG))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_gradient_jpeg_rst(i) for i in ids], pa.binary()
+                ),
+            }),
+            path,
+        )
+    return str(path)
 
 
 def materialize_media_jpeg_420(sf_dir: str = ORACLE_SF) -> str:

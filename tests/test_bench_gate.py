@@ -62,6 +62,10 @@ BASELINE_R3 = {
     "llm_embed_gram": 0.852,
     "agg_countmin_sketch": 1.505,
     "sql_tpch_q5_local_supplier": 1.146,
+    # round-6 headline additions, baselined from BENCH_r6_full.json
+    # (the post-§2b-fix steady state these queries must hold)
+    "llm_quality_ensemble": 0.753,
+    "llm_ngram_novelty": 1.027,
 }
 
 # Per-query seconds from BENCH_r01.json (single-run-per-query era).

@@ -1266,3 +1266,82 @@ def test_jpeg_byte_stuffing_and_truncation_edges():
             raise AssertionError("marker inside scan decoded silently")
 
     prop()
+
+
+def test_jpeg_restart_marker_roundtrip_random():
+    """Property (hypothesis): random quantized blocks survive encode ->
+    decode exactly WITH restart markers — byte-aligned RSTn cycling
+    0..7, DC predictor resets, and DRI parsing are content-independent.
+    Also pins the failure contract: a dropped or out-of-sequence RST
+    raises ValueError."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hdfs_mr_spark.sources.media import (
+        _idct8x8,
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def prop(data):
+        qtab = [data.draw(st.integers(min_value=1, max_value=255))
+                for _ in range(64)]
+        w = data.draw(st.integers(min_value=1, max_value=32), label="w")
+        h = data.draw(st.integers(min_value=1, max_value=32), label="h")
+        nb = ((w + 7) // 8) * ((h + 7) // 8)
+        blocks = []
+        for _ in range(nb):
+            blk = data.draw(
+                st.lists(
+                    st.integers(min_value=-100, max_value=100),
+                    min_size=64, max_size=64,
+                )
+            )
+            blk[0] = max(-128, min(127, blk[0]))
+            blocks.append(blk)
+        ri = data.draw(st.integers(min_value=1, max_value=max(1, nb)))
+        b = jpeg_encode_gray(blocks, w, h, qtab, restart_interval=ri)
+        dw, dh, px = jpeg_decode_gray(b)
+        assert (dw, dh) == (w, h)
+        mcux = (w + 7) // 8
+        for bi, blk in enumerate(blocks):
+            ref = _idct8x8([c * qtab[i] for i, c in enumerate(blk)])
+            by, bx = divmod(bi, mcux)
+            for yy in range(min(8, h - by * 8)):
+                for xx in range(min(8, w - bx * 8)):
+                    assert px[(by * 8 + yy) * w + bx * 8 + xx] == ref[yy * 8 + xx]
+        # failure contract: mangle the first RST's index -> ValueError
+        if nb > ri:
+            i = b.index(b"\xff\xd0", b.index(b"\xff\xda"))
+            mangled = b[:i + 1] + b"\xd5" + b[i + 2:]
+            try:
+                jpeg_decode_gray(mangled)
+            except ValueError:
+                pass
+            else:
+                raise AssertionError("out-of-sequence RST decoded silently")
+
+    prop()
+
+
+def test_jpeg_rst_fixture_matches_formula():
+    """The restart-marker gradient fixture decodes to the SAME pixels
+    as the plain gradient family (restart markers change the bitstream
+    layout, not the image) — per generative formula."""
+    from hdfs_mr_spark.sources.media import (
+        jpeg_block_value,
+        jpeg_decode_gray,
+        jpeg_px_dims,
+        make_gradient_jpeg_rst,
+    )
+
+    for did in (0, 1, 2, 5, 13, 47):
+        b = make_gradient_jpeg_rst(did)
+        assert b"\xff\xdd" in b  # DRI present
+        w, h, px = jpeg_decode_gray(b)
+        assert (w, h) == jpeg_px_dims(did)
+        for y in range(h):
+            for x in range(w):
+                assert px[y * w + x] == jpeg_block_value(x // 8, y // 8, did)

@@ -57,6 +57,17 @@ def main() -> int:
             (r.qid, r.vec_id)
             for r in qs["llm_sim_knn_ivf_pq_rerank"].fn(spark, path).collect()
         }
+        # stored/delta indexes are exact-IVF by construction; measuring
+        # them here is the standing self-audit that the persisted +
+        # incrementally-maintained layouts keep IVF's recall
+        stored = {
+            (r.qid, r.vec_id)
+            for r in qs["llm_sim_knn_ivf_stored"].fn(spark, path).collect()
+        }
+        delta = {
+            (r.qid, r.vec_id)
+            for r in qs["llm_sim_knn_ivf_delta"].fn(spark, path).collect()
+        }
         n = pq.ParquetFile(f"{path}/embeddings.parquet").metadata.num_rows
         cells, nprobe, bits = _ann_params(n)
         out[f"sf{sf}"] = {
@@ -68,6 +79,8 @@ def main() -> int:
             "mean_pq_adc_recall_at_5": len(exact & adc) / len(exact),
             "mean_ivf_pq_recall_at_5": len(exact & ivfpq) / len(exact),
             "mean_ivf_pq_rerank_recall_at_5": len(exact & rerank) / len(exact),
+            "mean_ivf_stored_recall_at_5": len(exact & stored) / len(exact),
+            "mean_ivf_delta_recall_at_5": len(exact & delta) / len(exact),
             "params": {"n": n, "ivf_cells": cells, "ivf_nprobe": nprobe, "lsh_bits": bits},
         }
     Path(args.out).write_text(json.dumps(out, indent=1))
