@@ -2229,6 +2229,117 @@ def llm_multimodal_pixels_jpeg_rst(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+try:  # pragma: no cover — same static-path contract as _MEDIA_JPEG
+    from hdfs_mr_spark.sources.media import materialize_media_px_adam7
+
+    _MEDIA_PX_ADAM7 = materialize_media_px_adam7()
+except Exception as _media_adam7_exc:  # noqa: BLE001
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "Adam7 PNG fixture materialization failed: %r", _media_adam7_exc,
+    )
+    _MEDIA_PX_ADAM7 = "/tmp/hmr_media_px_adam7_unavailable.parquet"
+
+
+def _png_adam7_oracle_sql() -> str:
+    """llm_multimodal_pixels_interlaced oracle: per-channel sums plus
+    position-weighted sums from media_px_value — interlacing changes
+    the byte layout, not the image, so the progressive-scan fixture's
+    formula is the ground truth verbatim."""
+    val = "(((i % w) + 2 * (i // w) + 7 * {c} + doc_id) % 256)"
+
+    def fold(expr: str, alias: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(0, w*h), "
+            f"i -> CAST({expr} AS BIGINT))), (a, x) -> a + x) AS {alias}"
+        )
+
+    chan = [fold(val.format(c=c), f"sum_c{c}") for c in range(3)]
+    allc = " + ".join(val.format(c=c) for c in range(3))
+    cols = ",\n       ".join(chan + [
+        fold(f"({allc}) * ((i % w) + 1)", "wsum_x"),
+        fold(f"({allc}) * ((i // w) + 1)", "wsum_y"),
+    ])
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         8 + (doc_id * 37) % 56 AS w,
+         8 + (doc_id * 53) % 56 AS h
+  FROM '{_MEDIA_PX_ADAM7}'
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       {cols}
+FROM m
+ORDER BY doc_id
+"""
+
+
+@query(
+    "llm_multimodal_pixels_interlaced",
+    oracle=_png_adam7_oracle_sql(),
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_pixels_interlaced(spark, sf_dir):
+    """Pixel-true decode of Adam7-INTERLACED PNGs — the progressive
+    web layout the plain-PNG op's scope note excluded: seven passes,
+    each filtered as its OWN sub-image (prior row resets per pass),
+    empty passes for small images contribute no bytes, and the pass
+    grids reassemble by (x0 + dx*i, y0 + dy*j). The fixture family
+    encodes the SAME media_px_value gradient as the progressive-scan
+    fixture (interlacing is lossless re-layout), so the oracle
+    recomputes per-channel and position-weighted sums from that
+    formula — one misplaced pass pixel flips the weighted sums. The
+    kernel decodes via the MODULE codec (sources/media.py
+    png_decode_pixels, which dispatches on the IHDR interlace flag):
+    the deinterlace logic lives in one tested implementation, covered
+    by tiny-image pass-dropping unit tests and the filter-cycling
+    fixture."""
+
+    def adam7_batches(batches):
+        import pandas as pd
+
+        from hdfs_mr_spark.sources.media import png_decode_pixels
+
+        cols = [
+            "doc_id", "width", "height",
+            "sum_c0", "sum_c1", "sum_c2", "wsum_x", "wsum_y",
+        ]
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = png_decode_pixels(bytes(payload))
+                sums, wx, wy = [0, 0, 0], 0, 0
+                for y in range(h):
+                    for x in range(w):
+                        base = (y * w + x) * 3
+                        tot = 0
+                        for c in range(3):
+                            v = px[base + c]
+                            sums[c] += v
+                            tot += v
+                        wx += tot * (x + 1)
+                        wy += tot * (y + 1)
+                rows.append((int(did), w, h, *sums, wx, wy))
+            out = pd.DataFrame(rows, columns=cols)
+            yield out.astype(
+                {c: ("int32" if c in ("width", "height") else "int64")
+                 for c in cols}
+            )
+
+    from hdfs_mr_spark.io import fan_out
+    from hdfs_mr_spark.sources.media import materialize_media_px_adam7
+
+    df = spark.read.parquet(materialize_media_px_adam7())
+    return fan_out(df).mapInPandas(
+        adam7_batches,
+        "doc_id long, width int, height int, "
+        "sum_c0 long, sum_c1 long, sum_c2 long, wsum_x long, wsum_y long",
+    ).orderBy("doc_id")
+
+
 def _resize_pixels_oracle_sql() -> str:
     """llm_multimodal_resize_pixels oracle: the resampled image's
     channel sums and a position-weighted sum recomputed from the

@@ -2160,17 +2160,22 @@ def llm_watermark_detect(spark, sf_dir):
     fold (same idiom as the CMS sketch / global shuffle); the z
     arithmetic is a fixed-shape IEEE expression on two integers. One
     explode + one combiner-shape aggregate — token pairs never
-    shuffle; only (doc, 2 counters) rows do."""
+    shuffle; only (doc, 2 counters) rows do. The token array is bound
+    as a materialized column before the pair lambda (PERF.md §2b —
+    the nested element_at(split) form re-ran the split per index)."""
     d = table(spark, sf_dir, "documents")
-    pairs = d.select(
+    toks = fan_out(
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+    ).localCheckpoint()
+    pairs = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "IF(size(split(text, ' ')) >= 2,"
-                " transform(sequence(1, size(split(text, ' ')) - 1),"
+                "IF(size(toks) >= 2,"
+                " transform(sequence(1, size(toks) - 1),"
                 "  i -> IF(CAST(conv(substr(md5(concat("
-                "element_at(split(text, ' '), i), ':wm:',"
-                " element_at(split(text, ' '), i + 1))), 1, 12), 16, 10)"
+                "element_at(toks, i), ':wm:',"
+                " element_at(toks, i + 1))), 1, 12), 16, 10)"
                 " AS BIGINT) % 2 = 0, 1, 0)),"
                 " array())"
             )

@@ -228,21 +228,54 @@ def make_gradient_png(doc_id: int) -> bytes:
     )
 
 
+# Adam7 pass grid: (x-start, y-start, x-step, y-step) per pass (PNG
+# spec 8.2) — pass k holds the pixels at x ≡ x0 (mod dx), y ≡ y0 (mod dy)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter_row(raw, off: int, stride: int, prior: bytes,
+                      bpp: int = 3) -> bytearray:
+    """Unfilter one scanline starting at raw[off] (filter byte +
+    stride data bytes) against the prior row; all five filter types."""
+    ft = raw[off]
+    row = bytearray(raw[off + 1 : off + 1 + stride])
+    for i in range(stride):
+        left = row[i - bpp] if i >= bpp else 0
+        up = prior[i]
+        upleft = prior[i - bpp] if i >= bpp else 0
+        if ft == 1:
+            row[i] = (row[i] + left) & 0xFF
+        elif ft == 2:
+            row[i] = (row[i] + up) & 0xFF
+        elif ft == 3:
+            row[i] = (row[i] + (left + up) // 2) & 0xFF
+        elif ft == 4:
+            row[i] = (row[i] + _paeth(left, up, upleft)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad filter type {ft}")
+    return row
+
+
 def png_decode_pixels(b: bytes) -> tuple[int, int, bytes]:
-    """Full pixel-true PNG decode for RGB8 non-interlaced images:
-    chunk walk, multi-IDAT concat, zlib inflate, per-scanline unfilter
-    (all five filter types). Returns (width, height, raw RGB bytes)."""
+    """Full pixel-true PNG decode for RGB8 images, non-interlaced OR
+    Adam7-interlaced: chunk walk, multi-IDAT concat, zlib inflate,
+    per-scanline unfilter (all five filter types; interlaced images
+    unfilter each pass as its own sub-image, per spec), Adam7
+    deinterlace. Returns (width, height, raw RGB bytes)."""
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("bad PNG signature")
-    pos, w, h, idat = 8, None, None, b""
+    pos, w, h, idat, interlace = 8, None, None, b"", 0
     while pos + 8 <= len(b):
         (length,) = struct.unpack_from(">I", b, pos)
         ctype = b[pos + 4 : pos + 8]
         data = b[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
             w, h, depth, ctyp, _, _, interlace = struct.unpack(">IIBBBBB", data)
-            if depth != 8 or ctyp != 2 or interlace != 0:
-                raise ValueError("only RGB8 non-interlaced supported")
+            if depth != 8 or ctyp != 2 or interlace not in (0, 1):
+                raise ValueError("only RGB8 (interlace 0 or Adam7) supported")
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -251,29 +284,117 @@ def png_decode_pixels(b: bytes) -> tuple[int, int, bytes]:
     if w is None:
         raise ValueError("no IHDR")
     raw = zlib.decompress(idat)
-    bpp, stride = 3, 3 * w
+    stride = 3 * w
     out = bytearray(stride * h)
-    prior = bytes(stride)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        for i in range(stride):
-            left = row[i - bpp] if i >= bpp else 0
-            up = prior[i]
-            upleft = prior[i - bpp] if i >= bpp else 0
-            if ft == 1:
-                row[i] = (row[i] + left) & 0xFF
-            elif ft == 2:
-                row[i] = (row[i] + up) & 0xFF
-            elif ft == 3:
-                row[i] = (row[i] + (left + up) // 2) & 0xFF
-            elif ft == 4:
-                row[i] = (row[i] + _paeth(left, up, upleft)) & 0xFF
-            elif ft != 0:
-                raise ValueError(f"bad filter type {ft}")
-        out[y * stride : (y + 1) * stride] = row
-        prior = bytes(row)
+    if interlace == 0:
+        prior = bytes(stride)
+        for y in range(h):
+            row = _png_unfilter_row(raw, y * (stride + 1), stride, prior)
+            out[y * stride : (y + 1) * stride] = row
+            prior = bytes(row)
+        return w, h, bytes(out)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes NO bytes (spec 8.2)
+        pstride = 3 * pw
+        prior = bytes(pstride)
+        for py in range(ph):
+            row = _png_unfilter_row(raw, off, pstride, prior)
+            off += 1 + pstride
+            for px_ in range(pw):
+                o = ((y0 + dy * py) * w + x0 + dx * px_) * 3
+                out[o : o + 3] = row[3 * px_ : 3 * px_ + 3]
+            prior = bytes(row)
+    if off != len(raw):
+        raise ValueError("interlaced data length mismatch")
     return w, h, bytes(out)
+
+
+def _png_filter_row(row: bytes, prior: bytes, ft: int,
+                    bpp: int = 3) -> bytes:
+    """Apply PNG filter ``ft`` to one scanline (encoder side)."""
+    out = bytearray()
+    for i in range(len(row)):
+        left = row[i - bpp] if i >= bpp else 0
+        up = prior[i]
+        upleft = prior[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            f = row[i]
+        elif ft == 1:
+            f = row[i] - left
+        elif ft == 2:
+            f = row[i] - up
+        elif ft == 3:
+            f = row[i] - (left + up) // 2
+        else:
+            f = row[i] - _paeth(left, up, upleft)
+        out.append(f & 0xFF)
+    return bytes(out)
+
+
+def png_encode_adam7(get_px, w: int, h: int, filter_seed: int = 0) -> bytes:
+    """General Adam7-interlaced RGB8 PNG encoder: ``get_px(x, y, c)``
+    supplies pixel values; each of the seven passes is filtered as its
+    own sub-image with the filter type cycling through all five per
+    pass row (seeded), and empty passes (w or h too small) contribute
+    no bytes — the two interlace subtleties real decoders must get
+    right."""
+    raw = bytearray()
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw <= 0 or ph <= 0:
+            continue
+        prior = bytes(3 * pw)
+        for py in range(ph):
+            row = bytes(
+                get_px(x0 + dx * px_, y0 + dy * py, c)
+                for px_ in range(pw) for c in range(3)
+            )
+            ft = (filter_seed + pi + py) % 5
+            raw.append(ft)
+            raw += _png_filter_row(row, prior, ft)
+            prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_gradient_png_adam7(doc_id: int) -> bytes:
+    """A decodable Adam7-INTERLACED RGB8 PNG whose deinterlaced pixels
+    follow media_px_value exactly — same generative formula as the
+    progressive-scan fixture, but the decoder must walk all seven
+    passes, unfilter each pass as its own sub-image, and reassemble
+    the pass grids."""
+    w, h = media_px_dims(doc_id)
+    return png_encode_adam7(
+        lambda x, y, c: media_px_value(x, y, c, doc_id), w, h,
+        filter_seed=doc_id,
+    )
+
+
+def materialize_media_px_adam7(sf_dir: str = ORACLE_SF) -> str:
+    """Write the Adam7 pixel fixture parquet once per fingerprint."""
+    path = _fixture_dir(sf_dir) / "media_px_adam7.parquet"
+    if not path.exists():
+        ids = list(range(N_MEDIA_PX))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_gradient_png_adam7(i) for i in ids], pa.binary()
+                ),
+            }),
+            path,
+        )
+    return str(path)
 
 
 def box_downsample(px: bytes, w: int, h: int, factor: int = 2):

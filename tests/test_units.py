@@ -1345,3 +1345,71 @@ def test_jpeg_rst_fixture_matches_formula():
         for y in range(h):
             for x in range(w):
                 assert px[y * w + x] == jpeg_block_value(x // 8, y // 8, did)
+
+
+def test_png_adam7_roundtrip_and_pass_dropping():
+    """Adam7 interlace: the gradient fixture deinterlaces to the same
+    media_px_value pixels as the progressive-scan family, and tiny
+    images (where whole passes are empty) round-trip exactly — the two
+    interlace subtleties (per-pass sub-image filtering, empty passes
+    contributing no bytes) both exercised."""
+    from hdfs_mr_spark.sources.media import (
+        make_gradient_png_adam7,
+        media_px_dims,
+        media_px_value,
+        png_decode_pixels,
+        png_encode_adam7,
+    )
+
+    for did in (0, 1, 5, 13, 31, 47):
+        w, h, px = png_decode_pixels(make_gradient_png_adam7(did))
+        assert (w, h) == media_px_dims(did)
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    assert px[(y * w + x) * 3 + c] == media_px_value(
+                        x, y, c, did
+                    )
+    for (w, h) in [(1, 1), (2, 1), (1, 2), (3, 3), (4, 5), (8, 1), (7, 7)]:
+        def f(x, y, c):
+            return (x * 7 + y * 11 + c * 5) % 256
+
+        ww, hh, px = png_decode_pixels(png_encode_adam7(f, w, h, 2))
+        assert (ww, hh) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    assert px[(y * w + x) * 3 + c] == f(x, y, c), (w, h)
+
+
+def test_png_adam7_random_pixels_property():
+    """Property (hypothesis): ARBITRARY pixel content at arbitrary
+    small dims survives Adam7 encode -> decode exactly — pass
+    geometry, per-pass filtering, and reassembly are all
+    content-independent."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hdfs_mr_spark.sources.media import png_decode_pixels, png_encode_adam7
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def prop(data):
+        w = data.draw(st.integers(min_value=1, max_value=20), label="w")
+        h = data.draw(st.integers(min_value=1, max_value=20), label="h")
+        seed = data.draw(st.integers(min_value=0, max_value=4))
+        vals = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=3 * w * h, max_size=3 * w * h,
+            )
+        )
+
+        def f(x, y, c):
+            return vals[(y * w + x) * 3 + c]
+
+        ww, hh, px = png_decode_pixels(png_encode_adam7(f, w, h, seed))
+        assert (ww, hh) == (w, h)
+        assert list(px) == vals
+
+    prop()
