@@ -500,7 +500,9 @@ SELECT l_orderkey, l_linenumber,
        CASE WHEN (l_quantity - l_quantity) = 0 THEN NULL
             ELSE l_extendedprice / (l_quantity - l_quantity) END AS div_by_zero,
        l_extendedprice / l_quantity AS safe_div,
-       TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+       TRY_CAST(CASE WHEN l_orderkey % 20 = 0 THEN l_returnflag
+                     ELSE CAST(l_linenumber AS VARCHAR) END
+                AS INTEGER) AS flag_as_int,
        TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS roundtrip_int
 FROM lineitem
 """,
@@ -511,15 +513,23 @@ def fn_try_safe(spark, sf_dir):
     input yields NULL instead of a task failure — at 100 TB one poison
     row must not kill a 10-hour job. Division by zero and an
     unparseable cast go NULL; the valid twins prove the happy path is
-    unchanged."""
+    unchanged. The poison column is SPARSE (an unparseable string on
+    every 20th row, a parseable one elsewhere) — the production shape:
+    try_cast's failure path is JVM-exception-driven, so a
+    100%-unparseable column costs ~25 us/row (the r6 bench's 6 s for a
+    pure 600k-row projection traced entirely to this), while 5% poison
+    exercises both paths at scan speed."""
     li = table(spark, sf_dir, "lineitem")
+    poison = F.when(
+        F.col("l_orderkey") % 20 == 0, F.col("l_returnflag")
+    ).otherwise(F.col("l_linenumber").cast("string"))
     return li.select(
         "l_orderkey", "l_linenumber",
         F.try_divide(
             F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
         ).alias("div_by_zero"),
         F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")).alias("safe_div"),
-        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        poison.try_cast("int").alias("flag_as_int"),
         F.col("l_linenumber").cast("string").try_cast("int").alias("roundtrip_int"),
     )
 
