@@ -2340,6 +2340,110 @@ def llm_multimodal_pixels_interlaced(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+try:  # pragma: no cover — same static-path contract as _AUDIO_FIX
+    from hdfs_mr_spark.sources.media import materialize_audio_stereo
+
+    _AUDIO_STEREO_FIX = materialize_audio_stereo()
+except Exception as _audio_stereo_exc:  # noqa: BLE001
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "stereo audio fixture materialization failed: %r", _audio_stereo_exc,
+    )
+    _AUDIO_STEREO_FIX = "/tmp/hmr_media_audio_stereo_unavailable.parquet"
+
+
+@query(
+    "llm_multimodal_audio_stereo",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+         800 + (doc_id * 191) % 1600 AS n
+  FROM '{_AUDIO_STEREO_FIX}'
+),
+s AS (
+  SELECT p.doc_id, p.rate, p.n,
+         ((r.i * (p.doc_id + 3) + 17) % 2003) - 1001 AS l,
+         ((r.i * (p.doc_id + 5) + 29) % 1999) - 999 AS rr
+  FROM p, range(0, 2400) r(i)
+  WHERE r.i < p.n
+)
+SELECT doc_id,
+       CAST(MAX(rate) AS INTEGER) AS rate,
+       CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST(SUM(ABS(l)) AS BIGINT) AS sum_abs_l,
+       CAST(SUM(ABS(rr)) AS BIGINT) AS sum_abs_r,
+       CAST(MAX(ABS(l)) AS BIGINT) AS peak_l,
+       CAST(MAX(ABS(rr)) AS BIGINT) AS peak_r,
+       CAST(SUM(l * l) AS BIGINT) AS energy_l,
+       CAST(SUM(rr * rr) AS BIGINT) AS energy_r,
+       CAST(SUM(l * rr) AS BIGINT) AS cross_lr
+FROM s
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_audio_stereo(spark, sf_dir):
+    """STEREO WAV parse + per-channel speech-front-end features —
+    closes the audio family's mono-only scope note: real PCM16 stereo
+    RIFF clips (interleaved L/R frames, channels=2 fmt with matching
+    block-align, the LIST filler chunk forcing genuine chunk walking)
+    are parsed in mapInPandas, numpy deinterleaves the channel planes,
+    and the per-clip output is exact-integer per-channel sum-abs,
+    peak, energy plus the lag-0 cross-correlation — the channel-layout
+    statistics an audio curation pipeline uses to catch mono-upmixed
+    or phase-broken stereo. The DuckDB oracle recomputes every value
+    from the two generative PCM formulas, so one swapped or dropped
+    channel sample hash-mismatches. Kernel parses via the MODULE
+    parser (parse_wav_multi) — one tested chunk walker, no inline
+    twin."""
+    import pandas as pd  # noqa: F401 — worker-side dependency
+
+    def stereo_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from hdfs_mr_spark.sources.media import parse_wav_multi
+
+        cols = [
+            "doc_id", "rate", "n_samples",
+            "sum_abs_l", "sum_abs_r", "peak_l", "peak_r",
+            "energy_l", "energy_r", "cross_lr",
+        ]
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, nch, data = parse_wav_multi(bytes(payload))
+                if nch != 2:
+                    raise ValueError(f"expected stereo, got {nch} channel(s)")
+                pcm = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                left, right = pcm[0::2], pcm[1::2]
+                rows.append((
+                    int(did), rate, len(left),
+                    int(np.abs(left).sum()), int(np.abs(right).sum()),
+                    int(np.abs(left).max()), int(np.abs(right).max()),
+                    int((left * left).sum()), int((right * right).sum()),
+                    int((left * right).sum()),
+                ))
+            out = pd.DataFrame(rows, columns=cols)
+            yield out.astype(
+                {c: ("int32" if c == "rate" else "int64") for c in cols}
+            )
+
+    from hdfs_mr_spark.io import fan_out
+    from hdfs_mr_spark.sources.media import materialize_audio_stereo
+
+    df = spark.read.parquet(materialize_audio_stereo())
+    return fan_out(df).mapInPandas(
+        stereo_batches,
+        "doc_id long, rate int, n_samples long, "
+        "sum_abs_l long, sum_abs_r long, peak_l long, peak_r long, "
+        "energy_l long, energy_r long, cross_lr long",
+    ).orderBy("doc_id")
+
+
 def _resize_pixels_oracle_sql() -> str:
     """llm_multimodal_resize_pixels oracle: the resampled image's
     channel sums and a position-weighted sum recomputed from the

@@ -1202,6 +1202,73 @@ def parse_wav(b: bytes) -> tuple[int, bytes]:
     return rate, data
 
 
+def audio_sample_r(i: int, doc_id: int) -> int:
+    """Right-channel generative PCM formula for the STEREO fixture
+    (left channel reuses audio_sample): integer in [-999, 999]."""
+    return ((i * (doc_id + 5) + 29) % 1999) - 999
+
+
+def make_wav_stereo(doc_id: int) -> bytes:
+    """A complete, playable RIFF/WAVE file: PCM16 STEREO (interleaved
+    L/R frames), fmt chunk with channels=2 and the matching
+    block-align/byte-rate, the LIST filler chunk, then data. Left
+    follows audio_sample, right follows audio_sample_r."""
+    rate, n = audio_params(doc_id)
+    data = b"".join(
+        struct.pack("<hh", audio_sample(i, doc_id), audio_sample_r(i, doc_id))
+        for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+    info = b"INFO" + b"INAM" + struct.pack("<I", 8) + b"clip\x00\x00\x00\x00"
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(info)) + info
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def parse_wav_multi(b: bytes) -> tuple[int, int, bytes]:
+    """Chunk-walking WAV parse accepting PCM16 mono OR stereo.
+    Returns (sample_rate, n_channels, raw interleaved PCM bytes);
+    same RIFF validation and odd-size pad handling as parse_wav."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, nch, data = 12, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format, nch, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if audio_format != 1 or bits != 16 or nch not in (1, 2):
+                raise ValueError("only PCM16 mono/stereo supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF pads odd chunks to even
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, nch, data
+
+
+def materialize_audio_stereo(sf_dir: str = ORACLE_SF) -> str:
+    """Write the stereo audio fixture parquet once per fingerprint."""
+    path = _fixture_dir(sf_dir) / "media_audio_stereo.parquet"
+    if not path.exists():
+        ids = list(range(N_AUDIO))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_wav_stereo(i) for i in ids], pa.binary()
+                ),
+            }),
+            path,
+        )
+    return str(path)
+
+
 def materialize_audio(sf_dir: str = ORACLE_SF) -> str:
     """Write the audio fixture parquet (doc_id, payload) of WAV clips
     once per testdata fingerprint."""

@@ -1413,3 +1413,37 @@ def test_png_adam7_random_pixels_property():
         assert list(px) == vals
 
     prop()
+
+
+def test_wav_stereo_parse_and_formulas():
+    """Stereo WAV: parse_wav_multi walks chunks, validates PCM16
+    stereo, and the interleaved planes match both generative channel
+    formulas; mono files still parse with nch=1; stereo files still
+    REFUSE through the mono-only parse_wav."""
+    import struct
+
+    import pytest
+
+    from hdfs_mr_spark.sources.media import (
+        audio_params,
+        audio_sample,
+        audio_sample_r,
+        make_wav,
+        make_wav_stereo,
+        parse_wav,
+        parse_wav_multi,
+    )
+
+    for did in (0, 1, 7):
+        blob = make_wav_stereo(did)
+        rate, nch, data = parse_wav_multi(blob)
+        er, en = audio_params(did)
+        assert (rate, nch) == (er, 2) and len(data) == 4 * en
+        frames = struct.unpack(f"<{2 * en}h", data)
+        for i in (0, 1, en - 1):
+            assert frames[2 * i] == audio_sample(i, did)
+            assert frames[2 * i + 1] == audio_sample_r(i, did)
+        with pytest.raises(ValueError):
+            parse_wav(blob)  # mono-only API refuses stereo
+        r2, n2, d2 = parse_wav_multi(make_wav(did))
+        assert (r2, n2) == (er, 1)
