@@ -2444,6 +2444,121 @@ def llm_multimodal_audio_stereo(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+try:  # pragma: no cover — same static-path contract as _MEDIA_JPEG
+    from hdfs_mr_spark.sources.media import materialize_media_jpeg_prog
+
+    _MEDIA_JPEG_PROG = materialize_media_jpeg_prog()
+except Exception as _media_jpeg_prog_exc:  # noqa: BLE001
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "progressive JPEG fixture materialization failed: %r",
+        _media_jpeg_prog_exc,
+    )
+    _MEDIA_JPEG_PROG = "/tmp/hmr_media_jpeg_prog_unavailable.parquet"
+
+
+def _jpeg_prog_oracle_sql() -> str:
+    """llm_multimodal_pixels_jpeg_progressive oracle: per-channel sums
+    plus position-weighted sums from jpeg_block_value_c — progressive
+    encoding reorders the bitstream across scans, not the pixels, so
+    the sequential color fixture's formula is ground truth verbatim."""
+    val = ("((5 * ((i % w) // 8) + 11 * ((i // w) // 8) + 3 * doc_id "
+           "+ 97 * {c}) % 256)")
+
+    def fold(expr: str, alias: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(0, w*h), "
+            f"i -> CAST({expr} AS BIGINT))), (a, x) -> a + x) AS {alias}"
+        )
+
+    chan = [fold(val.format(c=c), f"sum_c{c}") for c in range(3)]
+    allc = " + ".join(val.format(c=c) for c in range(3))
+    cols = ",\n       ".join(chan + [
+        fold(f"({allc}) * ((i % w) + 1)", "wsum_x"),
+        fold(f"({allc}) * ((i // w) + 1)", "wsum_y"),
+    ])
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         9 + (doc_id * 41) % 55 AS w,
+         9 + (doc_id * 59) % 55 AS h
+  FROM '{_MEDIA_JPEG_PROG}'
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       {cols}
+FROM m
+ORDER BY doc_id
+"""
+
+
+@query(
+    "llm_multimodal_pixels_jpeg_progressive",
+    oracle=_jpeg_prog_oracle_sql(),
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_pixels_jpeg_progressive(spark, sf_dir):
+    """Pixel-true PROGRESSIVE JPEG decode (SOF2, spectral selection) —
+    the web's dominant multi-scan layout, previously the image
+    family's documented scope boundary: a DC scan carries every
+    component's differential DC interleaved, then one NON-interleaved
+    AC band scan per component with full end-of-band-run semantics
+    (EOBn = 1<<n + extra-bits blocks whose band ends at once — the
+    fixture's flat blocks produce genuine multi-block runs), decoded
+    against the custom AC Huffman table progressive streams must
+    carry (Annex K has no EOBn codewords). Successive approximation
+    (Ah/Al != 0) stays the stated profile boundary and raises. Pixels
+    are identical to the sequential color fixture's generative
+    formula (scan order reorders bits, not values), so the same
+    per-channel + position-weighted sums oracle applies. The kernel
+    decodes via the MODULE codec (jpeg_decode_progressive) — one
+    tested implementation, hypothesis-round-tripped over random
+    coefficient blocks at both 1 and 3 components."""
+
+    def prog_batches(batches):
+        import pandas as pd
+
+        from hdfs_mr_spark.sources.media import jpeg_decode_progressive
+
+        cols = [
+            "doc_id", "width", "height",
+            "sum_c0", "sum_c1", "sum_c2", "wsum_x", "wsum_y",
+        ]
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, nc, px = jpeg_decode_progressive(bytes(payload))
+                sums, wx, wy = [0, 0, 0], 0, 0
+                for y in range(h):
+                    for x in range(w):
+                        base = (y * w + x) * nc
+                        tot = 0
+                        for c in range(nc):
+                            v = px[base + c]
+                            sums[c] += v
+                            tot += v
+                        wx += tot * (x + 1)
+                        wy += tot * (y + 1)
+                rows.append((int(did), w, h, *sums, wx, wy))
+            out = pd.DataFrame(rows, columns=cols)
+            yield out.astype(
+                {c: ("int32" if c in ("width", "height") else "int64")
+                 for c in cols}
+            )
+
+    from hdfs_mr_spark.io import fan_out
+    from hdfs_mr_spark.sources.media import materialize_media_jpeg_prog
+
+    df = spark.read.parquet(materialize_media_jpeg_prog())
+    return fan_out(df).mapInPandas(
+        prog_batches,
+        "doc_id long, width int, height int, "
+        "sum_c0 long, sum_c1 long, sum_c2 long, wsum_x long, wsum_y long",
+    ).orderBy("doc_id")
+
+
 def _resize_pixels_oracle_sql() -> str:
     """llm_multimodal_resize_pixels oracle: the resampled image's
     channel sums and a position-weighted sum recomputed from the

@@ -949,6 +949,276 @@ def make_gradient_jpeg_color(doc_id: int) -> bytes:
     return jpeg_encode_baseline(comps, w, h, qtab)
 
 
+# Custom AC Huffman table for PROGRESSIVE scans (class 1, id 1):
+# every legal AC symbol — EOBn for n=0..14, ZRL, and the 160 (run, size)
+# pairs — as one flat 8-bit canonical code (Kraft: 176/256 < 1). Annex K's
+# sequential AC table cannot express EOBn with n >= 1, so progressive
+# streams always carry a custom table; correctness does not depend on
+# code-length optimality.
+_AC_PROG_VALS = (
+    [n << 4 for n in range(15)]          # EOB0..EOB14
+    + [0xF0]                              # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_PROG_BITS = [0] * 16
+_AC_PROG_BITS[7] = len(_AC_PROG_VALS)    # all codes at length 8
+
+
+def jpeg_encode_progressive_ss(comps, w: int, h: int, qtab) -> bytes:
+    """PROGRESSIVE JPEG (SOF2) via spectral selection from QUANTIZED
+    coefficient blocks (1 or 3 components, 1x1 sampling): scan 1
+    carries every component's DC (interleaved, differential), then one
+    NON-interleaved AC scan per component covering the full 1..63 band
+    (the spec requires AC scans in progressive mode to be
+    single-component). No successive approximation (Ah=Al=0) — the
+    spectral-selection profile, the simpler of the two progressive
+    axes. AC blocks end with EOB0 (an end-of-band run of exactly one
+    block), so per-block coding matches sequential while exercising
+    the progressive EOB-run machinery in the decoder. Consecutive
+    blocks whose whole band is zero coalesce into true multi-block
+    EOBn runs (n = floor(log2(run)), run - 2^n appended bits), so the
+    decoder's eobrun-skip path is exercised, not just eobrun=1.
+
+    The AC scans use a CUSTOM Huffman table (class 1, id 1): Annex K's
+    sequential AC table has no codewords for EOBn symbols with n >= 1
+    (0x10..0xE0 exist only in progressive streams), so progressive
+    encoders always ship their own table — ours is the flat canonical
+    code over every legal AC symbol (15 EOBn + ZRL + 160 (r,s) pairs,
+    all at 8 bits; Kraft 176/256 < 1)."""
+    ncomp = len(comps)
+    if ncomp not in (1, 3):
+        raise ValueError("1 or 3 components")
+    dc_codes = _huff_encode_map(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_encode_map(_AC_PROG_BITS, _AC_PROG_VALS)
+    nb = len(comps[0])
+
+    def flush_eobrun(bw, run):
+        while run > 0:
+            n = min(14, run.bit_length() - 1)
+            span = min(run, (1 << (n + 1)) - 1)
+            code, ln = ac_codes[n << 4]
+            bw.write(code, ln)
+            if n:
+                bw.write(span - (1 << n), n)
+            run -= span
+        return 0
+
+    # scan 1: interleaved DC for all components
+    bw = _JpegBitWriter()
+    prev = [0] * ncomp
+    for bi in range(nb):
+        for ci in range(ncomp):
+            diff = comps[ci][bi][0] - prev[ci]
+            prev[ci] = comps[ci][bi][0]
+            sz, bits = _mag_bits(diff)
+            code, ln = dc_codes[sz]
+            bw.write(code, ln)
+            if sz:
+                bw.write(bits, sz)
+    dc_sos = (
+        b"\xff\xda" + struct.pack(">H", 6 + 2 * ncomp) + bytes([ncomp])
+        + b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
+        + bytes([0, 0, 0])  # Ss=0 Se=0 AhAl=0
+    )
+    scans = dc_sos + bw.flush()
+
+    # one AC scan per component, band 1..63, coalesced EOB runs
+    for ci in range(ncomp):
+        bw = _JpegBitWriter()
+        eobrun = 0
+        for bi in range(nb):
+            zz = [comps[ci][bi][_ZIGZAG[i]] for i in range(64)]
+            last_nz = 0
+            for i in range(63, 0, -1):
+                if zz[i]:
+                    last_nz = i
+                    break
+            if last_nz == 0:
+                eobrun += 1  # whole band zero: extend the EOB run
+                continue
+            eobrun = flush_eobrun(bw, eobrun)
+            k, run = 1, 0
+            while k <= last_nz:
+                if zz[k] == 0:
+                    run += 1
+                    k += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                sz, bits = _mag_bits(zz[k])
+                code, ln = ac_codes[(run << 4) | sz]
+                bw.write(code, ln)
+                bw.write(bits, sz)
+                run = 0
+                k += 1
+            if last_nz < 63:
+                eobrun += 1  # this block's own band end joins the run
+        flush_eobrun(bw, eobrun)
+        ac_sos = (
+            b"\xff\xda" + struct.pack(">H", 8) + b"\x01"
+            + bytes([ci + 1, 0x01])  # Ta=1: the custom progressive AC table
+            + bytes([1, 63, 0])  # Ss=1 Se=63 AhAl=0
+        )
+        scans += ac_sos + bw.flush()
+
+    dqt = (
+        b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+        + bytes(qtab[_ZIGZAG[i]] for i in range(64))
+    )
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 19 + len(_DC_VALS)) + b"\x00"
+        + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\xff\xc4" + struct.pack(">H", 19 + len(_AC_PROG_VALS)) + b"\x11"
+        + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS)
+    )
+    sof = (
+        b"\xff\xc2" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08"  # SOF2
+        + struct.pack(">HH", h, w) + bytes([ncomp])
+        + b"".join(bytes([ci + 1, 0x11, 0]) for ci in range(ncomp))
+    )
+    return b"\xff\xd8" + dqt + dht + sof + scans + b"\xff\xd9"
+
+
+def jpeg_decode_progressive(b: bytes) -> tuple[int, int, int, bytes]:
+    """PROGRESSIVE JPEG decode, spectral-selection profile (SOF2, 1x1
+    sampling, Ah=0 first scans): walks the multi-scan stream, decoding
+    each scan's entropy segment in place — interleaved differential DC
+    scans, single-component AC band scans with full end-of-band run
+    (EOBn) semantics (G.1.2.2: symbol r<<4 with r<15 ends the band for
+    1<<r + extra-bits blocks) — accumulating coefficients per block,
+    then dequantizes, IDCTs and assembles exactly like the baseline
+    path. Raises on successive-approximation scans (Ah or Al nonzero)
+    and subsampled layouts — the documented profile boundary."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: no SOI")
+    pos, w, h = 2, None, None
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    comp_tq: list[int] = []
+    coefs: list[list[list[int]]] = []
+    prev: list[int] = []
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"marker desync at {pos}")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        seg = b[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                if seg[i] >> 4 != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                tab = [0] * 64
+                for k in range(64):
+                    tab[_ZIGZAG[k]] = seg[i + 1 + k]
+                qtabs[seg[i] & 15] = tab
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc_th = seg[i]
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                htabs[(tc_th >> 4, tc_th & 15)] = _huff_decode_map(bits, vals)
+                i += 17 + n
+        elif marker == 0xC2:
+            h, w = struct.unpack_from(">HH", seg, 1)
+            nf = seg[5]
+            if nf not in (1, 3):
+                raise ValueError("only 1 or 3 components supported")
+            for ci in range(nf):
+                if seg[6 + 3 * ci + 1] != 0x11:
+                    raise ValueError("progressive: only 1x1 sampling")
+                comp_tq.append(seg[6 + 3 * ci + 2])
+            nb = ((w + 7) // 8) * ((h + 7) // 8)
+            coefs = [[[0] * 64 for _ in range(nb)] for _ in range(nf)]
+            prev = [0] * nf
+        elif marker == 0xC0:
+            raise ValueError("baseline SOF0 — use jpeg_decode_baseline")
+        elif 0xC1 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+            raise ValueError(f"unsupported SOF{marker - 0xC0}")
+        elif marker == 0xDA:
+            if w is None:
+                raise ValueError("SOS before SOF2")
+            ns = seg[0]
+            scomp = []
+            for si in range(ns):
+                cid = seg[1 + 2 * si]
+                scomp.append((cid - 1, seg[2 + 2 * si]))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if ah or al:
+                raise ValueError(
+                    "successive approximation not supported "
+                    "(spectral-selection profile only)"
+                )
+            br = _JpegBitReader(b, pos + 2 + seglen)
+            nb = len(coefs[0])
+            if ss == 0:
+                # DC scan: interleaved over the scan's components
+                if se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                for bi in range(nb):
+                    for ci, tabs in scomp:
+                        dc_tab = htabs[(0, tabs >> 4)]
+                        sz = _huff_read(br, dc_tab)
+                        prev[ci] += _extend(br.read(sz), sz) if sz else 0
+                        coefs[ci][bi][0] = prev[ci]
+            else:
+                # AC band scan: single component, EOBRUN semantics
+                if ns != 1:
+                    raise ValueError("progressive AC scans must be 1-component")
+                ci, tabs = scomp[0]
+                ac_tab = htabs[(1, tabs & 15)]
+                eobrun = 0
+                for bi in range(nb):
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _huff_read(br, ac_tab)
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read(r)
+                            break  # current block's band ends
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        coefs[ci][bi][_ZIGZAG[k]] = _extend(br.read(sz), sz)
+                        k += 1
+            pos = br.pos
+            if br.n:
+                pass  # padding bits to the byte boundary are discarded
+            continue
+        pos += 2 + seglen
+    if w is None or not coefs:
+        raise ValueError("missing SOF2 or scans")
+    ncomp = len(comp_tq)
+    mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+    out = bytearray(w * h * ncomp)
+    for ci in range(ncomp):
+        q = qtabs[comp_tq[ci]]
+        for bi, blk in enumerate(coefs[ci]):
+            px = _idct8x8([blk[i] * q[i] for i in range(64)])
+            by, bx = divmod(bi, mcux)
+            for yy in range(min(8, h - by * 8)):
+                row_base = ((by * 8 + yy) * w + bx * 8) * ncomp + ci
+                for xx in range(min(8, w - bx * 8)):
+                    out[row_base + xx * ncomp] = px[yy * 8 + xx]
+    return w, h, ncomp, bytes(out)
+
+
 def jpeg_encode_420(ys, cbs, crs, w: int, h: int, qtab) -> bytes:
     """Baseline-sequential 4:2:0 JPEG from QUANTIZED coefficient
     blocks — the dominant real-world chroma layout (luma 2x2, chroma
@@ -1065,6 +1335,43 @@ def make_gradient_jpeg_rst(doc_id: int) -> bytes:
             blocks.append(blk)
     return jpeg_encode_gray(blocks, w, h, qtab,
                             restart_interval=1 + doc_id % 3)
+
+
+def make_gradient_jpeg_progressive(doc_id: int) -> bytes:
+    """A real PROGRESSIVE (SOF2, spectral-selection) 3-component JPEG
+    whose channels follow jpeg_block_value_c exactly: constant 8x8
+    blocks at DC quant step 8 (bit-exact family), encoded as a DC scan
+    plus three per-component AC band scans — the AC scans are pure
+    multi-block EOB runs, the layout a real progressive encoder emits
+    for flat regions."""
+    w, h = jpeg_px_dims(doc_id)
+    qtab = [8] + [16] * 63
+    comps = [[], [], []]
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            for c in range(3):
+                blk = [0] * 64
+                blk[0] = jpeg_block_value_c(bx, by, c, doc_id) - 128
+                comps[c].append(blk)
+    return jpeg_encode_progressive_ss(comps, w, h, qtab)
+
+
+def materialize_media_jpeg_prog(sf_dir: str = ORACLE_SF) -> str:
+    """Write the progressive JPEG fixture parquet once per fingerprint."""
+    path = _fixture_dir(sf_dir) / "media_jpeg_prog.parquet"
+    if not path.exists():
+        ids = list(range(N_MEDIA_JPEG))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_gradient_jpeg_progressive(i) for i in ids],
+                    pa.binary(),
+                ),
+            }),
+            path,
+        )
+    return str(path)
 
 
 def materialize_media_jpeg_rst(sf_dir: str = ORACLE_SF) -> str:

@@ -1447,3 +1447,107 @@ def test_wav_stereo_parse_and_formulas():
             parse_wav(blob)  # mono-only API refuses stereo
         r2, n2, d2 = parse_wav_multi(make_wav(did))
         assert (r2, n2) == (er, 1)
+
+
+def test_jpeg_progressive_roundtrip_random():
+    """Property (hypothesis): random quantized blocks at 1 or 3
+    components survive the progressive spectral-selection encode ->
+    decode exactly — interleaved DC scan, per-component AC band scans,
+    coalesced multi-block EOB runs, and the custom progressive AC
+    Huffman table are all content-independent. Reference pixels from
+    the shared IDCT on the dequantized blocks."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hdfs_mr_spark.sources.media import (
+        _idct8x8,
+        jpeg_decode_progressive,
+        jpeg_encode_progressive_ss,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.data())
+    def prop(data):
+        ncomp = data.draw(st.sampled_from([1, 3]))
+        qtab = [data.draw(st.integers(min_value=1, max_value=255))
+                for _ in range(64)]
+        w = data.draw(st.integers(min_value=1, max_value=32), label="w")
+        h = data.draw(st.integers(min_value=1, max_value=32), label="h")
+        nb = ((w + 7) // 8) * ((h + 7) // 8)
+        comps = []
+        for _ in range(ncomp):
+            blocks = []
+            for _ in range(nb):
+                blk = [0] * 64
+                blk[0] = data.draw(st.integers(min_value=-128, max_value=127))
+                # ~half the blocks stay DC-only so EOB runs span blocks
+                if data.draw(st.booleans()):
+                    for k in data.draw(
+                        st.lists(st.integers(min_value=1, max_value=63),
+                                 max_size=10, unique=True)
+                    ):
+                        blk[k] = data.draw(
+                            st.integers(min_value=-255, max_value=255)
+                        )
+                blocks.append(blk)
+            comps.append(blocks)
+        dw, dh, nc, px = jpeg_decode_progressive(
+            jpeg_encode_progressive_ss(comps, w, h, qtab)
+        )
+        assert (dw, dh, nc) == (w, h, ncomp)
+        mcux = (w + 7) // 8
+        for ci in range(ncomp):
+            for bi in range(nb):
+                ref = _idct8x8(
+                    [c * qtab[i] for i, c in enumerate(comps[ci][bi])]
+                )
+                by, bx = divmod(bi, mcux)
+                for yy in range(min(8, h - by * 8)):
+                    for xx in range(min(8, w - bx * 8)):
+                        assert (
+                            px[((by * 8 + yy) * w + bx * 8 + xx) * ncomp + ci]
+                            == ref[yy * 8 + xx]
+                        )
+
+    prop()
+
+
+def test_jpeg_progressive_fixture_and_contracts():
+    """The progressive gradient fixture decodes to jpeg_block_value_c
+    pixels (scan order reorders bits, not values); the decoder refuses
+    baseline streams (pointing at the baseline API) and
+    successive-approximation scans."""
+    import struct
+
+    import pytest
+
+    from hdfs_mr_spark.sources.media import (
+        jpeg_block_value_c,
+        jpeg_decode_progressive,
+        jpeg_px_dims,
+        make_gradient_jpeg,
+        make_gradient_jpeg_progressive,
+    )
+
+    for did in (0, 1, 5, 13, 47):
+        b = make_gradient_jpeg_progressive(did)
+        assert b"\xff\xc2" in b  # SOF2
+        w, h, nc, px = jpeg_decode_progressive(b)
+        assert (w, h, nc) == (*jpeg_px_dims(did), 3)
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    assert px[(y * w + x) * 3 + c] == jpeg_block_value_c(
+                        x // 8, y // 8, c, did
+                    )
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode_progressive(make_gradient_jpeg(0))
+    # mangle an AC SOS's AhAl byte -> successive approximation refused
+    b = bytearray(make_gradient_jpeg_progressive(0))
+    i = 0
+    for _ in range(2):  # second SOS = first AC scan
+        i = b.index(b"\xff\xda", i + 2)
+    (seglen,) = struct.unpack_from(">H", b, i + 2)
+    b[i + 1 + seglen] = 0x01  # AhAl byte: Al=1
+    with pytest.raises(ValueError, match="approximation"):
+        jpeg_decode_progressive(bytes(b))
