@@ -1015,6 +1015,173 @@ def llm_dedup_incremental(spark, sf_dir):
 
 
 @query(
+    "llm_dedup_lsh_stored",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+),
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+pairs AS (
+  SELECT b.doc_id AS bid, a.doc_id AS aid, COUNT(*) AS n_common
+  FROM tok b JOIN tok a ON a.s = b.s
+  WHERE b.doc_id % 3 = 0 AND a.doc_id <> b.doc_id
+    AND (a.doc_id % 3 <> 0 OR a.doc_id < b.doc_id)
+  GROUP BY b.doc_id, a.doc_id
+),
+near AS (
+  SELECT p.bid, p.aid, (p.aid % 3 <> 0) AS is_base
+  FROM pairs p
+  JOIN sizes s1 ON p.aid = s1.doc_id
+  JOIN sizes s2 ON p.bid = s2.doc_id
+  WHERE CAST(p.n_common AS DOUBLE)
+        / CAST(s1.sz + s2.sz - p.n_common AS DOUBLE) >= 0.5
+),
+agg AS (
+  SELECT bid,
+         MIN(CASE WHEN is_base THEN aid END) AS base_match,
+         MIN(CASE WHEN NOT is_base THEN aid END) AS batch_match
+  FROM near GROUP BY bid
+)
+SELECT d.doc_id,
+       CASE WHEN a.base_match IS NOT NULL THEN 'dup_base'
+            WHEN a.batch_match IS NOT NULL THEN 'dup_batch'
+            ELSE 'keep' END AS verdict,
+       CASE WHEN a.base_match IS NOT NULL THEN a.base_match
+            ELSE a.batch_match END AS matched_doc
+FROM documents d LEFT JOIN agg a ON a.bid = d.doc_id
+WHERE d.doc_id % 3 = 0
+ORDER BY d.doc_id
+""",
+    family=_FAM,
+)
+def llm_dedup_lsh_stored(spark, sf_dir):
+    """PERSISTED + INCREMENTALLY MAINTAINED MinHash-LSH banding index —
+    the near-dup twin of llm_sim_knn_ivf_delta's storage story, and
+    what llm_dedup_incremental (exact hashes) looks like at NEAR-dup
+    semantics: the daily-crawl corpus keeps a stored posting table of
+    (band, h1, h2, doc_id) band buckets; a new batch (doc_id % 3 == 0)
+    probes the index with its own band keys in ONE equi-join — base
+    and earlier-batch candidates surface together because the index
+    already absorbed prior batches — then exact trigram Jaccard >= 0.5
+    verifies candidates, and each batch doc gets a replayable verdict
+    (dup_base / dup_batch / keep, with the lowest matching doc id).
+
+    Index lifecycle: the base postings publish atomically (temp dir +
+    rename, same discipline as the IVF stores), the batch's postings
+    APPEND (partitioned by band — append-only, base files never
+    rewritten), and because banding membership depends only on the
+    row's own signature, base+batch appends are bit-identical to a
+    one-shot build. Banding recall on the fixture's bimodal Jaccard is
+    empirically 1.0, which the oracle PROVES: it computes the exact
+    all-pairs answer with no banding at all, so any pair the stored
+    index misses hash-mismatches (same contract as
+    llm_dedup_minhash_lsh; llm_dedup_lsh_audit measures the recall
+    honestly). At 100 TB the postings partition by (band, bucket
+    prefix) and the probe stays one shuffle-equi-join against an
+    append-only table; the shingle side is never broadcast."""
+    import os
+    import shutil
+
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    sh = _shingle_frame(spark, sf_dir)
+    sig = _minhash_sig(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"h{2 * b}").alias("h1"),
+                F.col(f"h{2 * b + 1}").alias("h2"),
+            )
+            for b in range(_MINHASH_BANDS)
+        ]
+    )
+    keyed = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id",
+        F.col("bk.band").alias("band"), F.col("bk.h1").alias("h1"),
+        F.col("bk.h2").alias("h2"),
+    )
+    store = _fixture_dir(sf_dir) / "lsh_store"
+    post_path = str(store / "postings")
+    if not (store / "_built_base").exists():
+        if store.exists():
+            shutil.rmtree(store, ignore_errors=True)
+        tmp = store.parent / f"{store.name}.tmp.{os.getpid()}"
+        keyed.filter(F.col("doc_id") % 3 != 0).write.mode(
+            "overwrite"
+        ).partitionBy("band").parquet(str(tmp / "postings"))
+        (tmp / "_built_base").touch()
+        try:
+            os.rename(tmp, store)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (store / "_built_base").exists():
+                raise
+    if not (store / "_batch_done").exists():
+        # incremental absorb: append-only, base files never rewritten
+        keyed.filter(F.col("doc_id") % 3 == 0).write.mode(
+            "append"
+        ).partitionBy("band").parquet(post_path)
+        (store / "_batch_done").touch()
+    stored = spark.read.parquet(post_path).select(
+        F.col("doc_id").alias("aid"), "band",
+        F.col("h1").alias("g1"), F.col("h2").alias("g2"),
+    )
+    probe = keyed.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("bid"), "band", "h1", "h2",
+    )
+    cand = (
+        probe.join(
+            stored,
+            (probe.band == stored.band)
+            & (F.col("h1") == F.col("g1")) & (F.col("h2") == F.col("g2"))
+            & (F.col("aid") != F.col("bid"))
+            & ((F.col("aid") % 3 != 0) | (F.col("aid") < F.col("bid"))),
+        )
+        .select("bid", "aid")
+        .dropDuplicates(["bid", "aid"])
+    )
+    s1 = sh.select(F.col("doc_id").alias("aid"), F.col("s").alias("s1"),
+                   F.col("sz").alias("sz1"))
+    s2 = sh.select(F.col("doc_id").alias("bid"), F.col("s").alias("s2"),
+                   F.col("sz").alias("sz2"))
+    n_common = F.size(F.array_intersect("s1", "s2"))
+    jac = n_common.cast("double") / (
+        (F.col("sz1") + F.col("sz2") - n_common).cast("double")
+    )
+    near = (
+        cand.join(s1, "aid").join(s2, "bid")
+        .select("bid", "aid", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("bid", "aid", (F.col("aid") % 3 != 0).alias("is_base"))
+    )
+    agg = near.groupBy("bid").agg(
+        F.min(F.when(F.col("is_base"), F.col("aid"))).alias("base_match"),
+        F.min(F.when(~F.col("is_base"), F.col("aid"))).alias("batch_match"),
+    )
+    batch_docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    ).select("doc_id")
+    return (
+        batch_docs.join(agg, batch_docs.doc_id == agg.bid, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("base_match").isNotNull(), "dup_base")
+            .when(F.col("batch_match").isNotNull(), "dup_batch")
+            .otherwise("keep").alias("verdict"),
+            F.when(
+                F.col("base_match").isNotNull(), F.col("base_match")
+            ).otherwise(F.col("batch_match")).alias("matched_doc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "llm_sketch_audit",
     oracle="""
 WITH

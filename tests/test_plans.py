@@ -894,3 +894,32 @@ def test_ivf_delta_absorb_touches_only_delta_cells(spark):
     twin = [tuple(r) for r in
             all_specs()["llm_sim_knn_ivf"].fn(spark, SF_SMOKE).collect()]
     assert rows == twin
+
+
+def test_lsh_stored_absorb_is_append_only(spark):
+    """llm_dedup_lsh_stored: the batch absorb must APPEND to the
+    persisted banding index — every band partition holds exactly one
+    file from the base build plus the batch's appended file(s), and
+    the query's verdicts must match the exact all-pairs oracle twin
+    (checked by parity); here we pin the storage lifecycle."""
+    import shutil
+    from pathlib import Path
+
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    store = Path(_fixture_dir(SF_SMOKE)) / "lsh_store"
+    shutil.rmtree(store, ignore_errors=True)  # force a fresh lifecycle
+
+    fn = all_specs()["llm_dedup_lsh_stored"].fn
+    rows = fn(spark, SF_SMOKE).collect()
+    assert (store / "_built_base").exists() and (store / "_batch_done").exists()
+    bands = sorted((store / "postings").glob("band=*"))
+    assert len(bands) == 12
+    for d in bands:
+        parts = list(d.glob("*.parquet"))
+        # base write (1+ files) + batch append (1+ files), never a rewrite
+        assert len(parts) >= 2, f"{d.name}: batch absorb did not append"
+    # verdicts are exhaustive over the batch and deterministic
+    verdicts = {r.verdict for r in rows}
+    assert verdicts <= {"dup_base", "dup_batch", "keep"}
+    assert all(r.verdict != "keep" or r.matched_doc is None for r in rows)
