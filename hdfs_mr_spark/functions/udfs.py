@@ -2559,6 +2559,134 @@ def llm_multimodal_pixels_jpeg_progressive(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+try:  # pragma: no cover — same static-path contract as _MEDIA_JPEG
+    from hdfs_mr_spark.sources.media import materialize_media_jpeg_prog_sa
+
+    _MEDIA_JPEG_PROG_SA = materialize_media_jpeg_prog_sa()
+except Exception as _media_jpeg_prog_sa_exc:  # noqa: BLE001
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "SA progressive JPEG fixture materialization failed: %r",
+        _media_jpeg_prog_sa_exc,
+    )
+    _MEDIA_JPEG_PROG_SA = "/tmp/hmr_media_jpeg_prog_sa_unavailable.parquet"
+
+
+def _jpeg_prog_sa_oracle_sql() -> str:
+    """llm_multimodal_pixels_jpeg_prog_sa oracle: identical shape to
+    the spectral-selection twin — successive approximation reorders
+    BITS across scans, not pixel values, and the DC bit-ladder is
+    exact on the constant-block family — plus the fixture's Al echoed
+    so the scan-ladder depth itself is hash-checked."""
+    val = ("((5 * ((i % w) // 8) + 11 * ((i // w) // 8) + 3 * doc_id "
+           "+ 97 * {c}) % 256)")
+
+    def fold(expr: str, alias: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(0, w*h), "
+            f"i -> CAST({expr} AS BIGINT))), (a, x) -> a + x) AS {alias}"
+        )
+
+    chan = [fold(val.format(c=c), f"sum_c{c}") for c in range(3)]
+    cols = ",\n       ".join(chan)
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         9 + (doc_id * 41) % 55 AS w,
+         9 + (doc_id * 59) % 55 AS h
+  FROM '{_MEDIA_JPEG_PROG_SA}'
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(1 + doc_id % 3 AS INTEGER) AS al,
+       {cols}
+FROM m
+ORDER BY doc_id
+"""
+
+
+@query(
+    "llm_multimodal_pixels_jpeg_prog_sa",
+    oracle=_jpeg_prog_sa_oracle_sql(),
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_pixels_jpeg_prog_sa(spark, sf_dir):
+    """FULL progressive JPEG decode — spectral selection AND
+    successive approximation, completing the progressive feature
+    matrix the `_jpeg_progressive` op's profile note left open: the
+    fixture ladder sends DC at point transform Al = 1 + doc_id % 3
+    then refines one bit per scan (the two's-complement OR identity
+    makes the constant-block family bit-exact through the ladder), AC
+    first scans at Al with EOBn runs, and AC refinement scans whose
+    correction-bit/ZRL/EOB-run interplay (G.1.2.3) is the most
+    desync-prone logic in JPEG — hypothesis round-trips dense random
+    blocks at Al up to 3 to cover the newly-significant and
+    correction-bit paths the flat fixture can't. The parsed Al is
+    echoed into the hashed output, so the ladder depth itself is
+    verified. Kernel decodes via the MODULE codec
+    (jpeg_decode_progressive — one implementation for both
+    progressive profiles)."""
+
+    def sa_batches(batches):
+        import struct
+
+        import pandas as pd
+
+        from hdfs_mr_spark.sources.media import jpeg_decode_progressive
+
+        def first_dc_al(b):
+            """Al of the first DC scan (SOS with Ss=0): the top of the
+            successive-approximation ladder."""
+            pos = 2
+            while pos + 4 <= len(b):
+                marker = b[pos + 1]
+                if marker == 0xD9:
+                    break
+                (seglen,) = struct.unpack_from(">H", b, pos + 2)
+                if marker == 0xDA:
+                    ns = b[pos + 4]
+                    ss = b[pos + 5 + 2 * ns]
+                    ahal = b[pos + 7 + 2 * ns]
+                    if ss == 0:
+                        return ahal & 15
+                    pos += 2 + seglen
+                    continue
+                pos += 2 + seglen
+            return 0
+
+        cols = ["doc_id", "width", "height", "al",
+                "sum_c0", "sum_c1", "sum_c2"]
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(payload)
+                w, h, nc, px = jpeg_decode_progressive(blob)
+                sums = [0, 0, 0]
+                for y in range(h):
+                    for x in range(w):
+                        base = (y * w + x) * nc
+                        for c in range(nc):
+                            sums[c] += px[base + c]
+                rows.append((int(did), w, h, first_dc_al(blob), *sums))
+            out = pd.DataFrame(rows, columns=cols)
+            yield out.astype(
+                {c: ("int32" if c in ("width", "height", "al") else "int64")
+                 for c in cols}
+            )
+
+    from hdfs_mr_spark.io import fan_out
+    from hdfs_mr_spark.sources.media import materialize_media_jpeg_prog_sa
+
+    df = spark.read.parquet(materialize_media_jpeg_prog_sa())
+    return fan_out(df).mapInPandas(
+        sa_batches,
+        "doc_id long, width int, height int, al int, "
+        "sum_c0 long, sum_c1 long, sum_c2 long",
+    ).orderBy("doc_id")
+
+
 def _resize_pixels_oracle_sql() -> str:
     """llm_multimodal_resize_pixels oracle: the resampled image's
     channel sums and a position-weighted sum recomputed from the

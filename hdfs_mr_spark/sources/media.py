@@ -1081,6 +1081,198 @@ def jpeg_encode_progressive_ss(comps, w: int, h: int, qtab) -> bytes:
     return b"\xff\xd8" + dqt + dht + sof + scans + b"\xff\xd9"
 
 
+def jpeg_encode_progressive_sa(comps, w: int, h: int, qtab,
+                               al: int = 1) -> bytes:
+    """FULL progressive JPEG (SOF2): spectral selection AND successive
+    approximation. Scan ladder: interleaved DC first scan at point
+    transform ``al`` (diff-coded v >> al), per-component AC first
+    scans at ``al`` (band 1..63, magnitudes |v| >> al, EOBn runs),
+    then for each lower bit a = al-1..0 an interleaved 1-bit-per-block
+    DC refinement scan and per-component AC refinement scans
+    implementing G.1.2.3: newly significant coefficients appear as
+    run-coded ±1 (sign bit first), previously-nonzero coefficients
+    passed over contribute buffered correction bits (flushed after the
+    ZRL or significance symbol that makes the decoder pass them — the
+    ordering subtlety that makes hand-rolled SA encoders desync), and
+    trailing zero runs fold into EOBn with their correction bits
+    stashed until the run is emitted."""
+    ncomp = len(comps)
+    if ncomp not in (1, 3):
+        raise ValueError("1 or 3 components")
+    if not 1 <= al <= 10:
+        raise ValueError("al must be in 1..10")
+    dc_codes = _huff_encode_map(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_encode_map(_AC_PROG_BITS, _AC_PROG_VALS)
+    nb = len(comps[0])
+
+    def sos(comp_sel, ss, se, ah, a):
+        ns = len(comp_sel)
+        return (
+            b"\xff\xda" + struct.pack(">H", 6 + 2 * ns) + bytes([ns])
+            + b"".join(bytes([cid, tsel]) for cid, tsel in comp_sel)
+            + bytes([ss, se, (ah << 4) | a])
+        )
+
+    # DC first scan (interleaved, point-transformed)
+    bw = _JpegBitWriter()
+    prev = [0] * ncomp
+    for bi in range(nb):
+        for ci in range(ncomp):
+            v = comps[ci][bi][0] >> al  # arithmetic shift = point transform
+            diff, prev[ci] = v - prev[ci], v
+            sz, bits = _mag_bits(diff)
+            code, ln = dc_codes[sz]
+            bw.write(code, ln)
+            if sz:
+                bw.write(bits, sz)
+    scans = sos([(ci + 1, 0x00) for ci in range(ncomp)], 0, 0, 0, al)
+    scans += bw.flush()
+
+    def ac_first_bytes(blocks, a):
+        bw = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            while eobrun > 0:
+                n = min(14, eobrun.bit_length() - 1)
+                span = min(eobrun, (1 << (n + 1)) - 1)
+                code, ln = ac_codes[n << 4]
+                bw.write(code, ln)
+                if n:
+                    bw.write(span - (1 << n), n)
+                eobrun -= span
+
+        for blk in blocks:
+            vals = [0] * 64
+            last_nz = 0
+            for k in range(1, 64):
+                m = abs(blk[_ZIGZAG[k]]) >> a
+                if m:
+                    vals[k] = m if blk[_ZIGZAG[k]] >= 0 else -m
+                    last_nz = k
+            if last_nz == 0:
+                eobrun += 1
+                continue
+            flush_eob()
+            k, run = 1, 0
+            while k <= last_nz:
+                if vals[k] == 0:
+                    run += 1
+                    k += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                sz, bits = _mag_bits(vals[k])
+                code, ln = ac_codes[(run << 4) | sz]
+                bw.write(code, ln)
+                bw.write(bits, sz)
+                run = 0
+                k += 1
+            if last_nz < 63:
+                eobrun += 1
+        flush_eob()
+        return bw.flush()
+
+    for ci in range(ncomp):
+        scans += sos([(ci + 1, 0x01)], 1, 63, 0, al)
+        scans += ac_first_bytes(comps[ci], al)
+
+    def ac_refine_bytes(blocks, a):
+        bw = _JpegBitWriter()
+        eobrun = 0
+        be_bits: list[int] = []
+
+        def emit_eobrun():
+            nonlocal eobrun, be_bits
+            while eobrun > 0:
+                n = min(14, eobrun.bit_length() - 1)
+                span = min(eobrun, (1 << (n + 1)) - 1)
+                code, ln = ac_codes[n << 4]
+                bw.write(code, ln)
+                if n:
+                    bw.write(span - (1 << n), n)
+                eobrun -= span
+                for bit in be_bits:
+                    bw.write(bit, 1)
+                be_bits = []
+
+        for blk in blocks:
+            absv = [0] * 64
+            eob = 0
+            for k in range(1, 64):
+                absv[k] = abs(blk[_ZIGZAG[k]]) >> a
+                if absv[k] == 1:
+                    eob = k  # last NEWLY-significant coefficient
+            r = 0
+            br_bits: list[int] = []
+            for k in range(1, 64):
+                temp = absv[k]
+                if temp == 0:
+                    r += 1
+                    continue
+                # ZRLs that cannot fold into the EOB run; the buffered
+                # correction bits ride out right after each ZRL
+                while r > 15 and k <= eob:
+                    emit_eobrun()
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                    for bit in br_bits:
+                        bw.write(bit, 1)
+                    br_bits = []
+                if temp > 1:
+                    # history coefficient: one correction bit, buffered
+                    br_bits.append(temp & 1)
+                    continue
+                # newly significant: run-coded +-1, sign bit FIRST,
+                # then the correction bits the decoder passes en route
+                emit_eobrun()
+                code, ln = ac_codes[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if blk[_ZIGZAG[k]] >= 0 else 0, 1)
+                for bit in br_bits:
+                    bw.write(bit, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                eobrun += 1
+                be_bits.extend(br_bits)
+        emit_eobrun()
+        return bw.flush()
+
+    for a in range(al - 1, -1, -1):
+        # DC refinement: one raw bit per block per component
+        bw = _JpegBitWriter()
+        for bi in range(nb):
+            for ci in range(ncomp):
+                bw.write((comps[ci][bi][0] >> a) & 1, 1)
+        scans += sos([(ci + 1, 0x00) for ci in range(ncomp)], 0, 0, a + 1, a)
+        scans += bw.flush()
+        for ci in range(ncomp):
+            scans += sos([(ci + 1, 0x01)], 1, 63, a + 1, a)
+            scans += ac_refine_bytes(comps[ci], a)
+
+    dqt = (
+        b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+        + bytes(qtab[_ZIGZAG[i]] for i in range(64))
+    )
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 19 + len(_DC_VALS)) + b"\x00"
+        + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\xff\xc4" + struct.pack(">H", 19 + len(_AC_PROG_VALS)) + b"\x11"
+        + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS)
+    )
+    sof = (
+        b"\xff\xc2" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08"
+        + struct.pack(">HH", h, w) + bytes([ncomp])
+        + b"".join(bytes([ci + 1, 0x11, 0]) for ci in range(ncomp))
+    )
+    return b"\xff\xd8" + dqt + dht + sof + scans + b"\xff\xd9"
+
+
 def jpeg_decode_progressive(b: bytes) -> tuple[int, int, int, bytes]:
     """PROGRESSIVE JPEG decode, spectral-selection profile (SOF2, 1x1
     sampling, Ah=0 first scans): walks the multi-scan stream, decoding
@@ -1152,25 +1344,31 @@ def jpeg_decode_progressive(b: bytes) -> tuple[int, int, int, bytes]:
                 scomp.append((cid - 1, seg[2 + 2 * si]))
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 15
-            if ah or al:
-                raise ValueError(
-                    "successive approximation not supported "
-                    "(spectral-selection profile only)"
-                )
             br = _JpegBitReader(b, pos + 2 + seglen)
             nb = len(coefs[0])
             if ss == 0:
                 # DC scan: interleaved over the scan's components
                 if se != 0:
                     raise ValueError("progressive DC scan must have Se=0")
-                for bi in range(nb):
-                    for ci, tabs in scomp:
-                        dc_tab = htabs[(0, tabs >> 4)]
-                        sz = _huff_read(br, dc_tab)
-                        prev[ci] += _extend(br.read(sz), sz) if sz else 0
-                        coefs[ci][bi][0] = prev[ci]
-            else:
-                # AC band scan: single component, EOBRUN semantics
+                if ah == 0:
+                    # first scan: diff-coded point-transformed DC,
+                    # stored scaled (<< Al); low bits arrive later
+                    for bi in range(nb):
+                        for ci, tabs in scomp:
+                            dc_tab = htabs[(0, tabs >> 4)]
+                            sz = _huff_read(br, dc_tab)
+                            prev[ci] += _extend(br.read(sz), sz) if sz else 0
+                            coefs[ci][bi][0] = prev[ci] << al
+                else:
+                    # refinement: one raw bit per block per component —
+                    # two's-complement OR rebuilds v exactly once Al=0
+                    for bi in range(nb):
+                        for ci, _tabs in scomp:
+                            if br.read(1):
+                                coefs[ci][bi][0] |= 1 << al
+            elif ah == 0:
+                # AC band FIRST scan at this Al: single component,
+                # EOBRUN semantics, values stored scaled (<< Al)
                 if ns != 1:
                     raise ValueError("progressive AC scans must be 1-component")
                 ci, tabs = scomp[0]
@@ -1195,11 +1393,70 @@ def jpeg_decode_progressive(b: bytes) -> tuple[int, int, int, bytes]:
                         k += r
                         if k > se:
                             raise ValueError("AC run past band end")
-                        coefs[ci][bi][_ZIGZAG[k]] = _extend(br.read(sz), sz)
+                        coefs[ci][bi][_ZIGZAG[k]] = (
+                            _extend(br.read(sz), sz) << al
+                        )
                         k += 1
+            else:
+                # AC band REFINEMENT scan (G.1.2.3): newly significant
+                # coefficients arrive as +-1<<Al; every nonzero-history
+                # coefficient passed over carries one correction bit
+                if ns != 1:
+                    raise ValueError("progressive AC scans must be 1-component")
+                ci, tabs = scomp[0]
+                ac_tab = htabs[(1, tabs & 15)]
+                p1, m1 = 1 << al, -(1 << al)
+                eobrun = 0
+
+                def refine(blk, k):
+                    nat = _ZIGZAG[k]
+                    if blk[nat] != 0 and br.read(1):
+                        if (abs(blk[nat]) & p1) == 0:
+                            blk[nat] += p1 if blk[nat] >= 0 else m1
+
+                for bi in range(nb):
+                    blk = coefs[ci][bi]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _huff_read(br, ac_tab)
+                            r, sz = rs >> 4, rs & 15
+                            newval = 0
+                            if sz == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.read(r)
+                                    break
+                                # ZRL: skip 16 zero-history coefficients
+                            else:
+                                if sz != 1:
+                                    raise ValueError(
+                                        "AC refinement size must be 1"
+                                    )
+                                newval = p1 if br.read(1) else m1
+                            while k <= se:
+                                nat = _ZIGZAG[k]
+                                if blk[nat] != 0:
+                                    refine(blk, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval:
+                                if k > se:
+                                    raise ValueError(
+                                        "refinement run past band end"
+                                    )
+                                blk[_ZIGZAG[k]] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            refine(blk, k)
+                            k += 1
+                        eobrun -= 1
             pos = br.pos
-            if br.n:
-                pass  # padding bits to the byte boundary are discarded
             continue
         pos += 2 + seglen
     if w is None or not coefs:
@@ -1366,6 +1623,47 @@ def materialize_media_jpeg_prog(sf_dir: str = ORACLE_SF) -> str:
                 "doc_id": pa.array(ids, pa.int64()),
                 "payload": pa.array(
                     [make_gradient_jpeg_progressive(i) for i in ids],
+                    pa.binary(),
+                ),
+            }),
+            path,
+        )
+    return str(path)
+
+
+def make_gradient_jpeg_progressive_sa(doc_id: int) -> bytes:
+    """A real FULL-progressive JPEG (spectral selection + successive
+    approximation, Al ladder = 1 + doc_id % 3 down to 0) whose
+    channels follow jpeg_block_value_c exactly: the DC bit-ladder
+    reconstructs every constant block's value bit-for-bit (the
+    two's-complement OR identity), and the empty AC bands drive the
+    refinement scans' EOB-run machinery. Dense-AC successive
+    approximation is covered by the hypothesis round-trip (the
+    constant-block family is what keeps the ORACLE formula-exact)."""
+    w, h = jpeg_px_dims(doc_id)
+    qtab = [8] + [16] * 63
+    comps = [[], [], []]
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            for c in range(3):
+                blk = [0] * 64
+                blk[0] = jpeg_block_value_c(bx, by, c, doc_id) - 128
+                comps[c].append(blk)
+    return jpeg_encode_progressive_sa(comps, w, h, qtab,
+                                      al=1 + doc_id % 3)
+
+
+def materialize_media_jpeg_prog_sa(sf_dir: str = ORACLE_SF) -> str:
+    """Write the successive-approximation progressive JPEG fixture
+    parquet once per fingerprint."""
+    path = _fixture_dir(sf_dir) / "media_jpeg_prog_sa.parquet"
+    if not path.exists():
+        ids = list(range(N_MEDIA_JPEG))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_gradient_jpeg_progressive_sa(i) for i in ids],
                     pa.binary(),
                 ),
             }),

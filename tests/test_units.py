@@ -1551,3 +1551,90 @@ def test_jpeg_progressive_fixture_and_contracts():
     b[i + 1 + seglen] = 0x01  # AhAl byte: Al=1
     with pytest.raises(ValueError, match="approximation"):
         jpeg_decode_progressive(bytes(b))
+
+
+def test_jpeg_progressive_sa_roundtrip_random():
+    """Property (hypothesis): random quantized blocks survive the FULL
+    progressive encode -> decode (spectral selection + successive
+    approximation at random Al ladders) exactly — the DC bit-ladder,
+    newly-significant run coding, correction-bit buffering, and
+    EOB-run-with-stashed-bits interplay of G.1.2.3 are all
+    content-independent."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hdfs_mr_spark.sources.media import (
+        _idct8x8,
+        jpeg_decode_progressive,
+        jpeg_encode_progressive_sa,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.data())
+    def prop(data):
+        ncomp = data.draw(st.sampled_from([1, 3]))
+        al = data.draw(st.integers(min_value=1, max_value=3))
+        qtab = [data.draw(st.integers(min_value=1, max_value=255))
+                for _ in range(64)]
+        w = data.draw(st.integers(min_value=1, max_value=28), label="w")
+        h = data.draw(st.integers(min_value=1, max_value=28), label="h")
+        nb = ((w + 7) // 8) * ((h + 7) // 8)
+        comps = []
+        for _ in range(ncomp):
+            blocks = []
+            for _ in range(nb):
+                blk = [0] * 64
+                blk[0] = data.draw(st.integers(min_value=-128, max_value=127))
+                if data.draw(st.booleans()):
+                    for k in data.draw(
+                        st.lists(st.integers(min_value=1, max_value=63),
+                                 max_size=12, unique=True)
+                    ):
+                        blk[k] = data.draw(
+                            st.integers(min_value=-255, max_value=255)
+                        )
+                blocks.append(blk)
+            comps.append(blocks)
+        dw, dh, nc, px = jpeg_decode_progressive(
+            jpeg_encode_progressive_sa(comps, w, h, qtab, al=al)
+        )
+        assert (dw, dh, nc) == (w, h, ncomp)
+        mcux = (w + 7) // 8
+        for ci in range(ncomp):
+            for bi in range(nb):
+                ref = _idct8x8(
+                    [c * qtab[i] for i, c in enumerate(comps[ci][bi])]
+                )
+                by, bx = divmod(bi, mcux)
+                for yy in range(min(8, h - by * 8)):
+                    for xx in range(min(8, w - bx * 8)):
+                        assert (
+                            px[((by * 8 + yy) * w + bx * 8 + xx) * ncomp + ci]
+                            == ref[yy * 8 + xx]
+                        )
+
+    prop()
+
+
+def test_jpeg_progressive_sa_fixture():
+    """The SA gradient fixture decodes to jpeg_block_value_c pixels:
+    the DC bit-ladder (Al = 1 + doc_id % 3 -> 0) must reconstruct each
+    constant block's value exactly via the two's-complement OR
+    identity."""
+    from hdfs_mr_spark.sources.media import (
+        jpeg_block_value_c,
+        jpeg_decode_progressive,
+        jpeg_px_dims,
+        make_gradient_jpeg_progressive_sa,
+    )
+
+    for did in (0, 1, 2, 5, 13, 47):
+        b = make_gradient_jpeg_progressive_sa(did)
+        w, h, nc, px = jpeg_decode_progressive(b)
+        assert (w, h, nc) == (*jpeg_px_dims(did), 3)
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    assert px[(y * w + x) * 3 + c] == jpeg_block_value_c(
+                        x // 8, y // 8, c, did
+                    )
