@@ -2687,6 +2687,120 @@ def llm_multimodal_pixels_jpeg_prog_sa(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+try:  # pragma: no cover — same static-path contract as _MEDIA_FIX
+    from hdfs_mr_spark.sources.media import materialize_media_gif
+
+    _MEDIA_GIF = materialize_media_gif()
+except Exception as _media_gif_exc:  # noqa: BLE001
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "GIF fixture materialization failed: %r", _media_gif_exc,
+    )
+    _MEDIA_GIF = "/tmp/hmr_media_gif_unavailable.parquet"
+
+
+def _gif_oracle_sql() -> str:
+    """llm_multimodal_pixels_gif oracle: the palette lookup composes
+    with the index formula into a closed form per channel —
+    idx = (x + 2y + d) % 256, ch = (idx*k_c + m_c*d) % 256 — so DuckDB
+    recomputes per-channel and position-weighted sums with no LZW."""
+    idx = "(((i % w) + 2 * (i // w) + doc_id) % 256)"
+    chans = [
+        f"(({idx} * 3 + doc_id) % 256)",
+        f"(({idx} * 5 + 2 * doc_id) % 256)",
+        f"(({idx} * 7 + 3 * doc_id) % 256)",
+    ]
+
+    def fold(expr: str, alias: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(0, w*h), "
+            f"i -> CAST({expr} AS BIGINT))), (a, x) -> a + x) AS {alias}"
+        )
+
+    cols = ",\n       ".join(
+        [fold(v, f"sum_c{c}") for c, v in enumerate(chans)]
+        + [fold(f"({' + '.join(chans)}) * ((i % w) + 1)", "wsum_x"),
+           fold(f"({' + '.join(chans)}) * ((i // w) + 1)", "wsum_y")]
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         8 + (doc_id * 37) % 56 AS w,
+         8 + (doc_id * 53) % 56 AS h
+  FROM '{_MEDIA_GIF}'
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       {cols}
+FROM m
+ORDER BY doc_id
+"""
+
+
+@query(
+    "llm_multimodal_pixels_gif",
+    oracle=_gif_oracle_sql(),
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_pixels_gif(spark, sf_dir):
+    """Pixel-true GIF decode — a third image container and a THIRD
+    compression algorithm in the multimodal family (LZW, next to PNG's
+    zlib and JPEG's Huffman/DCT): header + logical screen descriptor,
+    256-entry global color table, sub-block reassembly, GIF-variant
+    LZW decompression (LSB-first variable-width codes, CLEAR resets
+    when the dictionary hits 4096, the KwKwK self-reference case), and
+    palette application. GIF is lossless, so ANY pixel content
+    round-trips — the fixture composes an index formula with a palette
+    formula, giving the DuckDB oracle a closed form per channel with
+    no LZW at all. Kernel decodes via the MODULE codec
+    (gif_decode_pixels); unit tests round-trip random index streams
+    through the LZW pair, including dictionary-reset and low-entropy
+    (deep dictionary) regimes."""
+
+    def gif_batches(batches):
+        import pandas as pd
+
+        from hdfs_mr_spark.sources.media import gif_decode_pixels
+
+        cols = [
+            "doc_id", "width", "height",
+            "sum_c0", "sum_c1", "sum_c2", "wsum_x", "wsum_y",
+        ]
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = gif_decode_pixels(bytes(payload))
+                sums, wx, wy = [0, 0, 0], 0, 0
+                for y in range(h):
+                    for x in range(w):
+                        base = (y * w + x) * 3
+                        tot = 0
+                        for c in range(3):
+                            v = px[base + c]
+                            sums[c] += v
+                            tot += v
+                        wx += tot * (x + 1)
+                        wy += tot * (y + 1)
+                rows.append((int(did), w, h, *sums, wx, wy))
+            out = pd.DataFrame(rows, columns=cols)
+            yield out.astype(
+                {c: ("int32" if c in ("width", "height") else "int64")
+                 for c in cols}
+            )
+
+    from hdfs_mr_spark.io import fan_out
+    from hdfs_mr_spark.sources.media import materialize_media_gif
+
+    df = spark.read.parquet(materialize_media_gif())
+    return fan_out(df).mapInPandas(
+        gif_batches,
+        "doc_id long, width int, height int, "
+        "sum_c0 long, sum_c1 long, sum_c2 long, wsum_x long, wsum_y long",
+    ).orderBy("doc_id")
+
+
 def _resize_pixels_oracle_sql() -> str:
     """llm_multimodal_resize_pixels oracle: the resampled image's
     channel sums and a position-weighted sum recomputed from the

@@ -1888,3 +1888,216 @@ def materialize_audio(sf_dir: str = ORACLE_SF) -> str:
             path,
         )
     return str(path)
+
+
+# ---------------------------------------------------------------------------
+# GIF path: real GIF87a blobs with genuine LZW compression — a third
+# image container and a THIRD compression algorithm next to zlib (PNG)
+# and Huffman/DCT (JPEG). GIF packs LZW codes LSB-first with a variable
+# code width that grows as the dictionary fills (the two details naive
+# implementations get wrong), framed into 255-byte sub-blocks.
+
+def _gif_lzw_encode(indices, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: emits CLEAR, then standard LZW codes over the
+    index stream (dictionary reset via CLEAR whenever it reaches 4096),
+    then EOI; codes packed LSB-first at the current width."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = n = 0
+
+    def put(code, width):
+        nonlocal acc, n
+        acc |= code << n
+        n += width
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    def fresh():
+        return (
+            {bytes([i]): i for i in range(clear)}, eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = fresh()
+    put(clear, width)
+    w = b""
+    for idx in indices:
+        k = bytes([idx])
+        if w + k in table:
+            w += k
+            continue
+        put(table[w], width)
+        table[w + k] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= (1 << 12):
+            put(clear, width)
+            table, next_code, width = fresh()
+        w = k
+    if w:
+        put(table[w], width)
+    put(eoi, width)
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW decode: LSB-first variable-width codes, CLEAR
+    resets, EOI terminates, and the KwKwK case (code == next unassigned
+    entry) handled per the standard algorithm."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = n = acc = 0
+
+    def get(width):
+        nonlocal pos, n, acc
+        while n < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        return code
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = get(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out += entry
+        prev = entry
+        # width grows when the NEXT code to assign would not fit
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def gif_palette(i: int, doc_id: int) -> tuple[int, int, int]:
+    """Generative palette formula: RGB of palette entry i."""
+    return (
+        (i * 3 + doc_id) % 256,
+        (i * 5 + 2 * doc_id) % 256,
+        (i * 7 + 3 * doc_id) % 256,
+    )
+
+
+def gif_index(x: int, y: int, doc_id: int) -> int:
+    """Generative pixel-index formula for the GIF fixture."""
+    return (x + 2 * y + doc_id) % 256
+
+
+def make_gradient_gif(doc_id: int) -> bytes:
+    """A complete, decodable GIF87a: logical screen descriptor, 256-
+    entry global color table from gif_palette, image descriptor, and a
+    genuinely LZW-compressed index stream (gif_index) framed in
+    sub-blocks. Any GIF reader can open it."""
+    w, h = media_px_dims(doc_id)
+    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 8-bit, 256 entries
+    gct = b"".join(
+        bytes(gif_palette(i, doc_id)) for i in range(256)
+    )
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    indices = [gif_index(x, y, doc_id) for y in range(h) for x in range(w)]
+    lzw = _gif_lzw_encode(indices)
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return b"GIF87a" + lsd + gct + img + bytes(blocks) + b"\x3b"
+
+
+def gif_decode_pixels(b: bytes) -> tuple[int, int, bytes]:
+    """Full pixel-true GIF decode: header + logical screen descriptor,
+    global color table, extension-block skipping, image descriptor
+    (non-interlaced, no local table), sub-block reassembly, LZW
+    decompression, palette application. Returns (w, h, raw RGB)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        ncol = 2 << (packed & 7)
+        gct = b[pos : pos + 3 * ncol]
+        pos += 3 * ncol
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:
+            _, _, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos + 1)
+            pos += 10
+            if ipacked & 0x80:
+                raise ValueError("local color tables not supported")
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            min_code = b[pos]
+            pos += 1
+            lzw = bytearray()
+            while b[pos] != 0:
+                ln = b[pos]
+                lzw += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(bytes(lzw), min_code)
+            if len(idx) < w * h:
+                raise ValueError("LZW output shorter than image")
+            if gct is None:
+                raise ValueError("no color table")
+            out = bytearray(w * h * 3)
+            for i in range(w * h):
+                out[3 * i : 3 * i + 3] = gct[3 * idx[i] : 3 * idx[i] + 3]
+            return w, h, bytes(out)
+        elif blk == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block {blk:02X}")
+    raise ValueError("no image data")
+
+
+def materialize_media_gif(sf_dir: str = ORACLE_SF) -> str:
+    """Write the GIF fixture parquet once per fingerprint."""
+    path = _fixture_dir(sf_dir) / "media_gif.parquet"
+    if not path.exists():
+        ids = list(range(N_MEDIA_PX))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_gradient_gif(i) for i in ids], pa.binary()
+                ),
+            }),
+            path,
+        )
+    return str(path)

@@ -1638,3 +1638,67 @@ def test_jpeg_progressive_sa_fixture():
                     assert px[(y * w + x) * 3 + c] == jpeg_block_value_c(
                         x // 8, y // 8, c, did
                     )
+
+
+def test_gif_lzw_property_roundtrip():
+    """Property (hypothesis): arbitrary index streams survive the
+    GIF-variant LZW encode -> decode exactly — LSB-first variable-width
+    packing, width growth, CLEAR-at-4096 resets, and the KwKwK case
+    are all content-independent. Low-entropy streams force deep
+    dictionaries; a truncated stream raises."""
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hdfs_mr_spark.sources.media import _gif_lzw_decode, _gif_lzw_encode
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def prop(data):
+        if data.draw(st.booleans()):
+            idx = data.draw(
+                st.lists(st.integers(min_value=0, max_value=255),
+                         min_size=1, max_size=4000)
+            )
+        else:  # runs: deep-dictionary regime
+            step = data.draw(st.integers(min_value=1, max_value=9))
+            n = data.draw(st.integers(min_value=1, max_value=8000))
+            idx = [(i // step) % 256 for i in range(n)]
+        enc = _gif_lzw_encode(idx)
+        assert list(_gif_lzw_decode(enc)) == idx
+        with pytest.raises(ValueError):
+            _gif_lzw_decode(enc[: max(0, len(enc) // 2 - 1)])
+
+    prop()
+
+
+def test_gif_fixture_matches_formulas():
+    """The GIF fixture decodes (full container walk + LZW + palette)
+    to the composed index/palette formulas, and the decoder skips
+    extension blocks and validates magic."""
+    import pytest
+
+    from hdfs_mr_spark.sources.media import (
+        gif_decode_pixels,
+        gif_index,
+        gif_palette,
+        make_gradient_gif,
+        media_px_dims,
+    )
+
+    for did in (0, 3, 17, 40):
+        blob = make_gradient_gif(did)
+        w, h, px = gif_decode_pixels(blob)
+        assert (w, h) == media_px_dims(did)
+        for y in range(h):
+            for x in range(w):
+                pal = gif_palette(gif_index(x, y, did), did)
+                for c in range(3):
+                    assert px[(y * w + x) * 3 + c] == pal[c]
+    # an extension block (e.g. 89a graphics control) is walked over
+    blob = make_gradient_gif(1)
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE + terminator
+    spliced = blob[:13 + 768] + ext + blob[13 + 768:]
+    assert gif_decode_pixels(spliced) == gif_decode_pixels(blob)
+    with pytest.raises(ValueError):
+        gif_decode_pixels(b"JIF87a" + blob[6:])
