@@ -2801,6 +2801,118 @@ def llm_multimodal_pixels_gif(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+try:  # pragma: no cover — same static-path contract as _MEDIA_GIF
+    from hdfs_mr_spark.sources.media import materialize_media_gif_anim
+
+    _MEDIA_GIF_ANIM = materialize_media_gif_anim()
+except Exception as _media_gif_anim_exc:  # noqa: BLE001
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "animated GIF fixture materialization failed: %r", _media_gif_anim_exc,
+    )
+    _MEDIA_GIF_ANIM = "/tmp/hmr_media_gif_anim_unavailable.parquet"
+
+
+def _gif_anim_oracle_sql() -> str:
+    """llm_multimodal_framesample_gif oracle: per sampled frame, the
+    per-channel sums from the composed frame-index/palette formulas —
+    no LZW, no container walk."""
+    idx = "(((i % w) + 2 * (i // w) + doc_id + 11 * f) % 256)"
+    chans = [
+        f"(({idx} * 3 + doc_id) % 256)",
+        f"(({idx} * 5 + 2 * doc_id) % 256)",
+        f"(({idx} * 7 + 3 * doc_id) % 256)",
+    ]
+
+    def fold(expr: str, alias: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(0, w*h), "
+            f"i -> CAST({expr} AS BIGINT))), (a, x) -> a + x) AS {alias}"
+        )
+
+    cols = ",\n       ".join(
+        fold(v, f"sum_c{c}") for c, v in enumerate(chans)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         8 + (doc_id * 37) % 56 AS w,
+         8 + (doc_id * 53) % 56 AS h,
+         4 + doc_id % 9 AS nf
+  FROM '{_MEDIA_GIF_ANIM}'
+),
+fr AS (
+  SELECT m.doc_id, m.w, m.h, m.nf, r.f
+  FROM m, range(0, 12) r(f)
+  WHERE r.f < m.nf AND r.f % 3 = 0
+)
+SELECT doc_id,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(f AS INTEGER) AS frame_idx,
+       {cols}
+FROM fr
+ORDER BY doc_id, frame_idx
+"""
+
+
+@query(
+    "llm_multimodal_framesample_gif",
+    oracle=_gif_anim_oracle_sql(),
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_framesample_gif(spark, sf_dir):
+    """REAL frame sampling over real animated media — upgrades
+    llm_multimodal_framesample's documented deterministic-fake note
+    with an actual multi-frame container: animated GIF89a blobs
+    (graphics-control extensions between full-frame images, per-frame
+    LZW streams) are decoded frame-by-frame in mapInPandas, every 3rd
+    frame is sampled (the video pipeline's stride sampling), and each
+    sampled frame emits a typed row with its per-channel pixel sums —
+    the 1->N Arrow batch expansion the fake op demonstrates, now with
+    a pixel-true decoder behind it. The DuckDB oracle replays the
+    composed frame-index/palette formulas per sampled frame, so one
+    wrong frame boundary, palette entry, or LZW reset flips a sum.
+    Kernel decodes via the MODULE codec (gif_decode_frames)."""
+
+    def frame_batches(batches):
+        import pandas as pd
+
+        from hdfs_mr_spark.sources.media import gif_decode_frames
+
+        cols = ["doc_id", "n_frames", "frame_idx",
+                "sum_c0", "sum_c1", "sum_c2"]
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = gif_decode_frames(bytes(payload))
+                for f in range(0, len(frames), 3):
+                    px = frames[f]
+                    sums = [0, 0, 0]
+                    for i in range(w * h):
+                        base = 3 * i
+                        sums[0] += px[base]
+                        sums[1] += px[base + 1]
+                        sums[2] += px[base + 2]
+                    rows.append((int(did), len(frames), f, *sums))
+            out = pd.DataFrame(rows, columns=cols)
+            yield out.astype(
+                {c: ("int32" if c in ("n_frames", "frame_idx") else "int64")
+                 for c in cols}
+            )
+
+    from hdfs_mr_spark.io import fan_out
+    from hdfs_mr_spark.sources.media import materialize_media_gif_anim
+
+    df = spark.read.parquet(materialize_media_gif_anim())
+    return fan_out(df).mapInPandas(
+        frame_batches,
+        "doc_id long, n_frames int, frame_idx int, "
+        "sum_c0 long, sum_c1 long, sum_c2 long",
+    ).orderBy("doc_id", "frame_idx")
+
+
 def _resize_pixels_oracle_sql() -> str:
     """llm_multimodal_resize_pixels oracle: the resampled image's
     channel sums and a position-weighted sum recomputed from the

@@ -2101,3 +2101,114 @@ def materialize_media_gif(sf_dir: str = ORACLE_SF) -> str:
             path,
         )
     return str(path)
+
+
+def gif_frame_index(x: int, y: int, f: int, doc_id: int) -> int:
+    """Generative pixel-index formula for frame f of the animated
+    fixture."""
+    return (x + 2 * y + doc_id + 11 * f) % 256
+
+
+def gif_n_frames(doc_id: int) -> int:
+    return 4 + doc_id % 9  # 4..12 frames
+
+
+def make_animated_gif(doc_id: int) -> bytes:
+    """A complete, decodable ANIMATED GIF89a: global color table from
+    gif_palette, then per frame a graphics-control extension (real
+    extension blocks between frames — parsers must walk, not assume
+    layout) followed by a full-frame image descriptor with its own
+    LZW-compressed index stream (gif_frame_index). Full-frame
+    replacement frames: no disposal compositing needed."""
+    w, h = media_px_dims(doc_id)
+    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    gct = b"".join(bytes(gif_palette(i, doc_id)) for i in range(256))
+    out = bytearray(b"GIF89a" + lsd + gct)
+    for f in range(gif_n_frames(doc_id)):
+        # graphics control extension: 4 cs delay, no transparency
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        indices = [
+            gif_frame_index(x, y, f, doc_id)
+            for y in range(h) for x in range(w)
+        ]
+        lzw = _gif_lzw_encode(indices)
+        out.append(8)  # LZW minimum code size
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def gif_decode_frames(b: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode EVERY frame of a (possibly animated) GIF: same container
+    walk as gif_decode_pixels but collecting all full-frame image
+    blocks. Returns (w, h, [raw RGB per frame])."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        ncol = 2 << (packed & 7)
+        gct = b[pos : pos + 3 * ncol]
+        pos += 3 * ncol
+    frames: list[bytes] = []
+    fw = fh = None
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x21:
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos + 1)
+            pos += 10
+            if ipacked & 0xC0:
+                raise ValueError("local tables / interlace not supported")
+            if (left, top) != (0, 0) or (fw is not None and (w, h) != (fw, fh)):
+                raise ValueError("only full-frame replacement frames")
+            fw, fh = w, h
+            min_code = b[pos]
+            pos += 1
+            lzw = bytearray()
+            while b[pos] != 0:
+                ln = b[pos]
+                lzw += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(bytes(lzw), min_code)
+            if len(idx) < w * h or gct is None:
+                raise ValueError("bad frame data")
+            out = bytearray(w * h * 3)
+            for i in range(w * h):
+                out[3 * i : 3 * i + 3] = gct[3 * idx[i] : 3 * idx[i] + 3]
+            frames.append(bytes(out))
+        elif blk == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block {blk:02X}")
+    if not frames:
+        raise ValueError("no image data")
+    return fw, fh, frames
+
+
+def materialize_media_gif_anim(sf_dir: str = ORACLE_SF) -> str:
+    """Write the animated GIF fixture parquet once per fingerprint."""
+    path = _fixture_dir(sf_dir) / "media_gif_anim.parquet"
+    if not path.exists():
+        ids = list(range(N_MEDIA_PX))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_animated_gif(i) for i in ids], pa.binary()
+                ),
+            }),
+            path,
+        )
+    return str(path)

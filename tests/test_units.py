@@ -1702,3 +1702,32 @@ def test_gif_fixture_matches_formulas():
     assert gif_decode_pixels(spliced) == gif_decode_pixels(blob)
     with pytest.raises(ValueError):
         gif_decode_pixels(b"JIF87a" + blob[6:])
+
+
+def test_gif_animated_frames_roundtrip():
+    """Animated GIF: every frame decodes to its own frame-index
+    formula, the frame count matches the generative schedule, the
+    single-frame decoder reads frame 0 of an animated blob, and the
+    inter-frame graphics-control extensions are genuinely walked."""
+    from hdfs_mr_spark.sources.media import (
+        gif_decode_frames,
+        gif_decode_pixels,
+        gif_frame_index,
+        gif_n_frames,
+        gif_palette,
+        make_animated_gif,
+        media_px_dims,
+    )
+
+    for did in (0, 5, 17, 40):
+        blob = make_animated_gif(did)
+        w, h, frames = gif_decode_frames(blob)
+        assert (w, h) == media_px_dims(did)
+        assert len(frames) == gif_n_frames(did)
+        for f, px in enumerate(frames):
+            for y in range(0, h, 5):
+                for x in range(0, w, 3):
+                    pal = gif_palette(gif_frame_index(x, y, f, did), did)
+                    for c in range(3):
+                        assert px[(y * w + x) * 3 + c] == pal[c]
+        assert gif_decode_pixels(blob)[2] == frames[0]
