@@ -1515,8 +1515,11 @@ def test_jpeg_progressive_roundtrip_random():
 def test_jpeg_progressive_fixture_and_contracts():
     """The progressive gradient fixture decodes to jpeg_block_value_c
     pixels (scan order reorders bits, not values); the decoder refuses
-    baseline streams (pointing at the baseline API) and
-    successive-approximation scans."""
+    baseline streams (pointing at the baseline API) and genuinely
+    HONORS the scan header's point transform: mangling the DC scan's
+    Al rescales every decoded DC, so the pixels must change (the
+    r5-era refusal contract became support — successive approximation
+    is now decoded, see test_jpeg_progressive_sa_roundtrip_random)."""
     import struct
 
     import pytest
@@ -1542,15 +1545,16 @@ def test_jpeg_progressive_fixture_and_contracts():
                     )
     with pytest.raises(ValueError, match="baseline"):
         jpeg_decode_progressive(make_gradient_jpeg(0))
-    # mangle an AC SOS's AhAl byte -> successive approximation refused
+    # mangle the DC SOS's AhAl byte to Al=1: the decoder must APPLY the
+    # point transform (values scale x2), not ignore the field
     b = bytearray(make_gradient_jpeg_progressive(0))
-    i = 0
-    for _ in range(2):  # second SOS = first AC scan
-        i = b.index(b"\xff\xda", i + 2)
+    i = b.index(b"\xff\xda")  # first SOS = DC scan
     (seglen,) = struct.unpack_from(">H", b, i + 2)
-    b[i + 1 + seglen] = 0x01  # AhAl byte: Al=1
-    with pytest.raises(ValueError, match="approximation"):
-        jpeg_decode_progressive(bytes(b))
+    assert b[i + 1 + seglen] == 0x00
+    b[i + 1 + seglen] = 0x01  # AhAl byte: Ah=0, Al=1
+    _, _, _, px0 = jpeg_decode_progressive(make_gradient_jpeg_progressive(0))
+    _, _, _, px1 = jpeg_decode_progressive(bytes(b))
+    assert px0 != px1
 
 
 def test_jpeg_progressive_sa_roundtrip_random():
