@@ -1998,6 +1998,27 @@ def _gif_lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
     return bytes(out)
 
 
+# GIF interlace: 4 passes over rows — y % 8 == 0, then 4, then {2, 6},
+# then odd rows (GIF89a spec appendix E)
+_GIF_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def _gif_interlace_rows(h: int) -> list[int]:
+    """Row order in which an interlaced GIF stores its scanlines."""
+    rows = []
+    for start, step in _GIF_PASSES:
+        rows.extend(range(start, h, step))
+    return rows
+
+
+def _gif_deinterlace(idx: bytes, w: int, h: int) -> bytes:
+    """Reorder an interlaced index stream back to raster order."""
+    out = bytearray(w * h)
+    for src, y in enumerate(_gif_interlace_rows(h)):
+        out[y * w : (y + 1) * w] = idx[src * w : (src + 1) * w]
+    return bytes(out)
+
+
 def gif_palette(i: int, doc_id: int) -> tuple[int, int, int]:
     """Generative palette formula: RGB of palette entry i."""
     return (
@@ -2060,8 +2081,6 @@ def gif_decode_pixels(b: bytes) -> tuple[int, int, bytes]:
             pos += 10
             if ipacked & 0x80:
                 raise ValueError("local color tables not supported")
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF not supported")
             min_code = b[pos]
             pos += 1
             lzw = bytearray()
@@ -2075,6 +2094,8 @@ def gif_decode_pixels(b: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("LZW output shorter than image")
             if gct is None:
                 raise ValueError("no color table")
+            if ipacked & 0x40:
+                idx = _gif_deinterlace(idx, w, h)
             out = bytearray(w * h * 3)
             for i in range(w * h):
                 out[3 * i : 3 * i + 3] = gct[3 * idx[i] : 3 * idx[i] + 3]
@@ -2168,8 +2189,8 @@ def gif_decode_frames(b: bytes) -> tuple[int, int, list[bytes]]:
         elif blk == 0x2C:
             left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos + 1)
             pos += 10
-            if ipacked & 0xC0:
-                raise ValueError("local tables / interlace not supported")
+            if ipacked & 0x80:
+                raise ValueError("local color tables not supported")
             if (left, top) != (0, 0) or (fw is not None and (w, h) != (fw, fh)):
                 raise ValueError("only full-frame replacement frames")
             fw, fh = w, h
@@ -2184,6 +2205,8 @@ def gif_decode_frames(b: bytes) -> tuple[int, int, list[bytes]]:
             idx = _gif_lzw_decode(bytes(lzw), min_code)
             if len(idx) < w * h or gct is None:
                 raise ValueError("bad frame data")
+            if ipacked & 0x40:
+                idx = _gif_deinterlace(idx, w, h)
             out = bytearray(w * h * 3)
             for i in range(w * h):
                 out[3 * i : 3 * i + 3] = gct[3 * idx[i] : 3 * idx[i] + 3]

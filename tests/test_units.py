@@ -1735,3 +1735,47 @@ def test_gif_animated_frames_roundtrip():
                     for c in range(3):
                         assert px[(y * w + x) * 3 + c] == pal[c]
         assert gif_decode_pixels(blob)[2] == frames[0]
+
+
+def test_gif_interlaced_decode():
+    """Interlaced GIF: rows stored in the 4-pass GIF order (8/8, 4/8,
+    2/4, 1/2 offsets) must deinterlace back to raster — built by
+    storing a known image's rows in interlace order with the interlace
+    flag set, for dims where every pass is non-trivial and for tiny
+    dims where later passes are empty."""
+    import struct
+
+    from hdfs_mr_spark.sources.media import (
+        _gif_interlace_rows,
+        _gif_lzw_encode,
+        gif_decode_pixels,
+        gif_palette,
+    )
+
+    for (w, h) in [(17, 23), (8, 8), (3, 2), (1, 1), (5, 9)]:
+        doc = 7
+
+        def pix(x, y):
+            return (x * 3 + y * 5 + doc) % 256
+
+        rows = _gif_interlace_rows(h)
+        assert sorted(rows) == list(range(h))
+        indices = [pix(x, y) for y in rows for x in range(w)]
+        lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        gct = b"".join(bytes(gif_palette(i, doc)) for i in range(256))
+        img = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40)  # interlaced
+        lzw = _gif_lzw_encode(indices)
+        blocks = bytearray([8])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            blocks.append(len(chunk))
+            blocks += chunk
+        blocks.append(0)
+        blob = b"GIF87a" + lsd + gct + img + bytes(blocks) + b"\x3b"
+        dw, dh, px = gif_decode_pixels(blob)
+        assert (dw, dh) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                pal = gif_palette(pix(x, y), doc)
+                for c in range(3):
+                    assert px[(y * w + x) * 3 + c] == pal[c], (w, h, x, y)
