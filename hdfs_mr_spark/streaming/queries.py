@@ -1175,3 +1175,116 @@ def stream_audio_vad(spark, sf_dir):
     shutil.rmtree(ckpt, ignore_errors=True)
     fe = spark.read.parquet(out)
     return vad_rollup(fe).localCheckpoint()
+
+
+def _image_stream_src() -> str:
+    """Split the PNG pixel-fixture parquet into 4 doc_id-ordered shards
+    (fingerprinted dir) for a multi-micro-batch availableNow drain —
+    the arriving-image-shards ingest shape; blobs are independent rows
+    so batch boundaries never split an image."""
+    import pyarrow.parquet as pq
+
+    from hdfs_mr_spark.sources.media import materialize_media_px
+    from hdfs_mr_spark.sources.scans import ORACLE_SF, _fixture_dir
+
+    src = materialize_media_px()
+    d = _fixture_dir(ORACLE_SF) / "image_stream"
+    done = d / "_SPLIT_DONE"
+    if not done.exists():
+        d.mkdir(parents=True, exist_ok=True)
+        t = pq.read_table(src)
+        step = -(-t.num_rows // _N_STREAM_FILES)
+        for i in range(_N_STREAM_FILES):
+            pq.write_table(
+                t.slice(i * step, step), d / f"part-{i:02d}.parquet"
+            )
+        done.touch()
+    return str(d)
+
+
+@query(
+    "stream_image_decode",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         8 + (doc_id * 37) % 56 AS w,
+         8 + (doc_id * 53) % 56 AS h
+  FROM range(0, 48) r(doc_id)
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+         range(0, w*h), i -> CAST((((i % w) + 2 * (i // w) + doc_id) % 256)
+         + (((i % w) + 2 * (i // w) + 7 + doc_id) % 256)
+         + (((i % w) + 2 * (i // w) + 14 + doc_id) % 256) AS BIGINT))),
+         (a, x) -> a + x) AS sum_px
+FROM m
+ORDER BY doc_id
+""",
+    family=_FAM,
+)
+def stream_image_decode(spark, sf_dir):
+    """Streaming IMAGE decode — the visual twin of stream_audio_vad,
+    so both rich-media families have ingest-shaped streaming coverage:
+    PNG blob shards drain availableNow with maxFilesPerTrigger=1 (4
+    real micro-batches), each batch runs the pixel-true PNG decoder
+    (module codec png_decode_pixels — chunk walk, inflate, all-five
+    unfilter) inside foreachBatch and appends one typed row per image
+    (dims + total pixel sum) to a parquet sink; the drained sink is
+    the result. Per-image rows are batch-boundary-invariant (blobs are
+    whole rows), so the stream hash-matches the generative
+    media_px_value formula oracle — the same one wrong decoded byte
+    flips contract as the batch pixel ops.
+
+    Scale: arriving media shards decode keyed on arrival — the decode
+    cost rides the ingest stream instead of a giant backfill; state
+    lives in the sink, parallelism = shard count."""
+    import os
+
+    from pyspark.sql import types as T
+
+    src = _image_stream_src()
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    out = tempfile.mkdtemp(prefix="hmr_img_out_")
+    os.rmdir(out)  # foreachBatch append recreates it
+
+    def decode_batch(batch_df, batch_id):
+        def batches(it):
+            import pandas as pd
+
+            from hdfs_mr_spark.sources.media import png_decode_pixels
+
+            for pdf in it:
+                rows = []
+                for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    w, h, px = png_decode_pixels(bytes(payload))
+                    rows.append((int(did), w, h, sum(px)))
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "width", "height", "sum_px"]
+                ).astype({"doc_id": "int64", "width": "int32",
+                          "height": "int32", "sum_px": "int64"})
+
+        batch_df.mapInPandas(
+            batches, "doc_id long, width int, height int, sum_px long"
+        ).write.mode("append").parquet(out)
+
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"hmr_img_{next(_COUNTER)}"
+    ckpt = tempfile.mkdtemp(prefix="hmr_ckpt_")
+    q = (
+        s.writeStream.foreachBatch(decode_batch)
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out).orderBy("doc_id").localCheckpoint()
