@@ -25,6 +25,41 @@ from pyspark.sql import functions as F
 from hdfs_mr_spark.io import table
 from hdfs_mr_spark.registry import query
 
+# Worker-side module resolution (driver-contract hardening): kernels
+# that call the tested MODULE codecs must import hdfs_mr_spark ON THE
+# WORKER, but Python workers inherit neither the driver's sys.path nor
+# its cwd — a driver running from an arbitrary directory (the driver
+# contract) would hit ModuleNotFoundError mid-task. Every such kernel
+# therefore injects the repo root (captured here as a plain string at
+# import time, pickled by value inside the closure) into the worker's
+# sys.path before importing. On a real cluster the equivalent is
+# shipping the package via --py-files / pip — the injection is a no-op
+# when the module already resolves.
+from pathlib import Path as _Path
+
+REPO_ROOT = str(_Path(__file__).resolve().parents[2])
+
+
+def repo_kernel(module: str, name: str):
+    """mapInPandas kernel factory: resolves ``module.name`` ON THE
+    WORKER (repo root injected into sys.path first) and delegates the
+    batch iterator to it. The returned closure is created at runtime,
+    so cloudpickle serializes it BY VALUE — no importable-module
+    requirement at unpickle time, unlike passing the module-level
+    function object directly."""
+    root = REPO_ROOT
+
+    def kernel(batches):
+        import importlib
+        import sys
+
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        fn = getattr(importlib.import_module(module), name)
+        yield from fn(batches)
+
+    return kernel
+
 _FAM = "2.12 udf surface"
 
 
@@ -2179,6 +2214,9 @@ def llm_multimodal_pixels_jpeg_rst(spark, sf_dir):
 
         import pandas as pd
 
+        import sys as _sys
+        if REPO_ROOT not in _sys.path:  # worker: see repo_kernel
+            _sys.path.insert(0, REPO_ROOT)
         from hdfs_mr_spark.sources.media import jpeg_decode_gray
 
         def parse_dri(b):
@@ -2301,6 +2339,9 @@ def llm_multimodal_pixels_interlaced(spark, sf_dir):
     def adam7_batches(batches):
         import pandas as pd
 
+        import sys as _sys
+        if REPO_ROOT not in _sys.path:  # worker: see repo_kernel
+            _sys.path.insert(0, REPO_ROOT)
         from hdfs_mr_spark.sources.media import png_decode_pixels
 
         cols = [
@@ -2405,6 +2446,9 @@ def llm_multimodal_audio_stereo(spark, sf_dir):
         import numpy as np
         import pandas as pd
 
+        import sys as _sys
+        if REPO_ROOT not in _sys.path:  # worker: see repo_kernel
+            _sys.path.insert(0, REPO_ROOT)
         from hdfs_mr_spark.sources.media import parse_wav_multi
 
         cols = [
@@ -2520,6 +2564,9 @@ def llm_multimodal_pixels_jpeg_progressive(spark, sf_dir):
     def prog_batches(batches):
         import pandas as pd
 
+        import sys as _sys
+        if REPO_ROOT not in _sys.path:  # worker: see repo_kernel
+            _sys.path.insert(0, REPO_ROOT)
         from hdfs_mr_spark.sources.media import jpeg_decode_progressive
 
         cols = [
@@ -2634,6 +2681,9 @@ def llm_multimodal_pixels_jpeg_prog_sa(spark, sf_dir):
 
         import pandas as pd
 
+        import sys as _sys
+        if REPO_ROOT not in _sys.path:  # worker: see repo_kernel
+            _sys.path.insert(0, REPO_ROOT)
         from hdfs_mr_spark.sources.media import jpeg_decode_progressive
 
         def first_dc_al(b):
@@ -2762,6 +2812,9 @@ def llm_multimodal_pixels_gif(spark, sf_dir):
     def gif_batches(batches):
         import pandas as pd
 
+        import sys as _sys
+        if REPO_ROOT not in _sys.path:  # worker: see repo_kernel
+            _sys.path.insert(0, REPO_ROOT)
         from hdfs_mr_spark.sources.media import gif_decode_pixels
 
         cols = [
@@ -2879,6 +2932,9 @@ def llm_multimodal_framesample_gif(spark, sf_dir):
     def frame_batches(batches):
         import pandas as pd
 
+        import sys as _sys
+        if REPO_ROOT not in _sys.path:  # worker: see repo_kernel
+            _sys.path.insert(0, REPO_ROOT)
         from hdfs_mr_spark.sources.media import gif_decode_frames
 
         cols = ["doc_id", "n_frames", "frame_idx",
@@ -3726,6 +3782,7 @@ def llm_multimodal_audio_vad(spark, sf_dir):
     with the streaming twin stream_audio_vad."""
     df = spark.read.parquet(_AUDIO_FIX)
     fe = df.mapInPandas(
-        vad_energy_batches, schema="doc_id bigint, f bigint, energy bigint"
+        repo_kernel("hdfs_mr_spark.functions.udfs", "vad_energy_batches"),
+        schema="doc_id bigint, f bigint, energy bigint",
     )
     return vad_rollup(fe)

@@ -1980,7 +1980,11 @@ def _gif_lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
             continue
         if code == eoi:
             break
+        if not table:
+            raise ValueError("LZW stream must start with CLEAR")
         if prev is None:
+            if code >= len(table):
+                raise ValueError(f"LZW code {code} out of range")
             entry = table[code]
         elif code < len(table):
             entry = table[code]

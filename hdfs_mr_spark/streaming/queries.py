@@ -1142,7 +1142,7 @@ def stream_audio_vad(spark, sf_dir):
 
     from pyspark.sql import types as T
 
-    from hdfs_mr_spark.functions.udfs import vad_energy_batches, vad_rollup
+    from hdfs_mr_spark.functions.udfs import repo_kernel, vad_rollup
 
     src = _audio_stream_src()
     schema = T.StructType([
@@ -1153,8 +1153,11 @@ def stream_audio_vad(spark, sf_dir):
     os.rmdir(out)  # foreachBatch append recreates it
 
     def sink(batch_df, batch_id):
+        # repo_kernel resolves the shared module kernel ON the workers
+        # (driver may run from any cwd — see udfs.repo_kernel)
         batch_df.mapInPandas(
-            vad_energy_batches, schema="doc_id bigint, f bigint, energy bigint"
+            repo_kernel("hdfs_mr_spark.functions.udfs", "vad_energy_batches"),
+            schema="doc_id bigint, f bigint, energy bigint",
         ).write.mode("append").parquet(out)
 
     s = (
@@ -1251,10 +1254,16 @@ def stream_image_decode(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="hmr_img_out_")
     os.rmdir(out)  # foreachBatch append recreates it
 
+    from hdfs_mr_spark.functions.udfs import REPO_ROOT as _root
+
     def decode_batch(batch_df, batch_id):
         def batches(it):
+            import sys as _sys
+
             import pandas as pd
 
+            if _root not in _sys.path:  # worker: see udfs.repo_kernel
+                _sys.path.insert(0, _root)
             from hdfs_mr_spark.sources.media import png_decode_pixels
 
             for pdf in it:
