@@ -2423,6 +2423,21 @@ def llm_bpe_train_rounds(spark, sf_dir):
     sequence is inherently serial (round r+1's counts depend on round
     r's merge), same discipline as mr_pagerank's rounds; seg frames are
     localCheckpoint'ed per round so the plan doesn't grow with k."""
+    rows = _bpe_train(spark, sf_dir, _BPE_ROUNDS)
+    return spark.createDataFrame(
+        rows, "round int, left_sym string, right_sym string, merged string, n bigint"
+    ).orderBy("round")
+
+
+def _bpe_train(spark, sf_dir, k: int):
+    """Shared BPE trainer (llm_bpe_train_rounds' driver loop, factored
+    so llm_bpe_apply can load the same merge table): returns the list
+    of (round, left, right, merged, n) rows. Cached per (session,
+    sf_dir) — in production the merge table is a stored model file,
+    not something every encode job retrains."""
+    key = (spark.sparkContext.applicationId, str(sf_dir), k)
+    if key in _BPE_CACHE:
+        return _BPE_CACHE[key]
     a_m, b_m = chr(1), chr(2)
     d = table(spark, sf_dir, "documents")
     wc = (
@@ -2434,7 +2449,7 @@ def llm_bpe_train_rounds(spark, sf_dir):
         "freq", F.regexp_replace("w", "(.)", a_m + "$1" + b_m).alias("seg")
     ).localCheckpoint()
     rows = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, k + 1):
         syms = seg.select(
             "freq",
             F.expr(
@@ -2464,9 +2479,119 @@ def llm_bpe_train_rounds(spark, sf_dir):
         seg = seg.select(
             "freq", F.replace(F.col("seg"), F.lit(pat), F.lit(rep)).alias("seg")
         ).localCheckpoint()
-    return spark.createDataFrame(
-        rows, "round int, left_sym string, right_sym string, merged string, n bigint"
-    ).orderBy("round")
+    _BPE_CACHE[key] = rows
+    return rows
+
+
+_BPE_CACHE: dict[tuple, list] = {}
+
+
+def _bpe_apply_oracle(k: int = 5) -> str:
+    """DuckDB twin of llm_bpe_apply: re-derives the same k-round merge
+    table (identical CTEs to the training oracle), then applies the
+    merges IN ORDER to every document token and rolls up per-doc piece
+    counts."""
+    parts = [
+        "wc AS (SELECT w, COUNT(*) AS freq FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+        "GROUP BY w)",
+        "s0 AS (SELECT freq, "
+        "regexp_replace(w, '(.)', e'\\x01\\\\1\\x02', 'g') AS seg FROM wc)",
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"sy{r} AS (SELECT freq, "
+            "list_transform(string_split(seg, e'\\x02\\x01'), "
+            f"s -> trim(s, e'\\x01\\x02')) AS syms FROM s{r - 1})"
+        )
+        parts.append(
+            f"pr{r} AS (SELECT pr[1] AS lft, pr[2] AS rgt, SUM(freq) AS n "
+            "FROM (SELECT freq, unnest(list_transform(range(1, len(syms)), "
+            f"i -> [syms[i], syms[i + 1]])) AS pr FROM sy{r}) "
+            "GROUP BY pr[1], pr[2])"
+        )
+        parts.append(
+            f"t{r} AS (SELECT lft, rgt, n FROM pr{r} "
+            "ORDER BY n DESC, lft ASC, rgt ASC LIMIT 1)"
+        )
+        parts.append(
+            f"s{r} AS (SELECT freq, replace(seg, "
+            "e'\\x01' || t.lft || e'\\x02\\x01' || t.rgt || e'\\x02', "
+            "e'\\x01' || t.lft || t.rgt || e'\\x02') AS seg "
+            f"FROM s{r - 1} CROSS JOIN t{r} t)"
+        )
+    parts.append(
+        "dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents)"
+    )
+    parts.append(
+        "d0 AS (SELECT doc_id, "
+        "regexp_replace(w, '(.)', e'\\x01\\\\1\\x02', 'g') AS seg FROM dtok)"
+    )
+    for r in range(1, k + 1):
+        parts.append(
+            f"d{r} AS (SELECT doc_id, replace(seg, "
+            "e'\\x01' || t.lft || e'\\x02\\x01' || t.rgt || e'\\x02', "
+            "e'\\x01' || t.lft || t.rgt || e'\\x02') AS seg "
+            f"FROM d{r - 1} CROSS JOIN t{r} t)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(string_split(seg, e'\\x02\\x01'))) AS BIGINT) AS n_pieces,
+       CAST(SUM(len(string_split(seg, e'\\x02\\x01'))) AS DOUBLE)
+         / COUNT(*) AS fertility
+FROM d{k}
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+    )
+
+
+@query("llm_bpe_apply", oracle=_bpe_apply_oracle(_BPE_ROUNDS), family=_FAM)
+def llm_bpe_apply(spark, sf_dir):
+    """BPE ENCODING — the other half of the tokenizer lifecycle
+    (llm_bpe_train_rounds trains the merge table; this op applies it):
+    every document token is char-segmented into the marker-wrapped
+    form and the k trained merges replay IN TRAINING ORDER as literal
+    replaces (greedy, non-overlapping, boundary-safe — identical
+    semantics to the trainer, which is exactly what makes BPE encoding
+    deterministic given a model file), then per-doc piece counts roll
+    up into the fertility statistic that drives tokenizer-vs-corpus
+    fit decisions (compare llm_tokenizer_fertility, which measures a
+    FIXED external tokenizer). The merge table comes from the shared
+    cached trainer (_bpe_train — a stored model file in production);
+    the merges enter the plan as LITERALS, so the encode itself is a
+    pure map-side replace chain + one combiner-shape aggregate — the
+    shape that lets encoding scale to the corpus while training stayed
+    vocabulary-sized."""
+    a_m, b_m = chr(1), chr(2)
+    merges = _bpe_train(spark, sf_dir, _BPE_ROUNDS)
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("w"))
+    seg = F.regexp_replace("w", "(.)", a_m + "$1" + b_m)
+    for _r, lft, rgt, _merged, _n in merges:
+        seg = F.replace(
+            seg,
+            F.lit(a_m + lft + b_m + a_m + rgt + b_m),
+            F.lit(a_m + lft + rgt + b_m),
+        )
+    pieces = F.size(F.split(seg, b_m + a_m))
+    return (
+        tok.select("doc_id", pieces.alias("pieces"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("pieces").cast("bigint").alias("n_pieces"),
+        )
+        .select(
+            "doc_id", "n_words", "n_pieces",
+            (F.col("n_pieces").cast("double")
+             / F.col("n_words").cast("double")).alias("fertility"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(
