@@ -2360,3 +2360,140 @@ def llm_dedup_lsh_audit(spark, sf_dir):
             6,
         ).alias("precision"),
     )
+
+
+_CDC_POWS = [31 ** j for j in range(8)]  # rolling-hash weights, window 8
+
+
+def _cdc_hash_terms(char_at):
+    """SQL/Spark-shared polynomial window hash: sum_j ord(c[i-7+j])*31^j
+    (exact BIGINT: max ~2.4e17). ``char_at(off)`` renders the char
+    expression at 1-based position i-7+off."""
+    return " + ".join(
+        f"{p} * ascii({char_at(j)})" for j, p in enumerate(_CDC_POWS)
+    )
+
+
+@query(
+    "llm_dedup_cdc",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+),
+bounds AS (
+  SELECT doc_id, text, n,
+         list_filter(range(8, n + 1),
+           i -> ({" + ".join(f"CAST({p} AS BIGINT) * ord(text[i - 7 + {j}])" for j, p in enumerate(_CDC_POWS))}) % 64 = 0
+         ) AS cuts
+  FROM pos
+),
+chunked AS (
+  SELECT doc_id,
+         list_transform(range(1, len(allc)),
+           k -> md5(substr(text, allc[k] + 1, allc[k + 1] - allc[k]))) AS hs
+  FROM (SELECT doc_id, text,
+               list_concat(list_concat([0], cuts), [n]) AS allc
+        FROM bounds)
+),
+ch AS (
+  SELECT DISTINCT doc_id, unnest(hs) AS h FROM chunked
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ch GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM ch a JOIN ch b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.d1, i.d2,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(s1.sz + s2.sz - i.n_common AS BIGINT) AS n_union,
+       CAST(i.n_common AS DOUBLE)
+         / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes s1 ON i.d1 = s1.doc_id
+JOIN sizes s2 ON i.d2 = s2.doc_id
+WHERE CAST(i.n_common AS DOUBLE)
+      / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) >= 0.5
+ORDER BY d1, d2
+""",
+    family=_FAM,
+)
+def llm_dedup_cdc(spark, sf_dir):
+    """CONTENT-DEFINED-CHUNKING near-dedup — the storage-dedup
+    algorithm family (rsync/LBFS/restic lineage), distinct from every
+    shingle/sketch formulation here: chunk boundaries fall where a
+    window-8 polynomial rolling hash (sum_j ord(c)*31^j, exact BIGINT)
+    hits 0 mod 64, so boundaries are CONTENT-anchored — an insertion
+    shifts at most the chunks it touches while every later boundary
+    re-synchronizes, which is why CDC detects near-duplicates that
+    fixed-size blocking misses entirely. Docs become sets of chunk
+    md5s (~64-char expected chunks), candidate pairs flow through a
+    posting-list equi-join on the chunk hash (sub-quadratic — only
+    docs SHARING a chunk ever pair; the posting table is
+    vocabulary-scale and never broadcast), and chunk-set Jaccard >=
+    0.5 is the emitted decision with its exact intersection/union
+    counts. The DuckDB oracle recomputes the identical rolling hash,
+    cuts, and md5 chunk sets, so one off-by-one in any boundary flips
+    the hash-check.
+
+    Scale: boundary detection is a per-row projection (no shuffle);
+    everything after is the same posting-join discipline as
+    llm_dedup_substring. At 100 TB chunk hashes feed the SAME stored
+    posting-index lifecycle as llm_dedup_lsh_stored. The per-char ord
+    array is bound as a materialized column before the window lambda
+    (PERF.md §2b — eight interpreted substring extractions per
+    position measured 14 s at sf0.1; array element reads are O(1))."""
+    d = table(spark, sf_dir, "documents")
+    ords = fan_out(
+        d.filter(F.length("text") > 0).select(
+            "doc_id", "text",
+            F.expr("transform(split(text, ''), c -> ascii(c))").alias("ords"),
+        )
+    ).localCheckpoint()
+    hash_expr = " + ".join(
+        f"{p}L * element_at(ords, i - 7 + {j})"
+        for j, p in enumerate(_CDC_POWS)
+    )
+    cuts = (
+        f"filter(sequence(8, size(ords)), i -> ({hash_expr}) % 64 = 0)"
+    )
+    chunks = (
+        f"transform(sequence(1, size(allc) - 1), "
+        "k -> md5(substring(text, element_at(allc, k) + 1, "
+        "element_at(allc, k + 1) - element_at(allc, k))))"
+    )
+    with_cuts = ords.select(
+        "doc_id", "text",
+        F.expr(
+            f"concat(array(0), {cuts}, array(length(text)))"
+        ).alias("allc"),
+    )
+    ch = (
+        with_cuts.select("doc_id", F.explode(F.expr(chunks)).alias("h"))
+        .distinct()
+    )
+    sizes = ch.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = ch.select(F.col("doc_id").alias("d1"), "h")
+    b = ch.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"))
+    inter = (
+        a.join(b, (a.h == b.h2) & (F.col("d1") < F.col("d2")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    jac = F.col("n_common").cast("double") / (
+        (F.col("sz1") + F.col("sz2") - F.col("n_common")).cast("double")
+    )
+    return (
+        inter.join(s1, "d1").join(s2, "d2")
+        .select(
+            "d1", "d2",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (F.col("sz1") + F.col("sz2") - F.col("n_common"))
+            .cast("bigint").alias("n_union"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("d1", "d2")
+    )
