@@ -420,9 +420,15 @@ def _shingle_frame(spark, sf_dir):
     2. the shingle arrays themselves are checkpointed because downstream
        kernels consume the frame up to 4x (explode, sig join, both sides
        of the verify join)."""
-    d = table(spark, sf_dir, "documents")
+    return shingle_frame_of(table(spark, sf_dir, "documents"))
+
+
+def shingle_frame_of(docs):
+    """_shingle_frame over an arbitrary (doc_id, text) frame — the
+    entry point the STREAMING absorb uses on per-micro-batch doc
+    frames (same checkpoint discipline, same shingle semantics)."""
     toks = fan_out(
-        d.select("doc_id", F.split("text", " ").alias("toks"))
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
     ).localCheckpoint()
     # size guard: sequence(1, size-2) is DESCENDING ([1,0]) for <3 tokens
     # and element_at(toks, 0) raises — short docs get an empty shingle set
@@ -450,7 +456,12 @@ def _minhash_sig(spark, sf_dir):
     Shaped as explode -> 24 codegen'd hash columns -> 24 min() partial aggs
     (combiner-style, shuffle carries one row of 24 longs per doc) rather
     than a higher-order fold, which is interpreted per element."""
-    sh = _shingle_frame(spark, sf_dir)
+    return minhash_sig_of(_shingle_frame(spark, sf_dir))
+
+
+def minhash_sig_of(sh):
+    """_minhash_sig over an arbitrary shingle frame (streaming absorb
+    entry point)."""
     exploded = sh.select("doc_id", F.explode("s").alias("shingle"))
     hash_cols = [
         F.pmod(F.xxhash64("shingle", F.lit(j)), F.lit(_MINHASH_PRIME)).alias(f"h{j}")
@@ -2359,6 +2370,26 @@ def llm_dedup_lsh_audit(spark, sf_dir):
             ),
             6,
         ).alias("precision"),
+    )
+
+
+def band_keys_of(sig):
+    """(doc_id, band, h1, h2) band-bucket rows from a signature frame —
+    shared by llm_dedup_lsh_stored and the streaming absorb."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"h{2 * b}").alias("h1"),
+                F.col(f"h{2 * b + 1}").alias("h2"),
+            )
+            for b in range(_MINHASH_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id",
+        F.col("bk.band").alias("band"), F.col("bk.h1").alias("h1"),
+        F.col("bk.h2").alias("h2"),
     )
 
 

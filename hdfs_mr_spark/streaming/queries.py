@@ -1297,3 +1297,234 @@ def stream_image_decode(spark, sf_dir):
     q.awaitTermination(300)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out).orderBy("doc_id").localCheckpoint()
+
+
+def _docs_stream_src(sf_dir: str) -> str:
+    """The batch-arrival fixture for the streaming dedup absorb: the
+    documents with doc_id % 3 == 0 split into 4 doc_id-ordered parquet
+    shards — each micro-batch is 'today's crawl', and shard order
+    means earlier batches always carry smaller doc_ids (what makes the
+    dup_batch verdict deterministic and equal to the batch twin's
+    aid < bid rule)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    import os
+    import time
+
+    d = _fixture_dir(sf_dir) / "docs_stream"
+    done = d / "_SPLIT_DONE"
+    if not done.exists():
+        d.mkdir(parents=True, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        mask = pc.equal(pc.subtract(t["doc_id"],
+                                    pc.multiply(pc.divide(t["doc_id"], 3), 3)),
+                        0)
+        t = t.filter(mask)
+        t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+        step = -(-t.num_rows // _N_STREAM_FILES)
+        now = time.time()
+        for i in range(_N_STREAM_FILES):
+            part = t.slice(i * step, step)
+            if part.num_rows:
+                p = d / f"part-{i:02d}.parquet"
+                pq.write_table(part, p)
+                # FileStreamSource orders by mtime: a tight write loop
+                # can land identical timestamps at fs granularity and
+                # the pickup order becomes arbitrary — which REORDERS
+                # micro-batches and flips dup_batch pair directions.
+                # Pin strictly increasing mtimes, one minute apart.
+                os.utime(p, (now - 60 * (_N_STREAM_FILES - i),) * 2)
+        done.touch()
+    return str(d)
+
+
+@query(
+    "stream_dedup_lsh_absorb",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+),
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+pairs AS (
+  SELECT b.doc_id AS bid, a.doc_id AS aid, COUNT(*) AS n_common
+  FROM tok b JOIN tok a ON a.s = b.s
+  WHERE b.doc_id % 3 = 0 AND a.doc_id <> b.doc_id
+    AND (a.doc_id % 3 <> 0 OR a.doc_id < b.doc_id)
+  GROUP BY b.doc_id, a.doc_id
+),
+near AS (
+  SELECT p.bid, p.aid, (p.aid % 3 <> 0) AS is_base
+  FROM pairs p
+  JOIN sizes s1 ON p.aid = s1.doc_id
+  JOIN sizes s2 ON p.bid = s2.doc_id
+  WHERE CAST(p.n_common AS DOUBLE)
+        / CAST(s1.sz + s2.sz - p.n_common AS DOUBLE) >= 0.5
+),
+agg AS (
+  SELECT bid,
+         MIN(CASE WHEN is_base THEN aid END) AS base_match,
+         MIN(CASE WHEN NOT is_base THEN aid END) AS batch_match
+  FROM near GROUP BY bid
+)
+SELECT d.doc_id,
+       CASE WHEN a.base_match IS NOT NULL THEN 'dup_base'
+            WHEN a.batch_match IS NOT NULL THEN 'dup_batch'
+            ELSE 'keep' END AS verdict,
+       CASE WHEN a.base_match IS NOT NULL THEN a.base_match
+            ELSE a.batch_match END AS matched_doc
+FROM documents d LEFT JOIN agg a ON a.bid = d.doc_id
+WHERE d.doc_id % 3 = 0
+ORDER BY d.doc_id
+""",
+    family=_FAM,
+)
+def stream_dedup_lsh_absorb(spark, sf_dir):
+    """The round's threads fused into the PRODUCTION ingest-dedup
+    pipeline: batches of new documents ARRIVE AS A STREAM (4 real
+    micro-batches of doc_id-ordered shards) and each micro-batch,
+    inside foreachBatch, (1) MinHash-signs its docs with the shared
+    kernels (shingle_frame_of / minhash_sig_of / band_keys_of — the
+    exact functions the batch twin uses), (2) probes the LIVE posting
+    index for base AND previously-absorbed-batch candidates in one
+    band equi-join plus a within-batch self-join, (3) verifies exact
+    trigram Jaccard >= 0.5 and appends per-doc verdicts
+    (dup_base / dup_batch / keep + lowest matching id) to the result
+    sink, then (4) ABSORBS its own postings into the index
+    (append-only, partitioned by band) so later batches dedup against
+    it. Because shards are doc_id-ordered, 'earlier batch' always
+    means 'smaller doc_id', so the drained verdict set equals
+    llm_dedup_lsh_stored's batch semantics and hash-checks against the
+    same exact all-pairs oracle — order-sensitivity made
+    deterministic, which is what lets a streaming dedup be verified at
+    all. Index and sink live in per-run temp dirs (the PERSISTED
+    lifecycle is llm_dedup_lsh_stored's claim; this op's claim is the
+    incremental absorb under streaming arrival)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from hdfs_mr_spark.io import table as _table
+    from hdfs_mr_spark.operators.llm_dedup import (
+        _shingle_frame,
+        band_keys_of,
+        minhash_sig_of,
+        shingle_frame_of,
+    )
+
+    src = _docs_stream_src(sf_dir)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    root = tempfile.mkdtemp(prefix="hmr_lshabs_")
+    post_path = os.path.join(root, "postings")
+    out = os.path.join(root, "verdicts")
+
+    # base index: postings of the existing corpus, built once up front
+    base_docs = _table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 != 0
+    ).select("doc_id", "text")
+    band_keys_of(minhash_sig_of(shingle_frame_of(base_docs))).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(post_path)
+    # verify side: shingles of the FULL corpus (candidates may be base
+    # or earlier-batch docs; production fetches them by id)
+    sh_all = _shingle_frame(spark, sf_dir)
+
+    def absorb(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.localCheckpoint()
+        keyed = band_keys_of(minhash_sig_of(shingle_frame_of(docs)))
+        keyed = keyed.localCheckpoint()  # probe AND absorb consume it
+        stored = spark.read.parquet(post_path).select(
+            F.col("doc_id").alias("aid"), "band",
+            F.col("h1").alias("g1"), F.col("h2").alias("g2"),
+        )
+        probe = keyed.select(
+            F.col("doc_id").alias("bid"), "band", "h1", "h2"
+        )
+        cand_store = probe.join(
+            stored,
+            (probe.band == stored.band)
+            & (F.col("h1") == F.col("g1")) & (F.col("h2") == F.col("g2")),
+        ).select("bid", "aid")
+        mine = keyed.select(
+            F.col("doc_id").alias("bid"), "band", "h1", "h2"
+        )
+        other = keyed.select(
+            F.col("doc_id").alias("aid"),
+            F.col("band").alias("band2"),
+            F.col("h1").alias("g1"), F.col("h2").alias("g2"),
+        )
+        cand_batch = mine.join(
+            other,
+            (F.col("band") == F.col("band2"))
+            & (F.col("h1") == F.col("g1")) & (F.col("h2") == F.col("g2"))
+            & (F.col("aid") < F.col("bid")),
+        ).select("bid", "aid")
+        cand = cand_store.unionByName(cand_batch).dropDuplicates(
+            ["bid", "aid"]
+        )
+        s1 = sh_all.select(F.col("doc_id").alias("aid"),
+                           F.col("s").alias("s1"), F.col("sz").alias("sz1"))
+        s2 = sh_all.select(F.col("doc_id").alias("bid"),
+                           F.col("s").alias("s2"), F.col("sz").alias("sz2"))
+        n_common = F.size(F.array_intersect("s1", "s2"))
+        jac = n_common.cast("double") / (
+            (F.col("sz1") + F.col("sz2") - n_common).cast("double")
+        )
+        near = (
+            cand.join(s1, "aid").join(s2, "bid")
+            .select("bid", "aid", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.5)
+            .select("bid", "aid", (F.col("aid") % 3 != 0).alias("is_base"))
+        )
+        agg = near.groupBy("bid").agg(
+            F.min(F.when(F.col("is_base"), F.col("aid"))).alias("base_match"),
+            F.min(F.when(~F.col("is_base"), F.col("aid"))).alias("batch_match"),
+        )
+        (
+            docs.select("doc_id")
+            .join(agg, docs.doc_id == agg.bid, "left")
+            .select(
+                "doc_id",
+                F.when(F.col("base_match").isNotNull(), "dup_base")
+                .when(F.col("batch_match").isNotNull(), "dup_batch")
+                .otherwise("keep").alias("verdict"),
+                F.when(F.col("base_match").isNotNull(), F.col("base_match"))
+                .otherwise(F.col("batch_match")).alias("matched_doc"),
+            )
+            .write.mode("append").parquet(out)
+        )
+        # absorb AFTER probing: this batch's postings join the index
+        # for every later batch (append-only, base files untouched)
+        keyed.write.mode("append").partitionBy("band").parquet(post_path)
+
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"hmr_lshabs_{next(_COUNTER)}"
+    ckpt = tempfile.mkdtemp(prefix="hmr_ckpt_")
+    q = (
+        s.writeStream.foreachBatch(absorb)
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    final = spark.read.parquet(out).orderBy("doc_id").localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return final
