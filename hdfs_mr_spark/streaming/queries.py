@@ -117,12 +117,21 @@ def _stream_src_dir(sf_dir: str, multi: bool = True) -> str:
             )
         )
         step = -(-t.num_rows // _N_STREAM_FILES)
+        import os as _os
+        import time as _time
+
+        now = _time.time()
         for i in range(_N_STREAM_FILES):
             part = t.slice(i * step, step)
             if part.num_rows:
-                # written in order => mtime order == time order, which is
-                # the order FileStreamSource picks files up in
-                pq.write_table(part, d / f"events_{i:03d}.parquet")
+                # FileStreamSource picks files up in mtime order; a tight
+                # write loop can land identical timestamps at fs
+                # granularity, scrambling micro-batch order (semantics
+                # for watermark-append queries) — pin strictly
+                # increasing mtimes a minute apart
+                pth = d / f"events_{i:03d}.parquet"
+                pq.write_table(part, pth)
+                _os.utime(pth, (now - 60 * (_N_STREAM_FILES - i),) * 2)
         done.touch()
     return str(d)
 
@@ -1103,10 +1112,17 @@ def _audio_stream_src() -> str:
         d.mkdir(parents=True, exist_ok=True)
         t = pq.read_table(src)
         step = -(-t.num_rows // _N_STREAM_FILES)
+        import os as _os
+        import time as _time
+
+        now = _time.time()
         for i in range(_N_STREAM_FILES):
-            pq.write_table(
-                t.slice(i * step, step), d / f"part-{i:02d}.parquet"
-            )
+            pth = d / f"part-{i:02d}.parquet"
+            pq.write_table(t.slice(i * step, step), pth)
+            # pin mtime order (see _docs_stream_src): per-row kernels are
+            # batch-order-invariant, but determinism should not rest on
+            # fs timestamp granularity
+            _os.utime(pth, (now - 60 * (_N_STREAM_FILES - i),) * 2)
         done.touch()
     return str(d)
 
@@ -1197,10 +1213,17 @@ def _image_stream_src() -> str:
         d.mkdir(parents=True, exist_ok=True)
         t = pq.read_table(src)
         step = -(-t.num_rows // _N_STREAM_FILES)
+        import os as _os
+        import time as _time
+
+        now = _time.time()
         for i in range(_N_STREAM_FILES):
-            pq.write_table(
-                t.slice(i * step, step), d / f"part-{i:02d}.parquet"
-            )
+            pth = d / f"part-{i:02d}.parquet"
+            pq.write_table(t.slice(i * step, step), pth)
+            # pin mtime order (see _docs_stream_src): per-row kernels are
+            # batch-order-invariant, but determinism should not rest on
+            # fs timestamp granularity
+            _os.utime(pth, (now - 60 * (_N_STREAM_FILES - i),) * 2)
         done.touch()
     return str(d)
 
