@@ -923,3 +923,27 @@ def test_lsh_stored_absorb_is_append_only(spark):
     verdicts = {r.verdict for r in rows}
     assert verdicts <= {"dup_base", "dup_batch", "keep"}
     assert all(r.verdict != "keep" or r.matched_doc is None for r in rows)
+
+
+def test_cdc_candidates_are_equi_joined(spark):
+    """llm_dedup_cdc: candidate pairs must come from EQUI-joins on the
+    chunk hash — never a Cartesian/nested-loop pairing (the
+    sub-quadratic claim). Broadcast vs shuffle strategy is left to
+    size estimates/AQE, per the repo's unhinted-vocabulary-join
+    stance (the oracle's correctness doesn't depend on it)."""
+    fn = all_specs()["llm_dedup_cdc"].fn
+    plan = formatted_plan(fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+
+
+def test_bpe_apply_is_mapside_replace_chain(spark):
+    """llm_bpe_apply: after the (cached, serial) training pass, the
+    ENCODE itself must be a pure projection over the exploded token
+    stream plus aggregate exchanges — NO joins of any kind (the merges
+    are plan literals, not a joined model table)."""
+    fn = all_specs()["llm_bpe_apply"].fn
+    plan = formatted_plan(fn(spark, SF_SMOKE))
+    assert "Join" not in plan, plan[:800]
+    # partial/final agg exchange + presentation sort (+AQE reads)
+    assert plan.count("Exchange") <= 4, plan[:800]

@@ -1779,3 +1779,64 @@ def test_gif_interlaced_decode():
                 pal = gif_palette(pix(x, y), doc)
                 for c in range(3):
                     assert px[(y * w + x) * 3 + c] == pal[c], (w, h, x, y)
+
+
+def test_cdc_boundaries_resynchronize_after_insertion():
+    """Property (hypothesis): the algorithmic CLAIM of content-defined
+    chunking — inserting a prefix shifts only the chunks it touches,
+    and every boundary at least a window-length past the edit
+    re-synchronizes, so most chunk hashes survive. Verified with a
+    pure-python replica of the engines' rolling-hash/cut/md5 rules:
+    the suffix chunk sets (chunks fully after the first
+    post-insertion boundary) must be identical between original and
+    edited text."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    POWS = [31 ** j for j in range(8)]
+
+    def chunks(text):
+        n = len(text)
+        cuts = [0]
+        for i in range(8, n + 1):  # 1-based window end positions
+            h = sum(p * ord(text[i - 8 + j]) for j, p in enumerate(POWS))
+            if h % 64 == 0:
+                cuts.append(i)
+        if cuts[-1] != n:
+            cuts.append(n)
+        return [
+            (cuts[k], hashlib.md5(
+                text[cuts[k]: cuts[k + 1]].encode()).hexdigest())
+            for k in range(len(cuts) - 1)
+        ]
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def prop(data):
+        body = data.draw(st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=120, max_size=400,
+        ))
+        prefix = data.draw(st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1, max_size=40,
+        ))
+        orig = chunks(body)
+        edited = chunks(prefix + body)
+        # boundaries are content-anchored: any cut at position c >= 8
+        # in the original reappears at c + len(prefix) in the edited
+        # text (the window at that end position sees identical chars),
+        # so every original chunk that STARTS at such a cut and is not
+        # the final (cut-at-end) chunk survives with the same hash
+        shift = len(prefix)
+        orig_survivors = {h for (c, h) in orig if c >= 8}
+        edited_hashes = {h for (c, h) in edited}
+        missing = orig_survivors - edited_hashes
+        # the only admissible loss is the LAST chunk (its end is the
+        # text end, not a content boundary — unchanged here since we
+        # prepend, so actually even it survives) — assert full survival
+        assert not missing, (missing, len(orig), len(edited))
+
+    prop()
