@@ -2528,3 +2528,163 @@ def llm_dedup_cdc(spark, sf_dir):
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("d1", "d2")
     )
+
+
+@query(
+    "llm_dedup_lsh_compact",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+),
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+pairs AS (
+  SELECT b.doc_id AS bid, a.doc_id AS aid, COUNT(*) AS n_common
+  FROM tok b JOIN tok a ON a.s = b.s
+  WHERE b.doc_id % 3 = 0 AND a.doc_id <> b.doc_id
+    AND (a.doc_id % 3 <> 0 OR a.doc_id < b.doc_id)
+  GROUP BY b.doc_id, a.doc_id
+),
+near AS (
+  SELECT p.bid, p.aid, (p.aid % 3 <> 0) AS is_base
+  FROM pairs p
+  JOIN sizes s1 ON p.aid = s1.doc_id
+  JOIN sizes s2 ON p.bid = s2.doc_id
+  WHERE CAST(p.n_common AS DOUBLE)
+        / CAST(s1.sz + s2.sz - p.n_common AS DOUBLE) >= 0.5
+),
+agg AS (
+  SELECT bid,
+         MIN(CASE WHEN is_base THEN aid END) AS base_match,
+         MIN(CASE WHEN NOT is_base THEN aid END) AS batch_match
+  FROM near GROUP BY bid
+)
+SELECT d.doc_id,
+       CASE WHEN a.base_match IS NOT NULL THEN 'dup_base'
+            WHEN a.batch_match IS NOT NULL THEN 'dup_batch'
+            ELSE 'keep' END AS verdict,
+       CASE WHEN a.base_match IS NOT NULL THEN a.base_match
+            ELSE a.batch_match END AS matched_doc
+FROM documents d LEFT JOIN agg a ON a.bid = d.doc_id
+WHERE d.doc_id % 3 = 0
+ORDER BY d.doc_id
+""",
+    family=_FAM,
+)
+def llm_dedup_lsh_compact(spark, sf_dir):
+    """Index COMPACTION — the third act of the stored-index lifecycle
+    (build -> absorb -> compact): append-only absorbs accumulate small
+    files per band partition (the classic small-files tax every
+    log-structured store pays); this op rewrites the posting table
+    into ONE file per band and publishes it as a NEW VERSION behind an
+    atomically-swapped pointer file (write-new + os.replace of
+    _CURRENT — the snapshot-pointer discipline Delta/Iceberg commits
+    use, never an in-place rewrite under readers), then runs the SAME
+    probe/verify/verdict query against the COMPACTED version. The
+    oracle is the exact all-pairs twin, so the hash-check proves
+    compaction is LOSSLESS — identical verdicts from v2 as from the
+    fragmented v1 — and a layout test pins one-file-per-band plus the
+    intact v1. At 100 TB compaction is the scheduled maintenance job
+    that keeps probe-side file listings O(bands), and the version
+    pointer is what lets it run without blocking ingestion."""
+    import os
+    import shutil
+
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    sh = _shingle_frame(spark, sf_dir)
+    keyed = band_keys_of(minhash_sig_of(sh))
+    store = _fixture_dir(sf_dir) / "lsh_store_compact"
+
+    def current_version() -> str | None:
+        cur = store / "_CURRENT"
+        return cur.read_text().strip() if cur.exists() else None
+
+    def publish(version: str) -> None:
+        tmp = store / "_CURRENT.tmp"
+        tmp.write_text(version)
+        os.replace(tmp, store / "_CURRENT")  # atomic pointer swap
+
+    if current_version() is None:
+        if store.exists():
+            shutil.rmtree(store, ignore_errors=True)
+        tmp = store.parent / f"{store.name}.tmp.{os.getpid()}"
+        # v1: base build + one append-only absorb (the fragmented state
+        # compaction exists to clean up)
+        keyed.filter(F.col("doc_id") % 3 != 0).write.mode(
+            "overwrite"
+        ).partitionBy("band").parquet(str(tmp / "v1"))
+        try:
+            os.rename(tmp, store)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not store.exists():
+                raise
+        keyed.filter(F.col("doc_id") % 3 == 0).write.mode(
+            "append"
+        ).partitionBy("band").parquet(str(store / "v1"))
+        publish("v1")
+    if current_version() == "v1":
+        # COMPACT: rewrite v1 into one file per band, publish as v2.
+        # repartition("band") co-locates each band in one task, so each
+        # band directory receives exactly one part file.
+        spark.read.parquet(str(store / "v1")).repartition("band").write.mode(
+            "overwrite"
+        ).partitionBy("band").parquet(str(store / "v2"))
+        publish("v2")
+    post_path = str(store / current_version())
+    stored = spark.read.parquet(post_path).select(
+        F.col("doc_id").alias("aid"), "band",
+        F.col("h1").alias("g1"), F.col("h2").alias("g2"),
+    )
+    probe = keyed.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("bid"), "band", "h1", "h2",
+    )
+    cand = (
+        probe.join(
+            stored,
+            (probe.band == stored.band)
+            & (F.col("h1") == F.col("g1")) & (F.col("h2") == F.col("g2"))
+            & (F.col("aid") != F.col("bid"))
+            & ((F.col("aid") % 3 != 0) | (F.col("aid") < F.col("bid"))),
+        )
+        .select("bid", "aid")
+        .dropDuplicates(["bid", "aid"])
+    )
+    s1 = sh.select(F.col("doc_id").alias("aid"), F.col("s").alias("s1"),
+                   F.col("sz").alias("sz1"))
+    s2 = sh.select(F.col("doc_id").alias("bid"), F.col("s").alias("s2"),
+                   F.col("sz").alias("sz2"))
+    n_common = F.size(F.array_intersect("s1", "s2"))
+    jac = n_common.cast("double") / (
+        (F.col("sz1") + F.col("sz2") - n_common).cast("double")
+    )
+    near = (
+        cand.join(s1, "aid").join(s2, "bid")
+        .select("bid", "aid", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("bid", "aid", (F.col("aid") % 3 != 0).alias("is_base"))
+    )
+    agg = near.groupBy("bid").agg(
+        F.min(F.when(F.col("is_base"), F.col("aid"))).alias("base_match"),
+        F.min(F.when(~F.col("is_base"), F.col("aid"))).alias("batch_match"),
+    )
+    batch_docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    ).select("doc_id")
+    return (
+        batch_docs.join(agg, batch_docs.doc_id == agg.bid, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("base_match").isNotNull(), "dup_base")
+            .when(F.col("batch_match").isNotNull(), "dup_batch")
+            .otherwise("keep").alias("verdict"),
+            F.when(
+                F.col("base_match").isNotNull(), F.col("base_match")
+            ).otherwise(F.col("batch_match")).alias("matched_doc"),
+        )
+        .orderBy("doc_id")
+    )

@@ -947,3 +947,33 @@ def test_bpe_apply_is_mapside_replace_chain(spark):
     assert "Join" not in plan, plan[:800]
     # partial/final agg exchange + presentation sort (+AQE reads)
     assert plan.count("Exchange") <= 4, plan[:800]
+
+
+def test_lsh_compact_one_file_per_band_and_v1_intact(spark):
+    """llm_dedup_lsh_compact: the compacted v2 must hold exactly one
+    parquet file per band, the fragmented v1 must remain on disk
+    (snapshot discipline: compaction publishes a NEW version behind
+    the pointer, never rewrites under readers), and _CURRENT must
+    point at v2."""
+    import shutil
+    from pathlib import Path
+
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    store = Path(_fixture_dir(SF_SMOKE)) / "lsh_store_compact"
+    shutil.rmtree(store, ignore_errors=True)  # fresh lifecycle
+
+    fn = all_specs()["llm_dedup_lsh_compact"].fn
+    rows = fn(spark, SF_SMOKE).collect()
+    assert (store / "_CURRENT").read_text().strip() == "v2"
+    v1_bands = sorted((store / "v1").glob("band=*"))
+    v2_bands = sorted((store / "v2").glob("band=*"))
+    assert len(v1_bands) == 12 and len(v2_bands) == 12
+    for d in v2_bands:
+        assert len(list(d.glob("*.parquet"))) == 1, f"{d.name} not compacted"
+    for d in v1_bands:
+        assert len(list(d.glob("*.parquet"))) >= 2, f"{d.name} v1 rewritten?"
+    # lossless: identical verdicts to the fragmented-index twin
+    twin = [tuple(r) for r in
+            all_specs()["llm_dedup_lsh_stored"].fn(spark, SF_SMOKE).collect()]
+    assert [tuple(r) for r in rows] == twin
