@@ -1840,3 +1840,29 @@ def test_cdc_boundaries_resynchronize_after_insertion():
         assert not missing, (missing, len(orig), len(edited))
 
     prop()
+
+
+def test_jpeg_progressive_dht_redefinition_between_scans():
+    """Real progressive JPEGs routinely (re)define Huffman tables
+    between scans; the decoder's marker walk must apply a DHT that
+    appears mid-stream rather than assuming all tables precede the
+    first SOS. Splicing a redefinition before an AC scan must not
+    change the decode."""
+    import struct
+
+    from hdfs_mr_spark.sources.media import (
+        _AC_PROG_BITS,
+        _AC_PROG_VALS,
+        jpeg_decode_progressive,
+        make_gradient_jpeg_progressive,
+    )
+
+    b = make_gradient_jpeg_progressive(3)
+    i = b.index(b"\xff\xda")
+    j = b.index(b"\xff\xda", i + 2)  # second SOS = first AC scan
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 19 + len(_AC_PROG_VALS)) + b"\x11"
+        + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS)
+    )
+    assert jpeg_decode_progressive(b[:j] + dht + b[j:]) == \
+        jpeg_decode_progressive(b)
