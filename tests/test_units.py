@@ -1866,3 +1866,52 @@ def test_jpeg_progressive_dht_redefinition_between_scans():
     )
     assert jpeg_decode_progressive(b[:j] + dht + b[j:]) == \
         jpeg_decode_progressive(b)
+
+
+def test_repo_kernel_unpickles_without_repo_on_path():
+    """Regression for the arbitrary-cwd driver bug: a repo_kernel
+    closure must deserialize AND run in a fresh interpreter whose
+    sys.path does NOT contain the repo (cwd=/tmp) — exactly the Python
+    worker environment under a driver launched from anywhere. Passing
+    the module-level function directly would fail this (pickled by
+    reference)."""
+    import pickle
+    import subprocess
+    import sys
+    import tempfile
+
+    from pyspark import cloudpickle
+
+    from hdfs_mr_spark.functions.udfs import repo_kernel
+
+    kernel = repo_kernel("hdfs_mr_spark.functions.udfs", "vad_energy_batches")
+    blob = cloudpickle.dumps(kernel)
+    with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as f:
+        f.write(blob)
+        path = f.name
+    # first prove the module is NOT importable in that environment
+    probe = subprocess.run(
+        [sys.executable, "-c", "import hdfs_mr_spark"],
+        cwd="/tmp", capture_output=True, text=True,
+    )
+    assert probe.returncode != 0, "environment unexpectedly has the repo"
+    # now the kernel must still run there (it injects the path itself)
+    runner = (
+        "import pickle, sys\n"
+        f"k = pickle.load(open({path!r}, 'rb'))\n"
+        "import pandas as pd\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from hdfs_mr_spark.sources.media import make_wav\n"
+        "sys.path.remove('/root/repo')\n"
+        "for m in list(sys.modules):\n"
+        "    if m.startswith('hdfs_mr_spark'): del sys.modules[m]\n"
+        "pdf = pd.DataFrame({'doc_id': [0], 'payload': [make_wav(0)]})\n"
+        "out = list(k(iter([pdf])))\n"
+        "assert len(out) == 1 and len(out[0]) > 0, out\n"
+        "print('KERNEL_OK')\n"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", runner], cwd="/tmp",
+        capture_output=True, text=True,
+    )
+    assert "KERNEL_OK" in res.stdout, (res.stdout, res.stderr[-500:])
