@@ -1915,3 +1915,36 @@ def test_repo_kernel_unpickles_without_repo_on_path():
         capture_output=True, text=True,
     )
     assert "KERNEL_OK" in res.stdout, (res.stdout, res.stderr[-500:])
+
+
+def test_corpus_stats_cache_matches_direct_counts(spark):
+    """stats.py (the cached plan-time literals): values must equal the
+    direct computations they replaced, and repeated calls must serve
+    from the cache (no second job — asserted via the cache dict)."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mr_spark import stats
+    from hdfs_mr_spark.io import table
+    from tests.conftest import SF_SMOKE
+
+    d = table(spark, SF_SMOKE, "documents")
+    expect_docs = d.count()
+    expect_tokens = (
+        d.select(F.explode(F.split("text", " ")).alias("w")).count()
+    )
+    expect_vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .select("w").distinct().count()
+    )
+    assert stats.n_docs(spark, SF_SMOKE) == expect_docs
+    assert stats.n_tokens(spark, SF_SMOKE) == expect_tokens
+    assert stats.vocab_size(spark, SF_SMOKE) == expect_vocab
+    # cached: the keys exist and a poisoned cache value is what a
+    # second call returns (proving no recomputation path)
+    k = stats._key(spark, SF_SMOKE, "n_docs")
+    assert k in stats._CACHE
+    stats._CACHE[k] = -1
+    try:
+        assert stats.n_docs(spark, SF_SMOKE) == -1
+    finally:
+        stats._CACHE[k] = expect_docs
