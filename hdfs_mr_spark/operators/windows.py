@@ -1223,37 +1223,54 @@ def ts_autocorrelation(spark, sf_dir):
     Scale: the daily series is a combiner-shape aggregate (events
     shuffle once); everything after operates on the tiny day-count
     frame (one row per day), where a 7-way lag self-join costs
-    nothing — at 100 TB the day frame is still ~37k rows for a century."""
+    nothing — at 100 TB the day frame is still ~37k rows for a century.
+    The series mean and the centered-sum denominator stay IN the plan
+    as broadcast 1-row aggregates (no mid-plan .first() — VERDICT r6
+    item 4): one lazy job instead of three, and the whole query is a
+    single submitted DAG."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day")
     ).agg(F.count("*").cast("double").alias("c"))
-    mu, = daily.agg(F.avg("c")).first()
-    den, = daily.agg(
-        F.sum(
-            F.round((F.col("c") - mu) * (F.col("c") - mu) * 1000000.0)
-            .cast("bigint")
+    mu_df = daily.agg(F.avg("c").alias("mu"))
+    stats = (
+        daily.crossJoin(F.broadcast(mu_df))
+        .agg(
+            F.min("mu").alias("mu"),
+            F.sum(
+                F.round(
+                    (F.col("c") - F.col("mu"))
+                    * (F.col("c") - F.col("mu"))
+                    * 1000000.0
+                ).cast("bigint")
+            ).alias("den_micro"),
         )
-    ).first()
+    )
     lags = spark.range(1, 8).select(F.col("id").alias("k"))
     a = daily.select(F.col("day").alias("da"), F.col("c").alias("ca"))
     b = daily.select(F.col("day").alias("db"), F.col("c").alias("cb"))
     pairs = (
         lags.crossJoin(a)
         .join(b, F.col("db") == F.col("da") + F.col("k"))
+        .crossJoin(F.broadcast(stats))
         .groupBy("k")
         .agg(
             F.sum(
-                F.round((F.col("ca") - mu) * (F.col("cb") - mu) * 1000000.0)
-                .cast("bigint")
+                F.round(
+                    (F.col("ca") - F.col("mu"))
+                    * (F.col("cb") - F.col("mu"))
+                    * 1000000.0
+                ).cast("bigint")
             ).alias("num_micro"),
             F.count("*").cast("bigint").alias("n_pairs"),
+            F.min("den_micro").alias("den_micro"),
         )
     )
     return pairs.select(
         F.col("k").cast("int").alias("k"),
         "n_pairs",
-        (F.col("num_micro").cast("double") / float(den)).alias("acf"),
+        (F.col("num_micro").cast("double") / F.col("den_micro").cast("double"))
+        .alias("acf"),
     ).orderBy("k")
 
 

