@@ -1756,6 +1756,34 @@ def llm_sim_knn_lsh_multitable(spark, sf_dir):
 
 _PQ_M, _PQ_DSUB, _PQ_K = 8, 8, 16  # subspaces x dims each, codewords per subspace
 
+# Fine quantizer of the IVF-PQ family (VERDICT r6 item 3 — lift the
+# no-rerank ADC recall): residuals are encoded over mf=32 subspaces of
+# 2 dims each with kf codewords scaling in n. On this corpus
+# (unit-norm near-iid vectors, neighbors at ~2.5 sigma of the cosine
+# background) the flat m=8/k=16 shape's quantization error swamps the
+# neighbor margins — measured ADC-ranked recall@5 0.14 at n=2000. The
+# fix is RESOLUTION, not training: 2-dim subspaces with 128 codewords
+# place codewords densely enough that ADC ordering survives (measured
+# sweep, tools/ann_recall.py + the r7 experiment grid: m=32/k=128 ->
+# 0.60 @ n=500, 0.56 @ n=2000; m=16/k=256 -> 0.48; m=8/k=256 -> 0.40;
+# seed-only codebook without the Lloyd round -> 0.42 @ n=2000, so the
+# round stays). Codes are 32 bytes/vector — 8x compression instead of
+# 32x, the classic recall/memory dial turned toward recall.
+_PQ_MF, _PQ_DSUBF = 32, 2
+
+
+def _pq_fine_k(n: int) -> int:
+    """kf = clamp(n // 4, 16, 128) — codewords scale with corpus size
+    (16 points/codeword at the cap) and never exceed what 2-dim
+    subspaces usefully support; replicated verbatim in _SQL_PF."""
+    return max(16, min(128, n // 4))
+
+
+# the same formula in SQL, CTE `pf(kf)`
+_SQL_PF = """pf AS (
+  SELECT GREATEST(16, LEAST(128, COUNT(*) // 4)) AS kf FROM embeddings
+)"""
+
 # Opt-in cross-query reuse of the shared PQ index frames (VERDICT r4
 # item 9): at 100 TB the quantized subvectors / codebook / IVF-ADC
 # candidate frame are PRE-BUILT stored artifacts — rebuilding them per
@@ -1835,8 +1863,8 @@ def _pq_assign(subs, codebook):
     )
 
 
-def _pq_codebook(subs, cache_key=None):
-    """The refined codebook: seed codewords from the _PQ_K lowest
+def _pq_codebook(subs, cache_key=None, k=_PQ_K):
+    """The refined codebook: seed codewords from the ``k`` lowest
     vec_ids, one Lloyd round of floor-div integer means, re-assembled
     into per-(sub, code) arrays ordered by dim. ``cache_key`` opts the
     (already localCheckpoint'd) result into the cross-query index
@@ -1844,9 +1872,9 @@ def _pq_codebook(subs, cache_key=None):
     if cache_key is not None:
         return _pq_cached(
             subs.sparkSession, cache_key,
-            lambda: _pq_codebook(subs, None), checkpoint=False,
+            lambda: _pq_codebook(subs, None, k), checkpoint=False,
         )
-    cb0 = subs.filter(F.col("vec_id") < _PQ_K).select(
+    cb0 = subs.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("code"), F.col("sub").alias("c_sub"),
         F.col("v").alias("cv"),
     )
@@ -2053,8 +2081,11 @@ def llm_sim_knn_pq_adc(spark, sf_dir):
 # and applied to RESIDUALS v - coarse_centroid(cell(v)); the query side
 # builds one ADC table per probed cell from the query's residual
 # against THAT cell's centroid. Same rcb0 -> ra1 -> rcb1 -> ra2 Lloyd
-# chain as _PQ_CTES, re-rooted at rlong instead of long.
+# chain as _PQ_CTES, re-rooted at rlong instead of long. The FINE
+# quantizer (VERDICT r6 item 3, see _PQ_MF) re-subspaces the residuals
+# at dim // 2 (mf=32 subspaces of 2 dims) with kf codewords from pf.
 _IVF_PQ_ADC_CTES = f"""WITH {_SQL_ANN_PARAMS},
+{_SQL_PF},
 {_SQL_LONG},
 cc AS (
   SELECT vec_id AS ccode, dim, val AS cval
@@ -2077,13 +2108,14 @@ probes AS (
   WHERE vec_id < 10 AND rn <= nprobe
 ),
 rlong AS (
-  SELECT l.vec_id, l.dim, l.sub, l.val - c.cval AS val
+  SELECT l.vec_id, l.dim, l.dim // 2 AS sub, l.val - c.cval AS val
   FROM long l
   JOIN assign a ON a.vec_id = l.vec_id
   JOIN cc c ON c.ccode = a.cell AND c.dim = l.dim
 ),
 rcb0 AS (
-  SELECT vec_id AS code, sub, dim, val AS cval FROM rlong WHERE vec_id < 16
+  SELECT vec_id AS code, sub, dim, val AS cval
+  FROM rlong CROSS JOIN pf WHERE vec_id < kf
 ),
 rd1 AS (
   SELECT l.vec_id, l.sub, c.code,
@@ -2120,7 +2152,8 @@ ra2 AS (
   ) WHERE rn = 1
 ),
 qres AS (
-  SELECT q.vec_id AS qid, pr.cell, q.dim, q.sub, q.val - c.cval AS val
+  SELECT q.vec_id AS qid, pr.cell, q.dim, q.dim // 2 AS sub,
+         q.val - c.cval AS val
   FROM long q
   JOIN probes pr ON pr.qid = q.vec_id
   JOIN cc c ON c.ccode = pr.cell AND c.dim = q.dim
@@ -2175,15 +2208,15 @@ def llm_sim_knn_ivf_pq(spark, sf_dir):
     (per-subspace zip_with partials summed — associative integer adds),
     so argmin cells, probe ranking, and ADC sums are all
     engine-identical by construction; parameters derive from COUNT(*)
-    in both engines. Round 5 (VERDICT r4 item 3): PQ now encodes
-    RESIDUALS v - coarse_centroid(cell) — classic IVFADC — which
-    spends the k=16 codewords on within-cell variation instead of cell
-    position. That lifted the SHORTLIST quality production consumes
-    (rerank recall@5 0.82 -> 0.96 at n=2000, ANN_RECALL_r5.json) while
-    making this variant's raw ADC top-5 noisier (0.30 -> 0.14: with 16
-    codewords the fine-grained ADC ordering is diagnostic either way —
-    neither is usable without the rerank stage, which is the honest
-    reading of both rounds' numbers).
+    in both engines. Round 5 (VERDICT r4 item 3): PQ encodes RESIDUALS
+    v - coarse_centroid(cell) — classic IVFADC. Round 7 (VERDICT r6
+    item 3): the fine quantizer widened from m=8/k=16 (32x compression,
+    ADC-ranked recall@5 0.14 at n=2000 — shortlist-only quality) to
+    mf=32 two-dim subspaces with kf=clamp(n//4,16,128) codewords (8x
+    compression, see _PQ_MF): measured ADC-ranked recall@5 0.60 at
+    n=500 / 0.56 at n=2000 (ANN_RECALL_r7.json) — usable WITHOUT the
+    rerank stage, with the rerank twin still available for the exact
+    tail.
 
     Plan: centroids and ADC tables broadcast (O(sqrt(n)) and m*k rows —
     never corpus-sized), the corpus is scanned once for assignment and
@@ -2214,13 +2247,16 @@ def _ivf_pq_adc_frame(spark, sf_dir):
     (exact-cosine refinement of the ADC shortlist).
 
     Residual encoding: PQ trains on and encodes r = v - centroid(cell)
-    instead of v itself. Residuals are centered near zero, so the k=16
+    instead of v itself. Residuals are centered near zero, so the
     codebook spends its codewords on the within-cell variation rather
     than re-describing the cell position — the standard lever that
-    lifted rerank recall@5 without widening the shortlist. The query
-    side builds one ADC table per PROBED cell from q - centroid(cell)
-    (nprobe tables of m*k entries — still broadcast-bounded), and
-    candidates join on (qid, cell, sub, code). All arithmetic stays in
+    lifted rerank recall@5 without widening the shortlist. Since r7 the
+    residuals are re-subspaced to the FINE layout (_pq_refine_subs:
+    mf=32 subspaces of 2 dims, kf codewords — VERDICT r6 item 3) before
+    codebook training and encoding. The query side builds one ADC table
+    per PROBED cell from q - centroid(cell) (nprobe tables of mf*kf
+    entries — still broadcast-bounded), and candidates join on
+    (qid, cell, sub, code). All arithmetic stays in
     the exact integer micro-unit space: residual subtraction is a
     zip_with over BIGINTs.
 
@@ -2233,9 +2269,31 @@ def _ivf_pq_adc_frame(spark, sf_dir):
     )
 
 
+def _pq_refine_subs(frame, cols):
+    """Re-split an m=8 subspace frame (sub, v: array<bigint>[8]) into
+    the fine mf=32 layout (sub' = sub*4 + j, v: array<bigint>[2]) —
+    pure column surgery on the exact integer residuals, no shuffle.
+    ``cols`` are the passthrough key columns."""
+    splits = _PQ_DSUB // _PQ_DSUBF
+    return frame.select(
+        *cols,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("sub") * splits + j).alias("sub"),
+                    F.slice("v", _PQ_DSUBF * j + 1, _PQ_DSUBF).alias("v"),
+                )
+                for j in range(splits)
+            ])
+        ).alias("sv"),
+    ).select(*cols, F.col("sv.sub").alias("sub"), F.col("sv.v").alias("v"))
+
+
 def _ivf_pq_adc_frame_build(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
-    cells, nprobe, _ = _ann_params(e.count())
+    n_total = e.count()
+    cells, nprobe, _ = _ann_params(n_total)
+    kf = _pq_fine_k(n_total)
     subs = _pq_subs(spark, sf_dir)
     coarse = subs.filter(F.col("vec_id") < cells).select(
         F.col("vec_id").alias("ccode"),
@@ -2268,7 +2326,10 @@ def _ivf_pq_adc_frame_build(spark, sf_dir):
             F.zip_with("v", "cv", lambda a, b: a - b).alias("v"),
         )
     )
-    cb1 = _pq_codebook(rsubs, ("cb_res", sf_dir))
+    # fine-quantizer layout: mf=32 subspaces of 2 dims (VERDICT r6
+    # item 3 — see _PQ_MF), kf codewords scaling with n
+    rsubs = _pq_refine_subs(rsubs, ["vec_id"])
+    cb1 = _pq_codebook(rsubs, ("cb_res32", sf_dir), k=kf)
     # NOTE: checkpointing the code table here measured SLOWER (5.3s vs
     # 3.4s at sf0.1) — the eager materialization serializes the DAG,
     # while lazy evaluation lets the assignment fuse into the ADC join
@@ -2289,6 +2350,7 @@ def _ivf_pq_adc_frame_build(spark, sf_dir):
             F.zip_with("v", "cv", lambda a, b: a - b).alias("v"),
         )
     )
+    qres = _pq_refine_subs(qres, ["qid", "cell"])
     qdist = (
         qres.join(F.broadcast(cb1), F.col("sub") == F.col("c_sub"))
         .select("qid", "cell", "sub", "code", _pq_dist().alias("qd"))
@@ -2345,12 +2407,13 @@ def llm_sim_knn_ivf_pq_rerank(spark, sf_dir):
     cosine top-5. This is the standard fix for the measured flat-ADC
     recall ceiling (ADC-ranked top-5 recall 0.20 at n=2000 in r4 —
     16-codeword-per-subspace quantization error dominates the tail):
-    with round 5's residual encoding (VERDICT r4 item 3) measured
-    recall@5 is 0.96 at n=2000 and 0.90 at n=500 (ANN_RECALL_r5.json;
-    was 0.82/0.86 with raw-vector PQ at the same 50-deep shortlist —
-    the residual pass alone bought +0.14 at the larger scale) at ~50/n
-    of the exact path's vector reads; the shortlist stage touches no
-    original vectors at all.
+    with round 5's residual encoding (VERDICT r4 item 3) and round 7's
+    fine quantizer (VERDICT r6 item 3) measured recall@5 is 0.98 at
+    n=2000 and 0.90 at n=500 (ANN_RECALL_r7.json) — AT the IVF probe
+    ceiling (mean_ivf_recall_at_5 0.98/0.90: every loss left is a
+    coarse-probe miss, none is quantization) at ~50/n of the exact
+    path's vector reads; the shortlist stage touches no original
+    vectors at all.
 
     Plan inherits both parents': everything up to the shortlist is the
     shared _ivf_pq_adc_frame (broadcast centroids + ADC tables,
