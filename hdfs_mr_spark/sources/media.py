@@ -397,6 +397,155 @@ def materialize_media_px_adam7(sf_dir: str = ORACLE_SF) -> str:
     return str(path)
 
 
+# ---------------------------------------------------------------------------
+# Indexed-color (PLTE) PNG path (VERDICT r6 item 5): palette PNGs are
+# the most common real crawl format the decoder family previously
+# refused. Fixture images are color-type-3 PNGs — even doc_ids 8-bit
+# indexed with palettes of 17..256 entries, odd doc_ids 4-bit PACKED
+# indexed (two indices per byte, high nibble first, padded rows) with
+# 5..16 entries — whose index stream and palette both follow closed
+# formulas, so the DuckDB oracle recomputes per-channel sums with no
+# zlib while the Spark kernel must walk PLTE, unfilter at bpp=1, unpack
+# sub-byte indices, and apply the palette to match.
+
+N_MEDIA_PAL = 48  # bounded palette-PNG fixture
+
+
+def media_pal_size(doc_id: int) -> int:
+    """Palette entry count: even docs 17..256 (8-bit), odd 5..16 (4-bit)."""
+    if doc_id % 2 == 0:
+        return 17 + (doc_id * 7) % 240
+    return 5 + doc_id % 12
+
+
+def media_pal_channel(idx: int, c: int, doc_id: int) -> int:
+    """Channel c of palette entry idx — the generative palette formula."""
+    return (idx * (3 + 2 * c) + (c + 1) * doc_id) % 256
+
+
+def media_pal_index(x: int, y: int, doc_id: int) -> int:
+    """Palette index of pixel (x, y) — the generative index formula."""
+    return (x + 2 * y + doc_id) % media_pal_size(doc_id)
+
+
+def make_gradient_png_palette(doc_id: int) -> bytes:
+    """A decodable indexed-color PNG (color type 3): PLTE palette from
+    media_pal_channel, index raster from media_pal_index, scanline
+    filters cycling ALL five types at bpp=1, and — for odd doc_ids —
+    4-bit packed indices (high nibble first, rows padded to a byte
+    boundary), the sub-byte layout real palette crawl data uses."""
+    w, h = media_px_dims(doc_id)
+    npal = media_pal_size(doc_id)
+    depth = 8 if doc_id % 2 == 0 else 4
+    plte = bytes(
+        media_pal_channel(i, c, doc_id) for i in range(npal) for c in range(3)
+    )
+    raw = bytearray()
+    stride = (w * depth + 7) // 8
+    prior = bytes(stride)
+    for y in range(h):
+        idxs = [media_pal_index(x, y, doc_id) for x in range(w)]
+        if depth == 8:
+            row = bytes(idxs)
+        else:
+            if w % 2:
+                idxs = idxs + [0]  # pad the last nibble
+            row = bytes(
+                (idxs[i] << 4) | idxs[i + 1] for i in range(0, len(idxs), 2)
+            )
+        ft = (doc_id + y) % 5
+        raw.append(ft)
+        raw += _png_filter_row(row, prior, ft, bpp=1)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode_palette(b: bytes) -> tuple[int, int, int, bytes]:
+    """Pixel-true decode of an indexed-color (type 3) PNG at bit depth
+    8 or 4, non-interlaced: chunk walk captures PLTE, scanlines
+    unfilter at bpp=1 (the spec rounds sub-byte pixels up to one byte
+    for filtering), 4-bit rows unpack high-nibble-first dropping row
+    padding, and indices expand through the palette. Returns
+    (width, height, n_palette_entries, raw RGB bytes)."""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, w, h, depth, idat, plte = 8, None, None, None, b"", None
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, ctyp, _, _, interlace = struct.unpack(">IIBBBBB", data)
+            if ctyp != 3 or depth not in (8, 4) or interlace != 0:
+                raise ValueError(
+                    "png_decode_palette handles non-interlaced indexed-color"
+                    " PNG at depth 8 or 4 only"
+                )
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("no IHDR")
+    if plte is None:
+        raise ValueError("indexed-color PNG without PLTE")
+    npal = len(plte) // 3
+    raw = zlib.decompress(idat)
+    stride = (w * depth + 7) // 8
+    out = bytearray(3 * w * h)
+    prior = bytes(stride)
+    off = 0
+    for y in range(h):
+        row = _png_unfilter_row(raw, off, stride, prior, bpp=1)
+        off += 1 + stride
+        if depth == 8:
+            idxs = row
+        else:
+            idxs = bytearray()
+            for byte in row:
+                idxs.append(byte >> 4)
+                idxs.append(byte & 0x0F)
+            idxs = idxs[:w]  # drop nibble padding
+        for x in range(w):
+            i = idxs[x]
+            if i >= npal:
+                raise ValueError(f"palette index {i} out of range ({npal})")
+            out[(y * w + x) * 3 : (y * w + x) * 3 + 3] = plte[3 * i : 3 * i + 3]
+        prior = bytes(row)
+    if off != len(raw):
+        raise ValueError("palette data length mismatch")
+    return w, h, npal, bytes(out)
+
+
+def materialize_media_px_palette(sf_dir: str = ORACLE_SF) -> str:
+    """Write the palette-PNG pixel fixture parquet once per fingerprint."""
+    path = _fixture_dir(sf_dir) / "media_px_palette.parquet"
+    if not path.exists():
+        ids = list(range(N_MEDIA_PAL))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_gradient_png_palette(i) for i in ids], pa.binary()
+                ),
+            }),
+            path,
+        )
+    return str(path)
+
+
 def box_downsample(px: bytes, w: int, h: int, factor: int = 2):
     """Integer box-filter downsample of raw RGB bytes: each output
     channel is floor(mean) over its (up to factor x factor) input
