@@ -1765,7 +1765,7 @@ _PQ_M, _PQ_DSUB, _PQ_K = 8, 8, 16  # subspaces x dims each, codewords per subspa
 # fix is RESOLUTION, not training: 2-dim subspaces with 128 codewords
 # place codewords densely enough that ADC ordering survives (measured
 # sweep, tools/ann_recall.py + the r7 experiment grid: m=32/k=128 ->
-# 0.60 @ n=500, 0.56 @ n=2000; m=16/k=256 -> 0.48; m=8/k=256 -> 0.40;
+# 0.62 @ n=500, 0.56 @ n=2000 (ANN_RECALL_r7.json); m=16/k=256 -> 0.48; m=8/k=256 -> 0.40;
 # seed-only codebook without the Lloyd round -> 0.42 @ n=2000, so the
 # round stays). Codes are 32 bytes/vector — 8x compression instead of
 # 32x, the classic recall/memory dial turned toward recall.
@@ -2213,7 +2213,7 @@ def llm_sim_knn_ivf_pq(spark, sf_dir):
     item 3): the fine quantizer widened from m=8/k=16 (32x compression,
     ADC-ranked recall@5 0.14 at n=2000 — shortlist-only quality) to
     mf=32 two-dim subspaces with kf=clamp(n//4,16,128) codewords (8x
-    compression, see _PQ_MF): measured ADC-ranked recall@5 0.60 at
+    compression, see _PQ_MF): measured ADC-ranked recall@5 0.62 at
     n=500 / 0.56 at n=2000 (ANN_RECALL_r7.json) — usable WITHOUT the
     rerank stage, with the rerank twin still available for the exact
     tail.

@@ -877,6 +877,11 @@ def test_ivf_delta_absorb_touches_only_delta_cells(spark):
     df = fn(spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert "PartitionFilters" in plan
+    # ADVICE r7: the delta twin got the same collect()->DPP rewrite as
+    # the stored op — gate its plan shape too, so a regression back to
+    # a post-scan join filter (full-corpus scan) can't slip in silently
+    after = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cell" in after and "dynamicpruning" in after
     rows = [tuple(r) for r in df.collect()]
 
     # independently recompute which cells the delta's vectors belong to

@@ -426,6 +426,63 @@ def test_png_pixel_decode_roundtrip_all_filters():
         assert dpx[((oh - 1) * ow + (ow - 1)) * 3] == exp
 
 
+def test_png_palette_decode_roundtrip_and_refusals():
+    """Indexed-color (type 3) decode: 8-bit even docs and 4-bit PACKED
+    odd docs (incl. odd width, where the trailing nibble is padding)
+    round-trip pixel-exactly against the generative palette/index
+    formulas; 16-bit and interlaced type-3 refuse rather than
+    mis-decode."""
+    import struct
+    import zlib
+
+    from hdfs_mr_spark.sources.media import (
+        _png_chunk,
+        make_gradient_png_palette,
+        media_pal_channel,
+        media_pal_index,
+        media_pal_size,
+        media_px_dims,
+        png_decode_palette,
+    )
+
+    # doc 3: 4-bit, odd width (w = 8+111%56 = 63) -> nibble padding path
+    for did in (0, 1, 2, 3, 5, 46, 47):
+        blob = make_gradient_png_palette(did)
+        w, h, npal, px = png_decode_palette(blob)
+        assert (w, h) == media_px_dims(did)
+        assert npal == media_pal_size(did)
+        for x, y in [(0, 0), (w - 1, h - 1), (w // 2, h // 3), (w - 1, 0)]:
+            idx = media_pal_index(x, y, did)
+            for c in range(3):
+                assert px[(y * w + x) * 3 + c] == media_pal_channel(
+                    idx, c, did
+                ), (did, x, y, c)
+
+    # refusal contracts: depth-16 and Adam7-interlaced type-3 raise
+    base = make_gradient_png_palette(0)
+    w, h = media_px_dims(0)
+    for depth, interlace in ((16, 0), (8, 1)):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, interlace)
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", bytes(51))
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00"))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            png_decode_palette(bad)
+    # PLTE missing entirely also refuses
+    sig_end = 8
+    (ihdr_len,) = struct.unpack_from(">I", base, sig_end)
+    cut = base[: sig_end + 12 + ihdr_len]
+    rest = base[sig_end + 12 + ihdr_len :]
+    (plte_len,) = struct.unpack_from(">I", rest, 0)
+    no_plte = cut + rest[12 + plte_len :]
+    with pytest.raises(ValueError):
+        png_decode_palette(no_plte)
+
+
 def test_ann_params_match_oracle_formulas():
     """_ann_params (Python) and _SQL_ANN_PARAMS (DuckDB) must agree for
     any corpus size — the contract that keeps scaled ANN queries
