@@ -3916,3 +3916,136 @@ def llm_multimodal_pixels_palette(spark, sf_dir):
         "doc_id long, width int, height int, n_palette int, "
         "sum_c0 long, sum_c1 long, sum_c2 long, wsum_x long, wsum_y long",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Mixed multi-channel / IEEE-float WAV (VERDICT r6 item 8): surround
+# PCM16 (3-6 channels) and float32 clips in ONE fixture, so the parser
+# must dispatch on the fmt chunk per blob, not assume a layout.
+
+try:  # pragma: no cover — same static-path contract as _MEDIA_GIF
+    from hdfs_mr_spark.sources.media import materialize_audio_multi
+
+    _AUDIO_MULTI = materialize_audio_multi()
+except Exception as _audio_multi_exc:  # noqa: BLE001
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "multi-channel audio fixture materialization failed: %r",
+        _audio_multi_exc,
+    )
+    _AUDIO_MULTI = "/tmp/hmr_media_audio_multi_unavailable.parquet"
+
+
+def audio_multi_batches(batches):
+    """mapInPandas kernel: chunk-walking parse of mixed PCM16-surround /
+    IEEE-float32 WAVs (parse_wav_ex) -> one row per (clip, channel)
+    with exact-integer amplitude sum and energy. Float samples are
+    value*1024 — exactly representable in binary32 — so both formats
+    reduce to the same integer formula and one misparsed byte, channel
+    deinterleave slip, or float rounding bug hash-mismatches."""
+    import struct
+
+    import pandas as pd
+
+    from hdfs_mr_spark.sources.media import parse_wav_ex
+
+    cols = [
+        "doc_id", "fmt_code", "n_channels", "rate", "ch",
+        "n_samples", "sum_amp", "energy",
+    ]
+    for pdf in batches:
+        rows = []
+        for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, nch, fmt_code, data = parse_wav_ex(bytes(payload))
+            if fmt_code == 1:
+                vals = struct.unpack(f"<{len(data) // 2}h", data)
+            else:
+                floats = struct.unpack(f"<{len(data) // 4}f", data)
+                vals = [int(round(v * 1024.0)) for v in floats]
+            n = len(vals) // nch
+            for c in range(nch):
+                s = e = 0
+                for i in range(n):
+                    v = vals[i * nch + c]
+                    s += v
+                    e += v * v
+                rows.append((int(did), fmt_code, nch, rate, c, n, s, e))
+        out = pd.DataFrame(rows, columns=cols)
+        yield out.astype(
+            {c: ("int64" if c in ("doc_id", "n_samples", "sum_amp", "energy")
+                 else "int32")
+             for c in cols}
+        )
+
+
+def _audio_multi_oracle_sql() -> str:
+    """llm_multimodal_audio_multichannel oracle: layout (fmt, channel
+    count) and every sample follow closed formulas (audio_multi_layout
+    / audio_sample_ch / audio_params, sources/media.py), so DuckDB
+    recomputes per-channel sums with no RIFF walk or float decode."""
+    val = "(((i * (doc_id + 3 + 2 * ch) + 17 + 12 * ch) % 2003) - 1001)"
+
+    def fold(expr: str, alias: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(0, n), "
+            f"i -> CAST({expr} AS BIGINT))), (a, x) -> a + x) AS {alias}"
+        )
+
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS fmt_code,
+         CASE WHEN doc_id % 2 = 0 THEN 3 + (doc_id // 2) % 4
+              ELSE 1 + doc_id % 4 END AS nch,
+         CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+         800 + (doc_id * 191) % 1600 AS n
+  FROM '{_AUDIO_MULTI}'
+),
+chx AS (
+  SELECT m.*, c.ch FROM m, range(0, 6) c(ch) WHERE c.ch < m.nch
+)
+SELECT doc_id,
+       CAST(fmt_code AS INTEGER) AS fmt_code,
+       CAST(nch AS INTEGER) AS n_channels,
+       CAST(rate AS INTEGER) AS rate,
+       CAST(ch AS INTEGER) AS ch,
+       CAST(n AS BIGINT) AS n_samples,
+       {fold(val, "sum_amp")},
+       {fold(f"{val} * {val}", "energy")}
+FROM chx
+ORDER BY doc_id, ch
+"""
+
+
+@query(
+    "llm_multimodal_audio_multichannel",
+    oracle=_audio_multi_oracle_sql(),
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_audio_multichannel(spark, sf_dir):
+    """Multi-channel + IEEE-float WAV ingest — the two real-crawl audio
+    layouts the PCM16-mono/stereo ops refused: even docs are PCM16
+    SURROUND (3-6 interleaved channels, past the stereo ceiling), odd
+    docs are IEEE-float32 (fmt code 3, the layout DAWs and many
+    scrapers emit), and the parser dispatches on the fmt chunk PER
+    BLOB. Float fixture samples are integer/1024 — exact in binary32 —
+    so per-channel amplitude sums and energies stay exact integers and
+    a single float-rounding or deinterleave bug hash-mismatches.
+    ADPCM / a-law / 24-bit still refuse (parse_wav_ex), and the
+    narrower parse_wav_multi keeps its documented mono/stereo-PCM16
+    contract for the existing stereo op.
+
+    Scale: identical DAG shape to the other audio ops — binary scan
+    fanned out, one Arrow-batched parse pass emitting (clip, channel)
+    rows, no shuffle before the presentation sort; parallelism = clip
+    count."""
+    from hdfs_mr_spark.io import fan_out
+
+    df = spark.read.parquet(_AUDIO_MULTI)
+    return fan_out(df).mapInPandas(
+        repo_kernel("hdfs_mr_spark.functions.udfs", "audio_multi_batches"),
+        "doc_id long, fmt_code int, n_channels int, rate int, ch int, "
+        "n_samples long, sum_amp long, energy long",
+    ).orderBy("doc_id", "ch")

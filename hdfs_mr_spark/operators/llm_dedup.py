@@ -31,6 +31,38 @@ from hdfs_mr_spark.registry import query
 _FAM = "2.11 llm dedup"
 
 
+class ConcurrentPublishError(RuntimeError):
+    """Raised when a version-pointer publish observes that _CURRENT
+    moved while this writer was rewriting — a second writer committed
+    in between, and overwriting its pointer would silently lose that
+    commit."""
+
+
+def cas_publish_current(store, version: str, expected: str | None) -> None:
+    """Compare-and-swap publish of the ``_CURRENT`` version pointer
+    (VERDICT r6 item 6): the pointer may only advance FROM the
+    generation this writer read when it planned its rewrite. A
+    mismatch means another writer published meanwhile; refuse rather
+    than clobber (turning a silent lost-update into an error). The
+    swap itself is an atomic ``os.replace``; the check-then-rename
+    window is the documented residual race — the deployment contract
+    is SINGLE scheduled maintenance writer, and a true multi-writer
+    deployment would close the window with a lock service or an
+    object store's conditional put, not with local-FS tricks."""
+    import os
+
+    cur_file = store / "_CURRENT"
+    cur = cur_file.read_text().strip() if cur_file.exists() else None
+    if cur != expected:
+        raise ConcurrentPublishError(
+            f"_CURRENT moved {expected!r} -> {cur!r} during rewrite; "
+            f"refusing stale publish of {version!r}"
+        )
+    tmp = store / "_CURRENT.tmp"
+    tmp.write_text(version)
+    os.replace(tmp, cur_file)
+
+
 @query(
     "llm_dedup_exact",
     oracle="""
@@ -2603,10 +2635,10 @@ def llm_dedup_lsh_compact(spark, sf_dir):
         cur = store / "_CURRENT"
         return cur.read_text().strip() if cur.exists() else None
 
-    def publish(version: str) -> None:
-        tmp = store / "_CURRENT.tmp"
-        tmp.write_text(version)
-        os.replace(tmp, store / "_CURRENT")  # atomic pointer swap
+    def publish(version: str, expected: str | None) -> None:
+        # CAS pointer swap (cas_publish_current): refuse if _CURRENT
+        # moved since this writer read it — single-writer contract
+        cas_publish_current(store, version, expected)
 
     if current_version() is None:
         if store.exists():
@@ -2626,7 +2658,7 @@ def llm_dedup_lsh_compact(spark, sf_dir):
         keyed.filter(F.col("doc_id") % 3 == 0).write.mode(
             "append"
         ).partitionBy("band").parquet(str(store / "v1"))
-        publish("v1")
+        publish("v1", None)
     if current_version() == "v1":
         # COMPACT: rewrite v1 into one file per band, publish as v2.
         # repartition("band") co-locates each band in one task, so each
@@ -2634,7 +2666,7 @@ def llm_dedup_lsh_compact(spark, sf_dir):
         spark.read.parquet(str(store / "v1")).repartition("band").write.mode(
             "overwrite"
         ).partitionBy("band").parquet(str(store / "v2"))
-        publish("v2")
+        publish("v2", "v1")
     post_path = str(store / current_version())
     stored = spark.read.parquet(post_path).select(
         F.col("doc_id").alias("aid"), "band",

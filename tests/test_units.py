@@ -483,6 +483,32 @@ def test_png_palette_decode_roundtrip_and_refusals():
         png_decode_palette(no_plte)
 
 
+def test_cas_publish_refuses_stale_pointer(tmp_path):
+    """cas_publish_current (VERDICT r6 item 6): the _CURRENT pointer
+    only advances from the generation the writer read — a concurrent
+    publish in between must be refused, never clobbered."""
+    from hdfs_mr_spark.operators.llm_dedup import (
+        ConcurrentPublishError,
+        cas_publish_current,
+    )
+
+    store = tmp_path / "store"
+    store.mkdir()
+    # fresh store: expected None -> v1
+    cas_publish_current(store, "v1", None)
+    assert (store / "_CURRENT").read_text() == "v1"
+    # normal advance v1 -> v2
+    cas_publish_current(store, "v2", "v1")
+    assert (store / "_CURRENT").read_text() == "v2"
+    # writer that read v1 but lost the race to the v2 publisher: refuse
+    with pytest.raises(ConcurrentPublishError):
+        cas_publish_current(store, "v2b", "v1")
+    assert (store / "_CURRENT").read_text() == "v2"  # loser changed nothing
+    # fresh-store writer racing an initialized store also refuses
+    with pytest.raises(ConcurrentPublishError):
+        cas_publish_current(store, "v1", None)
+
+
 def test_ann_params_match_oracle_formulas():
     """_ann_params (Python) and _SQL_ANN_PARAMS (DuckDB) must agree for
     any corpus size — the contract that keeps scaled ANN queries
@@ -538,6 +564,55 @@ def test_wav_chunk_walker_parser():
     struct.pack_into("<H", bad_fmt, fmt_off + 2, 2)  # channels = 2
     with pytest.raises(ValueError):
         parse_wav(bytes(bad_fmt))
+
+
+def test_wav_multichannel_and_float_parse():
+    """parse_wav_ex: PCM16 surround (3-6 ch) and IEEE-float32 clips
+    round-trip to the exact per-channel integer formula; ADPCM/24-bit
+    refuse; parse_wav_multi keeps its mono/stereo-PCM16-only contract."""
+    import struct
+
+    from hdfs_mr_spark.sources.media import (
+        audio_multi_layout,
+        audio_params,
+        audio_sample_ch,
+        make_wav_multi,
+        parse_wav_ex,
+        parse_wav_multi,
+    )
+
+    for did in (0, 1, 2, 5, 6, 7, 46, 47):
+        rate, n = audio_params(did)
+        efmt, ench = audio_multi_layout(did)
+        r, nch, fmt_code, data = parse_wav_ex(make_wav_multi(did))
+        assert (r, nch, fmt_code) == (rate, ench, efmt)
+        if fmt_code == 1:
+            vals = struct.unpack(f"<{len(data) // 2}h", data)
+        else:
+            vals = [
+                int(round(v * 1024.0))
+                for v in struct.unpack(f"<{len(data) // 4}f", data)
+            ]
+        assert len(vals) == n * nch
+        for i, c in [(0, 0), (1, nch - 1), (n - 1, 0), (n // 2, nch // 2)]:
+            assert vals[i * nch + c] == audio_sample_ch(i, c, did), (did, i, c)
+
+    # refusal contracts: ADPCM (fmt 2) and 24-bit PCM raise
+    blob = bytearray(make_wav_multi(0))
+    fmt_off = bytes(blob).index(b"fmt ") + 8
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, fmt_off, 2)  # ADPCM
+    with pytest.raises(ValueError):
+        parse_wav_ex(bytes(bad))
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, fmt_off + 14, 24)  # 24-bit
+    with pytest.raises(ValueError):
+        parse_wav_ex(bytes(bad))
+    # the narrow parser still refuses surround and float layouts
+    with pytest.raises(ValueError):
+        parse_wav_multi(make_wav_multi(0))  # 3..6 channels
+    with pytest.raises(ValueError):
+        parse_wav_multi(make_wav_multi(1))  # float32
 
 
 def test_phash_decode_matches_generative_formula():
