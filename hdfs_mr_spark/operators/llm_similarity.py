@@ -167,6 +167,16 @@ _TARGET_BLOCK_ROWS = 512  # fixed block SIZE; block COUNT scales with n
 _NROWS_CACHE: dict[str, int] = {}  # sf_dir -> embeddings row count (immutable testdata)
 
 
+def _n_embeddings(spark, sf_dir) -> int:
+    """Cached embeddings row count (stats.embed_stats) — the corpus
+    statistic every ANN parameter derivation keys on. One tiny
+    aggregate per (session, sf_dir) instead of a count job at every
+    query construction (r8: the real no-mid-plan-action gate)."""
+    from hdfs_mr_spark import stats as corpus_stats
+
+    return corpus_stats.embed_stats(spark, sf_dir)[0]
+
+
 def blocked_cosine_pairs(spark, sf_dir, threshold=0.35, nblocks=None):
     """All-pairs cosine >= threshold via a blocked vectorized kernel.
 
@@ -199,9 +209,9 @@ def blocked_cosine_pairs(spark, sf_dir, threshold=0.35, nblocks=None):
 
         n = _NROWS_CACHE.get(sf_dir)
         if n is None:
-            # parquet row-count metadata, not a scan; cached — both kernel
+            # cached corpus stat (stats.embed_stats) — both kernel
             # consumers (llm_sim_pairs, llm_dedup_embed) share it
-            n = _NROWS_CACHE[sf_dir] = e.count()
+            n = _NROWS_CACHE[sf_dir] = _n_embeddings(spark, sf_dir)
         # size ceiling: blocks never exceed _TARGET_BLOCK_ROWS rows;
         # parallelism floor: enough triangular units (~nblocks^2/2) to
         # feed every core twice even when n is small — shrinking blocks
@@ -363,7 +373,7 @@ def llm_sim_knn_ivf(spark, sf_dir):
     replicates it exactly at any scale factor. Measured recall@5 vs
     brute force: 0.98 at n=2000 (llm_ann_recall_audit publishes it)."""
     e = table(spark, sf_dir, "embeddings")
-    cells, nprobe, _ = _ann_params(e.count())
+    cells, nprobe, _ = _ann_params(_n_embeddings(spark, sf_dir))
     n = fan_out(e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")))
     c = (
         n.filter(F.col("vec_id") < cells)
@@ -452,7 +462,7 @@ def llm_sim_knn_ivf_stored(spark, sf_dir):
     from hdfs_mr_spark.sources.scans import _fixture_dir
 
     e = table(spark, sf_dir, "embeddings")
-    cells, nprobe, _ = _ann_params(e.count())
+    cells, nprobe, _ = _ann_params(_n_embeddings(spark, sf_dir))
     store = _fixture_dir(sf_dir) / "ivf_store"
     corpus_path, cent_path = str(store / "corpus"), str(store / "centroids")
     n = e.select(
@@ -569,7 +579,7 @@ def llm_sim_knn_ivf_delta(spark, sf_dir):
     from hdfs_mr_spark.sources.scans import _fixture_dir
 
     e = table(spark, sf_dir, "embeddings")
-    n_total = e.count()
+    n_total = _n_embeddings(spark, sf_dir)
     cells, nprobe, _ = _ann_params(n_total)
     n_base = max(cells, n_total - n_total // 8)
     store = _fixture_dir(sf_dir) / "ivf_store_delta"
@@ -705,7 +715,7 @@ def llm_sim_knn_lsh(spark, sf_dir):
     (llm_sim_knn_ivf, recall@5 0.98 at n=2000), which is the default
     scale recommendation here."""
     e = table(spark, sf_dir, "embeddings")
-    _, _, bits = _ann_params(e.count())
+    _, _, bits = _ann_params(_n_embeddings(spark, sf_dir))
     bucket = F.aggregate(
         F.expr(
             f"transform(sequence(1, {bits}), "
@@ -1258,7 +1268,7 @@ def llm_dedup_semdedup(spark, sf_dir):
     cosine threshold rides INSIDE the join condition (the measured ~5x
     _dot residual discipline)."""
     e = table(spark, sf_dir, "embeddings")
-    cells, _, _ = _ann_params(e.count())
+    cells, _, _ = _ann_params(_n_embeddings(spark, sf_dir))
     n = fan_out(
         e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     ).localCheckpoint()
@@ -1575,7 +1585,7 @@ def llm_sim_knn_lsh_multiprobe(spark, sf_dir):
     11/16 at b=4 (this fixture) but ~1/50 at the b=12 clamp — the
     radius-2 budget is what makes the formula's growth affordable."""
     e = table(spark, sf_dir, "embeddings")
-    _, _, bits = _ann_params(e.count())
+    _, _, bits = _ann_params(_n_embeddings(spark, sf_dir))
     bucket = F.aggregate(
         F.expr(
             f"transform(sequence(1, {bits}), "
@@ -1709,12 +1719,12 @@ def llm_sim_knn_lsh_multitable(spark, sf_dir):
     collapsing those tables into one corpus-sized bucket (a near
     all-pairs candidate join exactly at the scale the operator exists
     to serve)."""
+    from hdfs_mr_spark import stats as corpus_stats
+
     e = table(spark, sf_dir, "embeddings")
-    stats = e.agg(
-        F.count("*").alias("n"), F.min(F.size("embedding")).alias("dim")
-    ).first()
-    _, _, bits = _ann_params(stats["n"])
-    ntab = max(1, min(_LSH_TABLES, stats["dim"] // bits))
+    n_emb, dim = corpus_stats.embed_stats(spark, sf_dir)
+    _, _, bits = _ann_params(n_emb)
+    ntab = max(1, min(_LSH_TABLES, dim // bits))
     buckets = F.expr(
         f"transform(sequence(0, {ntab - 1}), t -> "
         f"aggregate(transform(sequence(1, {bits}), "
@@ -2291,7 +2301,7 @@ def _pq_refine_subs(frame, cols):
 
 def _ivf_pq_adc_frame_build(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
-    n_total = e.count()
+    n_total = _n_embeddings(spark, sf_dir)
     cells, nprobe, _ = _ann_params(n_total)
     kf = _pq_fine_k(n_total)
     subs = _pq_subs(spark, sf_dir)
@@ -2329,6 +2339,21 @@ def _ivf_pq_adc_frame_build(spark, sf_dir):
     # fine-quantizer layout: mf=32 subspaces of 2 dims (VERDICT r6
     # item 3 — see _PQ_MF), kf codewords scaling with n
     rsubs = _pq_refine_subs(rsubs, ["vec_id"])
+    # The n*mf*kf assignment fold downstream (8M rows at sf0.1) is the
+    # build's dominant stage, and the fixture's embeddings table
+    # arrives as ONE parquet file -> one partition, so without a
+    # rebalance it runs in a single task (measured: 10 s of the 15 s
+    # cold build). Hash-spreading the 64k residual rows BEFORE the
+    # kf-way explosion buys full-width parallelism for one tiny
+    # exchange; at cluster scale the corpus already arrives in many
+    # partitions and this is a cheap rebalance of skinny rows. The
+    # count is pinned to defaultParallelism because AQE would coalesce
+    # a column-only repartition of 64k skinny rows back to one
+    # partition (the rows are small; the k-way fan-out they feed is
+    # not), re-serializing the fold.
+    rsubs = rsubs.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id", "sub"
+    )
     cb1 = _pq_codebook(rsubs, ("cb_res32", sf_dir), k=kf)
     # NOTE: checkpointing the code table here measured SLOWER (5.3s vs
     # 3.4s at sf0.1) — the eager materialization serializes the DAG,

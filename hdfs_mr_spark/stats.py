@@ -61,6 +61,29 @@ def n_tokens(spark, sf_dir: str) -> int:
     return _CACHE[k]
 
 
+def embed_stats(spark, sf_dir: str) -> tuple[int, int]:
+    """(row count, embedding dimension) of the embeddings table,
+    cached once per (session, sf_dir) — every ANN operator derives its
+    parameters (cells/nprobe/bits via _ann_params, LSH table count,
+    PQ fine-codebook size) from these two corpus properties, and each
+    used to run its own count/agg job at construction time. At 100 TB
+    they are persisted table statistics; one tiny aggregate fills both."""
+    kn = _key(spark, sf_dir, "n_embeddings")
+    kd = _key(spark, sf_dir, "embed_dim")
+    if kn not in _CACHE:
+        row = (
+            table(spark, sf_dir, "embeddings")
+            .agg(
+                F.count("*").alias("n"),
+                F.min(F.size("embedding")).alias("dim"),
+            )
+            .first()
+        )
+        _CACHE[kn] = int(row["n"])
+        _CACHE[kd] = int(row["dim"] or 0)
+    return _CACHE[kn], _CACHE[kd]
+
+
 def vocab_size(spark, sf_dir: str) -> int:
     """COUNT(DISTINCT w) over the whitespace-token stream — the scalar
     every vocabulary-regime switch and LM smoothing constant keys on."""

@@ -819,36 +819,92 @@ def test_ivf_stored_probe_is_partition_pruned(spark):
     assert stored == twin
 
 
+# Documented exemptions from the registry-wide no-mid-plan-action gate
+# (VERDICT r7 item 5's explicit list). Each category is a DELIBERATE
+# driver round-trip, not an accident:
+_GATE_EXEMPT = {
+    # Driver-coordinated iterative loops — each round's scalar result
+    # (top merge pair, changed-label count, star roots) feeds the NEXT
+    # round's plan; the sequence is inherently serial (same discipline
+    # as mr_pagerank's convergence checks).
+    "llm_bpe_train_rounds",     # k-round BPE trainer (top-1 per round)
+    "llm_bpe_apply",            # loads the shared cached trainer
+    "llm_dedup_clusters",       # label-propagation convergence counts
+    "llm_dedup_clusters_star",  # star-contraction round scalars
+    # Physical-strategy stats reads — broadcast-vs-shuffle decisions
+    # from a count of an already-localCheckpoint'd frame (the count is
+    # a cached-materialization metadata read, the query-at-a-time
+    # analogue of Catalyst picking a join strategy from table stats).
+    "llm_dedup_near", "llm_dedup_near_decision", "llm_dedup_near_weighted",
+    "llm_dedup_containment", "llm_dedup_keep_best", "llm_pipeline_clean",
+    # Skew-profile stats read feeding the salt factor (joins.py,
+    # documented at the call site).
+    "join_skew_salted",
+    # Statistical gates whose degenerate-input branch (empty cohort,
+    # 1xN contingency table) is a driver decision: the scalar guards a
+    # Python `if` that SELECTS the plan, it doesn't parameterize one.
+    "dq_distribution_drift", "agg_chi2_independence",
+}
+
+
 def test_no_mid_plan_driver_actions(spark, monkeypatch):
-    """VERDICT r6 item 4's gate: constructing ts_autocorrelation and the
-    persisted-IVF probes must submit NO driver-materializing action —
-    no .first()/.collect()/.toPandas() anywhere in plan construction.
-    (The one-time store build and the cached corpus-stat reads are
-    allowed: .count() on a base table is a table-stat read, and writes
-    are the build, not the query. Collect/first are what turn a lazy
-    plan into a driver round-trip, so those are what we pin to zero.)"""
-    from pyspark.sql import DataFrame
+    """Registry-wide gate (VERDICT r7 item 5): constructing ANY
+    registered batch query must submit NO driver-materializing action —
+    no .collect()/.first()/.toPandas()/.count() during plan
+    construction — except the documented _GATE_EXEMPT categories.
 
-    # pre-build the persisted stores so only the query path runs
-    all_specs()["llm_sim_knn_ivf_stored"].fn(spark, SF_SMOKE)
-    all_specs()["llm_sim_knn_ivf_delta"].fn(spark, SF_SMOKE)
+    The traps patch pyspark.sql.classic.dataframe.DataFrame — the class
+    Spark 4 actually instantiates. The r7 version of this gate patched
+    the pyspark.sql.DataFrame BASE class, whose action methods the
+    classic subclass overrides, so the traps never fired and the gate
+    was vacuously green (found r8 by probing with the classic patch).
 
-    calls: list[str] = []
+    Streaming-family queries (2.10) are out of scope: their
+    construction IS execution (foreachBatch drains micro-batches under
+    the streaming engine's own coordination); their batch twins gate
+    plan discipline here.
+
+    Corpus-stat caches (stats.py, embed_stats) are pre-warmed first —
+    those are the once-per-session table-statistics reads the cache
+    module exists for, and are documented there."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from hdfs_mr_spark import stats as corpus_stats
+
+    corpus_stats.n_docs(spark, SF_SMOKE)
+    corpus_stats.n_tokens(spark, SF_SMOKE)
+    corpus_stats.vocab_size(spark, SF_SMOKE)
+    corpus_stats.embed_stats(spark, SF_SMOKE)
+    # pre-build the persisted index stores (one-time build, not query)
+    for store_q in ("llm_sim_knn_ivf_stored", "llm_sim_knn_ivf_delta",
+                    "llm_dedup_lsh_stored", "llm_dedup_lsh_compact"):
+        all_specs()[store_q].fn(spark, SF_SMOKE)
+
+    calls: dict[str, list[str]] = {}
+    cur: list = [None]
+    orig = {
+        k: getattr(DataFrame, k)
+        for k in ("collect", "first", "toPandas", "count")
+    }
 
     def _trap(kind):
         def _f(self, *a, **k):
-            calls.append(kind)
-            raise AssertionError(f"mid-plan DataFrame.{kind}() during construction")
+            if cur[0] is not None:
+                calls.setdefault(cur[0], []).append(kind)
+            return orig[kind](self, *a, **k)
         return _f
 
-    monkeypatch.setattr(DataFrame, "collect", _trap("collect"))
-    monkeypatch.setattr(DataFrame, "first", _trap("first"))
-    monkeypatch.setattr(DataFrame, "toPandas", _trap("toPandas"))
-    for name in ("ts_autocorrelation", "llm_sim_knn_ivf_stored",
-                 "llm_sim_knn_ivf_delta"):
-        df = all_specs()[name].fn(spark, SF_SMOKE)
-        assert df is not None
-    assert calls == []
+    for kind in orig:
+        monkeypatch.setattr(DataFrame, kind, _trap(kind))
+
+    for name, spec in sorted(all_specs().items()):
+        if name in _GATE_EXEMPT or spec.family.startswith("2.10"):
+            continue
+        cur[0] = name
+        df = spec.fn(spark, SF_SMOKE)
+        cur[0] = None
+        assert df is not None, name
+    assert calls == {}
 
 
 def test_ivf_delta_absorb_touches_only_delta_cells(spark):
