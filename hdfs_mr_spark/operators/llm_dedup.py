@@ -659,6 +659,125 @@ def llm_dedup_near_ngram(spark, sf_dir):
     ).orderBy("d1", "d2")
 
 
+# Candidate-generation df cap for the capped n-gram dedup: posting
+# lists longer than this never generate candidate pairs (the verify
+# still scores FULL shingle sets). 64 keeps every fixture pair and cuts
+# the Zipf-head posting joins that made the uncapped op the family's
+# scale outlier (PERF.md r8: 15x wall on 10x docs).
+_NGRAM_DF_CAP = 64
+
+
+@query(
+    "llm_dedup_near_ngram_capped",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+),
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+dfreq AS (SELECT s, COUNT(*) AS df FROM tok GROUP BY s),
+rare AS (
+  SELECT t.doc_id, t.s FROM tok t
+  JOIN dfreq f ON t.s = f.s WHERE f.df <= {_NGRAM_DF_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS n_common
+  FROM cand c
+  JOIN tok a ON a.doc_id = c.d1
+  JOIN tok b ON b.doc_id = c.d2 AND b.s = a.s
+  GROUP BY c.d1, c.d2
+)
+SELECT i.d1, i.d2,
+       CAST(i.n_common AS DOUBLE)
+         / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) AS jaccard3
+FROM inter i
+JOIN sizes s1 ON i.d1 = s1.doc_id
+JOIN sizes s2 ON i.d2 = s2.doc_id
+WHERE CAST(i.n_common AS DOUBLE)
+      / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) >= 0.5
+ORDER BY d1, d2
+""",
+    family=_FAM,
+)
+def llm_dedup_near_ngram_capped(spark, sf_dir):
+    """DF-CAPPED trigram Jaccard near-dup — the scale fix for the
+    uncapped posting-list formulation, which the r8 Zipf stress
+    measured as the dedup family's outlier (15x wall on 10x docs,
+    PERF.md r8): Zipf-HEAD shingles produce posting lists whose
+    self-join dominates everything else. Here candidate GENERATION
+    uses only shingles with document frequency <= {cap} (a combiner
+    df count + one semi-join prunes the heads), while the VERIFY stage
+    still scores the FULL shingle sets of each candidate pair with
+    exact Jaccard — so reported scores are identical to the uncapped
+    op's, and the only pairs that can be missed are those sharing
+    EXCLUSIVELY head shingles (df > {cap}), which at J >= 0.5 requires
+    two documents built almost entirely from boilerplate n-grams — the
+    pair class a boilerplate filter, not a dedup pass, should own.
+    This is CCNet/BigQuery-style df truncation: the standard
+    recall/cost dial for inverted-index dedup at corpus scale.
+
+    Plan shape: df table is combiner-shape; the capped posting
+    self-join's worst bucket is <= cap^2 rows per shingle (bounded by
+    CONSTRUCTION, independent of corpus size — the property the
+    uncapped op lacks); verify joins candidate ids against the shingle
+    arrays (array_intersect, JVM-side). Zipf-stress measurement in
+    PERF.md r8.""".format(cap=_NGRAM_DF_CAP)
+    sh = _shingle_frame(spark, sf_dir)
+    tok = sh.select("doc_id", F.explode("s").alias("g"))
+    dfreq = tok.groupBy("g").agg(F.count("*").alias("df"))
+    heads = dfreq.filter(F.col("df") > _NGRAM_DF_CAP).select("g")
+    rare = tok.join(heads, "g", "left_anti")
+    # candidate generation AND the rare half of the intersection in ONE
+    # pass: the capped posting self-join's per-shingle bucket is <=
+    # cap^2 by construction, and the combiner count gives n_rare_common
+    # directly (a first draft that re-verified candidates against FULL
+    # shingle arrays measured a wash on the Zipf corpus — it re-paid
+    # the pruned volume as array_intersect work).
+    r2 = rare.select(F.col("doc_id").alias("d2"), F.col("g").alias("g2"))
+    pairs = (
+        rare.join(r2, (rare.g == r2.g2) & (rare.doc_id < r2.d2))
+        .groupBy(F.col("doc_id").alias("d1"), "d2")
+        .agg(F.count("*").alias("n_rare"))
+    )
+    # the head half: per-doc HEAD-shingle arrays are tiny by the cap's
+    # own definition (few types carry df > cap — the Zipf head), so the
+    # exact head intersection is an array_intersect over short arrays
+    hd = (
+        tok.join(heads, "g")
+        .groupBy("doc_id")
+        .agg(F.collect_set("g").alias("hs"))
+    )
+    empty = F.array().cast("array<string>")
+    s1 = (
+        sh.join(hd, "doc_id", "left")
+        .select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"),
+                F.coalesce(F.col("hs"), empty).alias("h1"))
+    )
+    s2 = (
+        sh.join(hd, "doc_id", "left")
+        .select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"),
+                F.coalesce(F.col("hs"), empty).alias("h2"))
+    )
+    n_common = F.col("n_rare") + F.size(F.array_intersect("h1", "h2"))
+    jac = n_common.cast("double") / (
+        (F.col("sz1") + F.col("sz2") - n_common).cast("double")
+    )
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", jac.alias("jaccard3"))
+        .filter(F.col("jaccard3") >= 0.5)
+        .orderBy("d1", "d2")
+    )
+
+
 def _trigram_exact_pairs(spark, sf_dir):
     """Exact posting-list trigram-Jaccard >= 0.5 pairs (d1, d2, jaccard).
 
