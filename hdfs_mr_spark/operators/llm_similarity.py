@@ -2299,8 +2299,14 @@ def _pq_refine_subs(frame, cols):
     ).select(*cols, F.col("sv.sub").alias("sub"), F.col("sv.v").alias("v"))
 
 
-def _ivf_pq_adc_frame_build(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings")
+def _ivf_pq_index_frames(spark, sf_dir):
+    """The lazily-declared IVFADC INDEX artifacts, shared by the
+    in-flight composite (_ivf_pq_adc_frame_build) and the persisted
+    store builder (llm_sim_knn_ivf_pq_stored): per-vector cell
+    assignment + probe ranking, residual fine-PQ codebook, and residual
+    codes. One definition means the stored index is bit-identical to
+    what the in-flight op computes — the property the hash check
+    between the two queries rests on."""
     n_total = _n_embeddings(spark, sf_dir)
     cells, nprobe, _ = _ann_params(n_total)
     kf = _pq_fine_k(n_total)
@@ -2321,9 +2327,6 @@ def _ivf_pq_adc_frame_build(spark, sf_dir):
     assign = ranked.filter(F.col("rn") == 1).select(
         "vec_id", F.col("ccode").alias("cell")
     )
-    probes = ranked.filter(
-        (F.col("vec_id") < 10) & (F.col("rn") <= nprobe)
-    ).select(F.col("vec_id").alias("qid"), F.col("ccode").alias("cell"))
     # residual subvectors: v - centroid(assigned cell), exact BIGINT
     rsubs = (
         subs.join(assign, "vec_id")
@@ -2359,9 +2362,17 @@ def _ivf_pq_adc_frame_build(spark, sf_dir):
     # 3.4s at sf0.1) — the eager materialization serializes the DAG,
     # while lazy evaluation lets the assignment fuse into the ADC join
     # stage. At 100 TB the codes are a PRE-BUILT stored index anyway,
-    # so the build-per-query cost this op pays is a fixture artifact.
+    # so the build-per-query cost this op pays is a fixture artifact
+    # (llm_sim_knn_ivf_pq_stored persists exactly these frames).
     codes = _pq_assign(rsubs, cb1).select("vec_id", "sub", "code")
-    # per-probed-cell query residuals -> one ADC table per (qid, cell)
+    return subs, coarse, ranked, assign, codes, cb1, cells, nprobe, kf
+
+
+def _ivf_pq_query_tables(spark, subs, coarse, probes, cb1):
+    """Per-probed-cell query ADC tables (qid, cell, sub, code, qd):
+    residual q - centroid(cell), refined to the fine layout, distances
+    against the broadcast fine codebook — shared verbatim by the
+    in-flight composite and the stored-index probe."""
     qres = (
         subs.filter(F.col("vec_id") < 10)
         .withColumnRenamed("vec_id", "qid")
@@ -2376,10 +2387,21 @@ def _ivf_pq_adc_frame_build(spark, sf_dir):
         )
     )
     qres = _pq_refine_subs(qres, ["qid", "cell"])
-    qdist = (
+    return (
         qres.join(F.broadcast(cb1), F.col("sub") == F.col("c_sub"))
         .select("qid", "cell", "sub", "code", _pq_dist().alias("qd"))
     )
+
+
+def _ivf_pq_adc_frame_build(spark, sf_dir):
+    subs, coarse, ranked, assign, codes, cb1, cells, nprobe, kf = (
+        _ivf_pq_index_frames(spark, sf_dir)
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < 10) & (F.col("rn") <= nprobe)
+    ).select(F.col("vec_id").alias("qid"), F.col("ccode").alias("cell"))
+    # per-probed-cell query residuals -> one ADC table per (qid, cell)
+    qdist = _ivf_pq_query_tables(spark, subs, coarse, probes, cb1)
     cand = (
         probes.join(assign, "cell")
         .filter(F.col("vec_id") != F.col("qid"))
@@ -2483,5 +2505,139 @@ def llm_sim_knn_ivf_pq_rerank(spark, sf_dir):
     return (
         scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= 5)
+        .orderBy("qid", "rank")
+    )
+
+
+@query(
+    "llm_sim_knn_ivf_pq_stored",
+    oracle=f"""
+{_IVF_PQ_ADC_CTES}
+SELECT qid, vec_id, CAST(dist_adc AS BIGINT) AS dist_adc,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY dist_adc ASC, vec_id ASC) AS BIGINT) AS rank
+FROM adc QUALIFY rank <= 5
+ORDER BY qid, rank
+""",
+    family=_FAM,
+)
+def llm_sim_knn_ivf_pq_stored(spark, sf_dir):
+    """IVFADC against a PERSISTED index — the production ANN SERVING
+    layout the in-flight composite's docstring promises ('at 100 TB the
+    codes are a PRE-BUILT stored index'), now implemented and
+    hash-checked against the identical oracle as llm_sim_knn_ivf_pq:
+
+    Build (once per sf fingerprint, atomic rename like the IVF store):
+    the shared _ivf_pq_index_frames artifacts persist as (1) the code
+    table — ONE row per vector, its mf residual codes PACKED into an
+    array (the 8x-compressed representation a serving tier holds),
+    written PARTITIONED BY cell; (2) the O(sqrt(n)) coarse-centroid
+    subspace table; (3) the mf*kf fine codebook. Query: probe ranking
+    and per-(qid, cell) ADC tables come from the BROADCAST stored
+    centroid/codebook tables (shared _ivf_pq_query_tables kernel), the
+    broadcast probe frame joins the code store ON the cell partition
+    column — Catalyst injects a dynamicpruning# subquery into the
+    scan's PartitionFilters, so only probed cell DIRECTORIES are
+    opened (the same lazy-DPP discipline as llm_sim_knn_ivf_stored,
+    plan-gated) — and codes posexplode back to (sub, code) for the
+    ADC table-lookup sum. Scored rows per query: O(nprobe * n/cells)
+    codes read straight off disk; original vectors never touched.
+
+    Steady-state probe cost at sf0.1 is ~0.1-0.4 s vs the in-flight
+    op's 9 s cold build — the build-offline / probe-cheap split the r8
+    Zipf stress measured as the deployment answer (PERF.md r8)."""
+    import os
+    import shutil
+
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    # probe-path parameters WITHOUT declaring the index frames: the
+    # fine-codebook trainer inside _ivf_pq_index_frames materializes
+    # eagerly (localCheckpoint), so invoking it when the store already
+    # exists would re-run the whole Lloyd pass just to discard it
+    # (measured: 7.8 s/probe instead of 0.5 s at sf0.1)
+    _, nprobe, _ = _ann_params(_n_embeddings(spark, sf_dir))
+    subs = _pq_subs(spark, sf_dir)
+    store = _fixture_dir(sf_dir) / "ivf_pq_store"
+    codes_path = str(store / "codes")
+    cent_path = str(store / "centroids")
+    cb_path = str(store / "codebook")
+    if not (store / "_built").exists():
+        _, coarse, _, assign, codes, cb1, _, _, _ = _ivf_pq_index_frames(
+            spark, sf_dir
+        )
+        packed = (
+            codes.groupBy("vec_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                    lambda s: s["code"],
+                ).alias("codes")
+            )
+            .join(assign, "vec_id")
+        )
+        if store.exists():  # torn remains of a failed build
+            shutil.rmtree(store, ignore_errors=True)
+        tmp = store.parent / f"{store.name}.tmp.{os.getpid()}"
+        packed.write.mode("overwrite").partitionBy("cell").parquet(
+            str(tmp / "codes")
+        )
+        coarse.write.mode("overwrite").parquet(str(tmp / "centroids"))
+        cb1.write.mode("overwrite").parquet(str(tmp / "codebook"))
+        (tmp / "_built").touch()
+        try:
+            os.rename(tmp, store)  # atomic publish: all-or-nothing
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (store / "_built").exists():
+                raise
+    coarse_st = F.broadcast(spark.read.parquet(cent_path))
+    cb_st = spark.read.parquet(cb_path)
+    # probe ranking from the STORED centroids (exact BIGINT L2, same
+    # math as the index build's assignment ranking)
+    qdistc = (
+        subs.filter(F.col("vec_id") < 10)
+        .join(coarse_st, F.col("sub") == F.col("c_sub"))
+        .select(
+            F.col("vec_id").alias("qid"), "ccode", _pq_dist().alias("d")
+        )
+        .groupBy("qid", "ccode")
+        .agg(F.sum("d").alias("cd"))
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("cd").asc(), F.col("ccode").asc()
+    )
+    probes = (
+        qdistc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", F.col("ccode").alias("cell"))
+    )
+    qdist = _ivf_pq_query_tables(spark, subs, coarse_st, probes, cb_st)
+    # lazy DPP probe: broadcast probes join the cell partition column —
+    # non-probed cell directories are never opened (plan-gated)
+    code_store = spark.read.parquet(codes_path)
+    un = (
+        code_store.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "cell", "vec_id",
+            F.posexplode("codes").alias("sub", "code"),
+        )
+    )
+    adc = (
+        un.join(F.broadcast(qdist), ["qid", "cell", "sub", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd").alias("dist_adc"))
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("dist_adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "qid", "vec_id",
+            F.col("dist_adc").cast("bigint").alias("dist_adc"), "rank",
+        )
         .orderBy("qid", "rank")
     )

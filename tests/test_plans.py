@@ -819,6 +819,22 @@ def test_ivf_stored_probe_is_partition_pruned(spark):
     assert stored == twin
 
 
+def test_ivf_pq_stored_probe_is_partition_pruned(spark):
+    """llm_sim_knn_ivf_pq_stored (r8): the probe must reach the
+    persisted CODE store as a lazy dynamicpruning PartitionFilter on
+    the cell column, and results must be bit-identical to the
+    in-flight IVFADC composite's."""
+    df = all_specs()["llm_sim_knn_ivf_pq_stored"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    after = plan.split("PartitionFilters", 1)[1][:250]
+    assert "cell" in after and "dynamicpruning" in after
+    stored = [tuple(r) for r in df.collect()]
+    twin = [tuple(r) for r in
+            all_specs()["llm_sim_knn_ivf_pq"].fn(spark, SF_SMOKE).collect()]
+    assert stored == twin
+
+
 # Documented exemptions from the registry-wide no-mid-plan-action gate
 # (VERDICT r7 item 5's explicit list). Each category is a DELIBERATE
 # driver round-trip, not an accident:
