@@ -2299,14 +2299,20 @@ def _pq_refine_subs(frame, cols):
     ).select(*cols, F.col("sv.sub").alias("sub"), F.col("sv.v").alias("v"))
 
 
-def _ivf_pq_index_frames(spark, sf_dir):
+def _ivf_pq_index_frames(spark, sf_dir, train_below: int | None = None):
     """The lazily-declared IVFADC INDEX artifacts, shared by the
-    in-flight composite (_ivf_pq_adc_frame_build) and the persisted
-    store builder (llm_sim_knn_ivf_pq_stored): per-vector cell
-    assignment + probe ranking, residual fine-PQ codebook, and residual
-    codes. One definition means the stored index is bit-identical to
-    what the in-flight op computes — the property the hash check
-    between the two queries rests on."""
+    in-flight composite (_ivf_pq_adc_frame_build), the persisted store
+    builder (llm_sim_knn_ivf_pq_stored), and the delta-absorb lifecycle
+    (llm_sim_knn_ivf_pq_delta): per-vector cell assignment + probe
+    ranking, residual fine-PQ codebook, and residual codes. One
+    definition means the stored index is bit-identical to what the
+    in-flight op computes — the property the hash checks rest on.
+
+    ``train_below``: when set, the fine codebook's Lloyd round TRAINS
+    only on residuals of vec_id < train_below (the frozen-codebook
+    delta-absorb contract: deltas are ENCODED with the base-trained
+    codebook, never retrain it) while codes are still emitted for the
+    whole corpus. None = train on everything (the one-shot build)."""
     n_total = _n_embeddings(spark, sf_dir)
     cells, nprobe, _ = _ann_params(n_total)
     kf = _pq_fine_k(n_total)
@@ -2357,7 +2363,13 @@ def _ivf_pq_index_frames(spark, sf_dir):
     rsubs = rsubs.repartition(
         spark.sparkContext.defaultParallelism, "vec_id", "sub"
     )
-    cb1 = _pq_codebook(rsubs, ("cb_res32", sf_dir), k=kf)
+    if train_below is None:
+        train = rsubs
+        cb_key = ("cb_res32", sf_dir)
+    else:
+        train = rsubs.filter(F.col("vec_id") < train_below)
+        cb_key = ("cb_res32_base", sf_dir, train_below)
+    cb1 = _pq_codebook(train, cb_key, k=kf)
     # NOTE: checkpointing the code table here measured SLOWER (5.3s vs
     # 3.4s at sf0.1) — the eager materialization serializes the DAG,
     # while lazy evaluation lets the assignment fuse into the ADC join
@@ -2615,6 +2627,210 @@ def llm_sim_knn_ivf_pq_stored(spark, sf_dir):
     qdist = _ivf_pq_query_tables(spark, subs, coarse_st, probes, cb_st)
     # lazy DPP probe: broadcast probes join the cell partition column —
     # non-probed cell directories are never opened (plan-gated)
+    code_store = spark.read.parquet(codes_path)
+    un = (
+        code_store.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "cell", "vec_id",
+            F.posexplode("codes").alias("sub", "code"),
+        )
+    )
+    adc = (
+        un.join(F.broadcast(qdist), ["qid", "cell", "sub", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd").alias("dist_adc"))
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("dist_adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "qid", "vec_id",
+            F.col("dist_adc").cast("bigint").alias("dist_adc"), "rank",
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+# Delta-absorb oracle: the IVFADC CTEs with the fine codebook TRAINED
+# ON BASE VECTORS ONLY (vec_id < n_base = GREATEST(cells, n - n//8) —
+# the same base split as llm_sim_knn_ivf_delta) while codes, probes,
+# and ADC scoring still cover the whole corpus. Derived from
+# _IVF_PQ_ADC_CTES by (1) adding the nb CTE and (2) restricting the
+# Lloyd training pass rd1 to base vectors; a guard below fails at
+# import if the anchor text drifts.
+_DELTA_NB_CTE = """nb AS (
+  SELECT GREATEST(p.cells, cnt.n - cnt.n // 8) AS n_base
+  FROM p, (SELECT COUNT(*) AS n FROM embeddings) cnt
+),
+cc AS ("""
+_DELTA_RD1 = """rd1 AS (
+  SELECT l.vec_id, l.sub, c.code,
+         SUM((l.val - c.cval) * (l.val - c.cval)) AS dist
+  FROM rlong l CROSS JOIN nb JOIN rcb0 c ON c.dim = l.dim
+  WHERE l.vec_id < nb.n_base
+  GROUP BY l.vec_id, l.sub, c.code
+),"""
+_RD1_ANCHOR = """rd1 AS (
+  SELECT l.vec_id, l.sub, c.code,
+         SUM((l.val - c.cval) * (l.val - c.cval)) AS dist
+  FROM rlong l JOIN rcb0 c ON c.dim = l.dim
+  GROUP BY l.vec_id, l.sub, c.code
+),"""
+if "cc AS (" not in _IVF_PQ_ADC_CTES or _RD1_ANCHOR not in _IVF_PQ_ADC_CTES:
+    raise RuntimeError("IVFADC oracle anchors drifted; fix _DELTA_* surgery")
+_IVF_PQ_ADC_DELTA_CTES = _IVF_PQ_ADC_CTES.replace(
+    "cc AS (", _DELTA_NB_CTE, 1
+).replace(_RD1_ANCHOR, _DELTA_RD1, 1)
+
+
+@query(
+    "llm_sim_knn_ivf_pq_delta",
+    oracle=f"""
+{_IVF_PQ_ADC_DELTA_CTES}
+SELECT qid, vec_id, CAST(dist_adc AS BIGINT) AS dist_adc,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY dist_adc ASC, vec_id ASC) AS BIGINT) AS rank
+FROM adc QUALIFY rank <= 5
+ORDER BY qid, rank
+""",
+    family=_FAM,
+)
+def llm_sim_knn_ivf_pq_delta(spark, sf_dir):
+    """IVFADC store DELTA ABSORB — the missing act of the PQ index
+    lifecycle (build -> store -> ABSORB), and the operation that makes
+    the stored index maintainable without rebuilds: the fine codebook
+    is trained ON THE BASE CORPUS ONLY and then FROZEN (the production
+    contract — Faiss's add-after-train, every serving tier's ingest
+    path), new vectors (the top n/8 of vec_id space, same split as
+    llm_sim_knn_ivf_delta) are residual-ENCODED with the stored frozen
+    codebook and APPENDED to the cell-partitioned code store — only
+    the cells the delta lands in receive files, base partitions stay
+    untouched — and the probe then serves base+delta through the same
+    lazy-DPP partition-pruned scan as the stored op.
+
+    Because coarse centroids (vec_id < cells) and codebook seeds
+    (vec_id < kf) live entirely in the base, base-build + frozen-
+    codebook absorb is BIT-IDENTICAL to a one-shot build that trains
+    on the base split — which is exactly what the oracle replays (the
+    IVFADC CTEs with the Lloyd pass restricted to vec_id < n_base), so
+    the hash check proves the absorb lost nothing. The recall cost of
+    freezing (codebook never sees delta residuals) is the documented
+    trade every production ANN index makes; periodic retrain = a fresh
+    one-shot build, which is llm_sim_knn_ivf_pq_stored's path."""
+    import os
+    import shutil
+
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    n_total = _n_embeddings(spark, sf_dir)
+    cells, nprobe, _ = _ann_params(n_total)
+    n_base = max(cells, n_total - n_total // 8)
+    subs = _pq_subs(spark, sf_dir)
+    store = _fixture_dir(sf_dir) / "ivf_pq_store_delta"
+    codes_path = str(store / "codes")
+    cent_path = str(store / "centroids")
+    cb_path = str(store / "codebook")
+    if not (store / "_built").exists():
+        # base build: frozen codebook trains on base residuals only;
+        # only base vectors' codes are written
+        _, coarse, _, assign, codes, cb1, _, _, _ = _ivf_pq_index_frames(
+            spark, sf_dir, train_below=n_base
+        )
+        packed = (
+            codes.filter(F.col("vec_id") < n_base)
+            .groupBy("vec_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                    lambda s: s["code"],
+                ).alias("codes")
+            )
+            .join(assign, "vec_id")
+        )
+        if store.exists():
+            shutil.rmtree(store, ignore_errors=True)
+        tmp = store.parent / f"{store.name}.tmp.{os.getpid()}"
+        packed.write.mode("overwrite").partitionBy("cell").parquet(
+            str(tmp / "codes")
+        )
+        coarse.write.mode("overwrite").parquet(str(tmp / "centroids"))
+        cb1.write.mode("overwrite").parquet(str(tmp / "codebook"))
+        (tmp / "_built").touch()
+        try:
+            os.rename(tmp, store)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (store / "_built").exists():
+                raise
+    coarse_st = F.broadcast(spark.read.parquet(cent_path))
+    cb_st = spark.read.parquet(cb_path)
+    if not (store / "_absorbed").exists():
+        # ABSORB: assign + residual-encode the delta with the STORED
+        # frozen artifacts, append to the cell partitions it lands in
+        dsubs = subs.filter(F.col("vec_id") >= n_base)
+        ddist = (
+            dsubs.join(coarse_st, F.col("sub") == F.col("c_sub"))
+            .select("vec_id", "ccode", _pq_dist().alias("d"))
+            .groupBy("vec_id", "ccode")
+            .agg(F.sum("d").alias("cd"))
+        )
+        wd = Window.partitionBy("vec_id").orderBy(
+            F.col("cd").asc(), F.col("ccode").asc()
+        )
+        dassign = (
+            ddist.withColumn("rn", F.row_number().over(wd))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("ccode").alias("cell"))
+        )
+        drsubs = (
+            dsubs.join(dassign, "vec_id")
+            .join(
+                coarse_st,
+                (F.col("cell") == F.col("ccode"))
+                & (F.col("sub") == F.col("c_sub")),
+            )
+            .select(
+                "vec_id", "sub",
+                F.zip_with("v", "cv", lambda a, b: a - b).alias("v"),
+            )
+        )
+        drsubs = _pq_refine_subs(drsubs, ["vec_id"])
+        dcodes = _pq_assign(drsubs, cb_st).select("vec_id", "sub", "code")
+        dpacked = (
+            dcodes.groupBy("vec_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                    lambda s: s["code"],
+                ).alias("codes")
+            )
+            .join(dassign, "vec_id")
+        )
+        dpacked.write.mode("append").partitionBy("cell").parquet(codes_path)
+        (store / "_absorbed").touch()
+    # probe: identical DPP discipline to llm_sim_knn_ivf_pq_stored
+    qdistc = (
+        subs.filter(F.col("vec_id") < 10)
+        .join(coarse_st, F.col("sub") == F.col("c_sub"))
+        .select(
+            F.col("vec_id").alias("qid"), "ccode", _pq_dist().alias("d")
+        )
+        .groupBy("qid", "ccode")
+        .agg(F.sum("d").alias("cd"))
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("cd").asc(), F.col("ccode").asc()
+    )
+    probes = (
+        qdistc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", F.col("ccode").alias("cell"))
+    )
+    qdist = _ivf_pq_query_tables(spark, subs, coarse_st, probes, cb_st)
     code_store = spark.read.parquet(codes_path)
     un = (
         code_store.join(F.broadcast(probes), "cell")

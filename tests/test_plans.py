@@ -835,6 +835,18 @@ def test_ivf_pq_stored_probe_is_partition_pruned(spark):
     assert stored == twin
 
 
+def test_ivf_pq_delta_probe_is_partition_pruned(spark):
+    """llm_sim_knn_ivf_pq_delta (r8): after the frozen-codebook absorb,
+    the probe must still reach the code store via lazy dynamicpruning
+    PartitionFilters on cell (the absorb must not regress the scan to
+    full-store reads)."""
+    df = all_specs()["llm_sim_knn_ivf_pq_delta"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    after = plan.split("PartitionFilters", 1)[1][:250]
+    assert "cell" in after and "dynamicpruning" in after
+
+
 # Documented exemptions from the registry-wide no-mid-plan-action gate
 # (VERDICT r7 item 5's explicit list). Each category is a DELIBERATE
 # driver round-trip, not an accident:
