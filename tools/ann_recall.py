@@ -68,6 +68,18 @@ def main() -> int:
             (r.qid, r.vec_id)
             for r in qs["llm_sim_knn_ivf_delta"].fn(spark, path).collect()
         }
+        # r8: the persisted / frozen-codebook-absorbed PQ layouts — the
+        # standing audit that storing and delta-absorbing codes keeps
+        # the in-flight composite's recall (stored is bit-identical by
+        # construction; delta pays the frozen-codebook cost, measured)
+        pq_stored = {
+            (r.qid, r.vec_id)
+            for r in qs["llm_sim_knn_ivf_pq_stored"].fn(spark, path).collect()
+        }
+        pq_delta = {
+            (r.qid, r.vec_id)
+            for r in qs["llm_sim_knn_ivf_pq_delta"].fn(spark, path).collect()
+        }
         n = pq.ParquetFile(f"{path}/embeddings.parquet").metadata.num_rows
         cells, nprobe, bits = _ann_params(n)
         out[f"sf{sf}"] = {
@@ -81,6 +93,8 @@ def main() -> int:
             "mean_ivf_pq_rerank_recall_at_5": len(exact & rerank) / len(exact),
             "mean_ivf_stored_recall_at_5": len(exact & stored) / len(exact),
             "mean_ivf_delta_recall_at_5": len(exact & delta) / len(exact),
+            "mean_ivf_pq_stored_recall_at_5": len(exact & pq_stored) / len(exact),
+            "mean_ivf_pq_delta_recall_at_5": len(exact & pq_delta) / len(exact),
             "params": {"n": n, "ivf_cells": cells, "ivf_nprobe": nprobe, "lsh_bits": bits},
         }
     Path(args.out).write_text(json.dumps(out, indent=1))
