@@ -712,12 +712,13 @@ def llm_dedup_near_ngram_capped(spark, sf_dir):
     measured as the dedup family's outlier (15x wall on 10x docs,
     PERF.md r8): Zipf-HEAD shingles produce posting lists whose
     self-join dominates everything else. Here candidate GENERATION
-    uses only shingles with document frequency <= {cap} (a combiner
+    uses only shingles with document frequency <= 64 (the _NGRAM_DF_CAP
+    constant; a combiner
     df count + one semi-join prunes the heads), while the VERIFY stage
     still scores the FULL shingle sets of each candidate pair with
     exact Jaccard — so reported scores are identical to the uncapped
     op's, and the only pairs that can be missed are those sharing
-    EXCLUSIVELY head shingles (df > {cap}), which at J >= 0.5 requires
+    EXCLUSIVELY head shingles (df > cap), which at J >= 0.5 requires
     two documents built almost entirely from boilerplate n-grams — the
     pair class a boilerplate filter, not a dedup pass, should own.
     This is CCNet/BigQuery-style df truncation: the standard
@@ -728,7 +729,7 @@ def llm_dedup_near_ngram_capped(spark, sf_dir):
     CONSTRUCTION, independent of corpus size — the property the
     uncapped op lacks); verify joins candidate ids against the shingle
     arrays (array_intersect, JVM-side). Zipf-stress measurement in
-    PERF.md r8.""".format(cap=_NGRAM_DF_CAP)
+    PERF.md r8."""
     sh = _shingle_frame(spark, sf_dir)
     tok = sh.select("doc_id", F.explode("s").alias("g"))
     dfreq = tok.groupBy("g").agg(F.count("*").alias("df"))

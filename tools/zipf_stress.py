@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "llm_sim_knn_lsh",
     "llm_sim_knn_ivf_pq",
     "llm_sim_knn_ivf_pq_rerank",
+    "llm_sim_knn_ivf_pq_stored",
+    "llm_sim_knn_ivf_pq_delta",
 ]
 
 # bitmask (dense-regime) kernels MUST refuse a 100k vocabulary
