@@ -157,6 +157,149 @@ def llm_dedup_near(spark, sf_dir):
     ).orderBy("d1", "d2")
 
 
+@query(
+    "llm_dedup_ppjoin",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+dfreq AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
+rt AS (
+  SELECT t.doc_id, t.w, s.sz,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY f.df ASC, t.w ASC) AS rn
+  FROM tok t JOIN dfreq f ON t.w = f.w JOIN sizes s ON s.doc_id = t.doc_id
+),
+pre AS (
+  SELECT doc_id, w, sz FROM rt WHERE rn <= sz - (4 * sz + 4) // 5 + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM pre a JOIN pre b ON a.w = b.w AND a.doc_id < b.doc_id
+   AND 5 * a.sz >= 4 * b.sz AND 5 * b.sz >= 4 * a.sz
+),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS n_common
+  FROM cand c
+  JOIN tok a ON a.doc_id = c.d1
+  JOIN tok b ON b.doc_id = c.d2 AND b.w = a.w
+  GROUP BY c.d1, c.d2
+)
+SELECT i.d1, i.d2, CAST(i.n_common AS INTEGER) AS n_common,
+       CAST(i.n_common AS DOUBLE)
+         / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes s1 ON i.d1 = s1.doc_id
+JOIN sizes s2 ON i.d2 = s2.doc_id
+WHERE CAST(i.n_common AS DOUBLE)
+      / CAST(s1.sz + s2.sz - i.n_common AS DOUBLE) >= 0.8
+ORDER BY d1, d2
+""",
+    family=_FAM,
+)
+def llm_dedup_ppjoin(spark, sf_dir):
+    """PREFIX-FILTERED set-similarity self-join (PPJoin-lite: prefix +
+    length filters, Chaudhuri/Xiao et al.) at distinct-token Jaccard
+    >= 0.8 — the RECALL-LOSSLESS sparse-regime answer to exactly the
+    pair set llm_dedup_near computes, valid at ANY vocabulary: where
+    the dense bitmask kernel REFUSES past 16k tokens (r8 Zipf stress:
+    90k-type corpora are the production shape) and MinHash banding is
+    probabilistic, prefix filtering is exact — if J(A,B) >= 0.8 the two
+    docs MUST share a token within each one's first
+    sz - ceil(0.8*sz) + 1 tokens under any agreed global order, so
+    candidate generation joins only those prefixes. The global order is
+    (df ASC, token ASC) — rarest first, which makes prefixes maximally
+    selective — and needs NO global rank (no single-partition window):
+    the prefix is a PER-DOC window over the df-joined token list.
+
+    Plan: df table and sizes are combiner aggregates; the prefix join
+    is an equi-join on the token with the integer length filter
+    5*min(sz) >= 4*max(sz) inside the join condition; exact n_common
+    verifies by a candidate-restricted posting count (ids-only joins,
+    never array residuals — the capped-ngram lesson, PERF.md r8); the
+    threshold test reuses _NEAR_ORACLE's exact-integer shape.
+
+    REGIME DISPATCH (the llm_dedup_containment precedent, measured r8):
+    on the deliberately-dense fixture (31-token vocab) prefixes prune
+    NOTHING — every doc's prefix hits the same handful of tokens and
+    the posting-count verify explodes (measured 97 s at sf0.1 vs the
+    bitmask kernel's 2 s for the identical pair set) — so below the
+    dense-regime vocabulary cap the op delegates to the shared
+    _bitmask_near_pairs kernel; above it (where the bitmask REFUSES)
+    the prefix join is the only exact sub-quadratic formulation (90k-
+    type Zipf corpus: ~12 s). Both branches produce the same pair set
+    (test-pinned vs llm_dedup_near at fixture scale); the dispatch
+    reads one cached corpus stat (stats.vocab_size)."""
+    n_vocab = corpus_stats.vocab_size(spark, sf_dir)  # cached corpus stat
+    if n_vocab <= _MASK_WORDS_CAP * 64:
+        return (
+            _bitmask_near_pairs(spark, sf_dir)
+            .select(
+                "d1", "d2",
+                F.col("n_common").cast("int").alias("n_common"), "jaccard",
+            )
+            .orderBy("d1", "d2")
+        )
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))
+    wp = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("w").asc()
+    )
+    rt = (
+        tok.join(dfreq, "w")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(wp))
+    )
+    pre = rt.filter(
+        F.col("rn")
+        <= F.col("sz") - F.expr("(4 * sz + 4) div 5") + 1
+    ).select("doc_id", "w", "sz")
+    b = pre.select(
+        F.col("doc_id").alias("d2"), F.col("w").alias("w2"),
+        F.col("sz").alias("sz2"),
+    )
+    cand = (
+        pre.join(
+            b,
+            (pre.w == b.w2)
+            & (pre.doc_id < b.d2)
+            & (5 * pre.sz >= 4 * b.sz2)
+            & (5 * b.sz2 >= 4 * pre.sz),
+        )
+        .select(F.col("doc_id").alias("d1"), "d2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    t1 = tok.select(F.col("doc_id").alias("d1"), F.col("w").alias("wa"))
+    t2 = tok.select(F.col("doc_id").alias("db"), F.col("w").alias("wb"))
+    inter = (
+        cand.join(t1, "d1")
+        .join(t2, (F.col("d2") == F.col("db")) & (F.col("wa") == F.col("wb")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    jac = F.col("n_common").cast("double") / (
+        (F.col("sz1") + F.col("sz2") - F.col("n_common")).cast("double")
+    )
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1", "d2",
+            F.col("n_common").cast("int").alias("n_common"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("d1", "d2")
+    )
+
+
 _NEAR_SALTS = 8  # shuffled-path salt fan-out over the skewed size key
 
 # Dense-regime ceiling for the bitmask kernels: past this many 64-bit

@@ -865,6 +865,7 @@ _GATE_EXEMPT = {
     # analogue of Catalyst picking a join strategy from table stats).
     "llm_dedup_near", "llm_dedup_near_decision", "llm_dedup_near_weighted",
     "llm_dedup_containment", "llm_dedup_keep_best", "llm_pipeline_clean",
+    "llm_dedup_ppjoin",  # dense branch shares the bitmask kernel above
     # Skew-profile stats read feeding the salt factor (joins.py,
     # documented at the call site).
     "join_skew_salted",
@@ -1101,3 +1102,17 @@ def test_lsh_compact_one_file_per_band_and_v1_intact(spark):
     twin = [tuple(r) for r in
             all_specs()["llm_dedup_lsh_stored"].fn(spark, SF_SMOKE).collect()]
     assert [tuple(r) for r in rows] == twin
+
+
+def test_ppjoin_equals_bitmask_near_pairs(spark):
+    """llm_dedup_ppjoin (r8): prefix filtering is recall-LOSSLESS for
+    J >= 0.8 — the pair set must equal llm_dedup_near's exactly (the
+    two ops are regime twins: dense bitmask vs sparse prefix join),
+    and the prefix join must stay an equi-join, never a cartesian."""
+    pp_df = all_specs()["llm_dedup_ppjoin"].fn(spark, SF_SMOKE)
+    nodes = _nodes(formatted_plan(pp_df))
+    assert not any("Cartesian" in n for n in nodes)
+    pp = {(r.d1, r.d2) for r in pp_df.collect()}
+    nr = {(r.d1, r.d2) for r in
+          all_specs()["llm_dedup_near"].fn(spark, SF_SMOKE).collect()}
+    assert pp == nr and len(pp) > 0

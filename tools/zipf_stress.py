@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "llm_dedup_containment",   # auto-switches to its sparse branch here
     "llm_dedup_near_ngram",
     "llm_dedup_near_ngram_capped",
+    "llm_dedup_ppjoin",
     "llm_dedup_substring",
     "llm_boilerplate_segments",
     # ANN family
