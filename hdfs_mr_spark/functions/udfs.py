@@ -4049,3 +4049,133 @@ def llm_multimodal_audio_multichannel(spark, sf_dir):
         "doc_id long, fmt_code int, n_channels int, rate int, ch int, "
         "n_samples long, sum_amp long, energy long",
     ).orderBy("doc_id", "ch")
+
+
+# ---------------------------------------------------------------------------
+# Transparent indexed-color PNG (tRNS) — the alpha mechanism color
+# type 3 actually uses in crawl data (logos, icons, sprites).
+
+try:  # pragma: no cover — same static-path contract as _MEDIA_PAL
+    from hdfs_mr_spark.sources.media import materialize_media_px_palette_trns
+
+    _MEDIA_PAL_TRNS = materialize_media_px_palette_trns()
+except Exception as _media_pal_trns_exc:  # noqa: BLE001
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "tRNS palette fixture materialization failed: %r",
+        _media_pal_trns_exc,
+    )
+    _MEDIA_PAL_TRNS = "/tmp/hmr_media_px_palette_trns_unavailable.parquet"
+
+
+def palette_rgba_batches(batches):
+    """mapInPandas kernel: indexed-color + tRNS decode to RGBA ->
+    per-image channel/alpha sums plus the alpha-weighted RGB sum
+    (premul), which flips if alphas attach to the wrong palette
+    entries even when the plain sums survive."""
+    import pandas as pd
+
+    from hdfs_mr_spark.sources.media import png_decode_palette_rgba
+
+    cols = [
+        "doc_id", "width", "height", "n_palette", "n_trns",
+        "sum_c0", "sum_c1", "sum_c2", "sum_alpha", "premul",
+    ]
+    for pdf in batches:
+        rows = []
+        for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, npal, ntrns, px = png_decode_palette_rgba(bytes(payload))
+            sums, sa, pm = [0, 0, 0], 0, 0
+            for p in range(w * h):
+                base = p * 4
+                a = px[base + 3]
+                sa += a
+                tot = 0
+                for c in range(3):
+                    v = px[base + c]
+                    sums[c] += v
+                    tot += v
+                pm += a * tot
+            rows.append((int(did), w, h, npal, ntrns, *sums, sa, pm))
+        out = pd.DataFrame(rows, columns=cols)
+        yield out.astype(
+            {c: ("int32" if c in ("width", "height", "n_palette", "n_trns")
+                 else "int64")
+             for c in cols}
+        )
+
+
+def _palette_trns_oracle_sql() -> str:
+    """llm_multimodal_pixels_palette_alpha oracle: palette size, tRNS
+    length, index, channels, AND alpha all follow closed formulas
+    (media_pal_* in sources/media.py), so DuckDB needs no zlib, PLTE
+    walk, nibble unpack, or tRNS splice to recompute every sum."""
+    npal = ("(CASE WHEN doc_id % 2 = 0 THEN 17 + (doc_id * 7) % 240 "
+            "ELSE 5 + doc_id % 12 END)")
+    ntrns = f"({npal} - doc_id % 5)"
+    idx = f"(((i % w) + 2 * (i // w) + doc_id) % {npal})"
+    chans = [
+        f"(({idx} * (3 + 2 * {c}) + ({c} + 1) * doc_id) % 256)"
+        for c in range(3)
+    ]
+    alpha = (f"(CASE WHEN {idx} < {ntrns} "
+             f"THEN ({idx} * 7 + 3 * doc_id) % 256 ELSE 255 END)")
+
+    def fold(expr: str, alias: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(0, w*h), "
+            f"i -> CAST({expr} AS BIGINT))), (a, x) -> a + x) AS {alias}"
+        )
+
+    cols = ",\n       ".join(
+        [fold(v, f"sum_c{c}") for c, v in enumerate(chans)]
+        + [fold(alpha, "sum_alpha"),
+           fold(f"{alpha} * ({' + '.join(chans)})", "premul")]
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         8 + (doc_id * 37) % 56 AS w,
+         8 + (doc_id * 53) % 56 AS h
+  FROM '{_MEDIA_PAL_TRNS}'
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST({npal} AS INTEGER) AS n_palette,
+       CAST({ntrns} AS INTEGER) AS n_trns,
+       {cols}
+FROM m
+ORDER BY doc_id
+"""
+
+
+@query(
+    "llm_multimodal_pixels_palette_alpha",
+    oracle=_palette_trns_oracle_sql(),
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_pixels_palette_alpha(spark, sf_dir):
+    """TRANSPARENT indexed-color PNG decode (tRNS — color type 3's
+    alpha mechanism, the layout crawl logos/icons/sprites actually
+    use): the palette walk additionally captures the tRNS chunk, whose
+    entries alias palette indices and whose SHORTER-than-PLTE tail
+    defaults to opaque 255 (the spec rule real encoders rely on —
+    fixture tails are deliberately short by doc_id % 5 entries);
+    output expands to RGBA with channel + alpha sums and the
+    alpha-weighted RGB sum, which hash-flips if alpha attaches to the
+    wrong palette entry even when plain sums survive. A tRNS longer
+    than the palette refuses.
+
+    Scale: same single-pass Arrow-batched decode DAG as the other
+    image ops — no shuffle before the presentation sort, parallelism =
+    image count."""
+    from hdfs_mr_spark.io import fan_out
+
+    df = spark.read.parquet(_MEDIA_PAL_TRNS)
+    return fan_out(df).mapInPandas(
+        repo_kernel("hdfs_mr_spark.functions.udfs", "palette_rgba_batches"),
+        "doc_id long, width int, height int, n_palette int, n_trns int, "
+        "sum_c0 long, sum_c1 long, sum_c2 long, sum_alpha long, premul long",
+    ).orderBy("doc_id")

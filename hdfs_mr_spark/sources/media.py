@@ -529,6 +529,128 @@ def png_decode_palette(b: bytes) -> tuple[int, int, int, bytes]:
     return w, h, npal, bytes(out)
 
 
+def media_pal_ntrns(doc_id: int) -> int:
+    """tRNS entry count for the alpha fixture: npal - (doc_id % 5)
+    entries carry explicit alpha; the remainder default to 255 (the
+    spec's short-tRNS rule, which real encoders use aggressively)."""
+    return media_pal_size(doc_id) - (doc_id % 5)
+
+
+def media_pal_alpha(idx: int, doc_id: int) -> int:
+    """Alpha of palette entry idx — generative formula for entries
+    covered by tRNS; entries at/after media_pal_ntrns are opaque 255."""
+    if idx >= media_pal_ntrns(doc_id):
+        return 255
+    return (idx * 7 + 3 * doc_id) % 256
+
+
+def make_gradient_png_palette_trns(doc_id: int) -> bytes:
+    """The palette fixture with a tRNS transparency chunk (color type
+    3's alpha mechanism): same PLTE/index/filter/packing layout as
+    make_gradient_png_palette, plus a tRNS chunk SHORTER than the
+    palette (doc_id % 5 trailing entries default to opaque — the spec
+    rule short encoders rely on)."""
+    base = make_gradient_png_palette(doc_id)
+    ntrns = media_pal_ntrns(doc_id)
+    trns = bytes(media_pal_alpha(i, doc_id) for i in range(ntrns))
+    # splice tRNS immediately after PLTE (spec: before IDAT)
+    pos = 8
+    while True:
+        (length,) = struct.unpack_from(">I", base, pos)
+        ctype = base[pos + 4 : pos + 8]
+        end = pos + 12 + length
+        if ctype == b"PLTE":
+            return base[:end] + _png_chunk(b"tRNS", trns) + base[end:]
+        pos = end
+
+
+def png_decode_palette_rgba(b: bytes) -> tuple[int, int, int, int, bytes]:
+    """Pixel-true decode of an indexed-color PNG WITH transparency:
+    the palette walk additionally captures tRNS (alpha per palette
+    entry, shorter-than-PLTE tails default to 255 per the spec), and
+    output expands to RGBA. Returns (w, h, n_palette, n_trns, rgba).
+    A tRNS longer than the palette refuses. Without a tRNS chunk the
+    image is fully opaque (n_trns = 0)."""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, w, h, depth, idat, plte, trns = 8, None, None, None, b"", None, b""
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, ctyp, _, _, interlace = struct.unpack(">IIBBBBB", data)
+            if ctyp != 3 or depth not in (8, 4) or interlace != 0:
+                raise ValueError(
+                    "png_decode_palette_rgba handles non-interlaced"
+                    " indexed-color PNG at depth 8 or 4 only"
+                )
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("no IHDR")
+    if plte is None:
+        raise ValueError("indexed-color PNG without PLTE")
+    npal = len(plte) // 3
+    if len(trns) > npal:
+        raise ValueError("tRNS longer than palette")
+    raw = zlib.decompress(idat)
+    stride = (w * depth + 7) // 8
+    out = bytearray(4 * w * h)
+    prior = bytes(stride)
+    off = 0
+    for y in range(h):
+        row = _png_unfilter_row(raw, off, stride, prior, bpp=1)
+        off += 1 + stride
+        if depth == 8:
+            idxs = row
+        else:
+            idxs = bytearray()
+            for byte in row:
+                idxs.append(byte >> 4)
+                idxs.append(byte & 0x0F)
+            idxs = idxs[:w]
+        for x in range(w):
+            i = idxs[x]
+            if i >= npal:
+                raise ValueError(f"palette index {i} out of range ({npal})")
+            o = (y * w + x) * 4
+            out[o : o + 3] = plte[3 * i : 3 * i + 3]
+            out[o + 3] = trns[i] if i < len(trns) else 255
+        prior = bytes(row)
+    if off != len(raw):
+        raise ValueError("palette data length mismatch")
+    return w, h, npal, len(trns), bytes(out)
+
+
+def materialize_media_px_palette_trns(sf_dir: str = ORACLE_SF) -> str:
+    """Write the transparent-palette-PNG fixture parquet once per
+    fingerprint."""
+    path = _fixture_dir(sf_dir) / "media_px_palette_trns.parquet"
+    if not path.exists():
+        ids = list(range(N_MEDIA_PAL))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_gradient_png_palette_trns(i) for i in ids],
+                    pa.binary(),
+                ),
+            }),
+            path,
+        )
+    return str(path)
+
+
 def materialize_media_px_palette(sf_dir: str = ORACLE_SF) -> str:
     """Write the palette-PNG pixel fixture parquet once per fingerprint."""
     path = _fixture_dir(sf_dir) / "media_px_palette.parquet"

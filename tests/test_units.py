@@ -483,6 +483,53 @@ def test_png_palette_decode_roundtrip_and_refusals():
         png_decode_palette(no_plte)
 
 
+def test_png_palette_trns_alpha_roundtrip_and_refusal():
+    """tRNS transparency: alphas attach to the right palette entries,
+    short-tRNS tails default to opaque 255, plain-palette images come
+    back fully opaque, and a tRNS longer than the palette refuses."""
+    import struct
+
+    from hdfs_mr_spark.sources.media import (
+        _png_chunk,
+        make_gradient_png_palette,
+        make_gradient_png_palette_trns,
+        media_pal_alpha,
+        media_pal_index,
+        media_pal_ntrns,
+        media_pal_size,
+        media_px_dims,
+        png_decode_palette_rgba,
+    )
+
+    for did in (0, 1, 3, 4, 5, 9, 47):  # doc_id%5 covers 0..4 tails
+        blob = make_gradient_png_palette_trns(did)
+        w, h, npal, ntrns, px = png_decode_palette_rgba(blob)
+        assert (w, h) == media_px_dims(did)
+        assert npal == media_pal_size(did)
+        assert ntrns == media_pal_ntrns(did)
+        for x, y in [(0, 0), (w - 1, h - 1), (w // 2, h // 3)]:
+            i = media_pal_index(x, y, did)
+            assert px[(y * w + x) * 4 + 3] == media_pal_alpha(i, did)
+    # no tRNS chunk -> fully opaque
+    w, h, _, ntrns, px = png_decode_palette_rgba(make_gradient_png_palette(0))
+    assert ntrns == 0
+    assert all(px[p * 4 + 3] == 255 for p in range(w * h))
+    # tRNS longer than PLTE refuses
+    blob = make_gradient_png_palette(1)  # npal = 6
+    npal = media_pal_size(1)
+    pos = 8
+    while True:
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        end = pos + 12 + length
+        if ctype == b"PLTE":
+            bad = blob[:end] + _png_chunk(b"tRNS", bytes(npal + 1)) + blob[end:]
+            break
+        pos = end
+    with pytest.raises(ValueError):
+        png_decode_palette_rgba(bad)
+
+
 def test_png_palette_roundtrip_random_content():
     """Property (hypothesis): ARBITRARY palettes, index rasters, filter
     choices, and both bit depths survive encode -> decode exactly — the

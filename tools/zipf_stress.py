@@ -52,6 +52,15 @@ BENCH_QUERIES = [
     "llm_dedup_ppjoin",
     "llm_dedup_substring",
     "llm_boilerplate_segments",
+    # text analysis with vocabulary-scaling joins (r8 extension): the
+    # LM/retrieval ops whose join cardinality tracks |vocab| or
+    # |vocab|^2, unmeasured at production type counts until now
+    "llm_tfidf",
+    "llm_bm25_score",
+    "llm_lm_score_bigram",
+    "llm_vocab_coverage",
+    "llm_zipf_slope",
+    "llm_keyword_extract",
     # ANN family
     "llm_sim_knn_ivf",
     "llm_sim_knn_ivf_stored",
