@@ -1865,3 +1865,135 @@ def ts_cusum_changepoint(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_downsample_lttb",
+    oracle="""
+WITH pts AS (
+  SELECT ts, value, epoch_us(ts) AS xe,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+mm AS (SELECT MIN(xe) AS x0, MAX(xe) AS x1 FROM pts),
+bp AS (
+  SELECT p.ts, p.value, p.xe - m.x0 AS x, p.y,
+         LEAST(49, ((p.xe - m.x0) * 50) // GREATEST(m.x1 - m.x0, 1)) AS b
+  FROM pts p, mm m
+),
+bs AS (SELECT b, SUM(x) AS sx, SUM(y) AS sy, COUNT(*) AS c FROM bp GROUP BY b),
+sc AS (
+  SELECT bp.ts, bp.value, bp.x, bp.y, bp.b,
+         pv.sx AS sxp, pv.sy AS syp, pv.c AS cp,
+         nx.sx AS sxn, nx.sy AS syn, nx.c AS cn
+  FROM bp
+  LEFT JOIN bs pv ON pv.b = bp.b - 1
+  LEFT JOIN bs nx ON nx.b = bp.b + 1
+),
+ar AS (
+  SELECT ts, value, b, x,
+         COALESCE(ABS(
+           (CAST(sxp AS DOUBLE) * CAST(cn AS DOUBLE)
+            - CAST(sxn AS DOUBLE) * CAST(cp AS DOUBLE))
+           * (CAST(y AS DOUBLE) * CAST(cp AS DOUBLE) - CAST(syp AS DOUBLE))
+           - (CAST(sxp AS DOUBLE) - CAST(x AS DOUBLE) * CAST(cp AS DOUBLE))
+           * (CAST(syp AS DOUBLE) * CAST(cn AS DOUBLE)
+              - CAST(syn AS DOUBLE) * CAST(cp AS DOUBLE))
+         ), 0.0) AS area
+  FROM sc
+),
+pick AS (
+  SELECT b, ts, value,
+         row_number() OVER (PARTITION BY b ORDER BY
+           (CASE WHEN b = 0 THEN -CAST(x AS DOUBLE)
+                 WHEN b = 49 THEN CAST(x AS DOUBLE)
+                 ELSE area END) DESC, x ASC) AS rn
+  FROM ar
+)
+SELECT CAST(p.b AS INTEGER) AS bucket, p.ts, p.value,
+       CAST(s.c AS BIGINT) AS n_in_bucket
+FROM pick p JOIN bs s ON s.b = p.b
+WHERE p.rn = 1
+ORDER BY bucket
+""",
+    family=_FAM,
+)
+def ts_downsample_lttb(spark, sf_dir):
+    """LTTB downsampling (Largest-Triangle-Three-Buckets, Steinarsson
+    2013 — the visual downsample Grafana/Plotly ship) in its PARALLEL
+    bucket-mean variant: 50 equal-TIME buckets over the event stream,
+    and each bucket keeps the point maximizing the triangle area
+    against the NEIGHBOR BUCKETS' mean points. Classic LTTB scores
+    against the previously SELECTED point, which serializes the scan;
+    the mean-anchor variant is embarrassingly parallel (each bucket
+    scores independently against static neighbor aggregates — the
+    published MinMaxLTTB/LTTB-parallel compromise) and is the only
+    formulation that survives a 1000-executor corpus. First and last
+    buckets keep their first/last point (LTTB's endpoint rule).
+
+    Determinism: x rebases to micros-since-min (a broadcast 1-row
+    aggregate — no driver scalar), y to exact integer cents; the area
+    numerator multiplies out the mean denominators (constant within a
+    bucket, so argmax is unchanged) and evaluates in DOUBLE with an
+    identical expression tree in both engines — per-op IEEE identity,
+    ties broken by x ascending. Empty neighbor buckets score 0 via
+    COALESCE. Plan: one combiner aggregate for bucket stats, two
+    broadcast-size self-joins on bucket id, one PARTITIONED window
+    (by bucket) — no global sort, no single-partition exchange."""
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "ts", "value",
+        F.unix_micros("ts").alias("xe"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    mm = pts.agg(F.min("xe").alias("x0"), F.max("xe").alias("x1"))
+    bp = pts.crossJoin(F.broadcast(mm)).select(
+        "ts", "value", (F.col("xe") - F.col("x0")).alias("x"), "y",
+        F.least(
+            F.lit(49),
+            F.expr("((xe - x0) * 50) div greatest(x1 - x0, 1)"),
+        ).alias("b"),
+    )
+    bs = bp.groupBy("b").agg(
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.count("*").alias("c"),
+    )
+    pv = bs.select(
+        (F.col("b") + 1).alias("pb"), F.col("sx").alias("sxp"),
+        F.col("sy").alias("syp"), F.col("c").alias("cp"),
+    )
+    nx = bs.select(
+        (F.col("b") - 1).alias("nb"), F.col("sx").alias("sxn"),
+        F.col("sy").alias("syn"), F.col("c").alias("cn"),
+    )
+    sc = (
+        bp.join(F.broadcast(pv), bp.b == F.col("pb"), "left")
+        .join(F.broadcast(nx), bp.b == F.col("nb"), "left")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    area = F.coalesce(
+        F.abs(
+            (d("sxp") * d("cn") - d("sxn") * d("cp"))
+            * (d("y") * d("cp") - d("syp"))
+            - (d("sxp") - d("x") * d("cp"))
+            * (d("syp") * d("cn") - d("syn") * d("cp"))
+        ),
+        F.lit(0.0),
+    )
+    ar = sc.select("ts", "value", "b", "x", area.alias("area"))
+    key = (
+        F.when(F.col("b") == 0, -d("x"))
+        .when(F.col("b") == 49, d("x"))
+        .otherwise(F.col("area"))
+    )
+    w = Window.partitionBy("b").orderBy(key.desc(), F.col("x").asc())
+    return (
+        ar.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(bs.select("b", F.col("c").alias("n_in_bucket"))), "b")
+        .select(
+            F.col("b").cast("int").alias("bucket"), "ts", "value",
+            F.col("n_in_bucket").cast("bigint").alias("n_in_bucket"),
+        )
+        .orderBy("bucket")
+    )
