@@ -2857,3 +2857,94 @@ def llm_sim_knn_ivf_pq_delta(spark, sf_dir):
         )
         .orderBy("qid", "rank")
     )
+
+
+@query(
+    "llm_embed_matryoshka",
+    oracle=f"""
+WITH dims AS (SELECT unnest([8, 16, 32, 64]) AS m),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT d.m, q.qid, n.vec_id,
+         row_number() OVER (PARTITION BY d.m, q.qid ORDER BY
+           {_SQL_DOT.format(a='q.qe[1:d.m]', b='n.embedding[1:d.m]')}
+             / ({_SQL_NORM.format(a='q.qe[1:d.m]')}
+                * {_SQL_NORM.format(a='n.embedding[1:d.m]')}) DESC,
+           n.vec_id ASC) AS rn
+  FROM dims d, q, embeddings n
+  WHERE n.vec_id <> q.qid
+),
+top5 AS (SELECT m, qid, vec_id FROM scored WHERE rn <= 5),
+full5 AS (SELECT qid, vec_id FROM top5 WHERE m = 64),
+ov AS (
+  SELECT t.m, t.qid, COUNT(f.vec_id) AS n_overlap
+  FROM top5 t
+  LEFT JOIN full5 f ON f.qid = t.qid AND f.vec_id = t.vec_id
+  GROUP BY t.m, t.qid
+)
+SELECT CAST(m AS INTEGER) AS m, qid,
+       CAST(n_overlap AS INTEGER) AS n_overlap,
+       CAST(n_overlap AS DOUBLE) / 5.0 AS recall_vs_full
+FROM ov
+ORDER BY m, qid
+""",
+    family=_FAM,
+)
+def llm_embed_matryoshka(spark, sf_dir):
+    """Matryoshka (MRL) truncation audit — the dimension-budget
+    decision a modern embedding pipeline makes BEFORE building its ANN
+    index: for each prefix length m in {{8, 16, 32, 64}}, rank the
+    corpus by cosine over the FIRST m dimensions only and measure
+    top-5 overlap against the full-dimension ranking per query. MRL
+    models pack coarse-to-fine information into prefixes so truncation
+    trades recall for a 2-8x smaller index; this op produces exactly
+    that trade curve (m=64 rows are the self-consistency baseline,
+    overlap 5/5 by construction). On the near-iid fixture embeddings
+    the curve is the HONEST null result — prefixes of an unstructured
+    embedding lose most neighbor signal, which is why MRL training
+    exists; the op's value is measuring, not assuming.
+
+    Plan: queries and the 4-row dim frame broadcast; cosine folds are
+    JVM-side zip_with/aggregate over SLICED arrays (same left-fold
+    expression tree as the DuckDB oracle — per-op IEEE identity);
+    candidate volume is |dims| * |q| * n rows, embarrassingly parallel,
+    one partitioned window per (m, qid) group, then an ids-only
+    overlap join. No python, no driver scalar, no global sort."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    dims = spark.createDataFrame([(8,), (16,), (32,), (64,)], "m int")
+    cand = (
+        dims.crossJoin(F.broadcast(q))
+        .crossJoin(e.select("vec_id", "embedding"))
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    qs_ = F.expr("slice(qe, 1, m)")
+    ns_ = F.expr("slice(embedding, 1, m)")
+    cos = _dot(qs_, ns_) / (_norm(qs_) * _norm(ns_))
+    w = Window.partitionBy("m", "qid").orderBy(
+        cos.desc(), F.col("vec_id").asc()
+    )
+    top5 = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("m", "qid", "vec_id")
+    )
+    full5 = top5.filter(F.col("m") == 64).select(
+        F.col("qid").alias("fqid"), F.col("vec_id").alias("fvid")
+    )
+    ov = (
+        top5.join(
+            F.broadcast(full5),
+            (F.col("qid") == F.col("fqid")) & (F.col("vec_id") == F.col("fvid")),
+            "left",
+        )
+        .groupBy("m", "qid")
+        .agg(F.count("fvid").alias("n_overlap"))
+    )
+    return ov.select(
+        F.col("m").cast("int").alias("m"), "qid",
+        F.col("n_overlap").cast("int").alias("n_overlap"),
+        (F.col("n_overlap").cast("double") / 5.0).alias("recall_vs_full"),
+    ).orderBy("m", "qid")
