@@ -1997,3 +1997,141 @@ def ts_downsample_lttb(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "ts_decompose_classical",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hus,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+mm AS (SELECT MIN(hus) AS h0 FROM hourly),
+ser AS (
+  SELECT h.event_type, (h.hus - m.h0) // 3600000000 AS hidx,
+         (h.sum_cents * 10000) // h.n AS mean_micro
+  FROM hourly h, mm m
+),
+tr AS (
+  SELECT event_type, hidx, mean_micro,
+         SUM(mean_micro) OVER w AS wsum,
+         COUNT(*) OVER w AS wcnt
+  FROM ser
+  WINDOW w AS (PARTITION BY event_type ORDER BY hidx
+               RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+dt AS (
+  SELECT event_type, hidx, mean_micro,
+         CASE WHEN wcnt = 25 THEN wsum // 25 END AS trend_micro,
+         CASE WHEN wcnt = 25 THEN mean_micro - wsum // 25 END AS detr
+  FROM tr
+),
+se AS (
+  SELECT event_type, hidx % 24 AS hod,
+         SUM(detr) // COUNT(detr) AS seasonal_micro
+  FROM dt WHERE detr IS NOT NULL GROUP BY 1, 2
+)
+SELECT d.event_type, CAST(d.hidx AS BIGINT) AS hidx,
+       CAST(d.mean_micro AS BIGINT) AS mean_micro,
+       CAST(d.trend_micro AS BIGINT) AS trend_micro,
+       CAST(s.seasonal_micro AS BIGINT) AS seasonal_micro,
+       CAST(d.detr - s.seasonal_micro AS BIGINT) AS remainder_micro
+FROM dt d
+LEFT JOIN se s ON s.event_type = d.event_type AND s.hod = d.hidx % 24
+ORDER BY d.event_type, d.hidx
+""",
+    family=_FAM,
+)
+def ts_decompose_classical(spark, sf_dir):
+    """Classical additive seasonal-trend decomposition (the moving-
+    average method STL descends from): per event type, the hourly mean
+    series splits into trend (centered 25-hour moving average —
+    defined only where the +/-12h RANGE window is complete, so edges
+    and gap-adjacent hours are honestly NULL rather than biased),
+    seasonal (per hour-of-day mean of the detrended series), and
+    remainder. The monitoring decomposition behind 'is this spike
+    seasonal or anomalous' — ts_seasonality_profile summarizes the
+    cycle; this op returns the per-point decomposition a detector
+    consumes.
+
+    Determinism: the whole pipeline is exact INTEGER micro-units —
+    hourly mean = (sum_cents * 10000) div n, trend = window-sum div
+    25, seasonal = sum div count — floor divisions that replay
+    bit-for-bit in both engines; the hour index rebases against a
+    broadcast 1-row min (no driver scalar).
+
+    Scale: hourly aggregation is combiner-shape over the raw corpus;
+    everything downstream operates on the RESAMPLED series, whose row
+    count is bounded by time-span x type-cardinality (not corpus
+    size), partitioned by event type with a RANGE window on the hour
+    index — gap-aware (a missing hour shrinks the window count and
+    nulls the trend) and never a single-partition exchange over raw
+    events."""
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hus"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "sum_cents"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+    mm = hourly.agg(F.min("hus").alias("h0"))
+    ser = hourly.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        F.expr("(hus - h0) div 3600000000").alias("hidx"),
+        F.expr("(sum_cents * 10000) div n").alias("mean_micro"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rangeBetween(-12, 12)
+    )
+    tr = ser.select(
+        "event_type", "hidx", "mean_micro",
+        F.sum("mean_micro").over(w).alias("wsum"),
+        F.count("*").over(w).alias("wcnt"),
+    )
+    dt = tr.select(
+        "event_type", "hidx", "mean_micro",
+        F.when(F.col("wcnt") == 25, F.expr("wsum div 25")).alias(
+            "trend_micro"
+        ),
+        F.when(
+            F.col("wcnt") == 25, F.col("mean_micro") - F.expr("wsum div 25")
+        ).alias("detr"),
+    )
+    se = (
+        dt.filter(F.col("detr").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("s_etype"),
+            F.expr("hidx % 24").alias("hod"),
+        )
+        .agg(F.expr("sum(detr) div count(detr)").alias("seasonal_micro"))
+    )
+    return (
+        dt.join(
+            F.broadcast(se),
+            (F.col("event_type") == F.col("s_etype"))
+            & (F.expr("hidx % 24") == F.col("hod")),
+            "left",
+        )
+        .select(
+            "event_type",
+            F.col("hidx").cast("bigint").alias("hidx"),
+            F.col("mean_micro").cast("bigint").alias("mean_micro"),
+            F.col("trend_micro").cast("bigint").alias("trend_micro"),
+            F.col("seasonal_micro").cast("bigint").alias("seasonal_micro"),
+            (F.col("detr") - F.col("seasonal_micro"))
+            .cast("bigint")
+            .alias("remainder_micro"),
+        )
+        .orderBy("event_type", "hidx")
+    )
