@@ -1575,3 +1575,134 @@ def agg_histogram_equi_depth(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+# Benford first-digit probabilities as exact micro-unit CONSTANTS
+# (round(log10(1 + 1/d) * 1e6)): hardcoded identically in both engines
+# because log10 itself is libm-dependent — the one cross-engine
+# nondeterminism a statistical oracle must never depend on.
+_BENFORD_MICRO = (301030, 176091, 124939, 96910, 79181, 66947, 58503,
+                  51153, 45757)
+
+
+@query(
+    "dq_benford_audit",
+    oracle=f"""
+WITH pb AS (
+  SELECT d + 1 AS digit, p
+  FROM (SELECT unnest([{', '.join(str(p) for p in _BENFORD_MICRO)}]) AS p,
+               generate_subscripts([{', '.join(str(p) for p in _BENFORD_MICRO)}], 1) - 1 AS d)
+),
+cents AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+  WHERE value IS NOT NULL AND round(value * 100) >= 1
+),
+fd AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM cents
+),
+obs AS (
+  SELECT p.digit, p.p, COUNT(f.digit) AS n_obs
+  FROM pb p LEFT JOIN fd f ON f.digit = p.digit
+  GROUP BY p.digit, p.p
+),
+tot AS (SELECT SUM(n_obs) AS n FROM obs),
+terms AS (
+  SELECT o.digit, o.n_obs, t.n * o.p AS expected_micro,
+         (CAST(o.n_obs * 1000000 - t.n * o.p AS DOUBLE)
+          * CAST(o.n_obs * 1000000 - t.n * o.p AS DOUBLE))
+         / (CAST(t.n * o.p AS DOUBLE) * 1000000.0) AS term
+  FROM obs o, tot t
+),
+chi AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(
+               list_sort(list(struct_pack(digit := digit, term := term))), r -> r.term)),
+           (a, x) -> a + x) AS chi2
+  FROM terms
+)
+SELECT t.digit, CAST(t.n_obs AS BIGINT) AS n_obs,
+       CAST(t.expected_micro AS BIGINT) AS expected_micro,
+       c.chi2 AS chi2,
+       c.chi2 > 15.507 AS benford_reject
+FROM terms t, chi c
+ORDER BY t.digit
+""",
+    family=_FAM,
+)
+def dq_benford_audit(spark, sf_dir):
+    """Benford first-digit audit — the classic forensic/data-quality
+    gate on monetary columns (fabricated or truncated data drifts from
+    the log distribution): first significant digit of the integer
+    cents of events.value, per-digit observed counts vs Benford
+    expectations, one chi-square statistic (df=8) against the 0.05
+    critical value 15.507. The fixture's near-uniform values REJECT
+    Benford — the deterministic true negative that proves the test
+    fires; a lognormal revenue column would pass.
+
+    Determinism discipline: Benford probabilities are hardcoded exact
+    micro-unit constants in BOTH engines (log10 itself is
+    libm-dependent — the one nondeterminism a statistical oracle must
+    never inherit); expected counts are exact BIGINT products; each
+    chi-square term is a single double division of exact integers; and
+    the 9-term sum folds IN DIGIT ORDER via a sorted-list reduce in
+    both engines, because a groupBy float sum has no deterministic
+    addition order. Plan: one combiner digit count + two broadcast
+    1-row joins (total, chi2) — no driver scalar, no shuffle beyond
+    the 9-row aggregate."""
+    pb = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_MICRO)], "digit bigint, p bigint"
+    )
+    ev = table(spark, sf_dir, "events")
+    fd = (
+        ev.filter(
+            F.col("value").isNotNull()
+            & (F.round(F.col("value") * 100) >= 1)
+        )
+        .select(
+            F.substring(
+                F.round(F.col("value") * 100).cast("bigint").cast("string"),
+                1, 1,
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+    )
+    cnt = fd.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    obs = (
+        pb.join(cnt, "digit", "left")
+        .select(
+            "digit", "p", F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs")
+        )
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    terms = obs.crossJoin(F.broadcast(tot)).select(
+        "digit", "n_obs",
+        (F.col("n") * F.col("p")).alias("expected_micro"),
+        (
+            (F.col("n_obs") * 1000000 - F.col("n") * F.col("p")).cast("double")
+            * (F.col("n_obs") * 1000000 - F.col("n") * F.col("p")).cast("double")
+            / ((F.col("n") * F.col("p")).cast("double") * 1000000.0)
+        ).alias("term"),
+    )
+    chi = terms.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("digit", "term"))),
+                lambda r: r["term"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("chi2")
+    )
+    return (
+        terms.crossJoin(F.broadcast(chi))
+        .select(
+            "digit",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.col("expected_micro").cast("bigint").alias("expected_micro"),
+            "chi2",
+            (F.col("chi2") > 15.507).alias("benford_reject"),
+        )
+        .orderBy("digit")
+    )
