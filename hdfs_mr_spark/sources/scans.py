@@ -1050,3 +1050,142 @@ def fn_xml(spark, sf_dir):
         ).otherwise(F.col("p.p")).alias("xml_priority"),
         F.col("p.t").alias("xml_cents"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "sink_python_datasource",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT CAST(4 AS INTEGER) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM src
+""",
+    family=_FAM,
+)
+def sink_python_datasource(spark, sf_dir):
+    """Custom SINK via Spark 4's Python Data Source WRITER API — the
+    OutputFormat half of the connector story (scan_python_datasource is
+    the InputFormat half), with the REAL two-phase commit protocol a
+    distributed sink needs: each task writes its rows to a
+    task-private temp file and returns a commit message; only the
+    DRIVER's commit() renames temps into place (and abort() deletes
+    them), so readers never observe a torn write and a speculative /
+    retried task can never double-publish — the FileOutputCommitter
+    discipline, expressed through the Python API. The payload is
+    JSON-lines (a format the engine's own sinks don't emit natively,
+    i.e. a genuine foreign system), and the query READS THE SINK BACK
+    and aggregates, so the hash check covers the full write -> commit
+    -> re-read loop, not just the write call returning.
+
+    Scale: one temp file + one rename per task regardless of row
+    count; commit is O(#tasks) driver work, the same contract object
+    stores give multipart uploads. Fixed repartition(4) makes the
+    committed file count part of the hashed output."""
+    import json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"hmr_pyds_sink_{uuid.uuid4().hex}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    class JlMsg(WriterCommitMessage):
+        def __init__(self, tmp_name):
+            self.tmp_name = tmp_name
+
+    class JlWriter(DataSourceWriter):
+        def __init__(self, path):
+            self.path = path
+
+        def write(self, rows):
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            tmp = _os.path.join(self.path, f"_tmp_{_uuid.uuid4().hex}.jsonl")
+            with open(tmp, "w") as fh:
+                for r in rows:
+                    fh.write(
+                        _json.dumps(
+                            {"o_orderkey": r[0], "cents": r[1]}
+                        ) + "\n"
+                    )
+            return JlMsg(tmp)
+
+        def commit(self, messages):
+            import os as _os
+
+            for i, m in enumerate(sorted(messages, key=lambda m: m.tmp_name)):
+                _os.replace(
+                    m.tmp_name,
+                    _os.path.join(self.path, f"part-{i:05d}.jsonl"),
+                )
+
+        def abort(self, messages):
+            import os as _os
+
+            for m in messages:
+                try:
+                    _os.remove(m.tmp_name)
+                except OSError:
+                    pass
+
+    class JlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "hdfs_mr_jsonl_sink"
+
+        def schema(self):
+            return "o_orderkey bigint, cents bigint"
+
+        def writer(self, schema, overwrite):
+            return JlWriter(self.options["path"])
+
+    try:
+        spark.dataSource.register(JlSink)
+    except Exception as exc:
+        if "exist" not in str(exc).lower() and "already" not in str(exc).lower():
+            raise
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .repartition(4)
+    )
+    src.write.format("hdfs_mr_jsonl_sink").option("path", out_dir).mode(
+        "append"
+    ).save()
+    n_files = len(
+        [f for f in os.listdir(out_dir) if f.startswith("part-")]
+    )
+    assert not any(f.startswith("_tmp_") for f in os.listdir(out_dir)), (
+        "two-phase commit left temp files behind"
+    )
+    back = spark.read.schema("o_orderkey bigint, cents bigint").json(out_dir)
+    res = back.agg(
+        F.lit(n_files).cast("int").alias("n_files"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("cents_sum"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    ).localCheckpoint()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return res
