@@ -10,6 +10,8 @@ can't flip on summation-order ulps (determinism rule, SURVEY §5.2).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from hdfs_mr_spark.io import table
 from hdfs_mr_spark.registry import query
 
@@ -220,4 +222,66 @@ FROM lineitem
 GROUP BY ALL
 ORDER BY ALL
 """
+    )
+
+
+@query(
+    "sql_quantified_all_any",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice >= ALL (
+        SELECT u.o_totalprice FROM orders u
+        WHERE u.o_custkey = o.o_custkey
+          AND u.o_orderpriority = '1-URGENT'
+      )
+  AND o.o_totalprice < ANY (
+        SELECT l.o_totalprice FROM orders l
+        WHERE l.o_custkey = o.o_custkey
+          AND l.o_orderpriority = '5-LOW'
+      )
+ORDER BY o_orderkey
+""",
+    family=_FAM,
+)
+def sql_quantified_all_any(spark, sf_dir):
+    """Correlated QUANTIFIED comparisons (>= ALL / < ANY) — an ANSI
+    surface Spark SQL does not parse, expressed through the standard
+    decorrelation every optimizer applies anyway: a quantified
+    comparison against a correlated subquery is a comparison against
+    that group's MAX plus the empty-set rule (ALL over an empty set is
+    TRUE, ANY over an empty set is FALSE — the rule the naive
+    max-rewrite gets wrong, because MAX of no rows is NULL and the
+    comparison would three-value-logic away rows ALL must keep).
+
+    Query: orders at least as expensive as EVERY urgent order of the
+    same customer, and cheaper than AT LEAST ONE of that customer's
+    low-priority orders. Plan: two per-customer combiner aggregates
+    (max + count per priority class), broadcast-joined back to the
+    fact scan; the quantifier semantics compile to
+    (cnt IS NULL OR price >= mx) and (cnt IS NOT NULL AND price < mx)
+    — no correlated re-execution per row, which is exactly how a
+    100 TB engine must evaluate quantified predicates."""
+    o = table(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("u_ck"))
+        .agg(F.max("o_totalprice").alias("u_max"),
+             F.count("*").alias("u_cnt"))
+    )
+    low = (
+        o.filter(F.col("o_orderpriority") == "5-LOW")
+        .groupBy(F.col("o_custkey").alias("l_ck"))
+        .agg(F.max("o_totalprice").alias("l_max"),
+             F.count("*").alias("l_cnt"))
+    )
+    return (
+        o.join(F.broadcast(urgent), o.o_custkey == F.col("u_ck"), "left")
+        .join(F.broadcast(low), o.o_custkey == F.col("l_ck"), "left")
+        .filter(
+            (F.col("u_cnt").isNull() | (F.col("o_totalprice") >= F.col("u_max")))
+            & (F.col("l_cnt").isNotNull() & (F.col("o_totalprice") < F.col("l_max")))
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
     )
