@@ -916,16 +916,23 @@ def join_asof_nearest(spark, sf_dir):
         Window.partitionBy("user_id").orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wf = (
-        Window.partitionBy("user_id").orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # forward flank as a REVERSED growing frame (r8 ts-stress finding,
+    # see ts_interpolate_linear): first(ignorenulls) over (CURRENT ROW,
+    # UNBOUNDED FOLLOWING) re-aggregates the frame per row — O(p^2) on
+    # a skewed user partition. last(ignorenulls) over the reverse
+    # ordering's UNBOUNDED PRECEDING..CURRENT ROW frame is identical
+    # with the incremental O(p) processor.
+    wf_rev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_p").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     flanked = u.select(
         "*",
         F.last("v_id", ignorenulls=True).over(wb).alias("back_id"),
         F.last("v_ts", ignorenulls=True).over(wb).alias("back_ts"),
-        F.first("v_id", ignorenulls=True).over(wf).alias("fwd_id"),
-        F.first("v_ts", ignorenulls=True).over(wf).alias("fwd_ts"),
+        F.last("v_id", ignorenulls=True).over(wf_rev).alias("fwd_id"),
+        F.last("v_ts", ignorenulls=True).over(wf_rev).alias("fwd_ts"),
     )
     back_gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("back_ts"))
     fwd_gap = F.unix_micros(F.col("fwd_ts")) - F.unix_micros(F.col("ts"))
@@ -995,16 +1002,21 @@ def join_asof_forward(spark, sf_dir):
     # (0) so a same-instant view lands inside the purchase's following
     # frame — matching the oracle's v.ts >= p.ts. (The backward variant
     # needs the opposite: view first, inside the preceding frame.)
+    # Evaluated as the REVERSED ordering's growing frame (r8 ts-stress
+    # finding, see ts_interpolate_linear): the shrinking forward frame
+    # re-aggregates per row, O(p^2) on skewed user partitions; the
+    # reverse UNBOUNDED PRECEDING..CURRENT ROW frame with
+    # last(ignorenulls) is identical with the O(p) processor.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("_kind").desc(), F.col("event_id").asc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("ts").desc(), F.col("_kind").asc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         u.withColumn(
-            "_next_view_id", F.first("view_event_id", ignorenulls=True).over(w)
+            "_next_view_id", F.last("view_event_id", ignorenulls=True).over(w)
         )
-        .withColumn("_next_view_ts", F.first("view_ts", ignorenulls=True).over(w))
+        .withColumn("_next_view_ts", F.last("view_ts", ignorenulls=True).over(w))
         .filter(F.col("_kind") == 1)
         .select(
             "event_id", "user_id", "ts",

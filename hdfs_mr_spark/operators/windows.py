@@ -1047,13 +1047,22 @@ def ts_interpolate_linear(spark, sf_dir):
     )
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     back = w.rowsBetween(Window.unboundedPreceding, -1)
-    fwd = w.rowsBetween(1, Window.unboundedFollowing)
+    # forward pass as a REVERSED growing frame (r8 ts-stress finding):
+    # first(ignorenulls) over (1 FOLLOWING, UNBOUNDED FOLLOWING) has no
+    # incremental processor in Spark — the shrinking frame re-aggregates
+    # the remaining rows PER ROW, O(p^2) per partition, which hung a
+    # 272k-row Zipf-skewed user partition for 10+ minutes at 1M events.
+    # last(ignorenulls) over the reverse ordering's growing frame is the
+    # same value with the O(p) incremental processor.
+    fwd_rev = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
     f = m.select(
         "event_id", "user_id", "ts", "value", "missing", "t",
         F.last("v", ignorenulls=True).over(back).alias("pv"),
         F.last("tus", ignorenulls=True).over(back).alias("pt"),
-        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
-        F.first("tus", ignorenulls=True).over(fwd).alias("nt"),
+        F.last("v", ignorenulls=True).over(fwd_rev).alias("nv"),
+        F.last("tus", ignorenulls=True).over(fwd_rev).alias("nt"),
     )
     interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
         (F.col("t") - F.col("pt")).cast("double")

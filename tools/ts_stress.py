@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Time-series scale stress for the windows/ts family (r8).
+
+The zipf stress covers documents/embeddings; this covers the THIRD
+fixture axis: a deterministic 1M-row events table (10x sf0.1) with
+production-shaped structure — Zipf-skewed users (the window-partition
+skew case), 5 event types, value seasonality + trend + noise, and a
+deterministic 2% timestamp-gap rate (so gap-aware operators exercise
+their gap paths) — then measures the ts/window operators end-to-end
+(noop sink, min-of-2).
+
+Writes ONE JSON document (default BENCH_r8_ts.json). Deterministic:
+numpy default_rng(SEED), fixed epoch base; no wall-clock in the data.
+
+Usage: python tools/ts_stress.py [--out DIR] [--json PATH] [--rows N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SEED = 8
+BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch micros
+
+BENCH_QUERIES = [
+    "ts_resample_ohlc",
+    "ts_gap_fill",
+    "ts_interpolate_linear",
+    "ts_ewma",
+    "ts_anomaly_mad",
+    "ts_decompose_classical",
+    "ts_downsample_lttb",
+    "ts_interval_merge",
+    "ts_funnel",
+    "ts_retention_cohort",
+    "win_sessionize",
+    "win_moving_median",
+    "win_running_distinct",
+    "win_rolling_regression",
+    "dq_distribution_drift",
+    "dq_benford_audit",
+]
+
+
+def generate(out_dir: Path, n_rows: int) -> dict:
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    ids = np.arange(n_rows)
+    # mean spacing ~22s -> ~8.5 months span at 1M rows; 2% of gaps are
+    # 100x long (the dropout a gap-aware op must survive)
+    gaps = rng.exponential(22_000_000, n_rows).astype(np.int64) + 1
+    long_mask = rng.random(n_rows) < 0.02
+    gaps[long_mask] *= 100
+    ts_us = BASE_US + np.cumsum(gaps)
+    # Zipf-skewed users: rank-frequency s=1.3 over 5000 users
+    uranks = np.arange(1, 5001, dtype=np.float64)
+    uw = 1.0 / uranks**1.3
+    ucum = np.cumsum(uw / uw.sum())
+    user_id = np.searchsorted(ucum, rng.random(n_rows)).astype(np.int64)
+    etypes = np.array(["view", "click", "purchase", "error", "login"])
+    event_type = etypes[(ids * 7 + user_id) % 5]
+    # value: daily seasonality + slow trend + noise, 2dp positive
+    hours = (ts_us - BASE_US) / 3.6e9
+    value = (
+        50.0
+        + 20.0 * np.sin(2 * np.pi * (hours % 24) / 24.0)
+        + 0.01 * hours
+        + rng.normal(0, 5.0, n_rows)
+    )
+    value = np.round(np.maximum(value, 0.01), 2)
+    props = np.array([f'{{"k": {int(k)}}}' for k in (ids % 100)])
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": pa.array(user_id, pa.int64()),
+            "event_type": pa.array(event_type, pa.string()),
+            "value": pa.array(value, pa.float64()),
+            "props": pa.array(props, pa.string()),
+        }),
+        out_dir / "events.parquet",
+    )
+    # tiny satellite tables some registered queries also read
+    top_user, top_n = np.unique(user_id, return_counts=True)
+    return {
+        "n_rows": n_rows,
+        "span_days": round(float(ts_us[-1] - BASE_US) / 8.64e10, 1),
+        "n_users": int(len(top_user)),
+        "top_user_share": round(float(top_n.max()) / n_rows, 4),
+        "long_gaps": int(long_mask.sum()),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/hmr_ts/sft")
+    ap.add_argument("--json", default="BENCH_r8_ts.json")
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    args = ap.parse_args()
+
+    out = Path(args.out)
+    # satellite tables at sf0.1 (symlinks): some ts/window queries also
+    # touch a dimension table; only events carries the 10x load
+    out.mkdir(parents=True, exist_ok=True)
+    import os
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        dst = out / f"{t}.parquet"
+        if not dst.exists():
+            os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+    gen_stats = generate(out, args.rows)
+    print("generated:", json.dumps(gen_stats), flush=True)
+
+    from hdfs_mr_spark.registry import all_specs
+    from hdfs_mr_spark.session import get_spark
+
+    spark = get_spark("ts-stress")
+    specs = all_specs()
+    sf = str(out)
+
+    timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    failures: dict[str, str] = {}
+    for name in BENCH_QUERIES:
+        runs = []
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                specs[name].fn(spark, sf).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                runs.append(round(time.time() - t0, 3))
+            timings[name] = min(runs)
+            all_runs[name] = runs
+            print(f"bench {name}: {runs} -> {timings[name]}s", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            failures[name] = repr(exc)[:160]
+            print(f"FAIL {name}: {failures[name]}", flush=True)
+        spark.sparkContext._jvm.System.gc()
+
+    result = {
+        "metric": "ts_stress_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "runs": all_runs,
+        "failures": failures,
+        "corpus": gen_stats,
+        "seed": SEED,
+    }
+    Path(args.json).write_text(json.dumps(result, indent=1) + "\n")
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
