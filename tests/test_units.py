@@ -656,6 +656,29 @@ def test_wav_ex_roundtrip_random_content():
     prop()
 
 
+def test_no_shrinking_window_frames_in_source():
+    """r8 ts-stress regression gate: Spark has NO incremental processor
+    for aggregates over a SHRINKING frame (x .. UNBOUNDED FOLLOWING) —
+    it re-aggregates the remaining rows per row, O(p^2) per partition,
+    which hung a 272k-row skewed partition for 10+ minutes (PERF.md
+    r8). Every unboundedFollowing in engine source must therefore be a
+    FULL-partition frame (unboundedPreceding .. unboundedFollowing),
+    which Spark evaluates once per partition; forward passes must use
+    the reversed ordering's growing frame instead."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "hdfs_mr_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if "unboundedFollowing" in line and "unboundedPreceding" not in line:
+                offenders.append(f"{p.name}:{i}: {line.strip()}")
+    assert offenders == [], (
+        "shrinking window frame (O(p^2) per partition) — use the "
+        f"reversed-ordering growing frame instead: {offenders}"
+    )
+
+
 def test_cas_publish_refuses_stale_pointer(tmp_path):
     """cas_publish_current (VERDICT r6 item 6): the _CURRENT pointer
     only advances from the generation the writer read — a concurrent
