@@ -2734,6 +2734,10 @@ def llm_sim_knn_ivf_pq_delta(spark, sf_dir):
     codes_path = str(store / "codes")
     cent_path = str(store / "centroids")
     cb_path = str(store / "codebook")
+    if (store / "_absorbed").exists():
+        # pre-atomic-publish layout (delta appended into the base code
+        # dir + separate marker) — rebuild under the staged-delta layout
+        shutil.rmtree(store, ignore_errors=True)
     if not (store / "_built").exists():
         # base build: frozen codebook trains on base residuals only;
         # only base vectors' codes are written
@@ -2768,7 +2772,13 @@ def llm_sim_knn_ivf_pq_delta(spark, sf_dir):
                 raise
     coarse_st = F.broadcast(spark.read.parquet(cent_path))
     cb_st = spark.read.parquet(cb_path)
-    if not (store / "_absorbed").exists():
+    # The delta lives in its OWN staged-then-renamed directory: the
+    # rename IS the absorbed marker, so a crash between the append
+    # job committing and a separate marker touch can never leave a
+    # half-published state that a retry would double-append (the base
+    # build's atomic-publish discipline, applied to the absorb too).
+    delta_path = store / "codes_delta"
+    if not delta_path.exists():
         # ABSORB: assign + residual-encode the delta with the STORED
         # frozen artifacts, append to the cell partitions it lands in
         dsubs = subs.filter(F.col("vec_id") >= n_base)
@@ -2810,8 +2820,14 @@ def llm_sim_knn_ivf_pq_delta(spark, sf_dir):
             )
             .join(dassign, "vec_id")
         )
-        dpacked.write.mode("append").partitionBy("cell").parquet(codes_path)
-        (store / "_absorbed").touch()
+        dtmp = store / f"codes_delta.tmp.{os.getpid()}"
+        dpacked.write.mode("overwrite").partitionBy("cell").parquet(str(dtmp))
+        try:
+            os.rename(dtmp, delta_path)
+        except OSError:
+            shutil.rmtree(dtmp, ignore_errors=True)
+            if not delta_path.exists():
+                raise
     # probe: identical DPP discipline to llm_sim_knn_ivf_pq_stored
     qdistc = (
         subs.filter(F.col("vec_id") < 10)
@@ -2831,7 +2847,9 @@ def llm_sim_knn_ivf_pq_delta(spark, sf_dir):
         .select("qid", F.col("ccode").alias("cell"))
     )
     qdist = _ivf_pq_query_tables(spark, subs, coarse_st, probes, cb_st)
-    code_store = spark.read.parquet(codes_path)
+    code_store = spark.read.parquet(codes_path).unionByName(
+        spark.read.parquet(str(delta_path))
+    )
     un = (
         code_store.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("qid"))
