@@ -796,7 +796,21 @@ def llm_dedup_near_ngram(spark, sf_dir):
     """3-gram (word-trigram) Jaccard near-dup: inverted-index self-join on
     shingles, group-count intersections, exact Jaccard >= 0.5. This is
     the posting-list formulation — pairs sharing no shingle are never
-    materialized, which is what keeps it sub-quadratic at scale."""
+    materialized, which is what keeps it sub-quadratic at scale.
+
+    REGIME DISPATCH (VERDICT r8 item 1, the llm_dedup_ppjoin pattern):
+    the uncapped posting self-join's worst per-shingle bucket is df^2,
+    so it is only planned while the corpus' max shingle df stays within
+    _NGRAM_DF_CAP (one cached corpus stat, stats.max_shingle_df). Past
+    the cap — the Zipf-head regime where the r8 stress measured 15x
+    wall on 10x docs, 179.5M of 182.5M join pairs from 972 head
+    shingles — it dispatches to the df-capped candidate generation
+    (shared with llm_dedup_near_ngram_capped), whose head/rare split
+    keeps every bucket <= cap^2 BY CONSTRUCTION while still scoring
+    exact full-set Jaccard (identical pair set on the stress corpus:
+    0 missed / 0 extra, BENCH_r8_zipf)."""
+    if corpus_stats.max_shingle_df(spark, sf_dir) > _NGRAM_DF_CAP:
+        return _capped_trigram_pairs(spark, sf_dir).orderBy("d1", "d2")
     return _trigram_exact_pairs(spark, sf_dir).select(
         "d1", "d2", F.col("jaccard").alias("jaccard3")
     ).orderBy("d1", "d2")
@@ -872,7 +886,17 @@ def llm_dedup_near_ngram_capped(spark, sf_dir):
     CONSTRUCTION, independent of corpus size — the property the
     uncapped op lacks); verify joins candidate ids against the shingle
     arrays (array_intersect, JVM-side). Zipf-stress measurement in
-    PERF.md r8."""
+    PERF.md r8. Since r9 this plan is also llm_dedup_near_ngram's
+    high-df dispatch target (shared _capped_trigram_pairs)."""
+    return _capped_trigram_pairs(spark, sf_dir).orderBy("d1", "d2")
+
+
+def _capped_trigram_pairs(spark, sf_dir):
+    """DF-capped posting-list trigram-Jaccard >= 0.5 pairs
+    (d1, d2, jaccard3): candidate generation from shingles with
+    df <= _NGRAM_DF_CAP, exact full-set scoring via the rare-count +
+    head-array-intersect split (see llm_dedup_near_ngram_capped's
+    docstring for the algorithm and its measured regime)."""
     sh = _shingle_frame(spark, sf_dir)
     tok = sh.select("doc_id", F.explode("s").alias("g"))
     dfreq = tok.groupBy("g").agg(F.count("*").alias("df"))
@@ -918,7 +942,6 @@ def llm_dedup_near_ngram_capped(spark, sf_dir):
         .join(s2, "d2")
         .select("d1", "d2", jac.alias("jaccard3"))
         .filter(F.col("jaccard3") >= 0.5)
-        .orderBy("d1", "d2")
     )
 
 

@@ -84,6 +84,32 @@ def embed_stats(spark, sf_dir: str) -> tuple[int, int]:
     return _CACHE[kn], _CACHE[kd]
 
 
+def max_shingle_df(spark, sf_dir: str) -> int:
+    """MAX document frequency over the distinct word-trigram shingle
+    stream — the posting-list regime signal: the worst per-shingle
+    bucket of an inverted-index self-join is df^2, so the uncapped
+    posting formulation is only safe while this stays bounded.
+    Zipf-shaped real corpora blow it up (r8 stress: 972 shingles with
+    df > 64 contributed 179.5M of 182.5M join pairs); the df-capped
+    candidate generation is the dispatch target above the cap. Cached
+    like every other corpus stat — at 100 TB this is one persisted
+    number maintained beside the table, not a per-query scan."""
+    k = _key(spark, sf_dir, "max_shingle_df")
+    if k not in _CACHE:
+        from hdfs_mr_spark.operators.llm_dedup import shingle_frame_of
+
+        row = (
+            shingle_frame_of(table(spark, sf_dir, "documents"))
+            .select(F.explode("s").alias("g"))
+            .groupBy("g")
+            .agg(F.count("*").alias("df"))
+            .agg(F.max("df").alias("m"))
+            .first()
+        )
+        _CACHE[k] = int(row["m"] or 0)
+    return _CACHE[k]
+
+
 def vocab_size(spark, sf_dir: str) -> int:
     """COUNT(DISTINCT w) over the whitespace-token stream — the scalar
     every vocabulary-regime switch and LM smoothing constant keys on."""

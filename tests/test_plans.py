@@ -903,6 +903,7 @@ def test_no_mid_plan_driver_actions(spark, monkeypatch):
     corpus_stats.n_docs(spark, SF_SMOKE)
     corpus_stats.n_tokens(spark, SF_SMOKE)
     corpus_stats.vocab_size(spark, SF_SMOKE)
+    corpus_stats.max_shingle_df(spark, SF_SMOKE)
     corpus_stats.embed_stats(spark, SF_SMOKE)
     # pre-build the persisted index stores (one-time build, not query)
     for store_q in ("llm_sim_knn_ivf_stored", "llm_sim_knn_ivf_delta",

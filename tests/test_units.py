@@ -2276,3 +2276,120 @@ def test_corpus_stats_cache_matches_direct_counts(spark):
         assert stats.n_docs(spark, SF_SMOKE) == -1
     finally:
         stats._CACHE[k] = expect_docs
+
+
+def _write_docs(tmp_path, docs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+
+
+def test_near_ngram_dispatch_fires_naturally(spark, tmp_path):
+    """llm_dedup_near_ngram's df-cap regime switch (VERDICT r8 item 1)
+    must fire on the CORPUS STATS alone (no conf, no monkeypatch): a
+    synthetic corpus whose boilerplate head-trigram df exceeds
+    _NGRAM_DF_CAP takes the capped candidate-generation path, and the
+    reported (d1, d2, jaccard3) rows still match a pure-python exact
+    trigram-Jaccard brute force — i.e. the dispatch is recall-lossless
+    here, not just on the committed Zipf artifact."""
+    from hdfs_mr_spark import stats as corpus_stats
+    from hdfs_mr_spark.operators.llm_dedup import _NGRAM_DF_CAP
+
+    # 120 docs: a 3-token boilerplate head shared by ALL docs pushes
+    # the head-shingle df to 120 (> cap 64); every 7th doc's successor
+    # is a near-duplicate (last 4 unique tokens replaced) — trigram
+    # Jaccard well above 0.5; everything else shares ONLY the head
+    # shingles (J ~ 0.03, far below threshold).
+    docs = []
+    for i in range(120):
+        toks = ["h0", "h1", "h2"] + [f"u{i}x{j}" for j in range(30)]
+        if i % 7 == 1:
+            toks = ["h0", "h1", "h2"] + [f"u{i-1}x{j}" for j in range(26)] \
+                + [f"v{i}x{j}" for j in range(4)]
+        docs.append((i, " ".join(toks)))
+    _write_docs(tmp_path, docs)
+
+    sf = str(tmp_path)
+    assert corpus_stats.max_shingle_df(spark, sf) > _NGRAM_DF_CAP
+
+    def tri(text):
+        t = text.split(" ")
+        return {" ".join(t[k : k + 3]) for k in range(len(t) - 2)}
+
+    sets = {i: tri(t) for i, t in docs}
+    want = {}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                jac = inter / len(sets[i] | sets[j])
+                if jac >= 0.5:
+                    want[(i, j)] = jac
+    assert want, "corpus must contain >=0.5 pairs for the test to bite"
+
+    rows = all_specs()["llm_dedup_near_ngram"].fn(spark, sf).collect()
+    got = {(r.d1, r.d2): r.jaccard3 for r in rows}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+
+
+def test_ppjoin_sparse_branch_fires_naturally(spark, tmp_path):
+    """llm_dedup_ppjoin's SPARSE prefix-join branch (ADVICE r8 medium:
+    previously never correctness-verified — the fixture vocabulary is
+    dense-regime, so every sweep and the bitmask-equality test took the
+    dense branch) must produce exactly the brute-force J >= 0.8 pair
+    set on a corpus whose vocabulary naturally exceeds the dense cap,
+    with the real prefix + length filters doing the candidate
+    pruning."""
+    from hdfs_mr_spark import stats as corpus_stats
+    from hdfs_mr_spark.operators.llm_dedup import _MASK_WORDS_CAP
+
+    # 150 docs x ~150 distinct tokens over disjoint per-doc ranges
+    # (vocab > 16384 tokens -> sparse regime). Near-dup structure:
+    # every 10th doc's successor shares 140 of its 150 tokens
+    # (J = 140/160 = 0.875 >= 0.8); doc 77 duplicates doc 5 exactly
+    # (J = 1.0); every 10th-plus-5 doc's successor shares only 100
+    # (J = 100/200 = 0.5 — a sub-threshold near-miss the length
+    # filter must not discard into a false negative NOR admit).
+    docs = []
+    for i in range(150):
+        base = [f"w{i * 200 + j}" for j in range(150)]
+        if i % 10 == 1:
+            base = [f"w{(i - 1) * 200 + j}" for j in range(140)] \
+                + [f"w{i * 200 + j}" for j in range(10)]
+        if i % 10 == 6:
+            base = [f"w{(i - 1) * 200 + j}" for j in range(100)] \
+                + [f"w{i * 200 + j}" for j in range(50)]
+        if i == 77:
+            base = [f"w{5 * 200 + j}" for j in range(150)]
+        docs.append((i, " ".join(base)))
+    _write_docs(tmp_path, docs)
+
+    sf = str(tmp_path)
+    assert corpus_stats.vocab_size(spark, sf) > _MASK_WORDS_CAP * 64
+
+    sets = {i: set(t.split(" ")) for i, t in docs}
+    want = {}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                jac = inter / len(sets[i] | sets[j])
+                if jac >= 0.8:
+                    want[(i, j)] = (inter, jac)
+    assert want and any(j < 1.0 for _, j in want.values())
+
+    rows = all_specs()["llm_dedup_ppjoin"].fn(spark, sf).collect()
+    got = {(r.d1, r.d2): (r.n_common, r.jaccard) for r in rows}
+    assert set(got) == set(want)
+    for k, (n, jac) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - jac) < 1e-12

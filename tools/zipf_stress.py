@@ -18,7 +18,7 @@ prefixes — plus 10x embeddings with cluster structure, then measures:
 - the dense-regime refusal contract (bitmask kernels must REFUSE this
   vocabulary, not attempt a 1563-word mask row).
 
-Writes ONE JSON document (default BENCH_r8_zipf.json). Deterministic:
+Writes ONE JSON document (default BENCH_r9_zipf.json). Deterministic:
 numpy default_rng(SEED); no wall-clock anywhere in the data.
 
 Usage: python tools/zipf_stress.py [--out DIR] [--json PATH]
@@ -173,6 +173,31 @@ def lsh_diagnostics(spark, sf_dir: str) -> dict:
     }
 
 
+def ngram_dispatch_diagnostics(spark, sf_dir: str) -> dict:
+    """Pair-set equality proof for the near_ngram regime dispatch
+    (VERDICT r8 item 1): the df-capped candidate generation that
+    llm_dedup_near_ngram dispatches to above _NGRAM_DF_CAP must
+    produce EXACTLY the uncapped posting formulation's >= 0.5 pair
+    set on this corpus — 0 missed / 0 extra, counted here by two
+    anti-joins against the uncapped plan run once at stress scale."""
+    from hdfs_mr_spark import stats as corpus_stats
+    from hdfs_mr_spark.operators.llm_dedup import (
+        _NGRAM_DF_CAP, _capped_trigram_pairs, _trigram_exact_pairs,
+    )
+
+    mdf = corpus_stats.max_shingle_df(spark, sf_dir)
+    capped = _capped_trigram_pairs(spark, sf_dir).select("d1", "d2")
+    exact = _trigram_exact_pairs(spark, sf_dir).select("d1", "d2")
+    return {
+        "max_shingle_df": mdf,
+        "df_cap": _NGRAM_DF_CAP,
+        "dispatched_branch": "capped" if mdf > _NGRAM_DF_CAP else "uncapped",
+        "exact_pairs": exact.count(),
+        "capped_missed": exact.join(capped, ["d1", "d2"], "left_anti").count(),
+        "capped_extra": capped.join(exact, ["d1", "d2"], "left_anti").count(),
+    }
+
+
 def ivf_diagnostics(spark, sf_dir: str) -> dict:
     """Cell-size skew of the persisted partitioned IVF index (built by
     llm_sim_knn_ivf_stored as a side effect of the bench run)."""
@@ -201,7 +226,7 @@ def ivf_diagnostics(spark, sf_dir: str) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/hmr_zipf/sfz")
-    ap.add_argument("--json", default="BENCH_r8_zipf.json")
+    ap.add_argument("--json", default="BENCH_r9_zipf.json")
     ap.add_argument("--docs", type=int, default=50000)
     ap.add_argument("--vecs", type=int, default=20000)
     ap.add_argument("--vocab", type=int, default=100000)
@@ -247,6 +272,7 @@ def main() -> int:
     diag = {
         "lsh": lsh_diagnostics(spark, sf),
         "ivf": ivf_diagnostics(spark, sf),
+        "ngram_dispatch": ngram_dispatch_diagnostics(spark, sf),
     }
     print("diagnostics:", json.dumps(diag), flush=True)
 
