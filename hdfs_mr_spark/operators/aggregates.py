@@ -1218,16 +1218,15 @@ def dq_distribution_drift(spark, sf_dir):
     per_v = ev.groupBy("value").agg(
         F.sum("s1").alias("n1"), F.sum(1 - F.col("s1")).alias("n2")
     )
-    t1, t2 = per_v.agg(F.sum("n1"), F.sum("n2")).first()
-    if t1 in (None, 0) or t2 in (None, 0):
-        # an empty cohort has no ECDF: degenerate NULL-stat row, the
-        # same NULL propagation the oracle's division produces (ADVICE
-        # r3 — previously this crashed on float(None)/div-by-zero)
-        return spark.createDataFrame(
-            [(int(t1 or 0), int(t2 or 0), None, None, None)],
-            "n1 bigint, n2 bigint, ks_stat double, "
-            "critical_005 double, drift boolean",
-        )
+    # cohort totals as a broadcast 1-row aggregate (VERDICT r8 item 6:
+    # the .first() scalars here were plan PARAMETERS mislabeled as a
+    # branch guard). The empty-cohort degenerate case (ADVICE r3) is
+    # handled IN-PLAN: a when() mask NULLs the statistics whenever a
+    # total is 0/NULL, so no driver job and no Python branch remain.
+    tot = per_v.agg(
+        F.coalesce(F.sum("n1"), F.lit(0)).alias("t1"),
+        F.coalesce(F.sum("n2"), F.lit(0)).alias("t2"),
+    )
     bkt = F.floor(F.col("value") / 10.0).cast("bigint")
     t = per_v.withColumn("__bkt", bkt)
     bcounts = t.groupBy("__bkt").agg(
@@ -1254,19 +1253,35 @@ def dq_distribution_drift(spark, sf_dir):
         t.withColumn("r1", F.sum("n1").over(w))
         .withColumn("r2", F.sum("n2").over(w))
         .join(F.broadcast(offs), F.col("__bkt") == F.col("__ob"))
+        .crossJoin(F.broadcast(tot))
         .select(
-            ((F.col("o1") + F.col("r1")).cast("double") / F.lit(float(t1))
-             - (F.col("o2") + F.col("r2")).cast("double") / F.lit(float(t2)))
+            (F.try_divide((F.col("o1") + F.col("r1")).cast("double"),
+                          F.col("t1").cast("double"))
+             - F.try_divide((F.col("o2") + F.col("r2")).cast("double"),
+                            F.col("t2").cast("double")))
             .alias("d")
         )
     )
-    crit = 1.358 * ((float(t1) + float(t2)) / (float(t1) * float(t2))) ** 0.5
-    return cum.agg(F.max(F.abs(F.col("d"))).alias("ks_stat")).select(
-        F.lit(int(t1)).cast("bigint").alias("n1"),
-        F.lit(int(t2)).cast("bigint").alias("n2"),
-        "ks_stat",
-        F.lit(crit).alias("critical_005"),
-        (F.col("ks_stat") > F.lit(crit)).alias("drift"),
+    # try_divide == `/` bit-for-bit on nonzero divisors; on an empty
+    # cohort (divisor 0 under ANSI mode) it yields NULL instead of
+    # DIVIDE_BY_ZERO, and the when() mask below owns the output shape
+    ok = (F.col("t1") > 0) & (F.col("t2") > 0)
+    crit = F.lit(1.358) * F.sqrt(
+        F.try_divide(
+            F.col("t1").cast("double") + F.col("t2").cast("double"),
+            F.col("t1").cast("double") * F.col("t2").cast("double"),
+        )
+    )
+    return (
+        cum.agg(F.max(F.abs(F.col("d"))).alias("ks_raw"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t1").cast("bigint").alias("n1"),
+            F.col("t2").cast("bigint").alias("n2"),
+            F.when(ok, F.col("ks_raw")).alias("ks_stat"),
+            F.when(ok, crit).alias("critical_005"),
+            F.when(ok, F.col("ks_raw") > crit).alias("drift"),
+        )
     )
 
 
@@ -1317,7 +1332,12 @@ def agg_chi2_independence(spark, sf_dir):
 
     Scale: one combiner-shape aggregate for cells, two re-aggregates of
     the tiny (types x 7) cell frame for marginals, broadcast joins back
-    — event rows shuffle once; everything downstream is O(cells)."""
+    — event rows shuffle once; everything downstream is O(cells). The
+    grand total n and dof come from broadcast 1-row aggregates
+    (dq_benford_audit's pattern, VERDICT r8 item 6) — no driver job
+    parameterizes the plan; the division by n is the identical IEEE
+    double arithmetic the literal form produced, so the hash is
+    unchanged."""
     ev = table(spark, sf_dir, "events")
     keyed = ev.select(
         "event_type",
@@ -1330,26 +1350,37 @@ def agg_chi2_independence(spark, sf_dir):
     )
     rt = cells.groupBy("event_type").agg(F.sum("obs").alias("r"))
     ct = cells.groupBy("dow").agg(F.sum("obs").alias("c"))
-    n = float(cells.agg(F.sum("obs")).first()[0])
-    n_rows = rt.count()
-    n_cols = ct.count()
-    exp = F.col("r") * F.col("c") / F.lit(n)
+    tot = cells.agg(F.sum("obs").alias("n"))
+    dof = (
+        rt.agg(F.count("*").alias("nr"))
+        .crossJoin(ct.agg(F.count("*").alias("nc")))
+        .select(
+            ((F.col("nr") - 1) * (F.col("nc") - 1))
+            .cast("bigint").alias("dof")
+        )
+    )
+    exp = F.col("r") * F.col("c") / F.col("n")
     contrib = (
         cells.join(F.broadcast(rt), "event_type")
         .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
         .select(
             F.round(
                 (F.col("obs") - exp) * (F.col("obs") - exp) / exp * 1000000.0
             ).cast("bigint").alias("micro")
         )
     )
-    return contrib.agg(
-        F.sum("micro").cast("bigint").alias("chi2_micro"),
-        F.count("*").cast("bigint").alias("n_cells"),
-    ).select(
-        (F.col("chi2_micro").cast("double") / 1000000.0).alias("chi2"),
-        F.lit((n_rows - 1) * (n_cols - 1)).cast("bigint").alias("dof"),
-        "n_cells",
+    return (
+        contrib.agg(
+            F.sum("micro").cast("bigint").alias("chi2_micro"),
+            F.count("*").cast("bigint").alias("n_cells"),
+        )
+        .crossJoin(F.broadcast(dof))
+        .select(
+            (F.col("chi2_micro").cast("double") / 1000000.0).alias("chi2"),
+            "dof",
+            "n_cells",
+        )
     )
 
 

@@ -869,10 +869,11 @@ _GATE_EXEMPT = {
     # Skew-profile stats read feeding the salt factor (joins.py,
     # documented at the call site).
     "join_skew_salted",
-    # Statistical gates whose degenerate-input branch (empty cohort,
-    # 1xN contingency table) is a driver decision: the scalar guards a
-    # Python `if` that SELECTS the plan, it doesn't parameterize one.
-    "dq_distribution_drift", "agg_chi2_independence",
+    # (agg_chi2_independence and dq_distribution_drift were de-exempted
+    # r9 — their scalars were plan PARAMETERS mislabeled as branch
+    # guards; both now use broadcast 1-row aggregates, and the drift
+    # op's empty-cohort degenerate case is a when() mask in-plan.
+    # VERDICT r8 item 6.)
 }
 
 
