@@ -1789,6 +1789,33 @@ def _pq_fine_k(n: int) -> int:
     return max(16, min(128, n // 4))
 
 
+# Sample-trained fine codebooks (VERDICT r8 item 2): Lloyd training is
+# the linear-in-n half of the IVF-PQ cold build (the other half, the
+# one-pass encode, is irreducible — every vector must be coded). The
+# training pass now runs on a deterministic md5-bucket sample of
+# ~_PQ_SAMPLE_BUDGET/100 vectors (the sample_hash_stratified
+# discipline: md5 because BOTH engines implement it identically), and
+# the full corpus is encoded with the frozen sample-trained codebook —
+# Faiss's train(sample)+add(all), the shape every production ANN build
+# uses at 100 TB. sk is the bucket-percent keep rate: 100 (train on
+# everything) for n <= 1000, shrinking so the expected sample stays
+# ~1500 vectors; at sf0.1 (n=2000) sk=75, so the sampled path is
+# exercised — and DuckDB-hash-checked — by every fixture sweep.
+_PQ_SAMPLE_BUDGET = 150000
+
+
+def _pq_train_sk(n: int) -> int:
+    return max(1, min(100, _PQ_SAMPLE_BUDGET // max(1, n)))
+
+
+def _pq_sample_filter(sk: int):
+    """Deterministic cross-engine sample predicate over vec_id."""
+    return (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    ) < sk
+
+
 # the same formula in SQL, CTE `pf(kf)`
 _SQL_PF = """pf AS (
   SELECT GREATEST(16, LEAST(128, COUNT(*) // 4)) AS kf FROM embeddings
@@ -1832,15 +1859,19 @@ def _pq_subs(spark, sf_dir):
     def build():
         e = table(spark, sf_dir, "embeddings")
         qz = lambda x: F.round(x.cast("double") * 1000000).cast("bigint")  # noqa: E731
+        # per-element qz is UNROLLED (element_at, not transform(slice)):
+        # HOF lambdas evaluate interpreted, and this frame is the root
+        # of every PQ pipeline (r9 cold-build profile)
         return e.select(
             "vec_id",
             F.explode(
                 F.array(*[
                     F.struct(
                         F.lit(s).alias("sub"),
-                        F.transform(
-                            F.slice("embedding", s * _PQ_DSUB + 1, _PQ_DSUB), qz
-                        ).alias("v"),
+                        F.array(*[
+                            qz(F.element_at("embedding", s * _PQ_DSUB + j + 1))
+                            for j in range(_PQ_DSUB)
+                        ]).alias("v"),
                     )
                     for s in range(_PQ_M)
                 ])
@@ -1850,7 +1881,23 @@ def _pq_subs(spark, sf_dir):
     return _pq_cached(spark, ("subs", sf_dir), build)
 
 
-def _pq_dist():
+def _pq_dist(dims: int | None = None):
+    # ``dims``: when the subvector width is known at plan time (it
+    # always is — 8 for the raw layout, 2 for the fine layout), emit
+    # the UNROLLED element_at sum instead of the higher-order
+    # aggregate/zip_with fold: HOF lambdas run INTERPRETED per row
+    # (never whole-stage codegen), and the encode/assignment passes
+    # evaluate this expression on n*m*k exploded rows — the r9 cold-
+    # build profile measured the interpreted fold as the dominant
+    # cost of the 82M-row fine encode at n=20k. Same exact BIGINT
+    # arithmetic, same result, codegen-able.
+    if dims is not None:
+        d0 = F.element_at("v", 1) - F.element_at("cv", 1)
+        acc = d0 * d0
+        for i in range(2, dims + 1):
+            di = F.element_at("v", i) - F.element_at("cv", i)
+            acc = acc + di * di
+        return acc
     # built lazily: higher-order-function lambdas need an active session
     return F.aggregate(
         F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
@@ -1859,13 +1906,15 @@ def _pq_dist():
     )
 
 
-def _pq_assign(subs, codebook):
-    """Nearest codeword per (vector, subspace): JVM-side zip_with fold
-    against the broadcast k*m-row codebook, argmin as ONE combiner
-    min(struct(dist, code)) — no window, ties to the lowest code."""
+def _pq_assign(subs, codebook, dims=None):
+    """Nearest codeword per (vector, subspace): JVM-side distance
+    against the broadcast k*m-row codebook (unrolled codegen-able
+    expression when ``dims`` is known — see _pq_dist), argmin as ONE
+    combiner min(struct(dist, code)) — no window, ties to the lowest
+    code."""
     return (
         subs.join(F.broadcast(codebook), F.col("sub") == F.col("c_sub"))
-        .select("vec_id", "sub", "code", _pq_dist().alias("dist"))
+        .select("vec_id", "sub", "code", _pq_dist(dims).alias("dist"))
         .groupBy("vec_id", "sub")
         .agg(F.min(F.struct("dist", "code")).alias("m"))
         .select("vec_id", "sub", F.col("m.code").alias("code"),
@@ -1873,22 +1922,30 @@ def _pq_assign(subs, codebook):
     )
 
 
-def _pq_codebook(subs, cache_key=None, k=_PQ_K):
+def _pq_codebook(subs, cache_key=None, k=_PQ_K, seed_subs=None, dims=None):
     """The refined codebook: seed codewords from the ``k`` lowest
     vec_ids, one Lloyd round of floor-div integer means, re-assembled
     into per-(sub, code) arrays ordered by dim. ``cache_key`` opts the
     (already localCheckpoint'd) result into the cross-query index
-    cache — raw and residual codebooks use distinct keys."""
+    cache — raw and residual codebooks use distinct keys.
+
+    ``seed_subs``: frame to draw the k seed codewords from when it
+    differs from the TRAINING frame — the sample-trained build seeds
+    from the full corpus (vec_id < k, the oracle's rcb0) while the
+    Lloyd assignment runs only on the sample."""
     if cache_key is not None:
         return _pq_cached(
             subs.sparkSession, cache_key,
-            lambda: _pq_codebook(subs, None, k), checkpoint=False,
+            lambda: _pq_codebook(subs, None, k, seed_subs, dims),
+            checkpoint=False,
         )
-    cb0 = subs.filter(F.col("vec_id") < k).select(
+    cb0 = (seed_subs if seed_subs is not None else subs).filter(
+        F.col("vec_id") < k
+    ).select(
         F.col("vec_id").alias("code"), F.col("sub").alias("c_sub"),
         F.col("v").alias("cv"),
     )
-    a1 = _pq_assign(subs, cb0).select(
+    a1 = _pq_assign(subs, cb0, dims).select(
         F.col("vec_id").alias("a_vec"), F.col("sub").alias("a_sub"), "code"
     )
     return (
@@ -2001,7 +2058,8 @@ def llm_embed_pq(spark, sf_dir):
     scale."""
     subs = _pq_subs(spark, sf_dir)
     return (
-        _pq_assign(subs, _pq_codebook(subs, ("cb_raw", sf_dir)))
+        _pq_assign(subs, _pq_codebook(subs, ("cb_raw", sf_dir), dims=_PQ_DSUB),
+                   dims=_PQ_DSUB)
         .select(
             "vec_id", F.col("sub").cast("int").alias("subspace"),
             F.col("code").cast("int").alias("code"),
@@ -2060,13 +2118,13 @@ def llm_sim_knn_pq_adc(spark, sf_dir):
     corpus; recall vs the exact baseline is llm_ann_recall_audit's
     job."""
     subs = _pq_subs(spark, sf_dir)
-    cb1 = _pq_codebook(subs, ("cb_raw", sf_dir))
-    codes = _pq_assign(subs, cb1).select("vec_id", "sub", "code")
+    cb1 = _pq_codebook(subs, ("cb_raw", sf_dir), dims=_PQ_DSUB)
+    codes = _pq_assign(subs, cb1, dims=_PQ_DSUB).select("vec_id", "sub", "code")
     qdist = (
         subs.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("qid"), "sub", "v")
         .join(F.broadcast(cb1), F.col("sub") == F.col("c_sub"))
-        .select("qid", "sub", "code", _pq_dist().alias("qd"))
+        .select("qid", "sub", "code", _pq_dist(_PQ_DSUB).alias("qd"))
     )
     adc = (
         codes.join(F.broadcast(qdist), ["sub", "code"])
@@ -2127,10 +2185,19 @@ rcb0 AS (
   SELECT vec_id AS code, sub, dim, val AS cval
   FROM rlong CROSS JOIN pf WHERE vec_id < kf
 ),
+samp AS (
+  SELECT e.vec_id
+  FROM embeddings e,
+       (SELECT GREATEST(1, LEAST(100, 150000 // COUNT(*))) AS sk
+        FROM embeddings) s
+  WHERE CAST(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 100 < s.sk
+),
 rd1 AS (
   SELECT l.vec_id, l.sub, c.code,
          SUM((l.val - c.cval) * (l.val - c.cval)) AS dist
-  FROM rlong l JOIN rcb0 c ON c.dim = l.dim
+  FROM rlong l JOIN samp sm ON sm.vec_id = l.vec_id
+  JOIN rcb0 c ON c.dim = l.dim
   GROUP BY l.vec_id, l.sub, c.code
 ),
 ra1 AS (
@@ -2322,61 +2389,98 @@ def _ivf_pq_index_frames(spark, sf_dir, train_below: int | None = None):
         F.col("sub").alias("c_sub"),
         F.col("v").alias("cv"),
     )
-    cdist = (
-        subs.join(F.broadcast(coarse), F.col("sub") == F.col("c_sub"))
-        .select("vec_id", "ccode", _pq_dist().alias("d"))
-        .groupBy("vec_id", "ccode")
-        .agg(F.sum("d").alias("cd"))
+    # Coarse assignment on FULL 64-dim vectors: one n*cells row per
+    # candidate with the whole unrolled distance inside the expression
+    # — the sub-split formulation generated 8x the rows (n*cells*m)
+    # plus a (vec_id, ccode) re-aggregate for the identical integer
+    # sums (r9 cold-build profile: 16.2 s of the 24.6 s at n=20k was
+    # this stage). Same arithmetic, same cd values, 8x fewer rows and
+    # one less shuffle.
+    dim = _PQ_M * _PQ_DSUB
+    qz = lambda x: F.round(x.cast("double") * 1000000).cast("bigint")  # noqa: E731
+    fullv = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.array(
+            *[qz(F.element_at("embedding", i + 1)) for i in range(dim)]
+        ).alias("v"),
     )
+    cfull = fullv.filter(F.col("vec_id") < cells).select(
+        F.col("vec_id").alias("ccode"), F.col("v").alias("cv")
+    )
+    # the fixture corpus arrives as ONE parquet file -> one partition,
+    # and a BroadcastNestedLoopJoin inherits the probe side's layout —
+    # pin a defaultParallelism spread of the skinny probe rows or the
+    # n*cells distance evaluation runs in a single task (the
+    # single-file serial-stage trap, PERF.md r8)
+    fullv = fullv.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    cdist = fullv.crossJoin(F.broadcast(cfull)).select(
+        "vec_id", "ccode", _pq_dist(dim).alias("cd")
+    )
+    # argmin as a combiner min(struct) — no window over n*cells rows;
+    # `ranked` keeps the windowed shape for probe consumers, whose
+    # vec_id < 10 filter pushes below the window (partition key)
     w = Window.partitionBy("vec_id").orderBy(F.col("cd").asc(), F.col("ccode").asc())
     ranked = cdist.withColumn("rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", F.col("ccode").alias("cell")
+    # the full-corpus assignment feeds the residuals AND the candidate
+    # enumeration — cached under reuse (n skinny rows) so the n*cells
+    # distance evaluation runs once per session, not once per consumer
+    assign = _pq_cached(
+        spark, ("assign_st", sf_dir),
+        lambda: cdist.groupBy("vec_id")
+        .agg(F.min(F.struct("cd", "ccode")).alias("m"))
+        .select("vec_id", F.col("m.ccode").alias("cell")),
     )
-    # residual subvectors: v - centroid(assigned cell), exact BIGINT
-    rsubs = (
-        subs.join(assign, "vec_id")
-        .join(
-            F.broadcast(coarse),
-            (F.col("cell") == F.col("ccode")) & (F.col("sub") == F.col("c_sub")),
+    # residual fine subvectors: coarse assignment -> residual ->
+    # mf=32x2 refine (VERDICT r6 item 3, see _PQ_MF). The whole frame
+    # is opted into the cross-query index cache: the coarse assignment
+    # is the build's most expensive subtree and feeds the training
+    # sample, the seed codewords AND the encode — under reuse (the
+    # 100 TB pre-built-index stance bench.py adopts) it materializes
+    # exactly once; correctness sweeps keep it lazy. The repartition
+    # pins defaultParallelism ahead of the kf-way fan-out (single-file
+    # fixture trap + AQE coalesce trap, PERF.md r7/r8).
+    def _residual_fine():
+        r = (
+            subs.join(assign, "vec_id")
+            .join(
+                F.broadcast(coarse),
+                (F.col("cell") == F.col("ccode"))
+                & (F.col("sub") == F.col("c_sub")),
+            )
+            .select(
+                "vec_id", "sub",
+                F.zip_with("v", "cv", lambda a, b: a - b).alias("v"),
+            )
         )
-        .select(
-            "vec_id", "sub",
-            F.zip_with("v", "cv", lambda a, b: a - b).alias("v"),
+        r = _pq_refine_subs(r, ["vec_id"])
+        return r.repartition(
+            spark.sparkContext.defaultParallelism, "vec_id", "sub"
         )
-    )
-    # fine-quantizer layout: mf=32 subspaces of 2 dims (VERDICT r6
-    # item 3 — see _PQ_MF), kf codewords scaling with n
-    rsubs = _pq_refine_subs(rsubs, ["vec_id"])
-    # The n*mf*kf assignment fold downstream (8M rows at sf0.1) is the
-    # build's dominant stage, and the fixture's embeddings table
-    # arrives as ONE parquet file -> one partition, so without a
-    # rebalance it runs in a single task (measured: 10 s of the 15 s
-    # cold build). Hash-spreading the 64k residual rows BEFORE the
-    # kf-way explosion buys full-width parallelism for one tiny
-    # exchange; at cluster scale the corpus already arrives in many
-    # partitions and this is a cheap rebalance of skinny rows. The
-    # count is pinned to defaultParallelism because AQE would coalesce
-    # a column-only repartition of 64k skinny rows back to one
-    # partition (the rows are small; the k-way fan-out they feed is
-    # not), re-serializing the fold.
-    rsubs = rsubs.repartition(
-        spark.sparkContext.defaultParallelism, "vec_id", "sub"
-    )
+
+    rsubs = _pq_cached(spark, ("rsubs_st", sf_dir), _residual_fine)
+    # train on the md5-bucket sample (see _PQ_SAMPLE_BUDGET); sk=100
+    # (small corpora) keeps the filter out of the plan entirely
+    sk = _pq_train_sk(n_total)
     if train_below is None:
         train = rsubs
-        cb_key = ("cb_res32", sf_dir)
+        cb_key = ("cb_res32_st", sf_dir)
     else:
         train = rsubs.filter(F.col("vec_id") < train_below)
-        cb_key = ("cb_res32_base", sf_dir, train_below)
-    cb1 = _pq_codebook(train, cb_key, k=kf)
+        cb_key = ("cb_res32_base_st", sf_dir, train_below)
+    if sk < 100:
+        train = train.filter(_pq_sample_filter(sk))
+    cb1 = _pq_codebook(train, cb_key, k=kf, seed_subs=rsubs, dims=_PQ_DSUBF)
     # NOTE: checkpointing the code table here measured SLOWER (5.3s vs
     # 3.4s at sf0.1) — the eager materialization serializes the DAG,
     # while lazy evaluation lets the assignment fuse into the ADC join
     # stage. At 100 TB the codes are a PRE-BUILT stored index anyway,
     # so the build-per-query cost this op pays is a fixture artifact
     # (llm_sim_knn_ivf_pq_stored persists exactly these frames).
-    codes = _pq_assign(rsubs, cb1).select("vec_id", "sub", "code")
+    codes = _pq_assign(rsubs, cb1, dims=_PQ_DSUBF).select(
+        "vec_id", "sub", "code"
+    )
     return subs, coarse, ranked, assign, codes, cb1, cells, nprobe, kf
 
 
@@ -2401,7 +2505,7 @@ def _ivf_pq_query_tables(spark, subs, coarse, probes, cb1):
     qres = _pq_refine_subs(qres, ["qid", "cell"])
     return (
         qres.join(F.broadcast(cb1), F.col("sub") == F.col("c_sub"))
-        .select("qid", "cell", "sub", "code", _pq_dist().alias("qd"))
+        .select("qid", "cell", "sub", "code", _pq_dist(_PQ_DSUBF).alias("qd"))
     )
 
 
@@ -2570,7 +2674,9 @@ def llm_sim_knn_ivf_pq_stored(spark, sf_dir):
     # (measured: 7.8 s/probe instead of 0.5 s at sf0.1)
     _, nprobe, _ = _ann_params(_n_embeddings(spark, sf_dir))
     subs = _pq_subs(spark, sf_dir)
-    store = _fixture_dir(sf_dir) / "ivf_pq_store"
+    # _st1: sample-trained codebook store layout (r9) — the name
+    # bump invalidates pre-sample-training persisted stores
+    store = _fixture_dir(sf_dir) / "ivf_pq_store_st1"
     codes_path = str(store / "codes")
     cent_path = str(store / "centroids")
     cb_path = str(store / "codebook")
@@ -2611,7 +2717,7 @@ def llm_sim_knn_ivf_pq_stored(spark, sf_dir):
         subs.filter(F.col("vec_id") < 10)
         .join(coarse_st, F.col("sub") == F.col("c_sub"))
         .select(
-            F.col("vec_id").alias("qid"), "ccode", _pq_dist().alias("d")
+            F.col("vec_id").alias("qid"), "ccode", _pq_dist(_PQ_DSUB).alias("d")
         )
         .groupBy("qid", "ccode")
         .agg(F.sum("d").alias("cd"))
@@ -2670,14 +2776,17 @@ cc AS ("""
 _DELTA_RD1 = """rd1 AS (
   SELECT l.vec_id, l.sub, c.code,
          SUM((l.val - c.cval) * (l.val - c.cval)) AS dist
-  FROM rlong l CROSS JOIN nb JOIN rcb0 c ON c.dim = l.dim
+  FROM rlong l CROSS JOIN nb
+  JOIN samp sm ON sm.vec_id = l.vec_id
+  JOIN rcb0 c ON c.dim = l.dim
   WHERE l.vec_id < nb.n_base
   GROUP BY l.vec_id, l.sub, c.code
 ),"""
 _RD1_ANCHOR = """rd1 AS (
   SELECT l.vec_id, l.sub, c.code,
          SUM((l.val - c.cval) * (l.val - c.cval)) AS dist
-  FROM rlong l JOIN rcb0 c ON c.dim = l.dim
+  FROM rlong l JOIN samp sm ON sm.vec_id = l.vec_id
+  JOIN rcb0 c ON c.dim = l.dim
   GROUP BY l.vec_id, l.sub, c.code
 ),"""
 if "cc AS (" not in _IVF_PQ_ADC_CTES or _RD1_ANCHOR not in _IVF_PQ_ADC_CTES:
@@ -2730,7 +2839,7 @@ def llm_sim_knn_ivf_pq_delta(spark, sf_dir):
     cells, nprobe, _ = _ann_params(n_total)
     n_base = max(cells, n_total - n_total // 8)
     subs = _pq_subs(spark, sf_dir)
-    store = _fixture_dir(sf_dir) / "ivf_pq_store_delta"
+    store = _fixture_dir(sf_dir) / "ivf_pq_store_delta_st1"
     codes_path = str(store / "codes")
     cent_path = str(store / "centroids")
     cb_path = str(store / "codebook")
@@ -2784,7 +2893,7 @@ def llm_sim_knn_ivf_pq_delta(spark, sf_dir):
         dsubs = subs.filter(F.col("vec_id") >= n_base)
         ddist = (
             dsubs.join(coarse_st, F.col("sub") == F.col("c_sub"))
-            .select("vec_id", "ccode", _pq_dist().alias("d"))
+            .select("vec_id", "ccode", _pq_dist(_PQ_DSUB).alias("d"))
             .groupBy("vec_id", "ccode")
             .agg(F.sum("d").alias("cd"))
         )
@@ -2809,7 +2918,9 @@ def llm_sim_knn_ivf_pq_delta(spark, sf_dir):
             )
         )
         drsubs = _pq_refine_subs(drsubs, ["vec_id"])
-        dcodes = _pq_assign(drsubs, cb_st).select("vec_id", "sub", "code")
+        dcodes = _pq_assign(drsubs, cb_st, dims=_PQ_DSUBF).select(
+            "vec_id", "sub", "code"
+        )
         dpacked = (
             dcodes.groupBy("vec_id")
             .agg(
@@ -2833,7 +2944,7 @@ def llm_sim_knn_ivf_pq_delta(spark, sf_dir):
         subs.filter(F.col("vec_id") < 10)
         .join(coarse_st, F.col("sub") == F.col("c_sub"))
         .select(
-            F.col("vec_id").alias("qid"), "ccode", _pq_dist().alias("d")
+            F.col("vec_id").alias("qid"), "ccode", _pq_dist(_PQ_DSUB).alias("d")
         )
         .groupBy("qid", "ccode")
         .agg(F.sum("d").alias("cd"))
@@ -2847,17 +2958,23 @@ def llm_sim_knn_ivf_pq_delta(spark, sf_dir):
         .select("qid", F.col("ccode").alias("cell"))
     )
     qdist = _ivf_pq_query_tables(spark, subs, coarse_st, probes, cb_st)
-    code_store = spark.read.parquet(codes_path).unionByName(
-        spark.read.parquet(str(delta_path))
-    )
-    un = (
-        code_store.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid", "cell", "vec_id",
-            F.posexplode("codes").alias("sub", "code"),
+
+    # probe join BELOW the base|delta union: each partitioned scan gets
+    # its own dynamicpruning PartitionFilter on cell (DPP does not
+    # inject through a Union above the scans — gated by
+    # test_ivf_pq_delta_probe_is_partition_pruned)
+    def _probe_scan(path):
+        return (
+            spark.read.parquet(path)
+            .join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid", "cell", "vec_id",
+                F.posexplode("codes").alias("sub", "code"),
+            )
         )
-    )
+
+    un = _probe_scan(codes_path).unionByName(_probe_scan(str(delta_path)))
     adc = (
         un.join(F.broadcast(qdist), ["qid", "cell", "sub", "code"])
         .groupBy("qid", "vec_id")
