@@ -604,6 +604,52 @@ _BLOOM_K = 4  # hash functions
 _BLOOM_WORDS = 256  # 256 x 64-bit words = 16384 bits
 
 
+def _bloom_hashes(*cols):
+    """k seeded-xxhash64 bit positions for a (composite) key."""
+    nbits = _BLOOM_WORDS * 64
+    return [
+        F.pmod(F.xxhash64(*cols, F.lit(i)), F.lit(nbits))
+        for i in range(_BLOOM_K)
+    ]
+
+
+def bloom_words_of(df, *cols):
+    """(word, bits) rows of the relational bloom filter over ``cols``
+    — the join_bloom_prefilter kernel, shared so other operators (the
+    streaming LSH absorb's band-key prefilter) can build and UNION
+    blooms: bit_or over unioned word frames is exactly bloom union."""
+    pos = df.select(F.explode(F.array(*_bloom_hashes(*cols))).alias("pos"))
+    return pos.select(
+        F.expr("pos div 64").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias("bit"),
+    ).groupBy("word").agg(F.bit_or("bit").alias("bits"))
+
+
+def bloom_map_of(words):
+    """Collapse a (word, bits) frame into the ONE broadcastable map row."""
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm")
+    )
+
+
+def bloom_prefilter(df, bloom_map, *cols):
+    """Rows of ``df`` whose key MAY be in the bloom (exact downstream
+    joins own the false positives): broadcast the 1-row map, probe all
+    k bits as a pure projection — no shuffle of ``df``."""
+    hs = _bloom_hashes(*cols)
+    probed = df.join(F.broadcast(bloom_map)).withColumns(
+        {f"__h{i}": h for i, h in enumerate(hs)}
+    )
+    probe = " AND ".join(
+        f"(coalesce(element_at(bm, __h{i} div 64), 0L)"
+        f" & shiftleft(1L, cast(__h{i} % 64 AS INT))) != 0"
+        for i in range(_BLOOM_K)
+    )
+    return probed.filter(F.expr(probe)).drop(
+        "bm", *[f"__h{i}" for i in range(_BLOOM_K)]
+    )
+
+
 @query(
     "join_bloom_prefilter",
     oracle=f"""
@@ -635,38 +681,11 @@ def join_bloom_prefilter(spark, sf_dir):
     c = table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
     )
-    nbits = _BLOOM_WORDS * 64
-
-    def hashes(col):
-        return [
-            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(nbits))
-            for i in range(_BLOOM_K)
-        ]
-
-    pos = c.select(
-        F.explode(F.array(*hashes(F.col("c_custkey")))).alias("pos")
-    )
-    words = pos.select(
-        F.expr("pos div 64").alias("word"),
-        F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias("bit"),
-    ).groupBy("word").agg(F.bit_or("bit").alias("bits"))
-    bloom = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm")
-    )  # ONE row: the whole filter as a 256-entry map
-
-    o2 = o.select(
-        "o_custkey", "o_totalprice",
-        *[h.alias(f"__h{i}") for i, h in enumerate(hashes(F.col("o_custkey")))],
-    )
-    probe = " AND ".join(
-        f"(coalesce(element_at(bm, __h{i} div 64), 0L)"
-        f" & shiftleft(1L, cast(__h{i} % 64 AS INT))) != 0"
-        for i in range(_BLOOM_K)
-    )
-    pre = (
-        o2.join(F.broadcast(bloom))
-        .filter(F.expr(probe))
-        .select("o_custkey", "o_totalprice")
+    # ONE row: the whole filter as a 256-entry map (kernels shared with
+    # the streaming LSH absorb's band-key prefilter)
+    bloom = bloom_map_of(bloom_words_of(c, F.col("c_custkey")))
+    pre = bloom_prefilter(
+        o.select("o_custkey", "o_totalprice"), bloom, F.col("o_custkey")
     )
     return (
         pre.join(F.broadcast(c), pre.o_custkey == c.c_custkey)

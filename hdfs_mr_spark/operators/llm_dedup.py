@@ -598,13 +598,20 @@ def _shingle_frame(spark, sf_dir):
     return shingle_frame_of(table(spark, sf_dir, "documents"))
 
 
-def shingle_frame_of(docs):
+def shingle_frame_of(docs, checkpoint=True):
     """_shingle_frame over an arbitrary (doc_id, text) frame — the
     entry point the STREAMING absorb uses on per-micro-batch doc
-    frames (same checkpoint discipline, same shingle semantics)."""
-    toks = fan_out(
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
-    ).localCheckpoint()
+    frames (same shingle semantics).
+
+    ``checkpoint=False`` skips the token-array materialization AND the
+    fan_out: right for tiny per-micro-batch frames, where the two
+    extra jobs (a defaultParallelism repartition + a checkpoint of a
+    few hundred rows) cost more scheduling than the transform
+    re-evaluation they save (r9 drain profile: ~1 s/batch of the
+    absorb wall was this fixed overhead)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    if checkpoint:
+        toks = fan_out(toks).localCheckpoint()
     # size guard: sequence(1, size-2) is DESCENDING ([1,0]) for <3 tokens
     # and element_at(toks, 0) raises — short docs get an empty shingle set
     # (exactly what DuckDB's empty range(1, len-1) produces)
@@ -617,11 +624,10 @@ def shingle_frame_of(docs):
             " array())"
         )
     )
-    return (
-        toks.select("doc_id", shingles.alias("s"))
-        .withColumn("sz", F.size("s"))
-        .localCheckpoint()
+    out = toks.select("doc_id", shingles.alias("s")).withColumn(
+        "sz", F.size("s")
     )
+    return out.localCheckpoint() if checkpoint else out
 
 
 def _minhash_sig(spark, sf_dir):

@@ -2393,3 +2393,43 @@ def test_ppjoin_sparse_branch_fires_naturally(spark, tmp_path):
     for k, (n, jac) in want.items():
         assert got[k][0] == n
         assert abs(got[k][1] - jac) < 1e-12
+
+
+def test_stream_absorb_bloom_regime_equals_batch_twin(spark, tmp_path):
+    """stream_dedup_lsh_absorb's band-key bloom prefilter (VERDICT r8
+    item 5) is regime-gated on the sparse-vocabulary signal, so the
+    fixture sweeps (dense ~31-token vocab) never execute it. This
+    corpus naturally exceeds the dense cap -> the bloom path RUNS, and
+    the drained verdicts must equal the batch twin's
+    (llm_dedup_lsh_stored) exactly — the structural false-negative-
+    impossibility claim (bloom covers base + every absorbed batch),
+    checked end to end."""
+    from hdfs_mr_spark import stats as corpus_stats
+    from hdfs_mr_spark.operators.llm_dedup import _MASK_WORDS_CAP
+
+    docs = []
+    for i in range(90):
+        toks = [f"w{i * 300 + j}" for j in range(280)]
+        if i % 9 == 3:   # stream doc near-dups a BASE doc (i-2 % 3 != 0)
+            toks = [f"w{(i - 2) * 300 + j}" for j in range(260)] \
+                + [f"w{i * 300 + j}" for j in range(20)]
+        if i % 9 == 6:   # stream doc near-dups an EARLIER stream doc
+            toks = [f"w{(i - 6) * 300 + j}" for j in range(260)] \
+                + [f"w{i * 300 + j}" for j in range(20)]
+        docs.append((i, " ".join(toks)))
+    _write_docs(tmp_path, docs)
+
+    sf = str(tmp_path)
+    assert corpus_stats.vocab_size(spark, sf) > _MASK_WORDS_CAP * 64
+
+    stream_rows = sorted(
+        tuple(r) for r in all_specs()["stream_dedup_lsh_absorb"]
+        .fn(spark, sf).collect()
+    )
+    twin_rows = sorted(
+        tuple(r) for r in all_specs()["llm_dedup_lsh_stored"]
+        .fn(spark, sf).collect()
+    )
+    assert stream_rows == twin_rows and len(stream_rows) > 0
+    assert any(r[1] != "keep" for r in stream_rows), \
+        "corpus must contain duplicates for the test to bite"

@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "llm_dedup_ppjoin",
     "llm_dedup_substring",
     "llm_boilerplate_segments",
+    # streaming ingest-dedup at production vocabulary: the band-key
+    # bloom prefilter's ON regime (r9) only exists above the dense cap
+    "stream_dedup_lsh_absorb",
     # text analysis with vocabulary-scaling joins (r8 extension): the
     # LM/retrieval ops whose join cardinality tracks |vocab| or
     # |vocab|^2, unmeasured at production type counts until now
