@@ -258,10 +258,23 @@ def llm_dedup_ppjoin(spark, sf_dir):
     pre = rt.filter(
         F.col("rn")
         <= F.col("sz") - F.expr("(4 * sz + 4) div 5") + 1
-    ).select("doc_id", "w", "sz")
+    ).select("doc_id", "w", "sz", "rn")
     b = pre.select(
         F.col("doc_id").alias("d2"), F.col("w").alias("w2"),
-        F.col("sz").alias("sz2"),
+        F.col("sz").alias("sz2"), F.col("rn").alias("rn2"),
+    )
+    # PPJoin+ POSITIONAL filter (r9, VERDICT r8 item 3 — verify was
+    # 11.5 s of the 15 s Zipf wall): a match at prefix positions
+    # (rn, rn2) bounds the overlap by 1 + min(sz-rn, sz2-rn2) — under
+    # the shared global token order, the globally-FIRST common token
+    # has no commons before it in either list. J >= 0.8 needs overlap
+    # >= ceil(4*(sz1+sz2)/9), so rows whose bound can't reach it are
+    # dropped BEFORE the pair dedup; a true pair always survives via
+    # its first-common-token row, so the filter is recall-lossless and
+    # the output (and oracle) are unchanged.
+    pos_ok = (
+        1 + F.least(F.col("sz") - F.col("rn"), F.col("sz2") - F.col("rn2"))
+        >= F.expr("(4 * (sz + sz2) + 8) div 9")
     )
     cand = (
         pre.join(
@@ -271,6 +284,7 @@ def llm_dedup_ppjoin(spark, sf_dir):
             & (5 * pre.sz >= 4 * b.sz2)
             & (5 * b.sz2 >= 4 * pre.sz),
         )
+        .filter(pos_ok)
         .select(F.col("doc_id").alias("d1"), "d2")
         .dropDuplicates(["d1", "d2"])
     )
