@@ -4179,3 +4179,119 @@ def llm_multimodal_pixels_palette_alpha(spark, sf_dir):
         "doc_id long, width int, height int, n_palette int, n_trns int, "
         "sum_c0 long, sum_c1 long, sum_c2 long, sum_alpha long, premul long",
     ).orderBy("doc_id")
+
+
+try:  # pragma: no cover — same static-path contract as _MEDIA_PX
+    from hdfs_mr_spark.sources.media import materialize_media_bmp
+
+    _MEDIA_BMP = materialize_media_bmp()
+except Exception as _media_bmp_exc:  # noqa: BLE001
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "BMP media fixture materialization failed: %r", _media_bmp_exc,
+    )
+    _MEDIA_BMP = "/tmp/hmr_media_bmp_unavailable.parquet"
+
+
+def _bmp_px_oracle_sql() -> str:
+    """llm_multimodal_pixels_bmp oracle: per-image channel sums
+    recomputed from the generative formula media_px_value (the BMP
+    bytes themselves are Spark's side of the proof)."""
+
+    def v(xe: str, ye: str, c: int) -> str:
+        return f"((({xe}) + 2*({ye}) + {7 * c} + doc_id) % 256)"
+
+    cols = ",\n       ".join(
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(0, w*h), "
+        f"i -> CAST({v('i % w', 'i // w', c)} AS BIGINT))), "
+        f"(a, x) -> a + x) AS sum_{ch}"
+        for c, ch in enumerate("rgb")
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         8 + (doc_id * 37) % 56 AS w,
+         8 + (doc_id * 53) % 56 AS h
+  FROM '{_MEDIA_BMP}'
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       {cols}
+FROM m
+ORDER BY doc_id
+"""
+
+
+@query(
+    "llm_multimodal_pixels_bmp",
+    oracle=_bmp_px_oracle_sql(),
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_pixels_bmp(spark, sf_dir):
+    """Pixel-TRUE BMP decode (r9) — the third raster container after
+    PNG and JPEG, and the one whose quirks are LAYOUT, not
+    compression: 24bpp BI_RGB stores BGR byte order, BOTTOM-UP rows,
+    and 4-byte row padding, so a decoder that ignores any of the three
+    produces plausible-looking but wrong sums. Decode runs inside
+    mapInPandas over the binary column (self-contained closure —
+    workers can't import the repo package); per-image, per-channel
+    pixel sums hash against the DuckDB oracle's generative-formula
+    recomputation (sources/media.py:media_px_value — the same ground
+    truth the PNG path uses). Unsupported BMP variants (compressed,
+    non-24bpp, top-down) raise a documented refusal rather than guess.
+
+    Scale: one Arrow batch per task, pure per-row work, no shuffle
+    before the final passthrough — the decode stage of a multimodal
+    ingest DAG; parallelism is the file count."""
+    from pyspark.sql import types as T
+
+    def bmp_batches(batches):
+        import struct as _struct
+
+        import pandas as pd
+
+        def decode(blob):
+            if blob[:2] != b"BM":
+                raise ValueError("bad BMP signature")
+            (data_off,) = _struct.unpack_from("<I", blob, 10)
+            size, w, h, planes, bpp, comp = _struct.unpack_from(
+                "<IiiHHI", blob, 14
+            )
+            if size < 40 or comp != 0 or bpp != 24 or h <= 0:
+                raise ValueError(
+                    f"unsupported BMP (dib={size} comp={comp} bpp={bpp} "
+                    f"h={h}): only bottom-up 24bpp BI_RGB is implemented"
+                )
+            stride = (3 * w + 3) & ~3
+            sums = [0, 0, 0]
+            for y in range(h):
+                src = data_off + (h - 1 - y) * stride
+                row = blob[src : src + 3 * w]
+                sums[2] += sum(row[0::3])  # B
+                sums[1] += sum(row[1::3])  # G
+                sums[0] += sum(row[2::3])  # R
+            return w, h, sums
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, s = decode(bytes(payload))
+                rows.append((int(did), w, h, s[0], s[1], s[2]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height",
+                         "sum_r", "sum_g", "sum_b"],
+            )
+
+    src = spark.read.parquet(_MEDIA_BMP)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ])
+    return src.mapInPandas(bmp_batches, schema).orderBy("doc_id")

@@ -1737,3 +1737,80 @@ def dq_benford_audit(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+WITH cents AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY round(o_totalprice * 100) ASC, o_orderkey ASC) AS i
+  FROM orders
+),
+sums AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         SUM(c) AS tot,
+         SUM(i * c) AS iwsum
+  FROM cents GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(tot AS BIGINT) AS total_cents,
+       CAST((CAST(2 * iwsum - (n + 1) * tot AS HUGEINT) * 1000000)
+            // (n * tot) AS BIGINT) AS gini_micro
+FROM sums
+ORDER BY o_orderpriority
+""",
+    family=_FAM,
+)
+def agg_gini(spark, sf_dir):
+    """Gini coefficient of order value per priority class — the
+    inequality/concentration DQ metric (is 1% of orders carrying 90%
+    of revenue?), by the exact rank formula
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over the
+    ascending-sorted integer-cents values. Everything up to the final
+    division is exact BIGINT; the division is a single integer
+    floor-div to micro-units, so the statistic hashes bit-for-bit.
+    Rank ties share a value, so tiebreak order cannot change
+    sum(i*x_i) — the tiebreaker exists only for determinism of the
+    intermediate frame.
+
+    Plan: ONE window exchange on the 5-value priority key (rank
+    assignment), then a combiner-shape aggregate reusing the same
+    partitioning — one shuffle end-to-end, no collect. At 100 TB the
+    per-group sort is the only superlinear stage; groups partition
+    independently."""
+    o = table(spark, sf_dir, "orders")
+    c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.round(F.col("o_totalprice") * 100).asc(), F.col("o_orderkey").asc()
+    )
+    cents = o.select(
+        "o_orderpriority", c.alias("c"), F.row_number().over(w).alias("i")
+    )
+    return (
+        cents.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("tot"),
+            F.sum(F.col("i") * F.col("c")).alias("iwsum"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.col("tot").cast("bigint").alias("total_cents"),
+            # int128 intermediate: num*1e6 overflows BIGINT past ~9e12
+            # of rank-weighted cents (sf0.01 already does); DECIMAL(38)
+            # `div` in Spark == HUGEINT `//` in DuckDB for the
+            # non-negative Gini numerator
+            F.expr(
+                "(CAST(2 * iwsum - (n + 1) * tot AS DECIMAL(38,0))"
+                " * 1000000) div (n * tot)"
+            ).cast("bigint").alias("gini_micro"),
+        )
+        .orderBy("o_orderpriority")
+    )

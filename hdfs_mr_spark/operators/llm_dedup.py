@@ -3026,3 +3026,73 @@ def llm_dedup_lsh_compact(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_dedup_bloom",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, sha256(lower(trim(text))) AS h FROM documents
+),
+base AS (SELECT doc_id, h FROM hashed WHERE doc_id % 3 <> 0),
+batch AS (SELECT doc_id, h FROM hashed WHERE doc_id % 3 = 0)
+SELECT b.doc_id,
+       CAST(MIN(a.doc_id) AS BIGINT) AS dup_of,
+       (MIN(a.doc_id) IS NULL) AS is_new
+FROM batch b LEFT JOIN base a ON a.h = b.h
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+""",
+    family=_FAM,
+)
+def llm_dedup_bloom(spark, sf_dir):
+    """BLOOM-prefiltered incremental exact dedup — the ingest-side
+    shape of llm_dedup_exact at 100 TB: new batch docs (doc_id%3==0)
+    check their normalized content hash against the existing corpus
+    (doc_id%3!=0), and a 16-kbit relational bloom built from the BASE
+    hashes (the join_bloom_prefilter kernels, shared) prefilters the
+    batch as a broadcast projection, so non-duplicate docs — the
+    overwhelming majority of a real crawl — never shuffle into the
+    hash equi-join at all. False positives die in the exact join;
+    false negatives are structurally impossible, which the oracle
+    PROVES: it replays the plain (bloomless) left join, so any batch
+    doc the bloom wrongly dropped would hash-mismatch as a missing
+    dup verdict.
+
+    Plan: one combiner aggregate builds the bloom words, one broadcast
+    carries the 256-entry map, and the residual exact join sees only
+    bloom-surviving batch rows + the base side. At 100 TB the bloom is
+    a persisted artifact maintained beside the corpus (bloom union =
+    bit_or of word frames, see the streaming LSH absorb)."""
+    from hdfs_mr_spark.operators.joins import (
+        bloom_map_of,
+        bloom_prefilter,
+        bloom_words_of,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h")
+    )
+    base = hashed.filter(F.col("doc_id") % 3 != 0)
+    batch = hashed.filter(F.col("doc_id") % 3 == 0)
+    bloom = bloom_map_of(bloom_words_of(base, F.col("h")))
+    maybe = bloom_prefilter(batch, bloom, F.col("h"))
+    hits = (
+        maybe.join(
+            base.select(F.col("doc_id").alias("aid"), F.col("h").alias("h2")),
+            F.col("h") == F.col("h2"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("aid").alias("dup_of"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+            F.col("dup_of").isNull().alias("is_new"),
+        )
+        .orderBy("doc_id")
+    )

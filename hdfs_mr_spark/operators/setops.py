@@ -1030,3 +1030,89 @@ def set_except_all(spark, sf_dir):
     lo = li.filter(F.col("l_quantity") <= 25).select("l_suppkey", "l_returnflag")
     hi = li.filter(F.col("l_quantity") >= 20).select("l_suppkey", "l_returnflag")
     return lo.exceptAll(hi)
+
+
+@query(
+    "etl_bitemporal_asof",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_orderpriority AS prio,
+         o_orderdate AS valid_from,
+         o_orderdate AS tx_ts
+  FROM orders
+),
+v2 AS (  -- correction recorded 10 days later for every 7th order:
+         -- priority re-stated retroactively (same valid_from)
+  SELECT o_orderkey, '1-URGENT' AS prio,
+         o_orderdate AS valid_from,
+         o_orderdate + INTERVAL 10 DAY AS tx_ts
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+versions AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+picked AS (
+  SELECT o_orderkey, prio, valid_from, tx_ts,
+         row_number() OVER (
+           PARTITION BY o_orderkey
+           ORDER BY tx_ts DESC, prio ASC) AS rn
+  FROM versions
+  WHERE valid_from <= TIMESTAMP '1996-12-31 00:00:00'
+    AND tx_ts     <= TIMESTAMP '1996-06-30 00:00:00'
+)
+SELECT prio AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM picked WHERE rn = 1
+GROUP BY prio
+ORDER BY prio
+""",
+    family=_FAM,
+)
+def etl_bitemporal_asof(spark, sf_dir):
+    """BITEMPORAL as-of query — the two-axis time-travel read every
+    audited warehouse needs (etl_scd2_asof tracks ONE time axis; real
+    ledgers track two): each row versions on VALID time (when the fact
+    was true) and TRANSACTION time (when the system learned it), and
+    the query answers "what did we believe on tx-date T about the
+    state as of valid-date V" — corrections recorded after T are
+    invisible even though they restate earlier valid time. Versions
+    are synthesized deterministically (every 7th order gets a
+    retroactive priority correction recorded 10 days later), the
+    as-of pick is one row_number window per key over the
+    two-predicate-filtered version set, and the bitemporal filters are
+    plain pushable range predicates — at 100 TB they prune partitions
+    before the window sees a row."""
+    o = table(spark, sf_dir, "orders")
+    v1 = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.col("o_orderdate").alias("tx_ts"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("1-URGENT").alias("prio"),
+        F.col("o_orderdate").alias("valid_from"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")).alias("tx_ts"),
+    )
+    versions = v1.unionByName(v2)
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("tx_ts").desc(), F.col("prio").asc()
+    )
+    asof = (
+        versions.filter(
+            (F.col("valid_from") <= F.lit("1996-12-31 00:00:00").cast("timestamp"))
+            & (F.col("tx_ts") <= F.lit("1996-06-30 00:00:00").cast("timestamp"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        asof.groupBy(F.col("prio").alias("o_orderpriority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -2144,3 +2144,171 @@ def ts_decompose_classical(spark, sf_dir):
         )
         .orderBy("event_type", "hidx")
     )
+
+
+@query(
+    "win_drawdown",
+    oracle="""
+WITH cents AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         MAX(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS runmax
+  FROM events WHERE value IS NOT NULL
+),
+dd AS (
+  SELECT user_id, runmax - c AS dd,
+         CASE WHEN runmax > 0
+              THEN ((runmax - c) * 1000000) // runmax ELSE 0 END AS ddm
+  FROM cents
+)
+SELECT user_id,
+       CAST(MAX(dd) AS BIGINT) AS max_dd_cents,
+       CAST(MAX(ddm) AS BIGINT) AS max_dd_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM dd GROUP BY user_id
+HAVING MAX(dd) > 0
+ORDER BY user_id
+""",
+    family=_FAM,
+)
+def win_drawdown(spark, sf_dir):
+    """Maximum drawdown per user series — the classic running-peak
+    window statistic (finance's risk gate, equally a sensor-health
+    monitor): running max of the integer-cents value over (ts,
+    event_id) order, drawdown = peak - current, reported as the worst
+    absolute drop AND the worst relative drop in integer micro-units
+    (floor-div — no float division order to disagree on). Only
+    drawn-down users emit (HAVING > 0).
+
+    Plan: ONE window exchange on user_id (growing ROWS frame — the
+    O(p) incremental processor, never the shrinking-frame quadratic),
+    then a combiner-shape re-aggregate on the same key; the second
+    stage reuses the window's hash partitioning, so one shuffle total
+    end-to-end. Scales to any user cardinality; per-user series length
+    is the only frame cost."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cents = ev.select(
+        "user_id", c.alias("c"), F.max(c).over(w).alias("runmax")
+    )
+    dd = cents.select(
+        "user_id",
+        (F.col("runmax") - F.col("c")).alias("dd"),
+        F.when(
+            F.col("runmax") > 0,
+            F.expr("((runmax - c) * 1000000) div runmax"),
+        ).otherwise(F.lit(0)).alias("ddm"),
+    )
+    return (
+        dd.groupBy("user_id")
+        .agg(
+            F.max("dd").cast("bigint").alias("max_dd_cents"),
+            F.max("ddm").cast("bigint").alias("max_dd_micro"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .filter(F.col("max_dd_cents") > 0)
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "ts_mann_kendall",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS x
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, day
+),
+pairs AS (
+  SELECT a.event_type,
+         SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY a.event_type
+),
+nn AS (SELECT event_type, COUNT(*) AS n FROM daily GROUP BY event_type)
+SELECT n.event_type,
+       CAST(COALESCE(p.s, 0) AS BIGINT) AS s,
+       CAST(n.n AS BIGINT) AS n_days,
+       CAST(n.n * (n.n - 1) * (2 * n.n + 5) AS BIGINT) AS var18,
+       CASE WHEN COALESCE(p.s, 0) > 0 THEN 'increasing'
+            WHEN COALESCE(p.s, 0) < 0 THEN 'decreasing'
+            ELSE 'no trend' END AS direction,
+       180000 * COALESCE(p.s, 0) * COALESCE(p.s, 0)
+         > 38416 * n.n * (n.n - 1) * (2 * n.n + 5) AS significant
+FROM nn n LEFT JOIN pairs p ON n.event_type = p.event_type
+ORDER BY n.event_type
+""",
+    family=_FAM,
+)
+def ts_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test per event type — the nonparametric
+    monotone-trend gate (no distribution assumption, robust to the
+    fixture's seasonality): S = sum over day pairs of
+    sign(x_later - x_earlier) on the DAILY integer-cents series, with
+    the normal-approximation significance test kept in exact integers
+    (z^2 > 1.96^2 rewritten as 18e4*S^2 > 38416*n(n-1)(2n+5) — no
+    sqrt, no float division for engines to disagree on).
+
+    Scale shape: the O(d^2) pair comparison runs on the AGGREGATED
+    daily series (d = days, bounded by the time span — the series
+    compression every published MK-at-scale pipeline applies), never
+    on raw events: raw rows collapse in one combiner-shape aggregate,
+    and the per-type self-join is d^2/2 rows of 3 integers. A century
+    of days is 36k rows -> 0.6G pairs per type at the absolute worst;
+    the fixture's ~2 years is trivial everywhere."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("x"))
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"), F.col("x").alias("x2"),
+    )
+    s = (
+        daily.join(
+            b, (daily.event_type == b.et2) & (daily.day < b.day2)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("x2") > F.col("x"), 1)
+                .when(F.col("x2") < F.col("x"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count("*").alias("n"))
+    sC = F.coalesce(F.col("s"), F.lit(0))
+    var18 = F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+    return (
+        nn.join(s, "event_type", "left")
+        .select(
+            "event_type",
+            sC.cast("bigint").alias("s"),
+            F.col("n").cast("bigint").alias("n_days"),
+            var18.cast("bigint").alias("var18"),
+            F.when(sC > 0, "increasing")
+            .when(sC < 0, "decreasing")
+            .otherwise("no trend").alias("direction"),
+            (F.lit(180000) * sC * sC > F.lit(38416) * var18).alias(
+                "significant"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -2605,3 +2605,74 @@ def materialize_media_gif_anim(sf_dir: str = ORACLE_SF) -> str:
             path,
         )
     return str(path)
+
+
+# ---------------------------------------------------------------------------
+# BMP pixel-true path (r9): 24-bit uncompressed BI_RGB with the three
+# format quirks a decoder must get right — BGR byte order, BOTTOM-UP
+# row storage, rows padded to 4-byte boundaries. Pixels follow
+# media_px_value, so the DuckDB oracle recomputes the channel sums from
+# the generative formula while Spark decodes the actual bytes.
+
+def make_gradient_bmp(doc_id: int) -> bytes:
+    """A 24bpp BITMAPINFOHEADER BMP whose pixels follow media_px_value."""
+    w, h = media_px_dims(doc_id)
+    stride = (3 * w + 3) & ~3
+    pix = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            row += bytes((
+                media_px_value(x, y, 2, doc_id),  # B
+                media_px_value(x, y, 1, doc_id),  # G
+                media_px_value(x, y, 0, doc_id),  # R
+            ))
+        row += bytes(stride - 3 * w)
+        pix += row
+    data_off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", data_off + len(pix), 0, 0, data_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return hdr + dib + bytes(pix)
+
+
+def bmp_decode_pixels(blob: bytes) -> tuple[int, int, bytes]:
+    """Decode a 24bpp BI_RGB BMP to (w, h, RGB top-down buffer).
+    Refuses compressed / non-24bpp / top-down variants LOUDLY."""
+    if blob[:2] != b"BM":
+        raise ValueError("bad BMP signature")
+    (data_off,) = struct.unpack_from("<I", blob, 10)
+    size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+    if size < 40 or comp != 0 or bpp != 24 or h <= 0:
+        raise ValueError(
+            f"unsupported BMP (dib={size} comp={comp} bpp={bpp} h={h}): "
+            "only bottom-up 24bpp BI_RGB is implemented"
+        )
+    stride = (3 * w + 3) & ~3
+    out = bytearray(3 * w * h)
+    for y in range(h):
+        src = data_off + (h - 1 - y) * stride
+        for x in range(w):
+            b, g, r = blob[src + 3 * x : src + 3 * x + 3]
+            i = 3 * (y * w + x)
+            out[i], out[i + 1], out[i + 2] = r, g, b
+    return w, h, bytes(out)
+
+
+def materialize_media_bmp(sf_dir: str = ORACLE_SF) -> str:
+    """Write the BMP fixture parquet (doc_id, payload) once per
+    testdata fingerprint."""
+    path = _fixture_dir(sf_dir) / "media_bmp.parquet"
+    if not path.exists():
+        ids = list(range(N_MEDIA_PX))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_gradient_bmp(i) for i in ids], pa.binary()
+                ),
+            }),
+            path,
+        )
+    return str(path)

@@ -2433,3 +2433,42 @@ def test_stream_absorb_bloom_regime_equals_batch_twin(spark, tmp_path):
     assert stream_rows == twin_rows and len(stream_rows) > 0
     assert any(r[1] != "keep" for r in stream_rows), \
         "corpus must contain duplicates for the test to bite"
+
+
+def test_bmp_roundtrip_and_refusals():
+    """make_gradient_bmp encodes BGR bottom-up with 4-byte row padding;
+    bmp_decode_pixels must invert all three quirks back to the exact
+    generative pixels, and refuse compressed / non-24bpp / top-down
+    variants loudly."""
+    import struct
+
+    import pytest as _pytest
+
+    from hdfs_mr_spark.sources.media import (
+        bmp_decode_pixels,
+        make_gradient_bmp,
+        media_px_dims,
+        media_px_value,
+    )
+
+    for doc_id in (0, 1, 5, 13):  # both row-padding parities
+        blob = make_gradient_bmp(doc_id)
+        w, h, buf = bmp_decode_pixels(blob)
+        assert (w, h) == media_px_dims(doc_id)
+        for x, y in ((0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1),
+                     (w // 2, h // 2)):
+            for c in range(3):
+                assert buf[3 * (y * w + x) + c] == media_px_value(
+                    x, y, c, doc_id
+                ), (doc_id, x, y, c)
+    blob = bytearray(make_gradient_bmp(3))
+    with _pytest.raises(ValueError, match="signature"):
+        bmp_decode_pixels(b"XX" + bytes(blob[2:]))
+    bad_bpp = bytearray(blob); struct.pack_into("<H", bad_bpp, 28, 32)
+    with _pytest.raises(ValueError, match="unsupported"):
+        bmp_decode_pixels(bytes(bad_bpp))
+    topdown = bytearray(blob)
+    w, h = media_px_dims(3)
+    struct.pack_into("<i", topdown, 22, -h)
+    with _pytest.raises(ValueError, match="unsupported"):
+        bmp_decode_pixels(bytes(topdown))

@@ -9,7 +9,7 @@ deterministic 2% timestamp-gap rate (so gap-aware operators exercise
 their gap paths) — then measures the ts/window operators end-to-end
 (noop sink, min-of-2).
 
-Writes ONE JSON document (default BENCH_r8_ts.json). Deterministic:
+Writes ONE JSON document (default BENCH_r9_ts.json). Deterministic:
 numpy default_rng(SEED), fixed epoch base; no wall-clock in the data.
 
 Usage: python tools/ts_stress.py [--out DIR] [--json PATH] [--rows N]
@@ -49,6 +49,18 @@ BENCH_QUERIES = [
     "win_rolling_regression",
     "dq_distribution_drift",
     "dq_benford_audit",
+    # streaming twins (VERDICT r8 item 7): the 2.10 family's
+    # foreachBatch/state-store drains against the SAME 1M corpus — any
+    # per-micro-batch quadratic the batch twins hide shows up here as
+    # superlinear scaling vs the sf0.1 numbers
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_watermark_late",
+    "stream_dedup",
+    "stream_stateful_custom",
+    "stream_chained_agg",
+    "stream_windowed_topk",
 ]
 
 
@@ -104,7 +116,7 @@ def generate(out_dir: Path, n_rows: int) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/hmr_ts/sft")
-    ap.add_argument("--json", default="BENCH_r8_ts.json")
+    ap.add_argument("--json", default="BENCH_r9_ts.json")
     ap.add_argument("--rows", type=int, default=1_000_000)
     args = ap.parse_args()
 
