@@ -11,6 +11,7 @@ import importlib
 
 _FAMILY_MODULES = (
     "hdfs_mr_spark.sources.scans",
+    "hdfs_mr_spark.sources.lake",
     "hdfs_mr_spark.operators.projection",
     "hdfs_mr_spark.operators.joins",
     "hdfs_mr_spark.operators.aggregates",

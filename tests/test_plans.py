@@ -906,9 +906,13 @@ def test_no_mid_plan_driver_actions(spark, monkeypatch):
     corpus_stats.vocab_size(spark, SF_SMOKE)
     corpus_stats.max_shingle_df(spark, SF_SMOKE)
     corpus_stats.embed_stats(spark, SF_SMOKE)
-    # pre-build the persisted index stores (one-time build, not query)
+    # pre-build the persisted index/table stores (one-time builds, not
+    # query-time work — the lakehouse stores commit their whole version
+    # history on first touch, then every query is a pure snapshot read)
     for store_q in ("llm_sim_knn_ivf_stored", "llm_sim_knn_ivf_delta",
-                    "llm_dedup_lsh_stored", "llm_dedup_lsh_compact"):
+                    "llm_dedup_lsh_stored", "llm_dedup_lsh_compact",
+                    "lake_txn_append", "lake_merge_txn",
+                    "lake_txn_conflict", "lake_vacuum", "lake_checkpoint"):
         all_specs()[store_q].fn(spark, SF_SMOKE)
 
     calls: dict[str, list[str]] = {}

@@ -2472,3 +2472,46 @@ def test_bmp_roundtrip_and_refusals():
     struct.pack_into("<i", topdown, 22, -h)
     with _pytest.raises(ValueError, match="unsupported"):
         bmp_decode_pixels(bytes(topdown))
+
+
+def test_lake_commit_log_primitives(tmp_path):
+    """The lakehouse commit/snapshot kernel, no Spark: put-if-absent
+    commits (os.link EEXIST = detected conflict), log-fold snapshots
+    with remove-tombstones, as-of reads, and checkpoint-rooted folds
+    that skip the replayed tail."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hdfs_mr_spark.sources.lake import (
+        _commit,
+        _log_versions,
+        _snapshot_files,
+    )
+
+    root = tmp_path
+    log = root / "_log"
+    assert _commit(log, 0, {"add": ["data/a", "data/b"], "remove": []})
+    assert _commit(log, 1, {"add": ["data/c"], "remove": []})
+    # conflicting writer loses, then retries at the next version
+    assert not _commit(log, 1, {"add": ["data/x"], "remove": []})
+    assert _commit(log, 2, {"add": ["data/x"], "remove": []})
+    # the losing attempt must not have clobbered v1's content
+    v1 = json.loads((log / "v0000000001.json").read_text())
+    assert v1["add"] == ["data/c"]
+    # COW rewrite: v3 tombstones a+b, adds d
+    assert _commit(log, 3, {"add": ["data/d"], "remove": ["data/a", "data/b"]})
+    assert _log_versions(root) == [0, 1, 2, 3]
+    assert _snapshot_files(root) == ["data/c", "data/d", "data/x"]
+    assert _snapshot_files(root, as_of=1) == ["data/a", "data/b", "data/c"]
+    assert _snapshot_files(root, as_of=0) == ["data/a", "data/b"]
+    # checkpoint at v2: folds rooted there must match the full fold
+    pq.write_table(
+        pa.table({"path": pa.array(sorted({"data/a", "data/b", "data/c",
+                                           "data/x"}), pa.string())}),
+        log / "ckpt_0000000002.parquet",
+    )
+    assert _snapshot_files(root) == ["data/c", "data/d", "data/x"]
+    # as-of BELOW the checkpoint must ignore it
+    assert _snapshot_files(root, as_of=1) == ["data/a", "data/b", "data/c"]
