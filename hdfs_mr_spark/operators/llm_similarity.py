@@ -3083,3 +3083,111 @@ def llm_embed_matryoshka(spark, sf_dir):
         F.col("n_overlap").cast("int").alias("n_overlap"),
         (F.col("n_overlap").cast("double") / 5.0).alias("recall_vs_full"),
     ).orderBy("m", "qid")
+
+
+@query(
+    "llm_sim_range_search",
+    oracle=f"""
+WITH {_SQL_ANN_PARAMS},
+n AS (
+  SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS nrm FROM embeddings
+),
+c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n
+      WHERE vec_id < (SELECT cells FROM p)),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT n.vec_id, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             {_SQL_DOT.format(a='n.embedding', b='c.ce')} / (n.nrm * c.cn) DESC,
+             c.cid ASC) AS rk
+    FROM n CROSS JOIN c
+  ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+probes AS (
+  SELECT qid, cid AS cell FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             {_SQL_DOT.format(a='q.qe', b='c.ce')} / (q.qn * c.cn) DESC,
+             c.cid ASC) AS rk
+    FROM q CROSS JOIN c
+  ) WHERE rk <= (SELECT nprobe FROM p)
+),
+scored AS (
+  SELECT p.qid, a.vec_id,
+         {_SQL_DOT.format(a='q.qe', b='n.embedding')} / (q.qn * n.nrm) AS cosine
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell
+  JOIN q ON q.qid = p.qid
+  JOIN n ON n.vec_id = a.vec_id
+  WHERE a.vec_id <> p.qid
+)
+SELECT qid, vec_id, cosine
+FROM scored WHERE cosine >= 0.3
+ORDER BY qid, vec_id
+""",
+    family=_FAM,
+)
+def llm_sim_range_search(spark, sf_dir):
+    """RANGE (radius) search over the IVF index — the ANN surface kNN
+    cannot express: ALL neighbors with cosine >= tau (0.3 here), not a
+    fixed k — the retrieval shape of dedup sweeps ("everything within
+    a similarity ball") and recall-oriented RAG filters. Same
+    broadcast coarse-quantizer probe as llm_sim_knn_ivf (candidates =
+    probed cells only, O(sqrt(n)) per query; the oracle replays the
+    identical cell restriction, so the approximation is deterministic
+    and hash-exact), but the final stage is a pure predicate — NO
+    window, no top-k sort: unlike kNN, range search needs no per-query
+    ordering at all, so the plan ends in a filter + narrow join,
+    shuffle-free after the candidate equi-join. At 100 TB tau is the
+    only knob: result volume scales with the data's own similarity
+    structure rather than k * queries."""
+    e = table(spark, sf_dir, "embeddings")
+    cells, nprobe, _ = _ann_params(_n_embeddings(spark, sf_dir))
+    n = fan_out(
+        e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    )
+    c = n.filter(F.col("vec_id") < cells).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+
+    def _nearest_cells(side, id_col, emb, nrm, keep):
+        scored = side.join(F.broadcast(c)).select(
+            id_col, F.col("cid"),
+            (_dot(F.col(emb), F.col("ce")) / (F.col(nrm) * F.col("cn")))
+            .alias("ccos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("ccos").desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= keep)
+            .select(id_col, F.col("cid").alias("cell"))
+        )
+
+    assign = _nearest_cells(n, "vec_id", "embedding", "nrm", 1)
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    probes = _nearest_cells(q, "qid", "qe", "qn", nprobe)
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    return (
+        cand.join(F.broadcast(q), "qid")
+        .join(n, "vec_id")
+        .select(
+            "qid", "vec_id",
+            (_dot(F.col("qe"), F.col("embedding"))
+             / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+        .orderBy("qid", "vec_id")
+    )

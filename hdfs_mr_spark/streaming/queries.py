@@ -26,6 +26,7 @@ from __future__ import annotations
 import itertools
 import shutil
 import tempfile
+from pathlib import Path
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -1619,5 +1620,119 @@ def stream_dedup_lsh_absorb(spark, sf_dir):
     q.awaitTermination(600)
     shutil.rmtree(ckpt, ignore_errors=True)
     final = spark.read.parquet(out).orderBy("doc_id").localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return final
+
+
+@query(
+    "stream_lake_append",
+    oracle="""
+WITH batch AS (
+  SELECT doc_id, doc_id % 5 AS bucket
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT bucket,
+       CAST(4 AS BIGINT) AS n_versions,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM batch
+GROUP BY bucket
+ORDER BY bucket
+""",
+    family=_FAM,
+)
+def stream_lake_append(spark, sf_dir):
+    """EXACTLY-ONCE streaming commits into the transactional lake
+    table (§2.14 meets §2.10 — Delta's foreachBatch txn-version
+    discipline): each micro-batch writes its files and commits lake
+    version = batch_id via the put-if-absent primitive, so a RETRIED
+    batch (restart, speculative re-delivery) finds its version already
+    committed and skips — at-least-once delivery becomes exactly-once
+    table content with no dedup column and no sink-side state. The
+    drain then REPLAYS batch 2's commit deliberately (the retry case)
+    and asserts it was refused, and the final snapshot read must
+    hash-match the oracle's batch replay — a double-committed batch
+    would double id_sum and mismatch.
+
+    At 100 TB this is the canonical streaming ingest shape: object
+    store files + a put-if-absent commit per micro-batch; the lake
+    log IS the sink's transaction log."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from hdfs_mr_spark.sources.lake import (
+        _commit,
+        _log_versions,
+        _read_snapshot,
+        _write_files,
+    )
+
+    src = _docs_stream_src(sf_dir)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    root = Path(tempfile.mkdtemp(prefix="hmr_lake_stream_"))
+    replayed = []
+
+    def commit_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        files = _write_files(
+            batch_df.select("doc_id"), root / "data", n_files=1
+        )
+        ok = _commit(root / "_log", int(batch_id),
+                     {"add": files, "remove": []})
+        if not ok:
+            # retried delivery of an already-committed batch: the
+            # orphaned staged files are uncommitted by construction
+            for f in files:
+                (root / f).unlink()
+        if int(batch_id) == 2:
+            # deliberate re-delivery of THIS batch: the put-if-absent
+            # commit must refuse (exactly-once under retry)
+            files2 = _write_files(
+                batch_df.select("doc_id"), root / "data", n_files=1
+            )
+            again = _commit(root / "_log", int(batch_id),
+                            {"add": files2, "remove": []})
+            assert not again, "retried batch double-committed"
+            for f in files2:
+                (root / f).unlink()
+            replayed.append(batch_id)
+
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="hmr_ckpt_")
+    q = (
+        s.writeStream.foreachBatch(commit_batch)
+        .queryName(f"hmr_lake_stream_{next(_COUNTER)}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert replayed, "the retry case never exercised"
+    n_versions = len(_log_versions(root))
+    final = (
+        _read_snapshot(spark, root)
+        .groupBy((F.col("doc_id") % 5).alias("bucket"))
+        .agg(
+            F.lit(n_versions).cast("bigint").alias("n_versions"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+        .orderBy("bucket")
+        .localCheckpoint()
+    )
     shutil.rmtree(root, ignore_errors=True)
     return final
