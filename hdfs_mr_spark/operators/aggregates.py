@@ -1797,19 +1797,25 @@ def agg_gini(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             F.sum("c").alias("tot"),
-            F.sum(F.col("i") * F.col("c")).alias("iwsum"),
+            # accumulate rank-weighted cents in DECIMAL(38,0): the
+            # BIGINT sum overflows int64 around sf>=10 per group while
+            # DuckDB's SUM promotes to HUGEINT (ADVICE r9) — per-term
+            # i*c stays well under 2^63 even at sf1e5, so only the
+            # accumulator needs 128 bits
+            F.sum((F.col("i") * F.col("c")).cast("decimal(38,0)"))
+            .alias("iwsum"),
         )
         .select(
             "o_orderpriority",
             F.col("n").cast("bigint").alias("n_orders"),
             F.col("tot").cast("bigint").alias("total_cents"),
-            # int128 intermediate: num*1e6 overflows BIGINT past ~9e12
-            # of rank-weighted cents (sf0.01 already does); DECIMAL(38)
-            # `div` in Spark == HUGEINT `//` in DuckDB for the
-            # non-negative Gini numerator
+            # whole numerator in 128-bit: num*1e6 overflows BIGINT past
+            # ~9e12 of rank-weighted cents (sf0.01 already does);
+            # DECIMAL(38) `div` in Spark == HUGEINT `//` in DuckDB for
+            # the non-negative Gini numerator
             F.expr(
-                "(CAST(2 * iwsum - (n + 1) * tot AS DECIMAL(38,0))"
-                " * 1000000) div (n * tot)"
+                "((2 * iwsum - (CAST(n AS DECIMAL(38,0)) + 1) * tot)"
+                " * 1000000) div (CAST(n AS DECIMAL(38,0)) * tot)"
             ).cast("bigint").alias("gini_micro"),
         )
         .orderBy("o_orderpriority")

@@ -784,9 +784,23 @@ def llm_dedup_embed(spark, sf_dir):
     )
 
 
+# Candidate-generation df cap for the capped n-gram dedup: posting
+# lists longer than this never generate candidate pairs (the verify
+# still scores FULL shingle sets). 64 keeps every fixture pair and cuts
+# the Zipf-head posting joins that made the uncapped op the family's
+# scale outlier (PERF.md r8: 15x wall on 10x docs).
+_NGRAM_DF_CAP = 64
+
+
 @query(
     "llm_dedup_near_ngram",
-    oracle="""
+    # The oracle REPLAYS THE REGIME DISPATCH (ADVICE r9 medium): the
+    # `regime` CTE computes the same max-shingle-df stat the Spark plan
+    # gates on, candidate generation switches on it exactly as the
+    # implementation does, and scoring is full-set Jaccard either way —
+    # so the op's DECLARED semantics match its plan in BOTH regimes by
+    # construction, not just empirically on the Zipf stress corpus.
+    oracle=f"""
 WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(l) - 1),
@@ -795,10 +809,27 @@ WITH sh AS (
 ),
 tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+dfreq AS (SELECT s, COUNT(*) AS df FROM tok GROUP BY s),
+regime AS (SELECT MAX(df) > {_NGRAM_DF_CAP} AS capped FROM dfreq),
+rare AS (
+  SELECT t.doc_id, t.s FROM tok t
+  JOIN dfreq f ON t.s = f.s WHERE f.df <= {_NGRAM_DF_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  WHERE NOT (SELECT capped FROM regime)
+  UNION
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE (SELECT capped FROM regime)
+),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS n_common
+  FROM cand c
+  JOIN tok a ON a.doc_id = c.d1
+  JOIN tok b ON b.doc_id = c.d2 AND b.s = a.s
+  GROUP BY c.d1, c.d2
 )
 SELECT i.d1, i.d2,
        CAST(i.n_common AS DOUBLE)
@@ -828,20 +859,16 @@ def llm_dedup_near_ngram(spark, sf_dir):
     (shared with llm_dedup_near_ngram_capped), whose head/rare split
     keeps every bucket <= cap^2 BY CONSTRUCTION while still scoring
     exact full-set Jaccard (identical pair set on the stress corpus:
-    0 missed / 0 extra, BENCH_r8_zipf)."""
+    0 missed / 0 extra, BENCH_r8_zipf). Since r10 the DISPATCH IS THE
+    DECLARED SEMANTICS: the oracle replays the same max-df regime
+    switch, so a corpus where df-capping drops a boilerplate-only pair
+    (common shingles exclusively df > cap) is in-contract on both
+    sides rather than an empirical coincidence (ADVICE r9 medium)."""
     if corpus_stats.max_shingle_df(spark, sf_dir) > _NGRAM_DF_CAP:
         return _capped_trigram_pairs(spark, sf_dir).orderBy("d1", "d2")
     return _trigram_exact_pairs(spark, sf_dir).select(
         "d1", "d2", F.col("jaccard").alias("jaccard3")
     ).orderBy("d1", "d2")
-
-
-# Candidate-generation df cap for the capped n-gram dedup: posting
-# lists longer than this never generate candidate pairs (the verify
-# still scores FULL shingle sets). 64 keeps every fixture pair and cuts
-# the Zipf-head posting joins that made the uncapped op the family's
-# scale outlier (PERF.md r8: 15x wall on 10x docs).
-_NGRAM_DF_CAP = 64
 
 
 @query(

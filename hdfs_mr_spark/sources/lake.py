@@ -62,16 +62,34 @@ _SQL_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
 def _commit(log_dir: Path, version: int, actions: dict) -> bool:
     """Put-if-absent commit of ``version``: stage the full JSON to a
     temp file, publish via os.link (target appears atomically with
-    complete content; EEXIST = another writer won the version)."""
+    complete content; EEXIST = another writer won the version).
+
+    Filesystems without hard links (some overlay/network mounts) raise
+    OSError from link(); we degrade to O_CREAT|O_EXCL + write + fsync —
+    still put-if-absent, but the target becomes visible before its
+    content is complete, so readers must tolerate a torn tail (they do:
+    json.loads raises and the snapshot fold retries). ADVICE r9."""
     log_dir.mkdir(parents=True, exist_ok=True)
-    tmp = log_dir / f".tmp_{uuid.uuid4().hex}"
-    tmp.write_text(json.dumps(actions, sort_keys=True))
+    payload = json.dumps(actions, sort_keys=True)
     target = log_dir / f"v{version:010d}.json"
+    tmp = log_dir / f".tmp_{uuid.uuid4().hex}"
+    tmp.write_text(payload)
     try:
         os.link(tmp, target)
         return True
     except FileExistsError:
         return False
+    except OSError:
+        # no-hard-link fallback: O_CREAT|O_EXCL is the atomic claim
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        return True
     finally:
         tmp.unlink(missing_ok=True)
 

@@ -1140,13 +1140,29 @@ def sink_python_datasource(spark, sf_dir):
             # the driver); abort() never runs for it because the JOB
             # succeeded. Such temps are by-construction uncommitted attempts
             # — delete them here, exactly as FileOutputCommitter discards
-            # non-committed attempt directories on job commit.
+            # non-committed attempt directories on job commit. A zombie
+            # attempt can still write AFTER this scan, so re-scan and WARN
+            # (ADVICE r9: keep the commit-discipline invariant observable
+            # instead of silently dropping it); readers skip _-prefixed
+            # files either way.
             for f in _os.listdir(self.path):
                 if f.startswith("_tmp_"):
                     try:
                         _os.remove(_os.path.join(self.path, f))
                     except OSError:
                         pass
+            leftovers = [
+                f for f in _os.listdir(self.path) if f.startswith("_tmp_")
+            ]
+            if leftovers:
+                import warnings as _warnings
+
+                _warnings.warn(
+                    "sink_python_datasource: %d orphan temp(s) persisted "
+                    "after job-commit cleanup (zombie task attempts): %s"
+                    % (len(leftovers), leftovers[:4]),
+                    stacklevel=2,
+                )
 
         def abort(self, messages):
             import os as _os

@@ -1521,7 +1521,15 @@ def stream_dedup_lsh_absorb(spark, sf_dir):
         if batch_df.isEmpty():
             return
         docs = batch_df.localCheckpoint()
-        keyed = band_keys_of(minhash_sig_of(shingle_frame_of(docs)))
+        # checkpoint=False: per-micro-batch frames are a few hundred
+        # rows, where shingle_frame_of's fan_out + token checkpoint are
+        # two extra jobs of pure scheduling overhead (~1 s/batch of the
+        # r9 drain wall); `keyed` is checkpointed immediately below, so
+        # the shingle transform still evaluates exactly once (ADVICE r9
+        # wired the parameter into its stated beneficiary).
+        keyed = band_keys_of(
+            minhash_sig_of(shingle_frame_of(docs, checkpoint=False))
+        )
         keyed = keyed.localCheckpoint()  # probe AND absorb consume it
         stored = spark.read.parquet(post_path).select(
             F.col("doc_id").alias("aid"), "band",
