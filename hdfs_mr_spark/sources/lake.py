@@ -100,6 +100,13 @@ def _log_versions(root: Path) -> list[int]:
     )
 
 
+def _add_path(entry) -> str:
+    """An ``add`` action is a bare path (r9 format) or a dict carrying
+    per-file column stats (r10, Delta's stats-in-add discipline):
+    ``{"path": ..., "stats": {col: {"min": v, "max": v}}}``."""
+    return entry["path"] if isinstance(entry, dict) else entry
+
+
 def _snapshot_files(root: Path, as_of: int | None = None) -> list[str]:
     """Fold the commit log into the live file set at version
     ``as_of`` (None = latest). Starts from the newest checkpoint at or
@@ -125,8 +132,72 @@ def _snapshot_files(root: Path, as_of: int | None = None) -> list[str]:
             continue
         acts = json.loads((root / "_log" / f"v{v:010d}.json").read_text())
         live.difference_update(acts.get("remove", []))
-        live.update(acts.get("add", []))
+        live.update(_add_path(e) for e in acts.get("add", []))
     return sorted(live)
+
+
+def _snapshot_adds(root: Path, as_of: int | None = None) -> dict:
+    """Live file -> stats dict ({} when the add carried none) at
+    version ``as_of`` — the metadata a data-skipping reader folds.
+    Pure log replay (no checkpoint fast path here: a production
+    checkpoint would carry the stats columns too)."""
+    out: dict[str, dict] = {}
+    for v in _log_versions(root):
+        if as_of is not None and v > as_of:
+            break
+        acts = json.loads((root / "_log" / f"v{v:010d}.json").read_text())
+        for r in acts.get("remove", []):
+            out.pop(r, None)
+        for e in acts.get("add", []):
+            if isinstance(e, dict):
+                out[e["path"]] = e.get("stats", {})
+            else:
+                out[e] = {}
+    return out
+
+
+def _file_stats(root: Path, rel_path: str, cols: list[str]) -> dict:
+    """TRUE file-level min/max for ``cols``, read from the parquet
+    footer (row-group statistics folded across groups) — the values a
+    writer records into the commit-log add action. Timestamps/dates
+    serialize as ISO strings (lexicographic == chronological)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(root / rel_path)
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    out: dict[str, dict] = {}
+    for c in cols:
+        i = names.index(c)
+        lo = hi = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(i).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            continue  # no stats -> reader must scan the file
+        enc = (lambda x: x.isoformat(sep=" ")
+               if hasattr(x, "isoformat") else x)
+        out[c] = {"min": enc(lo), "max": enc(hi)}
+    return out
+
+
+def _pruned_files(root: Path, col: str, lo, hi,
+                  as_of: int | None = None) -> tuple[list[str], int]:
+    """Data skipping: (files whose [min,max] intersects [lo, hi],
+    live-file count). A file with no recorded stats for ``col`` is
+    conservatively kept — skipping is an optimization, never a filter."""
+    enc = lo.isoformat(sep=" ") if hasattr(lo, "isoformat") else lo
+    enc_hi = hi.isoformat(sep=" ") if hasattr(hi, "isoformat") else hi
+    adds = _snapshot_adds(root, as_of)
+    keep = [
+        f for f, st in sorted(adds.items())
+        if col not in st
+        or (st[col]["max"] >= enc and st[col]["min"] <= enc_hi)
+    ]
+    return keep, len(adds)
 
 
 def _write_files(df, data_dir: Path, n_files: int = 2) -> list[str]:
@@ -520,3 +591,178 @@ def lake_checkpoint(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "lake_stats_skipping",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(7 AS BIGINT) AS files_live,
+       CAST(1 AS BIGINT) AS files_scanned,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_SQL_CENTS}) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    family=_FAM,
+)
+def lake_stats_skipping(spark, sf_dir):
+    """File-level DATA SKIPPING (VERDICT r9 next-round item 1 — the
+    biggest lakehouse read lever after partition pruning): each commit's
+    add action records the file's TRUE parquet-footer min/max for the
+    clustering columns, and a predicate read folds the log's stats to
+    drop files whose [min,max] cannot intersect the predicate BEFORE the
+    parquet scan is planned. The store appends one commit per order
+    year (1995..2001, natural arrival clustering — the table is
+    UNPARTITIONED, no directory scheme); the 1997 predicate read then
+    scans exactly 1 of 7 live files. files_live/files_scanned pin that
+    the pruning really fired (7 -> 1); content hash-checks against the
+    raw replay, so an over-eager prune (dropped live rows) or stats
+    drift (file rewritten without re-stating) mismatches.
+
+    Scale: the fold is O(live files) driver-side metadata — the same
+    work Delta/Iceberg do with add-action stats / manifest ranges — and
+    at 100 TB it is the difference between scanning ~14% and 100% of an
+    unpartitioned table for a time-ranged query. Catalyst's row-group
+    pushdown still applies INSIDE the surviving files (the predicate is
+    also applied to the pruned frame)."""
+    from datetime import datetime
+
+    def build(tmp: Path):
+        o = table(spark, sf_dir, "orders")
+        for k, yr in enumerate(range(1995, 2002)):
+            files = _write_files(
+                o.filter(F.year("o_orderdate") == yr),
+                tmp / "data", n_files=1,
+            )
+            adds = [
+                {"path": f,
+                 "stats": _file_stats(tmp, f, ["o_orderdate", "o_orderkey"])}
+                for f in files
+            ]
+            assert _commit(tmp / "_log", k, {"add": adds, "remove": []})
+
+    root = _publish_store(build, _fixture_dir(sf_dir) / "lake_stats")
+    lo = datetime(1997, 1, 1)
+    hi = datetime(1997, 12, 31, 23, 59, 59, 999999)
+    files, n_live = _pruned_files(root, "o_orderdate", lo, hi)
+    pred = (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        spark.read.parquet(*[str(root / f) for f in files])
+        .filter(pred)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.lit(n_live).cast("bigint").alias("files_live"),
+            F.lit(len(files)).cast("bigint").alias("files_scanned"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        )
+        .select("o_orderstatus", "files_live", "files_scanned",
+                "n_orders", "cents")
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "lake_schema_evolution",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(NULL AS VARCHAR) AS ch, {_SQL_CENTS} AS cents FROM orders
+),
+ev AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'WEB' ELSE 'STORE' END AS ch,
+         {_SQL_CENTS} AS cents
+  FROM orders WHERE o_orderkey % 19 = 0
+),
+un AS (SELECT * FROM base UNION ALL SELECT * FROM ev)
+SELECT coalesce(ch, 'PRE_EVOLUTION') AS o_channel,
+       CAST(6 AS BIGINT) AS v2_ncols,
+       CAST(7 AS BIGINT) AS latest_ncols,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM un
+GROUP BY coalesce(ch, 'PRE_EVOLUTION')
+ORDER BY o_channel
+""",
+    family=_FAM,
+)
+def lake_schema_evolution(spark, sf_dir):
+    """SCHEMA EVOLUTION in the commit log (VERDICT r9 item 3): v3 is an
+    add-column commit — its files carry a new ``o_channel`` column and
+    the commit records a ``metaData`` action re-stating the table
+    schema (Delta's discipline: schema changes are log events, data
+    files are never rewritten). The LATEST snapshot read reconciles
+    v0..v2 six-column files with v3 seven-column files via mergeSchema
+    (NULL backfill for pre-evolution rows), while TIME TRAVEL to v2
+    still returns the original six-column schema — both widths pinned
+    as literals (6/7), content hash-checked against the UNION replay.
+
+    Scale: evolution costs one log entry; readers pay only the footer
+    merge of the schemas actually present in their snapshot — no table
+    rewrite, the property that makes wide-table evolution viable at
+    100 TB."""
+
+    def build(tmp: Path):
+        _base_commits(spark, sf_dir, tmp)
+        ev = (
+            table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 19 == 0)
+            .withColumn(
+                "o_channel",
+                F.when(F.col("o_orderkey") % 2 == 0, F.lit("WEB"))
+                .otherwise(F.lit("STORE")),
+            )
+        )
+        files = _write_files(ev, tmp / "data", n_files=1)
+        assert _commit(tmp / "_log", 3, {
+            "add": files, "remove": [],
+            "metaData": {"schemaChange": "add column o_channel string"},
+        })
+
+    root = _publish_store(build, _fixture_dir(sf_dir) / "lake_evolve")
+    old = _read_snapshot(spark, root, as_of=2)
+    v2_ncols = len(old.columns)
+    latest_files = _snapshot_files(root)
+    latest = spark.read.option("mergeSchema", "true").parquet(
+        *[str(root / f) for f in latest_files]
+    )
+    latest_ncols = len(latest.columns)
+    assert "o_channel" not in old.columns and "o_channel" in latest.columns
+    return (
+        latest
+        .groupBy(
+            F.coalesce(F.col("o_channel"), F.lit("PRE_EVOLUTION"))
+            .alias("o_channel")
+        )
+        .agg(
+            F.lit(v2_ncols).cast("bigint").alias("v2_ncols"),
+            F.lit(latest_ncols).cast("bigint").alias("latest_ncols"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        )
+        .select("o_channel", "v2_ncols", "latest_ncols", "n_orders", "cents")
+        .orderBy("o_channel")
+    )
+
+
+def version_adds(root: Path, version: int) -> list[str]:
+    """Files ADDED by commit ``version`` — the unit of an incremental
+    (streaming) read. REFUSES versions carrying remove-actions: a COW
+    merge/delete changes already-delivered rows, which an append-tail
+    consumer cannot represent (Delta's streaming source fails the same
+    way unless ignoreChanges is set); the caller must re-seed from a
+    full snapshot instead."""
+    acts = json.loads((root / "_log" / f"v{version:010d}.json").read_text())
+    if acts.get("remove"):
+        raise ValueError(
+            f"version {version} contains remove-actions; "
+            "an append-only tail cannot represent data changes"
+        )
+    return [_add_path(e) for e in acts.get("add", [])]

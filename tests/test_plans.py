@@ -912,7 +912,8 @@ def test_no_mid_plan_driver_actions(spark, monkeypatch):
     for store_q in ("llm_sim_knn_ivf_stored", "llm_sim_knn_ivf_delta",
                     "llm_dedup_lsh_stored", "llm_dedup_lsh_compact",
                     "lake_txn_append", "lake_merge_txn",
-                    "lake_txn_conflict", "lake_vacuum", "lake_checkpoint"):
+                    "lake_txn_conflict", "lake_vacuum", "lake_checkpoint",
+                    "lake_stats_skipping", "lake_schema_evolution"):
         all_specs()[store_q].fn(spark, SF_SMOKE)
 
     calls: dict[str, list[str]] = {}
@@ -1122,3 +1123,30 @@ def test_ppjoin_equals_bitmask_near_pairs(spark):
     nr = {(r.d1, r.d2) for r in
           all_specs()["llm_dedup_near"].fn(spark, SF_SMOKE).collect()}
     assert pp == nr and len(pp) > 0
+
+
+def test_lake_stats_skipping_scans_one_file(spark):
+    """Data skipping must reach the PHYSICAL scan: on the real
+    year-clustered store the 1997-predicate read plans exactly 1 of the
+    7 live files as its input (the scan_partition_pruned discipline,
+    applied to commit-log stats instead of directory partitions) — and
+    the pruned scan still pushes the residual predicate down."""
+    from datetime import datetime
+
+    from hdfs_mr_spark.sources.lake import _pruned_files
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    # build (or reuse) the store, then interrogate the layout directly
+    df = all_specs()["lake_stats_skipping"].fn(spark, SF_SMOKE)
+    root = _fixture_dir(SF_SMOKE) / "lake_stats"
+    files, live = _pruned_files(
+        root, "o_orderdate",
+        datetime(1997, 1, 1), datetime(1997, 12, 31, 23, 59, 59, 999999),
+    )
+    assert live == 7 and len(files) == 1, (live, files)
+    # the op's own plan reads exactly that one file
+    inputs = df.inputFiles()
+    assert len(inputs) == 1 and files[0] in inputs[0], inputs
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split(
+        "PushedFilters", 1)[1][:200]

@@ -2515,3 +2515,67 @@ def test_lake_commit_log_primitives(tmp_path):
     assert _snapshot_files(root) == ["data/c", "data/d", "data/x"]
     # as-of BELOW the checkpoint must ignore it
     assert _snapshot_files(root, as_of=1) == ["data/a", "data/b", "data/c"]
+
+
+def test_lake_stats_skipping_kernel(tmp_path):
+    """Data-skipping kernel, no Spark: stats-carrying add actions fold
+    through remove-tombstones; pruning keeps exactly the overlapping
+    [min,max] files, keeps stat-less files CONSERVATIVELY, and the
+    boundary is inclusive on both ends (a file whose max == lo or
+    min == hi must be scanned)."""
+    from hdfs_mr_spark.sources.lake import (
+        _commit,
+        _pruned_files,
+        _snapshot_adds,
+        _snapshot_files,
+    )
+
+    log = tmp_path / "_log"
+    s = lambda a, b: {"k": {"min": a, "max": b}}  # noqa: E731
+    assert _commit(log, 0, {"add": [
+        {"path": "data/a", "stats": s(0, 9)},
+        {"path": "data/b", "stats": s(10, 19)},
+    ], "remove": []})
+    assert _commit(log, 1, {"add": [
+        {"path": "data/c", "stats": s(20, 29)},
+        {"path": "data/nostats"},  # bare-path r9 format: no stats
+    ], "remove": []})
+    # COW rewrite of b — new file, new stats; old tombstoned
+    assert _commit(log, 2, {"add": [
+        {"path": "data/b2", "stats": s(12, 17)},
+    ], "remove": ["data/b"]})
+    assert _snapshot_files(tmp_path) == [
+        "data/a", "data/b2", "data/c", "data/nostats"]
+    adds = _snapshot_adds(tmp_path)
+    assert adds["data/b2"]["k"]["min"] == 12 and adds["data/nostats"] == {}
+    files, live = _pruned_files(tmp_path, "k", 12, 17)
+    assert live == 4 and files == ["data/b2", "data/nostats"]
+    # inclusive boundaries both ends
+    assert _pruned_files(tmp_path, "k", 9, 9)[0] == ["data/a", "data/nostats"]
+    assert _pruned_files(tmp_path, "k", 29, 40)[0] == [
+        "data/c", "data/nostats"]
+    # disjoint range: only the conservative stat-less file survives
+    assert _pruned_files(tmp_path, "k", 100, 200)[0] == ["data/nostats"]
+    # as-of prunes against the HISTORICAL file set (pre-COW b, not b2)
+    files_v1, live_v1 = _pruned_files(tmp_path, "k", 12, 17, as_of=1)
+    assert live_v1 == 4 and files_v1 == ["data/b", "data/nostats"]
+
+
+def test_lake_version_adds_refuses_removes(tmp_path):
+    """The streaming-tail unit (one commit's added files) serves append
+    commits and REFUSES remove-carrying versions — an append tail
+    cannot represent data changes (Delta-without-ignoreChanges)."""
+    import pytest as _pytest
+
+    from hdfs_mr_spark.sources.lake import _commit, version_adds
+
+    log = tmp_path / "_log"
+    assert _commit(log, 0, {"add": ["data/a"], "remove": []})
+    assert _commit(log, 1, {"add": [
+        {"path": "data/b", "stats": {"k": {"min": 1, "max": 2}}}
+    ], "remove": []})
+    assert _commit(log, 2, {"add": ["data/c"], "remove": ["data/a"]})
+    assert version_adds(tmp_path, 0) == ["data/a"]
+    assert version_adds(tmp_path, 1) == ["data/b"]  # dict add normalized
+    with _pytest.raises(ValueError, match="remove-actions"):
+        version_adds(tmp_path, 2)
