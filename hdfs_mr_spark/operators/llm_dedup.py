@@ -612,20 +612,19 @@ def _shingle_frame(spark, sf_dir):
     return shingle_frame_of(table(spark, sf_dir, "documents"))
 
 
-def shingle_frame_of(docs, checkpoint=True):
+def shingle_frame_of(docs):
     """_shingle_frame over an arbitrary (doc_id, text) frame — the
     entry point the STREAMING absorb uses on per-micro-batch doc
-    frames (same shingle semantics).
-
-    ``checkpoint=False`` skips the token-array materialization AND the
-    fan_out: right for tiny per-micro-batch frames, where the two
-    extra jobs (a defaultParallelism repartition + a checkpoint of a
-    few hundred rows) cost more scheduling than the transform
-    re-evaluation they save (r9 drain profile: ~1 s/batch of the
-    absorb wall was this fixed overhead)."""
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    if checkpoint:
-        toks = fan_out(toks).localCheckpoint()
+    frames (same shingle semantics). A checkpoint=False fast path for
+    tiny batches was proposed (ADVICE r9), wired, and MEASURED SLOWER
+    on both the sf0.1 fixture (+4.8 s/drain) and the Zipf corpus
+    (+26-42 s/drain): the downstream MinHash explodes the shingle
+    transform 24-way, so re-evaluating the un-materialized token
+    arrays always costs more than the two scheduling jobs saved
+    (PERF.md r10). The parameter was dropped."""
+    toks = fan_out(
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+    ).localCheckpoint()
     # size guard: sequence(1, size-2) is DESCENDING ([1,0]) for <3 tokens
     # and element_at(toks, 0) raises — short docs get an empty shingle set
     # (exactly what DuckDB's empty range(1, len-1) produces)
@@ -641,7 +640,7 @@ def shingle_frame_of(docs, checkpoint=True):
     out = toks.select("doc_id", shingles.alias("s")).withColumn(
         "sz", F.size("s")
     )
-    return out.localCheckpoint() if checkpoint else out
+    return out.localCheckpoint()
 
 
 def _minhash_sig(spark, sf_dir):

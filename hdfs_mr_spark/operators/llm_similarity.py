@@ -2159,9 +2159,27 @@ cc AS (
   SELECT vec_id AS ccode, dim, val AS cval
   FROM long CROSS JOIN p WHERE vec_id < cells
 ),
-cdist AS (
+cd0 AS (
   SELECT l.vec_id, c.ccode, SUM((l.val - c.cval) * (l.val - c.cval)) AS cd
   FROM long l JOIN cc c ON c.dim = l.dim
+  GROUP BY l.vec_id, c.ccode
+),
+a0 AS (
+  SELECT vec_id, ccode AS cell0 FROM (
+    SELECT vec_id, ccode,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd ASC, ccode ASC) AS rn
+    FROM cd0
+  ) WHERE rn = 1
+),
+cc1 AS (
+  SELECT a.cell0 AS ccode, l.dim, SUM(l.val) // COUNT(*) AS cval
+  FROM a0 a JOIN long l ON l.vec_id = a.vec_id
+  GROUP BY a.cell0, l.dim
+),
+cdist AS (
+  SELECT l.vec_id, c.ccode, SUM((l.val - c.cval) * (l.val - c.cval)) AS cd
+  FROM long l JOIN cc1 c ON c.dim = l.dim
   GROUP BY l.vec_id, c.ccode
 ),
 ranked AS (
@@ -2179,7 +2197,7 @@ rlong AS (
   SELECT l.vec_id, l.dim, l.dim // 2 AS sub, l.val - c.cval AS val
   FROM long l
   JOIN assign a ON a.vec_id = l.vec_id
-  JOIN cc c ON c.ccode = a.cell AND c.dim = l.dim
+  JOIN cc1 c ON c.ccode = a.cell AND c.dim = l.dim
 ),
 rcb0 AS (
   SELECT vec_id AS code, sub, dim, val AS cval
@@ -2233,7 +2251,7 @@ qres AS (
          q.val - c.cval AS val
   FROM long q
   JOIN probes pr ON pr.qid = q.vec_id
-  JOIN cc c ON c.ccode = pr.cell AND c.dim = q.dim
+  JOIN cc1 c ON c.ccode = pr.cell AND c.dim = q.dim
   WHERE q.vec_id < 10
 ),
 qd AS (
@@ -2290,10 +2308,13 @@ def llm_sim_knn_ivf_pq(spark, sf_dir):
     item 3): the fine quantizer widened from m=8/k=16 (32x compression,
     ADC-ranked recall@5 0.14 at n=2000 — shortlist-only quality) to
     mf=32 two-dim subspaces with kf=clamp(n//4,16,128) codewords (8x
-    compression, see _PQ_MF): measured ADC-ranked recall@5 0.62 at
-    n=500 / 0.56 at n=2000 (ANN_RECALL_r7.json) — usable WITHOUT the
-    rerank stage, with the rerank twin still available for the exact
-    tail.
+    compression, see _PQ_MF). Round 10 (VERDICT r9 item 4): ONE Lloyd
+    round on the coarse quantizer lifted ADC-ranked recall@5 to 0.74
+    at BOTH n=500 and n=2000 (ANN_RECALL_r10.json, from 0.62/0.56) —
+    the advised OPQ-style rotation measured STRICTLY WORSE on this
+    isotropic corpus (ablation in PERF.md r10). Usable WITHOUT the
+    rerank stage, with the rerank twin still the exact-tail default
+    (0.92/0.96).
 
     Plan: centroids and ADC tables broadcast (O(sqrt(n)) and m*k rows —
     never corpus-sized), the corpus is scanned once for assignment and
@@ -2384,11 +2405,6 @@ def _ivf_pq_index_frames(spark, sf_dir, train_below: int | None = None):
     cells, nprobe, _ = _ann_params(n_total)
     kf = _pq_fine_k(n_total)
     subs = _pq_subs(spark, sf_dir)
-    coarse = subs.filter(F.col("vec_id") < cells).select(
-        F.col("vec_id").alias("ccode"),
-        F.col("sub").alias("c_sub"),
-        F.col("v").alias("cv"),
-    )
     # Coarse assignment on FULL 64-dim vectors: one n*cells row per
     # candidate with the whole unrolled distance inside the expression
     # — the sub-split formulation generated 8x the rows (n*cells*m)
@@ -2404,7 +2420,7 @@ def _ivf_pq_index_frames(spark, sf_dir, train_below: int | None = None):
             *[qz(F.element_at("embedding", i + 1)) for i in range(dim)]
         ).alias("v"),
     )
-    cfull = fullv.filter(F.col("vec_id") < cells).select(
+    cfull0 = fullv.filter(F.col("vec_id") < cells).select(
         F.col("vec_id").alias("ccode"), F.col("v").alias("cv")
     )
     # the fixture corpus arrives as ONE parquet file -> one partition,
@@ -2414,6 +2430,65 @@ def _ivf_pq_index_frames(spark, sf_dir, train_below: int | None = None):
     # single-file serial-stage trap, PERF.md r8)
     fullv = fullv.repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    # ONE Lloyd round on the COARSE quantizer (r10 — VERDICT r9 item 4,
+    # resolved by measurement): raw first-`cells` vectors as final
+    # centroids left residuals large enough that fine-PQ quantization
+    # error swamped inter-candidate gaps — no-rerank ADC recall@5 was
+    # 0.56/0.62. The faithful-replica ablation (PERF.md r10) measured
+    # refined centroids at 0.74/0.74 while the advised OPQ-style
+    # rotation HURT (0.50 raw / 0.70 refined; learned-OPQ ceiling +0.02
+    # — the fixture residuals are already isotropic, variance ratio
+    # 1.09 across subspaces). Same exact-BIGINT discipline: truncating
+    # integer div means (Spark `div` == DuckDB `//`), min(struct)
+    # argmin, replayed verbatim in the oracle's a0/cc1 CTEs. For the
+    # delta lifecycle the refine trains on BASE vectors only (the
+    # frozen-index contract extends to centroids).
+    trainv = (fullv if train_below is None
+              else fullv.filter(F.col("vec_id") < train_below))
+
+    def _coarse_refined():
+        cd0 = trainv.crossJoin(F.broadcast(cfull0)).select(
+            "vec_id", "ccode", _pq_dist(dim).alias("cd")
+        )
+        a0 = (
+            cd0.groupBy("vec_id")
+            .agg(F.min(F.struct("cd", "ccode")).alias("m"))
+            .select("vec_id", F.col("m.ccode").alias("cell0"))
+        )
+        return (
+            trainv.join(a0, "vec_id")
+            .select("cell0", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cell0", "dim")
+            .agg(F.expr("sum(val) div count(*)").alias("cval"))
+            .groupBy(F.col("cell0").alias("ccode"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cv")
+            )
+            # cells x 64 values — bounded at any corpus size
+            .localCheckpoint()
+        )
+
+    cfull = _pq_cached(
+        spark, ("cfull_lloyd1", sf_dir, train_below), _coarse_refined,
+        checkpoint=False,
+    )
+    # subspace layout of the REFINED centroids (what residuals and the
+    # per-cell query tables subtract)
+    coarse = cfull.select(
+        "ccode",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(s).alias("c_sub"),
+                F.slice("cv", s * _PQ_DSUB + 1, _PQ_DSUB).alias("cv2"),
+            )
+            for s in range(_PQ_M)
+        ])).alias("sc"),
+    ).select(
+        "ccode", F.col("sc.c_sub").alias("c_sub"), F.col("sc.cv2").alias("cv")
     )
     cdist = fullv.crossJoin(F.broadcast(cfull)).select(
         "vec_id", "ccode", _pq_dist(dim).alias("cd")
@@ -2674,9 +2749,9 @@ def llm_sim_knn_ivf_pq_stored(spark, sf_dir):
     # (measured: 7.8 s/probe instead of 0.5 s at sf0.1)
     _, nprobe, _ = _ann_params(_n_embeddings(spark, sf_dir))
     subs = _pq_subs(spark, sf_dir)
-    # _st1: sample-trained codebook store layout (r9) — the name
-    # bump invalidates pre-sample-training persisted stores
-    store = _fixture_dir(sf_dir) / "ivf_pq_store_st1"
+    # _cl1: Lloyd-refined coarse-centroid layout (r10) — the name
+    # bump invalidates pre-refine persisted stores
+    store = _fixture_dir(sf_dir) / "ivf_pq_store_cl1"
     codes_path = str(store / "codes")
     cent_path = str(store / "centroids")
     cb_path = str(store / "codebook")
@@ -2789,11 +2864,32 @@ _RD1_ANCHOR = """rd1 AS (
   JOIN rcb0 c ON c.dim = l.dim
   GROUP BY l.vec_id, l.sub, c.code
 ),"""
-if "cc AS (" not in _IVF_PQ_ADC_CTES or _RD1_ANCHOR not in _IVF_PQ_ADC_CTES:
+# r10: the coarse Lloyd refine (a0/cc1) must also train on BASE
+# vectors only in the delta lifecycle — frozen-index contract extends
+# to centroids (mirrors train_below in _ivf_pq_index_frames)
+_A0_ANCHOR = """a0 AS (
+  SELECT vec_id, ccode AS cell0 FROM (
+    SELECT vec_id, ccode,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd ASC, ccode ASC) AS rn
+    FROM cd0
+  ) WHERE rn = 1
+),"""
+_DELTA_A0 = """a0 AS (
+  SELECT vec_id, ccode AS cell0 FROM (
+    SELECT vec_id, ccode,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd ASC, ccode ASC) AS rn
+    FROM cd0
+  ) CROSS JOIN nb WHERE rn = 1 AND vec_id < nb.n_base
+),"""
+if ("cc AS (" not in _IVF_PQ_ADC_CTES
+        or _RD1_ANCHOR not in _IVF_PQ_ADC_CTES
+        or _A0_ANCHOR not in _IVF_PQ_ADC_CTES):
     raise RuntimeError("IVFADC oracle anchors drifted; fix _DELTA_* surgery")
 _IVF_PQ_ADC_DELTA_CTES = _IVF_PQ_ADC_CTES.replace(
     "cc AS (", _DELTA_NB_CTE, 1
-).replace(_RD1_ANCHOR, _DELTA_RD1, 1)
+).replace(_RD1_ANCHOR, _DELTA_RD1, 1).replace(_A0_ANCHOR, _DELTA_A0, 1)
 
 
 @query(
@@ -2839,7 +2935,7 @@ def llm_sim_knn_ivf_pq_delta(spark, sf_dir):
     cells, nprobe, _ = _ann_params(n_total)
     n_base = max(cells, n_total - n_total // 8)
     subs = _pq_subs(spark, sf_dir)
-    store = _fixture_dir(sf_dir) / "ivf_pq_store_delta_st1"
+    store = _fixture_dir(sf_dir) / "ivf_pq_store_delta_cl1"
     codes_path = str(store / "codes")
     cent_path = str(store / "centroids")
     cb_path = str(store / "codebook")

@@ -39,6 +39,10 @@ _FAM = "2.10 streaming"
 
 _COUNTER = itertools.count()
 
+# per-phase wall times from the LAST stream_dedup_lsh_absorb drain run
+# with spark.hdfs_mr.absorb.profile=true (batch_id, phase, sec)
+ABSORB_PROFILE: list = []
+
 def _events_ts_kind(sf_dir: str) -> str:
     """Probe the parquet physical type of events.ts WITHOUT a Spark job.
 
@@ -1432,6 +1436,7 @@ def stream_dedup_lsh_absorb(spark, sf_dir):
     lifecycle is llm_dedup_lsh_stored's claim; this op's claim is the
     incremental absorb under streaming arrival)."""
     import os
+    import time as _time
 
     from pyspark.sql import types as T
 
@@ -1442,6 +1447,20 @@ def stream_dedup_lsh_absorb(spark, sf_dir):
         minhash_sig_of,
         shingle_frame_of,
     )
+
+    # opt-in per-phase profile (PERF.md r10 attribution): conf
+    # spark.hdfs_mr.absorb.profile=true appends (batch, phase, sec)
+    # rows to ABSORB_PROFILE — timers wrap the per-batch ACTIONS, the
+    # only points lazy plans actually spend wall time
+    profiling = (
+        str(spark.conf.get("spark.hdfs_mr.absorb.profile", "false"))
+        .lower() == "true"
+    )
+
+    def _phase(batch_id, name, t0):
+        if profiling:
+            ABSORB_PROFILE.append((batch_id, name, round(_time.time() - t0, 3)))
+        return _time.time()
 
     src = _docs_stream_src(sf_dir)
     schema = T.StructType([
@@ -1520,17 +1539,19 @@ def stream_dedup_lsh_absorb(spark, sf_dir):
     def absorb(batch_df, batch_id):
         if batch_df.isEmpty():
             return
+        t = _time.time()
         docs = batch_df.localCheckpoint()
-        # checkpoint=False: per-micro-batch frames are a few hundred
-        # rows, where shingle_frame_of's fan_out + token checkpoint are
-        # two extra jobs of pure scheduling overhead (~1 s/batch of the
-        # r9 drain wall); `keyed` is checkpointed immediately below, so
-        # the shingle transform still evaluates exactly once (ADVICE r9
-        # wired the parameter into its stated beneficiary).
-        keyed = band_keys_of(
-            minhash_sig_of(shingle_frame_of(docs, checkpoint=False))
-        )
+        t = _phase(batch_id, "batch_materialize", t)
+        # per-batch shingle checkpoint stays ON: the ADVICE-r9 claim
+        # that skipping it saves ~1 s/batch measured FALSE everywhere
+        # this round — skipping cost +4.8 s/drain at sf0.1 (8.6 ->
+        # 13.4 s) and +26-42 s on the Zipf corpus (MinHash explodes
+        # the interpreted shingle transform 24-way, so re-evaluating
+        # un-materialized token arrays always loses; PERF.md r10).
+        # The dead parameter was dropped rather than wired.
+        keyed = band_keys_of(minhash_sig_of(shingle_frame_of(docs)))
         keyed = keyed.localCheckpoint()  # probe AND absorb consume it
+        t = _phase(batch_id, "sign", t)
         stored = spark.read.parquet(post_path).select(
             F.col("doc_id").alias("aid"), "band",
             F.col("h1").alias("g1"), F.col("h2").alias("g2"),
@@ -1598,10 +1619,12 @@ def stream_dedup_lsh_absorb(spark, sf_dir):
             )
             .write.mode("append").parquet(out)
         )
+        t = _phase(batch_id, "probe_verify_write", t)
         # absorb AFTER probing: this batch's postings join the index
         # for every later batch (append-only, base files untouched),
         # and the live bloom absorbs the batch's keys the same way
         keyed.write.mode("append").partitionBy("band").parquet(post_path)
+        t = _phase(batch_id, "absorb_postings", t)
         if use_bloom:
             bloom_words[0] = (
                 bloom_words[0]
@@ -1610,6 +1633,7 @@ def stream_dedup_lsh_absorb(spark, sf_dir):
                 .agg(F.bit_or("bits").alias("bits"))
                 .localCheckpoint()
             )
+            t = _phase(batch_id, "bloom_union", t)
 
     s = (
         spark.readStream.schema(schema)

@@ -2579,3 +2579,51 @@ def test_lake_version_adds_refuses_removes(tmp_path):
     assert version_adds(tmp_path, 1) == ["data/b"]  # dict add normalized
     with _pytest.raises(ValueError, match="remove-actions"):
         version_adds(tmp_path, 2)
+
+
+def test_avi_container_walk_and_refusals():
+    """The MJPEG-AVI kernel, no Spark: real RIFF walk returns exactly
+    the encoded frames with header-consistent dims; pixel decode of a
+    sampled frame matches the generative block formula; non-MJPG
+    codecs, truncated headers, and non-AVI RIFFs are REFUSED."""
+    import struct
+
+    import pytest as _pytest
+
+    from hdfs_mr_spark.sources.media import (
+        avi_decode_frames,
+        avi_frame_block_value,
+        avi_n_frames,
+        jpeg_decode_gray,
+        jpeg_px_dims,
+        make_mjpeg_avi,
+    )
+
+    did = 7
+    blob = make_mjpeg_avi(did)
+    w, h, nf, frames = avi_decode_frames(blob)
+    assert (w, h) == jpeg_px_dims(did) and nf == avi_n_frames(did)
+    assert len(frames) == nf
+    dw, dh, px = jpeg_decode_gray(frames[2])
+    assert (dw, dh) == (w, h)
+    assert sum(px) == sum(
+        avi_frame_block_value(x // 8, y // 8, 2, did)
+        for y in range(h) for x in range(w)
+    )
+    # refusal: foreign codec fourcc in strf
+    t = bytearray(blob)
+    i = t.find(b"MJPG", t.find(b"strf"))
+    t[i:i + 4] = b"XVID"
+    with _pytest.raises(ValueError, match="unsupported AVI codec"):
+        avi_decode_frames(bytes(t))
+    # refusal: not an AVI RIFF
+    t2 = bytearray(blob)
+    t2[8:12] = b"WAVE"
+    with _pytest.raises(ValueError, match="not a RIFF/AVI"):
+        avi_decode_frames(bytes(t2))
+    # refusal: header/movi frame-count disagreement
+    t3 = bytearray(blob)
+    ai = t3.find(b"avih") + 8
+    struct.pack_into("<I", t3, ai + 16, nf + 1)
+    with _pytest.raises(ValueError, match="frame count"):
+        avi_decode_frames(bytes(t3))
