@@ -40,3 +40,42 @@ def test_survey_section2_matches_registry():
     registry = registry_ids()
     assert registry - listed == set(), f"registered but not in §2: {sorted(registry - listed)}"
     assert listed - registry == set(), f"in §2 but not registered: {sorted(listed - registry)}"
+
+
+def test_check_artifacts_cover_registry():
+    """Sweep-discipline gate (VERDICT r9 item 5, made structural): the
+    CURRENT round's committed CHECK artifacts — the newest
+    CHECK_r{N}.json / CHECK_r{N}_sf0.1.json pair in the repo root —
+    must carry a GREEN recorded verdict for every registry entry at
+    BOTH scale factors. Registering an op without running
+    `tools/check.py --merge-into CHECK_r{N}[.sf0.1].json <op>` (or the
+    round-closing full sweep) turns this red, which is exactly the gap
+    round 9 shipped with (two entries, no recorded oracle artifact)."""
+    import json
+    import re
+    from pathlib import Path
+
+    from hdfs_mr_spark.lockstep import registry_ids
+
+    root = Path(__file__).resolve().parents[1]
+
+    def newest(pattern):
+        best, best_n = None, -1
+        for p in root.glob("CHECK_r*.json"):
+            m = re.fullmatch(pattern, p.name)
+            if m and int(m.group(1)) > best_n:
+                best, best_n = p, int(m.group(1))
+        assert best is not None, f"no CHECK artifact matching {pattern}"
+        return best
+
+    reg = registry_ids()
+    for pat in (r"CHECK_r(\d+)\.json", r"CHECK_r(\d+)_sf0\.1\.json"):
+        art = newest(pat)
+        queries = json.loads(art.read_text())["queries"]
+        missing = reg - set(queries)
+        assert missing == set(), (
+            f"{art.name}: registry entries with NO recorded oracle "
+            f"verdict: {sorted(missing)}"
+        )
+        red = sorted(k for k in reg if not queries[k]["ok"])
+        assert red == [], f"{art.name}: recorded FAILs: {red}"

@@ -23,6 +23,11 @@ def main() -> int:
         "--json", default=None, metavar="PATH",
         help="write per-query results as JSON (the CHECK_rN.json artifact)",
     )
+    ap.add_argument(
+        "--merge-into", default=None, metavar="PATH",
+        help="update the named queries' records in an existing CHECK "
+             "artifact in place (per-op upkeep between full sweeps)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -66,6 +71,27 @@ def main() -> int:
                 },
                 f, indent=1, sort_keys=True,
             )
+            f.write("\n")
+    if args.merge_into:
+        # per-op artifact upkeep (VERDICT r9 item 5): update this
+        # round's CHECK artifact in place, so the registry<->artifact
+        # gate (tests/test_parity.py) stays green between the round's
+        # full sweeps and an op can never be registered without a
+        # recorded oracle verdict
+        import json
+        import os
+
+        merged = {"sf": args.sf, "queries": {}}
+        if os.path.exists(args.merge_into):
+            with open(args.merge_into) as f:
+                merged = json.load(f)
+        merged["queries"].update(records)
+        merged["passed"] = sum(1 for r in merged["queries"].values() if r["ok"])
+        merged["failed"] = sum(
+            1 for r in merged["queries"].values() if not r["ok"])
+        merged["total"] = len(merged["queries"])
+        with open(args.merge_into, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
             f.write("\n")
     return 1 if n_fail else 0
 
