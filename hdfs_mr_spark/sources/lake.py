@@ -766,3 +766,106 @@ def version_adds(root: Path, version: int) -> list[str]:
             "an append-only tail cannot represent data changes"
         )
     return [_add_path(e) for e in acts.get("add", [])]
+
+
+@query(
+    "lake_compact_optimize",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderstatus, {_SQL_CENTS} AS cents FROM orders
+),
+late AS (
+  SELECT 'LATE' AS o_orderstatus, {_SQL_CENTS} AS cents
+  FROM orders WHERE o_orderkey % 19 = 0
+),
+un AS (SELECT * FROM base UNION ALL SELECT * FROM late)
+SELECT o_orderstatus,
+       CAST(9 AS BIGINT) AS version,
+       CAST(16 AS BIGINT) AS files_compacted,
+       CAST(3 AS BIGINT) AS files_live,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM un
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    family=_FAM,
+)
+def lake_compact_optimize(spark, sf_dir):
+    """OPTIMIZE (small-file compaction) as one transactional commit,
+    racing a concurrent append — the lifecycle op an append-heavy lake
+    table lives or dies by: 8 streaming-shaped appends leave 16 small
+    files; the compactor reads that snapshot, bin-packs the 16 files
+    into 2 (stats-carrying adds, so data skipping survives
+    compaction), and commits remove(16)+add(2) as ONE version. A
+    concurrent append steals the compactor's target version first
+    (put-if-absent loses), so the compactor RE-READS the log and
+    REVALIDATES before retrying: every file it is tombstoning must
+    still be live — the append touched disjoint files, so the retry
+    commits cleanly at the next version (Delta's disjoint-file
+    conflict resolution; had the race been a COW merge over the same
+    files, the revalidation would force a fresh compaction instead of
+    silently resurrecting replaced data). Content is invariant by
+    construction — the oracle replays orders + the late slice — and
+    the pinned version/file counts prove the race and the packing both
+    happened: a compactor that clobbered the append, double-counted a
+    compacted file, or lost one would hash-mismatch.
+
+    At 100 TB this is the table-maintenance path that keeps scan task
+    counts bounded as micro-batch appends accumulate; rewrites are
+    content-neutral so readers pinned to older versions stay correct
+    until vacuum."""
+
+    def build(tmp: Path):
+        o = table(spark, sf_dir, "orders")
+        for k in range(8):
+            files = _write_files(
+                o.filter(F.col("o_orderkey") % 8 == k), tmp / "data",
+                n_files=2,
+            )
+            assert _commit(tmp / "_log", k, {"add": files, "remove": []})
+        # compactor: snapshot at v7 (16 small files), bin-pack to 2
+        victims = _snapshot_files(tmp)
+        assert len(victims) == 16
+        packed = spark.read.parquet(*[str(tmp / f) for f in victims])
+        new_files = _write_files(packed, tmp / "data", n_files=2)
+        adds = [
+            {"path": f, "stats": _file_stats(tmp, f, ["o_orderkey"])}
+            for f in new_files
+        ]
+        # concurrent append wins version 8 first
+        late = o.filter(F.col("o_orderkey") % 19 == 0).withColumn(
+            "o_orderstatus", F.lit("LATE")
+        )
+        late_files = _write_files(late, tmp / "data", n_files=1)
+        assert _commit(tmp / "_log", 8, {"add": late_files, "remove": []})
+        # compactor's first attempt targets the version it computed
+        # BEFORE the append landed -> put-if-absent refuses
+        assert not _commit(tmp / "_log", 8,
+                           {"add": adds, "remove": victims})
+        # retry: re-read the log, REVALIDATE the tombstone set is
+        # still live (disjoint-file rule), commit at the next version
+        live_now = set(_snapshot_files(tmp))
+        assert set(victims) <= live_now, "conflicting rewrite; recompact"
+        assert _commit(tmp / "_log", 9, {"add": adds, "remove": victims})
+
+    root = _publish_store(build, _fixture_dir(sf_dir) / "lake_compact")
+    ver = _log_versions(root)[-1]
+    files_live = len(_snapshot_files(root))
+    acts = json.loads((root / "_log" / f"v{ver:010d}.json").read_text())
+    return (
+        _read_snapshot(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.lit(ver).cast("bigint").alias("version"),
+            F.lit(len(acts["remove"])).cast("bigint")
+            .alias("files_compacted"),
+            F.lit(files_live).cast("bigint").alias("files_live"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        )
+        .select("o_orderstatus", "version", "files_compacted",
+                "files_live", "n_orders", "cents")
+        .orderBy("o_orderstatus")
+    )

@@ -913,7 +913,8 @@ def test_no_mid_plan_driver_actions(spark, monkeypatch):
                     "llm_dedup_lsh_stored", "llm_dedup_lsh_compact",
                     "lake_txn_append", "lake_merge_txn",
                     "lake_txn_conflict", "lake_vacuum", "lake_checkpoint",
-                    "lake_stats_skipping", "lake_schema_evolution"):
+                    "lake_stats_skipping", "lake_schema_evolution",
+                    "lake_compact_optimize"):
         all_specs()[store_q].fn(spark, SF_SMOKE)
 
     calls: dict[str, list[str]] = {}
