@@ -1820,3 +1820,91 @@ def agg_gini(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_ttest_welch",
+    oracle=f"""
+WITH s AS (
+  SELECT l_returnflag AS g, COUNT(*) AS n,
+         {sql_dsum('l_quantity', 8)} AS s1,
+         {sql_dsum('l_quantity * l_quantity', 4)} AS s2
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+  GROUP BY l_returnflag
+),
+m AS (
+  SELECT g, n, s1 / CAST(n AS DOUBLE) AS mu,
+         (s2 - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+               * CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v
+  FROM s
+),
+j AS (
+  SELECT a.n AS n_a, b.n AS n_b, a.mu AS mu_a, b.mu AS mu_b,
+         a.v / CAST(a.n AS DOUBLE) AS se_a,
+         b.v / CAST(b.n AS DOUBLE) AS se_b
+  FROM m a, m b WHERE a.g = 'A' AND b.g = 'R'
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       mu_a, mu_b,
+       (mu_a - mu_b) / sqrt(se_a + se_b) AS t_stat,
+       ((se_a + se_b) * (se_a + se_b))
+         / (se_a * se_a / (CAST(n_a AS DOUBLE) - 1.0)
+            + se_b * se_b / (CAST(n_b AS DOUBLE) - 1.0)) AS df_welch
+FROM j
+""",
+    family=_FAM,
+)
+def agg_ttest_welch(spark, sf_dir):
+    """Welch's unequal-variance t-test between two cohorts (returned
+    vs accepted lineitems on quantity): t statistic and the
+    Welch–Satterthwaite effective degrees of freedom. Spark's builtin
+    float aggregates are shuffle-order-nondeterministic, so the two
+    power sums ride the decimal kernel (agg_stats' discipline) and
+    every downstream step — sample variance, standard errors, t, df —
+    is an identically-parenthesized IEEE chain in both engines
+    (division and sqrt are correctly rounded, so identical inputs give
+    bit-identical outputs).
+
+    Plan: ONE combiner-shape aggregate over one scan produces both
+    cohorts' sufficient statistics (n, Σx, Σx²); the test itself is a
+    broadcast join of two 1-row frames — at 100 TB the cost is the
+    scan, the statistics are free."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    qc = F.col("l_quantity")
+    s = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.count("*").alias("n"),
+        dsum(qc, 8).alias("s1"),
+        dsum(qc * qc, 4).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s1") / nd
+    m = s.select(
+        "g", "n", mu.alias("mu"),
+        ((F.col("s2") - mu * mu * nd) / (nd - F.lit(1.0))).alias("v"),
+    )
+    a = m.filter(F.col("g") == "A").select(
+        F.col("n").alias("n_a"), F.col("mu").alias("mu_a"),
+        (F.col("v") / F.col("n").cast("double")).alias("se_a"),
+    )
+    b = m.filter(F.col("g") == "R").select(
+        F.col("n").alias("n_b"), F.col("mu").alias("mu_b"),
+        (F.col("v") / F.col("n").cast("double")).alias("se_b"),
+    )
+    se = F.col("se_a") + F.col("se_b")
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    return a.join(F.broadcast(b)).select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "mu_a", "mu_b",
+        ((F.col("mu_a") - F.col("mu_b")) / F.sqrt(se)).alias("t_stat"),
+        (
+            (se * se)
+            / (
+                F.col("se_a") * F.col("se_a") / (na_d - F.lit(1.0))
+                + F.col("se_b") * F.col("se_b") / (nb_d - F.lit(1.0))
+            )
+        ).alias("df_welch"),
+    )

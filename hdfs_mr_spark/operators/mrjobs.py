@@ -1314,3 +1314,106 @@ def mr_label_propagation(spark, sf_dir):
         )
         .orderBy("node")
     )
+
+
+@query(
+    "mr_apriori",
+    oracle="""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS oid,
+         CAST(floor(sqrt(l_partkey % 144)) AS BIGINT) AS item
+  FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT oid) AS n_baskets FROM b),
+l1 AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS support
+  FROM b GROUP BY item
+  HAVING COUNT(*) * 5 >= (SELECT n_baskets FROM n)
+),
+l2 AS (
+  SELECT x.item AS ia, y.item AS ib, CAST(COUNT(*) AS BIGINT) AS support
+  FROM b x
+  JOIN b y ON x.oid = y.oid AND x.item < y.item
+  WHERE x.item IN (SELECT item FROM l1)
+    AND y.item IN (SELECT item FROM l1)
+  GROUP BY x.item, y.item
+  HAVING COUNT(*) * 5 >= (SELECT n_baskets FROM n)
+)
+SELECT CAST(1 AS BIGINT) AS set_size, item AS item_a,
+       CAST(NULL AS BIGINT) AS item_b, support
+FROM l1
+UNION ALL
+SELECT CAST(2 AS BIGINT), ia, ib, support FROM l2
+ORDER BY set_size, item_a, item_b
+""",
+    family=_FAM,
+)
+def mr_apriori(spark, sf_dir):
+    """A-PRIORI frequent-itemset mining (Agrawal & Srikant, VLDB'94 —
+    the canonical two-round MapReduce workload after wordcount):
+    baskets are orders, items a triangular-skewed part bucket
+    (floor(sqrt(partkey%144)) — item k carries weight (2k+1)/144, so
+    the 20% support threshold genuinely discriminates: a handful of
+    head items pass level 1, most candidate pairs die at level 2).
+    Level 1 is a combiner groupBy; level 2 generates candidates ONLY
+    from frequent items — the baskets are pre-filtered by a BROADCAST
+    semi-join against L1 before the within-basket self-join, which is
+    the a-priori downward-closure prune doing real work: the pair
+    expansion is bounded by (frequent items per basket choose 2), not
+    (basket size choose 2).
+
+    Scale: L1 is map-side-combined counting; the L2 self-join is an
+    equi-join on basket id whose fan-out the prune bounds, then a
+    second combiner aggregate — shuffle volume O(candidate
+    occurrences), never O(baskets²). The support threshold is applied
+    by joining the broadcast 1-row basket count (integer cross-multiply,
+    no float ratio)."""
+    li = table(spark, sf_dir, "lineitem")
+    b = (
+        li.select(
+            F.col("l_orderkey").alias("oid"),
+            F.floor(F.sqrt(F.col("l_partkey") % 144))
+            .cast("bigint").alias("item"),
+        )
+        .distinct()
+    )
+    tot = b.agg(F.countDistinct("oid").alias("n_baskets"))
+    l1 = (
+        b.groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .join(F.broadcast(tot))
+        .filter(F.col("support") * 5 >= F.col("n_baskets"))
+    )
+    freq = l1.select("item")
+    bf = b.join(F.broadcast(freq), "item")  # downward-closure prune
+    pairs = (
+        bf.select(F.col("oid"), F.col("item").alias("ia"))
+        .join(
+            bf.select(F.col("oid"), F.col("item").alias("ib")),
+            "oid",
+        )
+        .filter(F.col("ia") < F.col("ib"))
+    )
+    l2 = (
+        pairs.groupBy("ia", "ib")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .join(F.broadcast(tot))
+        .filter(F.col("support") * 5 >= F.col("n_baskets"))
+    )
+    return (
+        l1.select(
+            F.lit(1).cast("bigint").alias("set_size"),
+            F.col("item").alias("item_a"),
+            F.lit(None).cast("bigint").alias("item_b"),
+            "support",
+        )
+        .unionByName(
+            l2.select(
+                F.lit(2).cast("bigint").alias("set_size"),
+                F.col("ia").alias("item_a"),
+                F.col("ib").alias("item_b"),
+                "support",
+            )
+        )
+        .orderBy("set_size", "item_a", "item_b")
+    )

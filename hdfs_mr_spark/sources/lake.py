@@ -869,3 +869,403 @@ def lake_compact_optimize(spark, sf_dir):
                 "files_live", "n_orders", "cents")
         .orderBy("o_orderstatus")
     )
+
+
+def _snapshot_delete_files(root: Path, as_of: int | None = None) -> list[str]:
+    """Live position-delete sidecars at ``as_of`` — the merge-on-read
+    fold. A ``deleteVectors`` action publishes Iceberg-style position
+    delete files ({path, pos} rows; one sidecar may cover many data
+    files). Entries pointing at since-removed data files are inert:
+    the read-side anti-join matches on (path, pos), and a removed
+    file's rows are no longer in the scan."""
+    out: list[str] = []
+    for v in _log_versions(root):
+        if as_of is not None and v > as_of:
+            break
+        acts = json.loads((root / "_log" / f"v{v:010d}.json").read_text())
+        out += [d["file"] for d in acts.get("deleteVectors", [])]
+    return out
+
+
+@query(
+    "lake_delete_vectors",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(6 AS BIGINT) AS files_live,
+       CAST(0 AS BIGINT) AS files_rewritten,
+       CAST(1 AS BIGINT) AS dv_files,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 11 = 0)
+            AS BIGINT) AS rows_deleted,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_pre_delete,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_SQL_CENTS}) AS BIGINT) AS cents
+FROM orders WHERE o_orderkey % 11 <> 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    family=_FAM,
+)
+def lake_delete_vectors(spark, sf_dir):
+    """MERGE-ON-READ DELETE via position-delete sidecars (deletion
+    vectors) — the third write strategy after append and COW: a sparse
+    DELETE (o_orderkey%11==0, ~9% of rows spread across EVERY file)
+    commits ONE tiny sidecar of (data-file path, row position) pairs
+    instead of rewriting all six data files; the read path scans the
+    unchanged files and drops deleted rows with a BROADCAST anti-join
+    on Spark's native parquet ``_metadata.row_index`` / ``file_path``
+    columns. The pinned columns prove the mechanism: files_rewritten=0
+    and files_live=6 (the data layout is untouched — a COW delete here
+    would rewrite 6/6 files for 9% of rows, the write-amplification
+    DVs exist to avoid), dv_files=1, rows_deleted ties the sidecar's
+    cardinality to the true predicate count, and n_pre_delete pins
+    that TIME TRAVEL to the pre-delete version (the DV fold respects
+    as_of) still sees every row. Content hash-checks the survivor set
+    against the raw replay — a DV that dropped a wrong position or
+    missed one mismatches.
+
+    Scale: this is the Delta deletion-vector / Iceberg position-delete
+    architecture — at 100 TB a GDPR-style sparse delete costs O(deleted
+    rows) metadata + a broadcast-sized sidecar at read, not an O(table)
+    rewrite; compaction (lake_compact_optimize) later materializes DVs
+    away. The anti-join side is bounded by delete cardinality, so
+    Catalyst broadcasts it and the scan stays one pass."""
+
+    def build(tmp: Path):
+        _base_commits(spark, sf_dir, tmp)
+        import pyarrow.parquet as pq
+
+        live = _snapshot_files(tmp)
+        start = len(f"file:{tmp}/") + 1  # substring() is 1-indexed
+        dels = (
+            spark.read.parquet(*[str(tmp / f) for f in live])
+            .filter(F.col("o_orderkey") % 11 == 0)
+            .select(
+                F.expr(f"substring(_metadata.file_path, {start})")
+                .alias("path"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+        )
+        (tmp / "dv").mkdir()
+        sub = tmp / "dv" / uuid.uuid4().hex
+        dels.coalesce(1).write.parquet(str(sub))
+        dv_file = sorted(sub.glob("*.parquet"))[0]
+        rel = str(dv_file.relative_to(tmp))
+        card = pq.read_metadata(dv_file).num_rows
+        assert _commit(tmp / "_log", 3, {
+            "add": [], "remove": [],
+            "deleteVectors": [{"file": rel, "cardinality": card}],
+        })
+
+    root = _publish_store(build, _fixture_dir(sf_dir) / "lake_dv")
+    files = _snapshot_files(root)
+    dv_files = _snapshot_delete_files(root)
+    acts = json.loads((root / "_log" / f"v{3:010d}.json").read_text())
+    deleted = sum(d["cardinality"] for d in acts["deleteVectors"])
+    start = len(f"file:{root}/") + 1
+    data = (
+        spark.read.parquet(*[str(root / f) for f in files])
+        .withColumn(
+            "_dv_path",
+            F.expr(f"substring(_metadata.file_path, {start})"),
+        )
+        .withColumn("_dv_pos", F.col("_metadata.row_index"))
+    )
+    dels = spark.read.parquet(*[str(root / f) for f in dv_files])
+    alive = data.join(
+        F.broadcast(dels),
+        (data["_dv_path"] == dels["path"]) & (data["_dv_pos"] == dels["pos"]),
+        "left_anti",
+    )
+    # time travel to v2: the DV fold is empty there -> every row visible
+    assert _snapshot_delete_files(root, as_of=2) == []
+    pre = (
+        _read_snapshot(spark, root, as_of=2)
+        .agg(F.count("*").cast("bigint").alias("n_pre_delete"))
+    )
+    return (
+        alive.groupBy("o_orderstatus")
+        .agg(
+            F.lit(len(files)).cast("bigint").alias("files_live"),
+            F.lit(len(acts["add"])).cast("bigint").alias("files_rewritten"),
+            F.lit(len(dv_files)).cast("bigint").alias("dv_files"),
+            F.lit(deleted).cast("bigint").alias("rows_deleted"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        )
+        .join(F.broadcast(pre))
+        .select("o_orderstatus", "files_live", "files_rewritten",
+                "dv_files", "rows_deleted", "n_pre_delete",
+                "n_orders", "cents")
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "lake_change_feed",
+    oracle=f"""
+WITH ch AS (
+  SELECT 'insert' AS ct, 1 AS v, o_orderpriority AS prio,
+         {_SQL_CENTS} AS cents
+  FROM orders WHERE o_orderkey % 3 = 1
+  UNION ALL
+  SELECT 'insert', 2, o_orderpriority, {_SQL_CENTS}
+  FROM orders WHERE o_orderkey % 3 = 2
+  UNION ALL
+  SELECT 'update_preimage', 3, o_orderpriority, {_SQL_CENTS}
+  FROM orders
+  WHERE o_orderkey % 7 = 0 AND o_orderpriority <> '1-URGENT'
+  UNION ALL
+  SELECT 'update_postimage', 3, '1-URGENT', {_SQL_CENTS}
+  FROM orders
+  WHERE o_orderkey % 7 = 0 AND o_orderpriority <> '1-URGENT'
+)
+SELECT ct AS _change_type,
+       CAST(v AS BIGINT) AS _commit_version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE prio = '1-URGENT') AS BIGINT)
+         AS n_urgent,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM ch
+GROUP BY ct, v
+ORDER BY ct, v
+""",
+    family=_FAM,
+)
+def lake_change_feed(spark, sf_dir):
+    """CHANGE DATA FEED over a version range — row-level CDC
+    reconstructed from the commit log's file diffs, with NO stored
+    change files (Delta CDF semantics, Iceberg changelog-scan
+    mechanics): versions 1..3 of the merge store are replayed; an
+    append commit's added files are pure inserts; the COW merge commit
+    is diffed by joining the rows of its REMOVED files (pre-images)
+    against its ADDED files (post-images) on the table key — rows
+    whose full-row struct is unchanged are carried rewrites, NOT
+    changes, and are dropped; differing rows emit update_preimage +
+    update_postimage pairs (keys on one side only would emit
+    insert/delete). Note the oracle's ``<> '1-URGENT'`` clause: an
+    order already urgent before the merge produces an identical
+    rewritten row, so a faithful CDF must NOT report it — a diff that
+    compared keys instead of row contents would.
+
+    The n_urgent column pins image direction (pre-images keep the old
+    priority, post-images are all urgent); counts and cents pin the
+    row sets per (change_type, version).
+
+    Scale: CDC cost is O(files touched by each commit), not O(table) —
+    the diff join reads only the rewritten files, and each append
+    streams straight through with no join at all. This is what lets a
+    downstream incremental consumer follow a 100 TB table by reading
+    deltas."""
+    root = _store(
+        spark, sf_dir, "merge", extra=lambda tmp: _merge_commit(spark, tmp)
+    )
+    frames = []
+    for v in _log_versions(root):
+        if v < 1:
+            continue
+        acts = json.loads((root / "_log" / f"v{v:010d}.json").read_text())
+        adds = [_add_path(e) for e in acts.get("add", [])]
+        removes = acts.get("remove", [])
+        if not removes:
+            ins = spark.read.parquet(*[str(root / f) for f in adds])
+            frames.append(ins.select(
+                F.lit("insert").alias("_change_type"),
+                F.lit(v).cast("bigint").alias("_commit_version"),
+                F.struct(*ins.columns).alias("_row"),
+            ))
+            continue
+        pre = spark.read.parquet(*[str(root / f) for f in removes])
+        post = spark.read.parquet(*[str(root / f) for f in adds])
+        cols = pre.columns
+        p = pre.select(
+            "o_orderkey", F.struct(*cols).alias("_prow")
+        ).alias("p")
+        q = post.select(
+            "o_orderkey", F.struct(*cols).alias("_qrow")
+        ).alias("q")
+        j = p.join(q, "o_orderkey", "full")
+        both = j.filter(
+            F.col("_prow").isNotNull() & F.col("_qrow").isNotNull()
+            & (F.col("_prow") != F.col("_qrow"))
+        )
+        for ct, side in (("update_preimage", "_prow"),
+                         ("update_postimage", "_qrow")):
+            frames.append(both.select(
+                F.lit(ct).alias("_change_type"),
+                F.lit(v).cast("bigint").alias("_commit_version"),
+                F.col(side).alias("_row"),
+            ))
+        frames.append(j.filter(F.col("_prow").isNull()).select(
+            F.lit("insert").alias("_change_type"),
+            F.lit(v).cast("bigint").alias("_commit_version"),
+            F.col("_qrow").alias("_row"),
+        ))
+        frames.append(j.filter(F.col("_qrow").isNull()).select(
+            F.lit("delete").alias("_change_type"),
+            F.lit(v).cast("bigint").alias("_commit_version"),
+            F.col("_prow").alias("_row"),
+        ))
+    cdf = frames[0]
+    for fr in frames[1:]:
+        cdf = cdf.unionByName(fr)
+    return (
+        cdf.select("_change_type", "_commit_version", "_row.*")
+        .groupBy("_change_type", "_commit_version")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum((F.col("o_orderpriority") == "1-URGENT").cast("bigint"))
+            .cast("bigint").alias("n_urgent"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        )
+        .select("_change_type", "_commit_version", "n_rows",
+                "n_urgent", "cents")
+        .orderBy("_change_type", "_commit_version")
+    )
+
+
+def _pruned_files_multi(root: Path, preds: dict) -> tuple[list[str], int]:
+    """Data skipping on a CONJUNCTION of range predicates: keep files
+    whose recorded [min,max] intersects EVERY predicate's [lo,hi] —
+    files lacking stats for a column are conservatively kept on that
+    column (skipping is an optimization, never a filter)."""
+    adds = _snapshot_adds(root)
+    keep = [
+        f for f, st in sorted(adds.items())
+        if all(
+            c not in st or (st[c]["max"] >= lo and st[c]["min"] <= hi)
+            for c, (lo, hi) in preds.items()
+        )
+    ]
+    return keep, len(adds)
+
+
+@query(
+    "lake_zorder_skipping",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(1 AS BIGINT) AS z_files_2d,
+       CAST(2 AS BIGINT) AS lin_files_2d,
+       CAST(4 AS BIGINT) AS z_files_date,
+       CAST(8 AS BIGINT) AS lin_files_date,
+       CAST(8 AS BIGINT) AS files_live,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_SQL_CENTS}) AS BIGINT) AS cents
+FROM orders
+WHERE o_custkey * 16 < 4 * ((SELECT MAX(o_custkey) FROM orders) + 1)
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    family=_FAM,
+)
+def lake_zorder_skipping(spark, sf_dir):
+    """Z-ORDER clustering × data skipping — the multi-dimensional read
+    lever single-column clustering cannot give: the SAME orders table
+    is laid out twice in 8 files each, once clustered linearly by
+    o_custkey and once by the bit-interleave (Morton code) of a 4-bit
+    o_custkey bucket with a 4-bit order-half-year bucket; both layouts
+    record true parquet-footer min/max per file in their commit-log
+    add actions. Because the Morton curve gives every file a bounded
+    range in BOTH dimensions, the 2-D predicate (first custkey
+    quartile AND orderdate < 1997) prunes the z-store to 1 of 8 files
+    while the custkey-clustered store scans 2 (its date ranges are
+    full-width, only the custkey dimension prunes); a DATE-ONLY
+    predicate prunes the z-store to 4 of 8 while the linear store
+    scans ALL 8 — the classic z-order trade: slightly coarser on the
+    clustered column, bounded on every interleaved one. All four
+    counts are literal-pinned (derivable from the bit-interleave
+    alone, independent of data), and the 2-D read's content
+    hash-checks against the raw replay, so an interleave bug that
+    mis-bucketed rows would surface as a content mismatch, not just a
+    count drift.
+
+    Scale: this is Delta's OPTIMIZE ZORDER BY / Iceberg's
+    sort-order-with-z-curve discipline — at 100 TB it turns multi-
+    predicate scans over an unpartitioned table from O(table) into
+    O(matching sub-rectangles) using the same O(files) metadata fold
+    as lake_stats_skipping, with zero query-side cost: the pruned
+    read is an ordinary parquet scan Catalyst pushes the residual
+    predicate into."""
+    from datetime import datetime
+
+    def _zexpr(maxc: int):
+        a = F.expr(f"CAST(o_custkey AS BIGINT) * 16 DIV {maxc + 1}")
+        b = (
+            (F.year("o_orderdate") - F.lit(1995)) * 2
+            + (F.month("o_orderdate") > 6).cast("int")
+        )
+        z = F.lit(0)
+        for i in range(4):
+            z = (
+                z
+                + F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i + 1)
+                + F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i)
+            )
+        return a, z
+
+    def build(tmp: Path):
+        o = table(spark, sf_dir, "orders")
+        maxc = o.agg(F.max("o_custkey")).first()[0]
+        tmp.mkdir(parents=True, exist_ok=True)
+        (tmp / "_meta").write_text(json.dumps({"maxc": int(maxc)}))
+        a, z = _zexpr(int(maxc))
+        stats_cols = ["o_custkey", "o_orderdate"]
+        for layout, bucket in (("z", z / 32), ("lin", a / 2)):
+            sub = tmp / layout
+            sub.mkdir(parents=True, exist_ok=True)
+            for k in range(8):
+                files = _write_files(
+                    o.filter(F.floor(bucket) == k), sub / "data",
+                    n_files=1,
+                )
+                adds = [
+                    {"path": f,
+                     "stats": _file_stats(sub, f, stats_cols)}
+                    for f in files
+                ]
+                assert _commit(sub / "_log", k,
+                               {"add": adds, "remove": []})
+
+    root = _publish_store(build, _fixture_dir(sf_dir) / "lake_zorder")
+    maxc = json.loads((root / "_meta").read_text())["maxc"]
+    cut = (4 * (maxc + 1) - 1) // 16  # o_custkey <= cut <=> bucket a <= 3
+    date_lo = datetime(1901, 1, 1)
+    date_hi = datetime(1996, 12, 31, 23, 59, 59, 999999)
+    pred_2d = {"o_custkey": (0, cut), "o_orderdate": (date_lo, date_hi)}
+    pred_dt = {"o_orderdate": (date_lo, date_hi)}
+    # encode timestamps the way _file_stats recorded them
+    enc = {
+        c: (lo.isoformat(sep=" ") if hasattr(lo, "isoformat") else lo,
+            hi.isoformat(sep=" ") if hasattr(hi, "isoformat") else hi)
+        for c, (lo, hi) in pred_2d.items()
+    }
+    z_2d, z_live = _pruned_files_multi(root / "z", enc)
+    lin_2d, lin_live = _pruned_files_multi(root / "lin", enc)
+    enc_dt = {"o_orderdate": enc["o_orderdate"]}
+    z_dt, _ = _pruned_files_multi(root / "z", enc_dt)
+    lin_dt, _ = _pruned_files_multi(root / "lin", enc_dt)
+    assert z_live == lin_live == 8
+    pred = (F.col("o_custkey") <= cut) & (
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        spark.read.parquet(*[str(root / "z" / f) for f in z_2d])
+        .filter(pred)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.lit(len(z_2d)).cast("bigint").alias("z_files_2d"),
+            F.lit(len(lin_2d)).cast("bigint").alias("lin_files_2d"),
+            F.lit(len(z_dt)).cast("bigint").alias("z_files_date"),
+            F.lit(len(lin_dt)).cast("bigint").alias("lin_files_date"),
+            F.lit(z_live).cast("bigint").alias("files_live"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        )
+        .select("o_orderstatus", "z_files_2d", "lin_files_2d",
+                "z_files_date", "lin_files_date", "files_live",
+                "n_orders", "cents")
+        .orderBy("o_orderstatus")
+    )

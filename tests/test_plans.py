@@ -914,7 +914,8 @@ def test_no_mid_plan_driver_actions(spark, monkeypatch):
                     "lake_txn_append", "lake_merge_txn",
                     "lake_txn_conflict", "lake_vacuum", "lake_checkpoint",
                     "lake_stats_skipping", "lake_schema_evolution",
-                    "lake_compact_optimize"):
+                    "lake_compact_optimize", "lake_delete_vectors",
+                    "lake_change_feed", "lake_zorder_skipping"):
         all_specs()[store_q].fn(spark, SF_SMOKE)
 
     calls: dict[str, list[str]] = {}
@@ -1151,3 +1152,66 @@ def test_lake_stats_skipping_scans_one_file(spark):
     plan = formatted_plan(df)
     assert "PushedFilters" in plan and "o_orderdate" in plan.split(
         "PushedFilters", 1)[1][:200]
+
+
+def test_lake_delete_vectors_broadcast_anti_join_no_rewrite(spark):
+    """The MOR delete read must (a) leave the data layout untouched —
+    all 6 base data files are scanned, none rewritten — and (b) apply
+    the deletion vector as a BROADCAST left-anti hash join (the sidecar
+    is delete-cardinality-sized by contract; a shuffle or NL join here
+    would re-partition the 100 TB scan side)."""
+    from hdfs_mr_spark.sources.lake import (_snapshot_delete_files,
+                                            _snapshot_files)
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    df = all_specs()["lake_delete_vectors"].fn(spark, SF_SMOKE)
+    root = _fixture_dir(SF_SMOKE) / "lake_dv"
+    assert len(_snapshot_files(root)) == 6
+    assert len(_snapshot_delete_files(root)) == 1
+    inputs = df.inputFiles()
+    data_inputs = [f for f in inputs if "/data/" in f]
+    dv_inputs = [f for f in inputs if "/dv/" in f]
+    assert len(data_inputs) == 6 and len(dv_inputs) == 1, inputs
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_lake_change_feed_drops_carried_rewrites(spark):
+    """The COW merge rewrites EVERY file in full, so pre/post images
+    each contain every order — a key-level (rather than row-content)
+    diff would report the whole table as changed. The CDF must emit
+    exactly one pre+post pair per row whose content actually changed
+    (%7 keys not already urgent) and nothing else at the merge
+    version."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mr_spark.io import table
+
+    rows = all_specs()["lake_change_feed"].fn(spark, SF_SMOKE).collect()
+    o = table(spark, SF_SMOKE, "orders")
+    n_orders = o.count()
+    n_changed = o.filter(
+        (F.col("o_orderkey") % 7 == 0)
+        & (F.col("o_orderpriority") != "1-URGENT")
+    ).count()
+    v3 = {r._change_type: r.n_rows for r in rows if r._commit_version == 3}
+    assert set(v3) == {"update_preimage", "update_postimage"}, v3
+    assert v3["update_preimage"] == v3["update_postimage"] == n_changed
+    assert sum(v3.values()) < n_orders  # carried rewrites dropped
+
+
+def test_lake_zorder_prunes_both_dimensions(spark):
+    """The z-ordered layout must beat the single-column clustering at
+    the PHYSICAL scan: the 2-D predicate read plans exactly 1 of the 8
+    z-files as input (vs 2 for the linear layout, metadata-asserted),
+    and the residual predicate still reaches PushedFilters."""
+    df = all_specs()["lake_zorder_skipping"].fn(spark, SF_SMOKE)
+    inputs = df.inputFiles()
+    assert len(inputs) == 1 and "/z/" in inputs[0], inputs
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan
+    row = df.collect()
+    assert all(r.z_files_2d == 1 and r.lin_files_2d == 2
+               and r.z_files_date == 4 and r.lin_files_date == 8
+               for r in row)
