@@ -1291,3 +1291,134 @@ def join_skew_aqe(spark, sf_dir):
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "join_knn_grid",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey,
+         ('0x' || substr(md5('c' || c_custkey || 'x'), 1, 6))::BIGINT % 1000 AS x,
+         ('0x' || substr(md5('c' || c_custkey || 'y'), 1, 6))::BIGINT % 1000 AS y
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey,
+         ('0x' || substr(md5('s' || s_suppkey || 'x'), 1, 6))::BIGINT % 1000 AS x,
+         ('0x' || substr(md5('s' || s_suppkey || 'y'), 1, 6))::BIGINT % 1000 AS y
+  FROM supplier
+),
+d AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+  FROM c, s
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                               ORDER BY dist2, s_suppkey) AS rnk
+  FROM d
+)
+SELECT c_custkey, CAST(rnk AS BIGINT) AS rnk, s_suppkey,
+       CAST(dist2 AS BIGINT) AS dist2
+FROM r WHERE rnk <= 3
+""",
+    family=_FAM,
+)
+def join_knn_grid(spark, sf_dir):
+    """k-NEAREST-NEIGHBOR JOIN (k=3) via grid bucketing with a
+    CERTIFIED exactness test — the top-k companion to
+    join_spatial_grid's radius join: candidates come from the 3x3
+    cell neighborhood (CELL=125) equi-join, ranked per probe by
+    (dist2, s_suppkey). A probe's grid answer is provably exact iff it
+    found k candidates AND its k-th distance^2 <= CELL^2 — any corpus
+    point OUTSIDE the 3x3 block is > CELL away in some axis, so it
+    cannot beat a within-CELL k-th candidate. Probes failing the
+    certificate (sparse neighborhoods) are re-answered by a brute-force
+    pass against the broadcast corpus — the two-tier structure that
+    makes the result EXACT by construction, not probabilistically;
+    the oracle is the full brute-force ranking, so equality proves both
+    the certificate logic and the fallback routing.
+
+    Scale: the grid tier is an equi-join + per-probe window (work ~
+    sum-over-cells |probes_cell| x |corpus_3x3|); the fallback tier is
+    bounded by the certificate failure rate (density-controlled, here
+    a handful of probes), each a broadcast nested loop against the
+    small corpus side only. At 100 TB with a bounded-density corpus
+    the quadratic tier never sees more than a vanishing fraction of
+    probes; k and CELL tune the trade."""
+    K, CELL = 3, 125
+
+    def pts(df, key, prefix):
+        def h(ax):
+            return F.expr(
+                f"CAST(conv(substr(md5(concat('{prefix}', {key}, '{ax}')),"
+                f" 1, 6), 16, 10) AS BIGINT) % 1000"
+            )
+        return df.select(F.col(key), h("x").alias("x"), h("y").alias("y"))
+
+    c = pts(table(spark, sf_dir, "customer"), "c_custkey", "c")
+    s = pts(table(spark, sf_dir, "supplier"), "s_suppkey", "s")
+    cg = (
+        c.select(
+            "c_custkey",
+            F.col("x").alias("px"), F.col("y").alias("py"),
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx"),
+        )
+        .select(
+            "*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy")
+        )
+        .select(
+            "c_custkey", "px", "py",
+            (F.expr(f"CAST(px DIV {CELL} AS BIGINT)") + F.col("dx")).alias("cx"),
+            (F.expr(f"CAST(py DIV {CELL} AS BIGINT)") + F.col("dy")).alias("cy"),
+        )
+    )
+    sg = s.select(
+        "s_suppkey",
+        F.col("x").alias("sx"), F.col("y").alias("sy"),
+        F.expr(f"CAST(x DIV {CELL} AS BIGINT)").alias("cx"),
+        F.expr(f"CAST(y DIV {CELL} AS BIGINT)").alias("cy"),
+    )
+    d2 = (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx")) + (
+        F.col("py") - F.col("sy")
+    ) * (F.col("py") - F.col("sy"))
+    wk = Window.partitionBy("c_custkey").orderBy(
+        F.col("dist2").asc(), F.col("s_suppkey").asc()
+    )
+    topg = (
+        cg.join(sg, ["cx", "cy"])
+        .select("c_custkey", "s_suppkey", d2.alias("dist2"))
+        .withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= K)
+    )
+    cert = (
+        topg.groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("nc"),
+            F.max(F.when(F.col("rnk") == K, F.col("dist2"))).alias("dk"),
+        )
+        .filter((F.col("nc") == K) & (F.col("dk") <= CELL * CELL))
+        .select("c_custkey")
+    )
+    good = topg.join(cert, "c_custkey", "semi")
+    # fallback: uncertified probes re-answered against the broadcast
+    # corpus (exact by construction, bounded by the failure rate)
+    bad = c.join(cert, c.c_custkey == cert.c_custkey, "anti").select(
+        "c_custkey", F.col("x").alias("px"), F.col("y").alias("py")
+    )
+    bf = (
+        bad.join(F.broadcast(s.select(
+            "s_suppkey", F.col("x").alias("sx"), F.col("y").alias("sy")
+        )))
+        .select("c_custkey", "s_suppkey", d2.alias("dist2"))
+        .withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= K)
+    )
+    return (
+        good.unionByName(bf)
+        .select(
+            "c_custkey", F.col("rnk").cast("bigint").alias("rnk"),
+            "s_suppkey", F.col("dist2").cast("bigint").alias("dist2"),
+        )
+        .orderBy("c_custkey", "rnk")
+    )

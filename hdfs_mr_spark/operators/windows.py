@@ -2312,3 +2312,93 @@ def ts_mann_kendall(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_holt_winters",
+    oracle="""
+WITH RECURSIVE series AS (
+  SELECT o_orderstatus AS g,
+         CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS d,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY g, d
+),
+idx AS MATERIALIZED (
+  SELECT g, d, CAST(y AS BIGINT) AS y,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS i,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM series
+),
+rec AS (
+  SELECT g, i, n, CAST(y AS BIGINT) AS lev, CAST(0 AS BIGINT) AS tr
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.g, x.i, x.n,
+         CAST(((2*x.y + 8*(r.lev + r.tr)) - (((2*x.y + 8*(r.lev + r.tr)) % 10 + 10) % 10)) // 10 AS BIGINT) AS lev,
+         CAST(((((((2*x.y + 8*(r.lev + r.tr)) - (((2*x.y + 8*(r.lev + r.tr)) % 10 + 10) % 10)) // 10) - r.lev) + 9*r.tr) - (((((((2*x.y + 8*(r.lev + r.tr)) - (((2*x.y + 8*(r.lev + r.tr)) % 10 + 10) % 10)) // 10) - r.lev) + 9*r.tr) % 10 + 10) % 10)) // 10 AS BIGINT) AS tr
+  FROM rec r JOIN idx x ON x.g = r.g AND x.i = r.i + 1
+)
+SELECT g AS o_orderstatus,
+       CAST(n AS BIGINT) AS n_weeks,
+       lev AS level_final, tr AS trend_final,
+       lev + tr AS fc_1, lev + 2 * tr AS fc_2, lev + 3 * tr AS fc_3
+FROM rec WHERE i = n
+ORDER BY g
+""",
+    family=_FAM,
+)
+def ts_holt_winters(spark, sf_dir):
+    """Holt's linear-trend double exponential smoothing (the two-
+    parameter member of the Holt-Winters family) over each order
+    status's weekly-revenue series, with 3-step-ahead forecasts
+    level + h*trend. A recurrence is inherently sequential per series,
+    so the Spark side is applyInPandas per series key — the idiomatic
+    shape for per-series state (parallelism = number of series, which
+    is what a 100 TB deployment has thousands of, while each series
+    stays memory-bounded); the DuckDB oracle replays the SAME
+    recurrence as a recursive CTE advancing all series in lockstep
+    (weekly buckets keep the oracle's recursion ~350 steps).
+
+    Determinism across engines: floats drift over a multi-hundred-step
+    recurrence, so the state is INTEGER cents with alpha=0.2 / beta=0.1
+    as exact rational updates — level' = fd(2y + 8(level+trend), 10),
+    trend' = fd((level'-level) + 9*trend, 10) — where fd is FLOOR
+    division spelled (e - posmod(e,10))/10 in SQL (exact for negative
+    trends, where DuckDB's // and Python's // could otherwise be
+    conflated with truncation) and Python's native // in the kernel."""
+    import pandas as pd
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderstatus",
+        F.to_date(F.date_trunc("week", "o_orderdate")).alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("y")
+    )
+
+    schema = (
+        "o_orderstatus string, n_weeks bigint, level_final bigint, "
+        "trend_final bigint, fc_1 bigint, fc_2 bigint, fc_3 bigint"
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        ys = [int(v) for v in pdf["y"]]
+        lev, tr = ys[0], 0
+        for y in ys[1:]:
+            nl = (2 * y + 8 * (lev + tr)) // 10
+            tr = ((nl - lev) + 9 * tr) // 10
+            lev = nl
+        return pd.DataFrame([{
+            "o_orderstatus": pdf["o_orderstatus"].iloc[0],
+            "n_weeks": len(ys),
+            "level_final": lev, "trend_final": tr,
+            "fc_1": lev + tr, "fc_2": lev + 2 * tr, "fc_3": lev + 3 * tr,
+        }])
+
+    return (
+        daily.groupBy("o_orderstatus")
+        .applyInPandas(holt, schema)
+        .orderBy("o_orderstatus")
+    )

@@ -1215,3 +1215,26 @@ def test_lake_zorder_prunes_both_dimensions(spark):
     assert all(r.z_files_2d == 1 and r.lin_files_2d == 2
                and r.z_files_date == 4 and r.lin_files_date == 8
                for r in row)
+
+
+def test_join_knn_grid_both_tiers_fire(spark):
+    """The kNN join's exactness argument has two tiers — grid-certified
+    and brute-force fallback. Both must FIRE on a real fixture (a dead
+    fallback branch would make the certificate logic untestable): at
+    sf0.01 the supplier density leaves a real fraction of probes
+    uncertified, and the union of the two tiers covers every probe
+    exactly k times."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mr_spark.io import table
+
+    sf = "/root/testdata/sf0.01"
+    df = all_specs()["join_knn_grid"].fn(spark, sf)
+    per = df.groupBy("c_custkey").agg(F.count("*").alias("n"))
+    assert per.filter(F.col("n") != 3).isEmpty()
+    ncust = table(spark, sf, "customer").count()
+    assert per.count() == ncust
+    plan = formatted_plan(df)
+    # fallback tier: broadcast nested loop against the corpus;
+    # grid tier: an equi-join on the cell keys
+    assert "BroadcastNestedLoopJoin" in plan, plan
