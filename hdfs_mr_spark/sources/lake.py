@@ -1269,3 +1269,77 @@ def lake_zorder_skipping(spark, sf_dir):
                 "n_orders", "cents")
         .orderBy("o_orderstatus")
     )
+
+
+def version_changes(root: Path, version: int) -> list[tuple]:
+    """Row-level CDC for commit ``version``, computed from the commit's
+    file diff with pure pyarrow (no Spark — callable from a streaming
+    source's driver-side runner process): an append commit's added
+    files are inserts; a remove-carrying (COW) commit is diffed by
+    FULL-ROW comparison keyed on o_orderkey — carried rewrites drop
+    out, changed rows emit update_preimage/update_postimage pairs,
+    one-sided keys emit insert/delete. Returns
+    (change_type, version, o_orderkey, o_orderpriority, cents) tuples;
+    the comparison itself is over ALL columns, so a row differing only
+    in an unserved column still reports as changed."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    acts = json.loads((root / "_log" / f"v{version:010d}.json").read_text())
+    adds = [_add_path(e) for e in acts.get("add", [])]
+    removes = acts.get("remove", [])
+
+    if not removes:
+        # insert-only commit: serve just the three emitted columns —
+        # the full-row read below exists for the diff, not for inserts
+        out = []
+        for f in adds:
+            t = pq.read_table(
+                root / f,
+                columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+            )
+            cents = pc.cast(
+                pc.round(pc.multiply(t.column("o_totalprice"), 100)),
+                "int64",
+            ).to_pylist()
+            keys = t.column("o_orderkey").to_pylist()
+            prios = t.column("o_orderpriority").to_pylist()
+            out.extend(
+                ("insert", version, k, p, ce)
+                for k, p, ce in zip(keys, prios, cents)
+            )
+        return out
+
+    def rows(files):
+        out = {}
+        for f in files:
+            t = pq.read_table(root / f)
+            names = t.column_names
+            ki = names.index("o_orderkey")
+            pi = names.index("o_orderpriority")
+            ci = names.index("o_totalprice")
+            cents = pc.cast(
+                pc.round(pc.multiply(t.column("o_totalprice"), 100)),
+                "int64",
+            ).to_pylist()
+            cols = [t.column(c).to_pylist() for c in names]
+            for j in range(t.num_rows):
+                full = tuple(col[j] for col in cols)
+                out[full[ki]] = (full, full[pi], cents[j])
+        return out
+
+    post = rows(adds)
+    pre = rows(removes)
+    changes = []
+    for k, (full, pr, ce) in pre.items():
+        hit = post.get(k)
+        if hit is None:
+            changes.append(("delete", version, k, pr, ce))
+        elif hit[0] != full:
+            changes.append(("update_preimage", version, k, pr, ce))
+            changes.append(("update_postimage", version, k,
+                            hit[1], hit[2]))
+    for k, (_, pr, ce) in post.items():
+        if k not in pre:
+            changes.append(("insert", version, k, pr, ce))
+    return changes

@@ -1938,3 +1938,181 @@ def stream_lake_tail(spark, sf_dir):
         .orderBy("o_orderstatus")
         .localCheckpoint()
     )
+
+
+@query(
+    "stream_lake_cdf",
+    oracle="""
+WITH ch AS (
+  SELECT 'insert' AS ct, 0 AS v, o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 'insert', 1, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+  FROM orders WHERE o_orderkey % 3 = 1
+  UNION ALL
+  SELECT 'insert', 2, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+  FROM orders WHERE o_orderkey % 3 = 2
+  UNION ALL
+  SELECT 'update_preimage', 3, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+  FROM orders
+  WHERE o_orderkey % 7 = 0 AND o_orderpriority <> '1-URGENT'
+  UNION ALL
+  SELECT 'update_postimage', 3, '1-URGENT',
+         CAST(round(o_totalprice * 100) AS BIGINT)
+  FROM orders
+  WHERE o_orderkey % 7 = 0 AND o_orderpriority <> '1-URGENT'
+)
+SELECT ct AS _change_type,
+       CAST(v AS BIGINT) AS _commit_version,
+       CAST(4 AS BIGINT) AS versions_drained,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE prio = '1-URGENT') AS BIGINT)
+         AS n_urgent,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM ch
+GROUP BY ct, v
+ORDER BY ct, v
+""",
+    family=_FAM,
+)
+def stream_lake_cdf(spark, sf_dir):
+    """The lake CHANGE FEED as a STREAMING SOURCE — the CDC-capable
+    twin of stream_lake_tail, which REFUSES remove-carrying versions:
+    this reader's offsets are also lake versions, but each micro-batch
+    serves commit V's row-level CHANGES (lake.version_changes — pure
+    pyarrow file-diff in the source runner process): append commits
+    stream their added rows as inserts, the COW merge commit is diffed
+    full-row pre-vs-post so carried rewrites drop out and changed rows
+    emit update_preimage/update_postimage pairs. This is Delta's
+    readChangeFeed streaming contract: a downstream incremental
+    consumer (index maintainer, aggregate materializer) follows a
+    mutating 100 TB table by reading O(files touched per commit), never
+    re-snapshotting.
+
+    The drain walks the 4-version merge store (3 appends + 1 COW
+    merge) one commit per micro-batch; the complete-mode aggregate by
+    (change_type, version) must hash-match the per-version replay —
+    a missed carried-rewrite drop, a wrong image direction (n_urgent
+    pins it), or a skipped/duplicated version all mismatch;
+    versions_drained pins the offset walk. readBetweenOffsets replays
+    any (start, end] span for checkpoint recovery."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    from hdfs_mr_spark.functions.udfs import REPO_ROOT as _REPO_ROOT
+    from hdfs_mr_spark.sources.lake import (_log_versions, _merge_commit,
+                                            _store)
+
+    root = _store(
+        spark, sf_dir, "merge",
+        extra=lambda tmp: _merge_commit(spark, tmp),
+    )
+    root_s = str(root)
+    n_versions = len(_log_versions(root))
+
+    class LakeCdfReader(SimpleDataSourceStreamReader):
+        """Driver-side but in the python_streaming_source_runner
+        process (no inherited sys.path/cwd) — inject REPO_ROOT before
+        repo imports, the repo_kernel discipline."""
+
+        def __init__(self, store_root, repo_root):
+            self.root = store_root
+            self.repo = repo_root
+
+        def _lake(self):
+            import sys as _sys
+
+            if self.repo not in _sys.path:
+                _sys.path.insert(0, self.repo)
+            from hdfs_mr_spark.sources import lake as _lake
+
+            return _lake
+
+        def _changes(self, version):
+            from pathlib import Path as _P
+
+            return self._lake().version_changes(_P(self.root), version)
+
+        def initialOffset(self):
+            return {"version": -1}
+
+        def read(self, start):
+            from pathlib import Path as _P
+
+            v = start["version"]
+            pending = [x for x in self._lake()._log_versions(_P(self.root))
+                       if x > v]
+            if not pending:
+                return iter([]), {"version": v}
+            nv = pending[0]
+            return iter(self._changes(nv)), {"version": nv}
+
+        def readBetweenOffsets(self, start, end):
+            from pathlib import Path as _P
+
+            rows = []
+            for x in self._lake()._log_versions(_P(self.root)):
+                if start["version"] < x <= end["version"]:
+                    rows.extend(self._changes(x))
+            return iter(rows)
+
+    class LakeCdfSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "hmr_lake_cdf"
+
+        def schema(self):
+            return (
+                "_change_type string, _commit_version bigint, "
+                "o_orderkey bigint, o_orderpriority string, cents bigint"
+            )
+
+        def simpleStreamReader(self, schema):
+            return LakeCdfReader(self.options["path"], self.options["repo"])
+
+    try:
+        spark.dataSource.register(LakeCdfSource)
+    except Exception as exc:
+        if "exist" not in str(exc).lower() and "already" not in str(exc).lower():
+            raise
+
+    agg = (
+        spark.readStream.format("hmr_lake_cdf")
+        .option("path", root_s)
+        .option("repo", _REPO_ROOT)
+        .load()
+        .groupBy("_change_type", "_commit_version")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum((F.col("o_orderpriority") == "1-URGENT").cast("bigint"))
+            .cast("bigint").alias("n_urgent"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+    name = f"hmr_lakecdf_{next(_COUNTER)}"
+    ckpt = tempfile.mkdtemp(prefix="hmr_ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select(
+            "_change_type", "_commit_version",
+            F.lit(n_versions).cast("bigint").alias("versions_drained"),
+            "n_rows", "n_urgent", "cents",
+        )
+        .orderBy("_change_type", "_commit_version")
+        .localCheckpoint()
+    )
