@@ -2402,3 +2402,150 @@ def ts_holt_winters(spark, sf_dir):
         .applyInPandas(holt, schema)
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "ts_dtw",
+    oracle="""
+WITH RECURSIVE ser AS MATERIALIZED (
+  SELECT o_orderstatus AS g,
+         CAST(year(CAST(o_orderdate AS DATE)) * 12
+              + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY g, t
+),
+idx AS MATERIALIZED (
+  SELECT g, t, y,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY t) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM ser
+),
+pairs AS MATERIALIZED (
+  SELECT a.g AS g1, b.g AS g2
+  FROM (SELECT DISTINCT g FROM ser) a
+  JOIN (SELECT DISTINCT g FROM ser) b ON a.g < b.g
+),
+av AS MATERIALIZED (
+  SELECT p.g1, p.g2, x.i, x.y, x.n FROM pairs p JOIN idx x ON x.g = p.g1
+),
+bv AS MATERIALIZED (
+  SELECT p.g1, p.g2, x.i AS j, x.y, x.n AS m
+  FROM pairs p JOIN idx x ON x.g = p.g2
+),
+rec AS (
+  SELECT a.g1, a.g2, a.i, b.j, abs(a.y - b.y) AS c, 0 AS age
+  FROM av a JOIN bv b ON b.g1 = a.g1 AND b.g2 = a.g2
+  WHERE a.i = 0 AND b.j = 0
+  UNION ALL
+  SELECT * FROM (
+    SELECT g1, g2, i, j, c, 1 AS age FROM rec WHERE age = 0
+    UNION ALL
+    SELECT cd.g1, cd.g2, cd.i, cd.j,
+           abs(a.y - b.y) + least(up.c, lf.c, dg.c) AS c, 0 AS age
+    FROM (
+      SELECT DISTINCT r.g1, r.g2, r.i + m.di AS i, r.j + m.dj AS j
+      FROM rec r, (VALUES (1, 0), (0, 1)) AS m(di, dj)
+      WHERE r.age = 0
+    ) cd
+    JOIN av a ON a.g1 = cd.g1 AND a.g2 = cd.g2 AND a.i = cd.i
+    JOIN bv b ON b.g1 = cd.g1 AND b.g2 = cd.g2 AND b.j = cd.j
+    LEFT JOIN rec up ON up.age = 0 AND up.g1 = cd.g1 AND up.g2 = cd.g2
+                    AND up.i = cd.i - 1 AND up.j = cd.j
+    LEFT JOIN rec lf ON lf.age = 0 AND lf.g1 = cd.g1 AND lf.g2 = cd.g2
+                    AND lf.i = cd.i AND lf.j = cd.j - 1
+    LEFT JOIN rec dg ON dg.age = 1 AND dg.g1 = cd.g1 AND dg.g2 = cd.g2
+                    AND dg.i = cd.i - 1 AND dg.j = cd.j - 1
+  )
+),
+nm AS (
+  SELECT a.g1, a.g2, a.n, b.m
+  FROM (SELECT DISTINCT g1, g2, n FROM av) a
+  JOIN (SELECT DISTINCT g1, g2, m FROM bv) b
+    ON b.g1 = a.g1 AND b.g2 = a.g2
+)
+SELECT r.g1, r.g2, CAST(nm.n AS BIGINT) AS n, CAST(nm.m AS BIGINT) AS m,
+       CAST(r.c AS BIGINT) AS dtw_cost
+FROM rec r JOIN nm ON nm.g1 = r.g1 AND nm.g2 = r.g2
+WHERE r.age = 0 AND r.i = nm.n - 1 AND r.j = nm.m - 1
+ORDER BY r.g1, r.g2
+""",
+    family=_FAM,
+)
+def ts_dtw(spark, sf_dir):
+    """DYNAMIC TIME WARPING distance between every pair of order-status
+    monthly-revenue series (integer cents, |.| local cost, the classic
+    (i-1,j)/(i,j-1)/(i-1,j-1) recurrence) — the alignment-invariant
+    series distance exact SQL windows cannot express. The Spark side is
+    the idiomatic per-pair grouped-map: both series of a pair are
+    tagged and co-grouped, the O(n*m) DP runs in one pandas kernel
+    (parallelism = number of pairs — a production deployment aligns
+    thousands of series pairs, each memory-bounded at months-
+    granularity); the DuckDB oracle replays the SAME DP as an
+    ANTI-DIAGONAL recursive CTE: the working set is the last two
+    diagonals (age 0/1), each iteration derives diagonal d's cells from
+    its up/left (age 0) and diagonal (age 1) predecessors — integer
+    costs, so both engines agree exactly.
+
+    Scale: all pair-expansion is an equi-join of the tiny pair spine
+    against the monthly aggregate (the month-level combiner collapses the
+    raw table first); nothing quadratic ever touches row-level data."""
+    import pandas as pd
+
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderstatus").alias("g"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint").alias("t"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("y")
+    )
+    gs = monthly.select("g").distinct()
+    pairs = (
+        gs.select(F.col("g").alias("g1"))
+        .join(F.broadcast(gs.select(F.col("g").alias("g2"))),
+              F.col("g1") < F.col("g2"))
+    )
+    expand = (
+        pairs.join(monthly, monthly.g == pairs.g1)
+        .select("g1", "g2", F.lit("a").alias("side"), "t", "y")
+        .unionByName(
+            pairs.join(monthly, monthly.g == pairs.g2)
+            .select("g1", "g2", F.lit("b").alias("side"), "t", "y")
+        )
+    )
+
+    schema = "g1 string, g2 string, n bigint, m bigint, dtw_cost bigint"
+
+    def dtw(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == "a"].sort_values("t")["y"].tolist()
+        b = pdf[pdf["side"] == "b"].sort_values("t")["y"].tolist()
+        n, m = len(a), len(b)
+        prev = None
+        for i in range(n):
+            cur = [0] * m
+            for j in range(m):
+                c = abs(int(a[i]) - int(b[j]))
+                if i == 0 and j == 0:
+                    cur[j] = c
+                else:
+                    best = None
+                    for cand in (
+                        prev[j] if i > 0 else None,
+                        cur[j - 1] if j > 0 else None,
+                        prev[j - 1] if i > 0 and j > 0 else None,
+                    ):
+                        if cand is not None and (best is None or cand < best):
+                            best = cand
+                    cur[j] = c + best
+            prev = cur
+        return pd.DataFrame([{
+            "g1": pdf["g1"].iloc[0], "g2": pdf["g2"].iloc[0],
+            "n": n, "m": m, "dtw_cost": prev[m - 1],
+        }])
+
+    return (
+        expand.groupBy("g1", "g2")
+        .applyInPandas(dtw, schema)
+        .orderBy("g1", "g2")
+    )
