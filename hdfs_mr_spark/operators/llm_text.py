@@ -2965,3 +2965,165 @@ def llm_keyword_extract(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .orderBy("doc_id", "rank")
     )
+
+
+@query(
+    "llm_tokenizer_viterbi",
+    oracle="""
+WITH RECURSIVE d AS MATERIALIZED (
+  SELECT doc_id, lang, substr(text, 1, 120) AS t,
+         length(substr(text, 1, 120)) AS L
+  FROM documents WHERE doc_id % 4 = 0 AND length(text) >= 1
+),
+pos AS MATERIALIZED (
+  SELECT doc_id, lang, t, L, unnest(generate_series(1, L)) AS p FROM d
+),
+pieces AS MATERIALIZED (
+  SELECT doc_id, L, p, len, substr(t, p - len + 1, len) AS piece
+  FROM (SELECT *, unnest([1, 2, 3, 4]) AS len FROM pos)
+  WHERE len <= p
+),
+vocab AS MATERIALIZED (
+  SELECT len, piece, COUNT(*) AS c FROM pieces GROUP BY len, piece
+  HAVING len = 1 OR COUNT(*) >= 64
+),
+edges AS MATERIALIZED (
+  SELECT e.doc_id, e.p, e.len,
+         CAST(1099511627776 + (1048576 - least(v.c, 1048575)) AS BIGINT)
+           AS cost
+  FROM pieces e JOIN vocab v ON v.len = e.len AND v.piece = e.piece
+),
+rec AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cost,
+         0 AS age
+  FROM d
+  UNION ALL
+  SELECT * FROM (
+    SELECT doc_id, pos, cost, age + 1 AS age FROM rec WHERE age < 3
+    UNION ALL
+    SELECT e.doc_id, CAST(e.p AS BIGINT) AS pos,
+           MIN(r.cost + e.cost) AS cost, 0 AS age
+    FROM rec r
+    JOIN edges e ON e.doc_id = r.doc_id
+                AND e.p = r.pos + r.age + 1 AND e.len = r.age + 1
+    GROUP BY e.doc_id, e.p
+  )
+),
+fin AS (
+  SELECT r.doc_id, d.lang, d.L, r.cost
+  FROM rec r JOIN d ON d.doc_id = r.doc_id
+  WHERE r.age = 0 AND r.pos = d.L
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(L) AS BIGINT) AS total_chars,
+       CAST(SUM(cost // 1099511627776) AS BIGINT) AS total_tokens,
+       CAST(SUM(cost) AS BIGINT) AS total_cost
+FROM fin
+GROUP BY lang
+ORDER BY lang
+""",
+    family=_FAM,
+)
+def llm_tokenizer_viterbi(spark, sf_dir):
+    """LATTICE (Viterbi) TOKENIZATION — the segmentation step of
+    unigram-LM / SentencePiece-class tokenizers (Kudo 2018), made
+    hash-exact by replacing float log-probs with an integer objective:
+    candidate pieces are all corpus substrings of length 1..4 with
+    count >= 64 (length-1 pieces always kept, so every document has a
+    segmentation), each piece costs 2^40 + (2^20 - min(count, 2^20-1)),
+    and Viterbi minimizes total cost — the 2^40 rung makes FEWEST
+    TOKENS the primary objective and highest-frequency pieces the
+    exact tie-break, and total_tokens falls out of the optimal cost as
+    cost DIV 2^40 with NO path reconstruction.
+
+    Spark-first shape: the lattice is built by EQUI-JOINS, never a
+    driver-side model — positions explode per doc, the vocabulary is a
+    combiner-shape substring count, edge costs come from joining the
+    candidates back against the vocabulary; only the per-doc DP walk
+    (inherently sequential in position) runs in a grouped-map pandas
+    kernel over each doc's OWN edge list (parallelism = docs, memory =
+    one 120-char lattice). The DuckDB oracle replays the identical DP
+    as a lockstep recursive CTE whose working set is the last four
+    positions (age 0..3).
+
+    Scale: vocabulary counting and lattice construction are linear
+    scans + one shuffle each; the kernel receives O(len x 4) rows per
+    doc. At 100 TB the same plan segments every shard independently
+    against a shared trained vocabulary (here trained on the sampled
+    corpus itself; counts clamp at 2^20-1 so the cost lattice is
+    sf-stable)."""
+    import pandas as pd
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 4 == 0) & (F.length("text") >= 1))
+        .select(
+            "doc_id", "lang",
+            F.substring("text", 1, 120).alias("t"),
+        )
+        .withColumn("L", F.length("t"))
+    )
+    pos = d.select(
+        "doc_id", "lang", "t", "L",
+        F.explode(F.sequence(F.lit(1), F.col("L"))).alias("p"),
+    )
+    pieces = (
+        pos.select(
+            "doc_id", "lang", "t", "L", "p",
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)]))
+            .alias("len"),
+        )
+        .filter(F.col("len") <= F.col("p"))
+        .withColumn("piece", F.expr("substring(t, p - len + 1, len)"))
+    )
+    vocab = (
+        pieces.groupBy("len", "piece")
+        .agg(F.count("*").alias("c"))
+        .filter((F.col("len") == 1) | (F.col("c") >= 64))
+    )
+    edges = pieces.join(vocab, ["len", "piece"]).select(
+        "doc_id", "lang", "L", "p", "len",
+        (
+            F.lit(2 ** 40)
+            + (F.lit(2 ** 20) - F.least(F.col("c"), F.lit(2 ** 20 - 1)))
+        ).cast("bigint").alias("cost"),
+    )
+
+    schema = (
+        "doc_id bigint, lang string, n_chars bigint, "
+        "n_tokens bigint, cost bigint"
+    )
+
+    def viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        L = int(pdf["L"].iloc[0])
+        by_p: dict[int, list[tuple[int, int]]] = {}
+        for p, ln, c in zip(pdf["p"], pdf["len"], pdf["cost"]):
+            by_p.setdefault(int(p), []).append((int(ln), int(c)))
+        best = [0] + [None] * L
+        for p in range(1, L + 1):
+            b = None
+            for ln, c in by_p.get(p, ()):
+                prev = best[p - ln]
+                if prev is not None and (b is None or prev + c < b):
+                    b = prev + c
+            best[p] = b
+        return pd.DataFrame([{
+            "doc_id": int(pdf["doc_id"].iloc[0]),
+            "lang": pdf["lang"].iloc[0],
+            "n_chars": L,
+            "n_tokens": best[L] // 2 ** 40,
+            "cost": best[L],
+        }])
+
+    per_doc = edges.groupBy("doc_id", "lang").applyInPandas(viterbi, schema)
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("cost").cast("bigint").alias("total_cost"),
+        )
+        .orderBy("lang")
+    )
