@@ -1343,3 +1343,170 @@ def version_changes(root: Path, version: int) -> list[tuple]:
         if k not in pre:
             changes.append(("insert", version, k, pr, ce))
     return changes
+
+
+@query(
+    "lake_restore_version",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(4 AS BIGINT) AS version,
+       CAST(4 AS BIGINT) AS files_readded,
+       CAST(6 AS BIGINT) AS files_removed,
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderkey % 7 = 0 OR o_orderpriority = '1-URGENT')
+            AS BIGINT) AS v3_urgent_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_SQL_CENTS}) AS BIGINT) AS cents
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    family=_FAM,
+)
+def lake_restore_version(spark, sf_dir):
+    """RESTORE (rollback-as-a-commit): after the COW merge (v3), the
+    table is restored to version 1 by committing v4 = re-add(files
+    live at v1 but not at v3) + remove(files live at v3 but not at
+    v1) — a pure METADATA commit (Delta's RESTORE): no data file is
+    copied or rewritten, the bad version stays in history (v3 remains
+    time-travelable — v3_urgent_orders pins its merged content via the
+    as-of read), and readers pinned to v3 are unaffected. The LATEST
+    read then equals v1's content: only the first two append batches,
+    with their ORIGINAL priorities — grouping by priority proves the
+    merge's 1-URGENT restatement was actually rolled back, not merely
+    row counts restored. files_readded/files_removed pin the diff
+    commit's shape.
+
+    Scale: restore cost is O(|live(v_from)| + |live(v_to)|) metadata —
+    the recovery path after a bad backfill on a 100 TB table, where
+    re-writing data would be days and this is one log entry. Vacuum
+    must respect restored-live files (ours does: it keeps anything
+    live in the LATEST snapshot)."""
+
+    def build(tmp: Path):
+        _merge_commit(spark, tmp)
+        want = set(_snapshot_files(tmp, as_of=1))
+        have = set(_snapshot_files(tmp))
+        assert _commit(tmp / "_log", 4, {
+            "add": sorted(want - have),
+            "remove": sorted(have - want),
+            "restore": {"to_version": 1},
+        })
+
+    root = _store(spark, sf_dir, "restore", extra=build)
+    ver = _log_versions(root)[-1]
+    acts = json.loads((root / "_log" / f"v{ver:010d}.json").read_text())
+    # the rolled-back version must stay a first-class historical read
+    v3_urgent = (
+        _read_snapshot(spark, root, as_of=3)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .agg(F.count("*").cast("bigint").alias("v3_urgent_orders"))
+    )
+    return (
+        _read_snapshot(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.lit(ver).cast("bigint").alias("version"),
+            F.lit(len(acts["add"])).cast("bigint").alias("files_readded"),
+            F.lit(len(acts["remove"])).cast("bigint")
+            .alias("files_removed"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        )
+        .join(F.broadcast(v3_urgent))
+        .select("o_orderpriority", "version", "files_readded",
+                "files_removed", "v3_urgent_orders", "n_orders", "cents")
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "lake_clone_shallow",
+    oracle=f"""
+WITH src AS (
+  SELECT 'src' AS tbl, o_orderstatus, {_SQL_CENTS} AS cents FROM orders
+  UNION ALL
+  SELECT 'src', 'SRC_ONLY', {_SQL_CENTS}
+  FROM orders WHERE o_orderkey % 23 = 0
+),
+cl AS (
+  SELECT 'clone' AS tbl, o_orderstatus, {_SQL_CENTS} AS cents FROM orders
+  UNION ALL
+  SELECT 'clone', 'CLONE_ONLY', {_SQL_CENTS}
+  FROM orders WHERE o_orderkey % 19 = 0
+),
+un AS (SELECT * FROM src UNION ALL SELECT * FROM cl)
+SELECT tbl, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM un
+GROUP BY tbl, o_orderstatus
+ORDER BY tbl, o_orderstatus
+""",
+    family=_FAM,
+)
+def lake_clone_shallow(spark, sf_dir):
+    """SHALLOW CLONE (zero-copy branch): the clone table's v0 commit
+    lists the SOURCE table's live data files by cross-table relative
+    path — no byte is copied — after which the two tables diverge
+    independently: the clone appends a CLONE_ONLY slice (its v1), the
+    source appends a SRC_ONLY slice (its v3), and neither append is
+    visible through the other table's log. The grouped read of both
+    tables pins exactly that: shared base content appears in both,
+    each table sees only its own divergent append — a clone that
+    accidentally wrote through to the source log (or re-resolved the
+    source's LATEST instead of the cloned version) would leak the
+    other slice and hash-mismatch.
+
+    This is Delta SHALLOW CLONE / Iceberg branch semantics, the
+    dev/test-against-production primitive: at 100 TB a full copy is
+    immaterial, a clone commit is O(live files) metadata. Caveat
+    (Delta has the same one): the source's vacuum does not know about
+    clone references — production either vacuums clone-aware or
+    treats clones as bounded-lifetime; documented here rather than
+    hidden."""
+
+    def build(tmp: Path):
+        _base_commits(spark, sf_dir, tmp / "src")
+        o = table(spark, sf_dir, "orders")
+        # clone v0: reference src's live files relatively — zero copy
+        src_live = _snapshot_files(tmp / "src")
+        (tmp / "clone").mkdir(parents=True, exist_ok=True)
+        assert _commit(tmp / "clone" / "_log", 0, {
+            "add": [f"../src/{f}" for f in src_live], "remove": [],
+            "clone": {"source": "src", "source_version": 2},
+        })
+        # divergent appends: clone v1 ...
+        cl_extra = o.filter(F.col("o_orderkey") % 19 == 0).withColumn(
+            "o_orderstatus", F.lit("CLONE_ONLY")
+        )
+        files = _write_files(cl_extra, tmp / "clone" / "data", n_files=1)
+        assert _commit(tmp / "clone" / "_log", 1,
+                       {"add": files, "remove": []})
+        # ... and src v3, invisible to the clone
+        src_extra = o.filter(F.col("o_orderkey") % 23 == 0).withColumn(
+            "o_orderstatus", F.lit("SRC_ONLY")
+        )
+        files = _write_files(src_extra, tmp / "src" / "data", n_files=1)
+        assert _commit(tmp / "src" / "_log", 3,
+                       {"add": files, "remove": []})
+
+    root = _publish_store(build, _fixture_dir(sf_dir) / "lake_clone")
+    frames = []
+    for tbl in ("src", "clone"):
+        frames.append(
+            _read_snapshot(spark, root / tbl)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint").alias("cents"),
+            )
+            .select(F.lit(tbl).alias("tbl"), "o_orderstatus",
+                    "n_orders", "cents")
+        )
+    return (
+        frames[0].unionByName(frames[1])
+        .orderBy("tbl", "o_orderstatus")
+    )

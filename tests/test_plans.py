@@ -915,7 +915,8 @@ def test_no_mid_plan_driver_actions(spark, monkeypatch):
                     "lake_txn_conflict", "lake_vacuum", "lake_checkpoint",
                     "lake_stats_skipping", "lake_schema_evolution",
                     "lake_compact_optimize", "lake_delete_vectors",
-                    "lake_change_feed", "lake_zorder_skipping"):
+                    "lake_change_feed", "lake_zorder_skipping",
+                    "lake_restore_version", "lake_clone_shallow"):
         all_specs()[store_q].fn(spark, SF_SMOKE)
 
     calls: dict[str, list[str]] = {}
