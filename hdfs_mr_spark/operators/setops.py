@@ -1116,3 +1116,193 @@ def etl_bitemporal_asof(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "etl_fk_inference",
+    oracle="""
+WITH pairs AS (
+  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS rel,
+         (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS child_distinct,
+         (SELECT COUNT(DISTINCT l.l_orderkey) FROM lineitem l
+          WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders)) AS contained
+  UNION ALL
+  SELECT 'orders.o_custkey->customer.c_custkey',
+         (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+         (SELECT COUNT(DISTINCT o.o_custkey) FROM orders o
+          WHERE o.o_custkey IN (SELECT c_custkey FROM customer))
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part.p_partkey',
+         (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+         (SELECT COUNT(DISTINCT l.l_partkey) FROM lineitem l
+          WHERE l.l_partkey IN (SELECT p_partkey FROM part))
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation.n_nationkey',
+         (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
+         (SELECT COUNT(DISTINCT c.c_nationkey) FROM customer c
+          WHERE c.c_nationkey IN (SELECT n_nationkey FROM nation))
+  UNION ALL
+  SELECT 'orders.o_orderkey->customer.c_custkey',
+         (SELECT COUNT(DISTINCT o_orderkey) FROM orders),
+         (SELECT COUNT(DISTINCT o.o_orderkey) FROM orders o
+          WHERE o.o_orderkey IN (SELECT c_custkey FROM customer))
+)
+SELECT rel,
+       CAST(child_distinct AS BIGINT) AS child_distinct,
+       CAST(contained AS BIGINT) AS contained,
+       CAST(contained * 10000 // child_distinct AS BIGINT)
+         AS containment_bp,
+       contained = child_distinct AS is_fk_candidate
+FROM pairs ORDER BY rel
+""",
+    family=_FAM,
+)
+def etl_fk_inference(spark, sf_dir):
+    """FOREIGN-KEY INFERENCE by inclusion-dependency scoring — the
+    schema-discovery pass a pipeline runs over an undocumented data
+    dump: for each candidate (child column -> parent column) pair,
+    containment = |distinct(child) ∩ parent| / |distinct(child)|; a
+    containment of 100% flags an FK candidate. Four true edges of the
+    TPC-H graph score 1.0; a deliberately-wrong pair
+    (o_orderkey -> c_custkey) scores low, pinning that the measure
+    actually discriminates rather than saturating.
+
+    Scale: each pair is distinct-project (combiner collapse to key
+    cardinality) + a broadcast/shuffle SEMI-join count — never a full
+    row join; the five probes are independent unioned jobs. At 100 TB
+    the distinct-project is the whole cost, and it is exactly the
+    statistics a catalog crawler materializes anyway. Integer
+    basis-point ratio (contained * 10000 DIV child_distinct) keeps the
+    score hash-exact."""
+    probes = [
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         table(spark, sf_dir, "lineitem").select(
+             F.col("l_orderkey").alias("k")),
+         table(spark, sf_dir, "orders").select(
+             F.col("o_orderkey").alias("k"))),
+        ("orders.o_custkey->customer.c_custkey",
+         table(spark, sf_dir, "orders").select(
+             F.col("o_custkey").alias("k")),
+         table(spark, sf_dir, "customer").select(
+             F.col("c_custkey").alias("k"))),
+        ("lineitem.l_partkey->part.p_partkey",
+         table(spark, sf_dir, "lineitem").select(
+             F.col("l_partkey").alias("k")),
+         table(spark, sf_dir, "part").select(
+             F.col("p_partkey").alias("k"))),
+        ("customer.c_nationkey->nation.n_nationkey",
+         table(spark, sf_dir, "customer").select(
+             F.col("c_nationkey").alias("k")),
+         table(spark, sf_dir, "nation").select(
+             F.col("n_nationkey").alias("k"))),
+        ("orders.o_orderkey->customer.c_custkey",
+         table(spark, sf_dir, "orders").select(
+             F.col("o_orderkey").alias("k")),
+         table(spark, sf_dir, "customer").select(
+             F.col("c_custkey").alias("k"))),
+    ]
+    frames = []
+    for rel, child, parent in probes:
+        ck = child.distinct()
+        stats = (
+            ck.join(parent.distinct(), "k", "semi")
+            .agg(F.count("*").alias("contained"))
+            .join(F.broadcast(
+                ck.agg(F.count("*").alias("child_distinct"))
+            ))
+        )
+        frames.append(stats.select(
+            F.lit(rel).alias("rel"),
+            F.col("child_distinct").cast("bigint").alias("child_distinct"),
+            F.col("contained").cast("bigint").alias("contained"),
+            F.expr("CAST(contained * 10000 DIV child_distinct AS BIGINT)")
+            .alias("containment_bp"),
+            (F.col("contained") == F.col("child_distinct"))
+            .alias("is_fk_candidate"),
+        ))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("rel")
+
+
+@query(
+    "dq_reconcile_totals",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS derived_e4
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000 AS stated_e4,
+         li.derived_e4
+  FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+),
+b AS (
+  SELECT CASE WHEN derived_e4 = stated_e4 THEN 'match'
+              WHEN derived_e4 > stated_e4 THEN 'derived_over'
+              ELSE 'derived_under' END AS bucket,
+         derived_e4 - stated_e4 AS drift_e4
+  FROM j
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(drift_e4) AS BIGINT) AS total_drift_e4,
+       CAST(MAX(abs(drift_e4)) AS BIGINT) AS max_abs_drift_e4
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+""",
+    family=_FAM,
+)
+def dq_reconcile_totals(spark, sf_dir):
+    """CROSS-TABLE RECONCILIATION — the financial-closing audit every
+    warehouse runs: each order's stated o_totalprice against the total
+    DERIVED from its own lineitems, sum(extendedprice * (1-discount) *
+    (1+tax)), bucketed match / derived_over / derived_under with drift
+    totals. The arithmetic is EXACT integers end-to-end: prices ride
+    cents, discount/tax ride integer percent, so the derived total is
+    a BIGINT in 10^-4-cent units and 'match' means bit-equal, not
+    within-epsilon — the only way a reconciliation verdict is itself
+    auditable (a float pipeline would classify boundary rows
+    differently per engine and per run).
+
+    Scale: one combiner aggregate over lineitem (map-side partial sums
+    of the per-row products), one equi-join against orders on the
+    order key, one 3-row rollup. At 100 TB this is a single shuffle on
+    l_orderkey — the same plan as TPC-H Q18's large-order scan."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    derived = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+            * (F.lit(100) + F.round(F.col("l_tax") * 100).cast("bigint"))
+        ).alias("derived_e4")
+    )
+    j = o.select(
+        "o_orderkey",
+        (F.round(F.col("o_totalprice") * 100).cast("bigint") * 10000)
+        .alias("stated_e4"),
+    ).join(derived, o.o_orderkey == derived.l_orderkey)
+    drift = F.col("derived_e4") - F.col("stated_e4")
+    return (
+        j.select(
+            F.when(drift == 0, "match")
+            .when(drift > 0, "derived_over")
+            .otherwise("derived_under").alias("bucket"),
+            drift.alias("drift_e4"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("drift_e4").cast("bigint").alias("total_drift_e4"),
+            F.max(F.abs(F.col("drift_e4"))).cast("bigint")
+            .alias("max_abs_drift_e4"),
+        )
+        .orderBy("bucket")
+    )
