@@ -3127,3 +3127,95 @@ def llm_tokenizer_viterbi(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "llm_feature_hashing",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang, w,
+         ('0x' || substr(md5(w), 1, 6))::BIGINT % 256 AS bucket
+  FROM tok WHERE w <> ''
+),
+per_doc AS (
+  SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM b GROUP BY doc_id, lang, bucket
+),
+sq AS (
+  SELECT lang, CAST(SUM(c * c) AS BIGINT) AS sumsq FROM per_doc
+  GROUP BY lang
+),
+st AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS distinct_tokens,
+         CAST(COUNT(DISTINCT bucket) AS BIGINT) AS buckets_used
+  FROM b GROUP BY lang
+)
+SELECT st.lang, st.n_tokens, st.distinct_tokens, st.buckets_used,
+       CAST((st.distinct_tokens - st.buckets_used) * 10000
+            // st.distinct_tokens AS BIGINT) AS collision_bp,
+       sq.sumsq
+FROM st JOIN sq ON sq.lang = st.lang
+ORDER BY st.lang
+""",
+    family=_FAM,
+)
+def llm_feature_hashing(spark, sf_dir):
+    """FEATURE HASHING (the hashing trick — Weinberger 2009, the
+    HashingVectorizer/Vowpal-Wabbit vectorizer): tokens map straight to
+    a FIXED 256-dim index by hash, no vocabulary dictionary ever built
+    or shipped — the property that makes streaming featurization
+    possible at 100 TB (a dictionary vectorizer needs a global vocab
+    broadcast + an extra pass; the hasher is one stateless map). Per
+    language: token counts, distinct tokens vs buckets actually used,
+    the collision rate in integer basis points (the price of fixed
+    dimensionality, measured rather than assumed), and the exact
+    integer sum of squared per-doc bucket counts — the L2^2 mass of the
+    hashed count vectors a downstream normalizer divides by.
+
+    Determinism: the bucket hash is md5-derived (portable across
+    engines, unlike xxhash64 — the fn_hash vs fn_hash_native split);
+    all statistics are exact integers.
+
+    Plan: explode -> one combiner aggregate per statistic family over
+    the SAME shuffled layout; the per-doc vector never materializes
+    wider than its nonzero buckets (sparse by construction)."""
+    d = table(spark, sf_dir, "documents")
+    b = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CAST(conv(substr(md5(w), 1, 6), 16, 10) AS BIGINT) % 256"
+            ),
+        )
+    )
+    per_doc = b.groupBy("doc_id", "lang", "bucket").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    sq = per_doc.groupBy("lang").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sumsq")
+    )
+    st = b.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.countDistinct("w").cast("bigint").alias("distinct_tokens"),
+        F.countDistinct("bucket").cast("bigint").alias("buckets_used"),
+    )
+    return (
+        st.join(sq, "lang")
+        .select(
+            "lang", "n_tokens", "distinct_tokens", "buckets_used",
+            F.expr(
+                "CAST((distinct_tokens - buckets_used) * 10000 "
+                "DIV distinct_tokens AS BIGINT)"
+            ).alias("collision_bp"),
+            "sumsq",
+        )
+        .orderBy("lang")
+    )

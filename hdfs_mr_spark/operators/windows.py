@@ -2549,3 +2549,109 @@ def ts_dtw(spark, sf_dir):
         .applyInPandas(dtw, schema)
         .orderBy("g1", "g2")
     )
+
+
+@query(
+    "ts_pattern_match",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+runs0 AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS grp
+  FROM e
+),
+runs AS (
+  SELECT user_id, event_type, grp,
+         CAST(COUNT(*) AS BIGINT) AS run_len,
+         MIN(pos) AS run_pos
+  FROM runs0 GROUP BY user_id, event_type, grp
+),
+seq AS (
+  SELECT user_id, event_type, run_len,
+         lead(event_type) OVER w AS next_type,
+         lead(run_len) OVER w AS next_len
+  FROM runs
+  WINDOW w AS (PARTITION BY user_id ORDER BY run_pos)
+),
+matches AS (
+  SELECT user_id, run_len AS views_run, next_len AS purchases_run
+  FROM seq
+  WHERE event_type = 'view' AND next_type = 'purchase'
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(SUM(views_run) AS BIGINT) AS views_consumed,
+       CAST(SUM(purchases_run) AS BIGINT) AS purchases_consumed,
+       CAST(MAX(views_run) AS BIGINT) AS longest_view_run
+FROM matches
+GROUP BY user_id
+ORDER BY user_id
+""",
+    family=_FAM,
+)
+def ts_pattern_match(spark, sf_dir):
+    """EVENT-PATTERN MATCHING (the MATCH_RECOGNIZE / Flink-CEP
+    primitive, pattern `V+ P+`): per user, in event-time order, every
+    maximal run of consecutive 'view's immediately followed by a run
+    of 'purchase's is one match — the contiguity constraint is what
+    neither ts_funnel (ordered steps, gaps allowed) nor win_sessionize
+    (time-gap grouping) expresses. Runs come from the gaps-and-islands
+    identity (row_number over the stream minus row_number within the
+    type — both share ONE partition sort), adjacency from a lead()
+    over the per-user run sequence ordered by each run's first STREAM
+    POSITION (tied timestamps across adjacent runs would make a
+    run_start-timestamp ordering ambiguous); total order (ts,
+    event_id) makes positions engine-exact.
+
+    Scale: two window functions over the same (user_id, ts, event_id)
+    sort — Catalyst evaluates them in one shuffle + sort per user
+    partition — then a run-level aggregate ~1000x smaller than the
+    event stream; the adjacency lead() runs on run rows, not events.
+    No self-join, no per-event Python: the CEP pattern compiles to
+    relational windows."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select("user_id", "event_id", "ts", "event_type")
+    w_all = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    runs0 = ev.withColumn(
+        "pos", F.row_number().over(w_all)
+    ).withColumn(
+        "grp", F.col("pos") - F.row_number().over(w_type)
+    )
+    runs = runs0.groupBy("user_id", "event_type", "grp").agg(
+        F.count("*").cast("bigint").alias("run_len"),
+        F.min("pos").alias("run_pos"),
+    )
+    w_seq = Window.partitionBy("user_id").orderBy(F.col("run_pos").asc())
+    seq = runs.select(
+        "user_id", "event_type", "run_len",
+        F.lead("event_type").over(w_seq).alias("next_type"),
+        F.lead("run_len").over(w_seq).alias("next_len"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("next_type") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matches"),
+            F.sum("run_len").cast("bigint").alias("views_consumed"),
+            F.sum("next_len").cast("bigint").alias("purchases_consumed"),
+            F.max("run_len").cast("bigint").alias("longest_view_run"),
+        )
+        .orderBy("user_id")
+    )
