@@ -1239,3 +1239,36 @@ def test_join_knn_grid_both_tiers_fire(spark):
     # fallback tier: broadcast nested loop against the corpus;
     # grid tier: an equi-join on the cell keys
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_lake_vacuum_respects_restore(spark):
+    """RESTORE re-adds files that an earlier merge tombstoned; a vacuum
+    computed as (all-ever-added minus LATEST-live) must therefore keep
+    the re-added v1 files — an implementation that folded only remove
+    actions (ignoring later re-adds) would delete live data."""
+    import json as _json
+
+    from hdfs_mr_spark.sources.lake import _log_versions, _snapshot_files
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    all_specs()["lake_restore_version"].fn(spark, SF_SMOKE)
+    root = _fixture_dir(SF_SMOKE) / "lake_restore"
+    live = set(_snapshot_files(root))
+    ever = set()
+    removed_ever = set()
+    for v in _log_versions(root):
+        acts = _json.loads((root / "_log" / f"v{v:010d}.json").read_text())
+        ever.update(
+            e["path"] if isinstance(e, dict) else e
+            for e in acts.get("add", [])
+        )
+        removed_ever.update(acts.get("remove", []))
+    dead = ever - live
+    # every latest-live file was BOTH added and (by the merge) removed
+    # at some version — the naive remove-fold would kill all of them
+    assert live <= removed_ever
+    assert not (live & dead)
+    # the dead set = the merge's 6 rewrites + the 2 batch-2 originals
+    # the restore-to-v1 dropped; the 4 restored v1 files stay live
+    assert len(dead) == 8, sorted(dead)
+    assert len(live) == 4
