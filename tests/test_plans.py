@@ -916,7 +916,8 @@ def test_no_mid_plan_driver_actions(spark, monkeypatch):
                     "lake_stats_skipping", "lake_schema_evolution",
                     "lake_compact_optimize", "lake_delete_vectors",
                     "lake_change_feed", "lake_zorder_skipping",
-                    "lake_restore_version", "lake_clone_shallow"):
+                    "lake_restore_version", "lake_clone_shallow",
+                    "lake_bloom_index"):
         all_specs()[store_q].fn(spark, SF_SMOKE)
 
     calls: dict[str, list[str]] = {}
@@ -1272,3 +1273,18 @@ def test_lake_vacuum_respects_restore(spark):
     # the restore-to-v1 dropped; the 4 restored v1 files stay live
     assert len(dead) == 8, sorted(dead)
     assert len(live) == 4
+
+
+def test_lake_bloom_index_scans_one_file(spark):
+    """The bloom point lookup must reach the physical scan: exactly 1
+    of the 7 year-clustered files is planned as input (min/max stats
+    could never prune an orderkey lookup on this layout — the bloom
+    sidecar is what makes the needle read O(1 file))."""
+    df = all_specs()["lake_bloom_index"].fn(spark, SF_SMOKE)
+    inputs = df.inputFiles()
+    assert len(inputs) == 1, inputs
+    rows = df.collect()
+    assert rows and all(
+        r.files_live == 7 and r.files_scanned == 1 and r.n_rows >= 1
+        for r in rows
+    )
