@@ -3219,3 +3219,113 @@ def llm_feature_hashing(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "llm_importance_resample",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+bg AS (
+  SELECT a.doc_id, a.lang,
+         ('0x' || substr(md5(a.w || ' ' || b.w), 1, 6))::BIGINT % 1024
+           AS bucket
+  FROM tok a JOIN tok b
+    ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  WHERE a.w <> '' AND b.w <> ''
+),
+bstat AS (
+  SELECT bucket,
+         COUNT(*) FILTER (WHERE lang = 'en') AS ct,
+         COUNT(*) FILTER (WHERE lang <> 'en') AS cr
+  FROM bg GROUP BY bucket
+),
+scored AS (
+  SELECT g.doc_id, g.lang,
+         SUM((s.ct + 1) * 10000 // (s.cr + 1)) AS imp
+  FROM bg g JOIN bstat s ON s.bucket = g.bucket
+  GROUP BY g.doc_id, g.lang
+),
+thr AS (
+  SELECT SUM(imp) // COUNT(*) AS mean_imp FROM scored
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE imp > (SELECT mean_imp FROM thr))
+            AS BIGINT) AS n_selected,
+       CAST(SUM(imp) AS BIGINT) AS sum_importance,
+       CAST(MAX(imp) AS BIGINT) AS max_importance
+FROM scored
+GROUP BY lang
+ORDER BY lang
+""",
+    family=_FAM,
+)
+def llm_importance_resample(spark, sf_dir):
+    """DSIR-style DATA SELECTION via hashed-n-gram importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): word bigrams hash into 1024 buckets; each
+    bucket's frequency in the TARGET distribution (English docs)
+    versus the rest of the pool gives a per-bucket likelihood ratio,
+    and a document's importance is the sum over its bigram occurrences
+    of its buckets' ratios — documents whose n-gram profile looks like
+    the target score high, and selection keeps those above the global
+    mean. Engine-portable deviation, stated: faithful DSIR sums LOG
+    ratios and resamples with Gumbel noise; libm log is not
+    bit-portable across engines, so the ratio rides INTEGER basis
+    points with +1 smoothing ((ct+1)*10000 DIV (cr+1)) — per-bucket
+    monotone in the true ratio — and selection is deterministic
+    above-mean rather than sampled.
+
+    Plan: bigrams from ONE self-join on (doc, position+1) (no Python),
+    bucket stats one combiner aggregate, doc scores a second aggregate
+    after an equi-join against the 1024-row broadcast bucket table,
+    threshold a broadcast 1-row scalar. At 100 TB the bucket table is
+    fixed-size regardless of corpus — the entire point of hashing the
+    feature space (same property as llm_feature_hashing)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang",
+        F.posexplode(F.split("text", " ")).alias("i", "w"),
+    ).filter(F.col("w") != "")
+    a = tok.select("doc_id", "lang", "i", F.col("w").alias("wa"))
+    b = tok.select("doc_id", (F.col("i") - 1).alias("i"),
+                   F.col("w").alias("wb"))
+    bg = a.join(b, ["doc_id", "i"]).select(
+        "doc_id", "lang",
+        F.expr(
+            "CAST(conv(substr(md5(concat(wa, ' ', wb)), 1, 6), 16, 10)"
+            " AS BIGINT) % 1024"
+        ).alias("bucket"),
+    )
+    bstat = bg.groupBy("bucket").agg(
+        F.sum((F.col("lang") == "en").cast("bigint")).alias("ct"),
+        F.sum((F.col("lang") != "en").cast("bigint")).alias("cr"),
+    )
+    scored = (
+        bg.join(F.broadcast(bstat), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.expr("(ct + 1) * 10000 DIV (cr + 1)")
+            ).alias("imp")
+        )
+    )
+    thr = scored.agg(
+        F.expr("SUM(imp) DIV COUNT(*)").alias("mean_imp")
+    )
+    return (
+        scored.join(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("imp") > F.col("mean_imp")).cast("bigint"))
+            .cast("bigint").alias("n_selected"),
+            F.sum("imp").cast("bigint").alias("sum_importance"),
+            F.max("imp").cast("bigint").alias("max_importance"),
+        )
+        .orderBy("lang")
+    )
