@@ -3329,3 +3329,140 @@ def llm_importance_resample(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "llm_segment_texttiling",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+  FROM documents
+),
+blk AS (
+  SELECT DISTINCT doc_id, i // 16 AS blk, w FROM tok WHERE w <> ''
+),
+bsz AS (
+  SELECT doc_id, blk, COUNT(*) AS n FROM blk GROUP BY doc_id, blk
+),
+inter AS (
+  SELECT a.doc_id, a.blk AS gap, COUNT(*) AS isect
+  FROM blk a JOIN blk b
+    ON b.doc_id = a.doc_id AND b.blk = a.blk + 1 AND b.w = a.w
+  GROUP BY a.doc_id, a.blk
+),
+sims AS (
+  SELECT l.doc_id, l.blk AS gap,
+         COALESCE(i.isect, 0) * 10000
+           // (l.n + r.n - COALESCE(i.isect, 0)) AS sim_bp
+  FROM bsz l
+  JOIN bsz r ON r.doc_id = l.doc_id AND r.blk = l.blk + 1
+  LEFT JOIN inter i ON i.doc_id = l.doc_id AND i.gap = l.blk
+),
+depth AS (
+  SELECT doc_id, gap, sim_bp,
+         greatest(COALESCE(lag(sim_bp) OVER w, sim_bp) - sim_bp, 0)
+         + greatest(COALESCE(lead(sim_bp) OVER w, sim_bp) - sim_bp, 0)
+           AS depth_bp
+  FROM sims
+  WINDOW w AS (PARTITION BY doc_id ORDER BY gap)
+),
+thr AS (SELECT SUM(depth_bp) // COUNT(*) AS mean_depth FROM depth)
+SELECT doc_id,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_blocks,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(COUNT(*) FILTER (
+         WHERE depth_bp > (SELECT mean_depth FROM thr)) AS BIGINT)
+         AS n_boundaries,
+       CAST(SUM(depth_bp) AS BIGINT) AS total_depth_bp,
+       CAST(SUM(sim_bp) AS BIGINT) AS total_sim_bp
+FROM depth
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    family=_FAM,
+)
+def llm_segment_texttiling(spark, sf_dir):
+    """TOPIC SEGMENTATION, TextTiling-style (Hearst 1997): documents
+    split into 16-token blocks; lexical cohesion at each inter-block
+    gap is the Jaccard similarity of adjacent blocks' distinct-token
+    sets (integer basis points — the stated deviation from Hearst's
+    cosine, whose sqrt-normalized floats are not engine-portable;
+    Jaccard is the standard substitution in TextTiling
+    implementations); a gap's DEPTH is how far its cohesion dips below
+    both neighbors (the valley score), and gaps deeper than the
+    corpus mean depth are topic boundaries — where a chunking pipeline
+    should prefer to cut instead of the blind stride of
+    llm_chunk_split.
+
+    Plan: fully relational — block membership is a distinct-project,
+    the intersection is ONE self-equi-join on (doc, token, adjacent
+    block), depths are lag/lead over one per-doc window sort, the
+    threshold a broadcast 1-row scalar. No kernel, no driver model;
+    at 100 TB the self-join shuffles O(distinct tokens per block pair)
+    and everything else is combiner-shaped."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    ).filter(F.col("w") != "")
+    blk = tok.select(
+        "doc_id", (F.col("i") / 16).cast("bigint").alias("blk"), "w"
+    ).distinct()
+    bsz = blk.groupBy("doc_id", "blk").agg(F.count("*").alias("n"))
+    inter = (
+        blk.alias("a")
+        .join(
+            blk.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.blk") == F.col("a.blk") + 1)
+            & (F.col("b.w") == F.col("a.w")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"),
+                 F.col("a.blk").alias("gap"))
+        .agg(F.count("*").alias("isect"))
+    )
+    l = bsz.select("doc_id", F.col("blk").alias("gap"),
+                   F.col("n").alias("nl"))
+    r = bsz.select("doc_id", (F.col("blk") - 1).alias("gap"),
+                   F.col("n").alias("nr"))
+    sims = (
+        l.join(r, ["doc_id", "gap"])
+        .join(inter, ["doc_id", "gap"], "left")
+        .select(
+            "doc_id", "gap",
+            F.expr(
+                "coalesce(isect, 0) * 10000 "
+                "DIV (nl + nr - coalesce(isect, 0))"
+            ).alias("sim_bp"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("gap")
+    depth = sims.select(
+        "doc_id", "gap", "sim_bp",
+        (
+            F.greatest(
+                F.coalesce(F.lag("sim_bp").over(w), F.col("sim_bp"))
+                - F.col("sim_bp"), F.lit(0)
+            )
+            + F.greatest(
+                F.coalesce(F.lead("sim_bp").over(w), F.col("sim_bp"))
+                - F.col("sim_bp"), F.lit(0)
+            )
+        ).alias("depth_bp"),
+    )
+    thr = depth.agg(
+        F.expr("SUM(depth_bp) DIV COUNT(*)").alias("mean_depth")
+    )
+    return (
+        depth.join(F.broadcast(thr))
+        .groupBy("doc_id")
+        .agg(
+            (F.count("*") + 1).cast("bigint").alias("n_blocks"),
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.sum((F.col("depth_bp") > F.col("mean_depth")).cast("bigint"))
+            .cast("bigint").alias("n_boundaries"),
+            F.sum("depth_bp").cast("bigint").alias("total_depth_bp"),
+            F.sum("sim_bp").cast("bigint").alias("total_sim_bp"),
+        )
+        .orderBy("doc_id")
+    )
