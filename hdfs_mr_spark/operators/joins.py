@@ -1422,3 +1422,128 @@ def join_knn_grid(spark, sf_dir):
         )
         .orderBy("c_custkey", "rnk")
     )
+
+
+_PIP_TRIS = [
+    (0, (50, 50), (400, 120), (180, 420)),
+    (1, (300, 600), (700, 550), (520, 950)),
+    (2, (600, 100), (950, 80), (820, 380)),
+    (3, (100, 700), (260, 980), (20, 940)),
+    (4, (450, 300), (750, 420), (560, 680)),
+    (5, (0, 0), (999, 0), (0, 999)),
+]
+_PIP_CELL = 125
+
+
+@query(
+    "join_point_in_polygon",
+    oracle="""
+WITH tri(pid, ax, ay, bx, by, cx_, cy_) AS (
+  VALUES (0, 50, 50, 400, 120, 180, 420),
+         (1, 300, 600, 700, 550, 520, 950),
+         (2, 600, 100, 950, 80, 820, 380),
+         (3, 100, 700, 260, 980, 20, 940),
+         (4, 450, 300, 750, 420, 560, 680),
+         (5, 0, 0, 999, 0, 0, 999)
+),
+p AS (
+  SELECT c_custkey,
+         ('0x' || substr(md5('c' || c_custkey || 'x'), 1, 6))::BIGINT % 1000 AS x,
+         ('0x' || substr(md5('c' || c_custkey || 'y'), 1, 6))::BIGINT % 1000 AS y
+  FROM customer
+),
+hit AS (
+  SELECT t.pid, p.c_custkey
+  FROM p, tri t
+  WHERE (
+    ((t.bx - t.ax) * (p.y - t.ay) - (t.by - t.ay) * (p.x - t.ax) >= 0
+     AND (t.cx_ - t.bx) * (p.y - t.by) - (t.cy_ - t.by) * (p.x - t.bx) >= 0
+     AND (t.ax - t.cx_) * (p.y - t.cy_) - (t.ay - t.cy_) * (p.x - t.cx_) >= 0)
+    OR
+    ((t.bx - t.ax) * (p.y - t.ay) - (t.by - t.ay) * (p.x - t.ax) <= 0
+     AND (t.cx_ - t.bx) * (p.y - t.by) - (t.cy_ - t.by) * (p.x - t.bx) <= 0
+     AND (t.ax - t.cx_) * (p.y - t.cy_) - (t.ay - t.cy_) * (p.x - t.cx_) <= 0)
+  )
+)
+SELECT pid AS polygon_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_custkey,
+       CAST(SUM(c_custkey) AS BIGINT) AS custkey_checksum
+FROM hit
+GROUP BY pid
+ORDER BY pid
+""",
+    family=_FAM,
+)
+def join_point_in_polygon(spark, sf_dir):
+    """POINT-IN-POLYGON JOIN with integer geometry — the spatial
+    containment primitive (GIS enrichment, geofencing): customers'
+    md5-derived grid points against six literal triangles, containment
+    tested by the three cross-product signs (all >= 0 or all <= 0,
+    boundary inclusive) — pure BIGINT arithmetic, so the oracle can be
+    the brute-force cross join and set equality PROVES the pruning
+    lost nothing.
+
+    Scale path: each triangle expands to the 125-unit grid CELLS its
+    bounding box covers (a literal ~137-row spine, computed once from
+    the polygon set — at 100 TB this is the polygon index a geo join
+    broadcasts); points equi-join their cell against that spine, and
+    only cell-collocated (point, triangle) pairs reach the exact sign
+    test. The naive form is points x polygons; the cell join bounds
+    work by sum-over-cells(|points_cell| x |tris_cell|) — linear in
+    points for a fixed polygon set, and the broadcast keeps the big
+    side shuffle-free."""
+    tris = spark.createDataFrame(
+        [(pid, a[0], a[1], b[0], b[1], c[0], c[1])
+         for pid, a, b, c in _PIP_TRIS],
+        "pid int, ax int, ay int, bx int, by int, cx_ int, cy_ int",
+    )
+    cells = spark.createDataFrame(
+        [
+            (pid, cx, cy)
+            for pid, a, b, c in _PIP_TRIS
+            for cx in range(min(a[0], b[0], c[0]) // _PIP_CELL,
+                            max(a[0], b[0], c[0]) // _PIP_CELL + 1)
+            for cy in range(min(a[1], b[1], c[1]) // _PIP_CELL,
+                            max(a[1], b[1], c[1]) // _PIP_CELL + 1)
+        ],
+        "pid int, cx int, cy int",
+    )
+
+    def h(key, prefix, ax):
+        return F.expr(
+            f"CAST(conv(substr(md5(concat('{prefix}', {key}, '{ax}')),"
+            f" 1, 6), 16, 10) AS BIGINT) % 1000"
+        )
+
+    p = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        h("c_custkey", "c", "x").alias("x"),
+        h("c_custkey", "c", "y").alias("y"),
+    ).withColumn(
+        "cx", F.expr(f"CAST(x DIV {_PIP_CELL} AS INT)")
+    ).withColumn(
+        "cy", F.expr(f"CAST(y DIV {_PIP_CELL} AS INT)")
+    )
+    cand = p.join(F.broadcast(cells), ["cx", "cy"]).join(
+        F.broadcast(tris), "pid"
+    )
+    c1 = (F.col("bx") - F.col("ax")) * (F.col("y") - F.col("ay")) - (
+        F.col("by") - F.col("ay")) * (F.col("x") - F.col("ax"))
+    c2 = (F.col("cx_") - F.col("bx")) * (F.col("y") - F.col("by")) - (
+        F.col("cy_") - F.col("by")) * (F.col("x") - F.col("bx"))
+    c3 = (F.col("ax") - F.col("cx_")) * (F.col("y") - F.col("cy_")) - (
+        F.col("ay") - F.col("cy_")) * (F.col("x") - F.col("cx_"))
+    inside = ((c1 >= 0) & (c2 >= 0) & (c3 >= 0)) | (
+        (c1 <= 0) & (c2 <= 0) & (c3 <= 0)
+    )
+    return (
+        cand.filter(inside)
+        .groupBy(F.col("pid").alias("polygon_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.min("c_custkey").cast("bigint").alias("min_custkey"),
+            F.sum("c_custkey").cast("bigint").alias("custkey_checksum"),
+        )
+        .orderBy("polygon_id")
+    )
