@@ -2116,3 +2116,133 @@ def stream_lake_cdf(spark, sf_dir):
         .orderBy("_change_type", "_commit_version")
         .localCheckpoint()
     )
+
+
+@query(
+    "stream_pattern_match",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+runs0 AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS grp
+  FROM e
+),
+runs AS (
+  SELECT user_id, event_type, grp,
+         CAST(COUNT(*) AS BIGINT) AS run_len,
+         MIN(pos) AS run_pos
+  FROM runs0 GROUP BY user_id, event_type, grp
+),
+seq AS (
+  SELECT user_id, event_type, run_len,
+         lead(event_type) OVER w AS next_type,
+         lead(run_len) OVER w AS next_len,
+         lead(event_type, 2) OVER w AS seal_type
+  FROM runs
+  WINDOW w AS (PARTITION BY user_id ORDER BY run_pos)
+),
+matches AS (
+  SELECT user_id, run_len AS views_run, next_len AS purchases_run
+  FROM seq
+  WHERE event_type = 'view' AND next_type = 'purchase'
+    AND seal_type IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(SUM(views_run) AS BIGINT) AS views_consumed,
+       CAST(SUM(purchases_run) AS BIGINT) AS purchases_consumed,
+       CAST(MAX(views_run) AS BIGINT) AS longest_view_run
+FROM matches
+GROUP BY user_id
+ORDER BY user_id
+""",
+    family=_FAM,
+)
+def stream_pattern_match(spark, sf_dir):
+    """STREAMING CEP — ts_pattern_match's V+ P+ pattern evaluated
+    incrementally with applyInPandasWithState, runs carried ACROSS
+    micro-batches: per-user state holds (pending view-run length, open
+    run type, open run length); each batch's events extend or close
+    the open run, and a match emits when its purchase-run is SEALED by
+    a following run — the only moment the run length is final. Sealed
+    semantics are the honest streaming contract (the trailing run pair
+    at end-of-stream is never known complete), and the oracle states
+    them exactly: the batch run-sequence replay requires a second
+    lead() — a run AFTER the purchase-run — so batch and stream agree
+    row-for-row. The 4-file time-ordered drain makes runs genuinely
+    span batch boundaries (a view-run opened in batch 1 can seal in
+    batch 3).
+
+    Scale: state per user is three scalars regardless of history —
+    CEP as incremental state, not reprocessing; each batch shuffles
+    only its own events by user. The fixture split is sorted by
+    (ts, event_id), so arrival order equals event-time order — with
+    out-of-order arrival this operator would buffer within the
+    watermark like stream_watermark_late before run construction."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def cep(key, pdfs, state: GroupState):
+        pv, otype, olen = state.get if state.exists else (0, "", 0)
+        matches = []
+        ev = pd.concat(list(pdfs), ignore_index=True)
+        ev = ev.sort_values(["ts", "event_id"])
+        for t in ev["event_type"]:
+            if t == otype:
+                olen += 1
+                continue
+            # run transition: the open run closes, sealed by t's run
+            if otype == "view":
+                pv = olen
+            elif otype == "purchase":
+                if pv > 0:
+                    matches.append((pv, olen))
+                pv = 0
+            otype, olen = t, 1
+        state.update((int(pv), otype, int(olen)))
+        if matches:
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(matches),
+                "views_run": [m[0] for m in matches],
+                "purchases_run": [m[1] for m in matches],
+            })
+
+    s = (
+        _event_stream(spark, sf_dir, multi=True)
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    out = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            cep,
+            outputStructType=(
+                "user_id long, views_run long, purchases_run long"
+            ),
+            stateStructType="pv long, otype string, olen long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        _run_to_memory(out, "append")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matches"),
+            F.sum("views_run").cast("bigint").alias("views_consumed"),
+            F.sum("purchases_run").cast("bigint")
+            .alias("purchases_consumed"),
+            F.max("views_run").cast("bigint").alias("longest_view_run"),
+        )
+        .orderBy("user_id")
+        .localCheckpoint()
+    )
