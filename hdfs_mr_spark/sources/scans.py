@@ -916,8 +916,23 @@ def materialize_xml(sf_dir: str) -> str:
     """Derive supplier.xml from the parquet testdata (deterministic
     order, entity-escaped, acctbal serialized as exact integer cents —
     float repr is engine-specific, cents round-trip bit-exact)."""
+    import decimal
+
     import pyarrow.parquet as pq
     from xml.sax.saxutils import escape
+
+    def _cents(v: float) -> int:
+        # SQL round() semantics: half away from zero, evaluated on the
+        # EXACT binary value of v*100 (Decimal(float) is exact), for
+        # BOTH signs — int(x+0.5) truncates toward zero and silently
+        # mis-rounds negative acctbals by one cent (caught by the r10
+        # full sweep after a testdata regeneration surfaced a negative
+        # half case; python round() is banker's and also wrong)
+        return int(
+            decimal.Decimal(v * 100).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
 
     path = _fixture_dir(sf_dir) / "supplier.xml"
     if not path.exists():
@@ -931,10 +946,7 @@ def materialize_xml(sf_dir: str) -> str:
                     f"<s_suppkey>{r['s_suppkey']}</s_suppkey>"
                     f"<s_name>{escape(r['s_name'])}</s_name>"
                     f"<s_nationkey>{r['s_nationkey']}</s_nationkey>"
-                    # floor(x+0.5): SQL round() semantics (half away
-                    # from zero for the positive acctbals), NOT python
-                    # round()'s banker's rounding
-                    f"<acctbal_cents>{int(r['s_acctbal'] * 100 + 0.5)}</acctbal_cents>"
+                    f"<acctbal_cents>{_cents(r['s_acctbal'])}</acctbal_cents>"
                     "</supplier>\n"
                 )
             f.write("</suppliers>\n")
