@@ -2501,8 +2501,14 @@ def _ivf_pq_index_frames(spark, sf_dir, train_below: int | None = None):
     # the full-corpus assignment feeds the residuals AND the candidate
     # enumeration — cached under reuse (n skinny rows) so the n*cells
     # distance evaluation runs once per session, not once per consumer
+    # KEY CARRIES train_below: assign derives from the train_below-
+    # dependent coarse centroids — a shared key let a reuse session
+    # that ran the full-trained build first serve the WRONG assignment
+    # to the base-trained delta-store build (r10: bench, reuse on,
+    # built a delta store whose codes used full-trained cells against
+    # base-trained centroids; the sf0.1 sweep caught the mismatch)
     assign = _pq_cached(
-        spark, ("assign_st", sf_dir),
+        spark, ("assign_st", sf_dir, train_below),
         lambda: cdist.groupBy("vec_id")
         .agg(F.min(F.struct("cd", "ccode")).alias("m"))
         .select("vec_id", F.col("m.ccode").alias("cell")),
@@ -2534,7 +2540,10 @@ def _ivf_pq_index_frames(spark, sf_dir, train_below: int | None = None):
             spark.sparkContext.defaultParallelism, "vec_id", "sub"
         )
 
-    rsubs = _pq_cached(spark, ("rsubs_st", sf_dir), _residual_fine)
+    # same train_below discipline as assign_st (residuals subtract the
+    # train_below-dependent centroids)
+    rsubs = _pq_cached(spark, ("rsubs_st", sf_dir, train_below),
+                       _residual_fine)
     # train on the md5-bucket sample (see _PQ_SAMPLE_BUDGET); sk=100
     # (small corpora) keeps the filter out of the plan entirely
     sk = _pq_train_sk(n_total)

@@ -1288,3 +1288,36 @@ def test_lake_bloom_index_scans_one_file(spark):
         r.files_live == 7 and r.files_scanned == 1 and r.n_rows >= 1
         for r in rows
     )
+
+
+def test_pq_delta_store_immune_to_reuse_cache(spark):
+    """r10 regression: the assign/rsubs index-cache keys must carry
+    train_below. In a reuse-enabled session that runs the full-trained
+    ivf_pq first, the base-trained delta-store build used to be served
+    the FULL-trained coarse assignment from cache — persisting a store
+    whose codes used full-trained cells against base-trained centroids
+    (caught by the r10 sf0.1 sweep after bench, a reuse session, built
+    the store cold). The delta op's result must be identical whether
+    built inside a polluted reuse session or a fresh reuse-off one."""
+    import shutil
+
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    store = _fixture_dir(SF_SMOKE) / "ivf_pq_store_delta_cl1"
+    specs = all_specs()
+    shutil.rmtree(store, ignore_errors=True)
+    spark.conf.set("spark.hdfs_mr.pq.reuseIndex", "true")
+    try:
+        specs["llm_sim_knn_ivf_pq"].fn(spark, SF_SMOKE).collect()
+        d1 = sorted(
+            map(tuple, specs["llm_sim_knn_ivf_pq_delta"]
+                .fn(spark, SF_SMOKE).collect())
+        )
+    finally:
+        spark.conf.set("spark.hdfs_mr.pq.reuseIndex", "false")
+    shutil.rmtree(store, ignore_errors=True)
+    d2 = sorted(
+        map(tuple, specs["llm_sim_knn_ivf_pq_delta"]
+            .fn(spark, SF_SMOKE).collect())
+    )
+    assert d1 == d2
