@@ -200,6 +200,19 @@ def _pruned_files(root: Path, col: str, lo, hi,
     return keep, len(adds)
 
 
+def _rel_file_path(root: Path):
+    """``_metadata.file_path`` relativized against the store root,
+    robust to the URI scheme rendering (``file:/abs`` vs ``file:///abs``
+    — ADVICE r10): normalize ``scheme:/+`` to a single ``/`` with a
+    regex, then drop the absolute root prefix. Callers that persist
+    these paths assert at build time that they resolve on disk."""
+    prefix = str(root).rstrip("/") + "/"
+    norm = F.regexp_replace(
+        F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
+    )
+    return F.substring(norm, len(prefix) + 1, 1 << 30)
+
+
 def _write_files(df, data_dir: Path, n_files: int = 2) -> list[str]:
     """Write ``df`` as exactly n_files immutable parquet files into a
     fresh subdir; return their store-relative paths."""
@@ -255,15 +268,35 @@ def _store(spark, sf_dir, name: str, extra=None) -> Path:
     )
 
 
+def _write_cdc(df, root: Path) -> list[str]:
+    """Write one change-data sidecar file (full row + ``_change_type``)
+    under ``_change_data/``; return store-relative paths."""
+    sub = root / "_change_data" / uuid.uuid4().hex
+    df.coalesce(1).write.mode("overwrite").parquet(str(sub))
+    return sorted(
+        str(p.relative_to(root)) for p in sub.glob("*.parquet")
+    )
+
+
 def _merge_commit(spark, root: Path) -> None:
     """v3: copy-on-write MERGE — every 7th order's priority re-stated
     to 1-URGENT. Each live file containing a match is rewritten in
     full (matched rows updated, others carried), the new files are
     added and EVERY rewritten file is tombstoned in the same commit —
     one atomic version, so a concurrent reader sees all-old or
-    all-new, never a mix."""
+    all-new, never a mix.
+
+    The commit also records CHANGE-DATA sidecars (Delta's
+    ``_change_data/`` discipline, one per rewritten file, ``cdc``
+    action in the log): the rows the merge actually changed, as
+    update_preimage/update_postimage pairs with the full row carried.
+    A CDF consumer then reads O(changed rows) per file IN PARALLEL —
+    per-file sidecars are the partition unit of the streaming change
+    feed — instead of diffing the rewrite, and commits whose writers
+    did not record sidecars still fall back to the pyarrow file diff
+    (``version_changes(use_cdc=False)``)."""
     live = _snapshot_files(root)
-    adds, removes = [], []
+    adds, removes, cdc = [], [], []
     for f in live:
         df = spark.read.parquet(str(root / f))
         if df.filter(F.col("o_orderkey") % 7 == 0).isEmpty():
@@ -275,7 +308,23 @@ def _merge_commit(spark, root: Path) -> None:
         )
         adds += _write_files(updated, root / "data", n_files=1)
         removes.append(f)
-    assert _commit(root / "_log", 3, {"add": adds, "remove": removes})
+        # changed = matched AND actually different post-merge (a row
+        # already 1-URGENT is carried, not changed — the file diff
+        # drops it, so the sidecar must too)
+        changed = df.filter(
+            (F.col("o_orderkey") % 7 == 0)
+            & (F.col("o_orderpriority") != "1-URGENT")
+        )
+        pre = changed.withColumn("_change_type", F.lit("update_preimage"))
+        post = (
+            changed.withColumn("o_orderpriority", F.lit("1-URGENT"))
+            .withColumn("_change_type", F.lit("update_postimage"))
+        )
+        pair = pre.unionByName(post)
+        if not pair.isEmpty():
+            cdc += _write_cdc(pair, root)
+    assert _commit(root / "_log", 3,
+                   {"add": adds, "remove": removes, "cdc": cdc})
 
 
 @query(
@@ -376,7 +425,7 @@ def lake_merge_txn(spark, sf_dir):
     (double rows) or tombstoned but not rewritten (lost rows) both
     hash-mismatch."""
     root = _store(
-        spark, sf_dir, "merge", extra=lambda tmp: _merge_commit(spark, tmp)
+        spark, sf_dir, "merge2", extra=lambda tmp: _merge_commit(spark, tmp)
     )
     return (
         _read_snapshot(spark, root)
@@ -935,16 +984,20 @@ def lake_delete_vectors(spark, sf_dir):
         import pyarrow.parquet as pq
 
         live = _snapshot_files(tmp)
-        start = len(f"file:{tmp}/") + 1  # substring() is 1-indexed
         dels = (
             spark.read.parquet(*[str(tmp / f) for f in live])
             .filter(F.col("o_orderkey") % 11 == 0)
             .select(
-                F.expr(f"substring(_metadata.file_path, {start})")
-                .alias("path"),
+                _rel_file_path(tmp).alias("path"),
                 F.col("_metadata.row_index").alias("pos"),
             )
         )
+        # build-time guard (ADVICE r10): the relativized paths must
+        # name real files under the store root — a Hadoop URI-rendering
+        # change would otherwise surface only as an oracle hash miss.
+        rels = {r["path"] for r in dels.select("path").distinct().collect()}
+        bad = [r for r in rels if not (tmp / r).exists()]
+        assert not bad, f"DV paths do not resolve under store root: {bad}"
         (tmp / "dv").mkdir()
         sub = tmp / "dv" / uuid.uuid4().hex
         dels.coalesce(1).write.parquet(str(sub))
@@ -961,13 +1014,9 @@ def lake_delete_vectors(spark, sf_dir):
     dv_files = _snapshot_delete_files(root)
     acts = json.loads((root / "_log" / f"v{3:010d}.json").read_text())
     deleted = sum(d["cardinality"] for d in acts["deleteVectors"])
-    start = len(f"file:{root}/") + 1
     data = (
         spark.read.parquet(*[str(root / f) for f in files])
-        .withColumn(
-            "_dv_path",
-            F.expr(f"substring(_metadata.file_path, {start})"),
-        )
+        .withColumn("_dv_path", _rel_file_path(root))
         .withColumn("_dv_pos", F.col("_metadata.row_index"))
     )
     dels = spark.read.parquet(*[str(root / f) for f in dv_files])
@@ -1058,7 +1107,7 @@ def lake_change_feed(spark, sf_dir):
     downstream incremental consumer follow a 100 TB table by reading
     deltas."""
     root = _store(
-        spark, sf_dir, "merge", extra=lambda tmp: _merge_commit(spark, tmp)
+        spark, sf_dir, "merge2", extra=lambda tmp: _merge_commit(spark, tmp)
     )
     frames = []
     for v in _log_versions(root):
@@ -1271,23 +1320,53 @@ def lake_zorder_skipping(spark, sf_dir):
     )
 
 
-def version_changes(root: Path, version: int) -> list[tuple]:
-    """Row-level CDC for commit ``version``, computed from the commit's
-    file diff with pure pyarrow (no Spark — callable from a streaming
-    source's driver-side runner process): an append commit's added
-    files are inserts; a remove-carrying (COW) commit is diffed by
-    FULL-ROW comparison keyed on o_orderkey — carried rewrites drop
-    out, changed rows emit update_preimage/update_postimage pairs,
-    one-sided keys emit insert/delete. Returns
-    (change_type, version, o_orderkey, o_orderpriority, cents) tuples;
-    the comparison itself is over ALL columns, so a row differing only
-    in an unserved column still reports as changed."""
+def version_changes(root: Path, version: int,
+                    use_cdc: bool = True) -> list[tuple]:
+    """Row-level CDC for commit ``version`` with pure pyarrow (no
+    Spark — callable from a streaming source's runner process or an
+    executor worker). Two paths, Delta's exact layering:
+
+    - the commit recorded ``cdc`` change-data sidecars (r11 writers):
+      read them directly — O(changed rows), one file per rewritten
+      data file, the parallel unit of the streaming change feed;
+    - no sidecars (or ``use_cdc=False``): an append commit's added
+      files are inserts; a remove-carrying (COW) commit is diffed by
+      FULL-ROW comparison keyed on o_orderkey — carried rewrites drop
+      out, changed rows emit update_preimage/update_postimage pairs,
+      one-sided keys emit insert/delete.
+
+    Returns (change_type, version, o_orderkey, o_orderpriority, cents)
+    tuples; the diff comparison is over ALL columns, so a row differing
+    only in an unserved column still reports as changed. A unit test
+    pins sidecar == diff row-for-row on the merge store."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     acts = json.loads((root / "_log" / f"v{version:010d}.json").read_text())
     adds = [_add_path(e) for e in acts.get("add", [])]
     removes = acts.get("remove", [])
+
+    if use_cdc and acts.get("cdc"):
+        out = []
+        for f in acts["cdc"]:
+            t = pq.read_table(
+                root / f,
+                columns=["_change_type", "o_orderkey",
+                         "o_orderpriority", "o_totalprice"],
+            )
+            cents = pc.cast(
+                pc.round(pc.multiply(t.column("o_totalprice"), 100),
+                         round_mode="half_towards_infinity"),
+                "int64",
+            ).to_pylist()
+            out.extend(zip(
+                t.column("_change_type").to_pylist(),
+                [version] * t.num_rows,
+                t.column("o_orderkey").to_pylist(),
+                t.column("o_orderpriority").to_pylist(),
+                cents,
+            ))
+        return out
 
     if not removes:
         # insert-only commit: serve just the three emitted columns —
@@ -1299,7 +1378,8 @@ def version_changes(root: Path, version: int) -> list[tuple]:
                 columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
             )
             cents = pc.cast(
-                pc.round(pc.multiply(t.column("o_totalprice"), 100)),
+                pc.round(pc.multiply(t.column("o_totalprice"), 100),
+                         round_mode="half_towards_infinity"),
                 "int64",
             ).to_pylist()
             keys = t.column("o_orderkey").to_pylist()
@@ -1319,7 +1399,8 @@ def version_changes(root: Path, version: int) -> list[tuple]:
             pi = names.index("o_orderpriority")
             ci = names.index("o_totalprice")
             cents = pc.cast(
-                pc.round(pc.multiply(t.column("o_totalprice"), 100)),
+                pc.round(pc.multiply(t.column("o_totalprice"), 100),
+                         round_mode="half_towards_infinity"),
                 "int64",
             ).to_pylist()
             cols = [t.column(c).to_pylist() for c in names]
@@ -1593,7 +1674,11 @@ def lake_bloom_index(spark, sf_dir):
                 for key in keys:
                     for p in _bloom_positions(int(key), _BLOOM_M):
                         bits[p >> 3] |= 1 << (p & 7)
-                bpath = f"_index/bloom_{kk:04d}.bin"
+                # sidecar name derives from the DATA FILE, not the
+                # commit index: a multi-file commit must never collide
+                # two files onto one bloom (last-write-wins would give
+                # false negatives = silently dropped rows). ADVICE r10.
+                bpath = "_index/" + f.replace("/", "__") + ".bloom"
                 (tmp / bpath).write_bytes(bytes(bits))
                 adds.append({"path": f, "bloom": bpath})
                 if yr == 1997:
@@ -1634,4 +1719,319 @@ def lake_bloom_index(spark, sf_dir):
         .select("o_orderkey", "o_orderstatus", "files_live",
                 "files_scanned", "n_rows", "cents")
         .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Partitioned lake table (VERDICT r10 item 3): hive-style partition
+# columns INSIDE the transactional format — partitionValues recorded in
+# the commit-log add actions (Delta's field, verbatim), snapshot reads
+# pruning partitions BEFORE file-stats skipping, and dynamic partition
+# overwrite as one atomic commit.
+# --------------------------------------------------------------------------
+
+
+def _snapshot_actions(root: Path, as_of: int | None = None) -> dict:
+    """Live file -> FULL add-action dict (path/stats/partitionValues) at
+    version ``as_of`` — the metadata fold a partition-aware reader
+    walks. O(live files) driver-side JSON, exactly Delta's snapshot
+    state; bare-path adds (old writers) normalize to ``{"path": f}``."""
+    out: dict[str, dict] = {}
+    for v in _log_versions(root):
+        if as_of is not None and v > as_of:
+            break
+        acts = json.loads((root / "_log" / f"v{v:010d}.json").read_text())
+        for r in acts.get("remove", []):
+            out.pop(r, None)
+        for e in acts.get("add", []):
+            if isinstance(e, dict):
+                out[e["path"]] = e
+            else:
+                out[e] = {"path": e}
+    return out
+
+
+def _pruned_files_partition_first(
+    root: Path, part_col: str, part_vals: set[str],
+    stats_col: str | None = None, lo=None, hi=None,
+    as_of: int | None = None,
+) -> dict:
+    """Two-level metadata prune, partition pruning FIRST (the cheap
+    exact level — a file either belongs to a matching partition or it
+    does not), then min/max stats skipping WITHIN the surviving
+    partitions. Files with no recorded partitionValues or stats are
+    conservatively kept at their respective level — pruning is an
+    optimization, never a filter. Returns the counts the pinned oracle
+    columns check: partitions_live/scanned, files_live, files after
+    each level, and the surviving file list."""
+    acts = _snapshot_actions(root, as_of)
+    parts_live = {
+        e.get("partitionValues", {}).get(part_col)
+        for e in acts.values()
+    }
+    after_part = {
+        f: e for f, e in acts.items()
+        if e.get("partitionValues", {}).get(part_col) is None
+        or e["partitionValues"][part_col] in part_vals
+    }
+    parts_scanned = {
+        e.get("partitionValues", {}).get(part_col)
+        for e in after_part.values()
+    }
+    keep = sorted(after_part)
+    if stats_col is not None:
+        enc = lo.isoformat(sep=" ") if hasattr(lo, "isoformat") else lo
+        enc_hi = hi.isoformat(sep=" ") if hasattr(hi, "isoformat") else hi
+        keep = [
+            f for f, e in sorted(after_part.items())
+            if stats_col not in e.get("stats", {})
+            or (e["stats"][stats_col]["max"] >= enc
+                and e["stats"][stats_col]["min"] <= enc_hi)
+        ]
+    return {
+        "files": keep,
+        "partitions_live": len(parts_live),
+        "partitions_scanned": len(parts_scanned),
+        "files_live": len(acts),
+        "files_after_partition_prune": len(after_part),
+        "files_scanned": len(keep),
+    }
+
+
+def _part_add(root: Path, f: str, part_col: str, part_val: str,
+              stats_cols: list[str]) -> dict:
+    return {
+        "path": f,
+        "partitionValues": {part_col: part_val},
+        "stats": _file_stats(root, f, stats_cols),
+    }
+
+
+def _build_partitioned_store(spark, sf_dir, tmp: Path) -> None:
+    """v0..v6: one commit per o_orderdate year (1995..2001), each year
+    a hive-style ``data/o_year=YYYY/`` directory holding TWO files
+    clustered by half-year (so stats skipping has something to do
+    INSIDE a partition); every add records partitionValues + true
+    footer stats."""
+    o = table(spark, sf_dir, "orders")
+    for k, yr in enumerate(range(1995, 2002)):
+        pdir = tmp / "data" / f"o_year={yr}"
+        adds = []
+        for half_pred in (
+            F.month("o_orderdate") <= 6,
+            F.month("o_orderdate") > 6,
+        ):
+            # _write_files relativizes to data_dir.parent; re-anchor
+            # the nested hive layout to the STORE root (the log's
+            # path convention)
+            files = [
+                f"data/{f}" for f in _write_files(
+                    o.filter((F.year("o_orderdate") == yr) & half_pred),
+                    pdir, n_files=1,
+                )
+            ]
+            adds += [
+                _part_add(tmp, f, "o_year", str(yr),
+                          ["o_orderdate", "o_orderkey"])
+                for f in files
+            ]
+        assert _commit(tmp / "_log", k, {"add": adds, "remove": []})
+
+
+@query(
+    "lake_partition_pruned",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(7 AS BIGINT) AS partitions_live,
+       CAST(1 AS BIGINT) AS partitions_scanned,
+       CAST(14 AS BIGINT) AS files_live,
+       CAST(2 AS BIGINT) AS files_after_partition_prune,
+       CAST(1 AS BIGINT) AS files_scanned,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_SQL_CENTS}) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    family=_FAM,
+)
+def lake_partition_pruned(spark, sf_dir):
+    """HIVE-STYLE PARTITIONING inside the transactional format
+    (VERDICT r10 item 3 — the single most common real 100 TB lake
+    layout, previously expressible only OUTSIDE the format via
+    scan_partition_pruned): every add action records
+    ``partitionValues`` (Delta's field) alongside file stats, and a
+    predicate read prunes in the canonical two-level order — partition
+    values FIRST (exact, zero-IO: 7 year-partitions -> 1), then
+    min/max stats skipping WITHIN the surviving partition (the H2-1997
+    predicate drops the H1 file: 2 -> 1). All six counters are pinned
+    as oracle columns, so a prune that stopped firing (or fired too
+    eagerly, dropping live rows) hash-mismatches rather than silently
+    slowing down; content is checked against the raw replay.
+
+    Scale: both levels are O(live files) driver-side metadata folds
+    over the commit log — no directory listing (the hive layout on
+    disk is cosmetic; the LOG is authoritative, exactly Delta) — and
+    partition pruning composes with everything downstream: the scan
+    Spark plans never learns the dropped files existed."""
+    from datetime import datetime
+
+    root = _publish_store(
+        lambda tmp: _build_partitioned_store(spark, sf_dir, tmp),
+        _fixture_dir(sf_dir) / "lake_part",
+    )
+    pr = _pruned_files_partition_first(
+        root, "o_year", {"1997"},
+        stats_col="o_orderdate",
+        lo=datetime(1997, 7, 1),
+        hi=datetime(1997, 12, 31, 23, 59, 59, 999999),
+    )
+    pred = (
+        F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp")
+    ) & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    return (
+        spark.read.parquet(*[str(root / f) for f in pr["files"]])
+        .filter(pred)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.lit(pr["partitions_live"]).cast("bigint")
+            .alias("partitions_live"),
+            F.lit(pr["partitions_scanned"]).cast("bigint")
+            .alias("partitions_scanned"),
+            F.lit(pr["files_live"]).cast("bigint").alias("files_live"),
+            F.lit(pr["files_after_partition_prune"]).cast("bigint")
+            .alias("files_after_partition_prune"),
+            F.lit(pr["files_scanned"]).cast("bigint")
+            .alias("files_scanned"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        )
+        .select("o_orderstatus", "partitions_live", "partitions_scanned",
+                "files_live", "files_after_partition_prune",
+                "files_scanned", "n_orders", "cents")
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "lake_partition_overwrite",
+    oracle=f"""
+WITH pre AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+),
+cur AS (
+  SELECT o_orderstatus, {_SQL_CENTS} AS cents FROM orders
+  WHERE o_orderdate < TIMESTAMP '1997-01-01'
+     OR o_orderdate >= TIMESTAMP '1998-01-01'
+  UNION ALL
+  SELECT o_orderstatus, {_SQL_CENTS} AS cents FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+    AND o_orderkey % 2 = 0
+)
+SELECT o_orderstatus,
+       CAST(7 AS BIGINT) AS version,
+       CAST(1 AS BIGINT) AS partitions_replaced,
+       CAST(2 AS BIGINT) AS files_removed,
+       CAST(1 AS BIGINT) AS files_added,
+       (SELECT n FROM pre) AS n_1997_pre_overwrite,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM cur
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    family=_FAM,
+)
+def lake_partition_overwrite(spark, sf_dir):
+    """DYNAMIC PARTITION OVERWRITE as one transactional commit
+    (VERDICT r10 item 3, the write side of the partitioned table —
+    ``INSERT OVERWRITE ... PARTITION`` / Delta's
+    ``replaceWhere``): the incoming reprocessed frame touches only
+    partition o_year=1997, so the commit tombstones exactly that
+    partition's live files (found by folding partitionValues in the
+    log, NOT by listing directories) and adds the replacement files —
+    remove(2) + add(1) in ONE version, so a concurrent reader sees the
+    old partition or the new one, never a mix, and every OTHER
+    partition's files are untouched (their add actions don't even
+    appear in the commit). The replacement keeps only even order keys
+    (a reprocess that dedups), so content pins the row-level swap;
+    n_1997_pre_overwrite pins that TIME TRAVEL to the pre-overwrite
+    version still serves the original partition content; the
+    files_removed/files_added/partitions_replaced counters pin the
+    blast radius.
+
+    Scale: this is the nightly-reprocess primitive of a
+    date-partitioned 100 TB lake — cost is O(files in the replaced
+    partitions), the log fold keeps it exact (no listing race), and
+    the atomic version boundary is what makes backfills safe under
+    concurrent readers."""
+    from datetime import datetime
+
+    def build(tmp: Path):
+        _build_partitioned_store(spark, sf_dir, tmp)
+        o = table(spark, sf_dir, "orders")
+        repl = o.filter(
+            (F.year("o_orderdate") == 1997) & (F.col("o_orderkey") % 2 == 0)
+        )
+        # dynamic resolution: partitions touched by the incoming frame
+        # (bounded driver-side distinct over the partition column)
+        touched = {
+            str(r[0]) for r in
+            repl.select(F.year("o_orderdate")).distinct().collect()
+        }
+        acts = _snapshot_actions(tmp)
+        removes = sorted(
+            f for f, e in acts.items()
+            if e.get("partitionValues", {}).get("o_year") in touched
+        )
+        adds = []
+        for yr in sorted(touched):
+            files = [
+                f"data/{f}" for f in _write_files(
+                    repl.filter(F.year("o_orderdate") == int(yr)),
+                    tmp / "data" / f"o_year={yr}", n_files=1,
+                )
+            ]
+            adds += [
+                _part_add(tmp, f, "o_year", yr,
+                          ["o_orderdate", "o_orderkey"])
+                for f in files
+            ]
+        assert _commit(tmp / "_log", 7,
+                       {"add": adds, "remove": removes,
+                        "overwritePartitions": sorted(touched)})
+
+    root = _publish_store(build, _fixture_dir(sf_dir) / "lake_part_ow")
+    acts7 = json.loads((root / "_log" / f"v{7:010d}.json").read_text())
+    # time travel to v6: the pre-overwrite 1997 partition, still whole
+    pre = _pruned_files_partition_first(root, "o_year", {"1997"}, as_of=6)
+    n_pre = (
+        spark.read.parquet(*[str(root / f) for f in pre["files"]])
+        .count()
+    )
+    return (
+        _read_snapshot(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.lit(7).cast("bigint").alias("version"),
+            F.lit(len(acts7["overwritePartitions"])).cast("bigint")
+            .alias("partitions_replaced"),
+            F.lit(len(acts7["remove"])).cast("bigint")
+            .alias("files_removed"),
+            F.lit(len(acts7["add"])).cast("bigint").alias("files_added"),
+            F.lit(n_pre).cast("bigint").alias("n_1997_pre_overwrite"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        )
+        .select("o_orderstatus", "version", "partitions_replaced",
+                "files_removed", "files_added", "n_1997_pre_overwrite",
+                "n_orders", "cents")
+        .orderBy("o_orderstatus")
     )

@@ -1,0 +1,191 @@
+"""Lake streaming-source contracts (VERDICT r10 item 1).
+
+Two layers, two test surfaces:
+
+- the OFFSET PROTOCOL lives in the simple-reader twins
+  (streaming/lake_source.py) and is exercised here directly, no Spark
+  query in the loop: initialOffset, one-committed-version-per-read,
+  readBetweenOffsets checkpoint replay, remove-action refusal;
+- the SCALE PATH lives in the registry ops (stream_lake_tail /
+  stream_lake_cdf, full DataSourceStreamReader): partition planning is
+  pinned via the shared planner functions (one partition per commit
+  file — fan-out > 1 proves executors see parallel work), and the
+  executor-side read contract is pinned structurally here plus at
+  RUNTIME by the planner-pid guard inside read() (rows served from the
+  planner process raise, so every green sweep re-proves the property).
+"""
+
+from __future__ import annotations
+
+import inspect
+import json
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+REPO = None  # lake stores are built via the session spark fixture
+
+
+@pytest.fixture(scope="module")
+def append_store(spark):
+    from hdfs_mr_spark.sources.lake import _store
+
+    return _store(spark, SF_SMOKE, "append")
+
+
+@pytest.fixture(scope="module")
+def merge_store(spark):
+    from hdfs_mr_spark.sources.lake import _merge_commit, _store
+
+    return _store(spark, SF_SMOKE, "merge2",
+                  extra=lambda tmp: _merge_commit(spark, tmp))
+
+
+# ---------------------------------------------------------------- protocol
+
+
+def test_tail_simple_offset_protocol(append_store):
+    """One committed version per read(); offsets are lake versions."""
+    from hdfs_mr_spark.streaming.lake_source import LakeTailSimpleReader
+
+    r = LakeTailSimpleReader(str(append_store))
+    assert r.initialOffset() == {"version": -1}
+    off = r.initialOffset()
+    seen = []
+    for expect_v in (0, 1, 2):
+        rows, off = r.read(off)
+        rows = list(rows)
+        assert off == {"version": expect_v}
+        assert rows, f"version {expect_v} served no rows"
+        seen.append(rows)
+    # drained: read at head is empty and does not advance
+    rows, off2 = r.read(off)
+    assert list(rows) == [] and off2 == off
+
+
+def test_tail_simple_replay_spans(append_store):
+    """readBetweenOffsets((s, e]) == concat of the per-version reads —
+    the checkpoint-recovery contract."""
+    from hdfs_mr_spark.streaming.lake_source import LakeTailSimpleReader
+
+    r = LakeTailSimpleReader(str(append_store))
+    per_version, off = [], r.initialOffset()
+    for _ in range(3):
+        rows, off = r.read(off)
+        per_version.append(sorted(rows))
+    span = sorted(r.readBetweenOffsets({"version": -1}, {"version": 1}))
+    assert span == sorted(per_version[0] + per_version[1])
+    one = sorted(r.readBetweenOffsets({"version": 1}, {"version": 2}))
+    assert one == per_version[2]
+
+
+def test_tail_refuses_remove_versions(merge_store):
+    """An append tail cannot represent data changes: stepping onto the
+    COW merge commit must raise, not silently serve its adds."""
+    from hdfs_mr_spark.streaming.lake_source import LakeTailSimpleReader
+
+    r = LakeTailSimpleReader(str(merge_store))
+    with pytest.raises(ValueError, match="remove-actions"):
+        r.read({"version": 2})
+
+
+def test_cdf_simple_serves_changes(merge_store):
+    """The CDF twin steps the same offsets but serves row-level
+    changes; the merge commit yields only update pairs (carried
+    rewrites drop out), balanced pre/post."""
+    from hdfs_mr_spark.streaming.lake_source import LakeCdfSimpleReader
+
+    r = LakeCdfSimpleReader(str(merge_store))
+    rows, off = r.read({"version": 2})
+    rows = list(rows)
+    assert off == {"version": 3}
+    kinds = {t[0] for t in rows}
+    assert kinds == {"update_preimage", "update_postimage"}
+    pre = [t for t in rows if t[0] == "update_preimage"]
+    post = [t for t in rows if t[0] == "update_postimage"]
+    assert len(pre) == len(post) and len(pre) > 0
+    assert all(t[3] == "1-URGENT" for t in post)
+    assert all(t[3] != "1-URGENT" for t in pre)
+
+
+# ------------------------------------------------------- partition planning
+
+
+def test_tail_plan_fans_out_per_file(append_store):
+    """Every append commit wrote 2 files => 2 partitions per version:
+    the executor fan-out the full reader hands Spark."""
+    from hdfs_mr_spark.streaming.lake_source import plan_tail_partitions
+
+    for v in (0, 1, 2):
+        parts = plan_tail_partitions(str(append_store), v - 1, v)
+        assert len(parts) > 1, f"version {v} planned {len(parts)} partition"
+        assert all(pv == v for pv, _ in parts)
+    full = plan_tail_partitions(str(append_store), -1, 2)
+    assert len(full) == 6
+
+
+def test_cdf_plan_kinds(merge_store):
+    """Appends plan insert-partitions per file; the COW merge plans one
+    partition per recorded change-data sidecar (> 1 => the change feed
+    itself is executor-parallel)."""
+    from hdfs_mr_spark.streaming.lake_source import plan_cdf_partitions
+
+    ins = plan_cdf_partitions(str(merge_store), -1, 2)
+    assert len(ins) == 6 and {k for k, _, _ in ins} == {"insert"}
+    cow = plan_cdf_partitions(str(merge_store), 2, 3)
+    assert len(cow) > 1, "merge commit did not fan out"
+    assert {k for k, _, _ in cow} == {"cdc"}
+    assert all(rel.startswith("_change_data/") for _, _, rel in cow)
+
+
+def test_cdf_plan_diff_fallback(tmp_path):
+    """A remove-carrying commit whose writer recorded NO sidecars (the
+    r10 log format) degrades to a single executor-side diff partition —
+    never a silent drop."""
+    from hdfs_mr_spark.streaming.lake_source import plan_cdf_partitions
+
+    log = tmp_path / "_log"
+    log.mkdir()
+    (log / "v0000000000.json").write_text(json.dumps(
+        {"add": ["data/a.parquet"], "remove": []}))
+    (log / "v0000000001.json").write_text(json.dumps(
+        {"add": ["data/b.parquet"], "remove": ["data/a.parquet"]}))
+    parts = plan_cdf_partitions(str(tmp_path), -1, 1)
+    assert parts == [("insert", 0, "data/a.parquet"), ("diff", 1, None)]
+
+
+def test_cdc_sidecars_match_file_diff(merge_store):
+    """The recorded change-data sidecars reproduce the pyarrow
+    full-row diff row-for-row — the invariant that lets the streaming
+    CDF serve sidecars while lake_change_feed diffs."""
+    from hdfs_mr_spark.sources.lake import version_changes
+
+    a = sorted(version_changes(merge_store, 3, use_cdc=True))
+    b = sorted(version_changes(merge_store, 3, use_cdc=False))
+    assert a == b and len(a) > 0
+
+
+# ------------------------------------------------- executor-read contract
+
+
+def _op_source(name: str) -> str:
+    from hdfs_mr_spark.registry import all_specs
+
+    return inspect.getsource(all_specs()[name].fn)
+
+
+@pytest.mark.parametrize("op", ["stream_lake_tail", "stream_lake_cdf"])
+def test_full_reader_not_driver_pump(op):
+    """Structural pin of VERDICT r10 item 1: both lake streaming ops
+    register a full streamReader (partition-planned, executor reads),
+    never the simpleStreamReader driver pump, and read() carries the
+    planner-pid guard that turns any driver-routed row into a hard
+    runtime failure (so the dual-SF sweeps re-prove the property on
+    every run)."""
+    src = _op_source(op)
+    assert "def streamReader(self, schema):" in src
+    assert "def simpleStreamReader" not in src
+    assert "DataSourceStreamReader" in src
+    assert "partition.planner_pid" in src and "RuntimeError" in src
+    assert "def partitions(self, start, end):" in src
