@@ -21,7 +21,9 @@ cache-sized block-pair units with no broadcast of the big side.
 
 from __future__ import annotations
 
+import json
 import math
+from pathlib import Path
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -2901,47 +2903,19 @@ _IVF_PQ_ADC_DELTA_CTES = _IVF_PQ_ADC_CTES.replace(
 ).replace(_RD1_ANCHOR, _DELTA_RD1, 1).replace(_A0_ANCHOR, _DELTA_A0, 1)
 
 
-@query(
-    "llm_sim_knn_ivf_pq_delta",
-    oracle=f"""
-{_IVF_PQ_ADC_DELTA_CTES}
-SELECT qid, vec_id, CAST(dist_adc AS BIGINT) AS dist_adc,
-       CAST(row_number() OVER (PARTITION BY qid
-                               ORDER BY dist_adc ASC, vec_id ASC) AS BIGINT) AS rank
-FROM adc QUALIFY rank <= 5
-ORDER BY qid, rank
-""",
-    family=_FAM,
-)
-def llm_sim_knn_ivf_pq_delta(spark, sf_dir):
-    """IVFADC store DELTA ABSORB — the missing act of the PQ index
-    lifecycle (build -> store -> ABSORB), and the operation that makes
-    the stored index maintainable without rebuilds: the fine codebook
-    is trained ON THE BASE CORPUS ONLY and then FROZEN (the production
-    contract — Faiss's add-after-train, every serving tier's ingest
-    path), new vectors (the top n/8 of vec_id space, same split as
-    llm_sim_knn_ivf_delta) are residual-ENCODED with the stored frozen
-    codebook and APPENDED to the cell-partitioned code store — only
-    the cells the delta lands in receive files, base partitions stay
-    untouched — and the probe then serves base+delta through the same
-    lazy-DPP partition-pruned scan as the stored op.
-
-    Because coarse centroids (vec_id < cells) and codebook seeds
-    (vec_id < kf) live entirely in the base, base-build + frozen-
-    codebook absorb is BIT-IDENTICAL to a one-shot build that trains
-    on the base split — which is exactly what the oracle replays (the
-    IVFADC CTEs with the Lloyd pass restricted to vec_id < n_base), so
-    the hash check proves the absorb lost nothing. The recall cost of
-    freezing (codebook never sees delta residuals) is the documented
-    trade every production ANN index makes; periodic retrain = a fresh
-    one-shot build, which is llm_sim_knn_ivf_pq_stored's path."""
+def _ivf_pq_delta_store(spark, sf_dir):
+    """Build-once the frozen-codebook delta store (base build trained
+    below n_base + staged-rename delta absorb) shared by
+    llm_sim_knn_ivf_pq_delta (probe path) and
+    llm_sim_knn_ivf_pq_compact (fold path). Returns
+    (codes_path, cent_path, cb_path, delta_path, n_base)."""
     import os
     import shutil
 
     from hdfs_mr_spark.sources.scans import _fixture_dir
 
     n_total = _n_embeddings(spark, sf_dir)
-    cells, nprobe, _ = _ann_params(n_total)
+    cells, _, _ = _ann_params(n_total)
     n_base = max(cells, n_total - n_total // 8)
     subs = _pq_subs(spark, sf_dir)
     store = _fixture_dir(sf_dir) / "ivf_pq_store_delta_cl1"
@@ -3044,6 +3018,53 @@ def llm_sim_knn_ivf_pq_delta(spark, sf_dir):
             shutil.rmtree(dtmp, ignore_errors=True)
             if not delta_path.exists():
                 raise
+    return codes_path, cent_path, cb_path, str(delta_path), n_base
+
+
+@query(
+    "llm_sim_knn_ivf_pq_delta",
+    oracle=f"""
+{_IVF_PQ_ADC_DELTA_CTES}
+SELECT qid, vec_id, CAST(dist_adc AS BIGINT) AS dist_adc,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY dist_adc ASC, vec_id ASC) AS BIGINT) AS rank
+FROM adc QUALIFY rank <= 5
+ORDER BY qid, rank
+""",
+    family=_FAM,
+)
+def llm_sim_knn_ivf_pq_delta(spark, sf_dir):
+    """IVFADC store DELTA ABSORB — the missing act of the PQ index
+    lifecycle (build -> store -> ABSORB), and the operation that makes
+    the stored index maintainable without rebuilds: the fine codebook
+    is trained ON THE BASE CORPUS ONLY and then FROZEN (the production
+    contract — Faiss's add-after-train, every serving tier's ingest
+    path), new vectors (the top n/8 of vec_id space, same split as
+    llm_sim_knn_ivf_delta) are residual-ENCODED with the stored frozen
+    codebook and APPENDED to the cell-partitioned code store — only
+    the cells the delta lands in receive files, base partitions stay
+    untouched — and the probe then serves base+delta through the same
+    lazy-DPP partition-pruned scan as the stored op.
+
+    Because coarse centroids (vec_id < cells) and codebook seeds
+    (vec_id < kf) live entirely in the base, base-build + frozen-
+    codebook absorb is BIT-IDENTICAL to a one-shot build that trains
+    on the base split — which is exactly what the oracle replays (the
+    IVFADC CTEs with the Lloyd pass restricted to vec_id < n_base), so
+    the hash check proves the absorb lost nothing. The recall cost of
+    freezing (codebook never sees delta residuals) is the documented
+    trade every production ANN index makes; recall maintenance —
+    folding the absorbed delta into a RE-TRAINED base — is
+    llm_sim_knn_ivf_pq_compact (r11), which shares this op's store via
+    _ivf_pq_delta_store."""
+    n_total = _n_embeddings(spark, sf_dir)
+    _, nprobe, _ = _ann_params(n_total)
+    subs = _pq_subs(spark, sf_dir)
+    codes_path, cent_path, cb_path, delta_path, _ = _ivf_pq_delta_store(
+        spark, sf_dir
+    )
+    coarse_st = F.broadcast(spark.read.parquet(cent_path))
+    cb_st = spark.read.parquet(cb_path)
     # probe: identical DPP discipline to llm_sim_knn_ivf_pq_stored
     qdistc = (
         subs.filter(F.col("vec_id") < 10)
@@ -3094,6 +3115,164 @@ def llm_sim_knn_ivf_pq_delta(spark, sf_dir):
         .select(
             "qid", "vec_id",
             F.col("dist_adc").cast("bigint").alias("dist_adc"), "rank",
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+@query(
+    "llm_sim_knn_ivf_pq_compact",
+    oracle=f"""
+{_IVF_PQ_ADC_CTES},
+nb AS (
+  SELECT CAST(GREATEST(p.cells, cnt.n - cnt.n // 8) AS BIGINT)
+           AS n_base_folded,
+         CAST(cnt.n - GREATEST(p.cells, cnt.n - cnt.n // 8) AS BIGINT)
+           AS n_delta_folded
+  FROM p, (SELECT COUNT(*) AS n FROM embeddings) cnt
+)
+SELECT qid, vec_id, CAST(dist_adc AS BIGINT) AS dist_adc,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY dist_adc ASC, vec_id ASC) AS BIGINT) AS rank,
+       nb.n_base_folded, nb.n_delta_folded
+FROM adc CROSS JOIN nb QUALIFY rank <= 5
+ORDER BY qid, rank
+""",
+    family=_FAM,
+)
+def llm_sim_knn_ivf_pq_compact(spark, sf_dir):
+    """IVFADC COMPACTION / RE-TRAIN (r11 — VERDICT r10 item 7, the
+    recall-maintenance act that closes the PQ index lifecycle:
+    build -> store -> absorb -> COMPACT): the frozen-codebook delta
+    store (built and absorbed by _ivf_pq_delta_store, shared with
+    llm_sim_knn_ivf_pq_delta) pays a measured recall cost — its
+    codebook never saw the delta's residuals (ANN_RECALL_r10: 0.70-0.72
+    delta vs 0.74 stored). Compaction reads the live store state
+    (base + staged delta partitions, counted and pinned as
+    n_base_folded / n_delta_folded against the live parquet row counts
+    — the provenance check that the fold consumed EXACTLY the absorbed
+    store), re-trains coarse centroids and fine codebook over the FULL
+    corpus (Faiss's periodic retrain; the cached one-shot frames, so
+    compaction shares work with llm_sim_knn_ivf_pq_stored), and
+    publishes a fresh cell-partitioned store by atomic rename — serving
+    flips from base+delta union scan to ONE partition-pruned scan.
+
+    The oracle replays the one-shot full-corpus IVFADC (the stored
+    op's CTEs) plus the fold-count pins — hash-green proves the
+    compacted index is bit-identical to a fresh build, i.e. recall
+    RECOVERS to the stored level by construction; ANN_RECALL_r11
+    records the measured delta -> compacted recovery.
+
+    Scale: compaction cost is one offline rebuild amortized over the
+    absorb window (Delta OPTIMIZE's economics applied to an ANN
+    index); the serving flip is a directory rename, readers never see
+    a half-compacted index."""
+    import os
+    import shutil
+
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    n_total = _n_embeddings(spark, sf_dir)
+    _, nprobe, _ = _ann_params(n_total)
+    subs = _pq_subs(spark, sf_dir)
+    codes_path, _, _, delta_path, n_base = _ivf_pq_delta_store(
+        spark, sf_dir
+    )
+    # live store state: what the fold consumes (provenance pins)
+    n_base_live = spark.read.parquet(codes_path).count()
+    n_delta_live = spark.read.parquet(delta_path).count()
+    cstore = _fixture_dir(sf_dir) / "ivf_pq_store_compact_cl1"
+    if not (cstore / "_built").exists():
+        # RE-TRAIN over the full corpus: coarse Lloyd + fine codebook
+        # see every vector, including the previously-frozen delta
+        _, coarse, _, assign, codes, cb1, _, _, _ = _ivf_pq_index_frames(
+            spark, sf_dir
+        )
+        packed = (
+            codes.groupBy("vec_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                    lambda s: s["code"],
+                ).alias("codes")
+            )
+            .join(assign, "vec_id")
+        )
+        if cstore.exists():
+            shutil.rmtree(cstore, ignore_errors=True)
+        tmp = cstore.parent / f"{cstore.name}.tmp.{os.getpid()}"
+        packed.write.mode("overwrite").partitionBy("cell").parquet(
+            str(tmp / "codes")
+        )
+        coarse.write.mode("overwrite").parquet(str(tmp / "centroids"))
+        cb1.write.mode("overwrite").parquet(str(tmp / "codebook"))
+        (tmp / "_meta.json").write_text(json.dumps({
+            "folded_from": str(Path(codes_path).parent),
+            "n_base_folded": int(n_base_live),
+            "n_delta_folded": int(n_delta_live),
+        }))
+        (tmp / "_built").touch()
+        try:
+            os.rename(tmp, cstore)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (cstore / "_built").exists():
+                raise
+    meta = json.loads((cstore / "_meta.json").read_text())
+    # provenance: the published fold counts must equal the live delta
+    # store AND the declared base/delta split — a partial fold (lost
+    # delta partition) or a double-absorb surfaces here, then again in
+    # the oracle pins
+    assert meta["n_base_folded"] == n_base_live == n_base
+    assert meta["n_delta_folded"] == n_delta_live == n_total - n_base
+    coarse_st = F.broadcast(spark.read.parquet(str(cstore / "centroids")))
+    cb_st = spark.read.parquet(str(cstore / "codebook"))
+    qdistc = (
+        subs.filter(F.col("vec_id") < 10)
+        .join(coarse_st, F.col("sub") == F.col("c_sub"))
+        .select(
+            F.col("vec_id").alias("qid"), "ccode", _pq_dist(_PQ_DSUB).alias("d")
+        )
+        .groupBy("qid", "ccode")
+        .agg(F.sum("d").alias("cd"))
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("cd").asc(), F.col("ccode").asc()
+    )
+    probes = (
+        qdistc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", F.col("ccode").alias("cell"))
+    )
+    qdist = _ivf_pq_query_tables(spark, subs, coarse_st, probes, cb_st)
+    # ONE partition-pruned scan — the union is gone, that's the point
+    un = (
+        spark.read.parquet(str(cstore / "codes"))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "cell", "vec_id",
+            F.posexplode("codes").alias("sub", "code"),
+        )
+    )
+    adc = (
+        un.join(F.broadcast(qdist), ["qid", "cell", "sub", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd").alias("dist_adc"))
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("dist_adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "qid", "vec_id",
+            F.col("dist_adc").cast("bigint").alias("dist_adc"), "rank",
+            F.lit(meta["n_base_folded"]).cast("bigint")
+            .alias("n_base_folded"),
+            F.lit(meta["n_delta_folded"]).cast("bigint")
+            .alias("n_delta_folded"),
         )
         .orderBy("qid", "rank")
     )

@@ -80,6 +80,13 @@ def main() -> int:
             (r.qid, r.vec_id)
             for r in qs["llm_sim_knn_ivf_pq_delta"].fn(spark, path).collect()
         }
+        # r11: compaction folds the absorbed delta into a full-corpus
+        # re-train — the artifact must show delta -> compacted recall
+        # recovery to at least the stored level (VERDICT r10 item 7)
+        pq_compact = {
+            (r.qid, r.vec_id)
+            for r in qs["llm_sim_knn_ivf_pq_compact"].fn(spark, path).collect()
+        }
         n = pq.ParquetFile(f"{path}/embeddings.parquet").metadata.num_rows
         cells, nprobe, bits = _ann_params(n)
         out[f"sf{sf}"] = {
@@ -95,6 +102,7 @@ def main() -> int:
             "mean_ivf_delta_recall_at_5": len(exact & delta) / len(exact),
             "mean_ivf_pq_stored_recall_at_5": len(exact & pq_stored) / len(exact),
             "mean_ivf_pq_delta_recall_at_5": len(exact & pq_delta) / len(exact),
+            "mean_ivf_pq_compact_recall_at_5": len(exact & pq_compact) / len(exact),
             "params": {"n": n, "ivf_cells": cells, "ivf_nprobe": nprobe, "lsh_bits": bits},
         }
     Path(args.out).write_text(json.dumps(out, indent=1))
