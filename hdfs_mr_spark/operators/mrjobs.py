@@ -634,7 +634,16 @@ def mr_matrix_multiply(spark, sf_dir):
     return (
         a.join(F.broadcast(b), "k")
         .groupBy("i", "j")
-        .agg(F.sum(F.col("av") * F.col("bw")).cast("bigint").alias("cval"))
+        # DECIMAL(38,0) accumulator (r11 overflow audit): av is a
+        # quantity sum over an O(rows/160) block, so av*bw reaches
+        # ~9.5e18 per term at TPC-H sf~1e5 (the 100 TB point) — the one
+        # product-sum here whose int64 bound is NOT provable. DuckDB's
+        # oracle SUM is HUGEINT already; output stays BIGINT, so the
+        # hash is unchanged wherever int64 sufficed.
+        .agg(
+            F.sum((F.col("av") * F.col("bw")).cast("decimal(38,0)"))
+            .cast("bigint").alias("cval")
+        )
         .orderBy("i", "j")
     )
 

@@ -1321,3 +1321,49 @@ def test_pq_delta_store_immune_to_reuse_cache(spark):
             .fn(spark, SF_SMOKE).collect())
     )
     assert d1 == d2
+
+
+def test_headline_exchange_counts_pinned(spark):
+    """Exchange-count regression gate (r11 — VERDICT r10 item 6): every
+    bench-headline query's shuffle/join-strategy fingerprint (exchange
+    count, broadcast-hash vs sort-merge vs nested-loop join counts,
+    cartesian products) is pinned against tests/exchange_counts.json,
+    so a silent plan regression — a broadcast flipping to sort-merge, a
+    new shuffle sneaking under a refactor (the r8 drift scare) — fails
+    THIS test instead of surfacing as bench forensics two rounds later.
+
+    Deliberate plan changes are blessed by regenerating the JSON with
+    `python tools/exchange_counts.py` and reviewing the diff
+    query-by-query. Canary (verified r11, measured and documented in
+    PERF.md): with the broadcast hint stripped from
+    join_broadcast_inner and autoBroadcastJoinThreshold=-1, this gate
+    goes RED on that query (broadcast_hash_joins 1 -> 0,
+    sort_merge_joins 0 -> 1, exchanges 1 -> 2) — the exact failure
+    class it exists to catch."""
+    import json
+    from pathlib import Path
+
+    from bench import HEADLINE
+    from hdfs_mr_spark.plans.audit import plan_summary
+
+    pinned = json.loads(
+        (Path(__file__).parent / "exchange_counts.json").read_text()
+    )
+    keys = pinned["keys"]
+    specs = all_specs()
+    drifted = {}
+    missing = [n for n in HEADLINE if n not in pinned["queries"]]
+    assert missing == [], (
+        f"headline queries with no pinned fingerprint: {missing} — "
+        "run tools/exchange_counts.py"
+    )
+    for name in HEADLINE:
+        s = plan_summary(specs[name].fn(spark, SF_SMOKE))
+        got = {k: s[k] for k in keys}
+        want = pinned["queries"][name]
+        if got != want:
+            drifted[name] = {"pinned": want, "now": got}
+    assert drifted == {}, (
+        "plan fingerprints drifted (deliberate? regenerate via "
+        f"tools/exchange_counts.py and review): {drifted}"
+    )

@@ -2627,3 +2627,55 @@ def test_avi_container_walk_and_refusals():
     struct.pack_into("<I", t3, ai + 16, nf + 1)
     with _pytest.raises(ValueError, match="frame count"):
         avi_decode_frames(bytes(t3))
+
+
+def test_transform_with_state_blocked_by_missing_protobuf():
+    """ENVIRONMENT TRIPWIRE (r11, VERDICT r10 item 4):
+    ``transformWithStateInPandas`` — the Spark 4 stateful successor API
+    (timers, TTL, composite state) — is blocked in this sandbox: its
+    TransformWithStateInPySpark driver worker speaks the state-server
+    protocol via ``pyspark.sql.streaming.proto.StateMessage_pb2``,
+    which needs the ``google.protobuf`` runtime; the sandbox ships no
+    protobuf and has no network (probed r11: the worker crashes at
+    query start with ``ImportError: cannot import name 'descriptor'
+    from 'google.protobuf'`` — PERF.md r11). Same blocker class as
+    spark-avro (VERDICT r10 "what's missing" item 4).
+
+    If this test ever FAILS, protobuf has appeared in the environment:
+    implement the `stream_state_v2` operator (value+list state, an
+    event-time timer, batch-twin oracle) instead of re-documenting."""
+    import importlib.util
+
+    assert importlib.util.find_spec("google") is None or (
+        importlib.util.find_spec("google.protobuf") is None
+    ), (
+        "google.protobuf is now importable: transformWithStateInPandas "
+        "is unblocked — build stream_state_v2 (see VERDICT r10 item 4)"
+    )
+
+
+def test_overflow_audit_inventory_is_complete():
+    """Overflow-audit gate (r11 — VERDICT r10 item 5, the agg_gini
+    lesson made structural): tools/overflow_audit.py mechanically
+    extracts every integer product-sum / bigint-cast SUM accumulator in
+    the engine source; each must carry a curated bound argument at the
+    100 TB design point in tests/overflow_audit.json (classes: cents
+    sums 4x headroom at sf1e5, dim-bounded PQ squares, per-order
+    revenue products, top-k-capped regression moments, ... — DuckDB
+    oracle SUMs are HUGEINT by engine semantics, so the audit is about
+    SPARK-side accumulators). A new un-audited accumulator, or a stale
+    entry for a removed one, fails here — the audit cannot rot. The one
+    unprovable bound found (mr_matrix_multiply's av*bw block product,
+    ~9.5e18/term at sf1e5) was promoted to a DECIMAL(38,0) accumulator
+    in r11."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "overflow_audit.py"),
+         "--check"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, f"overflow audit drift:\n{r.stdout}{r.stderr}"
