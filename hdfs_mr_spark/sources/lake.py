@@ -2035,3 +2035,108 @@ def lake_partition_overwrite(spark, sf_dir):
                 "n_orders", "cents")
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "lake_partition_evolution",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(7 AS BIGINT) AS files_live,
+       CAST(2 AS BIGINT) AS files_legacy_kept,
+       CAST(1 AS BIGINT) AS files_new_scanned,
+       CAST(3 AS BIGINT) AS files_scanned,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_SQL_CENTS}) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate <  TIMESTAMP '1999-01-01'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    family=_FAM,
+)
+def lake_partition_evolution(spark, sf_dir):
+    """PARTITION-SCHEME EVOLUTION as a log event (r11, the optional
+    half of VERDICT r10 item 3 — Iceberg's signature capability): the
+    table starts UNPARTITIONED (v0/v1 write 1995+1996 as plain files,
+    no partitionValues, and — deliberately — no stats: the legacy
+    layout a real migration inherits), then v2 records a ``metaData``
+    action declaring partitioning by o_year, and v3..v7 write
+    1997..2001 as hive-partitioned, partitionValues-carrying adds. No
+    data file is ever rewritten — evolution costs ONE log entry
+    (Iceberg's spec-evolution contract; Hive/Delta would force a full
+    rewrite into the new layout).
+
+    The 1998 read shows exactly what that buys and what it costs:
+    partition pruning drops 4 of the 5 NEW files (5 -> 1,
+    files_new_scanned pins it) but must CONSERVATIVELY KEEP both
+    legacy files (no partitionValues, no stats — a reader that guessed
+    would drop live rows), so files_scanned = 3 of 7. The conservative
+    keep is load-bearing: 1998 rows live ONLY in the new layout, but
+    the engine cannot know that from metadata, and the content hash
+    would catch an over-eager prune. Backfilling stats or rewriting
+    legacy files into partitions (lake_compact_optimize's job) is the
+    documented remedy — evolution makes new data cheap immediately and
+    old data cheap lazily.
+
+    Scale: a 100 TB table changes its partition scheme with one
+    metadata commit and zero data movement; readers pay full scans
+    only on the pre-evolution tail, which compaction retires."""
+    def build(tmp: Path):
+        o = table(spark, sf_dir, "orders")
+        # v0/v1: legacy unpartitioned, stat-less adds (bare paths)
+        for k, yr in enumerate((1995, 1996)):
+            files = _write_files(
+                o.filter(F.year("o_orderdate") == yr),
+                tmp / "data", n_files=1,
+            )
+            assert _commit(tmp / "_log", k, {"add": files, "remove": []})
+        # v2: the evolution event — metadata only, no files
+        assert _commit(tmp / "_log", 2, {
+            "add": [], "remove": [],
+            "metaData": {"partitionColumns": ["o_year"]},
+        })
+        # v3..v7: partitioned adds under the declared scheme
+        for k, yr in enumerate(range(1997, 2002), start=3):
+            files = [
+                f"data/{f}" for f in _write_files(
+                    o.filter(F.year("o_orderdate") == yr),
+                    tmp / "data" / f"o_year={yr}", n_files=1,
+                )
+            ]
+            adds = [
+                _part_add(tmp, f, "o_year", str(yr),
+                          ["o_orderdate", "o_orderkey"])
+                for f in files
+            ]
+            assert _commit(tmp / "_log", k, {"add": adds, "remove": []})
+
+    root = _publish_store(build, _fixture_dir(sf_dir) / "lake_part_evo")
+    acts = _snapshot_actions(root)
+    legacy = sorted(f for f, e in acts.items()
+                    if "partitionValues" not in e)
+    new_kept = sorted(
+        f for f, e in acts.items()
+        if e.get("partitionValues", {}).get("o_year") == "1998"
+    )
+    keep = legacy + new_kept
+    pred = (
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ) & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    return (
+        spark.read.parquet(*[str(root / f) for f in keep])
+        .filter(pred)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.lit(len(acts)).cast("bigint").alias("files_live"),
+            F.lit(len(legacy)).cast("bigint").alias("files_legacy_kept"),
+            F.lit(len(new_kept)).cast("bigint").alias("files_new_scanned"),
+            F.lit(len(keep)).cast("bigint").alias("files_scanned"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        )
+        .select("o_orderstatus", "files_live", "files_legacy_kept",
+                "files_new_scanned", "files_scanned", "n_orders", "cents")
+        .orderBy("o_orderstatus")
+    )

@@ -24,21 +24,49 @@ from pathlib import Path
 from pyspark.sql.datasource import SimpleDataSourceStreamReader
 
 
-def plan_tail_partitions(root: str, start_v: int,
-                         end_v: int) -> list[tuple[int, str]]:
+def plan_tail_partitions(
+    root: str, start_v: int, end_v: int,
+    part_col: str | None = None, part_val: str | None = None,
+) -> list[tuple[int, str]]:
     """Partition plan for an append-tail span (start_v, end_v]: one
     (version, file) per file each commit ADDED — metadata-only (commit
     log reads, no data IO), so it runs in the source runner while the
     file reads land on executors. Remove-carrying versions are refused
     by ``version_adds`` (append-tail contract). Unit-tested directly:
-    the base store must plan >1 partition per version."""
+    the base store must plan >1 partition per version.
+
+    With ``part_col``/``part_val`` set, only files whose add action
+    recorded a MATCHING partitionValue are planned (the §2.14
+    partitioned table meeting the streaming source): non-matching
+    files are skipped from metadata alone — zero IO — while files with
+    NO recorded partitionValues are conservatively kept, the same
+    never-a-filter rule as the batch prune. Note the asymmetry with
+    version_adds' remove refusal: partition skipping is an
+    optimization over adds, so it is allowed to drop; remove actions
+    change delivered rows, so they must refuse."""
+    import json as _json
+
     from hdfs_mr_spark.sources import lake
 
     parts = []
     for v in lake._log_versions(Path(root)):
-        if start_v < v <= end_v:
-            for f in lake.version_adds(Path(root), v):
-                parts.append((v, f))
+        if not (start_v < v <= end_v):
+            continue
+        files = lake.version_adds(Path(root), v)
+        if part_col is not None:
+            acts = _json.loads(
+                (Path(root) / "_log" / f"v{v:010d}.json").read_text()
+            )
+            pv = {
+                lake._add_path(e): e.get("partitionValues")
+                if isinstance(e, dict) else None
+                for e in acts.get("add", [])
+            }
+            files = [
+                f for f in files
+                if pv.get(f) is None or pv[f].get(part_col) == part_val
+            ]
+        parts.extend((v, f) for f in files)
     return parts
 
 

@@ -1966,6 +1966,207 @@ def stream_lake_tail(spark, sf_dir):
 
 
 @query(
+    "stream_lake_partition_tail",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(7 AS BIGINT) AS versions_drained,
+       CAST(2 AS BIGINT) AS files_planned,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    family=_FAM,
+)
+def stream_lake_partition_tail(spark, sf_dir):
+    """PARTITION-PRUNED streaming tail of the partitioned lake table
+    (r11 — the §2.14 partitionValues format meeting the full
+    DataSourceStreamReader): a consumer that only wants partition
+    o_year=1997 tails the 7-commit hive-partitioned store, and the
+    planner skips non-matching files FROM THE COMMIT LOG ALONE —
+    lake_source.plan_tail_partitions with a partition filter plans 2
+    of the 14 live files (files_planned pins it), the other 12 are
+    never opened by any executor, and the 6 non-matching versions
+    drain as empty micro-batches that still advance the offset
+    (versions_drained pins the full walk — a consumer must not stall
+    on filtered commits). Files with no recorded partitionValues are
+    conservatively kept (never-a-filter), mirroring the batch prune.
+
+    read() is the same executor-side pure-pyarrow single-file scan as
+    stream_lake_tail, planner-pid-guarded. At 100 TB this is the
+    tenant-feed shape: a year- (or tenant-) scoped incremental
+    consumer pays O(its partition's new files) per commit, not O(table
+    churn) — metadata does the filtering, executors do the reading."""
+    from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+                                        InputPartition)
+
+    from hdfs_mr_spark.functions.udfs import REPO_ROOT as _REPO_ROOT
+    from hdfs_mr_spark.sources.lake import (_build_partitioned_store,
+                                            _log_versions, _publish_store)
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+    from hdfs_mr_spark.streaming.lake_source import plan_tail_partitions
+
+    root = _publish_store(
+        lambda tmp: _build_partitioned_store(spark, sf_dir, tmp),
+        _fixture_dir(sf_dir) / "lake_part",
+    )
+    root_s = str(root)
+    n_versions = len(_log_versions(root))
+    n_planned = len(plan_tail_partitions(
+        root_s, -1, n_versions - 1, "o_year", "1997"
+    ))
+
+    class LakeFilePart(InputPartition):
+        def __init__(self, root, rel, version, planner_pid):
+            self.root = root
+            self.rel = rel
+            self.version = version
+            self.planner_pid = planner_pid
+
+    class LakePartTailReader(DataSourceStreamReader):
+        """Runner-process planning (REPO_ROOT injection), executor
+        reads — stream_lake_tail's contract plus the partition
+        filter pushed into partitions()."""
+
+        def __init__(self, store_root, repo_root, part_col, part_val):
+            self.root = store_root
+            self.repo = repo_root
+            self.part_col = part_col
+            self.part_val = part_val
+            self.cur = -1
+
+        def _repo_mod(self, name):
+            import importlib
+            import sys as _sys
+
+            if self.repo not in _sys.path:
+                _sys.path.insert(0, self.repo)
+            return importlib.import_module(name)
+
+        def initialOffset(self):
+            return {"version": -1}
+
+        def latestOffset(self):
+            from pathlib import Path as _P
+
+            lake = self._repo_mod("hdfs_mr_spark.sources.lake")
+            pend = [v for v in lake._log_versions(_P(self.root))
+                    if v > self.cur]
+            if pend:
+                self.cur = pend[0]
+            return {"version": self.cur}
+
+        def partitions(self, start, end):
+            import os as _os
+
+            src = self._repo_mod("hdfs_mr_spark.streaming.lake_source")
+            return [
+                LakeFilePart(self.root, f, v, _os.getpid())
+                for v, f in src.plan_tail_partitions(
+                    self.root, start["version"], end["version"],
+                    self.part_col, self.part_val)
+            ]
+
+        def read(self, partition):
+            import os as _os
+
+            if _os.getpid() == partition.planner_pid:
+                raise RuntimeError(
+                    "partitioned lake tail rows routed through the "
+                    "planner process — executor-side read contract broken"
+                )
+            from pathlib import Path as _P
+
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                _P(partition.root) / partition.rel,
+                columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+            )
+            cents = pc.cast(
+                pc.round(pc.multiply(t.column("o_totalprice"), 100),
+                         round_mode="half_towards_infinity"),
+                "int64",
+            )
+            yield from zip(
+                t.column("o_orderkey").to_pylist(),
+                t.column("o_orderstatus").to_pylist(),
+                cents.to_pylist(),
+            )
+
+        def commit(self, end):
+            self.cur = max(self.cur, end["version"])
+
+    class LakePartTailSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "hmr_lake_part_tail"
+
+        def schema(self):
+            return "o_orderkey bigint, o_orderstatus string, cents bigint"
+
+        def streamReader(self, schema):
+            return LakePartTailReader(
+                self.options["path"], self.options["repo"],
+                self.options["part_col"], self.options["part_val"],
+            )
+
+    try:
+        spark.dataSource.register(LakePartTailSource)
+    except Exception as exc:
+        if "exist" not in str(exc).lower() and "already" not in str(exc).lower():
+            raise
+
+    agg = (
+        spark.readStream.format("hmr_lake_part_tail")
+        .option("path", root_s)
+        .option("repo", _REPO_ROOT)
+        .option("part_col", "o_year")
+        .option("part_val", "1997")
+        .load()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+    )
+    name = f"hmr_lakeparttail_{next(_COUNTER)}"
+    ckpt = tempfile.mkdtemp(prefix="hmr_ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select(
+            "o_orderstatus",
+            F.lit(n_versions).cast("bigint").alias("versions_drained"),
+            F.lit(n_planned).cast("bigint").alias("files_planned"),
+            "n_orders", "cents", "min_key", "max_key",
+        )
+        .orderBy("o_orderstatus")
+        .localCheckpoint()
+    )
+
+
+@query(
     "stream_lake_cdf",
     oracle="""
 WITH ch AS (

@@ -175,7 +175,10 @@ def _op_source(name: str) -> str:
     return inspect.getsource(all_specs()[name].fn)
 
 
-@pytest.mark.parametrize("op", ["stream_lake_tail", "stream_lake_cdf"])
+@pytest.mark.parametrize(
+    "op",
+    ["stream_lake_tail", "stream_lake_cdf", "stream_lake_partition_tail"],
+)
 def test_full_reader_not_driver_pump(op):
     """Structural pin of VERDICT r10 item 1: both lake streaming ops
     register a full streamReader (partition-planned, executor reads),
@@ -189,3 +192,28 @@ def test_full_reader_not_driver_pump(op):
     assert "DataSourceStreamReader" in src
     assert "partition.planner_pid" in src and "RuntimeError" in src
     assert "def partitions(self, start, end):" in src
+
+
+def test_tail_plan_partition_filter(spark, append_store):
+    """r11: the partition-filtered tail plan skips non-matching files
+    from commit-log metadata alone (2 of 14 on the hive store) and
+    conservatively keeps files with NO recorded partitionValues (the
+    legacy append store plans ALL its files under any filter)."""
+    from hdfs_mr_spark.sources.lake import (_build_partitioned_store,
+                                            _publish_store)
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+    from hdfs_mr_spark.streaming.lake_source import plan_tail_partitions
+
+    part_store = _publish_store(
+        lambda tmp: _build_partitioned_store(spark, SF_SMOKE, tmp),
+        _fixture_dir(SF_SMOKE) / "lake_part",
+    )
+    full = plan_tail_partitions(str(part_store), -1, 6)
+    only97 = plan_tail_partitions(str(part_store), -1, 6,
+                                  "o_year", "1997")
+    assert len(full) == 14 and len(only97) == 2
+    assert all("o_year=1997" in f for _, f in only97)
+    # conservative keep: bare-path adds carry no partitionValues
+    legacy = plan_tail_partitions(str(append_store), -1, 2,
+                                  "o_year", "1997")
+    assert len(legacy) == len(plan_tail_partitions(str(append_store), -1, 2))
