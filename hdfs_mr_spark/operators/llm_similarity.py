@@ -3178,9 +3178,17 @@ def llm_sim_knn_ivf_pq_compact(spark, sf_dir):
     codes_path, _, _, delta_path, n_base = _ivf_pq_delta_store(
         spark, sf_dir
     )
-    # live store state: what the fold consumes (provenance pins)
-    n_base_live = spark.read.parquet(codes_path).count()
-    n_delta_live = spark.read.parquet(delta_path).count()
+    # live store state: what the fold consumes (provenance pins) —
+    # parquet FOOTER row counts, a pure metadata read (no Spark job
+    # mid-plan; the no-mid-plan-action gate enforces this)
+    import pyarrow.parquet as pq
+
+    def _store_rows(path):
+        return sum(pq.read_metadata(p).num_rows
+                   for p in sorted(Path(path).rglob("*.parquet")))
+
+    n_base_live = _store_rows(codes_path)
+    n_delta_live = _store_rows(delta_path)
     cstore = _fixture_dir(sf_dir) / "ivf_pq_store_compact_cl1"
     if not (cstore / "_built").exists():
         # RE-TRAIN over the full corpus: coarse Lloyd + fine codebook

@@ -2009,11 +2009,14 @@ def lake_partition_overwrite(spark, sf_dir):
 
     root = _publish_store(build, _fixture_dir(sf_dir) / "lake_part_ow")
     acts7 = json.loads((root / "_log" / f"v{7:010d}.json").read_text())
-    # time travel to v6: the pre-overwrite 1997 partition, still whole
+    # time travel to v6: the pre-overwrite 1997 partition, still whole —
+    # counted from parquet FOOTERS (every row in a partition file IS
+    # 1997, so footer sums are exact; no Spark job mid-plan)
+    import pyarrow.parquet as pq
+
     pre = _pruned_files_partition_first(root, "o_year", {"1997"}, as_of=6)
-    n_pre = (
-        spark.read.parquet(*[str(root / f) for f in pre["files"]])
-        .count()
+    n_pre = sum(
+        pq.read_metadata(root / f).num_rows for f in pre["files"]
     )
     return (
         _read_snapshot(spark, root)

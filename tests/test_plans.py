@@ -917,7 +917,10 @@ def test_no_mid_plan_driver_actions(spark, monkeypatch):
                     "lake_compact_optimize", "lake_delete_vectors",
                     "lake_change_feed", "lake_zorder_skipping",
                     "lake_restore_version", "lake_clone_shallow",
-                    "lake_bloom_index"):
+                    "lake_bloom_index", "lake_partition_pruned",
+                    "lake_partition_overwrite", "lake_partition_evolution",
+                    "llm_sim_knn_ivf_pq_stored", "llm_sim_knn_ivf_pq_delta",
+                    "llm_sim_knn_ivf_pq_compact"):
         all_specs()[store_q].fn(spark, SF_SMOKE)
 
     calls: dict[str, list[str]] = {}
