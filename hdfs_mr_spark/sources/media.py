@@ -2707,16 +2707,34 @@ def _riff_list(list_type: bytes, payload: bytes) -> bytes:
     return _riff_chunk(b"LIST", list_type + payload)
 
 
-def make_mjpeg_avi(doc_id: int) -> bytes:
+def scene_len(doc_id: int) -> int:
+    """Deterministic frames-per-scene (2 or 3) for the scene fixture;
+    with avi_n_frames >= 4 every blob carries >= 2 scenes, so a cut
+    always exists to detect."""
+    return 2 + doc_id % 2
+
+
+def avi_scene_block_value(bx: int, by: int, f: int, doc_id: int) -> int:
+    """Generative luma for the SCENE fixture: constant within a scene
+    (frames f with the same f // scene_len), stepped by 29 per scene —
+    inter-frame pixel delta is exactly 0 inside a scene and >= 29 mean
+    at a cut, the ground truth the scene detector's oracle replays."""
+    s = f // scene_len(doc_id)
+    return (5 * bx + 11 * by + 3 * doc_id + 29 * s) % 256
+
+
+def make_mjpeg_avi(doc_id: int, block_fn=None) -> bytes:
     """A structurally real AVI: RIFF('AVI ') containing LIST('hdrl')
     with avih + LIST('strl') (strh fccType='vids' handler='MJPG', strf
     BITMAPINFOHEADER biCompression='MJPG'), LIST('movi') of one '00dc'
     chunk per frame (JPEGs are frequently odd-length, so the RIFF word
     padding genuinely exercises), and an idx1 index. Frames follow
-    avi_frame_block_value via the constant-block/DC-step-8 encoding
-    (bit-exact decode, see make_gradient_jpeg)."""
+    ``block_fn`` (default avi_frame_block_value; the scene fixture
+    passes avi_scene_block_value) via the constant-block/DC-step-8
+    encoding (bit-exact decode, see make_gradient_jpeg)."""
     w, h = jpeg_px_dims(doc_id)
     nf = avi_n_frames(doc_id)
+    fn = block_fn or avi_frame_block_value
     qtab = [8] + [16] * 63
     frames = []
     for f in range(nf):
@@ -2724,7 +2742,7 @@ def make_mjpeg_avi(doc_id: int) -> bytes:
         for by in range((h + 7) // 8):
             for bx in range((w + 7) // 8):
                 blk = [0] * 64
-                blk[0] = avi_frame_block_value(bx, by, f, doc_id) - 128
+                blk[0] = fn(bx, by, f, doc_id) - 128
                 blocks.append(blk)
         frames.append(jpeg_encode_gray(blocks, w, h, qtab))
     avih = _riff_chunk(b"avih", struct.pack(
@@ -2798,6 +2816,27 @@ def materialize_media_avi(sf_dir: str = ORACLE_SF) -> str:
                 "doc_id": pa.array(ids, pa.int64()),
                 "payload": pa.array(
                     [make_mjpeg_avi(i) for i in ids], pa.binary()
+                ),
+            }),
+            path,
+        )
+    return str(path)
+
+
+def materialize_media_scene(sf_dir: str = ORACLE_SF) -> str:
+    """Write the scene-structured MJPEG-AVI fixture parquet once per
+    fingerprint (same container writer as media_avi, scene-stepped
+    frame content — llm_multimodal_scene_detect's input)."""
+    path = _fixture_dir(sf_dir) / "media_scene_avi.parquet"
+    if not path.exists():
+        ids = list(range(N_MEDIA_PX))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_mjpeg_avi(i, avi_scene_block_value)
+                     for i in ids],
+                    pa.binary(),
                 ),
             }),
             path,

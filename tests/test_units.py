@@ -2679,3 +2679,41 @@ def test_overflow_audit_inventory_is_complete():
         capture_output=True, text=True, timeout=120,
     )
     assert r.returncode == 0, f"overflow audit drift:\n{r.stdout}{r.stderr}"
+
+
+def test_scene_avi_generator_and_cut_ground_truth():
+    """Scene fixture kernel (r11): the scene-stepped AVI round-trips
+    through the container walk + JPEG decode bit-exactly, frames
+    within a scene are IDENTICAL, and the mean-abs-delta statistic is
+    0 within scenes and >= 29000 milli at every scene boundary — the
+    ground truth llm_multimodal_scene_detect and its oracle both
+    replay."""
+    from hdfs_mr_spark.sources.media import (
+        avi_decode_frames,
+        avi_n_frames,
+        avi_scene_block_value,
+        jpeg_decode_gray,
+        make_mjpeg_avi,
+        scene_len,
+    )
+
+    for did in (3, 4, 11):
+        blob = make_mjpeg_avi(did, avi_scene_block_value)
+        w, h, nf, frames = avi_decode_frames(blob)
+        assert nf == avi_n_frames(did)
+        slen = scene_len(did)
+        assert nf > slen, "fixture must contain at least one cut"
+        pxs = []
+        for f in range(nf):
+            dw, dh, px = jpeg_decode_gray(frames[f])
+            assert (dw, dh) == (w, h)
+            # bit-exact decode against the generative formula
+            assert px[0] == avi_scene_block_value(0, 0, f, did)
+            pxs.append(px)
+        for f in range(1, nf):
+            sad = sum(abs(a - b) for a, b in zip(pxs[f], pxs[f - 1]))
+            milli = 1000 * sad // (w * h)
+            if f % slen == 0:  # scene boundary
+                assert milli >= 29000, (did, f, milli)
+            else:  # within a scene: frames are identical
+                assert milli == 0, (did, f, milli)
