@@ -4509,3 +4509,131 @@ def llm_multimodal_scene_detect(spark, sf_dir):
         scene_batches,
         "doc_id long, frame_idx int, mean_delta_milli long, is_cut boolean",
     ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "llm_multimodal_audio_spectral",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+         800 + (doc_id * 191) % 1600 AS n
+  FROM '{_AUDIO_FIX}'
+),
+pf AS (
+  SELECT doc_id, rate // 50 AS frame, n // (rate // 50) AS nf FROM p
+),
+s AS (
+  SELECT pf.doc_id, pf.frame, pf.nf,
+         r.i // pf.frame AS f, r.i % pf.frame AS j,
+         ((r.i * (pf.doc_id + 3) + 17) % 2003) - 1001 AS v
+  FROM pf, range(0, 2400) r(i)
+  WHERE r.i < pf.nf * pf.frame
+),
+fr AS (
+  SELECT doc_id, nf, f,
+         SUM(v) AS dc,
+         SUM(CASE WHEN j % 2 = 0 THEN v ELSE -v END) AS nyq,
+         SUM(CASE WHEN j % 4 = 0 THEN v
+                  WHEN j % 4 = 2 THEN -v ELSE 0 END) AS qre,
+         SUM(CASE WHEN j % 4 = 1 THEN -v
+                  WHEN j % 4 = 3 THEN v ELSE 0 END) AS qim
+  FROM s GROUP BY doc_id, nf, f
+)
+SELECT doc_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(SUM(abs(dc)) AS BIGINT) AS dc_abs_sum,
+       CAST(SUM(abs(nyq)) AS BIGINT) AS nyquist_abs_sum,
+       CAST(SUM(qre * qre + qim * qim) AS BIGINT) AS quarter_energy_sum
+FROM fr
+GROUP BY doc_id, nf
+ORDER BY doc_id
+""",
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_audio_spectral(spark, sf_dir):
+    """EXACT 3-BIN SPECTRAL PROBE per 20 ms audio frame (r11 — the
+    frequency-domain feature the audio family lacked, without floats):
+    DFT bins whose basis values are exactly {{-1, 0, +1}} — DC (k=0),
+    the quarter band (k=N/4: cos pattern 1,0,-1,0 / sin 0,-1,0,1; the
+    frame lengths 160/320 are divisible by 4 by construction) and
+    Nyquist (k=N/2: alternating signs) — are INTEGER dot products, so
+    the per-frame components and the per-clip aggregates (|DC| sum,
+    |Nyquist| sum, quarter-band energy qre^2+qim^2) are exact BIGINTs
+    both engines reproduce bit-for-bit: a real spectral feature
+    (speech-band energy vs DC offset vs high-band hiss — VAD's and
+    resampling QA's inputs) with none of the trig-ulp hash risk a
+    general FFT would carry. Bounds: |component| <= 1001*320 ~ 3.2e5,
+    energy <= 2.1e11/frame — int64-safe to ~4e7 frames/clip.
+
+    Scale: identical to the other audio kernels — Arrow-batched
+    mapInPandas, numpy strided reshape per clip (the three bins are
+    sign-mask dot products, vectorized), no shuffle before the tiny
+    per-clip aggregate."""
+    df = spark.read.parquet(_AUDIO_FIX)
+
+    def spectral_batches(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def wav_parse(b):
+            # mirrors sources/media.py:parse_wav (self-contained for
+            # the executor; mangled-input refusals unit-tested there)
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise ValueError("not RIFF/WAVE")
+            pos, rate, data = 12, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", b, pos + 4)
+                body = b[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    afmt, ch, rate = struct.unpack_from("<HHI", body, 0)
+                    (bits,) = struct.unpack_from("<H", body, 14)
+                    if (afmt, ch, bits) != (1, 1, 16):
+                        raise ValueError("only PCM16 mono")
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)
+            if rate is None or data is None:
+                raise ValueError("missing fmt or data")
+            return rate, data
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, data = wav_parse(bytes(payload))
+                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                frame = rate // 50
+                if frame % 4:
+                    raise ValueError("frame length not divisible by 4")
+                nf = len(samples) // frame
+                fx = samples[: nf * frame].reshape(nf, frame)
+                j = np.arange(frame)
+                nyq_sign = np.where(j % 2 == 0, 1, -1)
+                qre_sign = np.select([j % 4 == 0, j % 4 == 2], [1, -1], 0)
+                qim_sign = np.select([j % 4 == 1, j % 4 == 3], [-1, 1], 0)
+                dc = fx.sum(axis=1)
+                nyq = (fx * nyq_sign).sum(axis=1)
+                qre = (fx * qre_sign).sum(axis=1)
+                qim = (fx * qim_sign).sum(axis=1)
+                out.append((
+                    int(doc_id), nf,
+                    int(np.abs(dc).sum()),
+                    int(np.abs(nyq).sum()),
+                    int((qre * qre + qim * qim).sum()),
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_frames", "dc_abs_sum",
+                         "nyquist_abs_sum", "quarter_energy_sum"],
+            )
+
+    return df.mapInPandas(
+        spectral_batches,
+        schema=(
+            "doc_id bigint, n_frames bigint, dc_abs_sum bigint, "
+            "nyquist_abs_sum bigint, quarter_energy_sum bigint"
+        ),
+    ).orderBy("doc_id")

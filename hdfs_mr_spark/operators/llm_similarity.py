@@ -3483,3 +3483,88 @@ def llm_sim_range_search(spark, sf_dir):
         .filter(F.col("cosine") >= 0.3)
         .orderBy("qid", "vec_id")
     )
+
+
+@query(
+    "llm_sim_maxsim_colbert",
+    oracle=f"""
+WITH tv AS (
+  SELECT vec_id, r.i AS ti, embedding[r.i*8+1 : r.i*8+8] AS v
+  FROM embeddings, range(0, 8) r(i)
+),
+q AS (SELECT vec_id AS qid, ti AS qi, v AS qv FROM tv WHERE vec_id < 5),
+pair AS (
+  SELECT q.qid, t.vec_id, q.qi,
+         MAX({_SQL_DOT.format(a='q.qv', b='t.v')}) AS mx
+  FROM q JOIN tv t ON t.vec_id <> q.qid
+  GROUP BY q.qid, t.vec_id, q.qi
+),
+sc AS (
+  SELECT qid, vec_id,
+         CAST(SUM(CAST(round(mx * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS maxsim_micro
+  FROM pair GROUP BY qid, vec_id
+)
+SELECT qid, vec_id, maxsim_micro,
+       CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY maxsim_micro DESC, vec_id ASC) AS BIGINT) AS rank
+FROM sc QUALIFY rank <= 5
+ORDER BY qid, rank
+""",
+    family=_FAM,
+)
+def llm_sim_maxsim_colbert(spark, sf_dir):
+    """MULTI-VECTOR LATE-INTERACTION retrieval (r11 — the ColBERT
+    MaxSim operator, the one retrieval primitive the family lacked
+    between single-vector kNN and lexical BM25): each embedding is
+    treated as 8 token-vectors of 8 dims (contiguous slices — the
+    multi-vector layout a late-interaction encoder emits), and
+    score(q, d) = sum over q's token-vectors of the MAX dot product
+    against any of d's token-vectors. Per-token maxima are selections
+    over identically-computed fold dots (bit-equal across engines);
+    each max rounds to integer micro-units BEFORE the sum, so the
+    final score is an order-independent BIGINT sum — the float-sum
+    nondeterminism a naive MaxSim would hash-flip on never arises.
+
+    Plan: the 40 query token-vectors broadcast; the corpus side
+    explodes to 8 rows per vector in one pass (no self-join of the
+    corpus); max and sum are two combiner-shape aggregates keyed on
+    (qid, vec_id[, qi]); top-5 is a qid-partitioned window. At 100 TB
+    MaxSim is the RERANKER over an ANN candidate set (llm_sim_knn_ivf*
+    supplies candidates; this op scores candidates-x-queries), where
+    the candidate fan-in — not the corpus — bounds the join."""
+    e = table(spark, sf_dir, "embeddings")
+    idx = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("ti")
+    tv = e.select("vec_id", "embedding", idx).select(
+        "vec_id", "ti",
+        F.slice("embedding", F.col("ti") * 8 + 1, 8).alias("v"),
+    )
+    q = (
+        tv.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("ti").alias("qi"),
+            F.col("v").alias("qv"),
+        )
+    )
+    pair = (
+        tv.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id", "qi")
+        .agg(F.max(_dot(F.col("qv"), F.col("v"))).alias("mx"))
+    )
+    sc = (
+        pair.groupBy("qid", "vec_id")
+        .agg(
+            F.sum(F.round(F.col("mx") * 1000000.0).cast("bigint"))
+            .cast("bigint").alias("maxsim_micro")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("maxsim_micro").desc(), F.col("vec_id").asc()
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "vec_id", "maxsim_micro", "rank")
+        .orderBy("qid", "rank")
+    )

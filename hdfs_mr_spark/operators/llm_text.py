@@ -3466,3 +3466,167 @@ def llm_segment_texttiling(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_rag_fusion_rrf",
+    oracle="""
+WITH qt AS (
+  SELECT doc_id AS qid, unnest(list_distinct(string_split(text, ' '))) AS term
+  FROM documents WHERE doc_id < 3
+),
+dt AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+  FROM documents
+),
+dsz AS (SELECT doc_id, COUNT(*) AS dn FROM dt GROUP BY doc_id),
+qsz AS (SELECT qid, COUNT(*) AS qn FROM qt GROUP BY qid),
+inter AS (
+  SELECT qt.qid, dt.doc_id, COUNT(*) AS i
+  FROM qt JOIN dt ON dt.term = qt.term AND dt.doc_id <> qt.qid
+  GROUP BY qt.qid, dt.doc_id
+),
+lex AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY
+           CAST(i AS DOUBLE) / CAST(qn + dn - i AS DOUBLE) DESC,
+           doc_id ASC) AS rank_lex
+  FROM inter JOIN qsz USING (qid) JOIN dsz USING (doc_id)
+  QUALIFY rank_lex <= 10
+),
+nrm AS (
+  SELECT vec_id, embedding,
+         SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (acc, x) -> acc + x)) AS nm
+  FROM embeddings
+),
+dense AS (
+  SELECT q.vec_id AS qid, n.vec_id AS doc_id,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_zip(q.embedding, n.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+             (acc, x) -> acc + x) / (q.nm * n.nm) DESC,
+           n.vec_id ASC) AS rank_dense
+  FROM nrm q JOIN nrm n ON q.vec_id < 3 AND n.vec_id <> q.vec_id
+  QUALIFY rank_dense <= 10
+),
+fused AS (
+  SELECT COALESCE(l.qid, d.qid) AS qid,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         CAST(COALESCE(1000000 // (60 + l.rank_lex), 0)
+            + COALESCE(1000000 // (60 + d.rank_dense), 0) AS BIGINT)
+           AS rrf_micro,
+         l.rank_lex IS NOT NULL AS in_lex,
+         d.rank_dense IS NOT NULL AS in_dense
+  FROM lex l FULL JOIN dense d
+    ON l.qid = d.qid AND l.doc_id = d.doc_id
+)
+SELECT qid, doc_id, rrf_micro, in_lex, in_dense,
+       CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rank
+FROM fused QUALIFY rank <= 5
+ORDER BY qid, rank
+""",
+    family="2.11 llm text analysis",
+)
+def llm_rag_fusion_rrf(spark, sf_dir):
+    """HYBRID-RETRIEVAL RANK FUSION (r11 — reciprocal rank fusion,
+    Cormack 2009, the standard way production RAG merges a lexical and
+    a dense candidate list without score calibration): each query doc
+    (doc_id < 3) retrieves a token-Jaccard top-10 (the lexical list)
+    and a cosine top-10 over its embedding (the dense list; doc_id is
+    vec_id — the corpus ships one embedding per document), and the
+    lists fuse by RRF = sum over lists of 1/(60+rank), kept
+    integer-exact as 1000000 DIV (60+rank) micro-units so the fused
+    ordering is engine-independent by construction (scores never
+    calibrate across retrievers — only RANKS cross the fusion
+    boundary, which is RRF's entire point). in_lex/in_dense pin each
+    survivor's provenance: a fused top-5 typically mixes
+    single-list and both-list hits, which the hash verifies.
+
+    Plan: both candidate generators are the family's standard shapes
+    (term-keyed shuffle join for Jaccard, broadcast queries + fold dot
+    for cosine), each truncated to top-10 by a qid-partitioned window
+    BEFORE the fusion join, so the fusion itself is a join of two
+    (queries x 10)-row frames — trivially broadcastable at any corpus
+    size. At 100 TB the lists come from the indexed retrievers
+    (llm_bm25_score / llm_sim_knn_ivf*); RRF's cost stays O(queries),
+    which is why hybrid retrieval is the production default."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    dt = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    qt = (
+        dt.filter(F.col("doc_id") < 3)
+        .select(F.col("doc_id").alias("qid"), "term")
+    )
+    dsz = dt.groupBy("doc_id").agg(F.count("*").alias("dn"))
+    qsz = qt.groupBy("qid").agg(F.count("*").alias("qn"))
+    inter = (
+        dt.join(F.broadcast(qt), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").alias("i"))
+    )
+    wl = Window.partitionBy("qid").orderBy(
+        (F.col("i").cast("double")
+         / (F.col("qn") + F.col("dn") - F.col("i")).cast("double")).desc(),
+        F.col("doc_id").asc(),
+    )
+    lex = (
+        inter.join(F.broadcast(qsz), "qid").join(dsz, "doc_id")
+        .withColumn("rank_lex", F.row_number().over(wl))
+        .filter(F.col("rank_lex") <= 10)
+        .select("qid", "doc_id", "rank_lex")
+    )
+    from hdfs_mr_spark.operators.llm_similarity import _dot, _norm
+
+    nrm = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nm"))
+    q = (
+        nrm.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nm").alias("qn_"),
+        )
+    )
+    wd = Window.partitionBy("qid").orderBy(
+        (_dot(F.col("qe"), F.col("embedding"))
+         / (F.col("qn_") * F.col("nm"))).desc(),
+        F.col("vec_id").asc(),
+    )
+    dense = (
+        nrm.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn("rank_dense", F.row_number().over(wd))
+        .filter(F.col("rank_dense") <= 10)
+        .select("qid", F.col("vec_id").alias("doc_id"), "rank_dense")
+    )
+    fused = (
+        lex.join(dense, ["qid", "doc_id"], "full")
+        .select(
+            "qid", "doc_id",
+            (
+                F.coalesce(
+                    F.expr("1000000 DIV (60 + rank_lex)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr("1000000 DIV (60 + rank_dense)"), F.lit(0)
+                )
+            ).cast("bigint").alias("rrf_micro"),
+            F.col("rank_lex").isNotNull().alias("in_lex"),
+            F.col("rank_dense").isNotNull().alias("in_dense"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "doc_id", "rrf_micro", "in_lex", "in_dense", "rank")
+        .orderBy("qid", "rank")
+    )
