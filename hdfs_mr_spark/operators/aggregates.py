@@ -1908,3 +1908,154 @@ def agg_ttest_welch(spark, sf_dir):
             )
         ).alias("df_welch"),
     )
+
+
+_KMV_K = 128
+_KMV_SPACE = 1 << 48  # the 48-bit md5 fold's hash space
+
+
+@query(
+    "agg_kmv_intersect",
+    oracle=f"""
+WITH du AS (
+  SELECT DISTINCT event_type AS t, user_id AS u FROM events
+),
+h AS (
+  SELECT t, ('0x' || substr(md5('kmv:' || CAST(u AS VARCHAR)), 1, 12))::BIGINT AS hv
+  FROM du
+),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b
+  FROM (SELECT DISTINCT t FROM h) a JOIN (SELECT DISTINCT t FROM h) b
+    ON a.t < b.t
+),
+m AS (
+  SELECT p.type_a, p.type_b, h.hv,
+         MAX(CASE WHEN h.t = p.type_a THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN h.t = p.type_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN h ON h.t IN (p.type_a, p.type_b)
+  GROUP BY p.type_a, p.type_b, h.hv
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+                               ORDER BY hv ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY type_a, type_b) AS ucnt
+  FROM m
+),
+agg AS (
+  SELECT type_a, type_b,
+         MAX(ucnt) AS exact_union,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS exact_inter,
+         MAX(CASE WHEN rn = LEAST({_KMV_K}, ucnt) THEN hv END) AS kth,
+         CAST(SUM(CASE WHEN rn <= {_KMV_K} AND in_a = 1 AND in_b = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_both,
+         LEAST({_KMV_K}, MAX(ucnt)) AS k_eff
+  FROM r GROUP BY type_a, type_b
+),
+est AS (
+  SELECT type_a, type_b, exact_union, exact_inter,
+         CASE WHEN exact_union < {_KMV_K} THEN exact_union
+              ELSE ({_KMV_K} - 1) * {_KMV_SPACE} // kth END AS union_est,
+         1000000 * c_both // k_eff AS jacc_micro
+  FROM agg
+)
+SELECT type_a, type_b,
+       CAST(union_est AS BIGINT) AS union_est,
+       CAST(union_est * jacc_micro // 1000000 AS BIGINT) AS inter_est,
+       CAST(exact_union AS BIGINT) AS exact_union,
+       exact_inter,
+       abs(union_est * jacc_micro // 1000000 - exact_inter) * 4
+         <= exact_union + 40 AS est_err_ok
+FROM est
+ORDER BY type_a, type_b
+""",
+    family="2.4 aggregations",
+)
+def agg_kmv_intersect(spark, sf_dir):
+    """K-MINIMUM-VALUES sketch with SET-INTERSECTION estimation (r11 —
+    the set-operation sketch the family lacked: HLL unions but cannot
+    intersect; KMV/theta sketches are how warehouses estimate overlap
+    between audiences without materializing either set): per event
+    type, the k=128 smallest 48-bit hashes of its distinct users ARE
+    the sketch; for each type pair, the union sketch's k-th minimum
+    gives the union estimate ((k-1)*SPACE // kth — the classic KMV
+    estimator, integer-exact), the fraction of the union sketch's k
+    minima present in BOTH sets gives Jaccard in micro-units, and
+    their product estimates the intersection. A sketch smaller than k
+    is exact by construction (the CASE branch — fires at sf0.001,
+    where user counts sit under k; the estimator branch fires at
+    sf0.01+). The exact union/intersection twins ride along as the
+    audit, and est_err_ok pins the estimator inside its expected band
+    — every column is integer arithmetic over the engine-common md5
+    fold, so BOTH the sketch and its error audit hash-match exactly.
+
+    Scale: the per-type sketch is a k-row frame regardless of corpus
+    size (one combiner-shape distinct + a per-type rank window), pair
+    fusion joins k-row frames — audience-overlap across N segments at
+    100 TB costs O(N^2 * k), never a set materialization. (The exact
+    twins here re-scan because they are the audit; production keeps
+    only the sketches.)"""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(F.col("event_type").alias("t"), F.col("user_id").alias("u")).distinct()
+    h = du.select(
+        "t",
+        F.expr(
+            "CAST(conv(substr(md5(concat('kmv:', CAST(u AS STRING))), 1, 12),"
+            " 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    types = h.select("t").distinct()
+    pairs = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b"))
+    )
+    m = (
+        h.join(
+            F.broadcast(pairs),
+            (F.col("t") == F.col("type_a")) | (F.col("t") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "hv")
+        .agg(
+            F.max((F.col("t") == F.col("type_a")).cast("int")).alias("in_a"),
+            F.max((F.col("t") == F.col("type_b")).cast("int")).alias("in_b"),
+        )
+    )
+    wp = Window.partitionBy("type_a", "type_b")
+    r = m.select(
+        "*",
+        F.row_number().over(wp.orderBy(F.col("hv").asc())).alias("rn"),
+        F.count("*").over(wp).alias("ucnt"),
+    )
+    k = _KMV_K
+    agg = r.groupBy("type_a", "type_b").agg(
+        F.max("ucnt").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint")
+        .alias("exact_inter"),
+        F.max(
+            F.when(F.col("rn") == F.least(F.lit(k), F.col("ucnt")),
+                   F.col("hv"))
+        ).alias("kth"),
+        F.sum(
+            ((F.col("rn") <= k) & (F.col("in_a") == 1)
+             & (F.col("in_b") == 1)).cast("int")
+        ).cast("bigint").alias("c_both"),
+        F.least(F.lit(k), F.max("ucnt")).alias("k_eff"),
+    )
+    est = agg.select(
+        "type_a", "type_b", "exact_union", "exact_inter",
+        F.when(F.col("exact_union") < k, F.col("exact_union"))
+        .otherwise(F.expr(f"({k} - 1) * {_KMV_SPACE} DIV kth"))
+        .alias("union_est"),
+        F.expr("1000000 * c_both DIV k_eff").alias("jacc_micro"),
+    )
+    inter_est = F.expr("union_est * jacc_micro DIV 1000000")
+    return est.select(
+        "type_a", "type_b",
+        F.col("union_est").cast("bigint").alias("union_est"),
+        inter_est.cast("bigint").alias("inter_est"),
+        F.col("exact_union").cast("bigint").alias("exact_union"),
+        "exact_inter",
+        (F.abs(inter_est - F.col("exact_inter")) * 4
+         <= F.col("exact_union") + 40).alias("est_err_ok"),
+    ).orderBy("type_a", "type_b")
