@@ -1306,3 +1306,98 @@ def dq_reconcile_totals(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+_KANON_K = 5
+# generalization ladder: level -> the quasi-identifier tuple, coarsening
+# left to right (acctbal 1000-band drops first, then nation coarsens to
+# a 5-nation block, then only the segment remains)
+_KANON_LEVELS = [
+    ("nationkey,mktsegment,acctbal_band",
+     "c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT)"),
+    ("nationkey,mktsegment", "c_nationkey, c_mktsegment"),
+    ("nation_block,mktsegment", "c_nationkey // 5, c_mktsegment"),
+    ("mktsegment", "c_mktsegment"),
+]
+
+
+@query(
+    "dq_k_anonymity",
+    oracle=f"""
+WITH
+{", ".join(
+    f'''g{i} AS (
+  SELECT COUNT(*) AS cnt FROM customer GROUP BY {cols}
+),
+l{i} AS (
+  SELECT {i} AS level, '{name}' AS quasi_ids,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(MIN(cnt) AS BIGINT) AS min_group_size,
+         CAST(SUM(CASE WHEN cnt < {_KANON_K} THEN cnt ELSE 0 END) AS BIGINT)
+           AS rows_suppressed,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows
+  FROM g{i}
+)'''
+    for i, (name, cols) in enumerate(_KANON_LEVELS)
+)}
+SELECT level, quasi_ids, n_groups, min_group_size, rows_suppressed,
+       CAST(10000 * rows_suppressed // n_rows AS BIGINT)
+         AS suppressed_bp,
+       min_group_size >= {_KANON_K} AS k_anonymous
+FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+      UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+ORDER BY level
+""",
+    family=_FAM,
+)
+def dq_k_anonymity(spark, sf_dir):
+    """K-ANONYMITY audit over a GENERALIZATION LADDER (r11 — the
+    privacy-governance gate a training-data pipeline runs before
+    releasing user-derived tables, a different axis from PII regex
+    redaction: llm_pii_redact removes direct identifiers; this op
+    measures whether QUASI-identifier combinations re-identify): at
+    each of four generalization levels (full (nation, segment,
+    balance-band) down to segment-only), every equivalence class's
+    size is checked against k={_KANON_K}; classes below k would be
+    suppressed, and the per-level report — group count, minimum class
+    size, rows suppressed (absolute and basis points), and the
+    k-anonymous verdict — is exactly the table a data-release review
+    reads to pick the coarsest acceptable level. All counts are exact
+    integers; the verdict column is a pure comparison, so the whole
+    governance artifact hash-checks.
+
+    Scale: each level is ONE combiner-shape aggregate (the group-by is
+    the quasi-identifier tuple) followed by a level-summary aggregate
+    over group counts — 4 passes that share the scan under Spark's
+    union; no row-level data leaves the executors, only class-size
+    histograms, which is itself the privacy-correct telemetry shape."""
+    c = table(spark, sf_dir, "customer")
+    level_exprs = [
+        [F.col("c_nationkey"), F.col("c_mktsegment"),
+         F.floor(F.col("c_acctbal") / 1000).cast("bigint")],
+        [F.col("c_nationkey"), F.col("c_mktsegment")],
+        [F.expr("c_nationkey DIV 5"), F.col("c_mktsegment")],
+        [F.col("c_mktsegment")],
+    ]
+    frames = []
+    for i, ((name, _), cols) in enumerate(zip(_KANON_LEVELS, level_exprs)):
+        g = c.groupBy(*cols).agg(F.count("*").alias("cnt"))
+        frames.append(g.agg(
+            F.lit(i).alias("level"),
+            F.lit(name).alias("quasi_ids"),
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.min("cnt").cast("bigint").alias("min_group_size"),
+            F.sum(F.when(F.col("cnt") < _KANON_K, F.col("cnt"))
+                  .otherwise(0)).cast("bigint").alias("rows_suppressed"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+        ))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select(
+        "level", "quasi_ids", "n_groups", "min_group_size",
+        "rows_suppressed",
+        F.expr("10000 * rows_suppressed DIV n_rows").cast("bigint")
+        .alias("suppressed_bp"),
+        (F.col("min_group_size") >= _KANON_K).alias("k_anonymous"),
+    ).orderBy("level")
