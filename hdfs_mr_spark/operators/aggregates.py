@@ -2049,7 +2049,15 @@ def agg_kmv_intersect(spark, sf_dir):
         .alias("union_est"),
         F.expr("1000000 * c_both DIV k_eff").alias("jacc_micro"),
     )
-    inter_est = F.expr("union_est * jacc_micro DIV 1000000")
+    # DECIMAL(38,0) product (r11 ADVICE): DuckDB evaluates this in
+    # HUGEINT before the final cast, while a BIGINT product on the
+    # Spark side could wrap int64 under a pathologically small kth
+    # (union_est up to (k-1)*2^48) — promote like mr_matrix_multiply
+    # so both engines compute the same 128-bit-safe value.
+    inter_est = F.expr(
+        "CAST(CAST(union_est AS DECIMAL(38,0)) * jacc_micro"
+        " DIV 1000000 AS DECIMAL(38,0))"
+    )
     return est.select(
         "type_a", "type_b",
         F.col("union_est").cast("bigint").alias("union_est"),

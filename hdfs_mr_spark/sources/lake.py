@@ -1765,9 +1765,16 @@ def _pruned_files_partition_first(
     columns check: partitions_live/scanned, files_live, files after
     each level, and the surviving file list."""
     acts = _snapshot_actions(root, as_of)
+    # partition-count sets hold REAL partition values only: a file
+    # with no recorded partitionValues (legacy bare-path add on an
+    # evolved table) is "partition unknown", not a partition named
+    # None — counting it would inflate partitions_live/scanned on
+    # mixed stores (r11 ADVICE). Such files are still conservatively
+    # KEPT by the prune below and surfaced via files_unpartitioned.
     parts_live = {
-        e.get("partitionValues", {}).get(part_col)
+        e["partitionValues"][part_col]
         for e in acts.values()
+        if e.get("partitionValues", {}).get(part_col) is not None
     }
     after_part = {
         f: e for f, e in acts.items()
@@ -1775,9 +1782,14 @@ def _pruned_files_partition_first(
         or e["partitionValues"][part_col] in part_vals
     }
     parts_scanned = {
-        e.get("partitionValues", {}).get(part_col)
+        e["partitionValues"][part_col]
         for e in after_part.values()
+        if e.get("partitionValues", {}).get(part_col) is not None
     }
+    n_unpartitioned = sum(
+        1 for e in acts.values()
+        if e.get("partitionValues", {}).get(part_col) is None
+    )
     keep = sorted(after_part)
     if stats_col is not None:
         enc = lo.isoformat(sep=" ") if hasattr(lo, "isoformat") else lo
@@ -1795,6 +1807,7 @@ def _pruned_files_partition_first(
         "files_live": len(acts),
         "files_after_partition_prune": len(after_part),
         "files_scanned": len(keep),
+        "files_unpartitioned": n_unpartitioned,
     }
 
 

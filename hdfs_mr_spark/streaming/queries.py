@@ -39,6 +39,31 @@ _FAM = "2.10 streaming"
 
 _COUNTER = itertools.count()
 
+
+def _ckpt_drained_versions(ckpt: str) -> int:
+    """MEASURED drained-version count from a finished streaming query's
+    CHECKPOINT (ADVICE r11: the lake-tail ops' ``versions_drained``
+    column was a driver-computed constant that could not fail if the
+    offset walk stalled — this derives it from the offset log Spark
+    itself committed, so a stalled or short walk yields a different
+    number and the DuckDB oracle catches it). Reads the newest batch in
+    ``offsets/`` that also has a ``commits/`` entry; the last line of a
+    v1 offset file is the single source's offset JSON
+    (``{"version": N}``) and the lake versions are 0-based, so the
+    drained count is N + 1."""
+    import json as _json
+
+    offs = Path(ckpt) / "offsets"
+    commits = Path(ckpt) / "commits"
+    done = sorted(
+        int(p.name) for p in offs.iterdir()
+        if p.name.isdigit() and (commits / p.name).exists()
+    )
+    if not done:
+        return 0
+    last = (offs / str(done[-1])).read_text().strip().splitlines()
+    return int(_json.loads(last[-1])["version"]) + 1
+
 # per-phase wall times from the LAST stream_dedup_lsh_absorb drain run
 # with spark.hdfs_mr.absorb.profile=true (batch_id, phase, sec)
 ABSORB_PROFILE: list = []
@@ -1792,9 +1817,11 @@ def stream_lake_tail(spark, sf_dir):
     r9 simple reader — which served every row through the driver-side
     runner, the `weak` grade — is retained as
     streaming/lake_source.LakeTailSimpleReader for the offset-protocol
-    tests). Offsets ARE lake versions: latestOffset advances exactly
-    one committed version per micro-batch (batch boundaries == commit
-    boundaries, Delta's streaming-source contract); partitions(start,
+    tests). Offsets ARE lake versions: latestOffset announces the
+    NEWEST committed version — source-intrinsic and monotone, the
+    Kafka/Delta discipline, so a checkpoint restart can never observe
+    a backwards announcement (r11 ADVICE; per-batch version pacing is
+    the simple twins' offset-protocol spec); partitions(start,
     end] plans ONE InputPartition PER FILE the span's commits ADDED
     (lake_source.plan_tail_partitions — commit-log metadata only, no
     row IO in the runner); read(partition) executes ON EXECUTORS as a
@@ -1808,7 +1835,9 @@ def stream_lake_tail(spark, sf_dir):
     plan-count unit test on plan_tail_partitions) that rows are NOT
     routed through the driver-side runner. The complete-mode aggregate
     must hash-match the whole-table replay — a dropped, duplicated, or
-    torn version mismatches; versions_drained pins the offset walk.
+    torn version mismatches; versions_drained is MEASURED from the
+    checkpoint offset log after the drain (r11 ADVICE — a stalled or
+    short walk yields a different count and the oracle catches it).
 
     Scale: incremental IO is O(new data), never O(table), and a commit
     of N files fans out to N executor tasks — the driver handles only
@@ -1817,11 +1846,10 @@ def stream_lake_tail(spark, sf_dir):
                                         InputPartition)
 
     from hdfs_mr_spark.functions.udfs import REPO_ROOT as _REPO_ROOT
-    from hdfs_mr_spark.sources.lake import _log_versions, _store
+    from hdfs_mr_spark.sources.lake import _store
 
     root = _store(spark, sf_dir, "append")
     root_s = str(root)
-    n_versions = len(_log_versions(root))
 
     class LakeFilePart(InputPartition):
         def __init__(self, root, rel, version, planner_pid):
@@ -1854,18 +1882,35 @@ def stream_lake_tail(spark, sf_dir):
             return {"version": -1}
 
         def latestOffset(self):
+            # SOURCE-INTRINSIC latest (ADVICE r11 medium, restart
+            # safety): announce the NEWEST committed lake version, the
+            # Kafka/Delta discipline — monotone by construction because
+            # lake versions only grow, so a fresh reader after a
+            # checkpoint restart can never announce an offset BEHIND
+            # what Spark already committed (a reader-memory cursor
+            # walk re-announced version 0 after restart, poisoning the
+            # offset log with a backwards entry whose next span would
+            # re-deliver committed versions). Per-batch admission
+            # control (one version per batch) is the simple twins'
+            # offset-protocol spec (lake_source.py); the scale reader
+            # serves whole pending spans, fanned out per file.
             from pathlib import Path as _P
 
             lake = self._repo_mod("hdfs_mr_spark.sources.lake")
-            pend = [v for v in lake._log_versions(_P(self.root))
-                    if v > self.cur]
-            if pend:
-                self.cur = pend[0]  # one committed version per batch
+            vs = lake._log_versions(_P(self.root))
+            if vs:
+                self.cur = max(self.cur, vs[-1])
             return {"version": self.cur}
 
         def partitions(self, start, end):
             import os as _os
 
+            # recovery path: after a checkpoint restart Spark replans
+            # from its own committed offsets BEFORE any commit() call —
+            # clamp the in-memory cursor to the Spark-supplied end so a
+            # fresh reader never re-announces already-committed versions
+            # from latestOffset() (ADVICE r11, medium)
+            self.cur = max(self.cur, end["version"])
             src = self._repo_mod("hdfs_mr_spark.streaming.lake_source")
             return [
                 LakeFilePart(self.root, f, v, _os.getpid())
@@ -1950,6 +1995,7 @@ def stream_lake_tail(spark, sf_dir):
     )
     try:
         q.processAllAvailable()
+        drained = _ckpt_drained_versions(ckpt)
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -1957,7 +2003,7 @@ def stream_lake_tail(spark, sf_dir):
         spark.table(name)
         .select(
             "o_orderstatus",
-            F.lit(n_versions).cast("bigint").alias("versions_drained"),
+            F.lit(drained).cast("bigint").alias("versions_drained"),
             "n_orders", "cents", "min_key", "max_key",
         )
         .orderBy("o_orderstatus")
@@ -1991,12 +2037,16 @@ def stream_lake_partition_tail(spark, sf_dir):
     o_year=1997 tails the 7-commit hive-partitioned store, and the
     planner skips non-matching files FROM THE COMMIT LOG ALONE —
     lake_source.plan_tail_partitions with a partition filter plans 2
-    of the 14 live files (files_planned pins it), the other 12 are
-    never opened by any executor, and the 6 non-matching versions
-    drain as empty micro-batches that still advance the offset
-    (versions_drained pins the full walk — a consumer must not stall
-    on filtered commits). Files with no recorded partitionValues are
-    conservatively kept (never-a-filter), mirroring the batch prune.
+    of the 14 live files (files_planned is the shared planner's
+    driver-side recompute — the 2-of-14 plan itself is pinned by
+    tests/test_lake_stream.py::test_tail_plan_partition_filter), the
+    other 12 are never opened by any executor, and non-matching
+    commits drain as empty work that still advances the offset —
+    versions_drained is MEASURED from the checkpoint offset log after
+    the drain (r11 ADVICE: a stalled or short walk now yields a
+    different count and the oracle catches it). Files with no recorded
+    partitionValues are conservatively kept (never-a-filter),
+    mirroring the batch prune.
 
     read() is the same executor-side pure-pyarrow single-file scan as
     stream_lake_tail, planner-pid-guarded. At 100 TB this is the
@@ -2053,18 +2103,21 @@ def stream_lake_partition_tail(spark, sf_dir):
             return {"version": -1}
 
         def latestOffset(self):
+            # source-intrinsic newest committed version — restart-safe
+            # monotone announcement; see LakeTailStreamReader
             from pathlib import Path as _P
 
             lake = self._repo_mod("hdfs_mr_spark.sources.lake")
-            pend = [v for v in lake._log_versions(_P(self.root))
-                    if v > self.cur]
-            if pend:
-                self.cur = pend[0]
+            vs = lake._log_versions(_P(self.root))
+            if vs:
+                self.cur = max(self.cur, vs[-1])
             return {"version": self.cur}
 
         def partitions(self, start, end):
             import os as _os
 
+            # recovery clamp — see LakeTailStreamReader.partitions()
+            self.cur = max(self.cur, end["version"])
             src = self._repo_mod("hdfs_mr_spark.streaming.lake_source")
             return [
                 LakeFilePart(self.root, f, v, _os.getpid())
@@ -2150,6 +2203,7 @@ def stream_lake_partition_tail(spark, sf_dir):
     )
     try:
         q.processAllAvailable()
+        drained = _ckpt_drained_versions(ckpt)
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -2157,7 +2211,7 @@ def stream_lake_partition_tail(spark, sf_dir):
         spark.table(name)
         .select(
             "o_orderstatus",
-            F.lit(n_versions).cast("bigint").alias("versions_drained"),
+            F.lit(drained).cast("bigint").alias("versions_drained"),
             F.lit(n_planned).cast("bigint").alias("files_planned"),
             "n_orders", "cents", "min_key", "max_key",
         )
@@ -2230,8 +2284,9 @@ def stream_lake_cdf(spark, sf_dir):
     merge); the complete-mode aggregate by (change_type, version) must
     hash-match the per-version replay — a missed carried-rewrite drop,
     a wrong image direction (n_urgent pins it), or a skipped or
-    duplicated version all mismatch; versions_drained pins the offset
-    walk. This is Delta's readChangeFeed streaming contract: a
+    duplicated version all mismatch; versions_drained is measured from
+    the checkpoint offset log after the drain (r11 ADVICE).
+    This is Delta's readChangeFeed streaming contract: a
     downstream incremental consumer follows a mutating 100 TB table by
     reading O(changed rows per commit) across executors, never
     re-snapshotting and never serializing through the driver."""
@@ -2239,15 +2294,13 @@ def stream_lake_cdf(spark, sf_dir):
                                         InputPartition)
 
     from hdfs_mr_spark.functions.udfs import REPO_ROOT as _REPO_ROOT
-    from hdfs_mr_spark.sources.lake import (_log_versions, _merge_commit,
-                                            _store)
+    from hdfs_mr_spark.sources.lake import _merge_commit, _store
 
     root = _store(
         spark, sf_dir, "merge2",
         extra=lambda tmp: _merge_commit(spark, tmp),
     )
     root_s = str(root)
-    n_versions = len(_log_versions(root))
 
     class CdfPart(InputPartition):
         def __init__(self, root, repo, kind, version, rel, planner_pid):
@@ -2280,18 +2333,21 @@ def stream_lake_cdf(spark, sf_dir):
             return {"version": -1}
 
         def latestOffset(self):
+            # source-intrinsic newest committed version — restart-safe
+            # monotone announcement; see LakeTailStreamReader
             from pathlib import Path as _P
 
             lake = self._repo_mod("hdfs_mr_spark.sources.lake")
-            pend = [v for v in lake._log_versions(_P(self.root))
-                    if v > self.cur]
-            if pend:
-                self.cur = pend[0]
+            vs = lake._log_versions(_P(self.root))
+            if vs:
+                self.cur = max(self.cur, vs[-1])
             return {"version": self.cur}
 
         def partitions(self, start, end):
             import os as _os
 
+            # recovery clamp — see LakeTailStreamReader.partitions()
+            self.cur = max(self.cur, end["version"])
             src = self._repo_mod("hdfs_mr_spark.streaming.lake_source")
             return [
                 CdfPart(self.root, self.repo, kind, v, rel, _os.getpid())
@@ -2401,6 +2457,7 @@ def stream_lake_cdf(spark, sf_dir):
     )
     try:
         q.processAllAvailable()
+        drained = _ckpt_drained_versions(ckpt)
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -2408,7 +2465,7 @@ def stream_lake_cdf(spark, sf_dir):
         spark.table(name)
         .select(
             "_change_type", "_commit_version",
-            F.lit(n_versions).cast("bigint").alias("versions_drained"),
+            F.lit(drained).cast("bigint").alias("versions_drained"),
             "n_rows", "n_urgent", "cents",
         )
         .orderBy("_change_type", "_commit_version")

@@ -217,3 +217,64 @@ def test_tail_plan_partition_filter(spark, append_store):
     legacy = plan_tail_partitions(str(append_store), -1, 2,
                                   "o_year", "1997")
     assert len(legacy) == len(plan_tail_partitions(str(append_store), -1, 2))
+
+
+def test_tail_restart_no_redelivery(spark, append_store, tmp_path):
+    """Checkpoint-RESTART contract (r11 ADVICE, medium): a fresh reader
+    resuming from an existing checkpoint must not re-deliver committed
+    versions. latestOffset is now SOURCE-INTRINSIC (newest committed
+    lake version — monotone because versions only grow), so the
+    restarted query's first announcement can never fall behind the
+    checkpoint; the r11 cursor-walk reader re-announced version 0
+    after a restart, writing a BACKWARDS offset into the log whose
+    next span re-planned versions 1-2 into the recovered aggregate.
+
+    Scenario: run 1 drains versions 0-2 and checkpoints; a new commit
+    lands (re-adding v0's first file — immutable files make a
+    duplicate add a legal commit with a known row count); run 2 reuses
+    the SAME checkpoint. Expected: per-status counts grow by exactly
+    the re-added file's rows — any re-delivery overshoots."""
+    import collections
+    import shutil as _sh
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hdfs_mr_spark.functions.udfs import REPO_ROOT
+    from hdfs_mr_spark.sources.lake import _commit, version_adds
+    from hdfs_mr_spark.streaming.queries import stream_lake_tail
+
+    stream_lake_tail(spark, SF_SMOKE)  # registers hmr_lake_tail
+    store = tmp_path / "store"
+    _sh.copytree(append_store, store)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(name):
+        q = (
+            spark.readStream.format("hmr_lake_tail")
+            .option("path", str(store)).option("repo", REPO_ROOT)
+            .load()
+            .groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+            .writeStream.outputMode("complete").format("memory")
+            .queryName(name).option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {r["o_orderstatus"]: r["n"]
+                for r in spark.table(name).collect()}
+
+    base = run("hmr_restart_a")
+    assert sum(base.values()) > 0
+    readd = version_adds(store, 0)[0]
+    assert _commit(store / "_log", 3, {"add": [readd], "remove": []})
+    after = run("hmr_restart_b")
+    delta = collections.Counter(
+        pq.read_table(store / readd, columns=["o_orderstatus"])
+        .column(0).to_pylist()
+    )
+    want = {k: base.get(k, 0) + delta.get(k, 0)
+            for k in set(base) | set(delta)}
+    assert after == want, f"re-delivery after restart: {after} != {want}"
