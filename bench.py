@@ -90,6 +90,16 @@ HEADLINE = [
     "llm_quality_ensemble",  # 2.11 five-rule attribution filter (r6: the
                              # §2b HOF fix lands here so the gate holds)
     "llm_ngram_novelty",     # 2.11 first-occurrence novelty join (r6 §2b fix)
+    # r12 refresh (VERDICT r11 item 2): none of the 22 r10/r11 ops was
+    # in the headline set, so the driver bench increasingly measured
+    # r1-r9 code — these seven keep it pointed at shipped work.
+    "lake_partition_pruned",       # 2.14 two-level metadata prune (r11)
+    "stream_lake_partition_tail",  # 2.10 partition-filtered stream plan (r11)
+    "llm_sim_knn_ivf_pq_compact",  # 2.11 IVFADC compaction re-train (r11, warm)
+    "llm_sim_maxsim_colbert",      # 2.11 late-interaction MaxSim (r11)
+    "llm_rag_fusion_rrf",          # 2.11 reciprocal-rank fusion (r11)
+    "agg_kmv_intersect",           # 2.4 KMV set-intersection sketch (r11)
+    "join_skew_aqe",               # 2.3 AQE skew-join split (r10)
 ]
 
 
@@ -146,6 +156,19 @@ def main() -> int:
     # per-query numbers then reflect steady-state throughput.
     _force(qs["agg_groupby"](spark, sf_dir))
     _force(qs["udf_map_in_pandas"](spark, sf_dir))
+
+    # Environment control (VERDICT r11 item 1): time the FROZEN
+    # engine-independent probes in this same session. control.ratio
+    # near 1.0 = the recording environment matches the freeze-time
+    # reference; |ratio-1| > ~0.10 flags the session as hot/cold and
+    # PERF.md divides the round's absolutes by it before comparing
+    # across rounds (the manual A/B worktree replay, made automatic).
+    from tools.bench_control import run_control
+
+    control = run_control(spark, sf_dir)
+    print(f"bench: control ratio {control['ratio']} "
+          f"({control['sec']}s vs ref {control['ref_sec']}s)",
+          file=sys.stderr, flush=True)
 
     import gc
 
@@ -212,6 +235,7 @@ def main() -> int:
         "agg": "min",
         "pq_reuse_index": True,
         "pq_cold_queries": pq_cold,
+        "control": control,
     }
     if args.only and args.merge_into:
         tgt = Path(args.merge_into)
@@ -219,6 +243,9 @@ def main() -> int:
         full["queries"].update(timings)
         full["value"] = round(sum(full["queries"].values()), 3)
         full.setdefault("pq_cold_queries", {}).update(pq_cold)
+        # the merged-in session's environment control supersedes the
+        # artifact's (the NEW timings were recorded under it)
+        full["control"] = control
         tgt.write_text(json.dumps(full) + "\n")
         print(json.dumps(full))
         return 0
