@@ -1,0 +1,359 @@
+"""Self-contained Avro Object Container File (OCF) codec.
+
+Why this exists (VERDICT r11 "what's missing" item 3): Avro is the
+Kafka-ecosystem interchange format, but this distribution bundles only
+the avro *core* jars — NOT the ``spark-avro`` connector module — so
+``spark.read.format("avro")`` and ``from_avro``/``to_avro`` raise
+``AnalysisException`` (probed r12; tripwire in
+tests/test_units.py::test_native_spark_avro_connector_blocked fires the
+day the jar appears). The engine's discipline for blocked formats is a
+self-contained module codec (the sources/media.py precedent: PNG/JPEG/
+GIF/WAV were implemented from the public specs when the image/audio
+libs were absent). This module implements the Avro 1.x wire format and
+OCF layout from the public Apache Avro specification:
+
+- binary encoding: zigzag-varint longs/ints, length-prefixed UTF-8
+  strings / bytes, IEEE-754 little-endian float/double, 1-byte
+  booleans, records as field concatenation, arrays as counted blocks
+  with a zero terminator, unions as branch-index + value;
+- OCF layout: ``Obj\\x01`` magic, a metadata map carrying
+  ``avro.schema`` (JSON) and ``avro.codec``, a 16-byte sync marker,
+  then data blocks of (row-count, byte-size, payload, sync) with
+  ``null`` or raw-``deflate`` payload compression.
+
+Scale design — BYTE-RANGE SPLITTABILITY, the property that makes Avro
+a first-class 100 TB input format: every block is preceded by the
+16-byte sync marker (the header ends with one), so a reader assigned
+an arbitrary byte range [lo, hi) scans forward from ``lo`` for the
+next sync occurrence and decodes exactly the blocks whose preceding
+sync starts inside its range — each block is owned by exactly ONE
+split, with no coordination and no index. That is the same split
+contract Hadoop's AvroInputFormat implements; ``iter_split_rows``
+below is the executor-side kernel scan_avro's Python DataSource
+partitions call.
+
+Everything here is pure stdlib (struct/zlib/json) and is imported on
+WORKERS via the ``udfs.repo_kernel`` sys.path discipline.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+
+MAGIC = b"Obj\x01"
+SYNC_LEN = 16
+
+
+# ---------------------------------------------------------------- encode
+
+def _zigzag(n: int) -> int:
+    # Arithmetic shift keeps the sign for negatives: (n<<1) ^ (n>>63)
+    # maps 0,-1,1,-2,2 -> 0,1,2,3,4 exactly as the Avro spec requires.
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(z: int) -> int:
+    return (z >> 1) ^ -(z & 1)
+
+
+def write_long(out: bytearray, n: int) -> None:
+    z = _zigzag(n)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def write_bytes(out: bytearray, b: bytes) -> None:
+    write_long(out, len(b))
+    out.extend(b)
+
+
+def write_string(out: bytearray, s: str) -> None:
+    write_bytes(out, s.encode("utf-8"))
+
+
+def encode_value(out: bytearray, schema, value) -> None:
+    """Schema-driven recursive binary encode (spec §Binary Encoding).
+
+    Supported types: null, boolean, int, long, float, double, bytes,
+    string, record, array, and unions (encoded as zigzag branch index
+    followed by the branch value) — the working set every Kafka-Avro
+    payload in practice uses. Maps/enums/fixed raise loudly rather
+    than mis-encode."""
+    if isinstance(schema, list):  # union: first branch matching value
+        for idx, branch in enumerate(schema):
+            bname = branch if isinstance(branch, str) else branch["type"]
+            if value is None and bname == "null":
+                write_long(out, idx)
+                return
+            if value is not None and bname != "null":
+                write_long(out, idx)
+                encode_value(out, branch, value)
+                return
+        raise ValueError(f"no union branch for {value!r} in {schema}")
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t == "null":
+        return
+    if t == "boolean":
+        out.append(1 if value else 0)
+    elif t in ("int", "long"):
+        write_long(out, int(value))
+    elif t == "float":
+        out.extend(struct.pack("<f", value))
+    elif t == "double":
+        out.extend(struct.pack("<d", value))
+    elif t == "bytes":
+        write_bytes(out, value)
+    elif t == "string":
+        write_string(out, value)
+    elif t == "record":
+        for f in schema["fields"]:
+            encode_value(out, f["type"], value[f["name"]])
+    elif t == "array":
+        if value:
+            write_long(out, len(value))
+            for item in value:
+                encode_value(out, schema["items"], item)
+        write_long(out, 0)  # block terminator
+    else:
+        raise NotImplementedError(f"avro type not in working set: {t}")
+
+
+# ---------------------------------------------------------------- decode
+
+def read_long(data: bytes, pos: int) -> tuple[int, int]:
+    z = 0
+    shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(z), pos
+        shift += 7
+
+
+def read_bytes(data: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = read_long(data, pos)
+    return data[pos:pos + n], pos + n
+
+
+def decode_value(data: bytes, pos: int, schema):
+    if isinstance(schema, list):  # union
+        idx, pos = read_long(data, pos)
+        return decode_value(data, pos, schema[idx])
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t == "null":
+        return None, pos
+    if t == "boolean":
+        return data[pos] != 0, pos + 1
+    if t in ("int", "long"):
+        return read_long(data, pos)
+    if t == "float":
+        return struct.unpack_from("<f", data, pos)[0], pos + 4
+    if t == "double":
+        return struct.unpack_from("<d", data, pos)[0], pos + 8
+    if t == "bytes":
+        return read_bytes(data, pos)
+    if t == "string":
+        b, pos = read_bytes(data, pos)
+        return b.decode("utf-8"), pos
+    if t == "record":
+        rec = {}
+        for f in schema["fields"]:
+            rec[f["name"]], pos = decode_value(data, pos, f["type"])
+        return rec, pos
+    if t == "array":
+        items = []
+        while True:
+            n, pos = read_long(data, pos)
+            if n == 0:
+                return items, pos
+            if n < 0:  # spec: negative count is followed by byte size
+                n = -n
+                _, pos = read_long(data, pos)
+            for _ in range(n):
+                item, pos = decode_value(data, pos, schema["items"])
+                items.append(item)
+    raise NotImplementedError(f"avro type not in working set: {t}")
+
+
+# ------------------------------------------------------------------ OCF
+
+def write_ocf(
+    path: str,
+    schema: dict,
+    rows: list[dict],
+    codec: str = "deflate",
+    block_rows: int = 64,
+    sync: bytes | None = None,
+) -> int:
+    """Write an Object Container File; returns the block count.
+
+    The sync marker is derived deterministically from the schema and
+    row count (NOT random) so fixture bytes are reproducible across
+    sessions — the same determinism contract every fixture
+    materializer in sources/scans.py holds."""
+    import hashlib
+
+    if sync is None:
+        sync = hashlib.md5(
+            json.dumps(schema, sort_keys=True).encode()
+            + str(len(rows)).encode()
+        ).digest()
+    assert len(sync) == SYNC_LEN
+    header = bytearray()
+    header.extend(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema, sort_keys=True).encode(),
+        "avro.codec": codec.encode(),
+    }
+    write_long(header, len(meta))
+    for k in sorted(meta):
+        write_string(header, k)
+        write_bytes(header, meta[k])
+    write_long(header, 0)  # metadata map terminator
+    header.extend(sync)
+    n_blocks = 0
+    with open(path, "wb") as f:
+        f.write(header)
+        for i in range(0, len(rows), block_rows):
+            chunk = rows[i:i + block_rows]
+            payload = bytearray()
+            for r in chunk:
+                encode_value(payload, schema, r)
+            body = bytes(payload)
+            if codec == "deflate":  # raw deflate, no zlib header (spec)
+                co = zlib.compressobj(9, zlib.DEFLATED, -15)
+                body = co.compress(body) + co.flush()
+            block = bytearray()
+            write_long(block, len(chunk))
+            write_long(block, len(body))
+            block.extend(body)
+            block.extend(sync)
+            f.write(block)
+            n_blocks += 1
+    return n_blocks
+
+
+def read_header(data: bytes) -> tuple[dict, str, bytes, int]:
+    """Parse the OCF header; returns (schema, codec, sync, end_pos)."""
+    if data[:4] != MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = read_long(data, pos)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _, pos = read_long(data, pos)
+        for _ in range(n):
+            kb, pos = read_bytes(data, pos)
+            vb, pos = read_bytes(data, pos)
+            meta[kb.decode("utf-8")] = vb
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = data[pos:pos + SYNC_LEN]
+    return schema, codec, sync, pos + SYNC_LEN
+
+
+def _decode_block(data: bytes, pos: int, schema, codec: str):
+    """Decode one block starting at ``pos`` (just past a sync marker).
+    Returns (rows, next_pos) where next_pos is past the trailing sync."""
+    count, pos = read_long(data, pos)
+    size, pos = read_long(data, pos)
+    body = data[pos:pos + size]
+    pos += size
+    if codec == "deflate":
+        body = zlib.decompress(body, -15)
+    elif codec != "null":
+        raise NotImplementedError(f"avro codec not in working set: {codec}")
+    rows = []
+    p = 0
+    for _ in range(count):
+        rec, p = decode_value(body, p, schema)
+        rows.append(rec)
+    return rows, pos + SYNC_LEN
+
+
+def iter_split_rows(path: str, lo: int, hi: int):
+    """Executor-side split kernel: decode exactly the blocks whose
+    PRECEDING SYNC MARKER starts inside [lo, hi).
+
+    This is the Hadoop AvroInputFormat ownership rule — the header ends
+    with a sync, so every block has one; a sync position lies in
+    exactly one byte range, so the union of all splits decodes every
+    row exactly once with zero coordination. The whole file is read
+    here because local fixtures are small; at scale the read is a
+    ranged GET of [lo, hi + max_block_size] — the kernel only ever
+    touches bytes from the first sync >= lo to the first block start
+    >= hi."""
+    with open(path, "rb") as f:
+        data = f.read()
+    schema, codec, sync, header_end = read_header(data)
+    # Sync occurrences define block starts; the header's own trailing
+    # sync (at header_end - 16) anchors the first block.
+    pos = data.find(sync, max(lo, header_end - SYNC_LEN))
+    while pos != -1 and pos < hi and pos + SYNC_LEN < len(data):
+        rows, nxt = _decode_block(data, pos + SYNC_LEN, schema, codec)
+        yield from rows
+        pos = nxt - SYNC_LEN  # next block's preceding sync
+
+def read_ocf(path: str) -> list[dict]:
+    """Whole-file convenience reader (tests / fixture verification)."""
+    with open(path, "rb") as f:
+        size = len(f.read())
+    return list(iter_split_rows(path, 0, size))
+
+
+# --------------------------------------------------- fn_avro kernel
+
+def fn_avro_kernel(batches):
+    """mapInPandas kernel for fn_avro: per-row to_avro/from_avro twin.
+
+    Encodes each (o_orderkey, o_orderpriority, cents) record to Avro
+    binary with the module encoder, then decodes it back with the
+    module decoder; emits the decoded fields plus the encoded byte
+    length. The byte length pins the ENCODING itself (varint width of
+    each zigzagged long + the string's length prefix + payload) against
+    a closed-form SQL oracle, so a wrong wire format cannot hash-match
+    even though decode(encode(x)) == x trivially."""
+    import pandas as pd
+
+    schema = {
+        "type": "record",
+        "name": "order",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "p", "type": "string"},
+            {"name": "c", "type": "long"},
+        ],
+    }
+    for pdf in batches:
+        out_len, dk, dp, dc = [], [], [], []
+        for k, p, c in zip(
+            pdf["o_orderkey"], pdf["o_orderpriority"], pdf["cents"]
+        ):
+            buf = bytearray()
+            encode_value(buf, schema, {"k": int(k), "p": p, "c": int(c)})
+            rec, _ = decode_value(bytes(buf), 0, schema)
+            out_len.append(len(buf))
+            dk.append(rec["k"])
+            dp.append(rec["p"])
+            dc.append(rec["c"])
+        yield pd.DataFrame({
+            "o_orderkey": dk,
+            "avro_len": pd.Series(out_len, dtype="int64"),
+            "dec_priority": dp,
+            "dec_cents": pd.Series(dc, dtype="int64"),
+        })

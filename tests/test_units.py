@@ -2746,3 +2746,79 @@ def test_avro_blocked_by_missing_connector_jar():
         f"spark-avro connector present ({avro_jars}): Avro is unblocked"
         " — build scan_avro + fn_avro (see VERDICT r11 item 5)"
     )
+
+
+def test_native_spark_avro_connector_blocked(spark):
+    """ENVIRONMENT TRIPWIRE (r12, VERDICT r11 missing item 3): the
+    distribution bundles avro CORE jars but not the spark-avro
+    CONNECTOR module, so ``format("avro")`` raises AnalysisException
+    (probed r12: "Failed to find data source: avro ... external data
+    source module since Spark 2.4"). The engine therefore ships a
+    self-contained OCF codec (sources/avro_codec.py) behind scan_avro/
+    fn_avro — same discipline as the media decoders and the blocked
+    transformWithStateInPandas API.
+
+    If this test ever FAILS, the spark-avro jar has appeared: port
+    scan_avro to the native ``format("avro")`` reader (keeping the
+    module codec as the writer twin) and add from_avro/to_avro to
+    fn_avro instead of re-documenting."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(AnalysisException):
+        df.write.format("avro").mode("overwrite").save(
+            "/tmp/avro_tripwire_probe"
+        )
+
+
+def test_avro_codec_roundtrip_and_split_ownership(tmp_path):
+    """sources/avro_codec.py contract: (a) encode->OCF->decode is the
+    identity over the supported working set (longs incl. negatives,
+    strings, booleans, doubles, arrays incl. empty, null unions);
+    (b) BYTE-RANGE SPLITS partition the file exactly — for ANY split
+    count, the union of iter_split_rows over the ranges is the row
+    multiset exactly once, in file order (the Hadoop AvroInputFormat
+    ownership rule scan_avro's DataSource relies on)."""
+    import os
+
+    from hdfs_mr_spark.sources.avro_codec import (
+        iter_split_rows,
+        read_ocf,
+        write_ocf,
+    )
+
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "arr", "type": {"type": "array", "items": "string"}},
+            {"name": "u", "type": ["null", "string"]},
+            {"name": "b", "type": "boolean"},
+            {"name": "d", "type": "double"},
+        ],
+    }
+    rows = [
+        {
+            "a": i * 7 - 50, "s": f"row{i}",
+            "arr": [f"x{j}" for j in range(i % 4)],
+            "u": None if i % 3 == 0 else f"c{i}",
+            "b": i % 2 == 0, "d": i * 0.5 - 3,
+        }
+        for i in range(100)
+    ]
+    for codec in ("deflate", "null"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        n_blocks = write_ocf(p, schema, rows, codec=codec, block_rows=8)
+        assert n_blocks == 13
+        assert read_ocf(p) == rows
+        size = os.path.getsize(p)
+        # every partitioning — including degenerate 1-byte ranges —
+        # must reassemble the exact row sequence
+        for nsplits in (1, 2, 3, 7, size):
+            step = max(1, size // nsplits)
+            bounds = [i * step for i in range(nsplits)] + [size]
+            got = []
+            for i in range(nsplits):
+                got.extend(iter_split_rows(p, bounds[i], bounds[i + 1]))
+            assert got == rows, f"{codec} nsplits={nsplits}"
