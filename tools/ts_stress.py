@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "stream_stateful_custom",
     "stream_chained_agg",
     "stream_windowed_topk",
+    # r11 sketch addition, first run at stress scale (r12 — VERDICT
+    # r11 item 6): KMV set-intersection over the 1M-event corpus; the
+    # per-(type,type) distinct-union rank windows scale with |users|
+    "agg_kmv_intersect",
 ]
 
 

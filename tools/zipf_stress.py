@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "llm_sim_knn_ivf_pq_rerank",
     "llm_sim_knn_ivf_pq_stored",
     "llm_sim_knn_ivf_pq_delta",
+    # r11 retrieval additions, first run at stress scale (r12 —
+    # VERDICT r11 item 6): MaxSim's token-grid join and RRF's
+    # two-ranking fusion both scale with corpus size x query count
+    "llm_sim_maxsim_colbert",
+    "llm_rag_fusion_rrf",
 ]
 
 # bitmask (dense-regime) kernels MUST refuse a 100k vocabulary
@@ -226,6 +231,187 @@ def ivf_diagnostics(spark, sf_dir: str) -> dict:
     }
 
 
+def deep_lake_diagnostics(spark, store_root: Path) -> dict:
+    """DEEP-COMMIT-LOG stress for the partition-pruned streaming tail
+    (r12 — VERDICT r11 item 6: the registered op's fixture is a
+    shallow 7-commit store; at 100 TB a tenant feed tails a log that
+    is thousands of commits deep, and the costs that scale with depth
+    are (a) the driver-side log fold in plan_tail_partitions and
+    (b) the per-micro-batch incremental plan). Builds a 50-commit
+    hive-partitioned store (10 partitions, one file per commit,
+    round-robin), then measures:
+
+    - full-tail planning (one fold over all 50 commits, pruned to the
+      target partition's 5 files),
+    - the 50-step incremental planning loop a long-running stream
+      actually executes (one (v-1, v] plan per micro-batch),
+    - a REAL end-to-end drain through a DataSourceStreamReader that
+      mirrors stream_lake_partition_tail's reader (same shared
+      planner, same planner-pid guard, parameterized store/column —
+      the op body itself is closed over its 7-commit fixture, which
+      is exactly why this harness exists),
+
+    and verifies the drained rows equal the target partition's
+    content exactly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+                                        InputPartition)
+
+    from hdfs_mr_spark.functions.udfs import REPO_ROOT
+    from hdfs_mr_spark.sources.lake import _commit
+    from hdfs_mr_spark.streaming.lake_source import plan_tail_partitions
+
+    n_commits, n_parts, rows_per_file = 50, 10, 5000
+    root = store_root / "deep_lake"
+    if not (root / "_DONE").exists():
+        shutil.rmtree(root, ignore_errors=True)
+        (root / "data").mkdir(parents=True)
+        for k in range(n_commits):
+            pval = k % n_parts
+            ids = np.arange(rows_per_file, dtype=np.int64) + k * rows_per_file
+            rel = f"data/p={pval}/c{k:05d}.parquet"
+            (root / rel).parent.mkdir(parents=True, exist_ok=True)
+            pq.write_table(
+                pa.table({"id": pa.array(ids),
+                          "val": pa.array(ids * 31 % 997)}),
+                root / rel,
+            )
+            assert _commit(root / "_log", k, {
+                "add": [{"path": rel, "partitionValues": {"p": str(pval)}}],
+                "remove": [],
+            })
+        (root / "_DONE").touch()
+
+    t0 = time.time()
+    full_plan = plan_tail_partitions(str(root), -1, n_commits - 1, "p", "3")
+    t_plan_full = round(time.time() - t0, 4)
+    t0 = time.time()
+    inc_files = 0
+    for v in range(n_commits):
+        inc_files += len(
+            plan_tail_partitions(str(root), v - 1, v, "p", "3")
+        )
+    t_plan_incremental = round(time.time() - t0, 4)
+
+    root_s, repo = str(root), REPO_ROOT
+
+    class DeepPart(InputPartition):
+        def __init__(self, root, rel, planner_pid):
+            self.root, self.rel, self.planner_pid = root, rel, planner_pid
+
+    class DeepTailReader(DataSourceStreamReader):
+        # parameterized mirror of stream_lake_partition_tail's reader
+        # (streaming/queries.py) — shared planner, executor-side
+        # pyarrow reads behind the same planner-pid guard
+        def __init__(self):
+            self.cur = -1
+
+        def _mod(self, name):
+            import importlib
+            import sys as _sys
+
+            if repo not in _sys.path:
+                _sys.path.insert(0, repo)
+            return importlib.import_module(name)
+
+        def initialOffset(self):
+            return {"version": -1}
+
+        def latestOffset(self):
+            from pathlib import Path as _P
+
+            lake = self._mod("hdfs_mr_spark.sources.lake")
+            vs = lake._log_versions(_P(root_s))
+            if vs:
+                self.cur = max(self.cur, vs[-1])
+            return {"version": self.cur}
+
+        def partitions(self, start, end):
+            import os as _os
+
+            self.cur = max(self.cur, end["version"])
+            src = self._mod("hdfs_mr_spark.streaming.lake_source")
+            return [
+                DeepPart(root_s, f, _os.getpid())
+                for _v, f in src.plan_tail_partitions(
+                    root_s, start["version"], end["version"], "p", "3")
+            ]
+
+        def read(self, partition):
+            import os as _os
+
+            if _os.getpid() == partition.planner_pid:
+                raise RuntimeError("rows routed through planner process")
+            from pathlib import Path as _P
+
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(_P(partition.root) / partition.rel,
+                               columns=["id", "val"])
+            yield from zip(t.column("id").to_pylist(),
+                           t.column("val").to_pylist())
+
+        def commit(self, end):
+            self.cur = max(self.cur, end["version"])
+
+    class DeepTailSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "hmr_deep_lake_tail"
+
+        def schema(self):
+            return "id bigint, val bigint"
+
+        def streamReader(self, schema):
+            return DeepTailReader()
+
+    try:
+        spark.dataSource.register(DeepTailSource)
+    except Exception as exc:
+        if ("exist" not in str(exc).lower()
+                and "already" not in str(exc).lower()):
+            raise
+
+    ckpt = tempfile.mkdtemp(prefix="hmr_deep_ckpt_")
+    t0 = time.time()
+    q = (
+        spark.readStream.format("hmr_deep_lake_tail").load()
+        .groupBy().agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+        .writeStream.format("memory").queryName("hmr_deep_tail")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    t_drain = round(time.time() - t0, 3)
+    got = spark.sql("SELECT n, s FROM hmr_deep_tail").first()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # ground truth: partition 3 owns commits {3,13,23,33,43}
+    own = [k for k in range(n_commits) if k % n_parts == 3]
+    exp_n = len(own) * rows_per_file
+    exp_s = sum(
+        int(np.arange(rows_per_file, dtype=np.int64).sum()
+            + k * rows_per_file * rows_per_file)
+        for k in own
+    )
+    return {
+        "n_commits": n_commits, "n_partitions": n_parts,
+        "files_live": n_commits,
+        "files_planned_full": len(full_plan),
+        "files_planned_incremental": inc_files,
+        "t_plan_full_s": t_plan_full,
+        "t_plan_incremental_50x_s": t_plan_incremental,
+        "t_drain_s": t_drain,
+        "rows_drained": int(got["n"]),
+        "rows_expected": exp_n,
+        "idsum_ok": bool(int(got["s"]) == exp_s),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/hmr_zipf/sfz")
@@ -276,6 +462,7 @@ def main() -> int:
         "lsh": lsh_diagnostics(spark, sf),
         "ivf": ivf_diagnostics(spark, sf),
         "ngram_dispatch": ngram_dispatch_diagnostics(spark, sf),
+        "deep_lake": deep_lake_diagnostics(spark, out.parent),
     }
     print("diagnostics:", json.dumps(diag), flush=True)
 
