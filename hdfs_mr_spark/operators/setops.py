@@ -1507,3 +1507,184 @@ def dq_l_diversity(spark, sf_dir):
         .alias("at_risk_bp"),
         (F.col("min_distinct") >= _LDIV_L).alias("l_diverse"),
     ).orderBy("level")
+
+
+_TCLOSE_T_PPM = 50000  # t = 0.05 in parts-per-million
+
+
+def _tclose_level_sql(i: int, name: str, qexpr: str) -> str:
+    """One generalization level's EMD pipeline as DuckDB CTEs (the
+    UNION ALL replay shape dq_k_anonymity/dq_l_diversity established).
+    HUGEINT cross-multiplication mirrors the Spark DECIMAL(38,0)
+    promotion exactly."""
+    exprs = [e.strip() for e in qexpr.split(",")]
+    sel = ", ".join(f"{e} AS q{j}" for j, e in enumerate(exprs))
+    qc = ", ".join(f"q{j}" for j in range(len(exprs)))
+    joincond = " AND ".join(
+        f"c.q{j} = k.q{j}" for j in range(len(exprs))
+    )
+    t = _TCLOSE_T_PPM
+    return f"""
+base{i} AS (SELECT {sel}, {_LDIV_SENS_SQL} AS s FROM customer),
+gdist{i} AS (SELECT s, COUNT(*) AS g_cnt FROM base{i} GROUP BY s),
+gcum{i} AS (
+  SELECT s, SUM(g_cnt) OVER (ORDER BY s) AS cum_g,
+         (SELECT COUNT(*) FROM base{i}) AS n_total,
+         (SELECT COUNT(*) FROM gdist{i}) AS m
+  FROM gdist{i}
+),
+keys{i} AS (SELECT {qc}, COUNT(*) AS n_cls FROM base{i} GROUP BY {qc}),
+cls{i} AS (SELECT {qc}, s, COUNT(*) AS c_cnt FROM base{i} GROUP BY {qc}, s),
+dense{i} AS (
+  SELECT k.*, g.s, g.cum_g, g.n_total, g.m, COALESCE(c.c_cnt, 0) AS c_cnt
+  FROM keys{i} k CROSS JOIN gcum{i} g
+  LEFT JOIN cls{i} c ON c.s = g.s AND {joincond}
+),
+cum{i} AS (
+  SELECT *, SUM(c_cnt) OVER (PARTITION BY {qc} ORDER BY s) AS cum_c
+  FROM dense{i}
+),
+emd{i} AS (
+  SELECT {qc}, ANY_VALUE(n_cls) AS n_cls, ANY_VALUE(m) AS m,
+         ANY_VALUE(n_total) AS n_total,
+         SUM(ABS(CAST(cum_c AS HUGEINT) * n_total
+                 - CAST(cum_g AS HUGEINT) * n_cls)) AS num
+  FROM cum{i} GROUP BY {qc}
+),
+scored{i} AS (
+  SELECT n_cls,
+         CAST(num * 1000000 // ((m - 1) * n_cls * n_total) AS BIGINT)
+           AS emd_ppm
+  FROM emd{i}
+),
+lvl{i} AS (
+  SELECT {i} AS level, '{name}' AS quasi_ids,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(MAX(emd_ppm) AS BIGINT) AS max_emd_ppm,
+         CAST(SUM(CASE WHEN emd_ppm > {t} THEN 1 ELSE 0 END) AS BIGINT)
+           AS groups_above_t,
+         CAST(SUM(CASE WHEN emd_ppm > {t} THEN n_cls ELSE 0 END)
+              AS BIGINT) AS rows_at_risk,
+         CAST(SUM(n_cls) AS BIGINT) AS n_rows
+  FROM scored{i}
+)"""
+
+
+@query(
+    "dq_t_closeness",
+    oracle="WITH " + ",".join(
+        _tclose_level_sql(i, name, qexpr)
+        for i, (name, qexpr) in enumerate(_LDIV_LEVELS)
+    ) + "\n" + "\nUNION ALL\n".join(
+        f"""SELECT level, quasi_ids, n_groups, max_emd_ppm,
+       groups_above_t, rows_at_risk,
+       CAST(10000 * rows_at_risk // n_rows AS BIGINT) AS at_risk_bp,
+       max_emd_ppm <= {_TCLOSE_T_PPM} AS t_close
+FROM lvl{i}"""
+        for i in range(len(_LDIV_LEVELS))
+    ) + "\nORDER BY level",
+    family=_FAM,
+)
+def dq_t_closeness(spark, sf_dir):
+    """T-CLOSENESS audit over the k-anonymity generalization ladder
+    (r12 — completes the release-gate triple: k bounds class SIZE
+    [dq_k_anonymity], l bounds sensitive-value VARIETY
+    [dq_l_diversity], t bounds sensitive-value DISTRIBUTION SKEW —
+    Li, Li & Venkatasubramanian, ICDE 2007: an l-diverse class whose
+    values are 99% one bracket still leaks; the class's sensitive
+    distribution must stay CLOSE to the table-wide one). For the
+    ordered sensitive attribute (the same account-balance bracket,
+    absent from every quasi-identifier level) closeness is the Earth
+    Mover's Distance, which for ordered categories reduces to the
+    mean absolute difference of cumulative distributions:
+    EMD = (1/(m-1)) * sum_i |CumP_i - CumQ_i|. Computed EXACTLY in
+    integers: per class, |cum_c * n_total - cum_g * n_cls| summed in
+    DECIMAL(38,0) (DuckDB: HUGEINT — the agg_gini promotion), scaled
+    to parts-per-million by integer division, so the governance
+    artifact hash-checks. t = 0.05 (50000 ppm) is tuned so the finest
+    level FAILS at the checked SFs while the coarsest passes — both
+    verdict branches fire (the r10 dead-branch lesson): at sf0.01
+    levels 0-2 fail / 3 passes; at sf0.1 level 0 fails / 1-3 pass.
+
+    Scale: per level, three combiner aggregates over the shared scan
+    (global bracket histogram, class sizes, class x bracket counts),
+    a 6-row broadcast of the global cumulative onto the class keys
+    (dense bracket fill — classes MISSING a bracket still accumulate
+    its global mass, which is exactly what the homogeneity leak looks
+    like), a class-partitioned cumulative window, and one class-level
+    fold. The global-cumulative window runs on the m<=6-row bracket
+    frame only — never on row-scale data. Only class-level counts
+    leave the executors."""
+    c = table(spark, sf_dir, "customer")
+    sens = F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+    level_exprs = [
+        [F.col("c_nationkey"), F.col("c_mktsegment")],
+        [F.expr("c_nationkey DIV 5"), F.col("c_mktsegment")],
+        [F.col("c_nationkey")],
+        [F.col("c_mktsegment")],
+    ]
+    t = _TCLOSE_T_PPM
+    frames = []
+    for i, ((name, _), cols) in enumerate(zip(_LDIV_LEVELS, level_exprs)):
+        qc = [f"q{j}" for j in range(len(cols))]
+        base = c.select(
+            *[e.alias(q) for e, q in zip(cols, qc)], sens.alias("s")
+        )
+        gdist = base.groupBy("s").agg(F.count("*").alias("g_cnt"))
+        tot = gdist.agg(F.sum("g_cnt").alias("n_total"),
+                        F.count("*").alias("m"))
+        gcum = (
+            gdist
+            .withColumn("cum_g",
+                        F.sum("g_cnt").over(Window.orderBy("s")))
+            .crossJoin(F.broadcast(tot))
+            .select("s", "cum_g", "n_total", "m")
+        )
+        keys = base.groupBy(*qc).agg(F.count("*").alias("n_cls"))
+        cls = base.groupBy(*qc, "s").agg(F.count("*").alias("c_cnt"))
+        dense = (
+            keys.crossJoin(F.broadcast(gcum))
+            .join(cls, [*qc, "s"], "left")
+            .withColumn("c_cnt", F.coalesce("c_cnt", F.lit(0)))
+        )
+        cum = dense.withColumn(
+            "cum_c",
+            F.sum("c_cnt").over(Window.partitionBy(*qc).orderBy("s")),
+        )
+        emd = cum.groupBy(*qc).agg(
+            F.first("n_cls").alias("n_cls"),
+            F.first("m").alias("m"),
+            F.first("n_total").alias("n_total"),
+            F.sum(F.abs(
+                F.col("cum_c").cast("decimal(38,0)") * F.col("n_total")
+                - F.col("cum_g").cast("decimal(38,0)") * F.col("n_cls")
+            )).alias("num"),
+        )
+        scored = emd.select(
+            "n_cls",
+            F.expr(
+                "CAST(num * 1000000 DIV (CAST(m - 1 AS DECIMAL(38,0))"
+                " * n_cls * n_total) AS BIGINT)"
+            ).alias("emd_ppm"),
+        )
+        frames.append(scored.agg(
+            F.lit(i).alias("level"),
+            F.lit(name).alias("quasi_ids"),
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.max("emd_ppm").cast("bigint").alias("max_emd_ppm"),
+            F.sum(F.when(F.col("emd_ppm") > t, 1).otherwise(0))
+            .cast("bigint").alias("groups_above_t"),
+            F.sum(F.when(F.col("emd_ppm") > t, F.col("n_cls"))
+                  .otherwise(0)).cast("bigint").alias("rows_at_risk"),
+            F.sum("n_cls").cast("bigint").alias("n_rows"),
+        ))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select(
+        "level", "quasi_ids", "n_groups", "max_emd_ppm",
+        "groups_above_t", "rows_at_risk",
+        F.expr("10000 * rows_at_risk DIV n_rows").cast("bigint")
+        .alias("at_risk_bp"),
+        (F.col("max_emd_ppm") <= t).alias("t_close"),
+    ).orderBy("level")
