@@ -1426,3 +1426,118 @@ def mr_apriori(spark, sf_dir):
         )
         .orderBy("set_size", "item_a", "item_b")
     )
+
+
+def _hits_round_sql(i: int) -> str:
+    """One unrolled HITS round as DuckDB CTEs (lockstep twin of the
+    Spark loop in mr_hits; HUGEINT mirrors DECIMAL(38,0))."""
+    prev = f"h{i - 1}"
+    return f"""
+a{i}r AS (SELECT p, SUM(h) AS raw FROM e JOIN {prev} USING (s) GROUP BY p),
+a{i} AS (SELECT p, CAST(CAST(raw AS HUGEINT) * 1000000
+                        // (SELECT SUM(raw) FROM a{i}r) AS BIGINT) AS a
+         FROM a{i}r),
+h{i}r AS (SELECT s, SUM(a) AS raw FROM e JOIN a{i} USING (p) GROUP BY s),
+h{i} AS (SELECT s, CAST(CAST(raw AS HUGEINT) * 1000000
+                        // (SELECT SUM(raw) FROM h{i}r) AS BIGINT) AS h
+         FROM h{i}r)"""
+
+
+@query(
+    "mr_hits",
+    oracle="""
+WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+h0 AS (SELECT s_suppkey AS s, CAST(1000000 AS BIGINT) AS h FROM supplier),"""
+    + ",".join(_hits_round_sql(i) for i in (1, 2, 3))
+    + """
+, deg AS (SELECT s, COUNT(*) AS n_parts FROM e GROUP BY s)
+SELECT sup.s_suppkey,
+       CAST(COALESCE(h3.h, 0) AS BIGINT) AS hub_micro,
+       CAST(COALESCE(deg.n_parts, 0) AS BIGINT) AS n_parts
+FROM supplier sup
+LEFT JOIN h3 ON h3.s = sup.s_suppkey
+LEFT JOIN deg ON deg.s = sup.s_suppkey
+ORDER BY sup.s_suppkey
+""",
+    family=_FAM,
+)
+def mr_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999) — the OTHER canonical
+    chained-MapReduce link-analysis job next to mr_pagerank, on a
+    DIRECTED BIPARTITE graph where the mutual-reinforcement semantics
+    are native: supplier -> part supply edges (distinct pairs from
+    lineitem). A supplier is a good HUB if it supplies parts that are
+    good AUTHORITIES; a part is a good authority if good hubs supply
+    it. Three full hub->authority->hub rounds, each one join+aggregate
+    pass per direction (in MR terms: two map/shuffle/reduce passes per
+    round, materialized through the DFS; here all six compose into ONE
+    lazy Catalyst plan over the checkpointed edge set). The L1
+    normalization that keeps HITS from diverging is integer-exact:
+    scores scale to micro-units by 1e6 * raw DIV total with the
+    product promoted to DECIMAL(38,0) (DuckDB: HUGEINT — the agg_gini
+    twin-promotion), so partial-aggregation order cannot perturb a bit
+    and the oracle replays the identical three unrolled rounds.
+
+    Scale: each half-round shuffles O(|E|) contributions keyed by the
+    receiving side, with map-side partial sums (combiner shape); the
+    normalization total is a 1-row broadcast attach, never a
+    single-partition window. Degree skew (a part everyone supplies)
+    is an aggregation hot key, not a join explosion — AQE handles it;
+    the edge set is checkpointed once and consumed by all rounds."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    e = (
+        li.select(F.col("l_suppkey").alias("s"),
+                  F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _scale(raw_df, key, out_col):
+        tot = raw_df.agg(
+            F.sum("raw").cast("decimal(38,0)").alias("tot")
+        )
+        return raw_df.crossJoin(F.broadcast(tot)).select(
+            key,
+            F.expr(
+                "CAST(CAST(raw AS DECIMAL(38,0)) * 1000000 DIV tot"
+                " AS BIGINT)"
+            ).alias(out_col),
+        )
+
+    h = sup.select(F.col("s_suppkey").alias("s"),
+                   F.lit(1000000).cast("bigint").alias("h"))
+    for _ in range(3):
+        # checkpoint each half-round's aggregate (node-sized, tiny):
+        # the normalization reads it TWICE (total + scale), and without
+        # materialization Catalyst re-evaluates the whole join+agg
+        # subtree per read — 2x edge passes per half-round for nothing
+        araw = (
+            e.join(h, "s").groupBy("p").agg(F.sum("h").alias("raw"))
+            .localCheckpoint()
+        )
+        a = _scale(araw, "p", "a")
+        hraw = (
+            e.join(a, "p").groupBy("s").agg(F.sum("a").alias("raw"))
+            .localCheckpoint()
+        )
+        h = _scale(hraw, "s", "h")
+    # rename the lineage-shared key on each result frame: h and deg
+    # both descend from e, and expression joins on the raw column
+    # would be ambiguous self-joins
+    hq = h.select(F.col("s").alias("h_s"), "h")
+    deg = e.groupBy("s").agg(F.count("*").alias("n_parts")).select(
+        F.col("s").alias("deg_s"), "n_parts"
+    )
+    return (
+        sup.select("s_suppkey")
+        .join(hq, sup.s_suppkey == hq.h_s, "left")
+        .join(deg, sup.s_suppkey == deg.deg_s, "left")
+        .select(
+            "s_suppkey",
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hub_micro"),
+            F.coalesce("n_parts", F.lit(0)).cast("bigint")
+            .alias("n_parts"),
+        )
+        .orderBy("s_suppkey")
+    )
