@@ -3568,3 +3568,192 @@ def llm_sim_maxsim_colbert(spark, sf_dir):
         .select("qid", "vec_id", "maxsim_micro", "rank")
         .orderBy("qid", "rank")
     )
+
+
+def _mmr_round_sql(r: int) -> str:
+    """One unrolled MMR greedy round as DuckDB CTEs (lockstep twin of
+    the Spark loop in llm_rag_mmr)."""
+    p = r - 1
+    return f"""
+mx{r} AS (
+  SELECT p.qid, p.va AS vec_id, MAX(p.sim) AS mx
+  FROM pairs p JOIN sel{p} s ON s.qid = p.qid AND s.vec_id = p.vb
+  GROUP BY p.qid, p.va
+),
+rem{r} AS (
+  SELECT c.* FROM cand c
+  ANTI JOIN sel{p} s ON s.qid = c.qid AND s.vec_id = c.vec_id
+),
+sc{r} AS (
+  SELECT rm.qid, rm.vec_id, rm.rel, m.mx AS maxsim,
+         7 * rm.rel - 3 * m.mx AS mmr
+  FROM rem{r} rm JOIN mx{r} m
+    ON m.qid = rm.qid AND m.vec_id = rm.vec_id
+),
+pick{r} AS (
+  SELECT qid, vec_id, rel, maxsim, mmr, {r} AS sel_rank
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY mmr DESC, vec_id ASC) AS rn
+        FROM sc{r}) WHERE rn = 1
+),
+sel{r} AS (SELECT * FROM sel{p} UNION ALL SELECT * FROM pick{r})"""
+
+
+@query(
+    "llm_rag_mmr",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n
+      WHERE vec_id < 3),
+scored AS (
+  SELECT q.qid, n.vec_id, n.embedding, n.nrm,
+         CAST(round(1000000 * {_SQL_DOT.format(a='q.qe', b='n.embedding')}
+                    / (q.qn * n.nrm)) AS BIGINT) AS rel
+  FROM q JOIN n ON n.vec_id <> q.qid
+),
+cand AS (
+  SELECT qid, vec_id, embedding, nrm, rel
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS crank
+        FROM scored) WHERE crank <= 8
+),
+pairs AS (
+  SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+         CAST(round(1000000 * {_SQL_DOT.format(a='a.embedding',
+                                               b='b.embedding')}
+                    / (a.nrm * b.nrm)) AS BIGINT) AS sim
+  FROM cand a JOIN cand b
+    ON a.qid = b.qid AND a.vec_id <> b.vec_id
+),
+sel1 AS (
+  SELECT qid, vec_id, rel, CAST(0 AS BIGINT) AS maxsim,
+         7 * rel AS mmr, 1 AS sel_rank
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rn
+        FROM cand) WHERE rn = 1
+),"""
+    + ",".join(_mmr_round_sql(r) for r in (2, 3, 4))
+    + """
+SELECT qid, CAST(sel_rank AS BIGINT) AS sel_rank, vec_id,
+       rel AS rel_micro, maxsim AS maxsim_micro,
+       CAST(mmr AS BIGINT) AS mmr_micro
+FROM sel4
+ORDER BY qid, sel_rank
+""",
+    family=_FAM,
+)
+def llm_rag_mmr(spark, sf_dir):
+    """MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein,
+    SIGIR 1998 — the standard diversification pass production RAG runs
+    between retrieval and the context window): from each query's
+    cosine top-8 candidates, greedily select 4 where each pick
+    maximizes lambda*relevance - (1-lambda)*max-similarity-to-already-
+    selected (lambda=0.7, integer-exact as 7*rel_micro - 3*maxsim_micro
+    over round(1e6*cosine) scores — near-duplicate passages that would
+    waste context tokens are pushed down in favor of coverage). The
+    selection is inherently SEQUENTIAL in k (each pick changes the
+    penalty landscape), so the loop unrolls into 4 chained
+    rounds — anti-join out the selected, fold max-sim against them,
+    window-pick the argmax — exactly replayed by the oracle's unrolled
+    CTE lockstep (the mr_pagerank discipline). maxsim_micro at pick
+    time is pinned per row: a wrong penalty fold cannot hash-match.
+
+    Scale: candidate generation is the family's broadcast-probe shape
+    (O(corpus) scan, never shuffled); everything after operates on
+    (queries x 8)-row frames — the candidate and pair frames are
+    checkpointed once (24 and ~170 rows) so the 4 greedy rounds replan
+    against materialized inputs instead of re-deriving the probe scan
+    per round. MMR's whole point at 100 TB: diversification cost is
+    O(queries * k * k), independent of corpus size."""
+    e = table(spark, sf_dir, "embeddings")
+    n = fan_out(
+        e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    )
+    q = n.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = n.join(F.broadcast(q), n.vec_id != q.qid).select(
+        "qid", "vec_id", "embedding", "nrm",
+        F.round(
+            1000000 * _dot(F.col("qe"), F.col("embedding"))
+            / (F.col("qn") * F.col("nrm"))
+        ).cast("bigint").alias("rel"),
+    )
+    wc = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= 8)
+        .select("qid", "vec_id", "embedding", "nrm", "rel")
+        .localCheckpoint()
+    )
+    ca = cand.select(
+        "qid", F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    cb = cand.select(
+        "qid", F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        ca.join(cb, "qid")
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "qid", "va", "vb",
+            F.round(
+                1000000 * _dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+            ).cast("bigint").alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    sel = (
+        cand.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid", "vec_id", "rel",
+            F.lit(0).cast("bigint").alias("maxsim"),
+            (7 * F.col("rel")).alias("mmr"),
+            F.lit(1).alias("sel_rank"),
+        )
+    )
+    for r in (2, 3, 4):
+        rem = cand.join(sel.select("qid", "vec_id"),
+                        ["qid", "vec_id"], "left_anti")
+        mx = (
+            pairs.join(
+                sel.select("qid", F.col("vec_id").alias("vb")),
+                ["qid", "vb"],
+            )
+            .groupBy("qid", F.col("va").alias("vec_id"))
+            .agg(F.max("sim").alias("mx"))
+        )
+        sc = rem.join(mx, ["qid", "vec_id"]).select(
+            "qid", "vec_id", "rel",
+            F.col("mx").alias("maxsim"),
+            (7 * F.col("rel") - 3 * F.col("mx")).alias("mmr"),
+        )
+        wp = Window.partitionBy("qid").orderBy(
+            F.col("mmr").desc(), F.col("vec_id").asc()
+        )
+        pick = (
+            sc.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select("qid", "vec_id", "rel", "maxsim", "mmr",
+                    F.lit(r).alias("sel_rank"))
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "qid",
+        F.col("sel_rank").cast("bigint").alias("sel_rank"),
+        "vec_id",
+        F.col("rel").alias("rel_micro"),
+        F.col("maxsim").alias("maxsim_micro"),
+        F.col("mmr").cast("bigint").alias("mmr_micro"),
+    ).orderBy("qid", "sel_rank")
