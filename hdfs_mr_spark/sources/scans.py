@@ -1458,3 +1458,153 @@ def fn_avro(spark, sf_dir):
             "dec_priority string, dec_cents bigint"
         ),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "sink_avro",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderpriority,
+       CAST(4 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       CAST(SUM(CASE WHEN o_orderkey % 14 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_u
+FROM src
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    family=_FAM,
+)
+def sink_avro(spark, sf_dir):
+    """Avro OCF SINK — the write half of the module codec story
+    (scan_avro reads; this emits: a pipeline that hands data to a
+    Kafka-ecosystem consumer writes OCF, connector jar or not). Each
+    of 4 tasks encodes its partition through the module codec
+    (sources/avro_codec.py — deflate blocks, zigzag varints, a
+    nullable union that is null for every 14th key) into a
+    task-private temp and PUBLISHES BY RENAME (torn files are never
+    visible — the object-store multipart contract, one rename per
+    task). The query then reads every published file BACK through the
+    same codec and aggregates per priority, so the hash check covers
+    encode -> container layout -> deflate -> decode, not just the
+    write call returning; n_files pins the task fan-out.
+
+    Scale: one OCF file per task, blocks bounded at 50 rows so every
+    file is multi-block (sync-splittable by scan_avro's byte-range
+    reader); encode is per-row CPU on executors, zero shuffle beyond
+    the fixed repartition(4)."""
+    import os
+    import shutil
+    import tempfile
+
+    from hdfs_mr_spark.functions.udfs import REPO_ROOT
+
+    out_dir = tempfile.mkdtemp(prefix="hmr_avro_sink_")
+    root = REPO_ROOT
+    avro_schema = {
+        "type": "record",
+        "name": "order",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "p", "type": "string"},
+            {"name": "c", "type": "long"},
+            {"name": "u", "type": ["null", "string"]},
+        ],
+    }
+
+    def wkern(batches):
+        import os as _os
+        import sys as _sys
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        if root not in _sys.path:  # worker: see udfs.repo_kernel
+            _sys.path.insert(0, root)
+        from hdfs_mr_spark.sources.avro_codec import write_ocf
+
+        recs = []
+        for pdf in batches:
+            for k, p, c in zip(pdf["o_orderkey"], pdf["o_orderpriority"],
+                               pdf["cents"]):
+                recs.append({
+                    "k": int(k), "p": p, "c": int(c),
+                    "u": None if int(k) % 14 == 0 else p,
+                })
+        if recs:
+            tmp = _os.path.join(out_dir, f"._tmp_{_uuid.uuid4().hex}")
+            write_ocf(tmp, avro_schema, recs, codec="deflate",
+                      block_rows=50)
+            _os.rename(
+                tmp,
+                _os.path.join(out_dir, f"part-{_uuid.uuid4().hex}.avro"),
+            )
+        yield _pd.DataFrame({"n_rows": [len(recs)]})
+
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey", "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+            .alias("cents"),
+        )
+        .repartition(4)
+    )
+    src.mapInPandas(wkern, schema="n_rows long").localCheckpoint()
+    files = sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir)
+        if f.endswith(".avro")
+    )
+    n_files = len(files)
+
+    def rkern(batches):
+        import sys as _sys
+
+        import pandas as _pd
+
+        if root not in _sys.path:  # worker: see udfs.repo_kernel
+            _sys.path.insert(0, root)
+        from hdfs_mr_spark.sources.avro_codec import read_ocf
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                rows = read_ocf(path)
+                yield _pd.DataFrame({
+                    "o_orderkey": _pd.Series(
+                        [r["k"] for r in rows], dtype="int64"),
+                    "o_orderpriority": [r["p"] for r in rows],
+                    "cents": _pd.Series(
+                        [r["c"] for r in rows], dtype="int64"),
+                    "u_null": _pd.Series(
+                        [r["u"] is None for r in rows], dtype="bool"),
+                })
+
+    back = (
+        spark.createDataFrame([(f,) for f in files], "path string")
+        .repartition(n_files)
+        .mapInPandas(
+            rkern,
+            schema=("o_orderkey bigint, o_orderpriority string, "
+                    "cents bigint, u_null boolean"),
+        )
+    )
+    res = (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.lit(n_files).cast("bigint").alias("n_files"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("cents_sum"),
+            F.sum(F.col("u_null").cast("int")).cast("bigint")
+            .alias("n_null_u"),
+        )
+        .orderBy("o_orderpriority")
+        .localCheckpoint()
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return res
