@@ -3630,3 +3630,186 @@ def llm_rag_fusion_rrf(spark, sf_dir):
         .select("qid", "doc_id", "rrf_micro", "in_lex", "in_dense", "rank")
         .orderBy("qid", "rank")
     )
+
+
+@query(
+    "llm_tokenizer_wordpiece",
+    oracle="""
+WITH RECURSIVE
+wsplit AS (
+  SELECT lang, substr(w, 1, 16) AS word
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+occ AS (SELECT lang, word, COUNT(*) AS occ FROM wsplit
+        GROUP BY lang, word),
+wd AS (SELECT word, SUM(occ) AS wcnt, length(word) AS wlen
+       FROM occ GROUP BY word),
+tot AS (SELECT SUM(wcnt) AS occ_total FROM wd),
+cand AS (
+  SELECT word, wcnt, p, len, substr(word, p, len) AS piece,
+         CASE WHEN p = 1 THEN 'init' ELSE 'cont' END AS kind
+  FROM wd, LATERAL unnest(range(1, wlen + 1)) AS pp(p),
+       LATERAL unnest([1, 2, 3, 4]) AS ll(len)
+  WHERE p + len - 1 <= wlen
+),
+vocab AS (
+  SELECT kind, len, piece
+  FROM (SELECT kind, len, piece, SUM(wcnt) AS c FROM cand
+        GROUP BY kind, len, piece)
+  WHERE len = 1 OR c >= (SELECT occ_total // 64 FROM tot)
+),
+step AS (
+  SELECT c.word, c.p, MAX(c.len) AS blen
+  FROM cand c JOIN vocab v USING (kind, len, piece)
+  GROUP BY c.word, c.p
+),
+walk AS (
+  SELECT word, wlen, 1 AS pos, 0 AS toks FROM wd
+  UNION ALL
+  SELECT w.word, w.wlen, w.pos + s.blen, w.toks + 1
+  FROM walk w JOIN step s ON s.word = w.word AND s.p = w.pos
+  WHERE w.pos <= w.wlen
+),
+done AS (SELECT word, toks FROM walk WHERE pos > wlen)
+SELECT o.lang,
+       CAST(SUM(o.occ) AS BIGINT) AS words_total,
+       CAST(SUM(o.occ * d.toks) AS BIGINT) AS tokens_total,
+       CAST(SUM(o.occ * w.wlen) AS BIGINT) AS chars_total,
+       CAST(CAST(SUM(o.occ * d.toks) AS HUGEINT) * 1000000
+            // SUM(o.occ) AS BIGINT) AS fertility_micro,
+       CAST(CAST(SUM(o.occ * d.toks) AS HUGEINT) * 1000000
+            // SUM(o.occ * w.wlen) AS BIGINT) AS tokens_per_char_micro
+FROM occ o JOIN done d ON d.word = o.word
+JOIN wd w ON w.word = o.word
+GROUP BY o.lang
+ORDER BY o.lang
+""",
+    family=_FAM,
+)
+def llm_tokenizer_wordpiece(spark, sf_dir):
+    """WORDPIECE (greedy longest-match-first) tokenization — the
+    BERT-family segmentation algorithm, the deterministic counterpart
+    to llm_tokenizer_viterbi's optimal-lattice DP: at each position
+    take the LONGEST vocabulary piece (word-initial pieces at position
+    1, '##'-style continuation pieces after — kind is part of the
+    vocabulary key) and advance; single-character pieces are always in
+    vocabulary, so no word ever hits UNK and the walk always
+    terminates. The vocabulary threshold is CORPUS-RELATIVE
+    (count >= total_occurrences/64), so all four step lengths
+    including the single-char fallback fire on the checked fixtures
+    (the r10 dead-branch lesson) and the op stays meaningful on a
+    90k-type Zipf corpus where absolute thresholds collapse.
+
+    Spark-first shape — NO per-row Python: tokenization happens over
+    DISTINCT WORDS ONLY (Heaps-law collapse BEFORE any join, the
+    family discipline), weighted back by (lang, word) occurrence
+    counts at the end. Greedy's data-dependent walk is expressed as
+    16 chained equi-joins against the precomputed step function
+    best(word, pos) = max matching piece length — greedy only ever
+    takes the max, so the argmax collapses into ONE combiner aggregate
+    and each round is a broadcastable join over the distinct-word
+    frame (checkpointed every 4 rounds to bound plan depth). The
+    DuckDB twin replays the walk as a recursive CTE over the same step
+    function.
+
+    Scale: piece counting and the step function are vocabulary-sized
+    (distinct words x <=16 positions x 4 lengths), not corpus-sized;
+    the 16 rounds cost O(|vocab|) each. Fertility ratios are integer
+    micro-units (DECIMAL(38,0) / HUGEINT twin promotion)."""
+    d = table(spark, sf_dir, "documents")
+    ws = d.select(
+        "lang",
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.col("w") != "").select(
+        "lang", F.substring("w", 1, 16).alias("word")
+    )
+    occ = ws.groupBy("lang", "word").agg(F.count("*").alias("occ"))
+    wd = (
+        occ.groupBy("word")
+        .agg(F.sum("occ").alias("wcnt"))
+        .withColumn("wlen", F.length("word"))
+        .localCheckpoint()
+    )
+    tot = wd.agg(F.sum("wcnt").alias("occ_total"))
+    cand = (
+        wd.select(
+            "word", "wcnt", "wlen",
+            F.explode(F.sequence(F.lit(1), F.col("wlen"))).alias("p"),
+        )
+        .select(
+            "word", "wcnt", "wlen", "p",
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)]))
+            .alias("len"),
+        )
+        .filter(F.col("p") + F.col("len") - 1 <= F.col("wlen"))
+        .select(
+            "word", "wcnt", "p", "len",
+            F.expr("substring(word, p, len)").alias("piece"),
+            F.when(F.col("p") == 1, F.lit("init"))
+            .otherwise(F.lit("cont")).alias("kind"),
+        )
+    )
+    vocab = (
+        cand.groupBy("kind", "len", "piece")
+        .agg(F.sum("wcnt").alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("len") == 1)
+            | (F.col("c") >= F.expr("occ_total DIV 64"))
+        )
+        .select("kind", "len", "piece")
+    )
+    step = (
+        cand.join(vocab, ["kind", "len", "piece"])
+        .groupBy("word", "p")
+        .agg(F.max("len").alias("blen"))
+        .select(F.col("word").alias("sw"), F.col("p").alias("sp"),
+                "blen")
+        .localCheckpoint()
+    )
+    state = wd.select(
+        "word", "wlen",
+        F.lit(1).alias("pos"), F.lit(0).alias("toks"),
+    )
+    for i in range(16):
+        state = (
+            state.join(
+                step,
+                (state.word == step.sw) & (state.pos == step.sp),
+                "left",
+            )
+            .select(
+                "word", "wlen",
+                F.when(F.col("pos") <= F.col("wlen"),
+                       F.col("pos") + F.col("blen"))
+                .otherwise(F.col("pos")).alias("pos"),
+                F.when(F.col("pos") <= F.col("wlen"),
+                       F.col("toks") + 1)
+                .otherwise(F.col("toks")).alias("toks"),
+            )
+        )
+        if i % 4 == 3:  # bound analysis/plan depth across the rounds
+            state = state.localCheckpoint()
+    toksw = state.select("word", "wlen", "toks")
+    j = occ.join(toksw, "word")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.sum("occ").cast("bigint").alias("words_total"),
+            F.sum(F.col("occ") * F.col("toks")).cast("bigint")
+            .alias("tokens_total"),
+            F.sum(F.col("occ") * F.col("wlen")).cast("bigint")
+            .alias("chars_total"),
+            F.expr(
+                "CAST(CAST(SUM(occ * toks) AS DECIMAL(38,0)) * 1000000"
+                " DIV SUM(occ) AS BIGINT)"
+            ).alias("fertility_micro"),
+            F.expr(
+                "CAST(CAST(SUM(occ * toks) AS DECIMAL(38,0)) * 1000000"
+                " DIV SUM(occ * wlen) AS BIGINT)"
+            ).alias("tokens_per_char_micro"),
+        )
+        .orderBy("lang")
+    )
