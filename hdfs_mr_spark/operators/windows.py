@@ -2655,3 +2655,107 @@ def ts_pattern_match(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ts_peak_detect",
+    oracle="""
+WITH b AS (
+  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, c,
+         lag(c) OVER u AS pc, lead(c) OVER u AS nc,
+         MIN(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS lmin,
+         MIN(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING) AS rmin,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM b WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+p AS (
+  SELECT user_id, event_id, n_events,
+         c - GREATEST(lmin, rmin) AS prom
+  FROM w
+  WHERE pc IS NOT NULL AND nc IS NOT NULL AND c > pc AND c >= nc
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY prom DESC, event_id ASC) AS rn
+  FROM p
+)
+SELECT user_id,
+       CAST(ANY_VALUE(n_events) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_peaks,
+       CAST(SUM(CASE WHEN prom >= 6000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_major,
+       CAST(MAX(prom) AS BIGINT) AS max_prom,
+       CAST(MAX(CASE WHEN rn = 1 THEN event_id END) AS BIGINT)
+         AS top_peak_event
+FROM r
+GROUP BY user_id
+ORDER BY user_id
+""",
+    family=_FAM,
+)
+def ts_peak_detect(spark, sf_dir):
+    """LOCAL-MAXIMA PEAK DETECTION with windowed prominence (r12 — the
+    alerting primitive next to ts_anomaly_mad: MAD flags level
+    outliers, this finds SHAPE events, spikes that rise and fall,
+    regardless of absolute level): a peak strictly exceeds its
+    predecessor and is >= its successor (plateau-right rule, so flat
+    tops count once; series endpoints are never peaks), and its
+    prominence is height above the HIGHER of the two neighborhood
+    floors (min over 5 rows on each side) — the scipy find_peaks
+    prominence contract restricted to a bounded window, which is what
+    makes it a streaming-friendly, shuffle-once computation instead of
+    a global stack walk. Major peaks clear 60.00 value units
+    (~the fixture's median prominence, so BOTH branches fire at every
+    checked SF: ~50/50 major/minor). The per-user champion peak is
+    pinned by (prominence DESC, event_id ASC) argmax.
+
+    Determinism: cents are integers; lag/lead/min frames over the
+    total (ts, event_id) order are exact in both engines. Scale: ONE
+    shuffle on user_id serves every window (lag, lead, two bounded
+    min-frames, the count, and the champion rank all share the sort),
+    then one combiner-shape rollup — no join anywhere."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = b.select(
+        "user_id", "event_id", "c",
+        F.lag("c").over(u).alias("pc"),
+        F.lead("c").over(u).alias("nc"),
+        F.min("c").over(u.rowsBetween(-5, -1)).alias("lmin"),
+        F.min("c").over(u.rowsBetween(1, 5)).alias("rmin"),
+        F.count("*").over(Window.partitionBy("user_id"))
+        .alias("n_events"),
+    )
+    p = w.filter(
+        F.col("pc").isNotNull() & F.col("nc").isNotNull()
+        & (F.col("c") > F.col("pc")) & (F.col("c") >= F.col("nc"))
+    ).select(
+        "user_id", "event_id", "n_events",
+        (F.col("c") - F.greatest("lmin", "rmin")).alias("prom"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("prom").desc(), F.col("event_id").asc()
+    )
+    r = p.withColumn("rn", F.row_number().over(wr))
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.first("n_events").cast("bigint").alias("n_events"),
+            F.count("*").cast("bigint").alias("n_peaks"),
+            F.sum((F.col("prom") >= 6000).cast("int")).cast("bigint")
+            .alias("n_major"),
+            F.max("prom").cast("bigint").alias("max_prom"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_id")))
+            .cast("bigint").alias("top_peak_event"),
+        )
+        .orderBy("user_id")
+    )
