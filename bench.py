@@ -100,6 +100,9 @@ HEADLINE = [
     "llm_rag_fusion_rrf",          # 2.11 reciprocal-rank fusion (r11)
     "agg_kmv_intersect",           # 2.4 KMV set-intersection sketch (r11)
     "join_skew_aqe",               # 2.3 AQE skew-join split (r10)
+    # r12 additions shipped this round
+    "lake_concurrent_disjoint",    # 2.14 partition-disjoint commit race (r12)
+    "llm_rag_mmr",                 # 2.11 MMR diversification rounds (r12)
 ]
 
 

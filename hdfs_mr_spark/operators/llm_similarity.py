@@ -3748,7 +3748,11 @@ def llm_rag_mmr(spark, sf_dir):
             .select("qid", "vec_id", "rel", "maxsim", "mmr",
                     F.lit(r).alias("sel_rank"))
         )
-        sel = sel.unionByName(pick)
+        # checkpoint the <=12-row selected set each round: sel feeds
+        # BOTH the next round's anti-join/penalty fold AND the union,
+        # so a lazy sel doubles its subtree per round (2^k plan growth
+        # — 106 exchanges at k=4 in the un-checkpointed fingerprint)
+        sel = sel.unionByName(pick).localCheckpoint()
     return sel.select(
         "qid",
         F.col("sel_rank").cast("bigint").alias("sel_rank"),
