@@ -2067,3 +2067,177 @@ def agg_kmv_intersect(spark, sf_dir):
         (F.abs(inter_est - F.col("exact_inter")) * 4
          <= F.col("exact_union") + 40).alias("est_err_ok"),
     ).orderBy("type_a", "type_b")
+
+
+def _hdr_bucket_sql(v: str, div: str) -> str:
+    """HDR bucket index of positive integer ``v`` as a pure-integer
+    CASE ladder (first matching branch = msb since descending):
+    values < 16 get exact buckets; otherwise bucket = msb*16 + the 4
+    bits below the msb — log2-linear buckets with relative width 2^-4.
+    ``div`` parameterizes integer division ('DIV' Spark / '//' DuckDB);
+    every other token is engine-shared, so both engines compute the
+    identical bucket with no transcendental anywhere."""
+    branches = " ".join(
+        f"WHEN {v} >= {1 << k} THEN {k * 16} + "
+        f"(({v} {div} {1 << (k - 4)}) % 16)"
+        for k in range(45, 3, -1)
+    )
+    return f"(CASE WHEN {v} < 16 THEN {v} {branches} END)"
+
+
+def _hdr_decode_sql(b: str, div: str) -> str:
+    """Lower bound of HDR bucket ``b`` (the quantile estimate): exact
+    for buckets < 16, else (16 + low-4-bits) << (msb - 4)."""
+    branches = " ".join(
+        f"WHEN {b} {div} 16 = {k} THEN (16 + ({b} % 16)) * {1 << (k - 4)}"
+        for k in range(45, 3, -1)
+    )
+    return f"(CASE WHEN {b} < 16 THEN {b} {branches} END)"
+
+
+def _hdr_oracle_sql() -> str:
+    bucket = _hdr_bucket_sql("c", "//")
+    decode = _hdr_decode_sql("mb", "//")
+    qs = []
+    for q in (50, 95, 99):
+        qs.append(f"""
+t{q} AS (SELECT l_returnflag, (({q} * n) + 99) // 100 AS tgt, n FROM sz),
+mb{q} AS (
+  SELECT c.l_returnflag, MIN(c.bucket) AS mb
+  FROM cum c JOIN t{q} t ON t.l_returnflag = c.l_returnflag
+  WHERE c.cum >= t.tgt GROUP BY c.l_returnflag
+),
+est{q} AS (SELECT l_returnflag,
+                  CAST({decode} AS BIGINT) AS est{q} FROM mb{q}),
+ex{q} AS (
+  SELECT r.l_returnflag, r.c AS ex{q}
+  FROM rnk r JOIN t{q} t ON t.l_returnflag = r.l_returnflag
+  WHERE r.rn = t.tgt
+)""")
+    return f"""
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+),
+h AS (
+  SELECT l_returnflag, CAST({bucket} AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM b GROUP BY l_returnflag, bucket
+),
+cum AS (
+  SELECT l_returnflag, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket)
+           AS cum
+  FROM h
+),
+sz AS (SELECT l_returnflag, SUM(cnt) AS n,
+              COUNT(*) AS n_buckets FROM h GROUP BY l_returnflag),
+rnk AS (
+  SELECT l_returnflag, c,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY c)
+           AS rn
+  FROM b
+),{",".join(qs)}
+SELECT s.l_returnflag,
+       CAST(s.n AS BIGINT) AS n,
+       CAST(s.n_buckets AS BIGINT) AS n_buckets,
+       e50.est50, x50.ex50, e95.est95, x95.ex95, e99.est99, x99.ex99,
+       (e50.est50 <= x50.ex50 AND 16 * (x50.ex50 - e50.est50) <= e50.est50
+        AND e95.est95 <= x95.ex95
+        AND 16 * (x95.ex95 - e95.est95) <= e95.est95
+        AND e99.est99 <= x99.ex99
+        AND 16 * (x99.ex99 - e99.est99) <= e99.est99) AS bounds_ok
+FROM sz s
+JOIN est50 e50 USING (l_returnflag) JOIN ex50 x50 USING (l_returnflag)
+JOIN est95 e95 USING (l_returnflag) JOIN ex95 x95 USING (l_returnflag)
+JOIN est99 e99 USING (l_returnflag) JOIN ex99 x99 USING (l_returnflag)
+ORDER BY s.l_returnflag
+"""
+
+
+@query("agg_hdr_histogram", oracle=_hdr_oracle_sql(), family=_FAM)
+def agg_hdr_histogram(spark, sf_dir):
+    """HIGH-DYNAMIC-RANGE (log-bucketed) quantile histogram — the
+    HdrHistogram / DDSketch class of mergeable relative-error quantile
+    sketches that production observability runs at scale, next to the
+    engine's rank-based exact and GK-approx quantiles
+    (agg_approx_quantile, agg_histogram_equi_depth). Buckets are
+    log2-linear: exact below 16, else msb*16 + the four bits under the
+    msb — relative bucket width 2^-4, so any quantile read from bucket
+    lower bounds is within 6.25% of exact BY CONSTRUCTION, and the
+    oracle PINS that bound per group (bounds_ok conjunction of
+    est <= exact and 16*(exact-est) <= est for p50/p95/p99).
+
+    Everything is integer bit math expressed as generated CASE
+    ladders shared verbatim between the engines (modulo the integer-
+    division token) — no log(), so no cross-engine ulp risk at bucket
+    boundaries, the trap a naive floor(log(x)/log(gamma)) DDSketch
+    bucketing carries. The exact twins come from per-group rank
+    selection (the value at rank ceil(q*n) is well-defined under ties).
+
+    Scale: the sketch is ONE combiner-shape aggregate to ~700 possible
+    buckets per group (counts merge by addition — the mergeability
+    that makes this THE cross-shard quantile at 100 TB); quantile
+    lookup is a cumulative walk over the bucket histogram, never the
+    data. The exact twins cost a per-group sort here ONLY as the
+    audit; production reads the sketch alone."""
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    h = (
+        b.withColumn(
+            "bucket",
+            F.expr(_hdr_bucket_sql("c", "DIV")).cast("bigint"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("bucket")
+    cum = h.withColumn("cum", F.sum("cnt").over(wcum)).localCheckpoint()
+    sz = cum.groupBy("l_returnflag").agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("n_buckets")
+    )
+    wrnk = Window.partitionBy("l_returnflag").orderBy("c")
+    rnk = b.withColumn("rn", F.row_number().over(wrnk)).localCheckpoint()
+    out = sz.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+    )
+    checks = []
+    for q in (50, 95, 99):
+        tgt = sz.select(
+            "l_returnflag",
+            F.expr(f"CAST(({q} * n + 99) DIV 100 AS BIGINT)").alias("tgt"),
+        )
+        mb = (
+            cum.join(tgt, "l_returnflag")
+            .filter(F.col("cum") >= F.col("tgt"))
+            .groupBy("l_returnflag")
+            .agg(F.min("bucket").alias("mb"))
+        )
+        est = mb.select(
+            "l_returnflag",
+            F.expr(_hdr_decode_sql("mb", "DIV")).cast("bigint")
+            .alias(f"est{q}"),
+        )
+        ex = (
+            rnk.join(tgt, "l_returnflag")
+            .filter(F.col("rn") == F.col("tgt"))
+            .select("l_returnflag", F.col("c").alias(f"ex{q}"))
+        )
+        out = out.join(est, "l_returnflag").join(ex, "l_returnflag")
+        checks.append(
+            (F.col(f"est{q}") <= F.col(f"ex{q}"))
+            & (16 * (F.col(f"ex{q}") - F.col(f"est{q}"))
+               <= F.col(f"est{q}"))
+        )
+    cond = checks[0] & checks[1] & checks[2]
+    return out.select(
+        "l_returnflag", "n", "n_buckets",
+        "est50", "ex50", "est95", "ex95", "est99", "ex99",
+        cond.alias("bounds_ok"),
+    ).orderBy("l_returnflag")
