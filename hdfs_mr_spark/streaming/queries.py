@@ -2814,3 +2814,146 @@ def stream_python_datasource_sink(spark, sf_dir):
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     return res
+
+
+def _hdr_rollup_oracle() -> str:
+    from hdfs_mr_spark.operators.aggregates import (
+        _hdr_bucket_sql,
+        _hdr_decode_sql,
+    )
+
+    bucket = _hdr_bucket_sql("c", "//")
+    decode = _hdr_decode_sql("mb", "//")
+    return f"""
+WITH b AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+           AS window_start,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value > 0
+),
+h AS (
+  SELECT window_start, CAST({bucket} AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM b GROUP BY window_start, bucket
+),
+cum AS (
+  SELECT window_start, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY window_start ORDER BY bucket)
+           AS cum
+  FROM h
+),
+sz AS (SELECT window_start, SUM(cnt) AS n, COUNT(*) AS n_buckets
+       FROM h GROUP BY window_start),
+tgt AS (SELECT window_start, ((95 * n) + 99) // 100 AS tgt FROM sz),
+mb AS (
+  SELECT c.window_start, MIN(c.bucket) AS mb
+  FROM cum c JOIN tgt t ON t.window_start = c.window_start
+  WHERE c.cum >= t.tgt GROUP BY c.window_start
+),
+est AS (SELECT window_start, CAST({decode} AS BIGINT) AS est95 FROM mb),
+rnk AS (
+  SELECT window_start, c,
+         row_number() OVER (PARTITION BY window_start ORDER BY c) AS rn
+  FROM b
+),
+ex AS (
+  SELECT r.window_start, r.c AS ex95
+  FROM rnk r JOIN tgt t ON t.window_start = r.window_start
+  WHERE r.rn = t.tgt
+)
+SELECT s.window_start,
+       CAST(s.n AS BIGINT) AS n,
+       CAST(s.n_buckets AS BIGINT) AS n_buckets,
+       e.est95, x.ex95,
+       (e.est95 <= x.ex95
+        AND 16 * (x.ex95 - e.est95) <= e.est95) AS bound_ok
+FROM sz s JOIN est e USING (window_start) JOIN ex x USING (window_start)
+ORDER BY s.window_start
+"""
+
+
+@query("stream_hdr_rollup", oracle=_hdr_rollup_oracle(), family=_FAM)
+def stream_hdr_rollup(spark, sf_dir):
+    """STREAMING HDR-quantile rollup — the ingest-latency/value
+    monitoring shape: per 1-day tumbling window, the stream maintains
+    the agg_hdr_histogram log-bucket sketch AS the streaming state
+    (groupBy(window, bucket) counts — counts merge by ADDITION across
+    micro-batches, which is exactly what makes the HDR sketch the
+    right streaming quantile: the state store update is the sketch
+    merge, no raw values retained). p95 is then read from the drained
+    sketch by the same cumulative walk + lower-bound decode as the
+    batch twin, and the 6.25% relative bound is PINNED per window
+    against the rank-exact p95 computed from the batch table (the
+    audit side — production reads only the sketch).
+
+    Scale: streaming state is <=~700 counters per open window
+    regardless of event volume (vs the unbounded raw-value state an
+    exact streaming quantile would need); complete-mode drain is
+    deterministic so the whole artifact hash-checks. The bucket ladder
+    is the shared integer CASE (no log(), no ulp risk) from
+    operators/aggregates."""
+    from hdfs_mr_spark.operators.aggregates import (
+        _hdr_bucket_sql,
+        _hdr_decode_sql,
+    )
+
+    s = _event_stream(spark, sf_dir)
+    b = s.filter(F.col("value") > 0).select(
+        F.window("ts", "1 day").alias("win"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        F.expr(_hdr_bucket_sql("c", "DIV")).cast("bigint").alias("bucket"),
+    )
+    agg = b.groupBy("window_start", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    hist = _run_to_memory(agg, "complete").localCheckpoint()
+    wcum = Window.partitionBy("window_start").orderBy("bucket")
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    sz = hist.groupBy("window_start").agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("n_buckets")
+    )
+    tgt = sz.select(
+        "window_start",
+        F.expr("CAST((95 * n + 99) DIV 100 AS BIGINT)").alias("tgt"),
+    )
+    est = (
+        cum.join(tgt, "window_start")
+        .filter(F.col("cum") >= F.col("tgt"))
+        .groupBy("window_start")
+        .agg(F.min("bucket").alias("mb"))
+        .select(
+            "window_start",
+            F.expr(_hdr_decode_sql("mb", "DIV")).cast("bigint")
+            .alias("est95"),
+        )
+    )
+    # exact twin from the batch table — the audit side only
+    from hdfs_mr_spark.io import table
+
+    ev = table(spark, sf_dir, "events")
+    eb = ev.filter(F.col("value") > 0).select(
+        F.date_trunc("day", F.col("ts")).alias("window_start"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    wrnk = Window.partitionBy("window_start").orderBy("c")
+    ex = (
+        eb.withColumn("rn", F.row_number().over(wrnk))
+        .join(tgt, "window_start")
+        .filter(F.col("rn") == F.col("tgt"))
+        .select("window_start", F.col("c").alias("ex95"))
+    )
+    return (
+        sz.join(est, "window_start").join(ex, "window_start")
+        .select(
+            "window_start",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_buckets").cast("bigint").alias("n_buckets"),
+            "est95", "ex95",
+            ((F.col("est95") <= F.col("ex95"))
+             & (16 * (F.col("ex95") - F.col("est95"))
+                <= F.col("est95"))).alias("bound_ok"),
+        )
+        .orderBy("window_start")
+    )
