@@ -826,3 +826,87 @@ def fn_uuid_deterministic(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+def _phonetic_sql(word: str) -> str:
+    """Soundex-class phonetic code of ``word``, built ONLY from
+    primitives both engines share bit-for-bit: letter-class translate,
+    adjacent-duplicate collapse as a nested replace chain (4 rounds of
+    'dd'->'d' per digit class — handles runs up to 16, and RE2/DuckDB
+    has NO regex backreferences, the trap a '(\\d)\\1+' collapse
+    silently no-ops into), vowel-class drop, pad/truncate to 4. This
+    is deliberately the SIMPLIFIED variant (the first letter also
+    participates in duplicate collapse), documented as such — the
+    point is a deterministic engine-portable blocking key, not Knuth
+    compliance."""
+    up = f"upper({word})"
+    collapsed = (
+        f"translate({up}, 'BFPVCGJKQSXZDTLMNRAEIOUHWY', "
+        f"'11112222222233455600000000')"
+    )
+    for _ in range(4):
+        for d in "123456":
+            collapsed = f"replace({collapsed}, '{d}{d}', '{d}')"
+    return (
+        f"substr(concat(substr({up}, 1, 1), "
+        f"replace(substr({collapsed}, 2), '0', ''), '000'), 1, 4)"
+    )
+
+
+@query(
+    "fn_phonetic",
+    oracle=f"""
+WITH w AS (
+  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS word
+  FROM part
+),
+coded AS (
+  SELECT word, {_phonetic_sql('word')} AS code FROM w
+)
+SELECT code,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       string_agg(word, ',' ORDER BY word) AS words,
+       COUNT(*) > 1 AS is_collision_block
+FROM coded
+GROUP BY code
+ORDER BY code
+""",
+    family=_FAM,
+)
+def fn_phonetic(spark, sf_dir):
+    """Phonetic (Soundex-class) encoding — the third blocking key the
+    entity-resolution playbook calls for (join_fuzzy_string's
+    docstring: 'real pipelines run multiple passes with different keys
+    — prefix, suffix, phonetic — and union them'; this supplies the
+    phonetic pass). The code is built ONLY from primitives both
+    engines share bit-for-bit (upper/translate/regexp-collapse/
+    replace/substr — no engine soundex() builtin, whose edge-case
+    behavior differs between implementations), so the blocking key is
+    engine-portable by construction. Output groups the distinct
+    part-name vocabulary by code: is_collision_block marks codes that
+    merge multiple words — exactly the recall a phonetic pass adds
+    over exact/prefix blocking (sound-alike, spell-different names
+    land in one block and get the expensive comparator).
+
+    Scale: a per-row codegen'd expression chain producing a
+    low-cardinality key — the ideal blocking shape (hash-joinable,
+    skew bounded by class sizes); vocabulary collapses BEFORE the
+    rollup (the family discipline)."""
+    p = table(spark, sf_dir, "part")
+    w = p.select(
+        F.explode(F.split("p_name", " ")).alias("word")
+    ).distinct()
+    coded = w.select(
+        "word",
+        F.expr(_phonetic_sql("word")).alias("code"),
+    )
+    return (
+        coded.groupBy("code")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.array_join(F.array_sort(F.collect_set("word")), ",")
+            .alias("words"),
+            (F.count("*") > 1).alias("is_collision_block"),
+        )
+        .orderBy("code")
+    )
