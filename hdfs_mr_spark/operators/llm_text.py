@@ -3813,3 +3813,99 @@ def llm_tokenizer_wordpiece(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "llm_sample_nucleus",
+    oracle="""
+WITH t AS (
+  SELECT lang, source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+  FROM documents GROUP BY lang, source
+),
+s AS (
+  SELECT lang, source, tok,
+         SUM(tok) OVER (PARTITION BY lang) AS tot,
+         SUM(tok) OVER (PARTITION BY lang
+                        ORDER BY tok DESC, source ASC
+                        ROWS UNBOUNDED PRECEDING) - tok AS cum_before
+  FROM t
+),
+k AS (SELECT *, 10 * cum_before < 8 * tot AS kept FROM s)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(MAX(tot) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN kept THEN tok ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       CAST(10000 * SUM(CASE WHEN kept THEN tok ELSE 0 END)
+            // MAX(tot) AS BIGINT) AS coverage_bp,
+       MAX(CASE WHEN kept AND 10 * (cum_before + tok) >= 8 * tot
+                THEN source END) AS boundary_source
+FROM k
+GROUP BY lang
+ORDER BY lang
+""",
+    family=_FAM,
+)
+def llm_sample_nucleus(spark, sf_dir):
+    """NUCLEUS (top-p) SOURCE TRUNCATION — the third data-mix policy
+    next to llm_domain_mix's equal-floor and llm_sample_temperature's
+    share^(1/T) upsampling: per language, rank sources by token mass
+    and keep the smallest prefix whose cumulative mass reaches p=0.8
+    (the source that CROSSES p is kept — standard nucleus semantics),
+    dropping the long tail of tiny sources whose marginal quality
+    risk outweighs their token contribution. The keep rule is the
+    integer cross-multiplication 10*cum_before < 8*total — no
+    floating shares anywhere, so the cut is engine-exact; the
+    boundary source (the one straddling p) is pinned per language,
+    and coverage_bp certifies how much mass survives (>=8000 by
+    construction).
+
+    Scale: one combiner-shape (lang, source) token count, one
+    lang-partitioned ranked cumulative window over the SOURCE frame
+    (sources-per-lang rows, never corpus rows), one rollup. The kept
+    set would then drive a broadcast semi-join filter over the corpus
+    — the policy itself costs O(|sources|)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.groupBy("lang", "source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tok")
+    )
+    w_tot = Window.partitionBy("lang")
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("tok").desc(), F.col("source").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = t.select(
+        "lang", "source", "tok",
+        F.sum("tok").over(w_tot).alias("tot"),
+        (F.sum("tok").over(w_cum) - F.col("tok")).alias("cum_before"),
+    )
+    k = s.withColumn(
+        "kept", 10 * F.col("cum_before") < 8 * F.col("tot")
+    )
+    return (
+        k.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sources"),
+            F.sum(F.col("kept").cast("int")).cast("bigint")
+            .alias("n_kept"),
+            F.max("tot").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("kept"), F.col("tok")).otherwise(0))
+            .cast("bigint").alias("kept_tokens"),
+            F.expr(
+                "CAST(10000 * SUM(CASE WHEN kept THEN tok ELSE 0 END)"
+                " DIV MAX(tot) AS BIGINT)"
+            ).alias("coverage_bp"),
+            F.max(
+                F.when(
+                    F.col("kept")
+                    & (10 * (F.col("cum_before") + F.col("tok"))
+                       >= 8 * F.col("tot")),
+                    F.col("source"),
+                )
+            ).alias("boundary_source"),
+        )
+        .orderBy("lang")
+    )
