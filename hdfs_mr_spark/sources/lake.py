@@ -2312,3 +2312,106 @@ def lake_concurrent_disjoint(spark, sf_dir):
                 "n_orders", "cents")
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "lake_timestamp_travel",
+    oracle=f"""
+WITH probes AS (
+  SELECT * FROM (VALUES
+    (0, TIMESTAMP '1995-01-11 00:00:00', 0),
+    (1, TIMESTAMP '1995-01-15 12:00:00', 1),
+    (2, TIMESTAMP '1999-06-01 00:00:00', 2)
+  ) AS t(probe, asof_ts, resolved_version)
+),
+content AS (
+  SELECT p.probe, p.resolved_version,
+         COUNT(*) AS n_orders, SUM({_SQL_CENTS}) AS cents
+  FROM probes p JOIN orders o
+    ON o.o_orderkey % 3 <= p.resolved_version
+  GROUP BY p.probe, p.resolved_version
+)
+SELECT probe,
+       CAST(resolved_version AS BIGINT) AS resolved_version,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(cents AS BIGINT) AS cents
+FROM content
+ORDER BY probe
+""",
+    family=_FAM,
+)
+def lake_timestamp_travel(spark, sf_dir):
+    """TIME TRAVEL BY TIMESTAMP (r12 — the other half of the time-travel
+    API next to lake_time_travel's version form; users overwhelmingly
+    ask 'the table as of last night', not 'as of version 1'): every
+    commit carries an IN-COMMIT TIMESTAMP in its log entry (Delta's
+    ICT feature — the commit's own authoritative clock, immune to the
+    file-mtime skew that plagued timestamp resolution before ICT; here
+    deterministic v0=1995-01-11, v1=1995-01-21, v2=1995-01-31 so the
+    fixture is reproducible). AS OF ts resolves to the LATEST commit
+    whose timestamp <= ts — three probes pin the full contract: an
+    EXACT commit timestamp resolves to that commit (boundary
+    inclusive), a timestamp strictly BETWEEN commits resolves to the
+    earlier one (not nearest!), and a far-future timestamp resolves to
+    head. Each probe's snapshot content is hash-checked (the %3 batch
+    predicate), so a wrong resolution cannot pass on the version
+    column alone.
+
+    Scale: resolution is an O(commits) driver-side fold over log
+    timestamps (checkpoint-accelerated like every snapshot fold) —
+    data files are untouched until the resolved snapshot reads."""
+    from datetime import datetime, timedelta
+
+    base = datetime(1995, 1, 1)
+
+    def build(tmp: Path):
+        o = table(spark, sf_dir, "orders")
+        for k in range(3):
+            files = _write_files(
+                o.filter(F.col("o_orderkey") % 3 == k), tmp / "data"
+            )
+            ts = (base + timedelta(days=10 * (k + 1))).isoformat(sep=" ")
+            assert _commit(tmp / "_log", k, {
+                "add": files, "remove": [],
+                "commitTimestamp": ts,
+            })
+
+    root = _publish_store(build, _fixture_dir(sf_dir) / "lake_ict")
+    cts = {
+        v: json.loads(
+            (root / "_log" / f"v{v:010d}.json").read_text()
+        )["commitTimestamp"]
+        for v in _log_versions(root)
+    }
+
+    def resolve(asof: str) -> int:
+        vs = [v for v, t in cts.items() if t <= asof]
+        if not vs:
+            raise ValueError(f"no commit at or before {asof}")
+        return max(vs)
+
+    probes = [
+        (0, "1995-01-11 00:00:00"),   # exact v0 ts -> v0 (inclusive)
+        (1, "1995-01-25 12:00:00"),   # between v1 and v2 -> v1
+        (2, "1999-06-01 00:00:00"),   # far future -> head
+    ]
+    # probe 1 sits between v1 (Jan 21) and v2 (Jan 31) and must
+    # resolve to v1, the EARLIER commit (not nearest — Jan 31 is
+    # closer); the oracle pins each expected resolution AND its
+    # content, so a nearest-commit bug hash-mismatches.
+    frames = []
+    for pid, asof in probes:
+        v = resolve(asof)
+        frames.append(
+            _read_snapshot(spark, root, as_of=v).agg(
+                F.lit(pid).alias("probe"),
+                F.lit(v).cast("bigint").alias("resolved_version"),
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint").alias("cents"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("probe")
