@@ -910,3 +910,119 @@ def fn_phonetic(spark, sf_dir):
         )
         .orderBy("code")
     )
+
+
+@query(
+    "fn_ip_cidr",
+    oracle="""
+WITH ips AS (
+  SELECT event_id,
+         (event_id * 2654435761) % 4294967296 AS ip
+  FROM events
+),
+oct AS (
+  SELECT event_id, ip,
+         ip // 16777216 AS o1, (ip // 65536) % 256 AS o2,
+         (ip // 256) % 256 AS o3, ip % 256 AS o4
+  FROM ips
+),
+strs AS (
+  SELECT event_id, ip, o1,
+         o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip_str
+  FROM oct
+),
+parsed AS (
+  SELECT event_id, ip, o1, ip_str,
+         CAST(string_split(ip_str, '.')[1] AS BIGINT) * 16777216
+         + CAST(string_split(ip_str, '.')[2] AS BIGINT) * 65536
+         + CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256
+         + CAST(string_split(ip_str, '.')[4] AS BIGINT) AS ip2
+  FROM strs
+),
+classed AS (
+  SELECT *,
+         CASE WHEN ip // 16777216 = 10 THEN 'rfc1918_10/8'
+              WHEN ip // 1048576 = 2753 THEN 'rfc1918_172.16/12'
+              WHEN ip // 65536 = 49320 THEN 'rfc1918_192.168/16'
+              WHEN ip // 268435456 = 14 THEN 'multicast_224/4'
+              ELSE 'public' END AS net_class
+  FROM parsed
+)
+SELECT net_class,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN ip2 <> ip THEN 1 ELSE 0 END) AS BIGINT)
+         AS roundtrip_failures,
+       MIN(ip_str) AS min_ip_str,
+       CAST(MIN(ip) AS BIGINT) AS min_ip
+FROM classed
+GROUP BY net_class
+ORDER BY net_class
+""",
+    family=_FAM,
+)
+def fn_ip_cidr(spark, sf_dir):
+    """IPv4 PARSE + CIDR CLASSIFICATION — the log-pipeline staple
+    (every clickstream/security corpus carries IP columns that need
+    dotted-quad <-> integer conversion and netblock matching): each
+    event synthesizes a deterministic IP (Knuth multiplicative hash of
+    event_id mod 2^32 — uniform over the address space, identical in
+    both engines by integer arithmetic), renders it as a dotted quad,
+    PARSES IT BACK (split + reassemble), and classifies it against the
+    RFC-1918 private blocks plus the multicast /4 — CIDR containment
+    expressed as the pure integer prefix test ip DIV 2^(32-prefix) =
+    net DIV 2^(32-prefix), never string prefix matching (which
+    misclassifies '19.2.x' vs '192.x'). roundtrip_failures pins the
+    string round trip exactly (must be 0 in every class); per-class
+    counts pin the block arithmetic since the synthetic IPs are
+    uniform (a /8 catches ~n/256).
+
+    Scale: codegen'd per-row integer/string expressions, one combiner
+    rollup — no shuffle beyond the 5-class aggregate."""
+    ev = table(spark, sf_dir, "events")
+    ips = ev.select(
+        "event_id",
+        ((F.col("event_id") * 2654435761) % 4294967296).alias("ip"),
+    )
+    oct_ = ips.select(
+        "event_id", "ip",
+        F.expr("ip DIV 16777216").alias("o1"),
+        F.expr("(ip DIV 65536) % 256").alias("o2"),
+        F.expr("(ip DIV 256) % 256").alias("o3"),
+        (F.col("ip") % 256).alias("o4"),
+    )
+    strs = oct_.select(
+        "event_id", "ip", "o1",
+        F.concat_ws(
+            ".", F.col("o1").cast("string"), F.col("o2").cast("string"),
+            F.col("o3").cast("string"), F.col("o4").cast("string"),
+        ).alias("ip_str"),
+    )
+    sp = F.split(F.col("ip_str"), "\\.")
+    parsed = strs.select(
+        "event_id", "ip", "ip_str",
+        (
+            sp.getItem(0).cast("bigint") * 16777216
+            + sp.getItem(1).cast("bigint") * 65536
+            + sp.getItem(2).cast("bigint") * 256
+            + sp.getItem(3).cast("bigint")
+        ).alias("ip2"),
+    )
+    classed = parsed.withColumn(
+        "net_class",
+        F.when(F.expr("ip DIV 16777216") == 10, "rfc1918_10/8")
+        .when(F.expr("ip DIV 1048576") == 2753, "rfc1918_172.16/12")
+        .when(F.expr("ip DIV 65536") == 49320, "rfc1918_192.168/16")
+        .when(F.expr("ip DIV 268435456") == 14, "multicast_224/4")
+        .otherwise("public"),
+    )
+    return (
+        classed.groupBy("net_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum((F.col("ip2") != F.col("ip")).cast("int"))
+            .cast("bigint").alias("roundtrip_failures"),
+            F.min("ip_str").alias("min_ip_str"),
+            F.min("ip").cast("bigint").alias("min_ip"),
+        )
+        .orderBy("net_class")
+    )
