@@ -1688,3 +1688,103 @@ def dq_t_closeness(spark, sf_dir):
         .alias("at_risk_bp"),
         (F.col("max_emd_ppm") <= t).alias("t_close"),
     ).orderBy("level")
+
+
+@query(
+    "dq_completeness_grid",
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events
+),
+calendar AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS d
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+expected AS (SELECT d, event_type FROM calendar CROSS JOIN types),
+arrived AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, event_type
+  FROM events WHERE value > 300
+),
+j AS (
+  SELECT e.event_type, e.d, a.d IS NOT NULL AS got
+  FROM expected e
+  LEFT JOIN arrived a ON a.d = e.d AND a.event_type = e.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS expected_days,
+       CAST(SUM(CASE WHEN got THEN 1 ELSE 0 END) AS BIGINT)
+         AS arrived_days,
+       CAST(SUM(CASE WHEN got THEN 0 ELSE 1 END) AS BIGINT)
+         AS missing_days,
+       CAST(10000 * SUM(CASE WHEN got THEN 1 ELSE 0 END) // COUNT(*)
+            AS BIGINT) AS completeness_bp,
+       MIN(CASE WHEN NOT got THEN d END) AS first_missing_day,
+       SUM(CASE WHEN got THEN 0 ELSE 1 END) = 0 AS sla_met
+FROM j
+GROUP BY event_type
+ORDER BY event_type
+""",
+    family=_FAM,
+)
+def dq_completeness_grid(spark, sf_dir):
+    """PARTITION-COMPLETENESS SLA audit (r12 — the 'did every source
+    deliver every day?' gate that pages on-call before any consumer
+    notices, complementing dq_freshness_lag's HOW-LATE with
+    DID-IT-ARRIVE-AT-ALL): the EXPECTED grid is generated, not
+    observed — a dense calendar spanning the table's own date bounds
+    crossed with the live event-type dimension — so a day that
+    delivered NOTHING still appears as a hole (deriving expectations
+    from arrivals is the classic completeness bug: total silence looks
+    complete). The monitored feed is the high-value slice
+    (value > 300), genuinely partial at the checked SFs so both
+    verdict branches fire; per type the report pins expected/arrived/
+    missing day counts, completeness basis points, the FIRST missing
+    day (where backfill starts), and the SLA verdict.
+
+    Scale: the grid is |days| x |types| — metadata-sized however big
+    the fact table is; arrival detection is one distinct combiner over
+    the feed; the join is a broadcast of the grid. At 100 TB this
+    reads the lake's partition METADATA instead of scanning rows —
+    same plan shape, zero data IO."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    calendar = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("d")
+    )
+    types = ev.select("event_type").distinct()
+    expected = F.broadcast(calendar.crossJoin(types))
+    arrived = (
+        ev.filter(F.col("value") > 300)
+        .select(F.to_date("ts").alias("d"), "event_type")
+        .distinct()
+        .withColumn("got", F.lit(True))
+    )
+    j = expected.join(arrived, ["d", "event_type"], "left").select(
+        "event_type", "d", F.coalesce("got", F.lit(False)).alias("got")
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("expected_days"),
+            F.sum(F.col("got").cast("int")).cast("bigint")
+            .alias("arrived_days"),
+            F.sum((~F.col("got")).cast("int")).cast("bigint")
+            .alias("missing_days"),
+            F.expr(
+                "CAST(10000 * SUM(CAST(got AS INT)) DIV COUNT(*)"
+                " AS BIGINT)"
+            ).alias("completeness_bp"),
+            F.min(F.when(~F.col("got"), F.col("d")))
+            .alias("first_missing_day"),
+            (F.sum((~F.col("got")).cast("int")) == 0).alias("sla_met"),
+        )
+        .orderBy("event_type")
+    )
