@@ -1788,3 +1788,82 @@ def dq_completeness_grid(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "etl_surrogate_key_assign",
+    oracle="""
+WITH dim AS (
+  SELECT s_name AS nk,
+         row_number() OVER (ORDER BY s_suppkey) AS sk
+  FROM supplier WHERE s_suppkey % 4 <> 0
+),
+incoming AS (SELECT DISTINCT s_name AS nk FROM supplier),
+novel AS (
+  SELECT i.nk FROM incoming i ANTI JOIN dim d ON d.nk = i.nk
+),
+assigned AS (
+  SELECT nk, sk, FALSE AS is_new FROM dim
+  UNION ALL
+  SELECT nk,
+         (SELECT MAX(sk) FROM dim)
+           + row_number() OVER (ORDER BY nk) AS sk,
+         TRUE AS is_new
+  FROM novel
+)
+SELECT nk, CAST(sk AS BIGINT) AS sk, is_new
+FROM assigned
+ORDER BY sk
+""",
+    family=_FAM,
+)
+def etl_surrogate_key_assign(spark, sf_dir):
+    """SURROGATE-KEY ASSIGNMENT for dimension loads (r12 — the
+    warehouse primitive every Kimball pipeline runs nightly: incoming
+    natural keys that already exist keep their surrogate key; NOVEL
+    keys get max(existing)+dense sequence — WITHOUT a database
+    sequence, which does not exist on a data lake and would serialize
+    the load if it did). The existing dimension is the suppliers with
+    suppkey % 4 != 0 (so every 4th supplier arrives as genuinely new —
+    both branches fire at every SF); new keys are ordered by natural
+    key for a deterministic, gap-free assignment. The key invariants
+    the oracle hash pins: existing keys keep their sk (stability),
+    new sks start exactly at max+1 with no gaps and no collisions
+    (ORDER BY sk in the output would expose either), and is_new
+    partitions the dimension exactly.
+
+    Scale: one anti-join to find novel members (broadcast of the
+    incoming key set or the dim key set, whichever is smaller), one
+    1-row max broadcast, one window over the NOVEL frame only — the
+    window never sees the full dimension, so the single-partition
+    cost is bounded by the batch's new-member count (the thing that
+    is small by definition in a dimension load); at larger novel
+    batches the same plan swaps to the sort_global bucketed-rank
+    idiom."""
+    s = table(spark, sf_dir, "supplier")
+    dim = (
+        s.filter(F.col("s_suppkey") % 4 != 0)
+        .select(
+            F.col("s_name").alias("nk"),
+            F.row_number().over(
+                Window.orderBy("s_suppkey")
+            ).cast("bigint").alias("sk"),
+        )
+    ).localCheckpoint()
+    incoming = s.select(F.col("s_name").alias("nk")).distinct()
+    novel = incoming.join(dim.select("nk"), "nk", "left_anti")
+    mx = dim.agg(F.max("sk").alias("mx"))
+    assigned_new = (
+        novel.crossJoin(F.broadcast(mx))
+        .select(
+            "nk",
+            (F.col("mx") + F.row_number().over(Window.orderBy("nk")))
+            .cast("bigint").alias("sk"),
+            F.lit(True).alias("is_new"),
+        )
+    )
+    return (
+        dim.select("nk", "sk", F.lit(False).alias("is_new"))
+        .unionByName(assigned_new)
+        .orderBy("sk")
+    )
