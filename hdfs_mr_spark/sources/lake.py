@@ -2320,7 +2320,7 @@ def lake_concurrent_disjoint(spark, sf_dir):
 WITH probes AS (
   SELECT * FROM (VALUES
     (0, TIMESTAMP '1995-01-11 00:00:00', 0),
-    (1, TIMESTAMP '1995-01-15 12:00:00', 1),
+    (1, TIMESTAMP '1995-01-25 12:00:00', 1),
     (2, TIMESTAMP '1999-06-01 00:00:00', 2)
   ) AS t(probe, asof_ts, resolved_version)
 ),

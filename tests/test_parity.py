@@ -42,6 +42,34 @@ def test_survey_section2_matches_registry():
     assert listed - registry == set(), f"in §2 but not registered: {sorted(listed - registry)}"
 
 
+def test_driver_rotation_is_first_and_fresh():
+    """VERDICT r12 item 2: the driver samples the FIRST 50 entries of
+    queries(); the registry must emit the curated rotation first, the
+    rotation must be exactly 50 registered names, and it must be
+    DISJOINT from the previous round's driver sample (CORRECTNESS_r12
+    keys) so the driver's 50 slots buy new coverage, not
+    re-verification."""
+    import json
+    from pathlib import Path
+
+    import __spark_entry__ as e
+    from hdfs_mr_spark.registry import DRIVER_ROTATION
+
+    names = list(e.queries())
+    assert len(DRIVER_ROTATION) == 50
+    assert names[:50] == list(DRIVER_ROTATION)
+    prev = set(json.loads(
+        (Path(__file__).resolve().parents[1] / "CORRECTNESS_r12.json")
+        .read_text()
+    ))
+    stale = [n for n in DRIVER_ROTATION if n in prev]
+    assert stale == [], f"rotation repeats r12 driver sample: {stale}"
+    # oracle coverage: every rotated op must carry a DuckDB twin
+    oracles = e.oracle_sql()
+    missing = [n for n in DRIVER_ROTATION if n not in oracles]
+    assert missing == [], f"rotation entries without oracle: {missing}"
+
+
 def test_check_artifacts_cover_registry():
     """Sweep-discipline gate (VERDICT r9 item 5, made structural): the
     CURRENT round's committed CHECK artifacts — the newest
