@@ -103,6 +103,21 @@ HEADLINE = [
     # r12 additions shipped this round
     "lake_concurrent_disjoint",    # 2.14 partition-disjoint commit race (r12)
     "llm_rag_mmr",                 # 2.11 MMR diversification rounds (r12)
+    # r13 refresh (VERDICT r12 item 4): the r12 late ops join the suite
+    "agg_hdr_histogram",           # 2.4 mergeable log-bucket quantile sketch (r12)
+    "llm_tokenizer_wordpiece",     # 2.11 greedy longest-match join rounds (r12)
+    "mr_hits",                     # 2.9 HITS hubs/authorities rounds (r12)
+    "sink_avro",                   # 2.1 module-codec OCF sink (r12)
+    "stream_python_datasource_sink",  # 2.10 epoch-2PC stream writer (r12)
+    # r13 additions shipped this round
+    "stream_rocksdb_state",        # 2.10 RocksDB state store + changelog (r13)
+    "join_cbo_broadcast",          # 2.3 ANALYZE-stats-driven broadcast (r13)
+    "llm_tokenizer_unigram_train", # 2.11 unigram-LM Viterbi-EM training (r13)
+    "llm_lm_score_kn",             # 2.11 Kneser-Ney perplexity filter (r13)
+    "llm_multimodal_exif",         # 2.11 EXIF IFD build+parse (r13)
+    "join_runtime_bloom",          # 2.3 injected row-level bloom filter (r13)
+    "fn_geohash",                  # 2.8 integer geohash codec (r13)
+    "etl_late_arriving_dim",       # 2.7 inferred-member dim lifecycle (r13)
 ]
 
 

@@ -1026,3 +1026,140 @@ def fn_ip_cidr(spark, sf_dir):
         )
         .orderBy("net_class")
     )
+
+
+def _geohash_sql(div: str) -> dict[str, str]:
+    """Shared integer geohash expression text for BOTH engines (the
+    fn_ip_cidr discipline: one generator, a ``div`` token per dialect —
+    Spark ``div``, DuckDB ``//``). 25-bit geohash (13 lon + 12 lat
+    bits, precision 5): quantize, bit-SPREAD each coordinate (zeros
+    interleaved), v = spread(lon) + 2*spread(lat), then 5 base32
+    chars; decode reverses via alphabet position and bit gather."""
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lonb = " + ".join(
+        f"((lon_b {div} {1 << j}) % 2) * {1 << (2 * j)}" for j in range(13)
+    )
+    latb = " + ".join(
+        f"((lat_b {div} {1 << i}) % 2) * {1 << (2 * i + 1)}" for i in range(12)
+    )
+    enc = " || ".join(
+        f"substr('{alpha}', CAST((v {div} {32 ** m}) % 32 AS INT) + 1, 1)"
+        for m in range(4, -1, -1)
+    )
+    dec_v = " + ".join(
+        f"(instr('{alpha}', substr(gh, {5 - m}, 1)) - 1) * {32 ** m}"
+        for m in range(4, -1, -1)
+    )
+    lon_back = " + ".join(
+        f"((v2 {div} {1 << (2 * j)}) % 2) * {1 << j}" for j in range(13)
+    )
+    lat_back = " + ".join(
+        f"((v2 {div} {1 << (2 * i + 1)}) % 2) * {1 << i}" for i in range(12)
+    )
+    return {
+        "lat_b": f"(lat_i * 4096) {div} 1800000",
+        "lon_b": f"(lon_i * 8192) {div} 3600000",
+        "v": f"({lonb}) + ({latb})",
+        "gh": enc,
+        "v2": dec_v,
+        "lon_back": lon_back,
+        "lat_back": lat_back,
+    }
+
+
+_GH_SPARK = _geohash_sql("div")
+_GH_DUCK = _geohash_sql("//")
+
+
+@query(
+    "fn_geohash",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id,
+         event_id % 1800000 AS lat_i,
+         (event_id * 7919) % 3600000 AS lon_i
+  FROM events
+),
+quant AS (
+  SELECT event_id, lat_i, lon_i,
+         {_GH_DUCK['lat_b']} AS lat_b, {_GH_DUCK['lon_b']} AS lon_b
+  FROM pts
+),
+enc AS (
+  SELECT event_id, lat_b, lon_b, v, {_GH_DUCK['gh']} AS gh
+  FROM (SELECT *, {_GH_DUCK['v']} AS v FROM quant)
+),
+dec AS (
+  SELECT event_id, lat_b, lon_b, v, gh, v2,
+         {_GH_DUCK['lon_back']} AS lon_back,
+         {_GH_DUCK['lat_back']} AS lat_back
+  FROM (SELECT *, {_GH_DUCK['v2']} AS v2 FROM enc)
+)
+SELECT substr(gh, 1, 2) AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT gh) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS v_sum,
+       CAST(SUM(CASE WHEN v2 != v OR lon_back != lon_b
+                       OR lat_back != lat_b
+                THEN 1 ELSE 0 END) AS BIGINT) AS roundtrip_failures
+FROM dec
+GROUP BY substr(gh, 1, 2)
+ORDER BY prefix
+""",
+    family=_FAM,
+)
+def fn_geohash(spark, sf_dir):
+    """GEOHASH encode/decode (r13 — the spatial-indexing staple next to
+    join_spatial_grid's raw cells: geohash's interleaved base32 makes
+    PREFIX = CONTAINMENT, so equal prefixes bucket neighbors for joins
+    and range scans — the S2/H3-class trick in its public-domain form).
+    Deterministic lat/lon derive from event_id (Knuth-multiplier lon so
+    the two coordinates decorrelate); the full codec is INTEGER-EXACT
+    in both engines: quantize to 12/13 bits by integer mul-div, SPREAD
+    the bits (zeros interleaved, the closed form v = spread(lon) +
+    2*spread(lat) — lon leads, per the geohash spec), emit 5 base32
+    chars, then DECODE the string back (alphabet position -> v' -> bit
+    gather) with roundtrip_failures PINNED at 0 — a wrong interleave
+    order, alphabet, or bit width cannot hash-match because v_sum pins
+    the interleave arithmetic per 2-char-prefix cell.
+
+    Scale: pure codegen'd per-row integer/string chains + one combiner
+    rollup — zero shuffles before the final group-by; at 100 TB the
+    same expressions geohash-bucket any point table for a co-located
+    spatial join (prefix equality) with no UDF in the path. Shared
+    expression text generates BOTH dialects (div vs //) so the engines
+    replay identical integer ops."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 1800000).alias("lat_i"),
+        ((F.col("event_id") * 7919) % 3600000).alias("lon_i"),
+    )
+    g = _GH_SPARK
+    enc = (
+        e.withColumn("lat_b", F.expr(g["lat_b"]))
+        .withColumn("lon_b", F.expr(g["lon_b"]))
+        .withColumn("v", F.expr(g["v"]))
+        .withColumn("gh", F.expr(g["gh"]))
+    )
+    dec = (
+        enc.withColumn("v2", F.expr(g["v2"]))
+        .withColumn("lon_back", F.expr(g["lon_back"]))
+        .withColumn("lat_back", F.expr(g["lat_back"]))
+    )
+    return (
+        dec.groupBy(F.substring("gh", 1, 2).alias("prefix"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count_distinct("gh").cast("bigint").alias("n_cells"),
+            F.sum("v").cast("bigint").alias("v_sum"),
+            F.sum(
+                F.when(
+                    (F.col("v2") != F.col("v"))
+                    | (F.col("lon_back") != F.col("lon_b"))
+                    | (F.col("lat_back") != F.col("lat_b")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("roundtrip_failures"),
+        )
+        .orderBy("prefix")
+    )

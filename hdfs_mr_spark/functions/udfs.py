@@ -4637,3 +4637,192 @@ def llm_multimodal_audio_spectral(spark, sf_dir):
             "nyquist_abs_sum bigint, quarter_energy_sum bigint"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_multimodal_exif",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+         doc_id % 8 + 1 AS orientation,
+         sha256(text) AS h
+  FROM documents
+)
+SELECT byte_order,
+       CAST(orientation AS BIGINT) AS orientation,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(('0x' || substr(h, 1, 4)) AS INTEGER)) AS BIGINT)
+         AS width_sum,
+       CAST(SUM(CAST(('0x' || substr(h, 5, 4)) AS INTEGER)) AS BIGINT)
+         AS height_sum,
+       CAST(SUM(CAST(('0x' || substr(h, 13, 4)) AS INTEGER)) AS BIGINT)
+         AS xres_num_sum,
+       CAST(105 AS BIGINT) AS jpeg_bytes,
+       TRUE AS len_uniform
+FROM p
+GROUP BY byte_order, orientation
+ORDER BY byte_order, orientation
+""",
+    family="2.11 llm multimodal",
+)
+def llm_multimodal_exif(spark, sf_dir):
+    """EXIF ORIENTATION/METADATA PARSE (r13 — VERDICT r12 next-round
+    item 7: real-world image ingest hits EXIF before pixels; a photo
+    displayed right-side-up is usually stored rotated with tag 0x0112
+    saying so, and a pipeline that ignores it trains on rotated
+    pixels). Each doc synthesizes a minimal JPEG whose APP1 segment
+    carries a spec-faithful TIFF-style IFD — SOI, APP1 length,
+    'Exif\\0\\0', TIFF header with the BYTE ORDER chosen by doc parity
+    ('II' little / 'MM' big, both paths exercised every run), magic
+    42, and a 5-entry IFD0 covering all four storage classes: LONG
+    inline (ImageWidth/ImageLength from the doc hash), SHORT inline
+    left-justified (Orientation = doc_id%8+1, all 8 values fire),
+    ASCII beyond 4 bytes via the VALUE-OFFSET indirection (Make), and
+    RATIONAL at offset (XResolution num/100). The parser then walks
+    the real bytes back — marker scan, endianness dispatch, entry
+    decode per type, offset following — and the rollup pins the
+    recovered orientation distribution, dimension sums, and rational
+    numerators against the closed-form oracle; the total encoded
+    length (105 bytes, every storage class accounted) pins the LAYOUT
+    arithmetic, so a builder or parser that mis-sizes any field
+    mismatches.
+
+    Scale: per-blob CPU inside one Arrow-batched mapInPandas pass
+    (the sanctioned multimodal shape) + one combiner rollup; EXIF
+    segments are < 64 KB by spec so the parse is O(1) per image
+    regardless of image size — at 100 TB this runs on the binary
+    column without ever decoding pixels."""
+
+    def exif_batches(batches):
+        # self-contained closure (cloudpickle-by-value; runs from any cwd)
+        import struct
+
+        import pandas as pd
+
+        def build(doc_id: int, h: str) -> bytes:
+            little = doc_id % 2 == 0
+            bo = "<" if little else ">"
+            width = int(h[0:4], 16)
+            height = int(h[4:8], 16)
+            xnum = int(h[12:16], 16)
+            make = ("cam_" + h[8:12]).encode() + b"\x00"  # 9 bytes
+            # IFD layout relative to TIFF header start: header 8,
+            # count 2, 5 entries x 12, next-IFD 4 -> values at 74
+            off_make, off_rat = 74, 74 + len(make)
+
+            def entry(tag, typ, cnt, val4):
+                return struct.pack(bo + "HHI", tag, typ, cnt) + val4
+
+            def inline_long(v):
+                return struct.pack(bo + "I", v)
+
+            def inline_short(v):  # left-justified per TIFF spec
+                return struct.pack(bo + "H", v) + b"\x00\x00"
+
+            ifd = struct.pack(bo + "H", 5)
+            ifd += entry(0x0100, 4, 1, inline_long(width))
+            ifd += entry(0x0101, 4, 1, inline_long(height))
+            ifd += entry(0x010F, 2, len(make), inline_long(off_make))
+            ifd += entry(0x0112, 3, 1, inline_short(doc_id % 8 + 1))
+            ifd += entry(0x011A, 5, 1, inline_long(off_rat))
+            ifd += struct.pack(bo + "I", 0)  # next-IFD terminator
+            tiff = (
+                (b"II" if little else b"MM")
+                + struct.pack(bo + "H", 42)
+                + struct.pack(bo + "I", 8)
+                + ifd + make + struct.pack(bo + "II", xnum, 100)
+            )
+            app1 = b"Exif\x00\x00" + tiff
+            return (
+                b"\xff\xd8\xff\xe1"
+                + struct.pack(">H", len(app1) + 2)
+                + app1 + b"\xff\xd9"
+            )
+
+        def parse(b: bytes) -> dict:
+            if b[:2] != b"\xff\xd8":
+                raise ValueError("not a JPEG (no SOI)")
+            pos = 2
+            while pos + 4 <= len(b):
+                if b[pos] != 0xFF:
+                    raise ValueError(f"bad marker alignment at {pos}")
+                marker = b[pos + 1]
+                if marker == 0xD9:  # EOI
+                    break
+                seglen = struct.unpack(">H", b[pos + 2:pos + 4])[0]
+                seg = b[pos + 4:pos + 2 + seglen]
+                pos += 2 + seglen
+                if marker != 0xE1 or not seg.startswith(b"Exif\x00\x00"):
+                    continue
+                tiff = seg[6:]
+                order = tiff[:2]
+                bo = {b"II": "<", b"MM": ">"}[order]
+                if struct.unpack(bo + "H", tiff[2:4])[0] != 42:
+                    raise ValueError("bad TIFF magic")
+                ifd_off = struct.unpack(bo + "I", tiff[4:8])[0]
+                n = struct.unpack(bo + "H", tiff[ifd_off:ifd_off + 2])[0]
+                out = {"byte_order": order.decode(), "n_entries": n}
+                for i in range(n):
+                    e = tiff[ifd_off + 2 + 12 * i:ifd_off + 14 + 12 * i]
+                    tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+                    if typ == 3 and cnt == 1:      # SHORT inline
+                        val = struct.unpack(bo + "H", e[8:10])[0]
+                    elif typ == 4 and cnt == 1:    # LONG inline
+                        val = struct.unpack(bo + "I", e[8:12])[0]
+                    elif typ == 2:                 # ASCII at offset
+                        o = struct.unpack(bo + "I", e[8:12])[0]
+                        val = tiff[o:o + cnt - 1].decode()
+                    elif typ == 5 and cnt == 1:    # RATIONAL at offset
+                        o = struct.unpack(bo + "I", e[8:12])[0]
+                        num, den = struct.unpack(bo + "II", tiff[o:o + 8])
+                        val = (num, den)
+                    else:
+                        raise ValueError(f"unsupported type {typ} x{cnt}")
+                    out[tag] = val
+                return out
+            raise ValueError("no Exif APP1 segment found")
+
+        for pdf in batches:
+            rows = []
+            for doc_id, h in zip(pdf["doc_id"], pdf["h"]):
+                blob = build(int(doc_id), h)
+                rec = parse(blob)
+                num, den = rec[0x011A]
+                assert den == 100, den
+                rows.append({
+                    "byte_order": rec["byte_order"],
+                    "orientation": rec[0x0112],
+                    "width": rec[0x0100],
+                    "height": rec[0x0101],
+                    "xres_num": num,
+                    "make_ok": rec[0x010F].startswith("cam_"),
+                    "jpeg_len": len(blob),
+                })
+            yield pd.DataFrame(rows)
+
+    from hdfs_mr_spark.io import fan_out
+
+    d = fan_out(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", F.sha2(F.col("text"), 256).alias("h")
+        )
+    )
+    parsed = d.mapInPandas(
+        exif_batches,
+        "byte_order string, orientation int, width long, height long, "
+        "xres_num long, make_ok boolean, jpeg_len long",
+    ).filter(F.col("make_ok"))  # a dropped row => count mismatch
+    return (
+        parsed.groupBy("byte_order", F.col("orientation").cast("bigint")
+                       .alias("orientation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("width").cast("bigint").alias("width_sum"),
+            F.sum("height").cast("bigint").alias("height_sum"),
+            F.sum("xres_num").cast("bigint").alias("xres_num_sum"),
+            F.max("jpeg_len").cast("bigint").alias("jpeg_bytes"),
+            (F.min("jpeg_len") == F.max("jpeg_len")).alias("len_uniform"),
+        )
+        .orderBy("byte_order", "orientation")
+    )

@@ -1547,3 +1547,219 @@ def join_point_in_polygon(spark, sf_dir):
         )
         .orderBy("polygon_id")
     )
+
+
+@query(
+    "join_cbo_broadcast",
+    oracle=f"""
+WITH seg AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+SELECT o_orderpriority,
+       TRUE AS cbo_broadcasts_filtered_dim,
+       TRUE AS smj_when_stats_say_big,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 2)} AS revenue
+FROM orders JOIN seg ON o_custkey = c_custkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    family=_FAM,
+)
+def join_cbo_broadcast(spark, sf_dir):
+    """STATS-DRIVEN broadcast choice — the CBO/ANALYZE path (r13,
+    VERDICT r12 missing item 4: every broadcast in the engine was
+    hint- or file-size-driven; a 100 TB warehouse relies on Catalyst
+    choosing the strategy from CATALOG statistics). The customer dim
+    is saved as a catalog table and ``ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR ALL COLUMNS`` records rowCount + per-column NDV.
+    With ``spark.sql.cbo.enabled`` and the broadcast threshold pinned
+    at HALF the table's raw size, the planner must reason, not
+    measure: the dim filtered to one of 5 market segments estimates at
+    ~sizeInBytes/5 (equality selectivity 1/ndv from the ANALYZE'd
+    column stats) < threshold -> BroadcastHashJoin WITH NO HINT, while
+    the unfiltered dim estimates at full sizeInBytes > threshold ->
+    SortMergeJoin. Both decisions are MEASURED from the static plans
+    and pinned as oracle booleans; the join result itself stays
+    hash-checked.
+
+    Scale: this is the planning-layer lever — at 100 TB, discovering
+    broadcastability at runtime (AQE) costs a full map-stage shuffle
+    of the fact side first; catalog stats give the right plan at
+    compile time. The static-plan booleans certify exactly that
+    decision (returned-frame execution may re-plan under session
+    defaults; AQE reaches the same join strategy at runtime, so the
+    data result is conf-invariant)."""
+    import re as _re
+    import shutil
+    from urllib.parse import urlparse
+
+    from hdfs_mr_spark.plans.audit import formatted_plan, plan_nodes
+
+    tag = _re.sub(r"[^0-9a-z]", "_", sf_dir.rsplit("/", 1)[-1].lower())
+    ct = f"hmr_cbo_customer_{tag}"
+    catalog = spark.catalog
+    if not catalog.tableExists(ct):
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{ct}", ignore_errors=True)
+        (
+            table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name", "c_mktsegment")
+            .write.mode("overwrite")
+            .saveAsTable(ct)
+        )
+        spark.sql(f"ANALYZE TABLE {ct} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+    # raw catalog size (what the planner sees with NO selectivity math)
+    import os as _os
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    raw_bytes = sum(
+        _os.path.getsize(_os.path.join(r, fn))
+        for r, _d, fs in _os.walk(f"{wh}/{ct}") for fn in fs
+        if not fn.startswith(("_", "."))
+    )
+    thr = max(raw_bytes // 2, 1024)
+
+    o = table(spark, sf_dir, "orders")
+
+    def joined(dim):
+        return (
+            o.join(dim, o.o_custkey == dim.c_custkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum(F.col("o_totalprice"), 2).alias("revenue"),
+            )
+        )
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.cbo.enabled",
+                  "spark.sql.autoBroadcastJoinThreshold")
+    }
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
+        dim_small = spark.table(ct).filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        plan_small = plan_nodes(formatted_plan(joined(dim_small)))
+        bhj = any("BroadcastHashJoin" in n for n in plan_small) and not any(
+            "SortMergeJoin" in n for n in plan_small
+        )
+        plan_big = plan_nodes(formatted_plan(joined(spark.table(ct))))
+        smj = any("SortMergeJoin" in n for n in plan_big)
+        result = (
+            joined(dim_small)
+            .select(
+                "o_orderpriority",
+                F.lit(bool(bhj)).alias("cbo_broadcasts_filtered_dim"),
+                F.lit(bool(smj)).alias("smj_when_stats_say_big"),
+                "n_orders", "revenue",
+            )
+            .orderBy("o_orderpriority")
+        )
+        # materialize under the CBO confs so the certified plan is the
+        # executed plan (localCheckpoint: executor-side, no driver data)
+        result = result.localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    return result
+
+
+@query(
+    "join_runtime_bloom",
+    oracle=f"""
+SELECT l_returnflag,
+       TRUE AS bloom_injected,
+       TRUE AS plain_when_disabled,
+       COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    family=_FAM,
+)
+def join_runtime_bloom(spark, sf_dir):
+    """RUNTIME ROW-LEVEL BLOOM-FILTER JOIN (r13 — the second injected-
+    filter production lever next to join_dpp_partition_pruned's
+    partition-level DPP: Spark 3.3+'s runtime bloom filter, SPARK-32268):
+    when the creation side of a shuffle join carries a selective filter
+    (orders at priority 1-URGENT, ~1/5), the optimizer injects a
+    bloom_filter_agg subquery over its join keys and rewrites the
+    application side's scan with might_contain(xxhash64(key)) — rows
+    that cannot join are dropped BEFORE the shuffle, which at 100 TB is
+    the difference between shuffling the full fact table and ~1/5th of
+    it, with NO partition-layout requirement (DPP needs a partitioned
+    table; the bloom filter works on any scan).
+
+    Both decisions are MEASURED from static plans and pinned:
+    `bloom_injected` = the enabled plan contains the might_contain
+    rewrite + bloom_filter_agg subquery; `plain_when_disabled` = the
+    same query under runtime.bloomFilter.enabled=false has neither.
+    The join aggregate itself stays hash-checked and is materialized
+    under the certified confs (the join_cbo_broadcast discipline).
+    Fixture scaling: applicationSideScanSizeThreshold drops to 0
+    (default 10GB — the lever exists precisely because fixtures are
+    not 10GB) and broadcast is disabled so the SHUFFLE join path the
+    bloom filter exists for is the one planned."""
+    from hdfs_mr_spark.plans.audit import formatted_plan
+
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+
+    def joined():
+        return (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_items"),
+                dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ).alias("revenue"),
+            )
+        )
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        p_on = formatted_plan(joined()).lower()
+        injected = "might_contain" in p_on and "bloom_filter_agg" in p_on
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        p_off = formatted_plan(joined()).lower()
+        plain = "might_contain" not in p_off
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        result = (
+            joined()
+            .select(
+                "l_returnflag",
+                F.lit(bool(injected)).alias("bloom_injected"),
+                F.lit(bool(plain)).alias("plain_when_disabled"),
+                "n_items", "revenue",
+            )
+            .orderBy("l_returnflag")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    return result

@@ -3909,3 +3909,439 @@ def llm_sample_nucleus(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+def _unigram_round_sql(r: int) -> str:
+    """One EM round of the unigram-trainer oracle (see
+    llm_tokenizer_unigram_train): cost table c{r} from vocab v{r},
+    lattice edges e{r}, the Viterbi DP rec{r} carrying the canonical
+    argmin path (struct MIN = cost first, then the len-encoded path
+    string — 'a'..'d' for piece length 4..1, so ties prefer the
+    leftmost longest piece), path decode via a running-sum offset, and
+    the M-step recount m{r} -> pruned vocab v{r+1}."""
+    return f"""
+c{r} AS MATERIALIZED (
+  SELECT piece, len,
+         CAST(1099511627776 + (1048576 - least(cnt, 1048575)) AS BIGINT)
+           AS cost
+  FROM v{r}),
+e{r} AS MATERIALIZED (
+  SELECT c.w, c.freq, c.L, c.p, c.len, k.cost,
+         CASE c.len WHEN 4 THEN 'a' WHEN 3 THEN 'b' WHEN 2 THEN 'c'
+              ELSE 'd' END AS enc
+  FROM cand c JOIN c{r} k ON k.piece = c.piece AND k.len = c.len),
+rec{r} AS (
+  SELECT w, CAST(0 AS BIGINT) AS pos,
+         {{'c': CAST(0 AS BIGINT), 'ph': ''}} AS st, 0 AS age
+  FROM words
+  UNION ALL
+  SELECT * FROM (
+    SELECT w, pos, st, age + 1 AS age FROM rec{r} WHERE age < 3
+    UNION ALL
+    SELECT r.w, r.pos + r.age + 1 AS pos,
+           MIN({{'c': r.st.c + e.cost, 'ph': r.st.ph || e.enc}}) AS st,
+           0 AS age
+    FROM rec{r} r
+    JOIN e{r} e ON e.w = r.w AND e.p = r.pos + r.age + 1
+               AND e.len = r.age + 1
+    GROUP BY r.w, r.pos + r.age + 1
+  )),
+fin{r} AS MATERIALIZED (
+  SELECT r.w, wd.freq, r.st.ph AS ph
+  FROM rec{r} r JOIN words wd ON wd.w = r.w
+  WHERE r.age = 0 AND r.pos = wd.L),
+off{r} AS MATERIALIZED (
+  SELECT w, freq, i, len,
+         SUM(len) OVER (PARTITION BY w ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) - len + 1 AS o
+  FROM (
+    SELECT w, freq, i,
+           CASE substr(ph, i, 1) WHEN 'a' THEN 4 WHEN 'b' THEN 3
+                WHEN 'c' THEN 2 ELSE 1 END AS len
+    FROM (SELECT w, freq, ph,
+                 unnest(generate_series(1, length(ph))) AS i
+          FROM fin{r}))),
+m{r} AS MATERIALIZED (
+  SELECT substr(w, CAST(o AS BIGINT), CAST(len AS BIGINT)) AS piece,
+         len, SUM(freq) AS cnt
+  FROM off{r} GROUP BY 1, 2),
+v{r + 1} AS MATERIALIZED (
+  SELECT ch.piece, 1 AS len, COALESCE(m.cnt, 0) AS cnt
+  FROM chars ch LEFT JOIN m{r} m ON m.piece = ch.piece AND m.len = 1
+  UNION ALL
+  SELECT piece, len, cnt FROM m{r}
+  WHERE len >= 2
+    AND 64 * cnt >= (SELECT MAX(cnt) FROM m{r} WHERE len >= 2))"""
+
+
+def _unigram_oracle(rounds: int = 3) -> str:
+    body = ",".join(_unigram_round_sql(r) for r in range(1, rounds + 1))
+    return f"""
+WITH RECURSIVE
+words AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, length(w) AS L
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) BETWEEN 1 AND 24 GROUP BY w),
+cand AS MATERIALIZED (
+  SELECT w, freq, L, p, len, substr(w, p - len + 1, len) AS piece
+  FROM (SELECT *, unnest(generate_series(1, L)) AS p FROM words),
+       (SELECT unnest([1, 2, 3, 4]) AS len)
+  WHERE len <= p),
+seed AS MATERIALIZED (
+  SELECT piece, len, SUM(freq) AS cnt FROM cand GROUP BY piece, len),
+chars AS MATERIALIZED (SELECT piece FROM seed WHERE len = 1),
+v1 AS MATERIALIZED (
+  SELECT piece, len, cnt FROM seed WHERE len = 1
+  UNION ALL
+  SELECT piece, len, cnt FROM seed
+  WHERE len >= 2
+    AND 64 * cnt >= (SELECT MAX(cnt) FROM seed WHERE len >= 2)),
+{body},
+v2sub AS (SELECT piece, len, cnt FROM v{rounds + 1} WHERE len >= 2),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab2,
+               CAST(SUM(cnt) AS BIGINT) AS cnt2_sum FROM v2sub),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rank,
+         piece, len, cnt
+  FROM v2sub)
+SELECT CAST(rank AS BIGINT) AS rank, piece, CAST(len AS BIGINT) AS len,
+       CAST(cnt AS BIGINT) AS cnt, n_vocab2, cnt2_sum
+FROM ranked, tot WHERE rank <= 40 ORDER BY rank
+"""
+
+
+@query("llm_tokenizer_unigram_train", oracle=_unigram_oracle(3), family=_FAM)
+def llm_tokenizer_unigram_train(spark, sf_dir):
+    """UNIGRAM-LM TOKENIZER TRAINING (r13 — VERDICT r12 next-round item
+    5, the missing half of the tokenizer story: llm_tokenizer_viterbi
+    APPLIES a unigram model; SentencePiece TRAINS one by EM, Kudo
+    2018). Hard-EM (Viterbi-EM) over the DISTINCT-WORD frame with the
+    engine's integer-exact cost ladder: piece cost = 2^40 + (2^20 -
+    min(count, 2^20-1)) (fewest-tokens primary, frequency tie-break,
+    the llm_tokenizer_viterbi rule), seed vocabulary = all substrings
+    of length 1..4 with relative-to-mode support (64*cnt >= max cnt),
+    single chars always kept so every word segments. Each of 3 rounds:
+    E-step Viterbi-segments every distinct word under current costs
+    with a CANONICAL tie-break (min over (cost, path) where the path
+    encodes piece lengths 'a'..'d' for 4..1 — equal cost means equal
+    token count, so lexicographic path-min prefers the leftmost
+    longest piece deterministically in both engines); M-step recounts
+    pieces from the chosen segmentations weighted by word frequency;
+    prune drops len>=2 pieces below 1/64 of the round's modal count.
+    The final vocabulary hash-checks rank-for-rank (top 40 by count,
+    piece tie-break) plus its global size and mass — vocab convergence
+    is checked identically, not summarized.
+
+    Spark-first shape: ALL counting is combiner aggregations on the
+    vocabulary-collapsed word frame (Heaps law: |words| << corpus);
+    the lattice is equi-joins of the candidate-position frame against
+    the current vocab; only the per-word DP (inherently sequential in
+    position) runs in a grouped-map pandas kernel, parallelism =
+    distinct words. Per-round frames are localCheckpoint'ed so the
+    3-round plan cannot compound (the llm_rag_mmr lesson). The DuckDB
+    oracle replays the identical 3 rounds: the DP is a lockstep
+    recursive CTE whose state is a (cost, path) STRUCT under MIN —
+    struct comparison is field-ordered, so the SQL argmin IS the
+    kernel's tuple min.
+
+    Scale: at 100 TB the word frame still collapses by Heaps' law
+    (~10^7 distinct words per language); rounds are bounded (3), each
+    one shuffle for the M-step recount plus one broadcast of the
+    sub-vocab-sized piece table — the same budget per round as
+    llm_bpe_train_rounds."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_toks()).alias("w"))
+        .filter((F.length("w") >= 1) & (F.length("w") <= 24))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .withColumn("L", F.length("w").cast("int"))
+        .localCheckpoint()
+    )
+    cand = (
+        words.select(
+            "w", "freq", "L",
+            F.explode(F.sequence(F.lit(1), F.col("L"))).alias("p"),
+        )
+        .select(
+            "w", "freq", "L", "p",
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)]))
+            .alias("len"),
+        )
+        .filter(F.col("len") <= F.col("p"))
+        .withColumn("piece", F.expr("substring(w, p - len + 1, len)"))
+        .localCheckpoint()
+    )
+    seed = cand.groupBy("piece", "len").agg(
+        F.sum("freq").cast("bigint").alias("cnt")
+    )
+    chars = seed.filter(F.col("len") == 1).select("piece").localCheckpoint()
+
+    def prune(counts):
+        """len-1 pieces always survive (coalesced to their new count);
+        len>=2 pieces need 64*cnt >= the round's modal len>=2 count."""
+        c2 = counts.filter(F.col("len") >= 2)
+        mx = c2.agg(F.max("cnt").alias("mx"))
+        kept2 = (
+            c2.crossJoin(F.broadcast(mx))
+            .filter(64 * F.col("cnt") >= F.col("mx"))
+            .select("piece", "len", "cnt")
+        )
+        kept1 = (
+            chars.join(
+                counts.filter(F.col("len") == 1).select("piece", "cnt"),
+                "piece", "left",
+            )
+            .select(
+                "piece", F.lit(1).alias("len"),
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint")
+                .alias("cnt"),
+            )
+        )
+        return kept1.unionByName(kept2).localCheckpoint()
+
+    # seed vocab v1 uses the same relative-to-mode rule on raw
+    # substring support (chars from seed itself, so coalesce is exact)
+    vocab = prune(seed)
+
+    kern_schema = "piece string, wfreq long"
+    ENC = {4: "a", 3: "b", 2: "c", 1: "d"}
+    DEC = {v: k for k, v in ENC.items()}
+
+    def estep(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf["w"].iloc[0]
+        L = int(pdf["L"].iloc[0])
+        freq = int(pdf["freq"].iloc[0])
+        by_p: dict[int, list[tuple[int, int]]] = {}
+        for p, ln, c in zip(pdf["p"], pdf["len"], pdf["cost"]):
+            by_p.setdefault(int(p), []).append((int(ln), int(c)))
+        best: list = [(0, "")] + [None] * L
+        for p in range(1, L + 1):
+            b = None
+            for ln, c in by_p.get(p, ()):
+                prev = best[p - ln]
+                if prev is None:
+                    continue
+                st = (prev[0] + c, prev[1] + ENC[ln])
+                if b is None or st < b:
+                    b = st
+            best[p] = b
+        rows, off = [], 0
+        for ch in best[L][1]:
+            ln = DEC[ch]
+            rows.append({"piece": w[off:off + ln], "wfreq": freq})
+            off += ln
+        return pd.DataFrame(rows)
+
+    for _r in range(3):
+        cost = vocab.select(
+            "piece", "len",
+            (
+                F.lit(2 ** 40)
+                + (F.lit(2 ** 20) - F.least(F.col("cnt"), F.lit(2 ** 20 - 1)))
+            ).cast("bigint").alias("cost"),
+        )
+        edges = cand.join(F.broadcast(cost), ["piece", "len"]).select(
+            "w", "freq", "L", "p", "len", "cost"
+        )
+        mstep = (
+            edges.groupBy("w")
+            .applyInPandas(estep, kern_schema)
+            .groupBy("piece")
+            .agg(F.sum("wfreq").cast("bigint").alias("cnt"))
+            .withColumn("len", F.length("piece").cast("int"))
+        )
+        vocab = prune(mstep)
+
+    v2 = vocab.filter(F.col("len") >= 2)
+    tot = v2.agg(
+        F.count("*").cast("bigint").alias("n_vocab2"),
+        F.sum("cnt").cast("bigint").alias("cnt2_sum"),
+    )
+    top = (
+        v2.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(40)  # TakeOrdered — no global sort; rank over 40 rows
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+            ).cast("bigint"),
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "rank", "piece", F.col("len").cast("bigint").alias("len"),
+            "cnt", "n_vocab2", "cnt2_sum",
+        )
+        .orderBy("rank")
+    )
+
+
+@query(
+    "llm_lm_score_kn",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+big AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+  FROM tok, LATERAL unnest(range(1, len(l))) AS u(i)
+),
+train_big AS (
+  SELECT w1, w2, COUNT(*) AS bcnt FROM big WHERE doc_id % 2 = 0
+  GROUP BY w1, w2
+),
+hist AS (
+  SELECT w1, SUM(bcnt) AS cw1, COUNT(*) AS n1fwd FROM train_big GROUP BY w1
+),
+cont AS (
+  SELECT w2, COUNT(*) AS n1bwd FROM train_big GROUP BY w2
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM train_big) AS n1p_total,
+         (SELECT COUNT(DISTINCT w) FROM (
+            SELECT unnest(l) AS w FROM tok WHERE doc_id % 2 = 0)) AS v
+),
+scored AS (
+  SELECT b.doc_id,
+         COUNT(*) AS n_transitions,
+         SUM(CAST(round(-ln(
+           CASE WHEN h.cw1 IS NOT NULL THEN
+             greatest(CAST(COALESCE(tb.bcnt, 0) AS DOUBLE) - 0.75, 0.0)
+               / CAST(h.cw1 AS DOUBLE)
+             + 0.75 * CAST(h.n1fwd AS DOUBLE) / CAST(h.cw1 AS DOUBLE)
+               * ((CAST(COALESCE(c.n1bwd, 0) AS DOUBLE) + 1.0)
+                  / (CAST(t.n1p_total AS DOUBLE) + CAST(t.v AS DOUBLE) + 1.0))
+           ELSE
+             (CAST(COALESCE(c.n1bwd, 0) AS DOUBLE) + 1.0)
+               / (CAST(t.n1p_total AS DOUBLE) + CAST(t.v AS DOUBLE) + 1.0)
+           END) * 1000000.0) AS BIGINT)) AS nll_micro,
+         SUM(CASE WHEN tb.bcnt IS NOT NULL THEN 1 ELSE 0 END) AS n_seen,
+         SUM(CASE WHEN h.cw1 IS NULL THEN 1 ELSE 0 END) AS n_unseen_history
+  FROM big b
+  LEFT JOIN train_big tb ON b.w1 = tb.w1 AND b.w2 = tb.w2
+  LEFT JOIN hist h ON b.w1 = h.w1
+  LEFT JOIN cont c ON b.w2 = c.w2
+  CROSS JOIN tot t
+  GROUP BY b.doc_id
+)
+SELECT doc_id,
+       CAST(n_transitions AS BIGINT) AS n_transitions,
+       CAST(nll_micro AS BIGINT) AS nll_micro,
+       CAST(nll_micro AS DOUBLE) / n_transitions AS mean_nll_micro,
+       CAST(n_seen AS BIGINT) AS n_seen,
+       CAST(n_unseen_history AS BIGINT) AS n_unseen_history,
+       doc_id % 2 = 0 AS in_train
+FROM scored
+""",
+    family=_FAM,
+)
+def llm_lm_score_kn(spark, sf_dir):
+    """KNESER-NEY smoothed bigram LM scoring (r13 — VERDICT r12
+    next-round item 6: the perplexity-filter upgrade over
+    llm_lm_score_bigram's stupid backoff; interpolated KN with absolute
+    discounting, Kneser & Ney 1995 / Chen & Goodman 1998):
+
+        P(w2|w1) = max(C(w1,w2) - D, 0)/C(w1)
+                   + D * N1+(w1,.)/C(w1) * Pcont(w2),   D = 0.75
+        Pcont(w2) = (N1+(.,w2) + 1) / (N1+(..) + V + 1)
+
+    where N1+(w1,.) is the count of distinct continuations of w1,
+    N1+(.,w2) the distinct histories of w2, N1+(..) total bigram types
+    and V the training vocabulary (add-one on the continuation
+    distribution keeps every probability > 0, so OOV tokens score
+    finitely). Unknown history (C(w1)=0) falls back to Pcont alone.
+    The model trains on the even-doc half and scores every doc, so
+    held-out docs exercise the discount, interpolation, and
+    unknown-history paths for real; n_seen / n_unseen_history are
+    per-doc domain signals. This is the quality gate every production
+    pretraining pipeline runs (CCNet-style perplexity filtering) with
+    the smoothing that actually wins at it.
+
+    Determinism: the llm_lm_score_bigram discipline — all model
+    quantities are INTEGER counts; each transition's probability is
+    one closed-form double expression over those integers, -ln'd and
+    quantized to integer micro-units before the order-independent sum.
+    Scale: all three model tables (bigram types, history stats,
+    continuation stats) are combiner aggregations over the bigram-TYPE
+    frame (vocab-squared bounded, Heaps-collapsed); scoring is three
+    unhinted shuffle equi-joins on the instance frame plus ONE
+    broadcast 1-row totals aggregate — no driver scalar, one lazy
+    plan."""
+    d = table(spark, sf_dir, "documents")
+    tok = fan_out(d.select("doc_id", _toks().alias("l")))
+    big = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "IF(size(l) >= 2,"
+                " transform(sequence(1, size(l) - 1),"
+                "  i -> struct(element_at(l, i) AS w1, element_at(l, i+1) AS w2)),"
+                " array())"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # the bigram-TYPE frame feeds FOUR consumers (scoring join, history
+    # stats, continuation stats, totals) — checkpoint it once so the
+    # corpus explode + type aggregation run once, not four times (the
+    # llm_rag_mmr multi-consumer lesson; vocab-squared bounded frame)
+    train_big = (
+        big.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("bcnt"))
+        .localCheckpoint()
+    )
+    hist = train_big.groupBy("w1").agg(
+        F.sum("bcnt").alias("cw1"), F.count("*").alias("n1fwd")
+    )
+    cont = train_big.groupBy("w2").agg(F.count("*").alias("n1bwd"))
+    v = (
+        tok.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode("l").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    tot = train_big.agg(F.count("*").alias("n1p_total")).crossJoin(
+        F.broadcast(v)
+    )
+    pcont = (
+        (F.coalesce(F.col("n1bwd"), F.lit(0)).cast("double") + 1.0)
+        / (F.col("n1p_total").cast("double") + F.col("v").cast("double") + 1.0)
+    )
+    p = F.when(
+        F.col("cw1").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("bcnt"), F.lit(0)).cast("double") - 0.75,
+            F.lit(0.0),
+        ) / F.col("cw1").cast("double")
+        + 0.75 * F.col("n1fwd").cast("double") / F.col("cw1").cast("double")
+        * pcont,
+    ).otherwise(pcont)
+    scored = (
+        big.join(train_big, ["w1", "w2"], "left")
+        .join(hist, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.sum(F.round(-F.log(p) * 1000000.0).cast("bigint"))
+            .alias("nll_micro"),
+            F.sum(F.when(F.col("bcnt").isNotNull(), 1).otherwise(0))
+            .alias("n_seen"),
+            F.sum(F.when(F.col("cw1").isNull(), 1).otherwise(0))
+            .alias("n_unseen_history"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        F.col("nll_micro").cast("bigint").alias("nll_micro"),
+        (F.col("nll_micro").cast("double") / F.col("n_transitions"))
+        .alias("mean_nll_micro"),
+        F.col("n_seen").cast("bigint").alias("n_seen"),
+        F.col("n_unseen_history").cast("bigint").alias("n_unseen_history"),
+        (F.col("doc_id") % 2 == 0).alias("in_train"),
+    )

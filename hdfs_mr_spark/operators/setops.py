@@ -1867,3 +1867,184 @@ def etl_surrogate_key_assign(spark, sf_dir):
         .unionByName(assigned_new)
         .orderBy("sk")
     )
+
+
+@query(
+    "etl_late_arriving_dim",
+    oracle="""
+WITH dim0 AS (
+  SELECT c_custkey AS nk,
+         row_number() OVER (ORDER BY c_custkey) AS sk,
+         c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 5 <> 0
+),
+facts AS (
+  SELECT o_custkey AS nk,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+unseen AS (
+  SELECT DISTINCT f.nk FROM facts f ANTI JOIN dim0 d ON d.nk = f.nk
+),
+inferred AS (
+  SELECT nk,
+         (SELECT MAX(sk) FROM dim0) + row_number() OVER (ORDER BY nk) AS sk
+  FROM unseen
+),
+dim1 AS (
+  SELECT nk, sk, seg, FALSE AS inferred FROM dim0
+  UNION ALL
+  SELECT nk, sk, NULL AS seg, TRUE AS inferred FROM inferred
+),
+fact_sk AS (
+  SELECT d.sk, COUNT(*) AS n_orders, SUM(f.cents) AS cents
+  FROM facts f JOIN dim1 d ON d.nk = f.nk
+  GROUP BY d.sk
+),
+late AS (
+  SELECT c_custkey AS nk, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 5 = 0
+),
+healed AS (
+  SELECT d.nk, d.sk, l.seg, TRUE AS was_inferred
+  FROM dim1 d JOIN late l ON l.nk = d.nk
+  WHERE d.inferred
+),
+late_new AS (
+  SELECT l.nk,
+         (SELECT MAX(sk) FROM dim1)
+           + row_number() OVER (ORDER BY l.nk) AS sk,
+         l.seg, FALSE AS was_inferred
+  FROM late l ANTI JOIN dim1 d ON d.nk = l.nk
+),
+dim2 AS (
+  SELECT nk, sk, seg, FALSE AS was_inferred FROM dim0
+  UNION ALL SELECT nk, sk, seg, was_inferred FROM healed
+  UNION ALL SELECT nk, sk, seg, was_inferred FROM late_new
+)
+SELECT d.seg AS c_mktsegment, d.was_inferred,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(d.sk) AS BIGINT) AS sk_sum,
+       CAST(SUM(COALESCE(f.n_orders, 0)) AS BIGINT) AS n_orders,
+       CAST(SUM(COALESCE(f.cents, 0)) AS BIGINT) AS cents
+FROM dim2 d LEFT JOIN fact_sk f ON f.sk = d.sk
+GROUP BY d.seg, d.was_inferred
+ORDER BY c_mktsegment, was_inferred
+""",
+    family=_FAM,
+)
+def etl_late_arriving_dim(spark, sf_dir):
+    """LATE-ARRIVING DIMENSION (inferred members) — the Kimball
+    pattern the sentinel repair (etl_orphan_repair) and the surrogate
+    assigner (etl_surrogate_key_assign) bracket but neither covers
+    (r13): when a fact references a dimension member whose row hasn't
+    landed yet, the load CREATES an INFERRED placeholder (real
+    surrogate key, natural key carried, attributes NULL, inferred
+    flag) so the fact keys to a real sk immediately — no -1 sentinel,
+    no dropped fact, no reload later. When the member's true row
+    finally arrives, it HEALS the placeholder IN PLACE (type-1 update:
+    attributes filled, sk UNCHANGED — facts never rekey), while
+    late-batch members nobody referenced yet get fresh surrogate keys
+    past the current max (both late-batch branches fire at every SF:
+    referenced %5==0 customers heal, unreferenced ones are new).
+
+    Fixture: the dimension loads customers with custkey % 5 != 0; the
+    withheld 20% arrive late. The oracle hash pins exactly the
+    invariants that make the pattern safe: sk_sum per (segment,
+    was_inferred) group proves healing preserved every inferred sk (a
+    rekey shifts mass between groups), n_orders/cents prove facts
+    keyed once at arrival stay correctly joined through the heal, and
+    the was_inferred split partitions the final dimension.
+
+    Scale: the initial dim0 sk load is a one-time dimension build
+    (dimension-sized, the etl_surrogate_key_assign precedent); every
+    per-load window after it runs over NOVEL frames only (unseen FKs,
+    unreferenced late members), fact keying is the dim join the load
+    already does, healing is a dim-sized join — no fact-table rewrite
+    anywhere, which is the entire point of the pattern at 100 TB."""
+    c = table(spark, sf_dir, "customer")
+    dim0 = (
+        c.filter(F.col("c_custkey") % 5 != 0)
+        .select(
+            F.col("c_custkey").alias("nk"),
+            F.row_number().over(Window.orderBy("c_custkey"))
+            .cast("bigint").alias("sk"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .localCheckpoint()
+    )
+    facts = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("nk"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    unseen = (
+        facts.select("nk").distinct()
+        .join(dim0.select("nk"), "nk", "left_anti")
+    )
+    mx0 = dim0.agg(F.max("sk").alias("mx"))
+    inferred = (
+        unseen.crossJoin(F.broadcast(mx0))
+        .select(
+            "nk",
+            (F.col("mx") + F.row_number().over(Window.orderBy("nk")))
+            .cast("bigint").alias("sk"),
+            F.lit(None).cast("string").alias("seg"),
+            F.lit(True).alias("inferred"),
+        )
+    )
+    dim1 = (
+        dim0.select("nk", "sk", "seg", F.lit(False).alias("inferred"))
+        .unionByName(inferred)
+        .localCheckpoint()
+    )
+    fact_sk = (
+        facts.join(dim1.select("nk", "sk"), "nk")
+        .groupBy("sk")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    late = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            F.col("c_custkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    healed = (
+        dim1.filter("inferred")
+        .drop("seg")
+        .join(late, "nk")
+        .select("nk", "sk", "seg", F.lit(True).alias("was_inferred"))
+    )
+    mx1 = dim1.agg(F.max("sk").alias("mx"))
+    late_new = (
+        late.join(dim1.select("nk"), "nk", "left_anti")
+        .crossJoin(F.broadcast(mx1))
+        .select(
+            "nk",
+            (F.col("mx") + F.row_number().over(Window.orderBy("nk")))
+            .cast("bigint").alias("sk"),
+            "seg",
+            F.lit(False).alias("was_inferred"),
+        )
+    )
+    dim2 = (
+        dim0.select("nk", "sk", "seg", F.lit(False).alias("was_inferred"))
+        .unionByName(healed)
+        .unionByName(late_new)
+    )
+    return (
+        dim2.join(fact_sk, "sk", "left")
+        .groupBy(F.col("seg").alias("c_mktsegment"), "was_inferred")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("sk").cast("bigint").alias("sk_sum"),
+            F.sum(F.coalesce(F.col("n_orders"), F.lit(0)))
+            .cast("bigint").alias("n_orders"),
+            F.sum(F.coalesce(F.col("cents"), F.lit(0)))
+            .cast("bigint").alias("cents"),
+        )
+        .orderBy("c_mktsegment", "was_inferred")
+    )

@@ -65,6 +65,15 @@ BENCH_QUERIES = [
     # r11 item 6): KMV set-intersection over the 1M-event corpus; the
     # per-(type,type) distinct-union rank windows scale with |users|
     "agg_kmv_intersect",
+    # r13 (VERDICT r12 items 1+4): the streaming HDR sketch's state
+    # stays <=~700 counters/window at 1M events or the claim is false;
+    # the RocksDB-provider drain proves the production state store
+    # holds at 10x the fixture volume
+    "stream_hdr_rollup",
+    "stream_rocksdb_state",
+    # r13: the integer geohash codec is a pure codegen chain — at 1M
+    # events any hidden per-row Python or expression blowup shows here
+    "fn_geohash",
 ]
 
 

@@ -77,6 +77,13 @@ BENCH_QUERIES = [
     # two-ranking fusion both scale with corpus size x query count
     "llm_sim_maxsim_colbert",
     "llm_rag_fusion_rrf",
+    # r13 (VERDICT r12 items 4-6): wordpiece claims 90k-type behavior —
+    # measure it; the unigram trainer's E-step kernel parallelism and
+    # the KN scorer's bigram-type joins both track |vocab|
+    # (stream_hdr_rollup is events-shaped: it stresses in ts_stress.py)
+    "llm_tokenizer_wordpiece",
+    "llm_tokenizer_unigram_train",
+    "llm_lm_score_kn",
 ]
 
 # bitmask (dense-regime) kernels MUST refuse a 100k vocabulary
