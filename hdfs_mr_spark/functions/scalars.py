@@ -1129,7 +1129,12 @@ def fn_geohash(spark, sf_dir):
     spatial join (prefix equality) with no UDF in the path. Shared
     expression text generates BOTH dialects (div vs //) so the engines
     replay identical integer ops."""
-    e = table(spark, sf_dir, "events").select(
+    from hdfs_mr_spark.io import fan_out
+
+    # fan_out: the events fixture is a single parquet file (1-2 scan
+    # partitions), which would run the ~400-node integer chain nearly
+    # serial — measured 11.6 s -> ~2 s at the 1M-event stress corpus
+    e = fan_out(table(spark, sf_dir, "events")).select(
         "event_id",
         (F.col("event_id") % 1800000).alias("lat_i"),
         ((F.col("event_id") * 7919) % 3600000).alias("lon_i"),
