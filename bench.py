@@ -118,6 +118,8 @@ HEADLINE = [
     "join_runtime_bloom",          # 2.3 injected row-level bloom filter (r13)
     "fn_geohash",                  # 2.8 integer geohash codec (r13)
     "etl_late_arriving_dim",       # 2.7 inferred-member dim lifecycle (r13)
+    "agg_sketch_rollup_table",     # 2.4 stored-HLL-partials rollup (r13)
+    "ts_attribution_multitouch",   # 2.5 first/last/linear attribution (r13)
 ]
 
 

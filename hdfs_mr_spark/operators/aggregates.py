@@ -2241,3 +2241,88 @@ def agg_hdr_histogram(spark, sf_dir):
         "est50", "ex50", "est95", "ex95", "est99", "ex99",
         cond.alias("bounds_ok"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_sketch_rollup_table",
+    oracle="""
+WITH ev AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         event_type, user_id
+  FROM events
+)
+SELECT month, event_type,
+       CAST(COUNT(DISTINCT day) AS BIGINT) AS n_partials,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS est_within_5pct
+FROM ev
+GROUP BY month, event_type
+ORDER BY month, event_type
+""",
+    family=_FAM,
+)
+def agg_sketch_rollup_table(spark, sf_dir):
+    """SKETCH ROLLUP TABLE — the pre-aggregated-partials pattern next
+    to agg_hll_sketch's one-shot union (r13): a nightly job STORES one
+    HLL sketch per (day, event_type) as a binary column in a parquet
+    table; every later distinct-count query MERGES the stored partials
+    (hll_union_agg) instead of re-scanning raw events. This is how a
+    100 TB warehouse serves 'monthly distinct users' dashboards: the
+    raw scan happens once per partition per day, the query-time cost is
+    O(days x sketch bytes) — here the monthly rollup reads ONLY the
+    150-row sketch table (verified: the answer path below never touches
+    the events frame after the store is written).
+
+    The oracle pins the exact twin per (month, event_type), the
+    partial count n_partials (= distinct days actually stored — a
+    dropped or double-written daily sketch mismatches), and the 5%
+    tolerance boolean on the merged estimate (lgConfigK=12 ~ 1.6% rse;
+    union of dailies preserves the register-max semantics exactly, so
+    merging loses nothing vs sketching the month directly)."""
+    import shutil
+    import tempfile
+
+    ev = table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.to_date("ts").alias("day"),
+        "event_type", "user_id",
+    )
+    ev.createOrReplaceTempView("hmr_sketch_ev")
+    store = tempfile.mkdtemp(prefix="hmr_sketch_rollup_")
+    # nightly-build half: one sketch row per (day, event_type)
+    spark.sql(
+        """
+SELECT month, day, event_type,
+       hll_sketch_agg(user_id, 12) AS sketch
+FROM hmr_sketch_ev GROUP BY month, day, event_type
+"""
+    ).write.mode("overwrite").parquet(store)
+    # query half: merge STORED partials only — no raw-events scan
+    sk = spark.read.parquet(store)
+    sk.createOrReplaceTempView("hmr_sketch_store")
+    merged = spark.sql(
+        """
+SELECT month, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_partials,
+       hll_sketch_estimate(hll_union_agg(sketch)) AS est
+FROM hmr_sketch_store GROUP BY month, event_type
+"""
+    )
+    exact = ev.groupBy("month", "event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    out = (
+        merged.join(exact, ["month", "event_type"])
+        .select(
+            "month", "event_type", "n_partials", "n_exact",
+            (
+                F.abs(F.col("est") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("month", "event_type")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    return out

@@ -2759,3 +2759,153 @@ def ts_peak_detect(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ts_attribution_multitouch",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS conv_ts, cents AS conv_cents
+  FROM ev WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT event_id AS touch_id, user_id, event_type AS channel,
+         ts AS touch_ts
+  FROM ev WHERE event_type IN ('click', 'view', 'signup')
+),
+j AS (
+  SELECT c.conv_id, c.conv_cents, t.channel, t.touch_ts, t.touch_id
+  FROM conv c JOIN touch t ON t.user_id = c.user_id
+  WHERE t.touch_ts < c.conv_ts
+    AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+),
+ranked AS (
+  SELECT conv_id, conv_cents, channel,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY touch_ts ASC, touch_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY touch_ts DESC, touch_id DESC) AS rn_d,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM j
+),
+attributed AS (
+  SELECT channel,
+         CAST(1 AS BIGINT) AS n_touches,
+         CASE WHEN rn_a = 1 THEN conv_cents ELSE 0 END AS first_cents,
+         CASE WHEN rn_d = 1 THEN conv_cents ELSE 0 END AS last_cents,
+         conv_cents // n
+           + CASE WHEN rn_a = 1 THEN conv_cents % n ELSE 0 END
+           AS linear_cents
+  FROM ranked
+  UNION ALL
+  SELECT 'DIRECT' AS channel, CAST(1 AS BIGINT) AS n_touches,
+         conv_cents AS first_cents, conv_cents AS last_cents,
+         conv_cents AS linear_cents
+  FROM conv c ANTI JOIN (SELECT DISTINCT conv_id FROM j) u
+    ON u.conv_id = c.conv_id
+)
+SELECT channel,
+       CAST(SUM(n_touches) AS BIGINT) AS n_touches,
+       CAST(SUM(first_cents) AS BIGINT) AS first_touch_cents,
+       CAST(SUM(last_cents) AS BIGINT) AS last_touch_cents,
+       CAST(SUM(linear_cents) AS BIGINT) AS linear_cents
+FROM attributed
+GROUP BY channel
+ORDER BY channel
+""",
+    family=_FAM,
+)
+def ts_attribution_multitouch(spark, sf_dir):
+    """MULTI-TOUCH ATTRIBUTION (r13 — the marketing-analytics staple
+    next to ts_funnel's ordered-step counts: every conversion's value
+    is credited back across the touches that preceded it): purchases
+    are conversions; click/view/signup events by the same user within
+    a 7-day lookback are touches. THREE attribution models computed in
+    one pass — first-touch (100% to the earliest touch), last-touch
+    (100% to the latest), and linear (value split 1/n per touch) —
+    with the classic DIRECT bucket for conversions that had no touch
+    in the window (full credit under every model). Linear splits are
+    INTEGER-EXACT: each touch gets cents DIV n and the remainder rides
+    the first touch, so per-channel sums reconcile to total conversion
+    value to the cent in both engines (no float shares), and the
+    first/last tie-break is total ((touch_ts, touch_id)).
+
+    Plan: ONE per-user equi-join bounds the touch x conversion pairing
+    (the interval predicate prunes inside the user's activity window —
+    never a cross join), two row_number windows + one count window over
+    per-conversion groups (bounded by a user's 7-day activity), one
+    anti-join for DIRECT, one combiner rollup. At 100 TB conversions
+    and touches shuffle once on user_id; nothing is quadratic in either
+    table alone."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id",
+        F.col("ts").alias("conv_ts"),
+        F.col("cents").alias("conv_cents"),
+    )
+    touch = ev.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("event_id").alias("touch_id"), "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+    )
+    j = conv.join(touch, "user_id").filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAY"))
+    ).select("conv_id", "conv_cents", "channel", "touch_ts", "touch_id")
+    wa = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").asc(), F.col("touch_id").asc()
+    )
+    wd = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").desc(), F.col("touch_id").desc()
+    )
+    wn = Window.partitionBy("conv_id")
+    ranked = j.select(
+        "conv_id", "conv_cents", "channel",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+        F.count("*").over(wn).alias("n"),
+    )
+    attributed = ranked.select(
+        "channel",
+        F.lit(1).cast("bigint").alias("n_touches"),
+        F.when(F.col("rn_a") == 1, F.col("conv_cents")).otherwise(0)
+        .alias("first_cents"),
+        F.when(F.col("rn_d") == 1, F.col("conv_cents")).otherwise(0)
+        .alias("last_cents"),
+        (
+            F.expr("conv_cents div n")
+            + F.when(F.col("rn_a") == 1, F.col("conv_cents") % F.col("n"))
+            .otherwise(0)
+        ).alias("linear_cents"),
+    )
+    direct = (
+        conv.join(j.select("conv_id").distinct(), "conv_id", "left_anti")
+        .select(
+            F.lit("DIRECT").alias("channel"),
+            F.lit(1).cast("bigint").alias("n_touches"),
+            F.col("conv_cents").alias("first_cents"),
+            F.col("conv_cents").alias("last_cents"),
+            F.col("conv_cents").alias("linear_cents"),
+        )
+    )
+    return (
+        attributed.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.sum("n_touches").cast("bigint").alias("n_touches"),
+            F.sum("first_cents").cast("bigint").alias("first_touch_cents"),
+            F.sum("last_cents").cast("bigint").alias("last_touch_cents"),
+            F.sum("linear_cents").cast("bigint").alias("linear_cents"),
+        )
+        .orderBy("channel")
+    )

@@ -74,6 +74,11 @@ BENCH_QUERIES = [
     # r13: the integer geohash codec is a pure codegen chain — at 1M
     # events any hidden per-row Python or expression blowup shows here
     "fn_geohash",
+    # r13 late: per-user touch x conversion pairing and the stored-HLL
+    # rollup both scale with |events|; the attribution join must stay
+    # user-bounded (never cross) at 1M rows
+    "ts_attribution_multitouch",
+    "agg_sketch_rollup_table",
 ]
 
 
