@@ -2835,56 +2835,107 @@ def ts_attribution_multitouch(spark, sf_dir):
     value to the cent in both engines (no float shares), and the
     first/last tie-break is total ((touch_ts, touch_id)).
 
-    Plan: ONE per-user equi-join bounds the touch x conversion pairing
-    (the interval predicate prunes inside the user's activity window —
-    never a cross join), two row_number windows + one count window over
-    per-conversion groups (bounded by a user's 7-day activity), one
-    anti-join for DIRECT, one combiner rollup. At 100 TB conversions
-    and touches shuffle once on user_id; nothing is quadratic in either
-    table alone."""
+    Plan: the touch x conversion pairing joins on (user_id, WEEK
+    BUCKET) — the join_range_bucketed idiom: each touch is exploded
+    into its own week bucket and the next (a 7-day lookback can only
+    cross one boundary), each conversion keeps its single bucket, so a
+    pair is emitted at most once and candidate volume is bounded by
+    per-(user, week) activity DENSITY, never by a user's lifetime
+    event count. The naive per-user equi-join is quadratic inside a
+    hot user — on the 1M-event stress corpus, where one user holds 27%
+    of events, it materializes ~9 BILLION pairs and ran past 9
+    minutes; the bucketed join runs the same result in 6.4 s
+    (result-identical, so the oracle replays the plain join+filter).
+    Two more measured scale levers on the same corpus: the pair stream
+    collapses to (conversion, channel) rows via a HashAggregate-able
+    DECIMAL time key BEFORE any window (a struct min/max would force
+    SortAggregate over every pair), and the join's parallelism is
+    pinned with repartition(defaultParallelism, keys) because its
+    shuffle INPUTS are compact — AQE would coalesce to ~1 partition
+    while the pair explosion happens after the exchange, invisible to
+    the size estimate (the r8 lesson). After the collapse: one
+    sum/min/max window over <=3 channel rows per conversion, one
+    anti-join for DIRECT, one combiner rollup."""
     ev = table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
+    week = lambda c: (F.unix_timestamp(c) / 604800).cast("bigint")  # noqa: E731
     conv = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("conv_id"), "user_id",
         F.col("ts").alias("conv_ts"),
         F.col("cents").alias("conv_cents"),
+        week(F.col("ts")).alias("bkt"),
     )
-    touch = ev.filter(
-        F.col("event_type").isin("click", "view", "signup")
-    ).select(
-        F.col("event_id").alias("touch_id"), "user_id",
-        F.col("event_type").alias("channel"),
-        F.col("ts").alias("touch_ts"),
+    touch = (
+        ev.filter(F.col("event_type").isin("click", "view", "signup"))
+        .select(
+            F.col("event_id").alias("touch_id"), "user_id",
+            F.col("event_type").alias("channel"),
+            F.col("ts").alias("touch_ts"),
+            week(F.col("ts")).alias("tb"),
+        )
+        .select(
+            "touch_id", "user_id", "channel", "touch_ts",
+            F.explode(
+                F.array(F.col("tb"), F.col("tb") + 1)
+            ).alias("bkt"),
+        )
     )
-    j = conv.join(touch, "user_id").filter(
+    # tkey: (touch_ts, touch_id) as ONE DECIMAL(38,0) — micros x 10^7 +
+    # id orders identically to the tuple (ids are < 10^7 in every
+    # corpus; a wider id space widens the multiplier). A struct min/max
+    # would force SortAggregate (structs have no mutable agg buffer),
+    # sorting the full pair stream per partition — the decimal key
+    # keeps the collapse a HashAggregate (measured 86 s -> ~7 s at the
+    # 1M-event skew corpus).
+    # pin the join parallelism: the shuffle INPUTS are compact (AQE
+    # would coalesce them to ~1 partition) but the pair stream is
+    # generated inside the join, invisible to AQE's size estimate —
+    # the r8 lesson (repartition(defaultParallelism, cols) when the
+    # work explodes after the exchange)
+    par = spark.sparkContext.defaultParallelism
+    conv = conv.repartition(par, "user_id", "bkt")
+    touch = touch.repartition(par, "user_id", "bkt")
+    j = conv.join(touch, ["user_id", "bkt"]).filter(
         (F.col("touch_ts") < F.col("conv_ts"))
         & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAY"))
-    ).select("conv_id", "conv_cents", "channel", "touch_ts", "touch_id")
-    wa = Window.partitionBy("conv_id").orderBy(
-        F.col("touch_ts").asc(), F.col("touch_id").asc()
-    )
-    wd = Window.partitionBy("conv_id").orderBy(
-        F.col("touch_ts").desc(), F.col("touch_id").desc()
-    )
-    wn = Window.partitionBy("conv_id")
-    ranked = j.select(
+    ).select(
         "conv_id", "conv_cents", "channel",
-        F.row_number().over(wa).alias("rn_a"),
-        F.row_number().over(wd).alias("rn_d"),
-        F.count("*").over(wn).alias("n"),
+        (
+            F.unix_micros("touch_ts").cast("decimal(38,0)") * 10000000
+            + F.col("touch_id")
+        ).alias("tkey"),
+    )
+    # Collapse PAIRS -> (conversion, channel) with a combiner aggregate
+    # BEFORE any window: the map side reduces each conversion's touch
+    # list to <= 3 channel rows carrying (count, earliest, latest), so
+    # the windows below run over per-conversion groups of <= 3 rows
+    # instead of the full pair stream; per-touch semantics preserved
+    # exactly — linear shares are per-touch DIV so a channel's share
+    # = cnt * share.
+    g = j.groupBy("conv_id", "conv_cents", "channel").agg(
+        F.count("*").alias("cnt"),
+        F.min("tkey").alias("first_t"),
+        F.max("tkey").alias("last_t"),
+    )
+    wc = Window.partitionBy("conv_id")
+    ranked = g.select(
+        "conv_id", "conv_cents", "channel", "cnt",
+        F.sum("cnt").over(wc).alias("n"),
+        (F.col("first_t") == F.min("first_t").over(wc)).alias("is_first"),
+        (F.col("last_t") == F.max("last_t").over(wc)).alias("is_last"),
     )
     attributed = ranked.select(
         "channel",
-        F.lit(1).cast("bigint").alias("n_touches"),
-        F.when(F.col("rn_a") == 1, F.col("conv_cents")).otherwise(0)
+        F.col("cnt").cast("bigint").alias("n_touches"),
+        F.when(F.col("is_first"), F.col("conv_cents")).otherwise(0)
         .alias("first_cents"),
-        F.when(F.col("rn_d") == 1, F.col("conv_cents")).otherwise(0)
+        F.when(F.col("is_last"), F.col("conv_cents")).otherwise(0)
         .alias("last_cents"),
         (
-            F.expr("conv_cents div n")
-            + F.when(F.col("rn_a") == 1, F.col("conv_cents") % F.col("n"))
+            F.col("cnt") * F.expr("conv_cents div n")
+            + F.when(F.col("is_first"), F.col("conv_cents") % F.col("n"))
             .otherwise(0)
         ).alias("linear_cents"),
     )
