@@ -120,6 +120,7 @@ HEADLINE = [
     "etl_late_arriving_dim",       # 2.7 inferred-member dim lifecycle (r13)
     "agg_sketch_rollup_table",     # 2.4 stored-HLL-partials rollup (r13)
     "ts_attribution_multitouch",   # 2.5 first/last/linear attribution (r13)
+    "stream_rocksdb_restart",      # 2.10 changelog recovery across restart (r13)
 ]
 
 

@@ -3113,3 +3113,122 @@ def stream_rocksdb_state(spark, sf_dir):
     )
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@query(
+    "stream_rocksdb_restart",
+    oracle="""
+SELECT event_type,
+       TRUE AS rocksdb_engaged,
+       TRUE AS changelog_grew,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    family=_FAM,
+)
+def stream_rocksdb_restart(spark, sf_dir):
+    """RocksDB state-store RECOVERY across a query restart (r13 — the
+    missing half of stream_rocksdb_state: that op proves the provider
+    ENGAGES; this proves the CHANGELOG actually carries state through
+    a stop/start, which is the entire reason changelog checkpointing
+    exists — commit uploads the per-version delta, recovery replays
+    deltas onto the last snapshot instead of re-reading raw input).
+    The stream_incremental_restart scenario runs under RocksDB +
+    changelog: drain half the files, STOP, add the other half, start a
+    NEW query on the SAME checkpoint. The restarted query reads ONLY
+    the new file (offsets from the checkpoint) yet its complete-mode
+    aggregate covers ALL data — possible only if the keyed counts were
+    recovered from the RocksDB changelog. Pinned evidence:
+    ``rocksdb_engaged`` measured from BOTH runs' progress metrics and
+    ``changelog_grew`` from the checkpoint's ``*.changelog`` census
+    growing across the restart; the aggregate hash-checks against the
+    all-events batch twin, so a recovery that lost or doubled any
+    keyed count cannot pass.
+
+    Scale: recovery cost is O(changelog deltas since last snapshot),
+    not O(state) and never O(raw input) — the property that bounds
+    restart time for 100 TB-class streaming state."""
+    import os
+    import shutil as sh
+
+    h1, h2 = _event_halves(sf_dir)
+    src = tempfile.mkdtemp(prefix="hmr_rocksr_src_")
+    ckpt = tempfile.mkdtemp(prefix="hmr_rocksr_ckpt_")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    kind = _events_ts_kind(sf_dir)
+    if kind == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def n_changelogs() -> int:
+        state = Path(ckpt) / "state"
+        if not state.exists():
+            return 0
+        return sum(
+            1 for _root, _d, files in os.walk(state)
+            for fn in files if fn.endswith(".changelog")
+        )
+
+    rocks_conf = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+        "spark.sql.shuffle.partitions": "8",
+    }
+
+    def drain() -> tuple[str, bool]:
+        raw = spark.readStream.schema(_events_schema(kind)).parquet(src)
+        agg = raw.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n")
+        )
+        name = f"hmr_stream_{next(_COUNTER)}"
+        prev = {k: spark.conf.get(k, None) for k in rocks_conf}
+        try:
+            for k, v in rocks_conf.items():
+                spark.conf.set(k, v)
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            engaged = any(
+                any(mk.startswith("rocksdb")
+                    for mk in (so.get("customMetrics") or {}))
+                for p in q.recentProgress
+                for so in (p.get("stateOperators") or [])
+            )
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        return name, engaged
+
+    sh.copy(h1, os.path.join(src, "h1.parquet"))
+    _, eng1 = drain()          # run 1: half the data, state -> changelog
+    c1 = n_changelogs()
+    sh.copy(h2, os.path.join(src, "h2.parquet"))
+    name, eng2 = drain()       # RESTART: reads only h2, recovers state
+    c2 = n_changelogs()
+    result = (
+        spark.table(name)
+        .select(
+            "event_type",
+            F.lit(bool(eng1 and eng2)).alias("rocksdb_engaged"),
+            F.lit(bool(c1 > 0 and c2 > c1)).alias("changelog_grew"),
+            "n",
+        )
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)
+    )
+    sh.rmtree(src, ignore_errors=True)
+    sh.rmtree(ckpt, ignore_errors=True)
+    return result

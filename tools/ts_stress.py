@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     # user-bounded (never cross) at 1M rows
     "ts_attribution_multitouch",
     "agg_sketch_rollup_table",
+    "stream_rocksdb_restart",
 ]
 
 
