@@ -121,6 +121,7 @@ HEADLINE = [
     "agg_sketch_rollup_table",     # 2.4 stored-HLL-partials rollup (r13)
     "ts_attribution_multitouch",   # 2.5 first/last/linear attribution (r13)
     "stream_rocksdb_restart",      # 2.10 changelog recovery across restart (r13)
+    "agg_mann_whitney_u",          # 2.4 rank-sum nonparametric A/B test (r13)
 ]
 
 

@@ -2326,3 +2326,138 @@ FROM hmr_sketch_store GROUP BY month, event_type
     )
     shutil.rmtree(store, ignore_errors=True)
     return out
+
+
+@query(
+    "agg_mann_whitney_u",
+    oracle="""
+WITH ev AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         value
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+vals AS (
+  SELECT month, value,
+         CAST(SUM(g1) AS BIGINT) AS n1v,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM ev GROUP BY month, value
+),
+cum AS (
+  SELECT month, value, n1v, t,
+         CAST(COALESCE(SUM(t) OVER (PARTITION BY month ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cb
+  FROM vals
+),
+stats AS (
+  SELECT month,
+         SUM(n1v) AS n1,
+         SUM(t) - SUM(n1v) AS n2,
+         SUM(n1v * (2 * cb + t + 1)) AS r1_2x,
+         SUM(t * t * t - t) AS tie_term
+  FROM cum GROUP BY month
+),
+u AS (
+  SELECT month, n1, n2,
+         r1_2x - n1 * (n1 + 1) AS u1_2x,
+         2 * n1 * n2 - (r1_2x - n1 * (n1 + 1)) AS u2_2x,
+         tie_term
+  FROM stats
+)
+SELECT month,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(u1_2x AS BIGINT) AS u1_2x, CAST(u2_2x AS BIGINT) AS u2_2x,
+       (u1_2x + u2_2x = 2 * n1 * n2) AS u_consistent,
+       (CAST(u1_2x AS DOUBLE) / 2.0 - CAST(n1 * n2 AS DOUBLE) / 2.0)
+         / sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+                * (CAST(n1 + n2 + 1 AS DOUBLE)
+                   - CAST(tie_term AS DOUBLE)
+                     / (CAST(n1 + n2 AS DOUBLE)
+                        * CAST(n1 + n2 - 1 AS DOUBLE)))) AS z
+FROM u
+ORDER BY month
+""",
+    family=_FAM,
+)
+def agg_mann_whitney_u(spark, sf_dir):
+    """MANN-WHITNEY U rank-sum test (r13 — the NONPARAMETRIC twin of
+    agg_ttest_welch: the A/B test every experimentation platform runs
+    when values are skewed and means mislead; Mann & Whitney 1947):
+    per month, purchase values vs view values. INTEGER-EXACT ranking
+    with ties: average ranks are half-integers, so everything carries
+    a 2x scaling — for each distinct value, 2*avg_rank = 2*(#values
+    below) + ties + 1, and the rank sum R1_2x (n1v-weighted total of
+    that) is a pure integer; U1_2x = R1_2x - n1(n1+1), with the identity
+    U1 + U2 = n1*n2 pinned as u_consistent (TRUE). The z statistic
+    uses the tie-corrected variance; it is a closed-form chain of
+    +,-,*,/,sqrt over the same integers — all CORRECTLY-ROUNDED IEEE
+    ops (unlike ln/exp), so the double hash-matches across engines
+    with no quantization needed.
+
+    Spark-first shape: ranks are NEVER materialized per row — the
+    VALUE-COLLAPSED frame (distinct values per month, the vocabulary
+    discipline) carries tie counts, one cumulative window per month
+    over that small frame yields the below-counts, and one combiner
+    rollup finishes. At 100 TB the shuffle moves distinct-value
+    counts, not samples; the rank-sum accumulator is BIGINT-safe to
+    ~2e9 samples/month x value domain and promotes to DECIMAL(38,0)
+    past that (overflow-audit entry documents the bound)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        (F.col("event_type") == "purchase").cast("long").alias("g1"),
+        "value",
+    )
+    vals = ev.groupBy("month", "value").agg(
+        F.sum("g1").cast("bigint").alias("n1v"),
+        F.count("*").cast("bigint").alias("t"),
+    )
+    w = (
+        Window.partitionBy("month").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vals.withColumn(
+        "cb", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("bigint")
+    )
+    stats = cum.groupBy("month").agg(
+        F.sum("n1v").alias("n1"),
+        (F.sum("t") - F.sum("n1v")).alias("n2"),
+        F.sum(F.col("n1v") * (2 * F.col("cb") + F.col("t") + 1))
+        .alias("r1_2x"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("tie_term"),
+    )
+    u = stats.select(
+        "month", "n1", "n2", "tie_term",
+        (F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)).alias("u1_2x"),
+        (
+            2 * F.col("n1") * F.col("n2")
+            - (F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1))
+        ).alias("u2_2x"),
+    )
+    n = F.col("n1") + F.col("n2")
+    z = (
+        F.col("u1_2x").cast("double") / 2.0
+        - (F.col("n1") * F.col("n2")).cast("double") / 2.0
+    ) / F.sqrt(
+        (F.col("n1") * F.col("n2")).cast("double") / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_term").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    return u.select(
+        "month",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("u1_2x").cast("bigint").alias("u1_2x"),
+        F.col("u2_2x").cast("bigint").alias("u2_2x"),
+        (
+            F.col("u1_2x") + F.col("u2_2x")
+            == 2 * F.col("n1") * F.col("n2")
+        ).alias("u_consistent"),
+        z.alias("z"),
+    ).orderBy("month")

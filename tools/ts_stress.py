@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "ts_attribution_multitouch",
     "agg_sketch_rollup_table",
     "stream_rocksdb_restart",
+    "agg_mann_whitney_u",
 ]
 
 
