@@ -4273,6 +4273,13 @@ def llm_lm_score_kn(spark, sf_dir):
     quantities are INTEGER counts; each transition's probability is
     one closed-form double expression over those integers, -ln'd and
     quantized to integer micro-units before the order-independent sum.
+    ln() is not correctly rounded IEEE, so a 1-ulp cross-engine
+    difference could in principle flip round() at a .5 boundary; the
+    boundary margin is MEASURED (r13 ADVICE): over every transition of
+    the fixture corpora the minimum distance of -ln(p)*1e6 to a .5
+    boundary is 2.6e-3 / 8.4e-5 / 9.4e-5 (sf0.001/0.01/0.1) vs a
+    maximum ulp of ~1.9e-9 — a ≥5e4× safety factor, re-pinned every
+    run by tests/test_units.py::test_lm_score_kn_rounding_margin.
     Scale: all three model tables (bigram types, history stats,
     continuation stats) are combiner aggregations over the bigram-TYPE
     frame (vocab-squared bounded, Heaps-collapsed); scoring is three

@@ -66,47 +66,50 @@ def query(
     return deco
 
 
-# DRIVER-SAMPLE ROTATION (VERDICT r12 item 2): the driver's hard
-# CORRECTNESS signal checks the FIRST 50 entries of queries() in
-# declaration order, and for three rounds that was the same
-# scans/lake/filters slice — 12% of the surface re-verified forever
-# while aggregations/windows/ts/mr/llm never earned a driver-green row.
-# The registry therefore emits a curated 50-op rotation FIRST: ops from
-# families the driver has NEVER sampled (disjoint from every name in
-# CORRECTNESS_r12.json — pinned by tests/test_parity.py), then all
-# remaining ops in declaration order. Rotate this list each round
-# toward the least-recently-driver-verified families.
+# DRIVER-SAMPLE ROTATION (VERDICT r12 item 2, r13 item 1 + ADVICE r13):
+# the driver's hard CORRECTNESS signal checks the FIRST 50 entries of
+# queries() in declaration order. The registry emits a curated 50-op
+# rotation FIRST so that signal accumulates coverage across rounds
+# instead of re-verifying the same slice. Round-14 composition per the
+# r13 ADVICE (40+ fresh + a re-sample reserve): 45 ops NEVER driver
+# verified in any round (windows/ts, streaming, MR composite, TPC-H,
+# llm text/similarity/multimodal, udf, subqueries — the families the
+# r13 verdict named), plus 5 RE-SAMPLES of ops last driver-verified
+# before round 12, so regressions in previously-green ops stay visible
+# to the driver. Disjoint from CORRECTNESS_r13.json and ≥45 names
+# absent from r12∪r13 — both pinned by tests/test_parity.py.
 DRIVER_ROTATION: tuple[str, ...] = (
-    # joins
-    "join_broadcast_inner", "join_shuffle_inner", "join_anti",
-    "join_semi", "join_asof",
-    # aggregations
-    "agg_groupby", "agg_global", "agg_cube", "agg_grouping_sets",
-    "agg_approx_distinct", "agg_stats",
-    # windows / time series
-    "win_row_number", "win_rank", "win_lag_lead", "win_moving_avg",
-    "win_sessionize", "ts_gap_fill",
-    # sorts
-    "sort_global", "sort_limit_topk",
-    # setops / etl
-    "dedup_by_key", "etl_scd2", "set_except", "sample_hash_stratified",
-    # scalar functions
-    "fn_string", "fn_date", "fn_json",
-    # MR composite + TPC-H
-    "mr_wordcount", "mr_inverted_index", "mr_pagerank",
-    "sql_tpch_q1_pricing_summary", "sql_tpch_q3_shipping_priority",
-    "sql_tpch_q6_forecast_revenue",
-    # streaming
-    "stream_tumbling", "stream_dedup", "stream_watermark_late",
-    # llm dedup / similarity / text / multimodal
-    "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_near",
-    "llm_sim_knn", "llm_embed_quantize", "llm_sim_knn_ivf",
-    "llm_text_stats", "llm_lang_id", "llm_quality_gopher",
-    "llm_multimodal_decode", "llm_multimodal_phash",
-    # udf surface
-    "udf_scalar_pandas", "udf_grouped_map",
-    # subqueries
-    "sql_exists_subquery", "sql_not_in_null_aware",
+    # windows / time series (10) — never driver-verified
+    "win_first_last", "win_topk_per_group", "win_ntile",
+    "ts_resample_ohlc", "ts_funnel", "ts_ewma", "ts_retention_cohort",
+    "ts_interval_merge", "ts_holt_winters", "ts_attribution_multitouch",
+    # streaming (6)
+    "stream_sliding", "stream_session", "stream_static_join",
+    "stream_stream_join", "stream_cdc_upsert", "stream_windowed_topk",
+    # MR composite (6)
+    "mr_grep", "mr_join_agg", "mr_kmeans", "mr_triangle_count",
+    "mr_bfs", "mr_hits",
+    # TPC-H (5)
+    "sql_tpch_q4_order_priority", "sql_tpch_q5_local_supplier",
+    "sql_tpch_q10_returned_items", "sql_tpch_q12_shipmode_priority",
+    "sql_tpch_q18_large_orders",
+    # llm text analysis (7)
+    "llm_tfidf", "llm_token_count", "llm_fingerprint_simhash",
+    "llm_pii_redact", "llm_bpe_apply", "llm_bm25_score",
+    "llm_lm_score_kn",
+    # llm similarity (4)
+    "llm_cluster_kmeans", "llm_sim_knn_lsh_multiprobe",
+    "llm_sim_knn_ivf_pq_rerank", "llm_rag_mmr",
+    # llm multimodal (3)
+    "llm_multimodal_pixels", "llm_multimodal_phash_banded",
+    "llm_multimodal_exif",
+    # udf surface (2)
+    "udf_grouped_agg", "udf_map_in_pandas",
+    # sql subqueries (2)
+    "sql_scalar_subquery_correlated", "sql_recursive_cte",
+    # ---- re-sample reserve (5): last driver-verified pre-r12 ----
+    "agg_pivot", "join_dpp_partition_pruned", "filter_like",
+    "win_running_sum", "join_skew_salted",
 )
 
 

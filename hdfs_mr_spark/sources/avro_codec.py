@@ -94,6 +94,7 @@ def encode_value(out: bytearray, schema, value) -> None:
         # value must select the "string" branch, not the first non-null
         # one. Match the Python value's type against the branch type;
         # raise loudly when no branch matches (the module contract).
+        matches: list[tuple[int, str, object]] = []
         for idx, branch in enumerate(schema):
             bname = branch if isinstance(branch, str) else branch["type"]
             if value is None:
@@ -114,10 +115,34 @@ def encode_value(out: bytearray, schema, value) -> None:
                 or (bname == "array" and isinstance(value, list))
             )
             if ok:
-                write_long(out, idx)
-                encode_value(out, branch, value)
-                return
-        raise ValueError(f"no union branch for {value!r} in {schema}")
+                matches.append((idx, bname, branch))
+        if not matches:
+            raise ValueError(f"no union branch for {value!r} in {schema}")
+        # WIDTH selection within a numeric class (r13 ADVICE): first
+        # branch in schema order is NOT always valid — a value outside
+        # int32 against ["int","long"] must take "long" (the old
+        # first-match emitted an out-of-range Avro int), and a Python
+        # float IS an IEEE double, so against ["float","double"] the
+        # "double" branch is the lossless one. Prefer the wide branch
+        # whenever the narrow one cannot carry the value exactly; raise
+        # loudly (module contract) when only the too-narrow width exists.
+        idx, bname, branch = matches[0]
+        if bname == "int" and not -(2 ** 31) <= value < 2 ** 31:
+            wide = [m for m in matches if m[1] == "long"]
+            if not wide:
+                raise ValueError(
+                    f"value {value!r} exceeds int32 and union {schema} "
+                    "has no long branch"
+                )
+            idx, bname, branch = wide[0]
+        elif bname == "float":
+            wide = [m for m in matches if m[1] == "double"]
+            if wide and struct.unpack(
+                    "<f", struct.pack("<f", value))[0] != value:
+                idx, bname, branch = wide[0]
+        write_long(out, idx)
+        encode_value(out, branch, value)
+        return
     t = schema if isinstance(schema, str) else schema["type"]
     if t == "null":
         return

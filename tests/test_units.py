@@ -2876,3 +2876,69 @@ def test_avro_split_reads_are_byte_bounded(tmp_path):
         got.extend(iter_split_rows(p, lo, hi, chunk=4096))
     assert sorted(r["k"] for r in got) == list(range(500))
     assert read_ocf(p) == rows
+
+
+def test_lm_score_kn_rounding_margin():
+    """r13 ADVICE (llm_text.py llm_lm_score_kn): ln() is not correctly
+    rounded IEEE, so round(-ln(p)*1e6) could in principle flip at a .5
+    boundary on a 1-ulp cross-engine difference. Pin the MEASURED
+    margin on the smoke corpus: the minimum distance of any
+    transition's -ln(p)*1e6 to a .5 boundary must exceed the maximum
+    possible ulp of that value by ≥1000x (measured ~1.5e6x at
+    sf0.001)."""
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    n, margin, max_ulp = con.execute("""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+big AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+  FROM tok, LATERAL unnest(range(1, len(l))) AS u(i)
+),
+train_big AS (
+  SELECT w1, w2, COUNT(*) AS bcnt FROM big WHERE doc_id % 2 = 0
+  GROUP BY w1, w2
+),
+hist AS (
+  SELECT w1, SUM(bcnt) AS cw1, COUNT(*) AS n1fwd FROM train_big GROUP BY w1
+),
+cont AS (SELECT w2, COUNT(*) AS n1bwd FROM train_big GROUP BY w2),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM train_big) AS n1p_total,
+         (SELECT COUNT(DISTINCT w) FROM (
+            SELECT unnest(l) AS w FROM tok WHERE doc_id % 2 = 0)) AS v
+),
+x AS (
+  SELECT -ln(
+           CASE WHEN h.cw1 IS NOT NULL THEN
+             greatest(CAST(COALESCE(tb.bcnt, 0) AS DOUBLE) - 0.75, 0.0)
+               / CAST(h.cw1 AS DOUBLE)
+             + 0.75 * CAST(h.n1fwd AS DOUBLE) / CAST(h.cw1 AS DOUBLE)
+               * ((CAST(COALESCE(c.n1bwd, 0) AS DOUBLE) + 1.0)
+                  / (CAST(t.n1p_total AS DOUBLE) + CAST(t.v AS DOUBLE) + 1.0))
+           ELSE
+             (CAST(COALESCE(c.n1bwd, 0) AS DOUBLE) + 1.0)
+               / (CAST(t.n1p_total AS DOUBLE) + CAST(t.v AS DOUBLE) + 1.0)
+           END) * 1000000.0 AS x
+  FROM big b
+  LEFT JOIN train_big tb ON b.w1 = tb.w1 AND b.w2 = tb.w2
+  LEFT JOIN hist h ON b.w1 = h.w1
+  LEFT JOIN cont c ON b.w2 = c.w2
+  CROSS JOIN tot t
+)
+SELECT COUNT(*), MIN(abs(x - floor(x) - 0.5)),
+       MAX(abs(x) * 2.220446049250313e-16)
+FROM x
+""").fetchone()
+    assert n > 10_000
+    assert margin > 1000.0 * max_ulp, (
+        f"KN micro-quantization margin too thin: {margin} vs ulp {max_ulp}"
+    )
