@@ -87,6 +87,12 @@ def main() -> int:
             (r.qid, r.vec_id)
             for r in qs["llm_sim_knn_ivf_pq_compact"].fn(spark, path).collect()
         }
+        # r14: graph-navigable ANN (HNSW class) — beam search over the
+        # stored bounded-degree neighbor graph
+        hnsw = {
+            (r.qid, r.vec_id)
+            for r in qs["llm_sim_knn_hnsw"].fn(spark, path).collect()
+        }
         n = pq.ParquetFile(f"{path}/embeddings.parquet").metadata.num_rows
         cells, nprobe, bits = _ann_params(n)
         out[f"sf{sf}"] = {
@@ -103,6 +109,7 @@ def main() -> int:
             "mean_ivf_pq_stored_recall_at_5": len(exact & pq_stored) / len(exact),
             "mean_ivf_pq_delta_recall_at_5": len(exact & pq_delta) / len(exact),
             "mean_ivf_pq_compact_recall_at_5": len(exact & pq_compact) / len(exact),
+            "mean_hnsw_recall_at_5": len(exact & hnsw) / len(exact),
             "params": {"n": n, "ivf_cells": cells, "ivf_nprobe": nprobe, "lsh_bits": bits},
         }
     Path(args.out).write_text(json.dumps(out, indent=1))
