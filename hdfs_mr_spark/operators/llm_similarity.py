@@ -4058,3 +4058,471 @@ def llm_sim_knn_hnsw(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .orderBy("qid", "rank")
     )
+
+
+# ---- OPQ: optimized product quantization (rotation + allocation) ----
+_OPQ_HOUSE = 4   # Householder stages (top principal directions)
+_OPQ_POW = 4     # power-iteration rounds per stage
+_OPQ_SDIV = 262144    # anisotropic-twin rescale divisor
+
+
+def _opq_pq_err(frame, n_sub=8, dsub=8, k=16):
+    """PQ-encode a long-format (vec_id, dim, val) frame with the family
+    codebook discipline (seed = k lowest vec_ids, one Lloyd round of
+    trunc-div integer means, min(struct) argmin) and return per-
+    subspace total squared error — all BIGINT-exact."""
+    f = frame.withColumn("sub", F.expr(f"dim DIV {dsub}"))
+    cb0 = f.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("code"), F.col("dim").alias("cdim"),
+        F.col("val").alias("cval"),
+    )
+
+    def assign(cb):
+        d = (
+            f.join(cb, f.dim == cb.cdim)
+            .groupBy("vec_id", "sub", "code")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ).alias("dist")
+            )
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("dist", "code")).alias("m"))
+            .select(
+                "vec_id", "sub", F.col("m.code").alias("code"),
+                F.col("m.dist").alias("dist"),
+            )
+        )
+        return d
+
+    a1 = assign(cb0).select(
+        F.col("vec_id").alias("a_vec"), F.col("sub").alias("a_sub"), "code"
+    )
+    cb1 = (
+        a1.join(
+            f,
+            (F.col("a_vec") == f.vec_id) & (F.col("a_sub") == f.sub),
+        )
+        .groupBy("a_sub", "code", "dim")
+        .agg(F.expr("sum(val) DIV count(*)").alias("cval"))
+        .select(
+            "code", F.col("dim").alias("cdim"), F.col("cval"),
+        )
+        .localCheckpoint()
+    )
+    return (
+        assign(cb1)
+        .groupBy("sub")
+        .agg(F.sum("dist").alias("err"))
+        .select(F.col("sub").cast("int").alias("subspace"),
+                F.col("err").cast("bigint").alias("err"))
+    )
+
+
+def _opq_oracle() -> str:
+    """Unrolled DuckDB replay of the full OPQ pipeline: anisotropic
+    twin, _OPQ_HOUSE Householder stages each with _OPQ_POW quantized
+    power-iteration rounds, variance snake-allocation, and the dual PQ
+    encode. Every division is trunc-toward-zero (Spark DIV == DuckDB
+    BIGINT/HUGEINT //), every double expression has the identical tree
+    shape as the Spark plan, so results are bit-identical."""
+    stages = []
+    for h in range(_OPQ_HOUSE):
+        pw = []
+        for p in range(_OPQ_POW):
+            prev = f"v{h}_{p}"
+            pw.append(f"""
+wv{h}_{p} AS (
+  SELECT c.i AS dim, SUM(c.cs * v.v) AS wv
+  FROM cov{h} c JOIN {prev} v ON v.dim = c.j
+  GROUP BY c.i
+),
+nv{h}_{p} AS (
+  SELECT CASE WHEN s0 = 0 THEN 1.0 ELSE sqrt(s0) END AS nv FROM (
+    SELECT CAST(SUM(CAST(wv AS HUGEINT) * CAST(wv AS HUGEINT)) AS DOUBLE)
+      AS s0 FROM wv{h}_{p})
+),
+v{h}_{p + 1} AS (
+  SELECT w.dim,
+         CAST(round((CAST(w.wv AS DOUBLE) / n_.nv) * 1000000.0)
+              AS BIGINT) AS v
+  FROM wv{h}_{p} w CROSS JOIN nv{h}_{p} n_
+)""")
+        w_in = "aniso" if h == 0 else f"w{h - 1}"
+        stages.append(f"""
+mean{h} AS (
+  SELECT dim, SUM(val) // (SELECT n FROM nn) AS mu FROM {w_in} GROUP BY dim
+),
+wc{h} AS (
+  SELECT w.vec_id, w.dim, w.val - m.mu AS val
+  FROM {w_in} w JOIN mean{h} m ON m.dim = w.dim
+),
+cov{h} AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j,
+         CAST(SUM(CAST(a.val AS HUGEINT) * CAST(b.val AS HUGEINT))
+              // (SELECT n FROM nn) AS BIGINT) AS cs
+  FROM wc{h} a JOIN wc{h} b ON a.vec_id = b.vec_id
+  GROUP BY a.dim, b.dim
+),
+v{h}_0 AS (
+  SELECT i AS dim, CASE WHEN i = {h} THEN 1000000 ELSE 0 END AS v
+  FROM range(0, 64) r(i)
+),{",".join(pw)},
+eh{h} AS (
+  SELECT CAST(round(sqrt(CAST(SUM(v * v) AS DOUBLE))) AS BIGINT) AS eh
+  FROM v{h}_{_OPQ_POW}
+),
+u{h} AS (
+  SELECT v.dim,
+         v.v - CASE WHEN v.dim = {h} THEN e.eh ELSE 0 END AS u
+  FROM v{h}_{_OPQ_POW} v CROSS JOIN eh{h} e
+),
+uu{h} AS (SELECT CASE WHEN SUM(u * u) = 0 THEN 1 ELSE SUM(u * u) END AS uu FROM u{h}),
+wdot{h} AS (
+  SELECT w.vec_id, SUM(w.val * u.u) AS du
+  FROM {w_in} w JOIN u{h} u ON u.dim = w.dim GROUP BY w.vec_id
+),
+w{h} AS MATERIALIZED (
+  SELECT w.vec_id, w.dim,
+         w.val - CAST(round(((2.0 * CAST(d.du AS DOUBLE))
+                             * CAST(u.u AS DOUBLE))
+                            / CAST(x.uu AS DOUBLE)) AS BIGINT) AS val
+  FROM {w_in} w
+  JOIN wdot{h} d ON d.vec_id = w.vec_id
+  JOIN u{h} u ON u.dim = w.dim
+  CROSS JOIN uu{h} x
+)""")
+    last = f"w{_OPQ_HOUSE - 1}"
+
+    def pq_ctes(tag, src):
+        return f"""
+{tag}cb0 AS (
+  SELECT vec_id AS code, dim, val AS cval FROM {src} WHERE vec_id < 16
+),
+{tag}a1 AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT f.vec_id, f.dim // 8 AS sub, c.code,
+           SUM((f.val - c.cval) * (f.val - c.cval)) AS dist,
+           row_number() OVER (PARTITION BY f.vec_id, f.dim // 8
+                              ORDER BY SUM((f.val - c.cval)
+                                           * (f.val - c.cval)) ASC,
+                                       c.code ASC) AS rn
+    FROM {src} f JOIN {tag}cb0 c ON c.dim = f.dim
+    GROUP BY f.vec_id, f.dim // 8, c.code
+  ) WHERE rn = 1
+),
+{tag}cb1 AS MATERIALIZED (
+  SELECT a.code, f.dim, SUM(f.val) // COUNT(*) AS cval
+  FROM {tag}a1 a
+  JOIN {src} f ON f.vec_id = a.vec_id AND f.dim // 8 = a.sub
+  GROUP BY a.code, f.dim
+),
+{tag}err AS (
+  SELECT sub AS subspace, SUM(dist) AS err FROM (
+    SELECT vec_id, sub, dist, row_number() OVER (
+        PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rn
+    FROM (
+      SELECT f.vec_id, f.dim // 8 AS sub, c.code,
+             SUM((f.val - c.cval) * (f.val - c.cval)) AS dist
+      FROM {src} f JOIN {tag}cb1 c ON c.dim = f.dim
+      GROUP BY f.vec_id, f.dim // 8, c.code
+    )
+  ) WHERE rn = 1 GROUP BY sub
+)"""
+
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+base AS (
+  SELECT e.vec_id, r.i AS dim,
+         CAST(round(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1000000)
+              AS BIGINT) AS x
+  FROM embeddings e, range(0, 64) r(i)
+),
+hmat AS (
+  SELECT a.i, b.j,
+         1 - 2 * (bit_count(CAST(a.i AS BIGINT) & CAST(b.j AS BIGINT)) % 2)
+           AS hs,
+         CASE WHEN b.j <= 6 THEN 1 << (2 * (6 - b.j)) ELSE 1 END AS s
+  FROM range(0, 64) a(i), range(0, 64) b(j)
+),
+aniso AS MATERIALIZED (
+  SELECT b.vec_id, h.i AS dim,
+         SUM(h.hs * h.s * b.x) // {_OPQ_SDIV} AS val
+  FROM base b JOIN hmat h ON h.j = b.dim
+  GROUP BY b.vec_id, h.i
+),{",".join(stages)},
+vstat AS (
+  SELECT dim,
+         (SELECT n FROM nn) * SUM(CAST(val AS HUGEINT) * CAST(val AS HUGEINT))
+           - CAST(SUM(val) AS HUGEINT) * CAST(SUM(val) AS HUGEINT) AS nvar
+  FROM {last} GROUP BY dim
+),
+alloc AS (
+  SELECT dim,
+         CASE WHEN ((rk - 1) // 8) % 2 = 0
+              THEN ((rk - 1) % 8) * 8 + (rk - 1) // 8
+              ELSE (7 - (rk - 1) % 8) * 8 + (rk - 1) // 8
+         END AS newdim
+  FROM (
+    SELECT dim, row_number() OVER (ORDER BY nvar DESC, dim ASC) AS rk
+    FROM vstat)
+),
+opq AS MATERIALIZED (
+  SELECT v.vec_id, a.newdim AS dim, v.val
+  FROM {last} v JOIN alloc a ON a.dim = v.dim
+),{pq_ctes("raw", "aniso")},{pq_ctes("opq", "opq")},
+tot AS (
+  SELECT (SELECT SUM(err) FROM rawerr) AS traw,
+         (SELECT SUM(err) FROM opqerr) AS topq
+)
+SELECT r.subspace,
+       CAST(r.err AS BIGINT) AS err_raw,
+       CAST(o.err AS BIGINT) AS err_opq,
+       CAST(t.traw AS BIGINT) AS total_err_raw,
+       CAST(t.topq AS BIGINT) AS total_err_opq,
+       t.topq < t.traw AS distortion_reduced
+FROM rawerr r
+JOIN opqerr o ON o.subspace = r.subspace
+CROSS JOIN tot t
+ORDER BY r.subspace
+"""
+
+
+@query("llm_embed_opq", oracle=_opq_oracle(), family=_FAM)
+def llm_embed_opq(spark, sf_dir):
+    """OPTIMIZED PRODUCT QUANTIZATION — data-learned rotation +
+    dimension allocation before PQ (r14, VERDICT r13 item 5; Ge et al.
+    CVPR 2013). OPQ's lever is ANISOTROPY: it rotates the space so
+    correlated/unbalanced variance lines up with subspace boundaries.
+    MEASURED FINDING (the reason this op is framed as it is): the
+    fixture embeddings are near-isotropic — true float OPQ (SVD
+    Procrustes, 8 alternations, offline numpy) moves PQ-ADC recall@5
+    only 0.2->0.2-0.34 at both SFs, and no rotation can beat identity
+    on isotropic data (the same isotropy collapse llm_sim_knn_lsh
+    documents; even 128-bit codes only reach 0.44). So the op
+    demonstrates the capability on a deterministic ANISOTROPIC TWIN of
+    the corpus — each embedding integer-scaled by a steep spectrum
+    (4^(6-j), 7 dominant directions) and mixed through the exact
+    +-1 Sylvester-Hadamard so the structure is NOT axis-aligned —
+    where the rotation has something to find.
+
+    Pipeline (every step integer-exact or correctly-rounded-IEEE, so
+    the DuckDB oracle replays it bit-for-bit):
+    - rotation train: 4 Householder stages; each runs 4 quantized
+      power-iteration rounds on the trunc-div-scaled integer
+      covariance (the llm_cluster_kmeans requantize-per-round
+      discipline: matvec is exact BIGINT, the norm is sqrt of an exact
+      HUGEINT sum — sqrt/x/÷ are correctly rounded IEEE, so the
+      re-quantized micro vector is engine-identical), then reflects
+      the found direction onto axis h;
+    - allocation: rotated dims ranked by exact integer variance
+      (n*sum_sq - sum^2) and snake-assigned to the 8 subspaces
+      (Ge et al.'s eigenvalue-allocation half);
+    - dual PQ encode (family codebook discipline: 16 seed codewords,
+      one Lloyd round of trunc-div means, min-struct argmin) of the
+      RAW twin layout vs the ROTATED+ALLOCATED layout.
+
+    Result: per-subspace squared PQ error for both layouts plus totals
+    and the measured `distortion_reduced` verdict — ~50-58% total
+    distortion reduction at every SF (value-hash-checked, not
+    asserted). ANN_RECALL_r14.json carries the honest fixture-side
+    conclusion: rotation cannot lift isotropic PQ-ADC recall; the
+    production levers for THIS corpus remain rerank (0.92-0.96) and
+    IVF composition.
+
+    Scale: covariance and variance are combiner aggregates over the
+    long frame (one shuffle each per stage); the rotation itself is
+    64-row state; PQ encode is the llm_embed_pq shape. At 100 TB the
+    cov/train runs on a deterministic sample exactly like the stored
+    IVF builds."""
+    n_rows = _n_embeddings(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+
+    # WIDE-FORMAT corpus passes (Arrow mapInPandas, integer-exact): the
+    # long-format draft ran the anisotropic mix, the covariance
+    # self-join and every reflection as separate shuffle plans — ~200
+    # stages, 27 s at sf0.1, all fixed overhead on 64-wide rows. Each
+    # kernel below is pure int64 numpy whose sums are EXACT (integer
+    # addition commutes, so batch order cannot perturb anything) and
+    # whose float steps replicate the oracle's expression tree element
+    # by element (floor(x+0.5) half-away rounding; /,* correctly
+    # rounded IEEE). Self-contained closures: workers import nothing
+    # repo-side.
+    def _aniso_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        H = np.array([[1]], dtype=np.int64)
+        while H.shape[0] < 64:
+            H = np.block([[H, H], [H, -H]])
+        sdiag = np.maximum(4 ** np.maximum(6 - np.arange(64), 0), 1)
+        for b in batches:
+            if not len(b):
+                continue
+            V = np.rint(
+                np.stack(b["embedding"].to_numpy()).astype(np.float64)
+                * 1000000.0
+            ).astype(np.int64)
+            A = (V * sdiag[None, :]) @ H  # Sylvester H is symmetric
+            A = np.sign(A) * (np.abs(A) // 262144)
+            yield pd.DataFrame({
+                "vec_id": b["vec_id"].to_numpy(),
+                "a": list(A),
+                "w": list(A),
+            })
+
+    wide_schema = (
+        "vec_id bigint, a array<bigint>, w array<bigint>"
+    )
+    wide = (
+        fan_out(e.select("vec_id", "embedding"))
+        .mapInPandas(_aniso_kernel, wide_schema)
+        .localCheckpoint()
+    )
+
+    # ROTATION TRAIN — driver-coordinated iterative loop (the
+    # llm_bpe_train_rounds gate class, documented in tests/test_plans
+    # _GATE_EXEMPT): the model state is 64-dim metadata (a 64x64
+    # moment matrix + a 64-row direction per stage) whose result feeds
+    # the NEXT round's plan, so the power iteration runs on collected
+    # state with BIT-IDENTICAL arithmetic to the oracle (python ints
+    # are exact; float() of an int, /, *, sqrt are correctly rounded
+    # IEEE; rounding is explicit half-away-from-zero to match
+    # Spark/DuckDB round()). Per stage: ONE moments pass (sum + raw
+    # second-moment matrix per batch, exact-summed on the driver) and
+    # ONE reflection pass over the corpus.
+    import math
+
+    def _half_away(x: float) -> int:
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5)
+        )
+
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def _moments_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            W = np.stack(b["w"].to_numpy()).astype(np.int64)
+            yield pd.DataFrame({
+                "s": [W.sum(axis=0).tolist()],
+                "c": [(W.T @ W).ravel().tolist()],
+            })
+
+    def _moments(frame):
+        parts = frame.mapInPandas(
+            _moments_kernel, "s array<bigint>, c array<bigint>"
+        ).collect()
+        S = [0] * 64
+        C = [0] * 4096
+        for r in parts:
+            for i, x in enumerate(r["s"]):
+                S[i] += int(x)
+            for i, x in enumerate(r["c"]):
+                C[i] += int(x)
+        return S, C
+
+    for h in range(_OPQ_HOUSE):
+        S, C = _moments(wide)
+        mu = [_tdiv(x, n_rows) for x in S]
+        # centered covariance by exact integer identity:
+        # sum((wi-mui)(wj-muj)) = Cij - mui*Sj - muj*Si + n*mui*muj
+        cov = [
+            [
+                _tdiv(
+                    C[i * 64 + j] - mu[i] * S[j] - mu[j] * S[i]
+                    + n_rows * mu[i] * mu[j],
+                    n_rows,
+                )
+                for j in range(64)
+            ]
+            for i in range(64)
+        ]
+        v = [1000000 if d == h else 0 for d in range(64)]
+        for _p in range(_OPQ_POW):
+            wv = [
+                sum(cov[i][j] * v[j] for j in range(64)) for i in range(64)
+            ]
+            s0 = float(sum(x * x for x in wv))  # exact int sum, 1 rounding
+            nv = 1.0 if s0 == 0 else math.sqrt(s0)
+            v = [_half_away((float(x) / nv) * 1000000.0) for x in wv]
+        eh = _half_away(math.sqrt(float(sum(x * x for x in v))))
+        u = [v[d] - (eh if d == h else 0) for d in range(64)]
+        uu = sum(x * x for x in u) or 1
+
+        def _reflect_kernel(batches, u=list(u), uu=uu):
+            import numpy as np
+            import pandas as pd
+
+            ua = np.array(u, dtype=np.int64)
+            for b in batches:
+                if not len(b):
+                    continue
+                W = np.stack(b["w"].to_numpy()).astype(np.int64)
+                du = W @ ua  # exact int64
+                # element-wise twin of round(((2.0*du)*u)/uu)
+                x = ((2.0 * du.astype(np.float64))[:, None]
+                     * ua.astype(np.float64)[None, :]) / float(uu)
+                delta = np.where(
+                    x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5)
+                ).astype(np.int64)
+                yield pd.DataFrame({
+                    "vec_id": b["vec_id"].to_numpy(),
+                    "a": b["a"],
+                    "w": list(W - delta),
+                })
+
+        wide = wide.mapInPandas(
+            _reflect_kernel, wide_schema
+        ).localCheckpoint()
+
+    # eigenvalue allocation from the FINAL frame's exact moments
+    S, C = _moments(wide)
+    nvar = [
+        n_rows * C[d * 64 + d] - S[d] * S[d] for d in range(64)
+    ]
+    order = sorted(range(64), key=lambda d: (-nvar[d], d))
+    perm = [0] * 64
+    for r0, dim in enumerate(order):
+        row, col = r0 // 8, r0 % 8
+        bucket = col if row % 2 == 0 else 7 - col
+        perm[dim] = bucket * 8 + row
+    perm_df = spark.createDataFrame(
+        [(d, perm[d]) for d in range(64)], "dim int, newdim int"
+    )
+    raw_frame = wide.select(
+        "vec_id", F.posexplode("a").alias("dim", "val")
+    )
+    opq_frame = (
+        wide.select("vec_id", F.posexplode("w").alias("dim", "val"))
+        .join(F.broadcast(perm_df), "dim")
+        .select("vec_id", F.col("newdim").alias("dim"), "val")
+    )
+    raw_err = _opq_pq_err(raw_frame).select(
+        "subspace", F.col("err").alias("err_raw")
+    )
+    opq_err = _opq_pq_err(opq_frame).select(
+        F.col("subspace").alias("o_sub"), F.col("err").alias("err_opq")
+    )
+    joined = raw_err.join(opq_err, raw_err.subspace == opq_err.o_sub)
+    tot = joined.agg(
+        F.sum("err_raw").cast("bigint").alias("traw"),
+        F.sum("err_opq").cast("bigint").alias("topq"),
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "subspace", "err_raw", "err_opq",
+            F.col("traw").alias("total_err_raw"),
+            F.col("topq").alias("total_err_opq"),
+            (F.col("topq") < F.col("traw")).alias("distortion_reduced"),
+        )
+        .orderBy("subspace")
+    )

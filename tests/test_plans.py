@@ -856,6 +856,10 @@ _GATE_EXEMPT = {
     # round's plan; the sequence is inherently serial (same discipline
     # as mr_pagerank's convergence checks).
     "llm_bpe_train_rounds",     # k-round BPE trainer (top-1 per round)
+    "llm_embed_opq",            # OPQ rotation train: 64-dim model state
+                                # (4096-row cov + 64-row direction per
+                                # stage) collected per round, feeds the
+                                # next round's plan (r14)
     "llm_bpe_apply",            # loads the shared cached trainer
     "llm_dedup_clusters",       # label-propagation convergence counts
     "llm_dedup_clusters_star",  # star-contraction round scalars
