@@ -122,6 +122,12 @@ HEADLINE = [
     "ts_attribution_multitouch",   # 2.5 first/last/linear attribution (r13)
     "stream_rocksdb_restart",      # 2.10 changelog recovery across restart (r13)
     "agg_mann_whitney_u",          # 2.4 rank-sum nonparametric A/B test (r13)
+    # r14 additions shipped this round
+    "join_cbo_reorder",            # 2.3 stats-driven join ORDER (r14)
+    "stream_state_eviction",       # 2.10 watermark state-cleanup proof (r14)
+    "llm_sim_knn_hnsw",            # 2.11 graph-navigable beam-search ANN (r14)
+    "llm_embed_opq",               # 2.11 OPQ rotation + allocation (r14)
+    "llm_quality_classifier_train",  # 2.11 distilled quality classifier (r14)
 ]
 
 
