@@ -1899,3 +1899,155 @@ def join_cbo_reorder(spark, sf_dir):
         for k, v in prev.items():
             spark.conf.set(k, v)
     return result
+
+
+@query(
+    "join_cbo_histogram",
+    oracle=f"""
+WITH seg AS (
+  SELECT o_orderkey, o_orderpriority FROM orders
+  WHERE (o_orderkey % 100) * (o_orderkey % 100) < 400
+)
+SELECT o_orderpriority,
+       TRUE AS histogram_corrects_underestimate,
+       TRUE AS bhj_on_underestimate,
+       TRUE AS smj_with_histogram,
+       COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem JOIN seg ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    family=_FAM,
+)
+def join_cbo_histogram(spark, sf_dir):
+    """HISTOGRAM column statistics — the third CBO lever next to
+    join_cbo_broadcast (NDV selectivity) and join_cbo_reorder (join
+    order): equi-height histograms from ``ANALYZE ... FOR ALL COLUMNS``
+    under ``spark.sql.statistics.histogram.enabled``. Without a
+    histogram, a RANGE predicate is estimated by UNIFORM interpolation
+    between the column's min and max — on a skewed measure that is
+    catastrophically wrong in exactly the direction that hurts at
+    100 TB: the fixture's skewed bigint measure ((o_orderkey%100)^2 —
+    quadratic, density ~1/sqrt(v), the shape of every real revenue
+    column; the fixture's own numerics are synthetic-uniform, where
+    histograms are a no-op by construction) filtered to `< 400` truly
+    keeps ~20% of rows, but uniform interpolation estimates 400/9801 ≈
+    4% — a ~4.9x UNDERESTIMATE that makes the planner broadcast a side
+    5x bigger than it thinks (the OOM-broadcast failure mode).
+    Histogram stats put the estimate within a percent of truth.
+
+    Both claims are MEASURED from plan statistics and pinned: the
+    same table is ANALYZE'd twice (with/without histograms);
+    `histogram_corrects_underestimate` = the histogram plan's
+    estimated filter output is ≥3x the uniform plan's; with the
+    broadcast threshold pinned at the geometric mean of the two
+    ESTIMATES, `bhj_on_underestimate` = the no-histogram plan
+    (wrongly) broadcasts the filtered dim, `smj_with_histogram` = the
+    histogram plan correctly sort-merge-joins. The join aggregate
+    stays hash-checked and materializes under the certified confs
+    (join_cbo_broadcast's conf save/restore discipline)."""
+    import math as _math
+    import re as _re
+    import shutil
+    from urllib.parse import urlparse
+
+    from hdfs_mr_spark.plans.audit import formatted_plan, plan_nodes
+
+    tag = _re.sub(r"[^0-9a-z]", "_", sf_dir.rsplit("/", 1)[-1].lower())
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    o = table(spark, sf_dir, "orders")
+    cts = {}
+    prev_hist = spark.conf.get(
+        "spark.sql.statistics.histogram.enabled", "false"
+    )
+    try:
+        for hist in ("false", "true"):
+            ct = f"hmr_cboh_{hist}_{tag}"
+            cts[hist] = ct
+            if not spark.catalog.tableExists(ct):
+                shutil.rmtree(f"{wh}/{ct}", ignore_errors=True)
+                spark.conf.set(
+                    "spark.sql.statistics.histogram.enabled", hist
+                )
+                (
+                    o.select("o_orderkey", "o_orderpriority")
+                    .withColumn(
+                        "skv",
+                        F.expr(
+                            "CAST((o_orderkey % 100) * (o_orderkey % 100)"
+                            " AS BIGINT)"
+                        ),
+                    )
+                    .write.mode("overwrite")
+                    .saveAsTable(ct)
+                )
+                spark.sql(
+                    f"ANALYZE TABLE {ct} COMPUTE STATISTICS FOR ALL COLUMNS"
+                )
+    finally:
+        spark.conf.set(
+            "spark.sql.statistics.histogram.enabled", prev_hist
+        )
+
+    l = table(spark, sf_dir, "lineitem")
+
+    def dim(hist):
+        return spark.table(cts[hist]).filter(F.col("skv") < 400)
+
+    def joined(hist):
+        d = dim(hist)
+        return (
+            l.join(d, l.l_orderkey == d.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ).alias("revenue"),
+            )
+        )
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.cbo.enabled",
+                  "spark.sql.autoBroadcastJoinThreshold")
+    }
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        # estimated filter output under each stats regime (plan
+        # statistics — driver-side plan interrogation, no data action)
+        est = {
+            h: int(
+                dim(h)._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+            for h in ("false", "true")
+        }
+        corrected = est["true"] >= 3 * est["false"]
+        thr = max(int(_math.sqrt(est["false"] * est["true"])), 1024)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
+        p_u = plan_nodes(formatted_plan(joined("false")))
+        bhj_wrong = any("BroadcastHashJoin" in n for n in p_u)
+        p_h = plan_nodes(formatted_plan(joined("true")))
+        smj_right = any("SortMergeJoin" in n for n in p_h) and not any(
+            "BroadcastHashJoin" in n for n in p_h
+        )
+        result = (
+            joined("true")
+            .select(
+                "o_orderpriority",
+                F.lit(bool(corrected)).alias(
+                    "histogram_corrects_underestimate"
+                ),
+                F.lit(bool(bhj_wrong)).alias("bhj_on_underestimate"),
+                F.lit(bool(smj_right)).alias("smj_with_histogram"),
+                "n_items", "revenue",
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    return result
