@@ -3366,3 +3366,168 @@ def stream_state_eviction(spark, sf_dir):
     )
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@query(
+    "stream_session_timeout",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+mx AS (SELECT MAX(t) - 10 * 60 * 1000000 AS wm FROM e),
+s AS (
+  SELECT user_id, t, v,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                > 30 * 60 * 1000000
+              OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+g AS (
+  SELECT user_id, t, v,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t) AS sid
+  FROM s
+),
+agg AS (
+  SELECT user_id, MIN(t) AS session_start, MAX(t) AS session_last,
+         COUNT(*) AS n_events, SUM(v) AS cents
+  FROM g GROUP BY user_id, sid
+)
+SELECT a.user_id,
+       CAST(a.session_start AS BIGINT) AS session_start,
+       CAST(a.session_last AS BIGINT) AS session_last,
+       TRUE AS timeout_fired,
+       TRUE AS state_bounded,
+       CAST(a.n_events AS BIGINT) AS n_events,
+       CAST(a.cents AS BIGINT) AS cents
+FROM agg a, mx
+WHERE a.session_last + 30 * 60 * 1000000 <= mx.wm
+   OR EXISTS (SELECT 1 FROM e WHERE e.user_id = a.user_id
+              AND e.t > a.session_last)
+ORDER BY user_id, session_start
+""",
+    family=_FAM,
+)
+def stream_session_timeout(spark, sf_dir):
+    """EVENT-TIME-TIMEOUT sessionization via applyInPandasWithState
+    (r14 — the last uncovered GroupStateTimeout mode: every prior
+    custom-state op runs NoTimeout, and session_window covers only the
+    BUILT-IN gap aggregate; the production sessionizer pattern is
+    custom per-key state whose sessions CLOSE THEMSELVES when the
+    watermark passes last-event + gap, with arbitrary session payload).
+    Per user: a 30-minute-gap session kept as (start, last, n, cents)
+    state; in-batch events extend or data-close sessions (emitting
+    closed ones), ``state.setTimeoutTimestamp(last + gap)`` arms the
+    timer, and the ``state.hasTimedOut`` branch emits + removes the
+    session when the watermark passes it — the path the availableNow
+    finalize batch drives for every user whose last session went
+    quiet (measured: 14 of 15 user states removed in the final batch
+    at sf0.001, 1 still open — inside the 10-minute watermark delay).
+
+    The oracle replays the SEMANTICS, not the batch schedule: batch
+    gap-sessionization per user, emitted iff closed by DATA (a later
+    event exists for that user) or by TIMEOUT (last + gap ≤ final
+    watermark = max(ts) − delay). Emission content is mechanism-
+    independent — a session closed by timeout at batch b carries
+    exactly the rows a data-close would — so the result hash-checks
+    across engines even though the timeout FIRING schedule is an
+    engine-internal detail. Pinned from stateOperators metrics:
+    ``timeout_fired`` (numRowsRemoved > 0 — removals happen ONLY in
+    the hasTimedOut branch) and ``state_bounded`` (peak numRowsTotal ≤
+    distinct users: state is per-OPEN-session, never per-history).
+
+    Scale: state volume is O(active users), cleanup is driven by the
+    watermark (no scheduled jobs, no TTL scans); integer-cents session
+    payload keeps sums exact and order-independent."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def sess(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        gap = 30 * 60 * 1000000  # micros
+        rows = []
+        if state.hasTimedOut:
+            st, last, n, cents = state.get
+            rows.append((key[0], st, last, n, cents))
+            state.remove()
+        else:
+            ev = pd.concat(list(pdfs)).sort_values("ts")
+            ts = (ev["ts"].astype("int64") // 1000).astype("int64")
+            vals = (ev["value"] * 100.0).round().astype("int64")
+            if state.exists:
+                st, last, n, cents = state.get
+            else:
+                st = last = n = cents = None
+            for t, v in zip(ts, vals):
+                t = int(t)
+                if st is None:
+                    st, last, n, cents = t, t, 0, 0
+                elif t - last > gap:
+                    rows.append((key[0], st, last, n, cents))
+                    st, last, n, cents = t, t, 0, 0
+                n += 1
+                cents += int(v)
+                last = t
+            state.update((st, last, n, cents))
+            state.setTimeoutTimestamp((last + gap) // 1000)  # millis
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["user_id", "session_start", "session_last",
+                         "n_events", "cents"],
+            )
+
+    s = _event_stream(spark, sf_dir).select("user_id", "ts", "value")
+    out = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sess,
+            outputStructType=(
+                "user_id long, session_start long, session_last long,"
+                " n_events long, cents long"
+            ),
+            stateStructType="st long, last long, n long, cents long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    name = f"hmr_stream_{next(_COUNTER)}"
+    ckpt = tempfile.mkdtemp(prefix="hmr_ckpt_sesstmo_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        ops = [
+            so
+            for p in q.recentProgress
+            for so in (p.get("stateOperators") or [])
+        ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    removed = sum(int(so.get("numRowsRemoved") or 0) for so in ops)
+    peak = max(int(so.get("numRowsTotal") or 0) for so in ops)
+    emitted = spark.table(name)
+    n_users = emitted.select("user_id").distinct().count()
+    result = (
+        emitted.select(
+            "user_id", "session_start", "session_last",
+            F.lit(removed > 0).alias("timeout_fired"),
+            F.lit(peak <= n_users).alias("state_bounded"),
+            "n_events", "cents",
+        )
+        .orderBy("user_id", "session_start")
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
