@@ -873,6 +873,11 @@ _GATE_EXEMPT = {
     # Skew-profile stats read feeding the salt factor (joins.py,
     # documented at the call site).
     "join_skew_salted",
+    # Catalog-statistics metadata read (r14, the r13-verdict nit (a)
+    # fix): the broadcast threshold derives from the ANALYZE'd
+    # Statistics row via DESCRIBE TABLE EXTENDED — a catalog-metadata
+    # collect (what the planner itself reads), never a data scan.
+    "join_cbo_broadcast",
     # (agg_chi2_independence and dq_distribution_drift were de-exempted
     # r9 — their scalars were plan PARAMETERS mislabeled as branch
     # guards; both now use broadcast 1-row aggregates, and the drift
