@@ -181,8 +181,19 @@ def main() -> int:
             print(f"FAIL {name}: {failures[name]}", flush=True)
         spark.sparkContext._jvm.System.gc()
 
+    # environment control (r14): the r14 stress runs landed in a window
+    # where the HOST itself ran 1.1-1.45x slow (hypervisor steal; zero
+    # local CPU consumers) — embed the frozen bench_control probes so
+    # every stress artifact self-documents its recording environment
+    # exactly like BENCH_r{N}.json does.
+    from tools.bench_control import run_control
+
+    control = run_control(spark, "/root/testdata/sf0.1")
+    print("control:", json.dumps(control), flush=True)
+
     result = {
         "metric": "ts_stress_wall",
+        "control": control,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
