@@ -128,6 +128,8 @@ HEADLINE = [
     "llm_sim_knn_hnsw",            # 2.11 graph-navigable beam-search ANN (r14)
     "llm_embed_opq",               # 2.11 OPQ rotation + allocation (r14)
     "llm_quality_classifier_train",  # 2.11 distilled quality classifier (r14)
+    "join_cbo_histogram",          # 2.3 equi-height histogram stats (r14 late)
+    "stream_session_timeout",      # 2.10 event-time-timeout sessionizer (r14 late)
 ]
 
 
