@@ -4596,8 +4596,12 @@ def llm_quality_classifier_train(spark, sf_dir):
             w.join(grad, "bucket")
             .select(
                 "bucket",
+                # single precomputed literal: an int32*int32 product
+                # inside the expression overflows Catalyst constant
+                # folding at n_docs >= 22k (found by the 50k-doc zipf
+                # stress corpus; fixture n never tripped it)
                 F.expr(
-                    f"wv - g DIV ({n_docs} * {_QC_LRDEN})"
+                    f"wv - g DIV {n_docs * _QC_LRDEN}"
                 ).alias("wv"),
             )
             .localCheckpoint()

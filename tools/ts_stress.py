@@ -81,6 +81,11 @@ BENCH_QUERIES = [
     "agg_sketch_rollup_table",
     "stream_rocksdb_restart",
     "agg_mann_whitney_u",
+    # r14: watermark eviction and event-time-timeout sessionization at
+    # 1M Zipf-skewed events — state must stay O(open windows)/O(users)
+    # and the finalize batch must still fire timeouts at this volume
+    "stream_state_eviction",
+    "stream_session_timeout",
 ]
 
 

@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "llm_tokenizer_wordpiece",
     "llm_tokenizer_unigram_train",
     "llm_lm_score_kn",
+    # r14: the GD trace's margins/gradients join the hashed features —
+    # 90k types hash into 64 buckets (near-total collision), the
+    # hashing-trick worst case the classifier must absorb linearly
+    "llm_quality_classifier_train",
 ]
 
 # bitmask (dense-regime) kernels MUST refuse a 100k vocabulary
