@@ -4360,9 +4360,14 @@ def llm_embed_opq(spark, sf_dir):
         for b in batches:
             if not len(b):
                 continue
-            V = np.rint(
+            x = (
                 np.stack(b["embedding"].to_numpy()).astype(np.float64)
                 * 1000000.0
+            )
+            # half-away-from-zero, matching the oracle's round(); np.rint
+            # is banker's and diverges on exact .5 boundaries.
+            V = np.where(
+                x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5)
             ).astype(np.int64)
             A = (V * sdiag[None, :]) @ H  # Sylvester H is symmetric
             A = np.sign(A) * (np.abs(A) // 262144)

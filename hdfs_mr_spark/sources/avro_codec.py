@@ -137,9 +137,17 @@ def encode_value(out: bytearray, schema, value) -> None:
             idx, bname, branch = wide[0]
         elif bname == "float":
             wide = [m for m in matches if m[1] == "double"]
-            if wide and struct.unpack(
-                    "<f", struct.pack("<f", value))[0] != value:
-                idx, bname, branch = wide[0]
+            if wide:
+                # finite doubles beyond float32 range make struct.pack
+                # raise OverflowError — that's maximal lossiness, take
+                # the double branch rather than crash.
+                try:
+                    lossless = struct.unpack(
+                        "<f", struct.pack("<f", value))[0] == value
+                except OverflowError:
+                    lossless = False
+                if not lossless:
+                    idx, bname, branch = wide[0]
         write_long(out, idx)
         encode_value(out, branch, value)
         return

@@ -962,11 +962,20 @@ def materialize_xml(sf_dir: str) -> str:
     return str(path)
 
 
-try:  # pragma: no cover — same import-time contract as the csv fixtures
-    if os.path.isdir(ORACLE_SF):
+# Same import-time contract as materialize_fixtures above: tolerate ONLY
+# incomplete testdata (FileNotFoundError → warn); anything else propagates
+# with its root cause instead of resurfacing as a downstream
+# AnalysisException.
+if os.path.isdir(ORACLE_SF):  # pragma: no cover - import-time side effect
+    try:
         materialize_xml(ORACLE_SF)
-except Exception:  # noqa: BLE001
-    pass
+    except FileNotFoundError as exc:
+        import warnings
+
+        warnings.warn(
+            f"testdata at {ORACLE_SF} is incomplete; xml fixture not "
+            f"materialized: {exc}", RuntimeWarning, stacklevel=1,
+        )
 
 
 @query(

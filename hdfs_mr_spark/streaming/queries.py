@@ -3350,7 +3350,10 @@ def stream_state_eviction(spark, sf_dir):
     )
     removed_total = sum(int(so.get("numRowsRemoved") or 0) for so in ops)
     totals = [int(so.get("numRowsTotal") or 0) for so in ops]
-    peak, final = max(totals), totals[-1]
+    # A provider failure can leave recentProgress with no stateOperators
+    # rows; degrade to 0/0 so the pinned booleans fail the hash check
+    # with readable values instead of a bare ValueError/IndexError.
+    peak, final = (max(totals), totals[-1]) if totals else (0, 0)
     emitted = spark.table(name)
     n_sealed = emitted.count()
     result = (
@@ -3456,7 +3459,14 @@ def stream_session_timeout(spark, sf_dir):
         else:
             ev = pd.concat(list(pdfs)).sort_values("ts")
             ts = (ev["ts"].astype("int64") // 1000).astype("int64")
-            vals = (ev["value"] * 100.0).round().astype("int64")
+            import numpy as np
+
+            x = ev["value"].to_numpy(dtype="float64") * 100.0
+            # half-away-from-zero cents, matching oracle round(value*100)
+            # (Series.round is banker's and diverges on exact halves).
+            vals = np.where(
+                x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5)
+            ).astype("int64")
             if state.exists:
                 st, last, n, cents = state.get
             else:
