@@ -70,46 +70,45 @@ def query(
 # the driver's hard CORRECTNESS signal checks the FIRST 50 entries of
 # queries() in declaration order. The registry emits a curated 50-op
 # rotation FIRST so that signal accumulates coverage across rounds
-# instead of re-verifying the same slice. Round-14 composition per the
-# r13 ADVICE (40+ fresh + a re-sample reserve): 45 ops NEVER driver
-# verified in any round (windows/ts, streaming, MR composite, TPC-H,
-# llm text/similarity/multimodal, udf, subqueries — the families the
-# r13 verdict named), plus 5 RE-SAMPLES of ops last driver-verified
-# before round 12, so regressions in previously-green ops stay visible
-# to the driver. Disjoint from CORRECTNESS_r13.json and ≥45 names
-# absent from r12∪r13 — both pinned by tests/test_parity.py.
+# instead of re-verifying the same slice. Round-15 composition per the
+# r14 verdict item 1 (45 fresh + a re-sample reserve): 45 ops NEVER
+# driver-verified in any round (the deep llm_text tail, llm_dedup
+# variants, multimodal pixel/audio/video formats, etl_*, dq_*, fn_* —
+# the families the r14 verdict named), plus 5 RE-SAMPLES of ops last
+# driver-verified before round 13, so regressions in previously-green
+# ops stay visible to the driver. Disjoint from CORRECTNESS_r14.json
+# and ≥45 names absent from r12∪r13∪r14 — pinned by
+# tests/test_parity.py.
 DRIVER_ROTATION: tuple[str, ...] = (
-    # windows / time series (10) — never driver-verified
-    "win_first_last", "win_topk_per_group", "win_ntile",
-    "ts_resample_ohlc", "ts_funnel", "ts_ewma", "ts_retention_cohort",
-    "ts_interval_merge", "ts_holt_winters", "ts_attribution_multitouch",
-    # streaming (6)
-    "stream_sliding", "stream_session", "stream_static_join",
-    "stream_stream_join", "stream_cdc_upsert", "stream_windowed_topk",
-    # MR composite (6)
-    "mr_grep", "mr_join_agg", "mr_kmeans", "mr_triangle_count",
-    "mr_bfs", "mr_hits",
-    # TPC-H (5)
-    "sql_tpch_q4_order_priority", "sql_tpch_q5_local_supplier",
-    "sql_tpch_q10_returned_items", "sql_tpch_q12_shipmode_priority",
-    "sql_tpch_q18_large_orders",
-    # llm text analysis (7)
-    "llm_tfidf", "llm_token_count", "llm_fingerprint_simhash",
-    "llm_pii_redact", "llm_bpe_apply", "llm_bm25_score",
-    "llm_lm_score_kn",
-    # llm similarity (4)
-    "llm_cluster_kmeans", "llm_sim_knn_lsh_multiprobe",
-    "llm_sim_knn_ivf_pq_rerank", "llm_rag_mmr",
-    # llm multimodal (3)
-    "llm_multimodal_pixels", "llm_multimodal_phash_banded",
-    "llm_multimodal_exif",
-    # udf surface (2)
-    "udf_grouped_agg", "udf_map_in_pandas",
-    # sql subqueries (2)
-    "sql_scalar_subquery_correlated", "sql_recursive_cte",
-    # ---- re-sample reserve (5): last driver-verified pre-r12 ----
-    "agg_pivot", "join_dpp_partition_pruned", "filter_like",
-    "win_running_sum", "join_skew_salted",
+    # deep llm text-analysis tail (12) — never driver-verified
+    "llm_readability", "llm_segment_texttiling", "llm_zipf_slope",
+    "llm_watermark_detect", "llm_keyword_extract",
+    "llm_sentiment_lexicon", "llm_lang_profile", "llm_ngram_novelty",
+    "llm_ngrams", "llm_vocab_coverage", "llm_corpus_summary",
+    "llm_fingerprint_winnow",
+    # llm dedup variants (6)
+    "llm_dedup_containment", "llm_dedup_keep_best",
+    "llm_dedup_lsh_audit", "llm_dedup_near_ngram",
+    "llm_dedup_clusters_star", "llm_dedup_incremental",
+    # multimodal pixel / audio / video formats (8)
+    "llm_multimodal_pixels_bmp", "llm_multimodal_pixels_gif",
+    "llm_multimodal_pixels_interlaced", "llm_multimodal_audio_spectral",
+    "llm_multimodal_audio_multichannel", "llm_multimodal_framesample_gif",
+    "llm_multimodal_framesample_avi", "llm_multimodal_phash_mixed",
+    # etl (6)
+    "etl_bitemporal_asof", "etl_cdc_apply", "etl_scd2_asof",
+    "etl_upsert_merge", "etl_snapshot_diff", "etl_view_maintenance",
+    # dq (5)
+    "dq_benford_audit", "dq_constraint_audit", "dq_k_anonymity",
+    "dq_profile_columns", "dq_reconcile_totals",
+    # fn scalar surface (7)
+    "fn_array", "fn_bitwise", "fn_datetime_format", "fn_explode",
+    "fn_map_struct", "fn_interval", "fn_hash",
+    # set ops (1)
+    "set_intersect_all",
+    # ---- re-sample reserve (5): last driver-verified pre-r13 ----
+    "agg_approx_quantile", "filter_null", "join_interval",
+    "lake_bloom_index", "fn_xml",
 )
 
 

@@ -43,13 +43,13 @@ def test_survey_section2_matches_registry():
 
 
 def test_driver_rotation_is_first_and_fresh():
-    """VERDICT r12 item 2 / r13 item 1 + ADVICE r13: the driver samples
+    """VERDICT r12 item 2 / r13 item 1 / r14 item 1: the driver samples
     the FIRST 50 entries of queries(); the registry must emit the
     curated rotation first, the rotation must be exactly 50 registered
     names, DISJOINT from the previous round's driver sample
-    (CORRECTNESS_r13 keys), with ≥45 names absent from the r12∪r13
-    samples (fresh coverage) — the ≤5 remainder being deliberate
-    re-samples of pre-r12-verified ops so the driver keeps
+    (CORRECTNESS_r14 keys), with ≥45 names absent from the
+    r12∪r13∪r14 samples (fresh coverage) — the ≤5 remainder being
+    deliberate re-samples of pre-r13-verified ops so the driver keeps
     regression-detection power over previously-green surface."""
     import json
     from pathlib import Path
@@ -61,15 +61,17 @@ def test_driver_rotation_is_first_and_fresh():
     assert len(DRIVER_ROTATION) == 50
     assert names[:50] == list(DRIVER_ROTATION)
     root = Path(__file__).resolve().parents[1]
-    prev = set(json.loads((root / "CORRECTNESS_r13.json").read_text()))
+    prev = set(json.loads((root / "CORRECTNESS_r14.json").read_text()))
     stale = [n for n in DRIVER_ROTATION if n in prev]
-    assert stale == [], f"rotation repeats r13 driver sample: {stale}"
+    assert stale == [], f"rotation repeats r14 driver sample: {stale}"
     recent = prev | set(
+        json.loads((root / "CORRECTNESS_r13.json").read_text())
+    ) | set(
         json.loads((root / "CORRECTNESS_r12.json").read_text())
     )
     fresh = [n for n in DRIVER_ROTATION if n not in recent]
     assert len(fresh) >= 45, (
-        f"only {len(fresh)} rotation names are fresh vs r12∪r13"
+        f"only {len(fresh)} rotation names are fresh vs r12∪r13∪r14"
     )
     # oracle coverage: every rotated op must carry a DuckDB twin
     oracles = e.oracle_sql()
