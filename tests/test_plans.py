@@ -100,6 +100,19 @@ def test_blocked_pair_kernel_plan(spark):
     assert not any("Cartesian" in n for n in nodes)
 
 
+def test_map_in_arrow_is_arrow_not_pandas(spark):
+    """r15 (VERDICT r14 item 3): udf_map_in_arrow must plan the
+    RecordBatch-level MapInArrow node — NOT MapInPandas — while its
+    sibling udf_map_in_pandas keeps the pandas node; the two extension
+    tiers stay physically distinct."""
+    arrow_nodes = _nodes(_plan(spark, "udf_map_in_arrow"))
+    assert any("MapInArrow" in n for n in arrow_nodes)
+    assert not any("MapInPandas" in n for n in arrow_nodes)
+    pandas_nodes = _nodes(_plan(spark, "udf_map_in_pandas"))
+    assert any("MapInPandas" in n for n in pandas_nodes)
+    assert not any("MapInArrow" in n for n in pandas_nodes)
+
+
 def test_repetition_gates_are_codegen_aggregates(spark):
     """Repetition quality gates: relational aggregates only — no python
     nodes on this hot path."""
