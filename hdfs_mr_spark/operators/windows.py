@@ -2146,6 +2146,261 @@ def ts_decompose_classical(spark, sf_dir):
     )
 
 
+# ts_stl_loess integer tricube weights (compile-time constants shared
+# verbatim by the Spark expressions and the DuckDB oracle): scale 100,
+# w(d) = round(100 * (1 - (d/(h+1))^3)^3) for half-widths h=3 (cycle
+# subseries) and h=6 (trend pass). Scale 100 keeps the weighted
+# normal-equation products comfortably inside int64 (|y| <= ~1e9 micro,
+# sy <= 13*100*1e9 = 1.3e12, sy*sxx <= 6e17 — 15x headroom).
+_STL_W3 = {0: 100, 1: 95, 2: 67, 3: 19}
+_STL_W6 = {0: 100, 1: 99, 2: 93, 3: 78, 4: 54, 5: 26, 6: 5}
+
+
+def _stl_wcase(weights: dict, dcol: str) -> str:
+    arms = " ".join(
+        f"WHEN {k} THEN {v}" for k, v in sorted(weights.items())[:-1]
+    )
+    return (f"CASE abs({dcol}) {arms} "
+            f"ELSE {weights[max(weights)]} END")
+
+
+_STL_FIT = """
+CASE WHEN sw * sxx - sx * sx <> 0
+     THEN (sy * sxx - sx * sxy) {div} (sw * sxx - sx * sx)
+     ELSE sy {div} sw END"""
+
+
+@query(
+    "ts_stl_loess",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hus,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+mm AS (SELECT MIN(hus) AS h0 FROM hourly),
+ser AS MATERIALIZED (
+  SELECT h.event_type, (h.hus - m.h0) // 3600000000 AS hidx,
+         (h.sum_cents * 10000) // h.n AS y
+  FROM hourly h, mm m
+),
+sub AS (
+  SELECT event_type, hidx, hidx // 24 AS cyc, hidx % 24 AS hod, y
+  FROM ser
+),
+spair AS (
+  SELECT a.event_type, a.hidx, b.cyc - a.cyc AS d, b.y,
+         {_stl_wcase(_STL_W3, 'b.cyc - a.cyc')} AS wt
+  FROM sub a JOIN sub b
+    ON b.event_type = a.event_type AND b.hod = a.hod
+   AND abs(b.cyc - a.cyc) <= 3
+),
+sfit AS (
+  SELECT event_type, hidx,
+         SUM(wt) AS sw, SUM(wt * d) AS sx, SUM(wt * y) AS sy,
+         SUM(wt * d * d) AS sxx, SUM(wt * d * y) AS sxy
+  FROM spair GROUP BY 1, 2
+),
+sraw AS (
+  SELECT event_type, hidx, {_STL_FIT.format(div='//')} AS s_raw
+  FROM sfit
+),
+lp AS (
+  SELECT event_type, hidx, s_raw,
+         SUM(s_raw) OVER w AS wsum, COUNT(*) OVER w AS wcnt
+  FROM sraw
+  WINDOW w AS (PARTITION BY event_type ORDER BY hidx
+               RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+seas AS (
+  SELECT event_type, hidx,
+         CASE WHEN wcnt = 25 THEN s_raw - wsum // 25 END AS seasonal
+  FROM lp
+),
+des AS MATERIALIZED (
+  SELECT s.event_type, s.hidx, s.y, e.seasonal,
+         s.y - e.seasonal AS dv
+  FROM ser s JOIN seas e
+    ON e.event_type = s.event_type AND e.hidx = s.hidx
+),
+tpair AS (
+  SELECT a.event_type, a.hidx, b.hidx - a.hidx AS d, b.dv,
+         {_stl_wcase(_STL_W6, 'b.hidx - a.hidx')} AS wt
+  FROM des a JOIN des b
+    ON b.event_type = a.event_type AND abs(b.hidx - a.hidx) <= 6
+  WHERE a.seasonal IS NOT NULL AND b.seasonal IS NOT NULL
+),
+tfit AS (
+  SELECT event_type, hidx,
+         SUM(wt) AS sw, SUM(wt * d) AS sx, SUM(wt * dv) AS sy,
+         SUM(wt * d * d) AS sxx, SUM(wt * d * dv) AS sxy
+  FROM tpair GROUP BY 1, 2
+),
+trend AS (
+  SELECT event_type, hidx, {_STL_FIT.format(div='//')} AS t
+  FROM tfit
+)
+SELECT d.event_type, CAST(d.hidx AS BIGINT) AS hidx,
+       CAST(d.y AS BIGINT) AS mean_micro,
+       CAST(d.seasonal AS BIGINT) AS seasonal_micro,
+       CAST(t.t AS BIGINT) AS trend_micro,
+       CAST(d.dv - t.t AS BIGINT) AS remainder_micro
+FROM des d
+LEFT JOIN trend t ON t.event_type = d.event_type AND t.hidx = d.hidx
+ORDER BY d.event_type, d.hidx
+""",
+    family=_FAM,
+)
+def ts_stl_loess(spark, sf_dir):
+    """STL — seasonal-trend decomposition by LOESS (r15, VERDICT r14
+    item 7: the family had the classical moving-average decomposition,
+    Holt-Winters, and seasonal-naive; LOESS-based STL, Cleveland et al.
+    1990, is the last widely-used decomposition missing). One inner
+    STL pass, robustness iterations 0, period 24 h, on the per-type
+    hourly mean series (ts_decompose_classical's base):
+
+    1. CYCLE-SUBSERIES LOESS: each hour-of-day subseries is smoothed
+       over cycle index by locally-weighted linear regression (window
+       ±3 cycles, integer tricube weights — the win_rolling_regression
+       normal equations with per-distance weights, fitted value =
+       intercept at the centered abscissa, all-BIGINT trunc-div).
+    2. LOW-PASS CENTERING: the raw seasonal minus its centered 25-h
+       moving average (complete windows only — edges honestly NULL,
+       the classical op's discipline), so trend can't leak into
+       seasonal.
+    3. TREND LOESS: the deseasonalized series smoothed over the hour
+       index (window ±6 h, same integer machinery).
+    4. remainder = y - seasonal - trend.
+
+    Determinism: the tricube weights are integer literals shared by
+    both engines; every weighted moment (Σw, Σwx, Σwy, Σwx², Σwxy) is
+    an exact BIGINT sum; the fitted value is one trunc-div of exact
+    integers (Spark DIV == DuckDB BIGINT //); zero-variance windows
+    fall back to the weighted mean. No floats anywhere.
+
+    Scale: the corpus-sized work is the hourly combiner aggregation;
+    everything after runs on the RESAMPLED series (rows bounded by
+    time-span × type-cardinality, not corpus size). The distance-
+    weighted windows can't be RANGE frames (weights vary per row pair),
+    so both LOESS passes are BANDED equi-joins — each row explodes to
+    3 band buckets and joins on (keys, bucket), keeping candidate
+    pairs O(series × window), never a per-key cross product."""
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hus"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "sum_cents"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+    mm = hourly.agg(F.min("hus").alias("h0"))
+    ser = hourly.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        F.expr("(hus - h0) div 3600000000").alias("hidx"),
+        F.expr("(sum_cents * 10000) div n").alias("y"),
+    ).localCheckpoint()  # feeds the subseries join AND the des join
+
+    def _loess(frame, key_cols, xcol, ycol, half, bucket, weights, out):
+        """Banded locally-weighted linear regression: fitted value (the
+        intercept at the centered abscissa) per left row."""
+        wcase = _stl_wcase(weights, "d")
+        lhs = frame.select(
+            *key_cols, F.col(xcol).alias("x0"), "hidx"
+        ).withColumn(
+            "bb",
+            F.explode(F.array(*[
+                F.expr(f"x0 div {bucket} + {o}") for o in (-1, 0, 1)
+            ])),
+        )
+        # every column name distinct across the two sides (r_ prefix +
+        # r_bb) — expression self-joins on same-parent frames are
+        # ambiguous otherwise (the mr_hits lesson)
+        rhs = frame.select(
+            *[F.col(k).alias(f"r_{k}") for k in key_cols],
+            F.col(xcol).alias("x1"), F.col(ycol).alias("yv"),
+        ).withColumn("r_bb", F.expr(f"x1 div {bucket}"))
+        cond = F.col("bb") == F.col("r_bb")
+        for k in key_cols:
+            cond = cond & (F.col(k) == F.col(f"r_{k}"))
+        pairs = (
+            lhs.join(rhs, cond)
+            .filter(F.abs(F.col("x1") - F.col("x0")) <= half)
+            .select(
+                *key_cols, "hidx",
+                (F.col("x1") - F.col("x0")).alias("d"), "yv",
+            )
+            .withColumn("wt", F.expr(wcase))
+        )
+        fit = pairs.groupBy(*key_cols, "hidx").agg(
+            F.sum("wt").alias("sw"),
+            F.sum(F.expr("wt * d")).alias("sx"),
+            F.sum(F.expr("wt * yv")).alias("sy"),
+            F.sum(F.expr("wt * d * d")).alias("sxx"),
+            F.sum(F.expr("wt * d * yv")).alias("sxy"),
+        )
+        return fit.select(
+            *key_cols, "hidx",
+            F.expr(_STL_FIT.format(div="DIV")).alias(out),
+        )
+
+    sub = ser.select(
+        "event_type", "hidx",
+        F.expr("hidx div 24").alias("cyc"),
+        F.expr("hidx % 24").alias("hod"), "y",
+    )
+    sraw = _loess(
+        sub, ["event_type", "hod"], "cyc", "y",
+        half=3, bucket=4, weights=_STL_W3, out="s_raw",
+    )
+    wlp = (
+        Window.partitionBy("event_type").orderBy("hidx").rangeBetween(-12, 12)
+    )
+    seas = sraw.select(
+        "event_type", "hidx", "s_raw",
+        F.sum("s_raw").over(wlp).alias("wsum"),
+        F.count("*").over(wlp).alias("wcnt"),
+    ).select(
+        "event_type", "hidx",
+        F.when(
+            F.col("wcnt") == 25, F.col("s_raw") - F.expr("wsum div 25")
+        ).alias("seasonal"),
+    )
+    des = (
+        ser.join(seas, ["event_type", "hidx"])
+        .select(
+            "event_type", "hidx", "y", "seasonal",
+            (F.col("y") - F.col("seasonal")).alias("dv"),
+        )
+        .localCheckpoint()  # feeds the trend join (both sides) + output
+    )
+    core = des.filter(F.col("seasonal").isNotNull())
+    trend = _loess(
+        core, ["event_type"], "hidx", "dv",
+        half=6, bucket=7, weights=_STL_W6, out="t",
+    )
+    return (
+        des.join(trend.select("event_type", "hidx", "t"),
+                 ["event_type", "hidx"], "left")
+        .select(
+            "event_type",
+            F.col("hidx").cast("bigint").alias("hidx"),
+            F.col("y").cast("bigint").alias("mean_micro"),
+            F.col("seasonal").cast("bigint").alias("seasonal_micro"),
+            F.col("t").cast("bigint").alias("trend_micro"),
+            (F.col("dv") - F.col("t")).cast("bigint")
+            .alias("remainder_micro"),
+        )
+        .orderBy("event_type", "hidx")
+    )
+
+
 @query(
     "win_drawdown",
     oracle="""
