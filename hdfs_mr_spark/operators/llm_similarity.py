@@ -3775,13 +3775,11 @@ _HNSW_ROUNDS = 3   # fixed expansion rounds
 _HNSW_ENTRIES = 4  # entry points: nearest coarse centroids
 
 
-def _hnsw_oracle() -> str:
-    """Unrolled beam-search oracle (mr_hits' bounded-rounds CTE
-    discipline): graph build + _HNSW_ROUNDS expansion rounds, every
-    cosine the same left fold as Spark, every top-k tie-broken on id."""
-    dot_uv = _SQL_DOT.format(a="u.embedding", b="v.embedding")
-    dot_nc = _SQL_DOT.format(a="n.embedding", b="c.ce")
-    dot_qc = _SQL_DOT.format(a="q.qe", b="c.ce")
+def _hnsw_beam_rounds_sql() -> list:
+    """The _HNSW_ROUNDS unrolled beam-expansion CTEs (shared verbatim
+    by the hnsw and hnsw_delta oracles — both search the same way over
+    whatever `edges` CTE precedes them): keep the beam, expand one hop,
+    score never-visited nodes, union into the visited set."""
     dot_qn = _SQL_DOT.format(a="q.qe", b="n.embedding")
     rounds = []
     for k in range(_HNSW_ROUNDS):
@@ -3810,6 +3808,17 @@ v{k + 1} AS MATERIALIZED (
   UNION ALL
   SELECT qid, vec_id, cosine FROM nw{k + 1}
 )""")
+    return rounds
+
+
+def _hnsw_oracle() -> str:
+    """Unrolled beam-search oracle (mr_hits' bounded-rounds CTE
+    discipline): graph build + _HNSW_ROUNDS expansion rounds, every
+    cosine the same left fold as Spark, every top-k tie-broken on id."""
+    dot_uv = _SQL_DOT.format(a="u.embedding", b="v.embedding")
+    dot_nc = _SQL_DOT.format(a="n.embedding", b="c.ce")
+    dot_qc = _SQL_DOT.format(a="q.qe", b="c.ce")
+    rounds = _hnsw_beam_rounds_sql()
     return f"""
 WITH {_SQL_ANN_PARAMS},
 n AS (
@@ -4056,6 +4065,405 @@ def llm_sim_knn_hnsw(spark, sf_dir):
         visited.filter(F.col("vec_id") != F.col("qid"))
         .withColumn("rank", F.row_number().over(wq).cast("bigint"))
         .filter(F.col("rank") <= 5)
+        .orderBy("qid", "rank")
+    )
+
+
+def _hnsw_delta_oracle() -> str:
+    """Unrolled replay of the STORED-graph delta absorb: base-only
+    graph build (the hnsw CTEs restricted to vec_id < n_base), batch
+    link of the delta vectors (forward top-M from the IVF-bounded
+    candidate pool, reverse edges into affected nodes, bounded re-cap
+    of ONLY the affected adjacencies), then the shared beam search
+    over the merged edge set."""
+    dot_uv = _SQL_DOT.format(a="u.embedding", b="v.embedding")
+    dot_nc = _SQL_DOT.format(a="n.embedding", b="c.ce")
+    dot_dc = _SQL_DOT.format(a="d.embedding", b="c.ce")
+    dot_qc = _SQL_DOT.format(a="q.qe", b="c.ce")
+    rounds = _hnsw_beam_rounds_sql()
+    return f"""
+WITH {_SQL_ANN_PARAMS},
+nb AS (SELECT COUNT(*) - COUNT(*) // 8 AS n_base FROM embeddings),
+n AS (
+  SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS nrm
+  FROM embeddings
+),
+bn AS (SELECT * FROM n WHERE vec_id < (SELECT n_base FROM nb)),
+dn AS (SELECT * FROM n WHERE vec_id >= (SELECT n_base FROM nb)),
+c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM bn
+      WHERE vec_id < (SELECT cells FROM p)),
+rank_b AS (
+  SELECT n.vec_id, c.cid,
+         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+           {dot_nc} / (n.nrm * c.cn) DESC, c.cid ASC) AS rk
+  FROM bn n CROSS JOIN c
+),
+nodecells_b AS (
+  SELECT vec_id AS src, cid AS cell FROM rank_b WHERE rk <= 2
+),
+assign_b AS (
+  SELECT vec_id, cid AS cell FROM rank_b WHERE rk = 1
+),
+digraph AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT nc.src, a.vec_id AS dst,
+           row_number() OVER (PARTITION BY nc.src ORDER BY
+             {dot_uv} / (u.nrm * v.nrm) DESC, a.vec_id ASC) AS rk
+    FROM nodecells_b nc
+    JOIN assign_b a ON a.cell = nc.cell AND a.vec_id <> nc.src
+    JOIN bn u ON u.vec_id = nc.src
+    JOIN bn v ON v.vec_id = a.vec_id
+  ) WHERE rk <= {_HNSW_M}
+),
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM digraph
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM digraph)
+),
+edges_b AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT s.src, s.dst,
+           row_number() OVER (PARTITION BY s.src ORDER BY
+             {dot_uv} / (u.nrm * v.nrm) DESC, s.dst ASC) AS rk
+    FROM sym s
+    JOIN bn u ON u.vec_id = s.src
+    JOIN bn v ON v.vec_id = s.dst
+  ) WHERE rk <= {_HNSW_CAP}
+),
+rank_d AS (
+  SELECT d.vec_id, c.cid,
+         row_number() OVER (PARTITION BY d.vec_id ORDER BY
+           {dot_dc} / (d.nrm * c.cn) DESC, c.cid ASC) AS rk
+  FROM dn d CROSS JOIN c
+),
+nodecells_d AS (
+  SELECT vec_id AS src, cid AS cell FROM rank_d WHERE rk <= 2
+),
+assign_d AS (
+  SELECT vec_id, cid AS cell FROM rank_d WHERE rk = 1
+),
+assign_all AS (
+  SELECT vec_id, cell FROM assign_b
+  UNION ALL SELECT vec_id, cell FROM assign_d
+),
+fwd AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT nc.src, a.vec_id AS dst,
+           row_number() OVER (PARTITION BY nc.src ORDER BY
+             {dot_uv} / (u.nrm * v.nrm) DESC, a.vec_id ASC) AS rk
+    FROM nodecells_d nc
+    JOIN assign_all a ON a.cell = nc.cell AND a.vec_id <> nc.src
+    JOIN n u ON u.vec_id = nc.src
+    JOIN n v ON v.vec_id = a.vec_id
+  ) WHERE rk <= {_HNSW_M}
+),
+rev AS (SELECT dst AS src, src AS dst FROM fwd),
+aff AS MATERIALIZED (
+  SELECT DISTINCT src FROM rev WHERE src < (SELECT n_base FROM nb)
+),
+relink AS (
+  SELECT src, dst FROM (
+    SELECT s.src, s.dst,
+           row_number() OVER (PARTITION BY s.src ORDER BY
+             {dot_uv} / (u.nrm * v.nrm) DESC, s.dst ASC) AS rk
+    FROM (
+      SELECT e.src, e.dst FROM edges_b e JOIN aff ON aff.src = e.src
+      UNION ALL
+      SELECT r.src, r.dst FROM rev r JOIN aff ON aff.src = r.src
+    ) s
+    JOIN n u ON u.vec_id = s.src
+    JOIN n v ON v.vec_id = s.dst
+  ) WHERE rk <= {_HNSW_CAP}
+),
+adj_d AS (
+  SELECT src, dst FROM (
+    SELECT s.src, s.dst,
+           row_number() OVER (PARTITION BY s.src ORDER BY
+             {dot_uv} / (u.nrm * v.nrm) DESC, s.dst ASC) AS rk
+    FROM (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM fwd
+        UNION ALL
+        SELECT src, dst FROM rev
+        WHERE src >= (SELECT n_base FROM nb))
+    ) s
+    JOIN n u ON u.vec_id = s.src
+    JOIN n v ON v.vec_id = s.dst
+  ) WHERE rk <= {_HNSW_CAP}
+),
+edges AS MATERIALIZED (
+  SELECT e.src, e.dst FROM edges_b e
+  WHERE NOT EXISTS (SELECT 1 FROM aff WHERE aff.src = e.src)
+  UNION ALL SELECT src, dst FROM relink
+  UNION ALL SELECT src, dst FROM adj_d
+),
+counts AS (
+  SELECT CAST((SELECT COUNT(*) FROM dn) AS BIGINT) AS n_delta_absorbed,
+         CAST((SELECT COUNT(*) FROM aff) AS BIGINT) AS n_base_relinked
+),
+q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n
+      WHERE vec_id < 10),
+v0 AS MATERIALIZED (
+  SELECT qid, vec_id, cosine FROM (
+    SELECT q.qid, c.cid AS vec_id,
+           {dot_qc} / (q.qn * c.cn) AS cosine,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             {dot_qc} / (q.qn * c.cn) DESC, c.cid ASC) AS rk
+    FROM q CROSS JOIN c
+  ) WHERE rk <= {_HNSW_ENTRIES}
+),{",".join(rounds)}
+SELECT qid, vec_id, cosine, rank, n_delta_absorbed, n_base_relinked
+FROM (
+  SELECT qid, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM v{_HNSW_ROUNDS} WHERE vec_id <> qid
+) CROSS JOIN counts
+WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
+@query("llm_sim_knn_hnsw_delta", oracle=_hnsw_delta_oracle(), family=_FAM)
+def llm_sim_knn_hnsw_delta(spark, sf_dir):
+    """GRAPH-ANN DELTA ABSORB (r15 — VERDICT r14 item 5b: the HNSW
+    lifecycle act the IVF family already has via
+    llm_sim_knn_ivf_pq_delta — build -> store -> ABSORB, maintaining
+    the stored navigable graph without a full rebuild):
+
+    BASE BUILD (stored once, atomic publish): llm_sim_knn_hnsw's graph
+    restricted to the base split (vec_id < n - n//8 — the same
+    base/delta split as the IVF delta ops); edges stored under
+    `hnsw_delta_store/edges_base`.
+
+    ABSORB (one batch, the Faiss add-after-build contract): each delta
+    vector draws its candidates from the FROZEN coarse quantizer
+    (members of its top-2 base cells, base AND batch-mates — never a
+    scan of the whole graph), links forward to its top-M by exact
+    cosine, and pushes reverse edges into its targets. ONLY the
+    affected nodes — those receiving a reverse edge — get their
+    adjacency re-capped at 16 (old edges ∪ new reverse edges, re-ranked
+    by exact cosine); every other base adjacency is untouched on disk.
+    The absorb writes `delta` (new + re-capped adjacencies) and
+    `affected` (the re-linked src list); serving reads
+    base ANTI-JOIN affected UNION delta — the bounded-re-link
+    discipline that makes graph indexes maintainable at 100 TB (a full
+    rebuild touches O(n) adjacencies; the absorb touches
+    O(batch × M)).
+
+    SEARCH: the identical fixed-round beam as llm_sim_knn_hnsw, over
+    the merged edge set — delta vectors are reachable exactly through
+    the re-linked reverse edges, which is what makes them findable at
+    all (forward-only insertion leaves new nodes invisible: no stored
+    path reaches them). n_delta_absorbed / n_base_relinked are pinned
+    into the result so the hash check proves the absorb actually
+    happened and stayed bounded.
+
+    Determinism: every step is (cosine desc, id asc) tie-broken exact
+    arithmetic; the DuckDB oracle replays base build, batch link,
+    re-cap, and all beam rounds bit-for-bit."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    e = table(spark, sf_dir, "embeddings")
+    n_total = _n_embeddings(spark, sf_dir)
+    n_base = n_total - n_total // 8
+    cells, _np_, _b = _ann_params(n_total)
+    store = _fixture_dir(sf_dir) / "hnsw_delta_store"
+    nodes = fan_out(
+        e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    )
+    base = nodes.filter(F.col("vec_id") < n_base)
+    delta = nodes.filter(F.col("vec_id") >= n_base)
+    c = base.filter(F.col("vec_id") < cells).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    u_emb = nodes.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ue"), F.col("nrm").alias("un"),
+    )
+    v_emb = nodes.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("ve"), F.col("nrm").alias("vn"),
+    )
+    pair_cos = (_dot(F.col("ue"), F.col("ve"))
+                / (F.col("un") * F.col("vn"))).alias("ecos")
+    wsrc = Window.partitionBy("src").orderBy(
+        F.col("ecos").desc(), F.col("dst").asc()
+    )
+
+    def _cap(edge_frame, limit):
+        """Re-rank an adjacency candidate frame by exact cosine and keep
+        the top `limit` per src (the build's degree-cap step)."""
+        return (
+            edge_frame.join(u_emb, "src").join(v_emb, "dst")
+            .select("src", "dst", pair_cos)
+            .withColumn("rk", F.row_number().over(wsrc))
+            .filter(F.col("rk") <= limit)
+            .select("src", "dst")
+        )
+
+    def _cell_ranks(frame):
+        """Per-node centroid ranking against the broadcast base coarse
+        quantizer: (vec_id, cid, rk)."""
+        wv = Window.partitionBy("vec_id").orderBy(
+            F.col("ccos").desc(), F.col("cid").asc()
+        )
+        return (
+            frame.join(F.broadcast(c))
+            .select(
+                "vec_id", "cid",
+                (_dot(F.col("embedding"), F.col("ce"))
+                 / (F.col("nrm") * F.col("cn"))).alias("ccos"),
+            )
+            .withColumn("rk", F.row_number().over(wv))
+        )
+
+    if not (store / "_built").exists():
+        # ---- base build (hnsw build over the base split only) ----
+        ranked_b = _cell_ranks(base)
+        nodecells_b = ranked_b.filter(F.col("rk") <= 2).select(
+            F.col("vec_id").alias("src"), F.col("cid").alias("cell")
+        )
+        assign_b = ranked_b.filter(F.col("rk") == 1).select(
+            F.col("vec_id").alias("dst"), F.col("cid").alias("cell")
+        )
+        digraph = _cap(
+            nodecells_b.join(assign_b, "cell")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst"),
+            _HNSW_M,
+        )
+        sym = (
+            digraph.unionByName(
+                digraph.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+        )
+        edges_b = _cap(sym, _HNSW_CAP).localCheckpoint()
+        # ---- absorb the delta batch against the FROZEN quantizer ----
+        ranked_d = _cell_ranks(delta)
+        nodecells_d = ranked_d.filter(F.col("rk") <= 2).select(
+            F.col("vec_id").alias("src"), F.col("cid").alias("cell")
+        )
+        assign_d = ranked_d.filter(F.col("rk") == 1).select(
+            F.col("vec_id").alias("dst"), F.col("cid").alias("cell")
+        )
+        assign_all = assign_b.unionByName(assign_d)
+        fwd = _cap(
+            nodecells_d.join(assign_all, "cell")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst"),
+            _HNSW_M,
+        ).localCheckpoint()
+        rev = fwd.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        aff = (
+            rev.filter(F.col("src") < n_base).select("src").distinct()
+        ).localCheckpoint()
+        relink = _cap(
+            edges_b.join(F.broadcast(aff), "src")
+            .unionByName(rev.join(F.broadcast(aff), "src")),
+            _HNSW_CAP,
+        )
+        adj_d = _cap(
+            fwd.unionByName(rev.filter(F.col("src") >= n_base)).distinct(),
+            _HNSW_CAP,
+        )
+        if store.exists():
+            shutil.rmtree(store, ignore_errors=True)
+        tmp = store.parent / f"{store.name}.tmp.{os.getpid()}"
+        edges_b.repartition(8, "src").write.mode("overwrite").parquet(
+            str(tmp / "edges_base")
+        )
+        relink.unionByName(adj_d).repartition(4, "src").write.mode(
+            "overwrite"
+        ).parquet(str(tmp / "delta"))
+        aff.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp / "affected")
+        )
+        (tmp / "_built").touch()
+        try:
+            os.rename(tmp, store)  # atomic publish (ivf_store pattern)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (store / "_built").exists():
+                raise
+    affected = spark.read.parquet(str(store / "affected"))
+    edges = (
+        spark.read.parquet(str(store / "edges_base"))
+        .join(F.broadcast(affected), "src", "left_anti")
+        .unionByName(spark.read.parquet(str(store / "delta")))
+    )
+    # absorb facts from parquet FOOTER metadata (no mid-plan action)
+    n_relinked = sum(
+        pq.read_metadata(str(f)).num_rows
+        for f in (store / "affected").glob("*.parquet")
+    )
+    q = nodes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    visited = (
+        q.join(F.broadcast(c))
+        .select(
+            "qid",
+            F.col("cid").alias("vec_id"),
+            (_dot(F.col("qe"), F.col("ce"))
+             / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _HNSW_ENTRIES)
+        .select("qid", "vec_id", "cosine")
+        .localCheckpoint()
+    )
+    for _round in range(_HNSW_ROUNDS):
+        beam = (
+            visited.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= _HNSW_BEAM)
+            .select("qid", "vec_id")
+        )
+        cand = (
+            beam.join(edges, beam.vec_id == edges.src)
+            .select("qid", F.col("dst").alias("vec_id"))
+            .distinct()
+        )
+        new = cand.join(
+            visited.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti"
+        )
+        scored_new = (
+            new.join(nodes, "vec_id")
+            .join(F.broadcast(q), "qid")
+            .select(
+                "qid", "vec_id",
+                (_dot(F.col("qe"), F.col("embedding"))
+                 / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+            )
+        )
+        visited = visited.unionByName(scored_new).localCheckpoint()
+    return (
+        visited.filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rank", F.row_number().over(wq).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "qid", "vec_id", "cosine", "rank",
+            F.lit(n_total // 8).cast("bigint").alias("n_delta_absorbed"),
+            F.lit(n_relinked).cast("bigint").alias("n_base_relinked"),
+        )
         .orderBy("qid", "rank")
     )
 
