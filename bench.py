@@ -130,6 +130,12 @@ HEADLINE = [
     "llm_quality_classifier_train",  # 2.11 distilled quality classifier (r14)
     "join_cbo_histogram",          # 2.3 equi-height histogram stats (r14 late)
     "stream_session_timeout",      # 2.10 event-time-timeout sessionizer (r14 late)
+    # r15 additions shipped this round
+    "udf_map_in_arrow",            # 2.12 RecordBatch-level Arrow kernel (r15)
+    "llm_quality_classifier_apply",  # 2.11 frozen-weights serving path (r15)
+    "ts_stl_loess",                # 2.5 STL decomposition by LOESS (r15)
+    "llm_sim_knn_hnsw_delta",      # 2.11 stored-graph delta absorb (r15)
+    "ts_forecast_ets_damped",      # 2.5 damped-trend ETS forecast (r15)
 ]
 
 

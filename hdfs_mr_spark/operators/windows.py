@@ -2659,6 +2659,121 @@ def ts_holt_winters(spark, sf_dir):
     )
 
 
+def _ets_damped_oracle() -> str:
+    """Recursive-CTE lockstep replay of the damped-trend recurrence,
+    exact floor-division rationals (the ts_holt_winters fd spelling)."""
+    def fd(e: str, d: int) -> str:
+        return f"(({e}) - ((({e}) % {d} + {d}) % {d})) // {d}"
+
+    pb = fd("9*r.tr", 10)
+    lev_new = fd(f"2*x.y + 8*(r.lev + {pb})", 10)
+    tr_new = fd(f"(({lev_new}) - r.lev) + 9*({pb})", 10)
+    db1 = fd("9*tr", 10)
+    db2 = fd(f"9*({db1})", 10)
+    db3 = fd(f"9*({db2})", 10)
+    return f"""
+WITH RECURSIVE series AS (
+  SELECT o_orderstatus AS g,
+         CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS d,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY g, d
+),
+idx AS MATERIALIZED (
+  SELECT g, d, CAST(y AS BIGINT) AS y,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS i,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM series
+),
+rec AS (
+  SELECT g, i, n, CAST(y AS BIGINT) AS lev, CAST(0 AS BIGINT) AS tr
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.g, x.i, x.n,
+         CAST({lev_new} AS BIGINT) AS lev,
+         CAST({tr_new} AS BIGINT) AS tr
+  FROM rec r JOIN idx x ON x.g = r.g AND x.i = r.i + 1
+)
+SELECT g AS o_orderstatus,
+       CAST(n AS BIGINT) AS n_weeks,
+       lev AS level_final, tr AS trend_final,
+       lev + ({db1}) AS fc_1,
+       lev + ({db1}) + ({db2}) AS fc_2,
+       lev + ({db1}) + ({db2}) + ({db3}) AS fc_3
+FROM rec WHERE i = n
+ORDER BY g
+"""
+
+
+@query("ts_forecast_ets_damped", oracle=_ets_damped_oracle(), family=_FAM)
+def ts_forecast_ets_damped(spark, sf_dir):
+    """DAMPED-TREND exponential smoothing (r15 — VERDICT r14 item 7's
+    other half; Gardner & McKenzie 1985 — the single classical method
+    the M-competitions showed hardest to beat, and the production
+    default for horizon>1 forecasts because an undamped linear trend
+    extrapolates without limit):
+
+        l_t = α y_t + (1-α)(l_{{t-1}} + φ b_{{t-1}})
+        b_t = β(l_t - l_{{t-1}}) + (1-β) φ b_{{t-1}}
+        ŷ_{{t+h}} = l_t + Σ_{{i=1..h}} φ^i b_t
+
+    with α=0.2, β=0.1, φ=0.9 as EXACT rational floor-division updates
+    in integer cents (the ts_holt_winters discipline: floats drift
+    over a multi-hundred-step recurrence; here every step is
+    fd(2y + 8(l + fd(9b,10)), 10) with fd = true floor division —
+    Python's native // in the kernel, the (e - posmod(e,10))//10
+    spelling in SQL, exact for negative trends). The damped forecast
+    sum is the iterated fd(9·,10) chain, so fc_3's trend contribution
+    is visibly ≈ 2.44 b vs Holt's 3 b — the damping IS the output
+    difference.
+
+    Spark shape: recurrences are inherently sequential per series —
+    applyInPandas per series key (parallelism = number of series; each
+    series memory-bounded), the idiomatic per-series-state layout at
+    100 TB. The oracle replays the same recurrence as a lockstep
+    recursive CTE (~350 weekly steps)."""
+    import pandas as pd
+
+    o = table(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        "o_orderstatus",
+        F.to_date(F.date_trunc("week", "o_orderdate")).alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("y")
+    )
+
+    schema = (
+        "o_orderstatus string, n_weeks bigint, level_final bigint, "
+        "trend_final bigint, fc_1 bigint, fc_2 bigint, fc_3 bigint"
+    )
+
+    def ets(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        ys = [int(v) for v in pdf["y"]]
+        lev, tr = ys[0], 0
+        for y in ys[1:]:
+            pb = (9 * tr) // 10
+            nl = (2 * y + 8 * (lev + pb)) // 10
+            tr = ((nl - lev) + 9 * pb) // 10
+            lev = nl
+        db1 = (9 * tr) // 10
+        db2 = (9 * db1) // 10
+        db3 = (9 * db2) // 10
+        return pd.DataFrame([{
+            "o_orderstatus": pdf["o_orderstatus"].iloc[0],
+            "n_weeks": len(ys),
+            "level_final": lev, "trend_final": tr,
+            "fc_1": lev + db1, "fc_2": lev + db1 + db2,
+            "fc_3": lev + db1 + db2 + db3,
+        }])
+
+    return (
+        weekly.groupBy("o_orderstatus")
+        .applyInPandas(ets, schema)
+        .orderBy("o_orderstatus")
+    )
+
+
 @query(
     "ts_dtw",
     oracle="""

@@ -974,6 +974,73 @@ def test_no_mid_plan_driver_actions(spark, monkeypatch):
     assert calls == {}
 
 
+def test_stl_loess_banded_joins_no_cartesian(spark):
+    """ts_stl_loess (r15): both LOESS passes must plan as banded
+    EQUI-joins (3-bucket explode on the regression abscissa) — never a
+    per-key cross product or nested-loop — and the corpus-sized work
+    stays in the hourly combiner aggregate."""
+    nodes = _nodes(_plan(spark, "ts_stl_loess"))
+    assert not any("Cartesian" in n or "NestedLoop" in n for n in nodes)
+    # the visible tail (the seasonal pass sits behind the des
+    # localCheckpoint): trend banded join + final left join, both
+    # equi-joins
+    joins = [n for n in nodes if "Join" in n]
+    assert len(joins) >= 2, joins
+
+
+def test_hnsw_delta_store_discipline(spark):
+    """llm_sim_knn_hnsw_delta (r15 — VERDICT r14 item 5b): the absorb
+    must be a BOUNDED RE-LINK of the stored base graph, not a rebuild:
+    (a) every adjacency in the delta store belongs to a delta vector or
+    an affected (reverse-edge-receiving) base node; (b) every src in
+    the served graph respects the degree cap; (c) delta vectors are
+    actually REACHABLE — at least one appears in the top-5 results at
+    smoke scale (reverse-edge insertion is the whole point: without it
+    new nodes are invisible to the stored graph)."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq_
+    from pyspark.sql import functions as F
+
+    from hdfs_mr_spark.operators.llm_similarity import (_HNSW_CAP,
+                                                        _n_embeddings)
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    df = all_specs()["llm_sim_knn_hnsw_delta"].fn(spark, SF_SMOKE)
+    rows = df.collect()
+    n_total = _n_embeddings(spark, SF_SMOKE)
+    n_base = n_total - n_total // 8
+    store = Path(_fixture_dir(SF_SMOKE)) / "hnsw_delta_store"
+    assert (store / "_built").exists()
+    aff = {
+        r["src"]
+        for f in (store / "affected").glob("*.parquet")
+        for r in pq_.read_table(str(f)).to_pylist()
+    }
+    delta_srcs = {
+        r["src"]
+        for f in (store / "delta").glob("*.parquet")
+        for r in pq_.read_table(str(f)).to_pylist()
+    }
+    # (a) the delta store holds ONLY new-node and affected adjacencies
+    assert all(s >= n_base or s in aff for s in delta_srcs)
+    assert all(s < n_base for s in aff)
+    # (b) served degree cap
+    served = (
+        spark.read.parquet(str(store / "edges_base"))
+        .join(spark.createDataFrame(
+            [(int(s),) for s in aff] or [(-1,)], "src long"),
+            "src", "left_anti")
+        .unionByName(spark.read.parquet(str(store / "delta")))
+        .groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert served <= _HNSW_CAP
+    # (c) delta vectors reachable in results; absorb facts pinned
+    assert any(r["vec_id"] >= n_base for r in rows)
+    assert rows[0]["n_delta_absorbed"] == n_total // 8
+    assert rows[0]["n_base_relinked"] == len(aff)
+
+
 def test_ivf_delta_absorb_touches_only_delta_cells(spark):
     """llm_sim_knn_ivf_delta (VERDICT r5 item 4): the insert-delta is
     absorbed by APPENDING to the partitioned corpus — only the cell

@@ -86,6 +86,11 @@ BENCH_QUERIES = [
     # and the finalize batch must still fire timeouts at this volume
     "stream_state_eviction",
     "stream_session_timeout",
+    # r15: STL's banded LOESS joins must scale with the RESAMPLED
+    # series (~6200 hours at this span), never with the 1M raw rows —
+    # superlinearity vs ts_decompose_classical here would falsify the
+    # banded-join claim
+    "ts_stl_loess",
 ]
 
 

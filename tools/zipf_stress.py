@@ -88,6 +88,13 @@ BENCH_QUERIES = [
     # 90k types hash into 64 buckets (near-total collision), the
     # hashing-trick worst case the classifier must absorb linearly
     "llm_quality_classifier_train",
+    # r15: the serving half — frozen-weights scoring is one broadcast
+    # join over the same worst-case hashed features; and the graph-ANN
+    # build + bounded delta absorb at 10x vectors (graph build is the
+    # index-training class; the absorb must stay O(batch x M))
+    "llm_quality_classifier_apply",
+    "llm_sim_knn_hnsw",
+    "llm_sim_knn_hnsw_delta",
 ]
 
 # bitmask (dense-regime) kernels MUST refuse a 100k vocabulary
