@@ -2941,6 +2941,32 @@ def test_avro_split_reads_are_byte_bounded(tmp_path):
     assert read_ocf(p) == rows
 
 
+def test_classifier_apply_consistent_with_train_trace():
+    """r15: llm_quality_classifier_apply scores with the FINAL reported
+    training round's weights (w_{R-1}), so its corpus-level counts must
+    agree with the train trace's round R-1 row: n_pred_pos == tp+fp and
+    n_correct == tp+tn — a pure-DuckDB lockstep check that the apply
+    oracle's weight chain replays the train oracle's exactly."""
+    import duckdb
+
+    from hdfs_mr_spark.operators.llm_text import (_QC_ROUNDS, _qc_apply_oracle,
+                                                  _qc_oracle)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    trace = con.execute(_qc_oracle()).fetchdf()
+    final = trace[trace["round"] == _QC_ROUNDS - 1].iloc[0]
+    ap = con.execute(_qc_apply_oracle()).fetchdf().iloc[0]
+    assert int(ap.tp + ap.fp) == int(final.n_pred_pos)
+    assert int(ap.tp + ap.tn) == int(final.n_correct)
+    assert int(ap.tp + ap.fp + ap.tn + ap.fn) == len(
+        con.execute("SELECT doc_id FROM documents").fetchdf()
+    )
+
+
 def test_lm_score_kn_rounding_margin():
     """r13 ADVICE (llm_text.py llm_lm_score_kn): ln() is not correctly
     rounded IEEE, so round(-ln(p)*1e6) could in principle flip at a .5
