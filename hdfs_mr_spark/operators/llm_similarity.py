@@ -4015,12 +4015,22 @@ def llm_sim_knn_hnsw(spark, sf_dir):
             if not (store / "_built").exists():
                 raise
     edges = spark.read.parquet(edges_path)
-    q = n.filter(F.col("vec_id") < 10).select(
+    return _hnsw_beam_search(n, c, edges).orderBy("qid", "rank")
+
+
+def _hnsw_beam_search(nodes, c, edges):
+    """The shared fixed-round beam search (hnsw / hnsw_delta /
+    hnsw_compact all search the same way over whatever edge frame they
+    serve): enter at the _HNSW_ENTRIES nearest coarse centroids
+    (centroids ARE nodes), _HNSW_ROUNDS rounds of keep-beam /
+    expand-one-hop / score-never-visited / union (localCheckpoint per
+    round — the llm_rag_mmr 2^k lesson), then top-5 of the visited
+    set. Returns (qid, vec_id, cosine, rank <= 5), un-ordered."""
+    q = nodes.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),
     )
-    # entries: nearest _HNSW_ENTRIES centroids (centroids ARE nodes)
     wq = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
@@ -4052,7 +4062,7 @@ def llm_sim_knn_hnsw(spark, sf_dir):
             visited.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti"
         )
         scored_new = (
-            new.join(n, "vec_id")
+            new.join(nodes, "vec_id")
             .join(F.broadcast(q), "qid")
             .select(
                 "qid", "vec_id",
@@ -4065,6 +4075,92 @@ def llm_sim_knn_hnsw(spark, sf_dir):
         visited.filter(F.col("vec_id") != F.col("qid"))
         .withColumn("rank", F.row_number().over(wq).cast("bigint"))
         .filter(F.col("rank") <= 5)
+        .select("qid", "vec_id", "cosine", "rank")
+    )
+
+
+def _hnsw_compact_oracle() -> str:
+    """The one-shot full-corpus graph (the hnsw oracle's CTEs) plus the
+    fold-integrity pins: corpus size and the TOTAL directed edge count
+    of the compacted graph — the oracle independently rebuilds the
+    whole graph, so a store that folded wrong fails on n_edges."""
+    base = _hnsw_oracle()
+    head, tail = base.rsplit("SELECT qid, vec_id, cosine, rank FROM (", 1)
+    inner, closing = tail.rsplit(") WHERE rank <= 5", 1)
+    return (
+        head
+        + ", counts AS (SELECT CAST((SELECT COUNT(*) FROM embeddings)"
+          " AS BIGINT) AS n_folded,"
+          " CAST((SELECT COUNT(*) FROM edges) AS BIGINT)"
+          " AS n_edges_compacted)\n"
+        + "SELECT qid, vec_id, cosine, rank, n_folded, n_edges_compacted"
+          " FROM ("
+        + inner
+        + ") CROSS JOIN counts WHERE rank <= 5"
+        + closing
+    )
+
+
+@query("llm_sim_knn_hnsw_compact", oracle=_hnsw_compact_oracle(),
+       family=_FAM)
+def llm_sim_knn_hnsw_compact(spark, sf_dir):
+    """GRAPH-ANN COMPACTION (r15 — completes the graph index's
+    lifecycle trio, mirroring the IVF family's build -> store ->
+    absorb -> COMPACT): fold the absorbed base+delta state into a
+    one-shot rebuild over the full corpus. Unlike IVF-PQ compaction —
+    which exists to RECOVER the recall the frozen codebook gave up —
+    the graph rebuild exactly reproduces the one-shot index (no frozen
+    model component: candidates, links, and caps are all recomputed),
+    so compact-result == llm_sim_knn_hnsw-result is pinned by
+    tests/test_units.py::test_hnsw_compact_equals_one_shot, and the
+    absorbed graph it replaces already measured recall 1.00
+    (ANN_RECALL_r15 hnsw_delta row). What compaction buys at scale is
+    STRUCTURE, not recall: the absorbed store's per-batch delta files
+    and re-link fragments collapse back into one partitioned edge
+    table with uniform degree discipline.
+
+    Integrity pins: n_folded (corpus size) and n_edges_compacted (the
+    TOTAL directed edge count of the rebuilt graph) ride on every row;
+    the DuckDB oracle independently rebuilds the entire graph, so a
+    wrong fold fails the hash check on the edge count, not just on
+    whichever top-5 lists happen to touch the damage.
+
+    Scale: the rebuild is the hnsw build (IVF-bounded candidates,
+    combiner-shape top-M windows) — O(n · cellpop) scoring like any
+    index training run; serving afterwards reads ONE parquet edge
+    table instead of base ∪ delta ∖ affected."""
+    import pyarrow.parquet as pq
+
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+
+    # the fold target is the full-corpus store — build it (and the
+    # absorbed delta store it supersedes) through the owning ops so
+    # all three lifecycle ops share one set of published artifacts
+    llm_sim_knn_hnsw(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    cells, _np_, _b = _ann_params(_n_embeddings(spark, sf_dir))
+    store = _fixture_dir(sf_dir) / "hnsw_store"
+    n_edges = sum(
+        pq.read_metadata(str(f)).num_rows
+        for f in (store / "edges").glob("*.parquet")
+    )
+    n_total = _n_embeddings(spark, sf_dir)
+    nodes = fan_out(
+        e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    )
+    c = nodes.filter(F.col("vec_id") < cells).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    edges = spark.read.parquet(str(store / "edges"))
+    return (
+        _hnsw_beam_search(nodes, c, edges)
+        .select(
+            "qid", "vec_id", "cosine", "rank",
+            F.lit(n_total).cast("bigint").alias("n_folded"),
+            F.lit(n_edges).cast("bigint").alias("n_edges_compacted"),
+        )
         .orderBy("qid", "rank")
     )
 
@@ -4410,55 +4506,8 @@ def llm_sim_knn_hnsw_delta(spark, sf_dir):
         pq.read_metadata(str(f)).num_rows
         for f in (store / "affected").glob("*.parquet")
     )
-    q = nodes.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-    )
-    wq = Window.partitionBy("qid").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    visited = (
-        q.join(F.broadcast(c))
-        .select(
-            "qid",
-            F.col("cid").alias("vec_id"),
-            (_dot(F.col("qe"), F.col("ce"))
-             / (F.col("qn") * F.col("cn"))).alias("cosine"),
-        )
-        .withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= _HNSW_ENTRIES)
-        .select("qid", "vec_id", "cosine")
-        .localCheckpoint()
-    )
-    for _round in range(_HNSW_ROUNDS):
-        beam = (
-            visited.withColumn("rk", F.row_number().over(wq))
-            .filter(F.col("rk") <= _HNSW_BEAM)
-            .select("qid", "vec_id")
-        )
-        cand = (
-            beam.join(edges, beam.vec_id == edges.src)
-            .select("qid", F.col("dst").alias("vec_id"))
-            .distinct()
-        )
-        new = cand.join(
-            visited.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti"
-        )
-        scored_new = (
-            new.join(nodes, "vec_id")
-            .join(F.broadcast(q), "qid")
-            .select(
-                "qid", "vec_id",
-                (_dot(F.col("qe"), F.col("embedding"))
-                 / (F.col("qn") * F.col("nrm"))).alias("cosine"),
-            )
-        )
-        visited = visited.unionByName(scored_new).localCheckpoint()
     return (
-        visited.filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("rank", F.row_number().over(wq).cast("bigint"))
-        .filter(F.col("rank") <= 5)
+        _hnsw_beam_search(nodes, c, edges)
         .select(
             "qid", "vec_id", "cosine", "rank",
             F.lit(n_total // 8).cast("bigint").alias("n_delta_absorbed"),

@@ -944,7 +944,7 @@ def test_no_mid_plan_driver_actions(spark, monkeypatch):
                     "lake_concurrent_disjoint", "lake_timestamp_travel",
                     "llm_sim_knn_ivf_pq_stored", "llm_sim_knn_ivf_pq_delta",
                     "llm_sim_knn_ivf_pq_compact", "llm_sim_knn_hnsw",
-                    "llm_sim_knn_hnsw_delta"):
+                    "llm_sim_knn_hnsw_delta", "llm_sim_knn_hnsw_compact"):
         all_specs()[store_q].fn(spark, SF_SMOKE)
 
     calls: dict[str, list[str]] = {}

@@ -2967,6 +2967,28 @@ def test_classifier_apply_consistent_with_train_trace():
     )
 
 
+def test_hnsw_compact_equals_one_shot(spark):
+    """r15: graph compaction folds the absorbed base+delta state into a
+    one-shot rebuild — and because the graph index has no frozen model
+    component (unlike IVF-PQ's codebook), the rebuilt index must
+    reproduce the one-shot llm_sim_knn_hnsw results EXACTLY (same
+    (qid, vec_id, rank) triples)."""
+    from hdfs_mr_spark.registry import all_specs
+
+    qs = all_specs()
+    one_shot = {
+        (r.qid, r.vec_id, r["rank"])
+        for r in qs["llm_sim_knn_hnsw"].fn(
+            spark, "/root/testdata/sf0.001").collect()
+    }
+    compact = {
+        (r.qid, r.vec_id, r["rank"])
+        for r in qs["llm_sim_knn_hnsw_compact"].fn(
+            spark, "/root/testdata/sf0.001").collect()
+    }
+    assert compact == one_shot and len(one_shot) > 0
+
+
 def test_lm_score_kn_rounding_margin():
     """r13 ADVICE (llm_text.py llm_lm_score_kn): ln() is not correctly
     rounded IEEE, so round(-ln(p)*1e6) could in principle flip at a .5
