@@ -137,6 +137,10 @@ HEADLINE = [
     "llm_sim_knn_hnsw_delta",      # 2.11 stored-graph delta absorb (r15)
     "ts_forecast_ets_damped",      # 2.5 damped-trend ETS forecast (r15)
     "llm_sim_knn_hnsw_compact",    # 2.11 graph fold/rebuild, lifecycle close (r15 late)
+    "ts_matrix_profile",           # 2.5 subsequence-similarity self-join (r15 late)
+    "llm_topic_lsa",               # 2.11 integer LSA topic extraction (r15 late)
+    "ts_anomaly_esd",              # 2.5 masking-aware robust anomalies (r15 late)
+    "ts_forecast_croston",         # 2.5 intermittent-demand forecast (r15 late)
 ]
 
 

@@ -93,7 +93,7 @@ def llm_lang_profile(spark, sf_dir):
 @query(
     "llm_tfidf",
     oracle="""
-WITH tok AS (
+WITH tok AS MATERIALIZED (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
 ),
 n_docs AS (SELECT COUNT(*) AS n FROM documents),
@@ -2914,7 +2914,7 @@ WITH tok AS (
 ),
 n_docs AS (SELECT COUNT(*) AS n FROM documents),
 df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
-tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
 scored AS (
   SELECT t.doc_id, t.term,
          round(CAST(t.tf AS DOUBLE)
@@ -4755,3 +4755,276 @@ def llm_quality_classifier_apply(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_LSA_V, _LSA_Q, _LSA_R = 64, 4096, 4
+
+
+def _lsa_oracle() -> str:
+    """Unrolled LSA replay: top-V vocab -> integer tf-idf weights ->
+    requantized Gram -> 4 power rounds (component 1) -> exact-integer
+    Hotelling deflation scaled by v'v (stays integral) -> 4 rounds
+    (component 2) -> per-doc loadings.  Every division is the shared
+    trunc-div (DuckDB BIGINT/HUGEINT // == Spark div == the op's
+    driver-side tdiv); requantization denominators are
+    GREATEST(max|.|, 1) so a rank-deficient corpus degrades to zero
+    vectors instead of a crash."""
+    V, Q, R = _LSA_V, _LSA_Q, _LSA_R
+
+    def rounds(mat: str, vprev: str, tag: str) -> str:
+        out, prev = [], vprev
+        for r in range(1, R + 1):
+            out.append(f"""
+mv{tag}{r} AS MATERIALIZED (
+  SELECT g.j, SUM(g.gq * p.v) AS mv
+  FROM {mat} g JOIN {prev} p ON g.k = p.j GROUP BY g.j
+),
+v{tag}{r} AS MATERIALIZED (
+  SELECT j, (mv * {Q})
+         // (SELECT GREATEST(MAX(ABS(mv)), 1) FROM mv{tag}{r}) AS v
+  FROM mv{tag}{r}
+),""")
+            prev = f"v{tag}{r}"
+        return "".join(out)
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+ndocs AS (SELECT COUNT(*) AS n FROM documents),
+dfreq AS MATERIALIZED (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+vocab AS MATERIALIZED (
+  SELECT term, df,
+         row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS j
+  FROM dfreq QUALIFY j < {V}
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+wraw AS MATERIALIZED (
+  SELECT t.doc_id, v.j,
+         t.tf * ((1000 * (SELECT n FROM ndocs)) // v.df) AS w
+  FROM tf t JOIN vocab v ON t.term = v.term
+),
+wq AS MATERIALIZED (
+  SELECT doc_id, j,
+         (w * {Q}) // (SELECT MAX(w) FROM wraw) AS w
+  FROM wraw
+),
+gram AS MATERIALIZED (
+  SELECT a.j AS j, b.j AS k, SUM(a.w * b.w) AS g
+  FROM wq a JOIN wq b ON a.doc_id = b.doc_id
+  GROUP BY a.j, b.j
+),
+gq AS MATERIALIZED (
+  SELECT j, k,
+         (g * {Q}) // (SELECT GREATEST(MAX(ABS(g)), 1) FROM gram) AS gq
+  FROM gram
+),
+va0 AS (SELECT j, 1 AS v FROM vocab),{rounds("gq", "va0", "a")}
+s1 AS (SELECT SUM(v * v) AS s FROM va{R}),
+gv AS (
+  SELECT g.j, SUM(g.gq * p.v) AS gv
+  FROM gq g JOIN va{R} p ON g.k = p.j GROUP BY g.j
+),
+hmat AS MATERIALIZED (
+  SELECT g.j, g.k,
+         (SELECT s FROM s1) * g.gq - gv.gv * p.v AS h
+  FROM gq g JOIN gv ON g.j = gv.j JOIN va{R} p ON g.k = p.j
+),
+hq AS MATERIALIZED (
+  SELECT j, k,
+         (h * {Q}) // (SELECT GREATEST(MAX(ABS(h)), 1) FROM hmat) AS gq
+  FROM hmat
+),
+vb0 AS (SELECT j, 1 AS v FROM vocab),{rounds("hq", "vb0", "b")}
+s2 AS (SELECT SUM(v * v) AS s FROM vb{R}),
+lo AS (
+  SELECT w.doc_id,
+         COALESCE(SUM(w.w * a.v), 0) AS l1,
+         COALESCE(SUM(w.w * b.v), 0) AS l2,
+         SUM(w.w * w.w) AS wn2
+  FROM wq w
+  LEFT JOIN va{R} a ON w.j = a.j
+  LEFT JOIN vb{R} b ON w.j = b.j
+  GROUP BY w.doc_id
+)
+SELECT doc_id,
+  CAST(CASE WHEN wn2 = 0 THEN 0
+       WHEN CAST(l1 AS HUGEINT) * l1 * (SELECT s FROM s2)
+            >= CAST(l2 AS HUGEINT) * l2 * (SELECT s FROM s1) THEN 1
+       ELSE 2 END AS BIGINT) AS topic,
+  CAST(CASE WHEN wn2 = 0 THEN 0
+       WHEN l1 >= 0 THEN (CAST(l1 AS HUGEINT) * l1 * 1000000)
+            // (CAST(GREATEST((SELECT s FROM s1), 1) AS HUGEINT) * wn2)
+       ELSE -((CAST(l1 AS HUGEINT) * l1 * 1000000)
+            // (CAST(GREATEST((SELECT s FROM s1), 1) AS HUGEINT) * wn2))
+       END AS BIGINT) AS cos2_t1_signed_micro,
+  CAST(CASE WHEN wn2 = 0 THEN 0
+       WHEN l2 >= 0 THEN (CAST(l2 AS HUGEINT) * l2 * 1000000)
+            // (CAST(GREATEST((SELECT s FROM s2), 1) AS HUGEINT) * wn2)
+       ELSE -((CAST(l2 AS HUGEINT) * l2 * 1000000)
+            // (CAST(GREATEST((SELECT s FROM s2), 1) AS HUGEINT) * wn2))
+       END AS BIGINT) AS cos2_t2_signed_micro,
+  CAST((SELECT s FROM s1) AS BIGINT) AS s1_pin,
+  CAST((SELECT s FROM s2) AS BIGINT) AS s2_pin
+FROM lo
+ORDER BY doc_id
+"""
+
+
+@query("llm_topic_lsa", oracle=_lsa_oracle(), family=_FAM)
+def llm_topic_lsa(spark, sf_dir):
+    """LATENT SEMANTIC ANALYSIS topic extraction (r15 — Deerwester et
+    al. 1990): top-2 principal directions of the integer tf-idf
+    term-document matrix, assigned per document — the classical
+    corpus-structure pass (topic discovery / semantic clustering on
+    TEXT features, where llm_cluster_kmeans clusters embeddings).
+
+    Exact-integer pipeline (the llm_quality_classifier_train /
+    llm_embed_opq recipe — no floats anywhere): vocabulary capped to
+    the top-V=64 terms by document frequency (the honest dense-
+    factorization shape: at 100 TB vocab grows by Heaps' law, so the
+    VxV Gram is bounded by FEATURE SELECTION, not by luck), weights
+    w = tf * (1000 * N // df) requantized to <= 4096 by the corpus
+    max, Gram G = W'W accumulated as exact BIGINTs, then 4 power-
+    iteration rounds with trunc-div requantization per round;
+    component 2 by exact-INTEGER Hotelling deflation: s1 * G - (G v)
+    v' (the v'v scaling keeps the deflated matrix integral — no
+    rational division ever happens), 4 more rounds. Dominant topic
+    per doc by exact cross-multiplied comparison l1^2 * s2 >= l2^2 *
+    s1 (never a float cosine); reported per-topic alignments are
+    signed cos^2 in micro-units via one 128-bit trunc-div. s1/s2
+    norm pins ride every row.
+
+    Scale shape: two corpus passes (tokenize->tf->weights; loadings),
+    both combiner-form; the Gram pair-join fans out <= V^2 rows per
+    document (bounded by the vocab cap, repartition-pinned against
+    AQE coalescing the exploding join — the r13 lesson); the ONLY
+    driver-side state is the <= V^2-row Gram and the 2 V-row
+    directions — model-sized, the documented collect-the-model-state
+    discipline (_GATE_EXEMPT, the llm_embed_opq class). The weight
+    frame is localCheckpointed once and reused by Gram and loadings.
+
+    Cited parity: the driver-side rounds are a literal transcription
+    of the oracle CTEs (tdiv == BIGINT/HUGEINT // == Spark div,
+    verified on negatives; GREATEST(max,1) guards rank-deficient
+    degenerate corpora in both engines identically)."""
+    V, Q, R = _LSA_V, _LSA_Q, _LSA_R
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("term"))
+    n = corpus_stats.n_docs(spark, sf_dir)
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    wv = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    # top-V selection: distributed TakeOrdered via orderBy+limit, then
+    # the j-index window runs on the V-row result (bounded by the cap)
+    vocab = (
+        dfreq.orderBy(F.col("df").desc(), F.col("term").asc()).limit(V)
+        .withColumn("j", F.row_number().over(wv) - 1)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wraw = tf.join(F.broadcast(vocab), "term").select(
+        "doc_id", "j",
+        (F.col("tf") * F.expr(f"(1000 * CAST({n} AS BIGINT)) div df"))
+        .alias("w"),
+    )
+    wmax = wraw.agg(F.max("w").alias("wmax"))
+    wq = (
+        wraw.crossJoin(F.broadcast(wmax))
+        .select("doc_id", "j", F.expr(f"(w * {Q}) div wmax").alias("w"))
+        .localCheckpoint()
+    )
+    par = spark.sparkContext.defaultParallelism
+    a = wq.repartition(par, "doc_id").select(
+        "doc_id", F.col("j").alias("ja"), F.col("w").alias("wa")
+    )
+    b = wq.repartition(par, "doc_id").select(
+        "doc_id", F.col("j").alias("jb"), F.col("w").alias("wb")
+    )
+    gram_rows = (
+        a.join(b, "doc_id")
+        .groupBy("ja", "jb")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("g"))
+        .collect()  # model-sized: <= V^2 rows (_GATE_EXEMPT)
+    )
+    G = {(r.ja, r.jb): r.g for r in gram_rows}
+    vocab_js = sorted({j for j, _ in G} | {k for _, k in G})
+
+    def tdiv(x: int, y: int) -> int:
+        q = abs(x) // y
+        return q if x >= 0 else -q
+
+    def requant(mat: dict) -> dict:
+        m = max((abs(v) for v in mat.values()), default=0)
+        m = max(m, 1)
+        return {k: tdiv(v * Q, m) for k, v in mat.items()}
+
+    def power(mat: dict, v0: dict) -> dict:
+        v = v0
+        for _ in range(R):
+            mv: dict = {}
+            for (j, k), g in mat.items():
+                if k in v:
+                    mv[j] = mv.get(j, 0) + g * v[k]
+            v = requant(mv)
+        return v
+
+    gq = requant(G)
+    v1 = power(gq, {j: 1 for j in vocab_js})
+    s1 = sum(v * v for v in v1.values())
+    gv: dict = {}
+    for (j, k), g in gq.items():
+        if k in v1:
+            gv[j] = gv.get(j, 0) + g * v1[k]
+    H = {
+        (j, k): s1 * g - gv[j] * v1[k]
+        for (j, k), g in gq.items()
+        if j in gv and k in v1
+    }
+    v2 = power(requant(H), {j: 1 for j in vocab_js})
+    s2 = sum(v * v for v in v2.values())
+
+    vdf = spark.createDataFrame(
+        [
+            (int(j), int(v1.get(j, 0)), int(v2.get(j, 0)))
+            for j in vocab_js
+        ],
+        "j int, va long, vb long",
+    )
+    lo = (
+        wq.join(F.broadcast(vdf), wq.j == vdf.j, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum(F.col("w") * F.col("va")), F.lit(0))
+            .alias("l1"),
+            F.coalesce(F.sum(F.col("w") * F.col("vb")), F.lit(0))
+            .alias("l2"),
+            F.sum(F.col("w") * F.col("w")).alias("wn2"),
+        )
+    )
+    s1g, s2g = max(s1, 1), max(s2, 1)
+    return lo.select(
+        "doc_id",
+        F.expr(
+            f"CAST(CASE WHEN wn2 = 0 THEN 0"
+            f" WHEN CAST(l1 AS DECIMAL(38,0)) * l1 * {s2}"
+            f"      >= CAST(l2 AS DECIMAL(38,0)) * l2 * {s1} THEN 1"
+            f" ELSE 2 END AS BIGINT)"
+        ).alias("topic"),
+        F.expr(
+            f"CAST(CASE WHEN wn2 = 0 THEN 0"
+            f" WHEN l1 >= 0 THEN (CAST(l1 AS DECIMAL(38,0)) * l1 * 1000000)"
+            f"      div (CAST({s1g} AS DECIMAL(38,0)) * wn2)"
+            f" ELSE -((CAST(l1 AS DECIMAL(38,0)) * l1 * 1000000)"
+            f"      div (CAST({s1g} AS DECIMAL(38,0)) * wn2))"
+            f" END AS BIGINT)"
+        ).alias("cos2_t1_signed_micro"),
+        F.expr(
+            f"CAST(CASE WHEN wn2 = 0 THEN 0"
+            f" WHEN l2 >= 0 THEN (CAST(l2 AS DECIMAL(38,0)) * l2 * 1000000)"
+            f"      div (CAST({s2g} AS DECIMAL(38,0)) * wn2)"
+            f" ELSE -((CAST(l2 AS DECIMAL(38,0)) * l2 * 1000000)"
+            f"      div (CAST({s2g} AS DECIMAL(38,0)) * wn2))"
+            f" END AS BIGINT)"
+        ).alias("cos2_t2_signed_micro"),
+        F.lit(s1).cast("bigint").alias("s1_pin"),
+        F.lit(s2).cast("bigint").alias("s2_pin"),
+    ).orderBy("doc_id")

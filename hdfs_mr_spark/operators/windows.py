@@ -3330,3 +3330,528 @@ def ts_attribution_multitouch(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+def _matrix_profile_oracle() -> str:
+    """Lockstep twin of ts_matrix_profile: daily mean-cents series ->
+    lead-widened 7-point subsequences -> exclusion-zone pairwise
+    correlation argmax, all in the exact integer algebra (HUGEINT //
+    mirrors Spark's DECIMAL(38,0) div on the non-negative magnitude)."""
+    x = " + ".join(f"a.x{k} * b.x{k}" for k in range(7))
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+         SUM(CAST(round(value * 100) AS BIGINT))
+           // COUNT(*) AS x
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, day
+),
+idxd AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+wide AS (
+  SELECT event_type, i,
+         x AS x0,
+         lead(x, 1) OVER w AS x1, lead(x, 2) OVER w AS x2,
+         lead(x, 3) OVER w AS x3, lead(x, 4) OVER w AS x4,
+         lead(x, 5) OVER w AS x5, lead(x, 6) OVER w AS x6
+  FROM idxd
+  WINDOW w AS (PARTITION BY event_type ORDER BY i)
+),
+sub AS (
+  SELECT event_type, i, x0, x1, x2, x3, x4, x5, x6,
+         x0 + x1 + x2 + x3 + x4 + x5 + x6 AS s,
+         7 * (x0*x0 + x1*x1 + x2*x2 + x3*x3 + x4*x4 + x5*x5 + x6*x6)
+           - (x0 + x1 + x2 + x3 + x4 + x5 + x6)
+             * (x0 + x1 + x2 + x3 + x4 + x5 + x6) AS den
+  FROM wide WHERE x6 IS NOT NULL
+),
+live AS (SELECT * FROM sub WHERE den > 0),
+pairs AS (
+  SELECT a.event_type, a.i AS i, b.i AS j,
+         7 * ({x}) - a.s * b.s AS num,
+         a.den AS den_a, b.den AS den_b
+  FROM live a JOIN live b
+    ON a.event_type = b.event_type AND abs(a.i - b.i) > 2
+),
+keyed AS (
+  SELECT event_type, i, j,
+         CASE WHEN num >= 0
+              THEN (CAST(num AS HUGEINT) * num * 1000000)
+                   // (CAST(den_a AS HUGEINT) * den_b)
+              ELSE -((CAST(num AS HUGEINT) * num * 1000000)
+                     // (CAST(den_a AS HUGEINT) * den_b)) END AS key
+  FROM pairs
+),
+ranked AS (
+  SELECT event_type, i, j, key,
+         row_number() OVER (
+           PARTITION BY event_type, i
+           ORDER BY key DESC, j ASC) AS rk
+  FROM keyed
+)
+SELECT event_type, CAST(i AS BIGINT) AS i,
+       CAST(j AS BIGINT) AS nn_i,
+       CAST(key AS BIGINT) AS corr2_signed_micro,
+       CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_subseq
+FROM ranked WHERE rk = 1
+ORDER BY event_type, i
+"""
+
+
+@query("ts_matrix_profile", oracle=_matrix_profile_oracle(), family=_FAM)
+def ts_matrix_profile(spark, sf_dir):
+    """MATRIX PROFILE (r15 — Yeh et al. ICDM 2016, the all-pairs
+    subsequence-similarity self-join that unified motif and discord
+    discovery): for every length-7 subsequence of each event_type's
+    daily series, find its nearest non-trivial neighbor under
+    z-normalized distance and report the match index plus a signed
+    squared-correlation score. Motifs are the high-corr2 rows, the
+    discord is the per-type minimum.
+
+    Exactness: the series value is the daily mean in integer cents
+    (floor-div — bounded by max-cents regardless of SF, so every later
+    product fits 128-bit headroom at ANY scale). z-normalized nearness
+    orders identically to Pearson correlation, and for a fixed query
+    subsequence corr^2 with sign is monotone in corr, so the argmax
+    needs NO floats: num = 7*QT - S_a*S_b, den = 7*SS - S^2 are exact
+    BIGINTs and the sort key is sign(num) * (num^2 * 1e6) div
+    (den_a * den_b) in DECIMAL(38,0) — Spark div == DuckDB HUGEINT //
+    on the non-negative magnitude (the agg_gini discipline). Floor
+    quantization can only TIE truly-distinct corrs at the 1e-6 level;
+    ties break on neighbor index, identically in both engines.
+    Constant subsequences (den = 0) have no defined z-norm and are
+    excluded from both sides; the trivial-match exclusion zone is
+    |i - j| > 2 (STUMPY's ceil(m/4) default for m = 7).
+
+    Plan: one groupBy to the daily grid, ONE window exchange per type
+    for the lead-widening (row_number and all six leads share a window
+    spec -> one WindowExec; 7 columns, no arrays — element arithmetic
+    stays in whole-stage codegen, the r9 higher-order-function
+    lesson). The calendar-sized subsequence frame is localCheckpointed
+    ONCE so the self-join + profile count never re-derive it — the raw
+    ->daily rollup is the single full-data pass (without the
+    checkpoint the lineage re-scans raw events three times). The
+    O(n_sub^2)-per-type join runs on the DOWNSAMPLED grid (types x
+    days rows, the ts_mann_kendall bounded-spine shape); a
+    raw-resolution profile would tile it (SCAMP-style diagonal blocks)
+    without changing this algebra."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = F.round(F.col("value") * 100).cast("bigint")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400)
+            .cast("bigint").alias("day"),
+        )
+        .agg(F.expr("sum(cast(round(value * 100) as bigint)) div count(*)")
+             .alias("x"))
+    )
+    # row_number AND the 6 leads share one window spec (partition by
+    # type, order by day == order by i), so Catalyst plans ONE
+    # WindowExec — one exchange+sort instead of two
+    wi = Window.partitionBy("event_type").orderBy("day")
+    xs = [F.col("x").alias("x0")] + [
+        F.lead("x", k).over(wi).alias(f"x{k}") for k in range(1, 7)
+    ]
+    wide = daily.select(
+        "event_type", F.row_number().over(wi).alias("i"), *xs
+    )
+    s = sum(F.col(f"x{k}") for k in range(7))
+    ss = sum(F.col(f"x{k}") * F.col(f"x{k}") for k in range(7))
+    sub = wide.filter(F.col("x6").isNotNull()).select(
+        "event_type", "i", *[f"x{k}" for k in range(7)],
+        s.alias("s"), (F.lit(7) * ss - s * s).alias("den"),
+    )
+    # ONE raw pass: the subsequence frame is calendar-sized (types x
+    # days), so materialize it once and join the copy against itself —
+    # without this the self-join + count lineage re-scans raw events
+    # three times (the llm_rag_mmr / mr_hits reuse discipline)
+    live = sub.filter(F.col("den") > 0).localCheckpoint()
+    a = live.select(
+        "event_type", F.col("i").alias("ia"), F.col("s").alias("sa"),
+        F.col("den").alias("den_a"),
+        *[F.col(f"x{k}").alias(f"a{k}") for k in range(7)],
+    )
+    b = live.select(
+        "event_type", F.col("i").alias("jb"), F.col("s").alias("sb"),
+        F.col("den").alias("den_b"),
+        *[F.col(f"x{k}").alias(f"b{k}") for k in range(7)],
+    )
+    qt = sum(F.col(f"a{k}") * F.col(f"b{k}") for k in range(7))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.abs(F.col("ia") - F.col("jb")) > 2)
+        .select(
+            "event_type", "ia", "jb", "den_a", "den_b",
+            (F.lit(7) * qt - F.col("sa") * F.col("sb")).alias("num"),
+        )
+    )
+    keyed = pairs.select(
+        "event_type", "ia", "jb",
+        F.expr(
+            "CASE WHEN num >= 0"
+            " THEN (CAST(num AS DECIMAL(38,0)) * num * 1000000)"
+            "      div (CAST(den_a AS DECIMAL(38,0)) * den_b)"
+            " ELSE -((CAST(num AS DECIMAL(38,0)) * num * 1000000)"
+            "        div (CAST(den_a AS DECIMAL(38,0)) * den_b)) END"
+        ).alias("key"),
+    )
+    wr = Window.partitionBy("event_type", "ia").orderBy(
+        F.col("key").desc(), F.col("jb").asc()
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .withColumn(
+            # profiled-subsequence count per type, windowless second
+            # pass avoided: every live subsequence emits exactly one
+            # profile row whenever it has >= 1 admissible neighbor
+            # (always true past ~6 points), so counting emitted rows
+            # IS the live count — same expression in the oracle
+            "n_subseq",
+            F.count("*").over(Window.partitionBy("event_type"))
+            .cast("bigint"),
+        )
+        .select(
+            "event_type",
+            F.col("ia").cast("bigint").alias("i"),
+            F.col("jb").cast("bigint").alias("nn_i"),
+            F.col("key").cast("bigint").alias("corr2_signed_micro"),
+            "n_subseq",
+        )
+        .orderBy("event_type", "i")
+    )
+
+
+_ESD_ROUNDS = 3
+
+
+def _esd_oracle() -> str:
+    """Unrolled Rosner replay: per round — lower-median, MAD, worst
+    deviator, scaled-MAD test, removal — then the backward-fill rule
+    (all rounds up to the LAST passing one are anomalies)."""
+    parts = []
+    for r in range(1, _ESD_ROUNDS + 1):
+        q = r - 1
+        parts.append(f"""
+medx{r} AS MATERIALIZED (
+  SELECT event_type, x AS med FROM (
+    SELECT event_type, x,
+           row_number() OVER (
+             PARTITION BY event_type ORDER BY x, day) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM act{q}) WHERE rn = (n + 1) // 2
+),
+dev{r} AS MATERIALIZED (
+  SELECT a.event_type, a.day, a.x, m.med, ABS(a.x - m.med) AS dev
+  FROM act{q} a JOIN medx{r} m ON a.event_type = m.event_type
+),
+mad{r} AS MATERIALIZED (
+  SELECT event_type, dev AS mad FROM (
+    SELECT event_type, dev,
+           row_number() OVER (
+             PARTITION BY event_type ORDER BY dev, day) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev{r}) WHERE rn = (n + 1) // 2
+),
+cand{r} AS MATERIALIZED (
+  SELECT d.event_type, d.day, d.x, d.med, d.dev, m.mad,
+         CASE WHEN m.mad = 0 THEN d.dev > 0
+              ELSE d.dev * 10000 > 44478 * m.mad END AS passed
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY dev DESC, day ASC) AS rk
+    FROM dev{r}) d
+  JOIN mad{r} m ON d.event_type = m.event_type
+  WHERE d.rk = 1
+),
+act{r} AS MATERIALIZED (
+  SELECT a.event_type, a.day, a.x FROM act{q} a
+  ANTI JOIN cand{r} c
+    ON a.event_type = c.event_type AND a.day = c.day
+),""")
+    union = "\nUNION ALL\n".join(
+        f"  SELECT {r} AS esd_round, event_type, day, x, med, dev, mad,"
+        f" passed FROM cand{r}"
+        for r in range(1, _ESD_ROUNDS + 1)
+    )
+    return f"""
+WITH act0 AS MATERIALIZED (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+         SUM(CAST(round(value * 100) AS BIGINT)) // COUNT(*) AS x
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, day
+),{"".join(parts)}
+allc AS MATERIALIZED (
+{union}
+),
+nn AS MATERIALIZED (
+  SELECT event_type, COUNT(*) AS n_days FROM act0 GROUP BY event_type
+)
+SELECT a.event_type,
+       CAST(a.esd_round AS BIGINT) AS esd_round,
+       a.day, CAST(a.x AS BIGINT) AS x_cents,
+       CAST(a.med AS BIGINT) AS med_cents,
+       CAST(a.dev AS BIGINT) AS dev_cents,
+       CAST(a.mad AS BIGINT) AS mad_cents,
+       a.passed,
+       a.esd_round <= COALESCE(MAX(CASE WHEN a.passed THEN a.esd_round END)
+         OVER (PARTITION BY a.event_type), 0) AS is_anomaly,
+       CAST(n.n_days AS BIGINT) AS n_days
+FROM allc a JOIN nn n ON a.event_type = n.event_type
+ORDER BY a.event_type, a.esd_round
+"""
+
+
+@query("ts_anomaly_esd", oracle=_esd_oracle(), family=_FAM)
+def ts_anomaly_esd(spark, sf_dir):
+    """GENERALIZED ESD anomaly detection (r15 — Rosner 1983, the
+    remove-and-retest procedure Twitter's S-H-ESD popularized; the
+    family's masking-aware tier above the single-pass ts_anomaly_mad):
+    repeated outliers MASK each other under any single-pass rule — a
+    second extreme inflates the dispersion estimate that should flag
+    the first. ESD's fix: K=3 unrolled rounds of (recompute robust
+    center+spread on the ACTIVE set) -> (flag the worst deviator) ->
+    (remove it and retest), then Rosner's backward rule: every round
+    up to the LAST passing one is an anomaly, even if an intermediate
+    test failed (the definitional subtlety single-pass rules miss).
+
+    Exactness: the series is the daily mean-cents rollup (the
+    ts_matrix_profile spine); center = LOWER MEDIAN (row (n+1) div 2
+    of the (x, day)-ordered active set — integer, no midpoint
+    average), spread = MAD as the lower median of |x - med|; the test
+    dev * 10000 > 44478 * mad is the 3-sigma scaled-MAD rule
+    (3 * 1.4826) in exact integers, with the mad = 0 degenerate case
+    (over half the set identical) flagging any nonzero deviation —
+    identical CASE in both engines. The parametric t-quantile
+    refinement of textbook ESD is deliberately replaced by the
+    scaled-MAD threshold: bit-exact across engines, and the robust
+    variant is what production monitors run.
+
+    Plan: ONE raw pass to the daily grid, localCheckpointed; each
+    round is two partitioned rank-windows + a broadcast median join
+    on the calendar-bounded frame (types x days rows), with the
+    active set re-checkpointed per round so the unrolled lineage
+    stays linear (the r12 2^k lesson). At 100 TB only the rollup
+    touches raw data; rounds cost O(types x days) regardless of
+    event volume."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    act = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400)
+            .cast("bigint").alias("day"),
+        )
+        .agg(F.expr("sum(cast(round(value * 100) as bigint)) div count(*)")
+             .alias("x"))
+        .localCheckpoint()
+    )
+    nn = act.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days")
+    )
+    w_med = Window.partitionBy("event_type").orderBy("x", "day")
+    w_cnt = Window.partitionBy("event_type")
+    cands = []
+    for r in range(1, _ESD_ROUNDS + 1):
+        med = (
+            act.withColumn("rn", F.row_number().over(w_med))
+            .withColumn("n", F.count("*").over(w_cnt))
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col("x").alias("med"))
+        )
+        dev = (
+            act.join(F.broadcast(med), "event_type")
+            .select(
+                "event_type", "day", "x", "med",
+                F.abs(F.col("x") - F.col("med")).alias("dev"),
+            )
+            .localCheckpoint()
+        )
+        w_dev = Window.partitionBy("event_type").orderBy("dev", "day")
+        mad = (
+            dev.withColumn("rn", F.row_number().over(w_dev))
+            .withColumn("n", F.count("*").over(w_cnt))
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col("dev").alias("mad"))
+        )
+        w_top = Window.partitionBy("event_type").orderBy(
+            F.col("dev").desc(), F.col("day").asc()
+        )
+        cand = (
+            dev.withColumn("rk", F.row_number().over(w_top))
+            .filter(F.col("rk") == 1)
+            .join(F.broadcast(mad), "event_type")
+            .select(
+                F.lit(r).alias("esd_round"),
+                "event_type", "day", "x", "med", "dev", "mad",
+                F.when(F.col("mad") == 0, F.col("dev") > 0)
+                .otherwise(F.col("dev") * 10000 > 44478 * F.col("mad"))
+                .alias("passed"),
+            )
+            .localCheckpoint()
+        )
+        cands.append(cand)
+        act = (
+            act.join(
+                cand.select("event_type", "day"),
+                ["event_type", "day"], "left_anti",
+            )
+            .localCheckpoint()
+        )
+    allc = cands[0]
+    for c in cands[1:]:
+        allc = allc.unionByName(c)
+    w_pass = Window.partitionBy("event_type")
+    return (
+        allc.withColumn(
+            "maxp",
+            F.coalesce(
+                F.max(F.when(F.col("passed"), F.col("esd_round")))
+                .over(w_pass),
+                F.lit(0),
+            ),
+        )
+        .join(nn, "event_type")
+        .select(
+            "event_type",
+            F.col("esd_round").cast("bigint").alias("esd_round"),
+            "day",
+            F.col("x").alias("x_cents"),
+            F.col("med").alias("med_cents"),
+            F.col("dev").cast("bigint").alias("dev_cents"),
+            F.col("mad").cast("bigint").alias("mad_cents"),
+            "passed",
+            (F.col("esd_round") <= F.col("maxp")).alias("is_anomaly"),
+            "n_days",
+        )
+        .orderBy("event_type", "esd_round")
+    )
+
+
+@query(
+    "ts_forecast_croston",
+    oracle="""
+WITH RECURSIVE dem AS MATERIALIZED (
+  SELECT l_partkey,
+         CAST(floor(epoch(CAST(l_shipdate AS TIMESTAMP)) / 604800)
+              AS BIGINT) AS wk,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem GROUP BY l_partkey, wk
+),
+mn AS MATERIALIZED (SELECT MIN(wk) AS minwk FROM dem),
+idx AS MATERIALIZED (
+  SELECT l_partkey, wk, y,
+         row_number() OVER (PARTITION BY l_partkey ORDER BY wk) AS i,
+         lag(wk) OVER (PARTITION BY l_partkey ORDER BY wk) AS pw,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS n
+  FROM dem
+),
+walk AS (
+  SELECT l_partkey, i, n,
+         y * 1000 AS z,
+         (wk - (SELECT minwk FROM mn) + 1) * 1000 AS p
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.l_partkey, x.i, x.n,
+         (x.y * 1000 + 4 * w.z) // 5,
+         ((x.wk - x.pw) * 1000 + 4 * w.p) // 5
+  FROM walk w JOIN idx x
+    ON x.l_partkey = w.l_partkey AND x.i = w.i + 1
+)
+SELECT l_partkey AS p_partkey,
+       CAST(n AS BIGINT) AS n_demand_weeks,
+       CAST(z AS BIGINT) AS z_milli,
+       CAST(p AS BIGINT) AS p_milli_weeks,
+       CAST((z * 1000000) // p AS BIGINT) AS croston_rate_micro,
+       CAST((z * 900000) // p AS BIGINT) AS sba_rate_micro
+FROM walk WHERE i = n AND n >= 2
+ORDER BY p_partkey
+""",
+    family=_FAM,
+)
+def ts_forecast_croston(spark, sf_dir):
+    """CROSTON intermittent-demand forecast (r15 — Croston 1972, plus
+    the Syntetos-Boylan bias correction: the forecaster for series
+    that are MOSTLY ZERO, where every smoother in the family —
+    ts_ewma, ts_holt_winters, ts_forecast_ets_damped — decays toward
+    zero between demands and systematically under-forecasts): two
+    EWMAs updated ONLY on demand events — demand SIZE z and
+    inter-demand INTERVAL p — forecast rate z/p per period, SBA
+    variant scaled by (1 - alpha/2). The fixture's textbook instance:
+    weekly part-level order quantities (lineitem per partkey) run
+    ~30-50 demand weeks over a ~350-week span — spare-parts shaped.
+
+    Exactness (the ts_forecast_ets_damped discipline): alpha = 0.2 as
+    the exact floor-division recurrence z' = (y*1000 + 4z) div 5,
+    p' = (q*1000 + 4p) div 5 in milli-units (all terms non-negative,
+    so floor == trunc in every engine and Python); init z = first
+    demand * 1000, p = (first week - corpus min week + 1) * 1000;
+    rates as single 128-bit-safe integer floor-divs, SBA via the
+    equal-rational (z * 900000) div p spelling.
+
+    Spark shape: recurrences are sequential per series, but one part
+    is a TINY group — groups are hash-bucketed (partkey % 256) and
+    the kernel loops the per-part walk inside each bucket (the r13
+    applyInPandas 40x-overhead lesson); parallelism = buckets, state
+    = two ints per part. The corpus min week rides in as a broadcast
+    1-row aggregate column. The oracle replays the same walk as a
+    lockstep recursive CTE over (part, demand-index)."""
+    import pandas as pd
+
+    li = table(spark, sf_dir, "lineitem")
+    dem = li.groupBy(
+        "l_partkey",
+        F.expr(
+            "CAST(unix_timestamp(CAST(l_shipdate AS TIMESTAMP))"
+            " div 604800 AS BIGINT)"
+        ).alias("wk"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("y"))
+    mn = dem.agg(F.min("wk").alias("minwk"))
+    demb = (
+        dem.crossJoin(F.broadcast(mn))
+        .withColumn("bkt", F.col("l_partkey") % 256)
+    )
+
+    schema = (
+        "p_partkey bigint, n_demand_weeks bigint, z_milli bigint, "
+        "p_milli_weeks bigint, croston_rate_micro bigint, "
+        "sba_rate_micro bigint"
+    )
+
+    def croston(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pk, g in pdf.groupby("l_partkey"):
+            g = g.sort_values("wk")
+            wks = [int(w) for w in g["wk"]]
+            ys = [int(v) for v in g["y"]]
+            if len(wks) < 2:
+                continue
+            minwk = int(g["minwk"].iloc[0])
+            z = ys[0] * 1000
+            p = (wks[0] - minwk + 1) * 1000
+            for k in range(1, len(wks)):
+                z = (ys[k] * 1000 + 4 * z) // 5
+                p = ((wks[k] - wks[k - 1]) * 1000 + 4 * p) // 5
+            out.append({
+                "p_partkey": int(pk), "n_demand_weeks": len(wks),
+                "z_milli": z, "p_milli_weeks": p,
+                "croston_rate_micro": (z * 1000000) // p,
+                "sba_rate_micro": (z * 900000) // p,
+            })
+        return pd.DataFrame(
+            out,
+            columns=["p_partkey", "n_demand_weeks", "z_milli",
+                     "p_milli_weeks", "croston_rate_micro",
+                     "sba_rate_micro"],
+        )
+
+    return (
+        demb.groupBy("bkt")
+        .applyInPandas(croston, schema)
+        .orderBy("p_partkey")
+    )

@@ -873,6 +873,10 @@ _GATE_EXEMPT = {
                                 # (4096-row cov + 64-row direction per
                                 # stage) collected per round, feeds the
                                 # next round's plan (r14)
+    "llm_topic_lsa",            # LSA: <=64^2-row Gram collected ONCE,
+                                # 8 requantized power rounds driver-
+                                # side in exact ints, directions
+                                # broadcast back (r15)
     "llm_bpe_apply",            # loads the shared cached trainer
     "llm_dedup_clusters",       # label-propagation convergence counts
     "llm_dedup_clusters_star",  # star-contraction round scalars

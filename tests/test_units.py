@@ -3083,3 +3083,87 @@ def test_lake_connector_jars_blocked(spark):
                 f"{fmt} connector jar has APPEARED — adopt it for a "
                 "lake_delta_interop-style op (see docstring)"
             )
+
+
+def test_matrix_profile_exclusion_and_bounds(spark):
+    """r15: every matrix-profile neighbor honors the trivial-match
+    exclusion zone (|i - nn_i| > 2), the corr^2 proxy obeys
+    Cauchy-Schwarz (|key| <= 1e6), and each subsequence emits exactly
+    one profile row (n_subseq == emitted rows per type)."""
+    from hdfs_mr_spark.registry import all_specs
+
+    rows = all_specs()["ts_matrix_profile"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    per_type: dict = {}
+    for r in rows:
+        assert abs(r.i - r.nn_i) > 2, (r.i, r.nn_i)
+        assert abs(r.corr2_signed_micro) <= 1_000_000
+        per_type.setdefault(r.event_type, [0, r.n_subseq])
+        per_type[r.event_type][0] += 1
+    for t, (emitted, pinned) in per_type.items():
+        assert emitted == pinned, (t, emitted, pinned)
+
+
+def test_topic_lsa_invariants(spark):
+    """r15: LSA alignments obey Cauchy-Schwarz (|signed cos^2 micro|
+    <= 1e6), both norm pins are positive (non-degenerate components on
+    the fixture), the dominant-topic choice agrees with the emitted
+    alignments under the exact cross-multiplied rule, and every doc
+    appears exactly once."""
+    from hdfs_mr_spark.registry import all_specs
+
+    rows = all_specs()["llm_topic_lsa"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows and len({r.doc_id for r in rows}) == len(rows)
+    s1, s2 = rows[0].s1_pin, rows[0].s2_pin
+    assert s1 > 0 and s2 > 0
+    for r in rows:
+        c1, c2 = r.cos2_t1_signed_micro, r.cos2_t2_signed_micro
+        assert abs(c1) <= 1_000_000 and abs(c2) <= 1_000_000
+        assert r.topic in (1, 2)
+        # the emitted micro alignments are floor-quantized from the
+        # same exact ratios the topic rule compares, so a STRICT
+        # alignment gap must agree with the choice (ties can quantize
+        # either way — only check the strict direction)
+        if r.topic == 1:
+            assert abs(c1) >= abs(c2) - 1
+        else:
+            assert abs(c2) >= abs(c1) - 1
+
+
+def test_esd_backward_rule_unmasks(spark, tmp_path):
+    """r15: the Rosner backward rule is the op's whole point — a
+    deviation that FAILS its own round's test still counts as an
+    anomaly when a LATER round passes (removal tightened the spread
+    and unmasked it). Series [10,15,17,3,11,13,10,19,20,6,17,15,14,16]
+    (one point per day) produces exactly that: round 1 fails
+    (dev 11 vs mad 3), round 2 passes (dev 9 vs mad 2), round 3 fails
+    -> is_anomaly must be (True, True, False)."""
+    import datetime
+
+    vals = [10, 15, 17, 3, 11, 13, 10, 19, 20, 6, 17, 15, 14, 16]
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1 + i, 12, 0, 0),
+            1,
+            "probe",
+            float(v),
+            "{}",
+        )
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        all_specs()["ts_anomaly_esd"].fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r.esd_round,
+    )
+    assert [r.passed for r in out] == [False, True, False]
+    assert [r.is_anomaly for r in out] == [True, True, False]
+    assert [r.dev_cents for r in out] == [1100, 900, 500]
+    assert [r.mad_cents for r in out] == [300, 200, 200]

@@ -91,6 +91,14 @@ BENCH_QUERIES = [
     # superlinearity vs ts_decompose_classical here would falsify the
     # banded-join claim
     "ts_stl_loess",
+    # r15 late: the matrix-profile pairwise join must run on the
+    # CALENDAR-sized daily grid (one raw pass into the rollup, then
+    # O(n_sub^2) bounded by days x types) — scaling with the 1M raw
+    # rows here would falsify the single-full-data-pass claim
+    "ts_matrix_profile",
+    # r15 late: ESD's per-round medians/argmax run on the checkpointed
+    # daily grid — rounds must cost O(types x days), not O(raw rows)
+    "ts_anomaly_esd",
 ]
 
 

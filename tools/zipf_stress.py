@@ -95,6 +95,10 @@ BENCH_QUERIES = [
     "llm_quality_classifier_apply",
     "llm_sim_knn_hnsw",
     "llm_sim_knn_hnsw_delta",
+    # r15 late: LSA's vocab cap is the whole scale claim — at 90k types
+    # the top-64 selection + bounded Gram must hold wall flat vs the
+    # 31-term fixture (the dense factorization never sees the tail)
+    "llm_topic_lsa",
 ]
 
 # bitmask (dense-regime) kernels MUST refuse a 100k vocabulary
