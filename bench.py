@@ -141,6 +141,7 @@ HEADLINE = [
     "llm_topic_lsa",               # 2.11 integer LSA topic extraction (r15 late)
     "ts_anomaly_esd",              # 2.5 masking-aware robust anomalies (r15 late)
     "ts_forecast_croston",         # 2.5 intermittent-demand forecast (r15 late)
+    "ts_seasonal_hybrid_esd",      # 2.5 STL+ESD composition, Twitter S-H-ESD (r15 late)
 ]
 
 

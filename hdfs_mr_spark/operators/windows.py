@@ -2170,9 +2170,11 @@ CASE WHEN sw * sxx - sx * sx <> 0
      ELSE sy {div} sw END"""
 
 
-@query(
-    "ts_stl_loess",
-    oracle=f"""
+def _stl_des_sql() -> str:
+    """Shared STL front half (hourly resample -> cycle-subseries
+    LOESS -> low-pass centering -> deseasonalized `des` frame) — the
+    CTE prefix both ts_stl_loess and ts_seasonal_hybrid_esd replay."""
+    return f"""
 WITH hourly AS (
   SELECT event_type,
          CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hus,
@@ -2224,7 +2226,11 @@ des AS MATERIALIZED (
          s.y - e.seasonal AS dv
   FROM ser s JOIN seas e
     ON e.event_type = s.event_type AND e.hidx = s.hidx
-),
+)"""
+
+
+def _stl_oracle() -> str:
+    return _stl_des_sql() + f""",
 tpair AS (
   SELECT a.event_type, a.hidx, b.hidx - a.hidx AS d, b.dv,
          {_stl_wcase(_STL_W6, 'b.hidx - a.hidx')} AS wt
@@ -2250,7 +2256,117 @@ SELECT d.event_type, CAST(d.hidx AS BIGINT) AS hidx,
 FROM des d
 LEFT JOIN trend t ON t.event_type = d.event_type AND t.hidx = d.hidx
 ORDER BY d.event_type, d.hidx
-""",
+"""
+
+
+def _stl_loess_fit(frame, key_cols, xcol, ycol, half, bucket, weights, out):
+    """Banded locally-weighted linear regression: fitted value (the
+    intercept at the centered abscissa) per left row. Module-level so
+    both STL and the seasonal-hybrid composition share it."""
+    wcase = _stl_wcase(weights, "d")
+    lhs = frame.select(
+        *key_cols, F.col(xcol).alias("x0"), "hidx"
+    ).withColumn(
+        "bb",
+        F.explode(F.array(*[
+            F.expr(f"x0 div {bucket} + {o}") for o in (-1, 0, 1)
+        ])),
+    )
+    # every column name distinct across the two sides (r_ prefix +
+    # r_bb) — expression self-joins on same-parent frames are
+    # ambiguous otherwise (the mr_hits lesson)
+    rhs = frame.select(
+        *[F.col(k).alias(f"r_{k}") for k in key_cols],
+        F.col(xcol).alias("x1"), F.col(ycol).alias("yv"),
+    ).withColumn("r_bb", F.expr(f"x1 div {bucket}"))
+    cond = F.col("bb") == F.col("r_bb")
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"r_{k}"))
+    pairs = (
+        lhs.join(rhs, cond)
+        .filter(F.abs(F.col("x1") - F.col("x0")) <= half)
+        .select(
+            *key_cols, "hidx",
+            (F.col("x1") - F.col("x0")).alias("d"), "yv",
+        )
+        .withColumn("wt", F.expr(wcase))
+    )
+    fit = pairs.groupBy(*key_cols, "hidx").agg(
+        F.sum("wt").alias("sw"),
+        F.sum(F.expr("wt * d")).alias("sx"),
+        F.sum(F.expr("wt * yv")).alias("sy"),
+        F.sum(F.expr("wt * d * d")).alias("sxx"),
+        F.sum(F.expr("wt * d * yv")).alias("sxy"),
+    )
+    return fit.select(
+        *key_cols, "hidx",
+        F.expr(_STL_FIT.format(div="DIV")).alias(out),
+    )
+
+
+
+def _stl_des(spark, sf_dir):
+    """Shared STL front half (Spark side): hourly resample, cycle-
+    subseries LOESS, low-pass centering, deseasonalized `des` frame
+    (event_type, hidx, y, seasonal, dv) — checkpointed; the back
+    half differs per op (trend LOESS vs ESD on the residual)."""
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hus"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "sum_cents"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+    mm = hourly.agg(F.min("hus").alias("h0"))
+    ser = hourly.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        F.expr("(hus - h0) div 3600000000").alias("hidx"),
+        F.expr("(sum_cents * 10000) div n").alias("y"),
+    ).localCheckpoint()  # feeds the subseries join AND the des join
+
+
+    sub = ser.select(
+        "event_type", "hidx",
+        F.expr("hidx div 24").alias("cyc"),
+        F.expr("hidx % 24").alias("hod"), "y",
+    )
+    sraw = _stl_loess_fit(
+        sub, ["event_type", "hod"], "cyc", "y",
+        half=3, bucket=4, weights=_STL_W3, out="s_raw",
+    )
+    wlp = (
+        Window.partitionBy("event_type").orderBy("hidx").rangeBetween(-12, 12)
+    )
+    seas = sraw.select(
+        "event_type", "hidx", "s_raw",
+        F.sum("s_raw").over(wlp).alias("wsum"),
+        F.count("*").over(wlp).alias("wcnt"),
+    ).select(
+        "event_type", "hidx",
+        F.when(
+            F.col("wcnt") == 25, F.col("s_raw") - F.expr("wsum div 25")
+        ).alias("seasonal"),
+    )
+    des = (
+        ser.join(seas, ["event_type", "hidx"])
+        .select(
+            "event_type", "hidx", "y", "seasonal",
+            (F.col("y") - F.col("seasonal")).alias("dv"),
+        )
+        .localCheckpoint()  # feeds the trend join (both sides) + output
+    )
+    return des
+
+
+@query(
+    "ts_stl_loess",
+    oracle=_stl_oracle(),
     family=_FAM,
 )
 def ts_stl_loess(spark, sf_dir):
@@ -2287,101 +2403,9 @@ def ts_stl_loess(spark, sf_dir):
     so both LOESS passes are BANDED equi-joins — each row explodes to
     3 band buckets and joins on (keys, bucket), keeping candidate
     pairs O(series × window), never a per-key cross product."""
-    ev = table(spark, sf_dir, "events")
-    hourly = (
-        ev.groupBy(
-            "event_type",
-            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hus"),
-        )
-        .agg(
-            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
-                "sum_cents"
-            ),
-            F.count("*").alias("n"),
-        )
-    )
-    mm = hourly.agg(F.min("hus").alias("h0"))
-    ser = hourly.crossJoin(F.broadcast(mm)).select(
-        "event_type",
-        F.expr("(hus - h0) div 3600000000").alias("hidx"),
-        F.expr("(sum_cents * 10000) div n").alias("y"),
-    ).localCheckpoint()  # feeds the subseries join AND the des join
-
-    def _loess(frame, key_cols, xcol, ycol, half, bucket, weights, out):
-        """Banded locally-weighted linear regression: fitted value (the
-        intercept at the centered abscissa) per left row."""
-        wcase = _stl_wcase(weights, "d")
-        lhs = frame.select(
-            *key_cols, F.col(xcol).alias("x0"), "hidx"
-        ).withColumn(
-            "bb",
-            F.explode(F.array(*[
-                F.expr(f"x0 div {bucket} + {o}") for o in (-1, 0, 1)
-            ])),
-        )
-        # every column name distinct across the two sides (r_ prefix +
-        # r_bb) — expression self-joins on same-parent frames are
-        # ambiguous otherwise (the mr_hits lesson)
-        rhs = frame.select(
-            *[F.col(k).alias(f"r_{k}") for k in key_cols],
-            F.col(xcol).alias("x1"), F.col(ycol).alias("yv"),
-        ).withColumn("r_bb", F.expr(f"x1 div {bucket}"))
-        cond = F.col("bb") == F.col("r_bb")
-        for k in key_cols:
-            cond = cond & (F.col(k) == F.col(f"r_{k}"))
-        pairs = (
-            lhs.join(rhs, cond)
-            .filter(F.abs(F.col("x1") - F.col("x0")) <= half)
-            .select(
-                *key_cols, "hidx",
-                (F.col("x1") - F.col("x0")).alias("d"), "yv",
-            )
-            .withColumn("wt", F.expr(wcase))
-        )
-        fit = pairs.groupBy(*key_cols, "hidx").agg(
-            F.sum("wt").alias("sw"),
-            F.sum(F.expr("wt * d")).alias("sx"),
-            F.sum(F.expr("wt * yv")).alias("sy"),
-            F.sum(F.expr("wt * d * d")).alias("sxx"),
-            F.sum(F.expr("wt * d * yv")).alias("sxy"),
-        )
-        return fit.select(
-            *key_cols, "hidx",
-            F.expr(_STL_FIT.format(div="DIV")).alias(out),
-        )
-
-    sub = ser.select(
-        "event_type", "hidx",
-        F.expr("hidx div 24").alias("cyc"),
-        F.expr("hidx % 24").alias("hod"), "y",
-    )
-    sraw = _loess(
-        sub, ["event_type", "hod"], "cyc", "y",
-        half=3, bucket=4, weights=_STL_W3, out="s_raw",
-    )
-    wlp = (
-        Window.partitionBy("event_type").orderBy("hidx").rangeBetween(-12, 12)
-    )
-    seas = sraw.select(
-        "event_type", "hidx", "s_raw",
-        F.sum("s_raw").over(wlp).alias("wsum"),
-        F.count("*").over(wlp).alias("wcnt"),
-    ).select(
-        "event_type", "hidx",
-        F.when(
-            F.col("wcnt") == 25, F.col("s_raw") - F.expr("wsum div 25")
-        ).alias("seasonal"),
-    )
-    des = (
-        ser.join(seas, ["event_type", "hidx"])
-        .select(
-            "event_type", "hidx", "y", "seasonal",
-            (F.col("y") - F.col("seasonal")).alias("dv"),
-        )
-        .localCheckpoint()  # feeds the trend join (both sides) + output
-    )
+    des = _stl_des(spark, sf_dir)
     core = des.filter(F.col("seasonal").isNotNull())
-    trend = _loess(
+    trend = _stl_loess_fit(
         core, ["event_type"], "hidx", "dv",
         half=6, bucket=7, weights=_STL_W6, out="t",
     )
@@ -3530,10 +3554,12 @@ def ts_matrix_profile(spark, sf_dir):
 _ESD_ROUNDS = 3
 
 
-def _esd_oracle() -> str:
-    """Unrolled Rosner replay: per round — lower-median, MAD, worst
-    deviator, scaled-MAD test, removal — then the backward-fill rule
-    (all rounds up to the LAST passing one are anomalies)."""
+def _esd_round_ctes(idc: str) -> str:
+    """The Rosner round CTEs (lower-median, MAD, worst deviator,
+    scaled-MAD test, anti-join removal), parameterized by the series
+    id column so ts_anomaly_esd (day) and ts_seasonal_hybrid_esd
+    (hidx) replay the identical machinery. Expects act0(event_type,
+    {idc}, x); emits cand1..candK and the allc union."""
     parts = []
     for r in range(1, _ESD_ROUNDS + 1):
         q = r - 1
@@ -3542,54 +3568,63 @@ medx{r} AS MATERIALIZED (
   SELECT event_type, x AS med FROM (
     SELECT event_type, x,
            row_number() OVER (
-             PARTITION BY event_type ORDER BY x, day) AS rn,
+             PARTITION BY event_type ORDER BY x, {idc}) AS rn,
            COUNT(*) OVER (PARTITION BY event_type) AS n
     FROM act{q}) WHERE rn = (n + 1) // 2
 ),
 dev{r} AS MATERIALIZED (
-  SELECT a.event_type, a.day, a.x, m.med, ABS(a.x - m.med) AS dev
+  SELECT a.event_type, a.{idc}, a.x, m.med, ABS(a.x - m.med) AS dev
   FROM act{q} a JOIN medx{r} m ON a.event_type = m.event_type
 ),
 mad{r} AS MATERIALIZED (
   SELECT event_type, dev AS mad FROM (
     SELECT event_type, dev,
            row_number() OVER (
-             PARTITION BY event_type ORDER BY dev, day) AS rn,
+             PARTITION BY event_type ORDER BY dev, {idc}) AS rn,
            COUNT(*) OVER (PARTITION BY event_type) AS n
     FROM dev{r}) WHERE rn = (n + 1) // 2
 ),
 cand{r} AS MATERIALIZED (
-  SELECT d.event_type, d.day, d.x, d.med, d.dev, m.mad,
+  SELECT d.event_type, d.{idc}, d.x, d.med, d.dev, m.mad,
          CASE WHEN m.mad = 0 THEN d.dev > 0
               ELSE d.dev * 10000 > 44478 * m.mad END AS passed
   FROM (
     SELECT *, row_number() OVER (
-      PARTITION BY event_type ORDER BY dev DESC, day ASC) AS rk
+      PARTITION BY event_type ORDER BY dev DESC, {idc} ASC) AS rk
     FROM dev{r}) d
   JOIN mad{r} m ON d.event_type = m.event_type
   WHERE d.rk = 1
 ),
 act{r} AS MATERIALIZED (
-  SELECT a.event_type, a.day, a.x FROM act{q} a
+  SELECT a.event_type, a.{idc}, a.x FROM act{q} a
   ANTI JOIN cand{r} c
-    ON a.event_type = c.event_type AND a.day = c.day
+    ON a.event_type = c.event_type AND a.{idc} = c.{idc}
 ),""")
     union = "\nUNION ALL\n".join(
-        f"  SELECT {r} AS esd_round, event_type, day, x, med, dev, mad,"
+        f"  SELECT {r} AS esd_round, event_type, {idc}, x, med, dev, mad,"
         f" passed FROM cand{r}"
         for r in range(1, _ESD_ROUNDS + 1)
     )
+    return "".join(parts) + f"""
+allc AS MATERIALIZED (
+{union}
+)"""
+
+
+def _esd_oracle() -> str:
+    """Unrolled Rosner replay over the daily mean-cents series, then
+    the backward-fill rule (all rounds up to the LAST passing one are
+    anomalies)."""
+    idc = "day"
     return f"""
+
 WITH act0 AS MATERIALIZED (
   SELECT event_type,
          CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
          SUM(CAST(round(value * 100) AS BIGINT)) // COUNT(*) AS x
   FROM events WHERE value IS NOT NULL
   GROUP BY event_type, day
-),{"".join(parts)}
-allc AS MATERIALIZED (
-{union}
-),
+),{_esd_round_ctes(idc)},
 nn AS MATERIALIZED (
   SELECT event_type, COUNT(*) AS n_days FROM act0 GROUP BY event_type
 )
@@ -3606,6 +3641,65 @@ SELECT a.event_type,
 FROM allc a JOIN nn n ON a.event_type = n.event_type
 ORDER BY a.event_type, a.esd_round
 """
+
+
+def _esd_cands(act, id_col):
+    """The Rosner rounds, Spark side (shared by ts_anomaly_esd and
+    ts_seasonal_hybrid_esd): act carries (event_type, <id_col>, x),
+    already localCheckpointed; returns the list of per-round candidate
+    frames (esd_round, event_type, <id_col>, x, med, dev, mad,
+    passed), each checkpointed, with the active set re-checkpointed
+    per round so the unrolled lineage stays linear."""
+    w_med = Window.partitionBy("event_type").orderBy("x", id_col)
+    w_cnt = Window.partitionBy("event_type")
+    cands = []
+    for r in range(1, _ESD_ROUNDS + 1):
+        med = (
+            act.withColumn("rn", F.row_number().over(w_med))
+            .withColumn("n", F.count("*").over(w_cnt))
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col("x").alias("med"))
+        )
+        dev = (
+            act.join(F.broadcast(med), "event_type")
+            .select(
+                "event_type", id_col, "x", "med",
+                F.abs(F.col("x") - F.col("med")).alias("dev"),
+            )
+            .localCheckpoint()
+        )
+        w_dev = Window.partitionBy("event_type").orderBy("dev", id_col)
+        mad = (
+            dev.withColumn("rn", F.row_number().over(w_dev))
+            .withColumn("n", F.count("*").over(w_cnt))
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col("dev").alias("mad"))
+        )
+        w_top = Window.partitionBy("event_type").orderBy(
+            F.col("dev").desc(), F.col(id_col).asc()
+        )
+        cand = (
+            dev.withColumn("rk", F.row_number().over(w_top))
+            .filter(F.col("rk") == 1)
+            .join(F.broadcast(mad), "event_type")
+            .select(
+                F.lit(r).alias("esd_round"),
+                "event_type", id_col, "x", "med", "dev", "mad",
+                F.when(F.col("mad") == 0, F.col("dev") > 0)
+                .otherwise(F.col("dev") * 10000 > 44478 * F.col("mad"))
+                .alias("passed"),
+            )
+            .localCheckpoint()
+        )
+        cands.append(cand)
+        act = (
+            act.join(
+                cand.select("event_type", id_col),
+                ["event_type", id_col], "left_anti",
+            )
+            .localCheckpoint()
+        )
+    return cands
 
 
 @query("ts_anomaly_esd", oracle=_esd_oracle(), family=_FAM)
@@ -3654,55 +3748,7 @@ def ts_anomaly_esd(spark, sf_dir):
     nn = act.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_days")
     )
-    w_med = Window.partitionBy("event_type").orderBy("x", "day")
-    w_cnt = Window.partitionBy("event_type")
-    cands = []
-    for r in range(1, _ESD_ROUNDS + 1):
-        med = (
-            act.withColumn("rn", F.row_number().over(w_med))
-            .withColumn("n", F.count("*").over(w_cnt))
-            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-            .select("event_type", F.col("x").alias("med"))
-        )
-        dev = (
-            act.join(F.broadcast(med), "event_type")
-            .select(
-                "event_type", "day", "x", "med",
-                F.abs(F.col("x") - F.col("med")).alias("dev"),
-            )
-            .localCheckpoint()
-        )
-        w_dev = Window.partitionBy("event_type").orderBy("dev", "day")
-        mad = (
-            dev.withColumn("rn", F.row_number().over(w_dev))
-            .withColumn("n", F.count("*").over(w_cnt))
-            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-            .select("event_type", F.col("dev").alias("mad"))
-        )
-        w_top = Window.partitionBy("event_type").orderBy(
-            F.col("dev").desc(), F.col("day").asc()
-        )
-        cand = (
-            dev.withColumn("rk", F.row_number().over(w_top))
-            .filter(F.col("rk") == 1)
-            .join(F.broadcast(mad), "event_type")
-            .select(
-                F.lit(r).alias("esd_round"),
-                "event_type", "day", "x", "med", "dev", "mad",
-                F.when(F.col("mad") == 0, F.col("dev") > 0)
-                .otherwise(F.col("dev") * 10000 > 44478 * F.col("mad"))
-                .alias("passed"),
-            )
-            .localCheckpoint()
-        )
-        cands.append(cand)
-        act = (
-            act.join(
-                cand.select("event_type", "day"),
-                ["event_type", "day"], "left_anti",
-            )
-            .localCheckpoint()
-        )
+    cands = _esd_cands(act, "day")
     allc = cands[0]
     for c in cands[1:]:
         allc = allc.unionByName(c)
@@ -3854,4 +3900,127 @@ def ts_forecast_croston(spark, sf_dir):
         demb.groupBy("bkt")
         .applyInPandas(croston, schema)
         .orderBy("p_partkey")
+    )
+
+
+def _shesd_oracle() -> str:
+    """S-H-ESD lockstep: the STL front-half CTEs verbatim, the per-type
+    lower median of the hourly series, residual x = y - seasonal -
+    median, then the shared Rosner round CTEs keyed by hidx."""
+    idc = "hidx"
+    return _stl_des_sql() + f""",
+medy AS MATERIALIZED (
+  SELECT event_type, y AS medy FROM (
+    SELECT event_type, y,
+           row_number() OVER (
+             PARTITION BY event_type ORDER BY y, hidx) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM des WHERE seasonal IS NOT NULL) WHERE rn = (n + 1) // 2
+),
+act0 AS MATERIALIZED (
+  SELECT d.event_type, d.hidx, d.dv - m.medy AS x
+  FROM des d JOIN medy m ON d.event_type = m.event_type
+  WHERE d.seasonal IS NOT NULL
+),{_esd_round_ctes(idc)},
+nn AS MATERIALIZED (
+  SELECT event_type, COUNT(*) AS n_hours FROM act0 GROUP BY event_type
+)
+SELECT a.event_type,
+       CAST(a.esd_round AS BIGINT) AS esd_round,
+       CAST(a.hidx AS BIGINT) AS hidx,
+       CAST(a.x AS BIGINT) AS resid_micro,
+       CAST(a.med AS BIGINT) AS med_micro,
+       CAST(a.dev AS BIGINT) AS dev_micro,
+       CAST(a.mad AS BIGINT) AS mad_micro,
+       a.passed,
+       a.esd_round <= COALESCE(MAX(CASE WHEN a.passed THEN a.esd_round END)
+         OVER (PARTITION BY a.event_type), 0) AS is_anomaly,
+       CAST(n.n_hours AS BIGINT) AS n_hours
+FROM allc a JOIN nn n ON a.event_type = n.event_type
+ORDER BY a.event_type, a.esd_round
+"""
+
+
+@query("ts_seasonal_hybrid_esd", oracle=_shesd_oracle(), family=_FAM)
+def ts_seasonal_hybrid_esd(spark, sf_dir):
+    """SEASONAL-HYBRID ESD (r15 — Twitter/Hochenbaum et al. 2017, the
+    production anomaly detector this family's pieces exist FOR, now
+    composed from them): plain ESD on a raw seasonal series flags the
+    daily rhythm itself; S-H-ESD first removes the STL seasonal
+    component, re-centers on the MEDIAN (not the trend — the paper's
+    robustness choice: a LOESS trend is itself dragged by anomalies),
+    and runs generalized ESD on the residual x = y - seasonal -
+    median(y).
+
+    Composition, both engines: the STL front half is ts_stl_loess's
+    shared machinery verbatim (_stl_des / _stl_des_sql — hourly
+    mean-micro resample, cycle-subseries LOESS, low-pass centering;
+    edge hours without complete low-pass windows are honestly
+    excluded, the NULL-seasonal discipline), the rounds are
+    ts_anomaly_esd's shared Rosner machinery verbatim (_esd_cands /
+    _esd_round_ctes keyed by hidx): lower-median + MAD re-estimated
+    on the active residual set per round, scaled-MAD test in exact
+    integers, backward anomaly rule. Everything BIGINT end to end.
+
+    Scale: the corpus-sized work is the hourly rollup inside the STL
+    front half; the seasonal join, median, and all three rounds run
+    on the RESAMPLED frame (time-span x type rows), re-checkpointed
+    per round. Exactly the shape that serves a 100 TB metrics store:
+    one heavy resample, then calendar-bounded robust statistics.
+
+    Sparse-corpus note: at sf0.001 the hourly grid is mostly EMPTY
+    hours, no 25-hour low-pass window completes, every seasonal is
+    NULL and the result is honestly EMPTY (both engines agree) — the
+    complete-window discipline refusing to fabricate a seasonal from
+    a gappy series. sf0.01/sf0.1 are non-vacuous (15 rows, all
+    value-checked)."""
+    des = _stl_des(spark, sf_dir)
+    core = des.filter(F.col("seasonal").isNotNull())
+    w_med = Window.partitionBy("event_type").orderBy("y", "hidx")
+    w_cnt = Window.partitionBy("event_type")
+    medy = (
+        core.withColumn("rn", F.row_number().over(w_med))
+        .withColumn("n", F.count("*").over(w_cnt))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("y").alias("medy"))
+    )
+    act = (
+        core.join(F.broadcast(medy), "event_type")
+        .select(
+            "event_type", "hidx",
+            (F.col("dv") - F.col("medy")).alias("x"),
+        )
+        .localCheckpoint()
+    )
+    nn = act.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours")
+    )
+    cands = _esd_cands(act, "hidx")
+    allc = cands[0]
+    for c in cands[1:]:
+        allc = allc.unionByName(c)
+    w_pass = Window.partitionBy("event_type")
+    return (
+        allc.withColumn(
+            "maxp",
+            F.coalesce(
+                F.max(F.when(F.col("passed"), F.col("esd_round")))
+                .over(w_pass),
+                F.lit(0),
+            ),
+        )
+        .join(nn, "event_type")
+        .select(
+            "event_type",
+            F.col("esd_round").cast("bigint").alias("esd_round"),
+            F.col("hidx").cast("bigint").alias("hidx"),
+            F.col("x").cast("bigint").alias("resid_micro"),
+            F.col("med").cast("bigint").alias("med_micro"),
+            F.col("dev").cast("bigint").alias("dev_micro"),
+            F.col("mad").cast("bigint").alias("mad_micro"),
+            "passed",
+            (F.col("esd_round") <= F.col("maxp")).alias("is_anomaly"),
+            "n_hours",
+        )
+        .orderBy("event_type", "esd_round")
     )

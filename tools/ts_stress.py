@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     # r15 late: ESD's per-round medians/argmax run on the checkpointed
     # daily grid — rounds must cost O(types x days), not O(raw rows)
     "ts_anomaly_esd",
+    # r15 late: the STL+ESD composition — front half must stay
+    # rollup-bounded, rounds must cost the resampled frame only
+    "ts_seasonal_hybrid_esd",
 ]
 
 
