@@ -142,6 +142,7 @@ HEADLINE = [
     "ts_anomaly_esd",              # 2.5 masking-aware robust anomalies (r15 late)
     "ts_forecast_croston",         # 2.5 intermittent-demand forecast (r15 late)
     "ts_seasonal_hybrid_esd",      # 2.5 STL+ESD composition, Twitter S-H-ESD (r15 late)
+    "ts_matrix_profile_ab",        # 2.5 cross-series pattern search (r15 late)
 ]
 
 

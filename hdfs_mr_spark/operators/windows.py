@@ -3356,14 +3356,11 @@ def ts_attribution_multitouch(spark, sf_dir):
     )
 
 
-def _matrix_profile_oracle() -> str:
-    """Lockstep twin of ts_matrix_profile: daily mean-cents series ->
-    lead-widened 7-point subsequences -> exclusion-zone pairwise
-    correlation argmax, all in the exact integer algebra (HUGEINT //
-    mirrors Spark's DECIMAL(38,0) div on the non-negative magnitude)."""
-    x = " + ".join(f"a.x{k} * b.x{k}" for k in range(7))
-    return f"""
-WITH daily AS (
+def _mp_sub_sql() -> str:
+    """Shared matrix-profile front half (daily mean-cents rollup ->
+    lead-widened 7-point subsequences -> den>0 live set) — the CTE
+    prefix both the self-join and the AB-join profiles replay."""
+    return """WITH daily AS (
   SELECT event_type,
          CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
          SUM(CAST(round(value * 100) AS BIGINT))
@@ -3393,7 +3390,16 @@ sub AS (
              * (x0 + x1 + x2 + x3 + x4 + x5 + x6) AS den
   FROM wide WHERE x6 IS NOT NULL
 ),
-live AS (SELECT * FROM sub WHERE den > 0),
+live AS (SELECT * FROM sub WHERE den > 0)"""
+
+
+def _matrix_profile_oracle() -> str:
+    """Lockstep twin of ts_matrix_profile: daily mean-cents series ->
+    lead-widened 7-point subsequences -> exclusion-zone pairwise
+    correlation argmax, all in the exact integer algebra (HUGEINT //
+    mirrors Spark's DECIMAL(38,0) div on the non-negative magnitude)."""
+    x = " + ".join(f"a.x{k} * b.x{k}" for k in range(7))
+    return _mp_sub_sql() + f""",
 pairs AS (
   SELECT a.event_type, a.i AS i, b.i AS j,
          7 * ({x}) - a.s * b.s AS num,
@@ -3424,6 +3430,47 @@ SELECT event_type, CAST(i AS BIGINT) AS i,
 FROM ranked WHERE rk = 1
 ORDER BY event_type, i
 """
+
+
+def _mp_live(spark, sf_dir):
+    """Shared matrix-profile front half (Spark side): one raw pass to
+    the daily mean-cents grid, one WindowExec for row_number + six
+    leads, exact S/SS/den moments, den>0 filter — localCheckpointed
+    so every profile variant joins the calendar-sized frame without
+    re-deriving it."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = F.round(F.col("value") * 100).cast("bigint")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400)
+            .cast("bigint").alias("day"),
+        )
+        .agg(F.expr("sum(cast(round(value * 100) as bigint)) div count(*)")
+             .alias("x"))
+    )
+    # row_number AND the 6 leads share one window spec (partition by
+    # type, order by day == order by i), so Catalyst plans ONE
+    # WindowExec — one exchange+sort instead of two
+    wi = Window.partitionBy("event_type").orderBy("day")
+    xs = [F.col("x").alias("x0")] + [
+        F.lead("x", k).over(wi).alias(f"x{k}") for k in range(1, 7)
+    ]
+    wide = daily.select(
+        "event_type", F.row_number().over(wi).alias("i"), *xs
+    )
+    s = sum(F.col(f"x{k}") for k in range(7))
+    ss = sum(F.col(f"x{k}") * F.col(f"x{k}") for k in range(7))
+    sub = wide.filter(F.col("x6").isNotNull()).select(
+        "event_type", "i", *[f"x{k}" for k in range(7)],
+        s.alias("s"), (F.lit(7) * ss - s * s).alias("den"),
+    )
+    # ONE raw pass: the subsequence frame is calendar-sized (types x
+    # days), so materialize it once and join the copy against itself —
+    # without this the self-join + count lineage re-scans raw events
+    # three times (the llm_rag_mmr / mr_hits reuse discipline)
+    live = sub.filter(F.col("den") > 0).localCheckpoint()
+    return live
 
 
 @query("ts_matrix_profile", oracle=_matrix_profile_oracle(), family=_FAM)
@@ -3463,38 +3510,7 @@ def ts_matrix_profile(spark, sf_dir):
     days rows, the ts_mann_kendall bounded-spine shape); a
     raw-resolution profile would tile it (SCAMP-style diagonal blocks)
     without changing this algebra."""
-    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    c = F.round(F.col("value") * 100).cast("bigint")
-    daily = (
-        ev.groupBy(
-            "event_type",
-            F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400)
-            .cast("bigint").alias("day"),
-        )
-        .agg(F.expr("sum(cast(round(value * 100) as bigint)) div count(*)")
-             .alias("x"))
-    )
-    # row_number AND the 6 leads share one window spec (partition by
-    # type, order by day == order by i), so Catalyst plans ONE
-    # WindowExec — one exchange+sort instead of two
-    wi = Window.partitionBy("event_type").orderBy("day")
-    xs = [F.col("x").alias("x0")] + [
-        F.lead("x", k).over(wi).alias(f"x{k}") for k in range(1, 7)
-    ]
-    wide = daily.select(
-        "event_type", F.row_number().over(wi).alias("i"), *xs
-    )
-    s = sum(F.col(f"x{k}") for k in range(7))
-    ss = sum(F.col(f"x{k}") * F.col(f"x{k}") for k in range(7))
-    sub = wide.filter(F.col("x6").isNotNull()).select(
-        "event_type", "i", *[f"x{k}" for k in range(7)],
-        s.alias("s"), (F.lit(7) * ss - s * s).alias("den"),
-    )
-    # ONE raw pass: the subsequence frame is calendar-sized (types x
-    # days), so materialize it once and join the copy against itself —
-    # without this the self-join + count lineage re-scans raw events
-    # three times (the llm_rag_mmr / mr_hits reuse discipline)
-    live = sub.filter(F.col("den") > 0).localCheckpoint()
+    live = _mp_live(spark, sf_dir)
     a = live.select(
         "event_type", F.col("i").alias("ia"), F.col("s").alias("sa"),
         F.col("den").alias("den_a"),
@@ -4023,4 +4039,129 @@ def ts_seasonal_hybrid_esd(spark, sf_dir):
             "n_hours",
         )
         .orderBy("event_type", "esd_round")
+    )
+
+
+def _mp_ab_oracle() -> str:
+    """AB-join twin: the shared subsequence CTEs, a type-pair spine
+    (distinct x distinct, ta <> tb), and the cross-series argmax with
+    the same integer corr^2 sort key — no exclusion zone (different
+    series cannot trivially match)."""
+    x = " + ".join(f"a.x{k} * b.x{k}" for k in range(7))
+    return _mp_sub_sql() + f""",
+tys AS (SELECT DISTINCT event_type FROM live),
+spine AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM tys a JOIN tys b ON a.event_type <> b.event_type
+),
+pairs AS (
+  SELECT s.ta, s.tb, a.i AS i, b.i AS j,
+         7 * ({x}) - a.s * b.s AS num,
+         a.den AS den_a, b.den AS den_b
+  FROM spine s
+  JOIN live a ON a.event_type = s.ta
+  JOIN live b ON b.event_type = s.tb
+),
+keyed AS (
+  SELECT ta, tb, i, j,
+         CASE WHEN num >= 0
+              THEN (CAST(num AS HUGEINT) * num * 1000000)
+                   // (CAST(den_a AS HUGEINT) * den_b)
+              ELSE -((CAST(num AS HUGEINT) * num * 1000000)
+                     // (CAST(den_a AS HUGEINT) * den_b)) END AS key
+  FROM pairs
+),
+ranked AS (
+  SELECT ta, tb, i, j, key,
+         row_number() OVER (
+           PARTITION BY ta, tb, i
+           ORDER BY key DESC, j ASC) AS rk
+  FROM keyed
+)
+SELECT ta AS event_type_a, tb AS event_type_b,
+       CAST(i AS BIGINT) AS i,
+       CAST(j AS BIGINT) AS nn_j,
+       CAST(key AS BIGINT) AS corr2_signed_micro
+FROM ranked WHERE rk = 1
+ORDER BY event_type_a, event_type_b, i
+"""
+
+
+@query("ts_matrix_profile_ab", oracle=_mp_ab_oracle(), family=_FAM)
+def ts_matrix_profile_ab(spark, sf_dir):
+    """MATRIX PROFILE AB-JOIN (r15 — the STAMP paper's second half:
+    the self-join finds motifs WITHIN a series; the AB-join finds
+    where one series' patterns occur in ANOTHER — does the weekly
+    'error' shape precede the 'purchase' shape, does a known failure
+    signature appear in this sensor): for every length-7 subsequence
+    of series A, its best z-normalized match anywhere in series B,
+    for every ordered pair of distinct event types. No exclusion zone
+    — different series cannot trivially match themselves.
+
+    Shares ts_matrix_profile's machinery verbatim (_mp_live /
+    _mp_sub_sql: one raw pass to the checkpointed daily grid, exact
+    BIGINT moments) and its float-free sort key sign(num) * (num^2 *
+    1e6) div (den_a * den_b). The pair enumeration goes through an
+    aggregate-derived TYPE-PAIR SPINE (distinct x distinct, ta <> tb)
+    joined by equality on each side, so the plan is two equi-joins on
+    bounded keys, never a Cartesian node.
+
+    Scale: candidate volume is sum over type pairs of |A-subseqs| x
+    |B-subseqs| — the honest AB-join cost, calendar-bounded here; the
+    production shape joins a SHORT query pattern (bounded subseq set)
+    against long series, making the volume linear in the corpus. The
+    same tiling that serves the self-join at raw resolution applies
+    unchanged."""
+    live = _mp_live(spark, sf_dir)
+    tys = live.select("event_type").distinct()
+    spine = (
+        tys.select(F.col("event_type").alias("ta"))
+        .join(
+            F.broadcast(tys.select(F.col("event_type").alias("tb"))),
+            F.col("ta") != F.col("tb"),
+        )
+    )
+    a = live.select(
+        F.col("event_type").alias("ta"), F.col("i").alias("ia"),
+        F.col("s").alias("sa"), F.col("den").alias("den_a"),
+        *[F.col(f"x{k}").alias(f"a{k}") for k in range(7)],
+    )
+    b = live.select(
+        F.col("event_type").alias("tb"), F.col("i").alias("jb"),
+        F.col("s").alias("sb"), F.col("den").alias("den_b"),
+        *[F.col(f"x{k}").alias(f"b{k}") for k in range(7)],
+    )
+    qt = sum(F.col(f"a{k}") * F.col(f"b{k}") for k in range(7))
+    pairs = (
+        spine.join(a, "ta")
+        .join(b, "tb")
+        .select(
+            "ta", "tb", "ia", "jb", "den_a", "den_b",
+            (F.lit(7) * qt - F.col("sa") * F.col("sb")).alias("num"),
+        )
+    )
+    keyed = pairs.select(
+        "ta", "tb", "ia", "jb",
+        F.expr(
+            "CASE WHEN num >= 0"
+            " THEN (CAST(num AS DECIMAL(38,0)) * num * 1000000)"
+            "      div (CAST(den_a AS DECIMAL(38,0)) * den_b)"
+            " ELSE -((CAST(num AS DECIMAL(38,0)) * num * 1000000)"
+            "        div (CAST(den_a AS DECIMAL(38,0)) * den_b)) END"
+        ).alias("key"),
+    )
+    wr = Window.partitionBy("ta", "tb", "ia").orderBy(
+        F.col("key").desc(), F.col("jb").asc()
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("ta").alias("event_type_a"),
+            F.col("tb").alias("event_type_b"),
+            F.col("ia").cast("bigint").alias("i"),
+            F.col("jb").cast("bigint").alias("nn_j"),
+            F.col("key").cast("bigint").alias("corr2_signed_micro"),
+        )
+        .orderBy("event_type_a", "event_type_b", "i")
     )

@@ -3167,3 +3167,20 @@ def test_esd_backward_rule_unmasks(spark, tmp_path):
     assert [r.is_anomaly for r in out] == [True, True, False]
     assert [r.dev_cents for r in out] == [1100, 900, 500]
     assert [r.mad_cents for r in out] == [300, 200, 200]
+
+
+def test_matrix_profile_ab_pairs_complete(spark):
+    """r15: the AB-join emits every ordered DISTINCT type pair (no
+    self pairs — those are the self-join op's domain), one row per
+    A-subsequence per pair, and the corr^2 key obeys Cauchy-Schwarz."""
+    from hdfs_mr_spark.registry import all_specs
+
+    rows = all_specs()["ts_matrix_profile_ab"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    pairs = {(r.event_type_a, r.event_type_b) for r in rows}
+    tys = {t for p in pairs for t in p}
+    assert pairs == {(a, b) for a in tys for b in tys if a != b}
+    for r in rows:
+        assert r.event_type_a != r.event_type_b
+        assert abs(r.corr2_signed_micro) <= 1_000_000

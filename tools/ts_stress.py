@@ -102,6 +102,10 @@ BENCH_QUERIES = [
     # r15 late: the STL+ESD composition — front half must stay
     # rollup-bounded, rounds must cost the resampled frame only
     "ts_seasonal_hybrid_esd",
+    # r15 late: AB-join candidate volume is the honest sum over type
+    # pairs of |A-sub| x |B-sub| on the calendar grid — must stay
+    # join-shaped (equi-spine), never a Cartesian, at 753-day series
+    "ts_matrix_profile_ab",
 ]
 
 
