@@ -143,6 +143,7 @@ HEADLINE = [
     "ts_forecast_croston",         # 2.5 intermittent-demand forecast (r15 late)
     "ts_seasonal_hybrid_esd",      # 2.5 STL+ESD composition, Twitter S-H-ESD (r15 late)
     "ts_matrix_profile_ab",        # 2.5 cross-series pattern search (r15 late)
+    "llm_embed_whitening",         # 2.11 spectrum-equalizing post-processing (r15 late)
 ]
 
 

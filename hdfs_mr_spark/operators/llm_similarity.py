@@ -4577,6 +4577,33 @@ def _opq_pq_err(frame, n_sub=8, dsub=8, k=16):
     )
 
 
+def _aniso_sql() -> str:
+    """Shared anisotropic-twin CTE prefix (nn/base/hmat/aniso): the
+    deterministic steep-spectrum Sylvester-Hadamard mix of the fixture
+    embeddings — llm_embed_opq built it (r14) and llm_embed_whitening
+    (r15) replays the identical twin."""
+    return f"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+base AS (
+  SELECT e.vec_id, r.i AS dim,
+         CAST(round(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1000000)
+              AS BIGINT) AS x
+  FROM embeddings e, range(0, 64) r(i)
+),
+hmat AS (
+  SELECT a.i, b.j,
+         1 - 2 * (bit_count(CAST(a.i AS BIGINT) & CAST(b.j AS BIGINT)) % 2)
+           AS hs,
+         CASE WHEN b.j <= 6 THEN 1 << (2 * (6 - b.j)) ELSE 1 END AS s
+  FROM range(0, 64) a(i), range(0, 64) b(j)
+),
+aniso AS MATERIALIZED (
+  SELECT b.vec_id, h.i AS dim,
+         SUM(h.hs * h.s * b.x) // {_OPQ_SDIV} AS val
+  FROM base b JOIN hmat h ON h.j = b.dim
+  GROUP BY b.vec_id, h.i
+)"""
+
+
 def _opq_oracle() -> str:
     """Unrolled DuckDB replay of the full OPQ pipeline: anisotropic
     twin, _OPQ_HOUSE Householder stages each with _OPQ_POW quantized
@@ -4689,26 +4716,7 @@ w{h} AS MATERIALIZED (
 )"""
 
     return f"""
-WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
-base AS (
-  SELECT e.vec_id, r.i AS dim,
-         CAST(round(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1000000)
-              AS BIGINT) AS x
-  FROM embeddings e, range(0, 64) r(i)
-),
-hmat AS (
-  SELECT a.i, b.j,
-         1 - 2 * (bit_count(CAST(a.i AS BIGINT) & CAST(b.j AS BIGINT)) % 2)
-           AS hs,
-         CASE WHEN b.j <= 6 THEN 1 << (2 * (6 - b.j)) ELSE 1 END AS s
-  FROM range(0, 64) a(i), range(0, 64) b(j)
-),
-aniso AS MATERIALIZED (
-  SELECT b.vec_id, h.i AS dim,
-         SUM(h.hs * h.s * b.x) // {_OPQ_SDIV} AS val
-  FROM base b JOIN hmat h ON h.j = b.dim
-  GROUP BY b.vec_id, h.i
-),{",".join(stages)},
+{_aniso_sql()},{",".join(stages)},
 vstat AS (
   SELECT dim,
          (SELECT n FROM nn) * SUM(CAST(val AS HUGEINT) * CAST(val AS HUGEINT))
@@ -4987,4 +4995,297 @@ def llm_embed_opq(spark, sf_dir):
             (F.col("topq") < F.col("traw")).alias("distortion_reduced"),
         )
         .orderBy("subspace")
+    )
+
+
+_WHT_Q, _WHT_R = 4096, 4
+
+
+def _whitening_oracle() -> str:
+    """Unrolled whitening replay: the shared anisotropic twin, exact
+    integer covariance (trunc-mean centering), the LSA-class
+    requantized power rounds for the top-2 eigendirections (integer
+    Hotelling deflation), floor-sqrt scale divisors, per-vector
+    whitened coordinates, and the before/after variance-ratio pins."""
+    Q, R = _WHT_Q, _WHT_R
+
+    def rounds(mat: str, vprev: str, tag: str) -> str:
+        out, prev = [], vprev
+        for r in range(1, R + 1):
+            out.append(f"""
+mvw{tag}{r} AS MATERIALIZED (
+  SELECT g.j, SUM(g.gq * p.v) AS mv
+  FROM {mat} g JOIN {prev} p ON g.k = p.j GROUP BY g.j
+),
+vw{tag}{r} AS MATERIALIZED (
+  SELECT j, (mv * {Q})
+         // (SELECT GREATEST(MAX(ABS(mv)), 1) FROM mvw{tag}{r}) AS v
+  FROM mvw{tag}{r}
+),""")
+            prev = f"vw{tag}{r}"
+        return "".join(out)
+
+    return f"""
+{_aniso_sql()},
+muw AS MATERIALIZED (
+  SELECT dim, SUM(val) // (SELECT n FROM nn) AS mu FROM aniso GROUP BY dim
+),
+wcw AS MATERIALIZED (
+  SELECT a.vec_id, a.dim, a.val - m.mu AS val
+  FROM aniso a JOIN muw m ON m.dim = a.dim
+),
+covw AS MATERIALIZED (
+  SELECT a.dim AS j, b.dim AS k,
+         CAST(SUM(CAST(a.val AS HUGEINT) * b.val)
+              // (SELECT n FROM nn) AS BIGINT) AS g
+  FROM wcw a JOIN wcw b ON a.vec_id = b.vec_id
+  GROUP BY a.dim, b.dim
+),
+gqw AS MATERIALIZED (
+  SELECT j, k,
+         (g * {Q}) // (SELECT GREATEST(MAX(ABS(g)), 1) FROM covw) AS gq
+  FROM covw
+),
+vwa0 AS (SELECT i AS j, 1 AS v FROM range(0, 64) r(i)),{rounds("gqw", "vwa0", "a")}
+s1w AS (SELECT SUM(v * v) AS s FROM vwa{R}),
+gvw AS MATERIALIZED (
+  SELECT g.j, SUM(g.gq * p.v) AS gv
+  FROM gqw g JOIN vwa{R} p ON g.k = p.j GROUP BY g.j
+),
+hmw AS MATERIALIZED (
+  SELECT g.j, g.k,
+         (SELECT s FROM s1w) * g.gq - gv.gv * p.v AS h
+  FROM gqw g JOIN gvw gv ON g.j = gv.j JOIN vwa{R} p ON g.k = p.j
+),
+hqw AS MATERIALIZED (
+  SELECT j, k,
+         (h * {Q}) // (SELECT GREATEST(MAX(ABS(h)), 1) FROM hmw) AS gq
+  FROM hmw
+),
+vwb0 AS (SELECT i AS j, 1 AS v FROM range(0, 64) r(i)),{rounds("hqw", "vwb0", "b")}
+lamw AS MATERIALIZED (
+  SELECT
+    CAST((SELECT SUM(g.gq * a.v * b.v) FROM gqw g
+          JOIN vwa{R} a ON a.j = g.j JOIN vwa{R} b ON b.j = g.k)
+         // (SELECT GREATEST(SUM(v * v), 1) FROM vwa{R}) AS BIGINT) AS lam1,
+    CAST((SELECT SUM(g.gq * a.v * b.v) FROM gqw g
+          JOIN vwb{R} a ON a.j = g.j JOIN vwb{R} b ON b.j = g.k)
+         // (SELECT GREATEST(SUM(v * v), 1) FROM vwb{R}) AS BIGINT) AS lam2
+),
+dw AS (
+  SELECT GREATEST(CAST(floor(sqrt(CAST(GREATEST(lam1, 0) AS DOUBLE)))
+                  AS BIGINT), 1) AS d1,
+         GREATEST(CAST(floor(sqrt(CAST(GREATEST(lam2, 0) AS DOUBLE)))
+                  AS BIGINT), 1) AS d2
+  FROM lamw
+),
+prw AS MATERIALIZED (
+  SELECT w.vec_id,
+         COALESCE(SUM(w.val * a.v), 0) AS p1,
+         COALESCE(SUM(w.val * b.v), 0) AS p2
+  FROM wcw w
+  LEFT JOIN vwa{R} a ON a.j = w.dim
+  LEFT JOIN vwb{R} b ON b.j = w.dim
+  GROUP BY w.vec_id
+),
+whtw AS MATERIALIZED (
+  SELECT p.vec_id, p.p1 // d.d1 AS w1, p.p2 // d.d2 AS w2
+  FROM prw p CROSS JOIN dw d
+),
+varw AS (
+  SELECT (SELECT n FROM nn) * SUM(CAST(w1 AS HUGEINT) * w1)
+           - CAST(SUM(w1) AS HUGEINT) * CAST(SUM(w1) AS HUGEINT) AS nv1,
+         (SELECT n FROM nn) * SUM(CAST(w2 AS HUGEINT) * w2)
+           - CAST(SUM(w2) AS HUGEINT) * CAST(SUM(w2) AS HUGEINT) AS nv2
+  FROM whtw
+)
+SELECT t.vec_id,
+       CAST(t.w1 AS BIGINT) AS w1,
+       CAST(t.w2 AS BIGINT) AS w2,
+       CAST(l.lam1 AS BIGINT) AS lam1_pin,
+       CAST(l.lam2 AS BIGINT) AS lam2_pin,
+       CAST((CAST(l.lam1 AS HUGEINT) * 1000000)
+            // GREATEST(l.lam2, 1) AS BIGINT) AS ratio_before_micro,
+       CAST((v.nv1 * 1000000) // GREATEST(v.nv2, 1) AS BIGINT)
+         AS ratio_after_micro
+FROM whtw t CROSS JOIN lamw l CROSS JOIN varw v
+ORDER BY t.vec_id
+"""
+
+
+@query("llm_embed_whitening", oracle=_whitening_oracle(), family=_FAM)
+def llm_embed_whitening(spark, sf_dir):
+    """EMBEDDING WHITENING (r15 — Su et al. 2021 'Whitening sentence
+    representations', the standard post-processing that equalizes the
+    embedding spectrum so cosine similarity stops being dominated by a
+    few high-variance directions; the family's missing transform
+    beside quantize/PQ/OPQ/matryoshka): top-2 PCA directions of the
+    ANISOTROPIC TWIN corpus (the fixture embeddings are measured
+    near-isotropic — llm_embed_opq's r14 finding — so whitening is
+    demonstrated where it has something to whiten, on the shared
+    steep-spectrum twin _aniso_sql also replays), coordinates scaled
+    by 1/floor-sqrt(lambda_i).
+
+    The demonstrable claim rides in the PINS, value-hash-checked at
+    every SF: ratio_before_micro = lam1/lam2 of the twin covariance
+    (>> 1e6 — the steep spectrum), ratio_after_micro = the MEASURED
+    variance ratio of the whitened coordinates (~1e6 — equalized).
+
+    Exact-integer discipline (the llm_topic_lsa recipe): trunc-mean
+    centering, covariance accumulated 128-bit then trunc-div by n,
+    requantized to <= 4096, 4 power rounds per component with integer
+    Hotelling deflation between; lambda estimates as integer Rayleigh
+    quotients on the requantized matrix; the ONLY float step is one
+    floor(sqrt(double)) per component — correctly-rounded IEEE sqrt
+    of an integer < 2^50, where floor cannot flip (next-integer gap
+    1/(2k) exceeds the 0.5-ulp error), spelled identically in both
+    engines (never python isqrt).
+
+    Scale: twin construction and both corpus passes (covariance
+    moments, projections) are combiner aggregates over the long
+    frame; the 64x64 covariance is the ONLY driver-side state
+    (collected once, _GATE_EXEMPT llm_embed_opq class); directions
+    broadcast back as a 64-row literal frame. The covariance pair
+    join fans out 64^2 rows per vector — bounded by the embedding
+    width, never by n."""
+    import math
+
+    Q, R = _WHT_Q, _WHT_R
+    e = table(spark, sf_dir, "embeddings")
+    base = fan_out(e.select("vec_id", "embedding")).select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim0", "xr"),
+    ).select(
+        "vec_id", "dim0",
+        F.round(F.col("xr").cast("double") * 1000000).cast("bigint")
+        .alias("x"),
+    )
+    hrows = []
+    for i in range(64):
+        for j in range(64):
+            hs = 1 - 2 * (bin(i & j).count("1") % 2)
+            s = 4 ** (6 - j) if j <= 6 else 1
+            hrows.append((i, j, hs * s))
+    hmat = spark.createDataFrame(hrows, "i int, j int, coef long")
+    nn1 = e.agg(F.count("*").alias("n"))
+    aniso = (
+        base.join(F.broadcast(hmat), base.dim0 == hmat.j)
+        .groupBy("vec_id", F.col("i").alias("dim"))
+        .agg(F.expr("sum(coef * x) div 262144").alias("val"))
+        .localCheckpoint()
+    )
+    mu = (
+        aniso.groupBy("dim").agg(F.sum("val").alias("sv"))
+        .crossJoin(F.broadcast(nn1))
+        .select("dim", F.expr("sv div n").alias("mu"))
+    )
+    wc = (
+        aniso.join(F.broadcast(mu), "dim")
+        .select("vec_id", "dim", (F.col("val") - F.col("mu")).alias("val"))
+        .localCheckpoint()
+    )
+    a = wc.select("vec_id", F.col("dim").alias("ja"), F.col("val").alias("va"))
+    b = wc.select("vec_id", F.col("dim").alias("jb"), F.col("val").alias("vb"))
+    n_val = nn1.collect()[0].n  # model-sized: the corpus count scalar
+    cov_rows = (
+        a.join(b, "vec_id")
+        .groupBy("ja", "jb")
+        .agg(F.sum((F.col("va") * F.col("vb")).cast("decimal(38,0)"))
+             .alias("s"))
+        .collect()  # model-sized: 64^2 rows (_GATE_EXEMPT)
+    )
+    G = {(r.ja, r.jb): int(r.s) // n_val if int(r.s) >= 0
+         else -((-int(r.s)) // n_val) for r in cov_rows}
+    dims = sorted({j for j, _ in G})
+
+    def tdiv(x: int, y: int) -> int:
+        q = abs(x) // y
+        return q if x >= 0 else -q
+
+    def requant(mat: dict) -> dict:
+        m = max(max((abs(v) for v in mat.values()), default=0), 1)
+        return {k: tdiv(v * Q, m) for k, v in mat.items()}
+
+    def power(mat: dict, v0: dict) -> dict:
+        v = v0
+        for _ in range(R):
+            mv: dict = {}
+            for (j, k), g in mat.items():
+                if k in v:
+                    mv[j] = mv.get(j, 0) + g * v[k]
+            m = max(max((abs(x) for x in mv.values()), default=0), 1)
+            v = {j: tdiv(x * Q, m) for j, x in mv.items()}
+        return v
+
+    def rayleigh(mat: dict, v: dict) -> int:
+        num = sum(g * v.get(j, 0) * v.get(k, 0) for (j, k), g in mat.items())
+        den = max(sum(x * x for x in v.values()), 1)
+        return tdiv(num, den)
+
+    gq = requant(G)
+    v1 = power(gq, {j: 1 for j in dims})
+    s1 = sum(x * x for x in v1.values())
+    gv: dict = {}
+    for (j, k), g in gq.items():
+        if k in v1:
+            gv[j] = gv.get(j, 0) + g * v1[k]
+    H = {
+        (j, k): s1 * g - gv[j] * v1[k]
+        for (j, k), g in gq.items()
+        if j in gv and k in v1
+    }
+    v2 = power(requant(H), {j: 1 for j in dims})
+    lam1, lam2 = rayleigh(gq, v1), rayleigh(gq, v2)
+    d1 = max(int(math.floor(math.sqrt(float(max(lam1, 0))))), 1)
+    d2 = max(int(math.floor(math.sqrt(float(max(lam2, 0))))), 1)
+
+    vdf = spark.createDataFrame(
+        [(int(j), int(v1.get(j, 0)), int(v2.get(j, 0))) for j in dims],
+        "dim int, va long, vb long",
+    )
+    pr = (
+        wc.join(F.broadcast(vdf), "dim", "left")
+        .groupBy("vec_id")
+        .agg(
+            F.coalesce(F.sum(F.col("val") * F.col("va")), F.lit(0))
+            .alias("p1"),
+            F.coalesce(F.sum(F.col("val") * F.col("vb")), F.lit(0))
+            .alias("p2"),
+        )
+    )
+    wht = pr.select(
+        "vec_id",
+        F.expr(f"p1 div {d1}").alias("w1"),
+        F.expr(f"p2 div {d2}").alias("w2"),
+    )
+    var1row = (
+        wht.agg(
+            F.sum((F.col("w1") * F.col("w1")).cast("decimal(38,0)"))
+            .alias("sq1"),
+            F.sum(F.col("w1").cast("decimal(38,0)")).alias("sw1"),
+            F.sum((F.col("w2") * F.col("w2")).cast("decimal(38,0)"))
+            .alias("sq2"),
+            F.sum(F.col("w2").cast("decimal(38,0)")).alias("sw2"),
+        )
+        .crossJoin(F.broadcast(nn1))
+        .select(
+            F.expr("n * sq1 - sw1 * sw1").alias("nv1"),
+            F.expr("n * sq2 - sw2 * sw2").alias("nv2"),
+        )
+    )
+    return (
+        wht.crossJoin(F.broadcast(var1row))
+        .select(
+            "vec_id",
+            F.col("w1").cast("bigint").alias("w1"),
+            F.col("w2").cast("bigint").alias("w2"),
+            F.lit(lam1).cast("bigint").alias("lam1_pin"),
+            F.lit(lam2).cast("bigint").alias("lam2_pin"),
+            F.lit(tdiv(lam1 * 1000000, max(lam2, 1))).cast("bigint")
+            .alias("ratio_before_micro"),
+            F.expr("CAST((nv1 * 1000000) div"
+                   " GREATEST(nv2, CAST(1 AS DECIMAL(38,0)))"
+                   " AS BIGINT)").alias("ratio_after_micro"),
+        )
+        .orderBy("vec_id")
     )

@@ -877,6 +877,9 @@ _GATE_EXEMPT = {
                                 # 8 requantized power rounds driver-
                                 # side in exact ints, directions
                                 # broadcast back (r15)
+    "llm_embed_whitening",      # whitening: 64^2 covariance + corpus
+                                # count collected ONCE, same driver-
+                                # side eigen recipe (r15)
     "llm_bpe_apply",            # loads the shared cached trainer
     "llm_dedup_clusters",       # label-propagation convergence counts
     "llm_dedup_clusters_star",  # star-contraction round scalars

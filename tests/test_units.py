@@ -3184,3 +3184,18 @@ def test_matrix_profile_ab_pairs_complete(spark):
     for r in rows:
         assert r.event_type_a != r.event_type_b
         assert abs(r.corr2_signed_micro) <= 1_000_000
+
+
+def test_whitening_equalizes_spectrum(spark):
+    """r15: the whitening op's claim in one assertion — the twin's
+    top-2 variance ratio starts anisotropic (lam1/lam2 well above 1)
+    and the MEASURED variance ratio of the whitened coordinates lands
+    near 1 (within 30% — floor-sqrt scale quantization is the only
+    slack). Pins are constant per run, one row suffices."""
+    from hdfs_mr_spark.registry import all_specs
+
+    r = all_specs()["llm_embed_whitening"].fn(
+        spark, "/root/testdata/sf0.001").first()
+    assert r.lam1_pin > r.lam2_pin > 0
+    assert r.ratio_before_micro > 5_000_000
+    assert 700_000 <= r.ratio_after_micro <= 1_300_000

@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     # the top-64 selection + bounded Gram must hold wall flat vs the
     # 31-term fixture (the dense factorization never sees the tail)
     "llm_topic_lsa",
+    # r15 late: whitening's covariance fan-out is width-bounded (64^2
+    # per vector) — at 20k vectors the corpus passes must stay linear
+    "llm_embed_whitening",
 ]
 
 # bitmask (dense-regime) kernels MUST refuse a 100k vocabulary
