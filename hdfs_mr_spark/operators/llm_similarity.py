@@ -5141,61 +5141,104 @@ def llm_embed_whitening(spark, sf_dir):
     1/(2k) exceeds the 0.5-ulp error), spelled identically in both
     engines (never python isqrt).
 
-    Scale: twin construction and both corpus passes (covariance
-    moments, projections) are combiner aggregates over the long
-    frame; the 64x64 covariance is the ONLY driver-side state
-    (collected once, _GATE_EXEMPT llm_embed_opq class); directions
-    broadcast back as a 64-row literal frame. The covariance pair
-    join fans out 64^2 rows per vector — bounded by the embedding
-    width, never by n."""
+    Scale (r15-opt physical shape, the llm_embed_opq r14 recipe —
+    guide §4.2): the twin is built in ONE wide Arrow mapInPandas pass
+    whose exact int64 numpy kernel ALSO emits per-batch raw-moment
+    partials (S, C = X^T X, n) as marker rows — the combiner shape;
+    the centered covariance comes from the exact integer identity
+    sum((xi-mui)(xj-muj)) = Cij - mui*Sj - muj*Si + n*mui*muj, so the
+    former 64^2-per-vector covariance pair self-join (the long-format
+    draft: 4.1M joined rows at sf0.1, 2 extra checkpoints, measured
+    5.0-6.1 s) is gone entirely. The 64x64 covariance is the ONLY
+    driver-side state (model-sized, _GATE_EXEMPT llm_embed_opq
+    class); the two found directions go back into a second wide
+    kernel that emits the whitened coordinates directly
+    (p = A·v - mu·v, exact int64). Corpus passes: 2 (twin+moments,
+    project) plus one tiny variance aggregate — never keyed shuffles
+    of the long frame."""
     import math
 
     Q, R = _WHT_Q, _WHT_R
     e = table(spark, sf_dir, "embeddings")
-    base = fan_out(e.select("vec_id", "embedding")).select(
-        "vec_id",
-        F.posexplode(F.col("embedding")).alias("dim0", "xr"),
-    ).select(
-        "vec_id", "dim0",
-        F.round(F.col("xr").cast("double") * 1000000).cast("bigint")
-        .alias("x"),
-    )
-    hrows = []
-    for i in range(64):
-        for j in range(64):
-            hs = 1 - 2 * (bin(i & j).count("1") % 2)
-            s = 4 ** (6 - j) if j <= 6 else 1
-            hrows.append((i, j, hs * s))
-    hmat = spark.createDataFrame(hrows, "i int, j int, coef long")
-    nn1 = e.agg(F.count("*").alias("n"))
-    aniso = (
-        base.join(F.broadcast(hmat), base.dim0 == hmat.j)
-        .groupBy("vec_id", F.col("i").alias("dim"))
-        .agg(F.expr("sum(coef * x) div 262144").alias("val"))
+
+    def _wht_aniso_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        H = np.array([[1]], dtype=np.int64)
+        while H.shape[0] < 64:
+            H = np.block([[H, H], [H, -H]])
+        sdiag = np.maximum(4 ** np.maximum(6 - np.arange(64), 0), 1)
+        for b in batches:
+            if not len(b):
+                continue
+            x = (
+                np.stack(b["embedding"].to_numpy()).astype(np.float64)
+                * 1000000.0
+            )
+            # half-away-from-zero, matching the oracle's round(); np.rint
+            # is banker's and diverges on exact .5 boundaries.
+            V = np.where(
+                x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5)
+            ).astype(np.int64)
+            A = (V * sdiag[None, :]) @ H  # Sylvester H is symmetric
+            A = np.sign(A) * (np.abs(A) // 262144)
+            yield pd.DataFrame({
+                "vec_id": b["vec_id"].to_numpy(),
+                "w": list(A),
+                "s": [None] * len(b),
+                "c": [None] * len(b),
+                "bn": np.zeros(len(b), dtype=np.int64),
+            })
+            # marker row: this batch's exact raw-moment partials
+            # (int64 sums are exact — |val| <= ~2^20, so X^T X partial
+            # sums stay < 2^54 even at the 20k-vector stress scale)
+            yield pd.DataFrame({
+                "vec_id": [None],
+                "w": [None],
+                "s": [A.sum(axis=0).tolist()],
+                "c": [(A.T @ A).ravel().tolist()],
+                "bn": [len(b)],
+            })
+
+    wide = (
+        fan_out(e.select("vec_id", "embedding"))
+        .mapInPandas(
+            _wht_aniso_kernel,
+            "vec_id bigint, w array<bigint>, s array<bigint>,"
+            " c array<bigint>, bn bigint",
+        )
         .localCheckpoint()
     )
-    mu = (
-        aniso.groupBy("dim").agg(F.sum("val").alias("sv"))
-        .crossJoin(F.broadcast(nn1))
-        .select("dim", F.expr("sv div n").alias("mu"))
-    )
-    wc = (
-        aniso.join(F.broadcast(mu), "dim")
-        .select("vec_id", "dim", (F.col("val") - F.col("mu")).alias("val"))
-        .localCheckpoint()
-    )
-    a = wc.select("vec_id", F.col("dim").alias("ja"), F.col("val").alias("va"))
-    b = wc.select("vec_id", F.col("dim").alias("jb"), F.col("val").alias("vb"))
-    n_val = nn1.collect()[0].n  # model-sized: the corpus count scalar
-    cov_rows = (
-        a.join(b, "vec_id")
-        .groupBy("ja", "jb")
-        .agg(F.sum((F.col("va") * F.col("vb")).cast("decimal(38,0)"))
-             .alias("s"))
-        .collect()  # model-sized: 64^2 rows (_GATE_EXEMPT)
-    )
-    G = {(r.ja, r.jb): int(r.s) // n_val if int(r.s) >= 0
-         else -((-int(r.s)) // n_val) for r in cov_rows}
+    # model-sized collect (_GATE_EXEMPT): 64 + 64^2 exact-summed moments
+    mrows = wide.filter(F.col("vec_id").isNull()).select(
+        "s", "c", "bn"
+    ).collect()
+    n_val = sum(int(r.bn) for r in mrows)
+    S = [0] * 64
+    C = [0] * 4096
+    for r in mrows:
+        for i, xv in enumerate(r.s):
+            S[i] += int(xv)
+        for i, xv in enumerate(r.c):
+            C[i] += int(xv)
+
+    def _t(x: int, y: int) -> int:
+        q = abs(x) // y
+        return q if x >= 0 else -q
+
+    mu = [_t(x, n_val) for x in S]
+    # centered covariance by the exact integer identity, then the same
+    # trunc-div by n the pair-join form applied
+    G = {
+        (j, k): _t(
+            C[j * 64 + k] - mu[j] * S[k] - mu[k] * S[j]
+            + n_val * mu[j] * mu[k],
+            n_val,
+        )
+        for j in range(64)
+        for k in range(64)
+    }
     dims = sorted({j for j, _ in G})
 
     def tdiv(x: int, y: int) -> int:
@@ -5239,24 +5282,42 @@ def llm_embed_whitening(spark, sf_dir):
     d1 = max(int(math.floor(math.sqrt(float(max(lam1, 0))))), 1)
     d2 = max(int(math.floor(math.sqrt(float(max(lam2, 0))))), 1)
 
-    vdf = spark.createDataFrame(
-        [(int(j), int(v1.get(j, 0)), int(v2.get(j, 0))) for j in dims],
-        "dim int, va long, vb long",
-    )
-    pr = (
-        wc.join(F.broadcast(vdf), "dim", "left")
-        .groupBy("vec_id")
-        .agg(
-            F.coalesce(F.sum(F.col("val") * F.col("va")), F.lit(0))
-            .alias("p1"),
-            F.coalesce(F.sum(F.col("val") * F.col("vb")), F.lit(0))
-            .alias("p2"),
+    v1a = [int(v1.get(j, 0)) for j in range(64)]
+    v2a = [int(v2.get(j, 0)) for j in range(64)]
+    # p = sum_j (A_j - mu_j) v_j = A·v - mu·v, exactly — the centering
+    # folds into one integer offset per direction
+    off1 = sum(mu[j] * v1a[j] for j in range(64))
+    off2 = sum(mu[j] * v2a[j] for j in range(64))
+
+    def _wht_project_kernel(batches, v1a=v1a, v2a=v2a, off1=off1,
+                            off2=off2, d1=d1, d2=d2):
+        import numpy as np
+        import pandas as pd
+
+        va = np.array(v1a, dtype=np.int64)
+        vb = np.array(v2a, dtype=np.int64)
+        for b in batches:
+            if not len(b):
+                continue
+            W = np.stack(b["w"].to_numpy()).astype(np.int64)
+            p1 = W @ va - off1  # |p| <= 64 * 2^20 * 4096 < 2^39: exact
+            p2 = W @ vb - off2
+            # trunc-toward-zero twins of Spark's `p div d`
+            w1 = np.sign(p1) * (np.abs(p1) // d1)
+            w2 = np.sign(p2) * (np.abs(p2) // d2)
+            yield pd.DataFrame({
+                "vec_id": b["vec_id"].to_numpy(),
+                "w1": w1,
+                "w2": w2,
+            })
+
+    wht = (
+        wide.filter(F.col("vec_id").isNotNull())
+        .select("vec_id", "w")
+        .mapInPandas(
+            _wht_project_kernel, "vec_id bigint, w1 bigint, w2 bigint"
         )
-    )
-    wht = pr.select(
-        "vec_id",
-        F.expr(f"p1 div {d1}").alias("w1"),
-        F.expr(f"p2 div {d2}").alias("w2"),
+        .localCheckpoint()  # read twice: variance pin + output rows
     )
     var1row = (
         wht.agg(
@@ -5267,10 +5328,11 @@ def llm_embed_whitening(spark, sf_dir):
             .alias("sq2"),
             F.sum(F.col("w2").cast("decimal(38,0)")).alias("sw2"),
         )
-        .crossJoin(F.broadcast(nn1))
         .select(
-            F.expr("n * sq1 - sw1 * sw1").alias("nv1"),
-            F.expr("n * sq2 - sw2 * sw2").alias("nv2"),
+            F.expr(f"CAST({n_val} AS BIGINT) * sq1 - sw1 * sw1")
+            .alias("nv1"),
+            F.expr(f"CAST({n_val} AS BIGINT) * sq2 - sw2 * sw2")
+            .alias("nv2"),
         )
     )
     return (

@@ -3199,3 +3199,45 @@ def test_whitening_equalizes_spectrum(spark):
     assert r.lam1_pin > r.lam2_pin > 0
     assert r.ratio_before_micro > 5_000_000
     assert 700_000 <= r.ratio_after_micro <= 1_300_000
+
+
+def test_whitening_moment_identity_matches_pair_form():
+    """r15-opt: llm_embed_whitening now derives the centered covariance
+    from ONE pass of raw moments (S, C = X^T X, n) via
+    sum((xi-mui)(xj-muj)) = Cij - mui*Sj - muj*Si + n*mui*muj instead
+    of the 64^2-per-vector centered pair self-join. This pins the
+    identity + trunc-div recipe against the literal pair form (the
+    oracle's covw CTE semantics) on a hostile little matrix — negative
+    values, trunc-div asymmetry, n not dividing the sums."""
+    import numpy as np
+
+    def tdiv(x: int, y: int) -> int:
+        q = abs(x) // y
+        return q if x >= 0 else -q
+
+    rng = np.random.RandomState(7)
+    X = rng.randint(-1_000_000, 1_000_000, size=(13, 5)).astype(object)
+    n = X.shape[0]
+    S = [int(s) for s in X.sum(axis=0)]
+    C = [[int((X[:, j] * X[:, k]).sum()) for k in range(5)]
+         for j in range(5)]
+    mu = [tdiv(s, n) for s in S]
+    # literal pair form: trunc-mean center, exact sum, trunc-div by n
+    centered = X - np.array(mu, dtype=object)[None, :]
+    for j in range(5):
+        for k in range(5):
+            pair = tdiv(int((centered[:, j] * centered[:, k]).sum()), n)
+            ident = tdiv(
+                C[j][k] - mu[j] * S[k] - mu[k] * S[j] + n * mu[j] * mu[k],
+                n,
+            )
+            assert pair == ident, (j, k)
+    # the projection fold: sum_j (x_j - mu_j) v_j == x·v - mu·v, and the
+    # numpy sign/abs floor-div spelling is trunc-toward-zero like `div`
+    v = rng.randint(-4096, 4096, size=5).astype(object)
+    off = int((np.array(mu, dtype=object) * v).sum())
+    for d in (1, 7):
+        for row in X:
+            p = int((row * v).sum()) - off
+            q = int(np.sign(p)) * (abs(p) // d)
+            assert q == tdiv(p, d)
