@@ -4523,60 +4523,6 @@ _OPQ_POW = 4     # power-iteration rounds per stage
 _OPQ_SDIV = 262144    # anisotropic-twin rescale divisor
 
 
-def _opq_pq_err(frame, n_sub=8, dsub=8, k=16):
-    """PQ-encode a long-format (vec_id, dim, val) frame with the family
-    codebook discipline (seed = k lowest vec_ids, one Lloyd round of
-    trunc-div integer means, min(struct) argmin) and return per-
-    subspace total squared error — all BIGINT-exact."""
-    f = frame.withColumn("sub", F.expr(f"dim DIV {dsub}"))
-    cb0 = f.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("code"), F.col("dim").alias("cdim"),
-        F.col("val").alias("cval"),
-    )
-
-    def assign(cb):
-        d = (
-            f.join(cb, f.dim == cb.cdim)
-            .groupBy("vec_id", "sub", "code")
-            .agg(
-                F.sum(
-                    (F.col("val") - F.col("cval"))
-                    * (F.col("val") - F.col("cval"))
-                ).alias("dist")
-            )
-            .groupBy("vec_id", "sub")
-            .agg(F.min(F.struct("dist", "code")).alias("m"))
-            .select(
-                "vec_id", "sub", F.col("m.code").alias("code"),
-                F.col("m.dist").alias("dist"),
-            )
-        )
-        return d
-
-    a1 = assign(cb0).select(
-        F.col("vec_id").alias("a_vec"), F.col("sub").alias("a_sub"), "code"
-    )
-    cb1 = (
-        a1.join(
-            f,
-            (F.col("a_vec") == f.vec_id) & (F.col("a_sub") == f.sub),
-        )
-        .groupBy("a_sub", "code", "dim")
-        .agg(F.expr("sum(val) DIV count(*)").alias("cval"))
-        .select(
-            "code", F.col("dim").alias("cdim"), F.col("cval"),
-        )
-        .localCheckpoint()
-    )
-    return (
-        assign(cb1)
-        .groupBy("sub")
-        .agg(F.sum("dist").alias("err"))
-        .select(F.col("sub").cast("int").alias("subspace"),
-                F.col("err").cast("bigint").alias("err"))
-    )
-
-
 def _aniso_sql() -> str:
     """Shared anisotropic-twin CTE prefix (nn/base/hmat/aniso): the
     deterministic steep-spectrum Sylvester-Hadamard mix of the fixture
@@ -4796,11 +4742,15 @@ def llm_embed_opq(spark, sf_dir):
     production levers for THIS corpus remain rerank (0.92-0.96) and
     IVF composition.
 
-    Scale: covariance and variance are combiner aggregates over the
-    long frame (one shuffle each per stage); the rotation itself is
-    64-row state; PQ encode is the llm_embed_pq shape. At 100 TB the
-    cov/train runs on a deterministic sample exactly like the stored
-    IVF builds."""
+    Scale (r15-opt): every corpus pass is a wide Arrow kernel over the
+    checkpointed 64-wide frame — moments ride along as per-batch
+    marker-row partials (no separate moments pass), and the dual PQ
+    encode is two kernel passes (assign→combiner partials, re-assign→
+    per-subspace error partials) instead of ~20 long-format shuffle
+    stages; only model-sized state (64-dim sums, 64x64 covariance,
+    8 x 16 x 8 codebook partials) ever leaves the executors. At 100 TB
+    the cov/train runs on a deterministic sample exactly like the
+    stored IVF builds."""
     n_rows = _n_embeddings(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings")
 
@@ -4840,10 +4790,25 @@ def llm_embed_opq(spark, sf_dir):
                 "vec_id": b["vec_id"].to_numpy(),
                 "a": list(A),
                 "w": list(A),
+                "ms": [None] * len(b),
+                "mc": [None] * len(b),
+            })
+            # marker row (vec_id NULL): this batch's exact raw-moment
+            # partials of W — r15-opt: moments ride along with every
+            # corpus pass instead of costing a separate pass each
+            # (5 passes saved per run; int64 partials exact, bounds
+            # unchanged from the old _moments_kernel)
+            yield pd.DataFrame({
+                "vec_id": [None],
+                "a": [None],
+                "w": [None],
+                "ms": [A.sum(axis=0).tolist()],
+                "mc": [(A.T @ A).ravel().tolist()],
             })
 
     wide_schema = (
-        "vec_id bigint, a array<bigint>, w array<bigint>"
+        "vec_id bigint, a array<bigint>, w array<bigint>,"
+        " ms array<bigint>, mc array<bigint>"
     )
     wide = (
         fan_out(e.select("vec_id", "embedding"))
@@ -4873,29 +4838,20 @@ def llm_embed_opq(spark, sf_dir):
         q = abs(a) // abs(b)
         return q if (a >= 0) == (b >= 0) else -q
 
-    def _moments_kernel(batches):
-        import numpy as np
-        import pandas as pd
-
-        for b in batches:
-            if not len(b):
-                continue
-            W = np.stack(b["w"].to_numpy()).astype(np.int64)
-            yield pd.DataFrame({
-                "s": [W.sum(axis=0).tolist()],
-                "c": [(W.T @ W).ravel().tolist()],
-            })
-
     def _moments(frame):
-        parts = frame.mapInPandas(
-            _moments_kernel, "s array<bigint>, c array<bigint>"
+        # r15-opt: the moments were already computed batch-by-batch
+        # inside the pass that BUILT this frame (aniso/reflect marker
+        # rows) — collecting the model-sized partials replaces a whole
+        # extra mapInPandas corpus pass per call
+        parts = frame.filter(F.col("vec_id").isNull()).select(
+            "ms", "mc"
         ).collect()
         S = [0] * 64
         C = [0] * 4096
         for r in parts:
-            for i, x in enumerate(r["s"]):
+            for i, x in enumerate(r["ms"]):
                 S[i] += int(x)
-            for i, x in enumerate(r["c"]):
+            for i, x in enumerate(r["mc"]):
                 C[i] += int(x)
         return S, C
 
@@ -4933,6 +4889,7 @@ def llm_embed_opq(spark, sf_dir):
 
             ua = np.array(u, dtype=np.int64)
             for b in batches:
+                b = b[b["vec_id"].notna()]  # drop upstream marker rows
                 if not len(b):
                     continue
                 W = np.stack(b["w"].to_numpy()).astype(np.int64)
@@ -4943,10 +4900,20 @@ def llm_embed_opq(spark, sf_dir):
                 delta = np.where(
                     x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5)
                 ).astype(np.int64)
+                Wn = W - delta
                 yield pd.DataFrame({
                     "vec_id": b["vec_id"].to_numpy(),
                     "a": b["a"],
-                    "w": list(W - delta),
+                    "w": list(Wn),
+                    "ms": [None] * len(b),
+                    "mc": [None] * len(b),
+                })
+                yield pd.DataFrame({
+                    "vec_id": [None],
+                    "a": [None],
+                    "w": [None],
+                    "ms": [Wn.sum(axis=0).tolist()],
+                    "mc": [(Wn.T @ Wn).ravel().tolist()],
                 })
 
         wide = wide.mapInPandas(
@@ -4964,24 +4931,145 @@ def llm_embed_opq(spark, sf_dir):
         row, col = r0 // 8, r0 % 8
         bucket = col if row % 2 == 0 else 7 - col
         perm[dim] = bucket * 8 + row
-    perm_df = spark.createDataFrame(
-        [(d, perm[d]) for d in range(64)], "dim int, newdim int"
+    # ---- dual PQ encode, wide-kernel form (r15-opt): the long-format
+    # encode (posexplode + 16-way dim joins + three groupBys per assign,
+    # per layout — ~20 shuffle stages) is replaced by two Arrow passes
+    # over the checkpointed wide frame: (1) assign to the seed codebook
+    # and emit per-batch (sub, code) sum/count partials — the combiner
+    # shape, model-sized collect (llm_topic_lsa class); the Lloyd-round
+    # means are trunc-div'd on the driver exactly like `sum(val) DIV
+    # count(*)`; (2) re-assign to the refreshed codebook and emit
+    # per-batch per-subspace squared-error partials that one tiny
+    # groupBy folds. Tie order (min struct(dist, code)) survives as
+    # argmin-first over code-value-sorted codebooks.
+    inv = [0] * 64
+    for d in range(64):
+        inv[perm[d]] = d
+    cb_rows = sorted(
+        wide.filter(F.col("vec_id") < 16).select("vec_id", "a", "w")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )  # model-sized: <= 16 seed codewords (family k)
+    cb_raw = [[int(x) for x in r.a] for r in cb_rows]
+    cb_opq = [[int(r.w[inv[j]]) for j in range(64)] for r in cb_rows]
+    n_codes = len(cb_rows)
+
+    def _tz(x: int, y: int) -> int:
+        q = abs(x) // y
+        return q if x >= 0 else -q
+
+    def _enc_assign_partials(batches, cb_raw=cb_raw, cb_opq=cb_opq,
+                             inv=list(inv)):
+        import numpy as np
+        import pandas as pd
+
+        cbr = np.array(cb_raw, dtype=np.int64).reshape(-1, 8, 8)
+        cbo = np.array(cb_opq, dtype=np.int64).reshape(-1, 8, 8)
+        inva = np.array(inv, dtype=np.int64)
+        for b in batches:
+            b = b[b["vec_id"].notna()]
+            if not len(b):
+                continue
+            A = np.stack(b["a"].to_numpy()).astype(np.int64)
+            Y = np.stack(b["w"].to_numpy()).astype(np.int64)[:, inva]
+            row = {}
+            for tag, X, cb in (("r", A, cbr), ("o", Y, cbo)):
+                Xs = X.reshape(len(X), 8, 8)
+                diff = Xs[:, None, :, :] - cb[None, :, :, :]
+                dist = (diff * diff).sum(axis=3)  # (n, code, sub) exact
+                ci = dist.argmin(axis=1)  # first min = lowest code
+                sums = np.zeros((8, len(cb), 8), np.int64)
+                cnts = np.zeros((8, len(cb)), np.int64)
+                for s in range(8):
+                    np.add.at(sums[s], ci[:, s], Xs[:, s, :])
+                    np.add.at(cnts[s], ci[:, s], 1)
+                row[tag] = (sums, cnts)
+            yield pd.DataFrame({
+                "rs": [row["r"][0].ravel().tolist()],
+                "rc": [row["r"][1].ravel().tolist()],
+                "os": [row["o"][0].ravel().tolist()],
+                "oc": [row["o"][1].ravel().tolist()],
+            })
+
+    parts = wide.mapInPandas(
+        _enc_assign_partials,
+        "rs array<bigint>, rc array<bigint>,"
+        " os array<bigint>, oc array<bigint>",
+    ).collect()  # model-sized: 8 x k x 8 partials per batch
+
+    def _enc_reduce(tag_s, tag_c):
+        sums = [0] * (8 * n_codes * 8)
+        cnts = [0] * (8 * n_codes)
+        for r in parts:
+            for i, x in enumerate(r[tag_s]):
+                sums[i] += int(x)
+            for i, x in enumerate(r[tag_c]):
+                cnts[i] += int(x)
+        return sums, cnts
+
+    def _enc_cb1(sums, cnts):
+        # per (sub, code): trunc-div mean over winners — entries exist
+        # only where the code won >= 1 vector (the old join semantics)
+        out = []
+        for s in range(8):
+            mat = []
+            for c in range(n_codes):
+                n_c = cnts[s * n_codes + c]
+                if n_c:
+                    mat.append([
+                        _tz(sums[(s * n_codes + c) * 8 + d], n_c)
+                        for d in range(8)
+                    ])
+            out.append(mat)
+        return out
+
+    cb1_raw = _enc_cb1(*_enc_reduce("rs", "rc"))
+    cb1_opq = _enc_cb1(*_enc_reduce("os", "oc"))
+
+    def _enc_err_partials(batches, cb1_raw=cb1_raw, cb1_opq=cb1_opq,
+                          inv=list(inv)):
+        import numpy as np
+        import pandas as pd
+
+        inva = np.array(inv, dtype=np.int64)
+        cbs = {
+            "r": [np.array(m, dtype=np.int64) for m in cb1_raw],
+            "o": [np.array(m, dtype=np.int64) for m in cb1_opq],
+        }
+        for b in batches:
+            b = b[b["vec_id"].notna()]
+            if not len(b):
+                continue
+            A = np.stack(b["a"].to_numpy()).astype(np.int64)
+            Y = np.stack(b["w"].to_numpy()).astype(np.int64)[:, inva]
+            errs = {}
+            for tag, X in (("r", A), ("o", Y)):
+                Xs = X.reshape(len(X), 8, 8)
+                e8 = []
+                for s in range(8):
+                    cm = cbs[tag][s]  # (k_s, 8)
+                    diff = Xs[:, s, None, :] - cm[None, :, :]
+                    dist = (diff * diff).sum(axis=2)  # (n, k_s)
+                    e8.append(int(dist.min(axis=1).sum()))
+                errs[tag] = e8
+            yield pd.DataFrame({
+                "subspace": np.arange(8, dtype=np.int32),
+                "err_raw": np.array(errs["r"], dtype=np.int64),
+                "err_opq": np.array(errs["o"], dtype=np.int64),
+            })
+
+    joined = (
+        wide.mapInPandas(
+            _enc_err_partials,
+            "subspace int, err_raw bigint, err_opq bigint",
+        )
+        .groupBy("subspace")
+        .agg(
+            F.sum("err_raw").cast("bigint").alias("err_raw"),
+            F.sum("err_opq").cast("bigint").alias("err_opq"),
+        )
+        .localCheckpoint()  # 8 rows, read twice: totals + output
     )
-    raw_frame = wide.select(
-        "vec_id", F.posexplode("a").alias("dim", "val")
-    )
-    opq_frame = (
-        wide.select("vec_id", F.posexplode("w").alias("dim", "val"))
-        .join(F.broadcast(perm_df), "dim")
-        .select("vec_id", F.col("newdim").alias("dim"), "val")
-    )
-    raw_err = _opq_pq_err(raw_frame).select(
-        "subspace", F.col("err").alias("err_raw")
-    )
-    opq_err = _opq_pq_err(opq_frame).select(
-        F.col("subspace").alias("o_sub"), F.col("err").alias("err_opq")
-    )
-    joined = raw_err.join(opq_err, raw_err.subspace == opq_err.o_sub)
     tot = joined.agg(
         F.sum("err_raw").cast("bigint").alias("traw"),
         F.sum("err_opq").cast("bigint").alias("topq"),

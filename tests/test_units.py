@@ -3241,3 +3241,79 @@ def test_whitening_moment_identity_matches_pair_form():
             p = int((row * v).sum()) - off
             q = int(np.sign(p)) * (abs(p) // d)
             assert q == tdiv(p, d)
+
+
+def test_opq_encode_kernel_matches_literal_long_form():
+    """r15-opt: llm_embed_opq's dual PQ encode moved from long-format
+    joins/groupBys to wide numpy kernels. Pin the kernel recipe
+    (argmin-first tie order over code-value-sorted codebooks, trunc-div
+    Lloyd means over winners only, per-subspace min-dist error) against
+    a literal per-row Python replica of the old join semantics —
+    including deliberate exact-tie rows."""
+    import numpy as np
+
+    def tdiv(x: int, y: int) -> int:
+        q = abs(x) // y
+        return q if x >= 0 else -q
+
+    rng = np.random.RandomState(11)
+    n, k, n_sub, dsub = 40, 6, 4, 3
+    dims = n_sub * dsub
+    X = rng.randint(-50, 50, size=(n, dims)).astype(np.int64)
+    X[1] = X[0]          # exact tie: identical vector -> equal dists
+    cb = X[:k].copy()    # seed codebook = k lowest ids, code==row index
+
+    # literal replay of assign(cb): per (vec, sub) min struct(dist, code)
+    def assign(cbm):
+        out = np.zeros((len(cbm[0][1]) and n or n, n_sub), dtype=np.int64)
+        codes = [c for c, _ in cbm]
+        for v in range(n):
+            for s in range(n_sub):
+                best = None
+                for c, row in cbm:
+                    d = int(
+                        ((X[v, s * dsub:(s + 1) * dsub] - row[s]) ** 2)
+                        .sum()
+                    )
+                    if best is None or (d, c) < best:
+                        best = (d, c)
+                out[v, s] = codes.index(best[1])
+        return out
+
+    cbm0 = [(c, cb[c].reshape(n_sub, dsub)) for c in range(k)]
+    lit1 = assign(cbm0)
+
+    # kernel form: vectorized argmin over code axis
+    Xs = X.reshape(n, n_sub, dsub)
+    cbs = cb.reshape(k, n_sub, dsub)
+    dist = ((Xs[:, None, :, :] - cbs[None, :, :, :]) ** 2).sum(axis=3)
+    ker1 = dist.argmin(axis=1)
+    assert (lit1 == ker1).all()
+
+    # Lloyd round: trunc-div means over winners, then literal vs kernel
+    # second assignment error per subspace
+    cbm1 = []
+    for s in range(n_sub):
+        pass  # per-sub candidate codebooks built below
+    lit_err = np.zeros(n_sub, dtype=object)
+    ker_err = np.zeros(n_sub, dtype=object)
+    for s in range(n_sub):
+        ent = []
+        for c in range(k):
+            won = np.where(lit1[:, s] == c)[0]
+            if len(won):
+                ent.append([
+                    tdiv(int(X[won, s * dsub + d].sum()), len(won))
+                    for d in range(dsub)
+                ])
+        cm = np.array(ent, dtype=np.int64)
+        d2 = ((Xs[:, s, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        ker_err[s] = int(d2.min(axis=1).sum())
+        tot = 0
+        for v in range(n):
+            tot += min(
+                int(((X[v, s * dsub:(s + 1) * dsub] - row) ** 2).sum())
+                for row in cm
+            )
+        lit_err[s] = tot
+        assert lit_err[s] == ker_err[s], s
