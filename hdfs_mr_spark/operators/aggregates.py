@@ -2197,44 +2197,66 @@ def agg_hdr_histogram(spark, sf_dir):
     )
     wcum = Window.partitionBy("l_returnflag").orderBy("bucket")
     cum = h.withColumn("cum", F.sum("cnt").over(wcum)).localCheckpoint()
+    # r15-opt (guide §2.4): per-group sizes fold out of the cumulative
+    # walk itself (n = max cum, bucket count = rows), the three rank
+    # targets ride ONE tiny broadcast frame, and both the sketch read
+    # and the exact audit become single conditional aggregates — the
+    # former 6-inner-join tail (one mb + one ex join PER quantile, the
+    # exact-rank frame scanned three times) collapses to two broadcast
+    # attaches. Values are identical: row_number ranks are unique per
+    # group, so max(when(rn = tgt_q, c)) IS the one value at that rank,
+    # and min(when(cum >= tgt_q, bucket)) IS the old filter+min.
     sz = cum.groupBy("l_returnflag").agg(
-        F.sum("cnt").alias("n"), F.count("*").alias("n_buckets")
+        F.max("cum").alias("n"), F.count("*").alias("n_buckets")
+    )
+    tgts = sz.select(
+        "l_returnflag",
+        *[F.expr(f"CAST(({q} * n + 99) DIV 100 AS BIGINT)")
+          .alias(f"tgt{q}") for q in (50, 95, 99)],
+    )
+    mbs = (
+        cum.join(F.broadcast(tgts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(*[
+            F.min(F.when(F.col("cum") >= F.col(f"tgt{q}"), F.col("bucket")))
+            .alias(f"mb{q}") for q in (50, 95, 99)
+        ])
+    )
+    est = mbs.select(
+        "l_returnflag",
+        *[F.expr(_hdr_decode_sql(f"mb{q}", "DIV")).cast("bigint")
+          .alias(f"est{q}") for q in (50, 95, 99)],
     )
     wrnk = Window.partitionBy("l_returnflag").orderBy("c")
-    rnk = b.withColumn("rn", F.row_number().over(wrnk)).localCheckpoint()
-    out = sz.select(
-        "l_returnflag",
-        F.col("n").cast("bigint").alias("n"),
-        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+    ex = (
+        b.withColumn("rn", F.row_number().over(wrnk))
+        .join(F.broadcast(tgts), "l_returnflag")
+        .filter(
+            (F.col("rn") == F.col("tgt50"))
+            | (F.col("rn") == F.col("tgt95"))
+            | (F.col("rn") == F.col("tgt99"))
+        )
+        .groupBy("l_returnflag")
+        .agg(*[
+            F.max(F.when(F.col("rn") == F.col(f"tgt{q}"), F.col("c")))
+            .alias(f"ex{q}") for q in (50, 95, 99)
+        ])
     )
-    checks = []
-    for q in (50, 95, 99):
-        tgt = sz.select(
+    out = (
+        sz.select(
             "l_returnflag",
-            F.expr(f"CAST(({q} * n + 99) DIV 100 AS BIGINT)").alias("tgt"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_buckets").cast("bigint").alias("n_buckets"),
         )
-        mb = (
-            cum.join(tgt, "l_returnflag")
-            .filter(F.col("cum") >= F.col("tgt"))
-            .groupBy("l_returnflag")
-            .agg(F.min("bucket").alias("mb"))
-        )
-        est = mb.select(
-            "l_returnflag",
-            F.expr(_hdr_decode_sql("mb", "DIV")).cast("bigint")
-            .alias(f"est{q}"),
-        )
-        ex = (
-            rnk.join(tgt, "l_returnflag")
-            .filter(F.col("rn") == F.col("tgt"))
-            .select("l_returnflag", F.col("c").alias(f"ex{q}"))
-        )
-        out = out.join(est, "l_returnflag").join(ex, "l_returnflag")
-        checks.append(
-            (F.col(f"est{q}") <= F.col(f"ex{q}"))
-            & (16 * (F.col(f"ex{q}") - F.col(f"est{q}"))
-               <= F.col(f"est{q}"))
-        )
+        .join(F.broadcast(est), "l_returnflag")
+        .join(F.broadcast(ex), "l_returnflag")
+    )
+    checks = [
+        (F.col(f"est{q}") <= F.col(f"ex{q}"))
+        & (16 * (F.col(f"ex{q}") - F.col(f"est{q}"))
+           <= F.col(f"est{q}"))
+        for q in (50, 95, 99)
+    ]
     cond = checks[0] & checks[1] & checks[2]
     return out.select(
         "l_returnflag", "n", "n_buckets",

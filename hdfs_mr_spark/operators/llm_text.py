@@ -4524,87 +4524,200 @@ ORDER BY c.doc_id
 """
 
 
-def _qc_feats_labels(spark, sf_dir):
-    """Shared classifier inputs: hashed L1-normalized features (+bias,
-    +length) and the Gopher teacher labels — both localCheckpointed
-    (each feeds every GD round)."""
-    from hdfs_mr_spark import stats as corpus_stats
-
+def _qc_wide(spark, sf_dir):
+    """r15-opt (guide §4.2/§2.4): the hashed features as ONE dense row
+    per doc — a 66-slot bigint vector indexed slot = bucket + 2
+    (length, bias, 64 hash buckets) — built by a single Arrow kernel
+    pass over documents (tokenize + md5 bucket counts + integer L1
+    quantization in one go) instead of the explode + conv(md5) long
+    chain with its two tokenization scans and three shuffles; each GD
+    round then runs as one kernel pass instead of two broadcast-join +
+    groupBy passes. Buckets absent from a doc are exact zeros (x = 0
+    contributes nothing to any sum), and buckets absent from the whole
+    corpus stay at weight 0 forever (gradient 0, trunc-div step 0), so
+    the dense form computes bit-identical margins, gradients and trace
+    stats to the sparse join form — the feature kernel is pinned
+    against the Spark long chain by
+    tests/test_units.py::test_qc_dense_features_match_join_form and
+    the round kernel by ::test_qc_kernel_round_matches_join_form."""
     n_docs = corpus_stats.n_docs(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
-    gop = llm_quality_gopher(spark, sf_dir)
-    labels = gop.select(
-        "doc_id", F.col("keep").cast("int").alias("y")
-    ).localCheckpoint()
-    tok = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.col("w") != "")
-    nw = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    cnt = (
-        tok.withColumn(
-            "bucket",
-            F.expr(
-                "CAST(conv(substr(md5(w), 1, 6), 16, 10) AS BIGINT)"
-                f" % {_QC_B}"
-            ),
-        )
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("*").alias("c"))
-    )
-    feats = (
-        cnt.join(nw, "doc_id")
-        .select(
-            "doc_id", "bucket", F.expr("(c * 10000) DIV n").alias("x")
-        )
-        .unionByName(d.select(
-            "doc_id", F.lit(-1).cast("bigint").alias("bucket"),
-            F.lit(10000).cast("bigint").alias("x")))
-        .unionByName(nw.select(
-            "doc_id", F.lit(-2).cast("bigint").alias("bucket"),
-            (F.col("n") * 100).cast("bigint").alias("x")))
+
+    def feat_kernel(batches):
+        # One documents pass replaces the explode + conv(md5) feature
+        # chain (two tokenization scans, three shuffles) AND the
+        # separate Gopher teacher pass + label join: hashlib.md5 of
+        # the UTF-8 token == Spark md5(w), first 6 hex digits base-16
+        # == conv(substr(md5(w),1,6),16,10); the count quantization
+        # (c*10000)//n == `(c*10000) DIV n` (both operands positive);
+        # the teacher label replays llm_quality_gopher's keep rule
+        # with the same exact-integer counts and single IEEE double
+        # divisions (py `$` == Java `$`: both match before one final
+        # newline only; len(text)-count(' ') == length(regexp_replace)
+        # on this corpus, no UTF-16 surrogate pairs in the fixtures).
+        # Docs with no non-empty token keep the bias slot only —
+        # exactly the sparse form, where the length row exists iff the
+        # doc has an nw row.
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        alpha = re.compile(r"^[a-z]+$")
+        stops = {"the", "a", "of", "and", "to", "in"}
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b["doc_id"].to_numpy(dtype=np.int64)
+            out = np.zeros((len(b), 66), dtype=np.int64)
+            out[:, 1] = 10000  # bias feature (bucket -1 -> slot 1)
+            ys = np.zeros(len(b), dtype=np.int32)
+            for i, txt in enumerate(b["text"]):
+                if txt is None:
+                    continue
+                words = txt.split(" ")
+                toks = [w for w in words if w]
+                n = len(toks)
+                if n:
+                    out[i, 0] = n * 100  # length feature (bucket -2)
+                    c = np.zeros(_QC_B, dtype=np.int64)
+                    for w in toks:
+                        c[int(hashlib.md5(w.encode()).hexdigest()[:6],
+                              16) % _QC_B] += 1
+                    out[i, 2:] = (c * 10000) // n
+                n_words = len(words)
+                n_chars = len(txt) - txt.count(" ")
+                n_alpha = sum(1 for w in words if alpha.search(w))
+                n_stop = len(stops.intersection(words))
+                mean_wl = n_chars / n_words
+                if (50 <= n_words <= 100000
+                        and 3.0 <= mean_wl <= 10.0
+                        and n_alpha / n_words >= 0.8
+                        and n_stop >= 2):
+                    ys[i] = 1
+            yield pd.DataFrame({
+                "doc_id": ids, "xs": list(out), "y": ys,
+            })
+
+    wide = (
+        d.select("doc_id", "text")
+        .mapInPandas(feat_kernel, "doc_id long, xs array<long>, y int")
         .localCheckpoint()
     )
-    return feats, labels, n_docs
+    return wide, n_docs
 
 
-def _qc_probs(feats, labels, w):
-    """Margins against the broadcast weight vector + rational
-    fast-sigmoid probabilities in integer micro-units — the per-round
-    forward pass, shared by train and apply."""
-    marg = (
-        feats.join(F.broadcast(w), "bucket")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("x") * F.col("wv")).alias("m"))
-    )
-    return labels.join(marg, "doc_id").select(
-        "doc_id", "y",
-        F.expr(f"500000 + (500000 * m) DIV ({_QC_S} + abs(m))").alias("p"),
-    )
+def _qc_tdiv(a: int, b: int) -> int:
+    """Trunc-toward-zero integer division — Spark DIV == DuckDB //
+    (the repo-wide spelling, same as llm_similarity's _tdiv)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
 
 
-def _qc_step(feats, p, w, n_docs):
-    """One integer gradient-descent weight update (shared by train and
-    apply's weight-chain replay)."""
-    grad = (
-        feats.join(F.broadcast(p), "doc_id")
-        .groupBy("bucket")
-        .agg(
-            F.sum(
-                (F.col("p") - F.col("y") * 1000000) * F.col("x")
-            ).alias("g")
-        )
-    )
-    return (
-        w.join(grad, "bucket")
-        .select(
-            "bucket",
-            # single precomputed literal: an int32*int32 product inside
-            # the expression overflows Catalyst constant folding at
-            # n_docs >= 22k (50k-doc zipf stress lesson, r14)
-            F.expr(f"wv - g DIV {n_docs * _QC_LRDEN}").alias("wv"),
-        )
-        .localCheckpoint()
-    )
+def _qc_round_pass(wide, wts):
+    """One GD round as ONE mapInPandas pass over the dense frame:
+    margins m = X·w, rational fast-sigmoid p, residual r = p - y*1e6,
+    then per-batch partials — 66 gradient sums XᵀR plus the three
+    trace sums (Brier, n_correct, n_pred_pos) — folded on the driver
+    (model-sized: 69 ints per batch, the llm_embed_opq marker-row
+    discipline). Integer-exact: every partial is an int64 sum whose
+    magnitude is bounded by batch_rows * 1e6 * max|x| (~2e14 at 10k
+    Arrow rows), and the driver fold is arbitrary-precision python
+    ints, so batch boundaries cannot perturb a bit."""
+    wts = tuple(int(v) for v in wts)
+    s_const = _QC_S
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        W = np.array(wts, dtype=np.int64)
+        G = np.zeros(66, dtype=np.int64)
+        tr = [0, 0, 0]
+        for b in batches:
+            if not len(b):
+                continue
+            X = np.array(b["xs"].tolist(), dtype=np.int64)
+            y = b["y"].to_numpy(dtype=np.int64)
+            m = X @ W
+            num = 500000 * m
+            q = np.abs(num) // (s_const + np.abs(m))
+            p = 500000 + np.where(num >= 0, q, -q)
+            r = p - y * 1000000
+            G += X.T @ r
+            tr[0] += int(np.dot(r, r))
+            tr[1] += int(np.count_nonzero((p > 500000) == (y == 1)))
+            tr[2] += int(np.count_nonzero(p > 500000))
+        rows = [(i, int(G[i])) for i in range(66)]
+        rows += [(100, tr[0]), (101, tr[1]), (102, tr[2])]
+        yield pd.DataFrame(rows, columns=["k", "v"])
+
+    grad = [0] * 66
+    brier = n_correct = n_pred_pos = 0
+    for row in wide.mapInPandas(kern, "k int, v long").collect():
+        if row.k < 66:
+            grad[row.k] += row.v
+        elif row.k == 100:
+            brier += row.v
+        elif row.k == 101:
+            n_correct += row.v
+        else:
+            n_pred_pos += row.v
+    return grad, brier, n_correct, n_pred_pos
+
+
+def _qc_weight_chain(wide, n_docs, n_passes, traces=None):
+    """Replay the integer GD chain: n_passes kernel passes, each
+    producing round r's gradient/trace against weights w_r, with the
+    w_{r+1} = w_r - g DIV (n_docs * lr_den) step as driver arithmetic
+    on the 66-value model (exactly the join form's `wv - g DIV d`,
+    trunc-div). Returns the final weight vector; appends per-round
+    trace rows to ``traces`` when given."""
+    d = n_docs * _QC_LRDEN
+    w = [0] * 66
+    for r in range(n_passes):
+        grad, brier, n_correct, n_pred_pos = _qc_round_pass(wide, w)
+        if traces is not None:
+            traces.append((
+                r,
+                sum(abs(v) for v in w),
+                brier,
+                n_correct,
+                _qc_tdiv(n_correct * 10000, n_docs),
+                n_pred_pos,
+            ))
+        w = [wv - _qc_tdiv(g, d) for wv, g in zip(w, grad)]
+    return w
+
+
+def _qc_score_pass(wide, wts):
+    """Frozen-weights scoring pass (apply's serving path): one Arrow
+    kernel emitting per-doc (doc_id, y, p) with the same integer
+    margin/sigmoid spelling as the round pass."""
+    wts = tuple(int(v) for v in wts)
+    s_const = _QC_S
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        W = np.array(wts, dtype=np.int64)
+        for b in batches:
+            if not len(b):
+                continue
+            X = np.array(b["xs"].tolist(), dtype=np.int64)
+            m = X @ W
+            num = 500000 * m
+            q = np.abs(num) // (s_const + np.abs(m))
+            p = 500000 + np.where(num >= 0, q, -q)
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+                "y": b["y"].to_numpy(dtype=np.int64),
+                "p": p,
+            })
+
+    return wide.mapInPandas(kern, "doc_id long, y long, p long")
 
 
 @query("llm_quality_classifier_train", oracle=_qc_oracle(), family=_FAM)
@@ -4643,48 +4756,20 @@ def llm_quality_classifier_train(spark, sf_dir):
     by construction; at cluster scale the same plan runs on a
     per-shard sample with federated gradient sums (still exact
     integers)."""
-    feats, labels, n_docs = _qc_feats_labels(spark, sf_dir)
-    w = feats.select("bucket").distinct().select(
-        "bucket", F.lit(0).cast("bigint").alias("wv")
-    ).localCheckpoint()
-    traces = []
-    for r in range(_QC_ROUNDS):
-        p = _qc_probs(feats, labels, w).localCheckpoint()
-        w_l1 = w.agg(
-            F.sum(F.abs(F.col("wv"))).cast("bigint").alias("w_l1")
-        )
-        trace = (
-            p.agg(
-                F.sum(
-                    (F.col("p") - F.col("y") * 1000000)
-                    * (F.col("p") - F.col("y") * 1000000)
-                ).cast("bigint").alias("brier_micro2"),
-                F.sum(
-                    F.when(
-                        (F.col("p") > 500000) == (F.col("y") == 1), 1
-                    ).otherwise(0)
-                ).cast("bigint").alias("n_correct"),
-                F.sum(
-                    F.when(F.col("p") > 500000, 1).otherwise(0)
-                ).cast("bigint").alias("n_pred_pos"),
-            )
-            .crossJoin(F.broadcast(w_l1))
-            .select(
-                F.lit(r).cast("int").alias("round"),
-                F.coalesce(F.col("w_l1"), F.lit(0)).cast("bigint")
-                .alias("w_l1"),
-                "brier_micro2", "n_correct",
-                F.expr("CAST(n_correct * 10000 DIV "
-                       f"{n_docs} AS BIGINT)").alias("accuracy_bp"),
-                "n_pred_pos",
-            )
-        )
-        traces.append(trace)
-        w = _qc_step(feats, p, w, n_docs)
-    out = traces[0]
-    for t in traces[1:]:
-        out = out.unionByName(t)
-    return out.orderBy("round")
+    # r15-opt (guide §4.2, the llm_embed_opq discipline): each of the
+    # 6 rounds was two broadcast-join + double-groupBy passes over the
+    # long feature frame with a localCheckpoint barrier each (12 passes,
+    # 13 checkpoints, 18-exchange trace tail); now ONE dense-frame
+    # Arrow kernel pass per round with the 66-value weight step and the
+    # trace row as driver arithmetic — 6 passes, 0 joins.
+    wide, n_docs = _qc_wide(spark, sf_dir)
+    traces: list[tuple] = []
+    _qc_weight_chain(wide, n_docs, _QC_ROUNDS, traces=traces)
+    return spark.createDataFrame(
+        traces,
+        schema="round int, w_l1 long, brier_micro2 long,"
+               " n_correct long, accuracy_bp long, n_pred_pos long",
+    ).orderBy("round")
 
 
 @query("llm_quality_classifier_apply", oracle=_qc_apply_oracle(),
@@ -4715,14 +4800,13 @@ def llm_quality_classifier_apply(spark, sf_dir):
     trace's round-5 accuracy, now decomposed per error type: the
     distilled model over-keeps (fp-heavy), the safe failure direction
     for a pretraining pre-filter."""
-    feats, labels, n_docs = _qc_feats_labels(spark, sf_dir)
-    w = feats.select("bucket").distinct().select(
-        "bucket", F.lit(0).cast("bigint").alias("wv")
-    ).localCheckpoint()
-    for _r in range(_QC_ROUNDS - 1):
-        p = _qc_probs(feats, labels, w).localCheckpoint()
-        w = _qc_step(feats, p, w, n_docs)
-    scored = _qc_probs(feats, labels, w).localCheckpoint()
+    # r15-opt: weight-chain replay through the same per-round Arrow
+    # kernel as train (5 passes, driver-side trunc-div steps), then a
+    # single frozen-weights scoring kernel — the serving plan below the
+    # checkpoint is unchanged.
+    wide, n_docs = _qc_wide(spark, sf_dir)
+    w_final = _qc_weight_chain(wide, n_docs, _QC_ROUNDS - 1)
+    scored = _qc_score_pass(wide, w_final).localCheckpoint()
     conf = scored.agg(
         F.sum(F.when((F.col("p") > 500000) & (F.col("y") == 1), 1)
               .otherwise(0)).cast("bigint").alias("tp"),

@@ -3317,3 +3317,109 @@ def test_opq_encode_kernel_matches_literal_long_form():
             )
         lit_err[s] = tot
         assert lit_err[s] == ker_err[s], s
+
+
+def test_qc_dense_features_match_join_form(spark):
+    """r15-opt: llm_quality_classifier_* now builds dense per-doc
+    feature vectors + Gopher teacher labels in ONE Arrow kernel pass
+    (_qc_wide) instead of the explode + conv(md5) long chain and the
+    separate llm_quality_gopher pass. Pin the kernel bit-for-bit
+    against BOTH replaced Spark forms on the real smoke fixture: the
+    sparse (doc_id, bucket, x) rows must equal the dense vector's
+    non-zero slots (slot = bucket + 2), and the kernel's y must equal
+    the Gopher op's keep — this is the python-md5 == Spark-md5/conv
+    and python-regex == rlike parity evidence."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mr_spark.operators.llm_text import (_QC_B, _qc_wide,
+                                                  llm_quality_gopher)
+    from hdfs_mr_spark.io import table
+    from tests.conftest import SF_SMOKE
+
+    wide = {
+        r.doc_id: (list(r.xs), r.y)
+        for r in _qc_wide(spark, SF_SMOKE)[0].collect()
+    }
+
+    # literal replica of the replaced sparse join chain
+    d = table(spark, SF_SMOKE, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    nw = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cnt = (
+        tok.withColumn(
+            "bucket",
+            F.expr(
+                "CAST(conv(substr(md5(w), 1, 6), 16, 10) AS BIGINT)"
+                f" % {_QC_B}"
+            ),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    feats = (
+        cnt.join(nw, "doc_id")
+        .select("doc_id", "bucket", F.expr("(c * 10000) DIV n").alias("x"))
+        .unionByName(d.select(
+            "doc_id", F.lit(-1).cast("bigint").alias("bucket"),
+            F.lit(10000).cast("bigint").alias("x")))
+        .unionByName(nw.select(
+            "doc_id", F.lit(-2).cast("bigint").alias("bucket"),
+            (F.col("n") * 100).cast("bigint").alias("x")))
+    )
+    sparse: dict = {}
+    for r in feats.collect():
+        sparse.setdefault(r.doc_id, {})[r.bucket] = r.x
+    labels = {
+        r.doc_id: int(r.keep)
+        for r in llm_quality_gopher(spark, SF_SMOKE).collect()
+    }
+
+    assert set(wide) == set(labels) and len(wide) > 0
+    for doc, (xs, y) in wide.items():
+        assert y == labels[doc], doc
+        want = [0] * 66
+        for bucket, x in sparse.get(doc, {}).items():
+            want[int(bucket) + 2] = int(x)
+        assert xs == want, doc
+
+
+def test_qc_kernel_round_matches_join_form(spark):
+    """r15-opt: one GD round through the Arrow kernel + driver fold
+    (_qc_round_pass) must reproduce the replaced join-form round —
+    margins, rational sigmoid, gradient, Brier/accuracy trace — as a
+    literal python-int replay over the collected dense rows, for a
+    non-trivial (post-first-update) weight vector."""
+    from hdfs_mr_spark.operators.llm_text import (_QC_LRDEN, _QC_S,
+                                                  _qc_round_pass, _qc_tdiv,
+                                                  _qc_wide)
+    from tests.conftest import SF_SMOKE
+
+    wide, n_docs = _qc_wide(spark, SF_SMOKE)
+    rows = [(list(r.xs), int(r.y)) for r in wide.collect()]
+    assert len(rows) == n_docs
+
+    def literal_round(wts):
+        grad = [0] * 66
+        brier = n_correct = n_pred_pos = 0
+        for xs, y in rows:
+            m = sum(x * w for x, w in zip(xs, wts))
+            p = 500000 + _qc_tdiv(500000 * m, _QC_S + abs(m))
+            r = p - y * 1000000
+            for i, x in enumerate(xs):
+                grad[i] += r * x
+            brier += r * r
+            n_correct += int((p > 500000) == (y == 1))
+            n_pred_pos += int(p > 500000)
+        return grad, brier, n_correct, n_pred_pos
+
+    w = [0] * 66
+    for _ in range(2):  # round 0 and a non-trivial round 1
+        lit = literal_round(w)
+        ker = _qc_round_pass(wide, w)
+        assert tuple(ker[0]) == tuple(lit[0])
+        assert ker[1:] == lit[1:]
+        w = [wv - _qc_tdiv(g, n_docs * _QC_LRDEN)
+             for wv, g in zip(w, lit[0])]
+    assert any(v != 0 for v in w)  # the second round exercised real weights
