@@ -4032,160 +4032,155 @@ def llm_tokenizer_unigram_train(spark, sf_dir):
     piece tie-break) plus its global size and mass — vocab convergence
     is checked identically, not summarized.
 
-    Spark-first shape: ALL counting is combiner aggregations on the
-    vocabulary-collapsed word frame (Heaps law: |words| << corpus);
-    the lattice is equi-joins of the candidate-position frame against
-    the current vocab; only the per-word DP (inherently sequential in
-    position) runs in a grouped-map pandas kernel, parallelism =
-    distinct words. Per-round frames are localCheckpoint'ed so the
-    3-round plan cannot compound (the llm_rag_mmr lesson). The DuckDB
-    oracle replays the identical 3 rounds: the DP is a lockstep
-    recursive CTE whose state is a (cost, path) STRUCT under MIN —
-    struct comparison is field-ordered, so the SQL argmin IS the
-    kernel's tuple min.
+    Spark-first shape (r15-opt, guide §4.2/§2.3/§2.4 — the
+    llm_embed_opq / llm_quality_classifier_train driver-model
+    discipline): ALL data-sized work stays distributed — the word
+    frame collapses by Heaps' law (|words| << corpus) and every pass
+    over it is one Arrow kernel emitting combiner-shape (piece, cnt)
+    partials folded by a tiny groupBy. The VOCABULARY is the model —
+    bounded by the alphabet (Σ|charset|^k, k ≤ 4) and, after the
+    relative-to-mode prune, within 64× of the modal count — so the
+    cost table rides INTO each round's kernel as a plain dict closure
+    (no candidate-explode frame, no broadcast join, no per-round
+    checkpoint barrier) and the prune/weight bookkeeping is exact
+    driver integer arithmetic, exactly the committed classifier-train
+    pattern. Per round: ONE kernel pass + one tiny exchange, versus
+    the r13 shape's broadcast join + 512-bucket applyInPandas shuffle
+    + recount shuffle + two prune jobs with a localCheckpoint barrier
+    each. The per-word DP is unchanged line-for-line (tuple-min over
+    (cost, path); min is enumeration-order independent, and distinct
+    piece lengths always yield distinct paths, so the inline dict
+    lookup is bit-identical to the old (piece, len) equi-join — the
+    join key was piece alone, since a substring's length IS its
+    piece's length). The DuckDB oracle replays the identical 3
+    rounds: the DP is a lockstep recursive CTE whose state is a
+    (cost, path) STRUCT under MIN — struct comparison is
+    field-ordered, so the SQL argmin IS the kernel's tuple min.
 
-    Scale: at 100 TB the word frame still collapses by Heaps' law
-    (~10^7 distinct words per language); rounds are bounded (3), each
-    one shuffle for the M-step recount plus one broadcast of the
-    sub-vocab-sized piece table — the same budget per round as
-    llm_bpe_train_rounds."""
-    import pandas as pd
-
+    Scale: at 100 TB the word frame is ~10^7 rows per language
+    (distributed, repartition pinned to defaultParallelism — the r8
+    AQE-coalesce lesson); driver state is only the pruned vocab
+    (mode-relative: ≤ 64 count-classes above 1/64 of the mode, plus
+    the charset), and each round moves one vocab-sized partial set
+    through one exchange."""
     d = table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(_toks()).alias("w"))
         .filter((F.length("w") >= 1) & (F.length("w") <= 24))
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("freq"))
-        .withColumn("L", F.length("w").cast("int"))
+        .repartition(spark.sparkContext.defaultParallelism, "w")
         .localCheckpoint()
     )
-    cand = (
-        words.select(
-            "w", "freq", "L",
-            F.explode(F.sequence(F.lit(1), F.col("L"))).alias("p"),
-        )
-        .select(
-            "w", "freq", "L", "p",
-            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)]))
-            .alias("len"),
-        )
-        .filter(F.col("len") <= F.col("p"))
-        .withColumn("piece", F.expr("substring(w, p - len + 1, len)"))
-        .localCheckpoint()
-    )
-    seed = cand.groupBy("piece", "len").agg(
-        F.sum("freq").cast("bigint").alias("cnt")
-    )
-    chars = seed.filter(F.col("len") == 1).select("piece").localCheckpoint()
 
-    def prune(counts):
-        """len-1 pieces always survive (coalesced to their new count);
-        len>=2 pieces need 64*cnt >= the round's modal len>=2 count."""
-        c2 = counts.filter(F.col("len") >= 2)
-        mx = c2.agg(F.max("cnt").alias("mx"))
-        kept2 = (
-            c2.crossJoin(F.broadcast(mx))
-            .filter(64 * F.col("cnt") >= F.col("mx"))
-            .select("piece", "len", "cnt")
-        )
-        kept1 = (
-            chars.join(
-                counts.filter(F.col("len") == 1).select("piece", "cnt"),
-                "piece", "left",
-            )
-            .select(
-                "piece", F.lit(1).alias("len"),
-                F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint")
-                .alias("cnt"),
-            )
-        )
-        return kept1.unionByName(kept2).localCheckpoint()
+    def sub_kernel(batches):
+        # seed support: every end-position substring of length 1..4,
+        # weighted by word frequency — the old cand explode + groupBy,
+        # now per-batch dict partials (combiner shape).
+        import pandas as pd
 
+        for b in batches:
+            acc: dict = {}
+            for w, freq in zip(b["w"], b["freq"]):
+                f = int(freq)
+                for p in range(1, len(w) + 1):
+                    for ln in (1, 2, 3, 4):
+                        if ln > p:
+                            break
+                        pc = w[p - ln:p]
+                        acc[pc] = acc.get(pc, 0) + f
+            yield pd.DataFrame(
+                {"piece": list(acc), "cnt": list(acc.values())}
+            )
+
+    def fold(kern):
+        """One kernel pass over the word frame, piece partials folded
+        by one tiny exchange, collected as the vocab-sized model."""
+        return {
+            r["piece"]: int(r["cnt"])
+            for r in words.mapInPandas(kern, "piece string, cnt long")
+            .groupBy("piece")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            .collect()
+        }
+
+    def prune(counts: dict) -> dict:
+        """len-1 pieces (the seed charset) always survive, coalesced
+        to their new count; len>=2 pieces need 64*cnt >= the round's
+        modal len>=2 count — exact driver ints, same rule as the old
+        crossJoin(broadcast(max)) + coalesce form."""
+        c2 = {p: c for p, c in counts.items() if len(p) >= 2}
+        mx = max(c2.values()) if c2 else None
+        vocab = {p: c for p, c in c2.items() if 64 * c >= mx} if c2 else {}
+        for ch in chars:
+            vocab[ch] = counts.get(ch, 0)
+        return vocab
+
+    seed = fold(sub_kernel)
+    chars = sorted(p for p in seed if len(p) == 1)
     # seed vocab v1 uses the same relative-to-mode rule on raw
     # substring support (chars from seed itself, so coalesce is exact)
     vocab = prune(seed)
 
-    kern_schema = "piece string, wfreq long"
-    ENC = {4: "a", 3: "b", 2: "c", 1: "d"}
-    DEC = {v: k for k, v in ENC.items()}
+    def make_estep(cost: dict):
+        def estep(batches):
+            import pandas as pd
 
-    def estep(pdf: pd.DataFrame) -> pd.DataFrame:
-        # MANY words per group (hash-bucketed — 90k one-word pandas
-        # groups cost ~40x more in per-group overhead than 512 bucket
-        # groups; measured on the 90k-type Zipf corpus, r13): loop the
-        # per-word DP inside the batch, accumulate exploded pieces.
-        out_piece: list = []
-        out_freq: list = []
-        for w, g in pdf.groupby("w", sort=False):
-            L = int(g["L"].iloc[0])
-            freq = int(g["freq"].iloc[0])
-            by_p: dict[int, list[tuple[int, int]]] = {}
-            for p, ln, c in zip(g["p"], g["len"], g["cost"]):
-                by_p.setdefault(int(p), []).append((int(ln), int(c)))
-            best: list = [(0, "")] + [None] * L
-            for p in range(1, L + 1):
-                b = None
-                for ln, c in by_p.get(p, ()):
-                    prev = best[p - ln]
-                    if prev is None:
-                        continue
-                    st = (prev[0] + c, prev[1] + ENC[ln])
-                    if b is None or st < b:
-                        b = st
-                best[p] = b
-            off = 0
-            for ch in best[L][1]:
-                ln = DEC[ch]
-                out_piece.append(w[off:off + ln])
-                out_freq.append(freq)
-                off += ln
-        return pd.DataFrame({"piece": out_piece, "wfreq": out_freq})
+            ENC = {4: "a", 3: "b", 2: "c", 1: "d"}
+            DEC = {"a": 4, "b": 3, "c": 2, "d": 1}
+            for b in batches:
+                acc: dict = {}
+                for w, freq in zip(b["w"], b["freq"]):
+                    f = int(freq)
+                    L = len(w)
+                    best: list = [(0, "")] + [None] * L
+                    for p in range(1, L + 1):
+                        bst = None
+                        for ln in (1, 2, 3, 4):
+                            if ln > p:
+                                break
+                            c = cost.get(w[p - ln:p])
+                            if c is None:
+                                continue
+                            prev = best[p - ln]
+                            if prev is None:
+                                continue
+                            st = (prev[0] + c, prev[1] + ENC[ln])
+                            if bst is None or st < bst:
+                                bst = st
+                        best[p] = bst
+                    off = 0
+                    for ch in best[L][1]:
+                        ln = DEC[ch]
+                        pc = w[off:off + ln]
+                        acc[pc] = acc.get(pc, 0) + f
+                        off += ln
+                yield pd.DataFrame(
+                    {"piece": list(acc), "cnt": list(acc.values())}
+                )
+
+        return estep
 
     for _r in range(3):
-        cost = vocab.select(
-            "piece", "len",
-            (
-                F.lit(2 ** 40)
-                + (F.lit(2 ** 20) - F.least(F.col("cnt"), F.lit(2 ** 20 - 1)))
-            ).cast("bigint").alias("cost"),
-        )
-        edges = cand.join(F.broadcast(cost), ["piece", "len"]).select(
-            "w", "freq", "L", "p", "len", "cost",
-            F.pmod(F.xxhash64("w"), F.lit(512)).alias("bkt"),
-        )
-        mstep = (
-            edges.groupBy("bkt")
-            .applyInPandas(estep, kern_schema)
-            .groupBy("piece")
-            .agg(F.sum("wfreq").cast("bigint").alias("cnt"))
-            .withColumn("len", F.length("piece").cast("int"))
-        )
-        vocab = prune(mstep)
+        cost = {
+            p: 2 ** 40 + (2 ** 20 - min(c, 2 ** 20 - 1))
+            for p, c in vocab.items()
+        }
+        vocab = prune(fold(make_estep(cost)))
 
-    v2 = vocab.filter(F.col("len") >= 2)
-    tot = v2.agg(
-        F.count("*").cast("bigint").alias("n_vocab2"),
-        F.sum("cnt").cast("bigint").alias("cnt2_sum"),
+    v2 = sorted(
+        ((p, c) for p, c in vocab.items() if len(p) >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
     )
-    top = (
-        v2.orderBy(F.col("cnt").desc(), F.col("piece").asc())
-        .limit(40)  # TakeOrdered — no global sort; rank over 40 rows
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
-            ).cast("bigint"),
-        )
-    )
-    return (
-        top.crossJoin(F.broadcast(tot))
-        .select(
-            "rank", "piece", F.col("len").cast("bigint").alias("len"),
-            "cnt", "n_vocab2", "cnt2_sum",
-        )
-        .orderBy("rank")
-    )
+    n2, s2 = len(v2), sum(c for _, c in v2)
+    return spark.createDataFrame(
+        [
+            (r + 1, p, len(p), c, n2, s2)
+            for r, (p, c) in enumerate(v2[:40])
+        ],
+        schema="rank bigint, piece string, len bigint, cnt bigint,"
+               " n_vocab2 bigint, cnt2_sum bigint",
+    ).orderBy("rank")
 
 
 @query(

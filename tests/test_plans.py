@@ -880,6 +880,16 @@ _GATE_EXEMPT = {
     "llm_embed_whitening",      # whitening: 64^2 covariance + corpus
                                 # count collected ONCE, same driver-
                                 # side eigen recipe (r15)
+    "llm_quality_classifier_train",  # GD trainer: 69 int partials per
+                                # round collected, trunc-div weight
+                                # step on the driver feeds the next
+                                # round's kernel closure (r15-opt)
+    "llm_quality_classifier_apply",  # replays the same weight chain
+                                # before the serving tail (r15-opt)
+    "llm_tokenizer_unigram_train",  # unigram EM: vocab-sized piece
+                                # partials collected per round, pruned
+                                # cost table feeds the next round's
+                                # kernel closure (r15-opt)
     "llm_bpe_apply",            # loads the shared cached trainer
     "llm_dedup_clusters",       # label-propagation convergence counts
     "llm_dedup_clusters_star",  # star-contraction round scalars

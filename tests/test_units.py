@@ -3423,3 +3423,155 @@ def test_qc_kernel_round_matches_join_form(spark):
         w = [wv - _qc_tdiv(g, n_docs * _QC_LRDEN)
              for wv, g in zip(w, lit[0])]
     assert any(v != 0 for v in w)  # the second round exercised real weights
+
+
+def test_unigram_train_kernel_matches_join_form(spark):
+    """r15-opt: llm_tokenizer_unigram_train now runs its 3 EM rounds as
+    driver-folded Arrow kernel passes over the word frame (cost table
+    as a dict closure) instead of the cand-explode + per-round
+    broadcast-join + 512-bucket applyInPandas + recount-shuffle chain.
+    Pin the FULL returned frame bit-for-bit against a literal replica
+    of the replaced Spark pipeline on the real smoke fixture — seed
+    support counts, all 3 prune/E/M rounds (tuple-min DP tie-break,
+    coalesced charset survival, 64x modal rule), and the top-40 tail
+    with its global n_vocab2/cnt2_sum."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from hdfs_mr_spark.io import table
+    from hdfs_mr_spark.operators.llm_text import (_toks,
+                                                  llm_tokenizer_unigram_train)
+    from tests.conftest import SF_SMOKE
+
+    # literal replica of the replaced r13 Spark form
+    d = table(spark, SF_SMOKE, "documents")
+    words = (
+        d.select(F.explode(_toks()).alias("w"))
+        .filter((F.length("w") >= 1) & (F.length("w") <= 24))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .withColumn("L", F.length("w").cast("int"))
+        .localCheckpoint()
+    )
+    cand = (
+        words.select(
+            "w", "freq", "L",
+            F.explode(F.sequence(F.lit(1), F.col("L"))).alias("p"),
+        )
+        .select(
+            "w", "freq", "L", "p",
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)]))
+            .alias("len"),
+        )
+        .filter(F.col("len") <= F.col("p"))
+        .withColumn("piece", F.expr("substring(w, p - len + 1, len)"))
+        .localCheckpoint()
+    )
+    seed = cand.groupBy("piece", "len").agg(
+        F.sum("freq").cast("bigint").alias("cnt")
+    )
+    chars = seed.filter(F.col("len") == 1).select("piece").localCheckpoint()
+
+    def prune(counts):
+        c2 = counts.filter(F.col("len") >= 2)
+        mx = c2.agg(F.max("cnt").alias("mx"))
+        kept2 = (
+            c2.crossJoin(F.broadcast(mx))
+            .filter(64 * F.col("cnt") >= F.col("mx"))
+            .select("piece", "len", "cnt")
+        )
+        kept1 = (
+            chars.join(
+                counts.filter(F.col("len") == 1).select("piece", "cnt"),
+                "piece", "left",
+            )
+            .select(
+                "piece", F.lit(1).alias("len"),
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint")
+                .alias("cnt"),
+            )
+        )
+        return kept1.unionByName(kept2).localCheckpoint()
+
+    vocab = prune(seed)
+
+    kern_schema = "piece string, wfreq long"
+    ENC = {4: "a", 3: "b", 2: "c", 1: "d"}
+    DEC = {v: k for k, v in ENC.items()}
+
+    def estep(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_piece: list = []
+        out_freq: list = []
+        for w, g in pdf.groupby("w", sort=False):
+            L = int(g["L"].iloc[0])
+            freq = int(g["freq"].iloc[0])
+            by_p: dict = {}
+            for p, ln, c in zip(g["p"], g["len"], g["cost"]):
+                by_p.setdefault(int(p), []).append((int(ln), int(c)))
+            best: list = [(0, "")] + [None] * L
+            for p in range(1, L + 1):
+                b = None
+                for ln, c in by_p.get(p, ()):
+                    prev = best[p - ln]
+                    if prev is None:
+                        continue
+                    st = (prev[0] + c, prev[1] + ENC[ln])
+                    if b is None or st < b:
+                        b = st
+                best[p] = b
+            off = 0
+            for ch in best[L][1]:
+                ln = DEC[ch]
+                out_piece.append(w[off:off + ln])
+                out_freq.append(freq)
+                off += ln
+        return pd.DataFrame({"piece": out_piece, "wfreq": out_freq})
+
+    for _r in range(3):
+        cost = vocab.select(
+            "piece", "len",
+            (
+                F.lit(2 ** 40)
+                + (F.lit(2 ** 20) - F.least(F.col("cnt"), F.lit(2 ** 20 - 1)))
+            ).cast("bigint").alias("cost"),
+        )
+        edges = cand.join(F.broadcast(cost), ["piece", "len"]).select(
+            "w", "freq", "L", "p", "len", "cost",
+            F.pmod(F.xxhash64("w"), F.lit(512)).alias("bkt"),
+        )
+        mstep = (
+            edges.groupBy("bkt")
+            .applyInPandas(estep, kern_schema)
+            .groupBy("piece")
+            .agg(F.sum("wfreq").cast("bigint").alias("cnt"))
+            .withColumn("len", F.length("piece").cast("int"))
+        )
+        vocab = prune(mstep)
+
+    v2 = vocab.filter(F.col("len") >= 2)
+    tot = v2.agg(
+        F.count("*").cast("bigint").alias("n_vocab2"),
+        F.sum("cnt").cast("bigint").alias("cnt2_sum"),
+    )
+    top = (
+        v2.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(40)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+            ).cast("bigint"),
+        )
+    )
+    old = (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "rank", "piece", F.col("len").cast("bigint").alias("len"),
+            "cnt", "n_vocab2", "cnt2_sum",
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    new = llm_tokenizer_unigram_train(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in new] == [tuple(r) for r in old]
+    assert len(new) > 0
