@@ -3659,63 +3659,73 @@ ORDER BY a.event_type, a.esd_round
 """
 
 
-def _esd_cands(act, id_col):
-    """The Rosner rounds, Spark side (shared by ts_anomaly_esd and
-    ts_seasonal_hybrid_esd): act carries (event_type, <id_col>, x),
-    already localCheckpointed; returns the list of per-round candidate
-    frames (esd_round, event_type, <id_col>, x, med, dev, mad,
-    passed), each checkpointed, with the active set re-checkpointed
-    per round so the unrolled lineage stays linear."""
-    w_med = Window.partitionBy("event_type").orderBy("x", id_col)
-    w_cnt = Window.partitionBy("event_type")
+def _esd_rounds_py(rows):
+    """The Rosner rounds, driver side (shared by ts_anomaly_esd and
+    ts_seasonal_hybrid_esd; r15-opt): `rows` is the collected active
+    frame [(event_type, id, x)] — CALENDAR-BOUNDED (types x days or
+    types x hours), never corpus-sized, the same model-sized-state
+    argument as llm_topic_lsa's Gram collect. Returns the candidate
+    list [(esd_round, event_type, id, x, med, dev, mad, passed)] plus
+    {event_type: n} counts, with every step the exact integer twin of
+    the Spark machinery it replaced (pinned by
+    tests/test_units.py::test_esd_rounds_py_matches_window_form):
+
+    - lower median: row (n+1) div 2 of the active set ordered by
+      (x, id) — the old w_med row_number filter;
+    - mad: lower median of |x - med| ordered by (dev, id);
+    - candidate: worst deviator, (dev DESC, id ASC) tiebreak;
+    - test: dev*10000 > 44478*mad, mad == 0 degenerates to dev > 0;
+    - removal: anti-join of the one candidate, next round retests.
+
+    All values are Python ints (collected BIGINTs), so there is no
+    overflow or rounding surface at all; the old form's 7 eager
+    localCheckpoint jobs and 12 rank-window shuffles per query fold
+    into zero jobs on the already-collected rows."""
+    by_type: dict = {}
+    for et, i, x in rows:
+        by_type.setdefault(et, []).append((int(i), int(x)))
+    counts = {et: len(v) for et, v in by_type.items()}
     cands = []
     for r in range(1, _ESD_ROUNDS + 1):
-        med = (
-            act.withColumn("rn", F.row_number().over(w_med))
-            .withColumn("n", F.count("*").over(w_cnt))
-            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-            .select("event_type", F.col("x").alias("med"))
-        )
-        dev = (
-            act.join(F.broadcast(med), "event_type")
-            .select(
-                "event_type", id_col, "x", "med",
-                F.abs(F.col("x") - F.col("med")).alias("dev"),
-            )
-            .localCheckpoint()
-        )
-        w_dev = Window.partitionBy("event_type").orderBy("dev", id_col)
-        mad = (
-            dev.withColumn("rn", F.row_number().over(w_dev))
-            .withColumn("n", F.count("*").over(w_cnt))
-            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-            .select("event_type", F.col("dev").alias("mad"))
-        )
-        w_top = Window.partitionBy("event_type").orderBy(
-            F.col("dev").desc(), F.col(id_col).asc()
-        )
-        cand = (
-            dev.withColumn("rk", F.row_number().over(w_top))
-            .filter(F.col("rk") == 1)
-            .join(F.broadcast(mad), "event_type")
-            .select(
-                F.lit(r).alias("esd_round"),
-                "event_type", id_col, "x", "med", "dev", "mad",
-                F.when(F.col("mad") == 0, F.col("dev") > 0)
-                .otherwise(F.col("dev") * 10000 > 44478 * F.col("mad"))
-                .alias("passed"),
-            )
-            .localCheckpoint()
-        )
-        cands.append(cand)
-        act = (
-            act.join(
-                cand.select("event_type", id_col),
-                ["event_type", id_col], "left_anti",
-            )
-            .localCheckpoint()
-        )
-    return cands
+        for et in sorted(by_type):
+            active = by_type[et]
+            if not active:
+                continue
+            n = len(active)
+            med = sorted(active, key=lambda t: (t[1], t[0]))[
+                (n + 1) // 2 - 1][1]
+            devs = [(i, x, abs(x - med)) for i, x in active]
+            mad = sorted(devs, key=lambda t: (t[2], t[0]))[
+                (n + 1) // 2 - 1][2]
+            i, x, dev = min(devs, key=lambda t: (-t[2], t[0]))
+            passed = (dev > 0) if mad == 0 else (dev * 10000 > 44478 * mad)
+            cands.append((r, et, i, x, med, dev, mad, passed))
+            by_type[et] = [t for t in active if t[0] != i]
+    return cands, counts
+
+
+def _esd_stitch(spark, cands, counts, id_name, x_name, unit):
+    """Stitch the driver-fold results into the returned frame: the
+    backward anomaly rule (every round up to the LAST passing one),
+    the per-type count column, and the oracle's column order/types."""
+    maxp: dict = {}
+    for r, et, _i, _x, _m, _d, _md, passed in cands:
+        if passed:
+            maxp[et] = max(maxp.get(et, 0), r)
+    out = [
+        (et, r, i, x, med, dev, mad, passed,
+         r <= maxp.get(et, 0), counts[et])
+        for r, et, i, x, med, dev, mad, passed in cands
+    ]
+    schema = (
+        f"event_type string, esd_round bigint, {id_name} bigint, "
+        f"{x_name}_{unit} bigint, med_{unit} bigint, dev_{unit} bigint, "
+        f"mad_{unit} bigint, passed boolean, is_anomaly boolean, "
+        f"n_{'days' if id_name == 'day' else 'hours'} bigint"
+    )
+    return spark.createDataFrame(out, schema).orderBy(
+        "event_type", "esd_round"
+    )
 
 
 @query("ts_anomaly_esd", oracle=_esd_oracle(), family=_FAM)
@@ -3743,13 +3753,15 @@ def ts_anomaly_esd(spark, sf_dir):
     scaled-MAD threshold: bit-exact across engines, and the robust
     variant is what production monitors run.
 
-    Plan: ONE raw pass to the daily grid, localCheckpointed; each
-    round is two partitioned rank-windows + a broadcast median join
-    on the calendar-bounded frame (types x days rows), with the
-    active set re-checkpointed per round so the unrolled lineage
-    stays linear (the r12 2^k lesson). At 100 TB only the rollup
-    touches raw data; rounds cost O(types x days) regardless of
-    event volume."""
+    Plan (r15-opt, guide §2.4/§5.2): ONE raw pass to the daily grid —
+    the only corpus-sized work — collected ONCE (types x days rows,
+    calendar-bounded model state, the llm_topic_lsa discipline); the
+    three Rosner rounds fold on the driver in exact Python ints
+    (_esd_rounds_py — the bit-for-bit twin of the rank-window form it
+    replaced, which spent 7 eager localCheckpoint jobs and 12 shuffles
+    re-ranking a ~10^3-row frame). At 100 TB only the rollup touches
+    raw data; rounds cost O(types x days) regardless of event
+    volume."""
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     act = (
         ev.groupBy(
@@ -3759,40 +3771,10 @@ def ts_anomaly_esd(spark, sf_dir):
         )
         .agg(F.expr("sum(cast(round(value * 100) as bigint)) div count(*)")
              .alias("x"))
-        .localCheckpoint()
     )
-    nn = act.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n_days")
-    )
-    cands = _esd_cands(act, "day")
-    allc = cands[0]
-    for c in cands[1:]:
-        allc = allc.unionByName(c)
-    w_pass = Window.partitionBy("event_type")
-    return (
-        allc.withColumn(
-            "maxp",
-            F.coalesce(
-                F.max(F.when(F.col("passed"), F.col("esd_round")))
-                .over(w_pass),
-                F.lit(0),
-            ),
-        )
-        .join(nn, "event_type")
-        .select(
-            "event_type",
-            F.col("esd_round").cast("bigint").alias("esd_round"),
-            "day",
-            F.col("x").alias("x_cents"),
-            F.col("med").alias("med_cents"),
-            F.col("dev").cast("bigint").alias("dev_cents"),
-            F.col("mad").cast("bigint").alias("mad_cents"),
-            "passed",
-            (F.col("esd_round") <= F.col("maxp")).alias("is_anomaly"),
-            "n_days",
-        )
-        .orderBy("event_type", "esd_round")
-    )
+    rows = [(r[0], r[1], r[2]) for r in act.collect()]
+    cands, counts = _esd_rounds_py(rows)
+    return _esd_stitch(spark, cands, counts, "day", "x", "cents")
 
 
 @query(
@@ -3978,11 +3960,15 @@ def ts_seasonal_hybrid_esd(spark, sf_dir):
     on the active residual set per round, scaled-MAD test in exact
     integers, backward anomaly rule. Everything BIGINT end to end.
 
-    Scale: the corpus-sized work is the hourly rollup inside the STL
-    front half; the seasonal join, median, and all three rounds run
-    on the RESAMPLED frame (time-span x type rows), re-checkpointed
-    per round. Exactly the shape that serves a 100 TB metrics store:
-    one heavy resample, then calendar-bounded robust statistics.
+    Scale (r15-opt, guide §2.4/§5.2): the corpus-sized work is the
+    hourly rollup inside the STL front half; the deseasonalized frame
+    (time-span x type rows, calendar-bounded) is collected ONCE and
+    the median re-centering plus all three Rosner rounds fold on the
+    driver in exact Python ints (_esd_rounds_py — the bit-for-bit
+    twin of the rank-window form, which re-ranked the tiny residual
+    frame through 8 eager localCheckpoint jobs and 14 shuffles).
+    Exactly the shape that serves a 100 TB metrics store: one heavy
+    resample, then calendar-bounded robust statistics.
 
     Sparse-corpus note: at sf0.001 the hourly grid is mostly EMPTY
     hours, no 25-hour low-pass window completes, every seasonal is
@@ -3991,55 +3977,23 @@ def ts_seasonal_hybrid_esd(spark, sf_dir):
     a gappy series. sf0.01/sf0.1 are non-vacuous (15 rows, all
     value-checked)."""
     des = _stl_des(spark, sf_dir)
-    core = des.filter(F.col("seasonal").isNotNull())
-    w_med = Window.partitionBy("event_type").orderBy("y", "hidx")
-    w_cnt = Window.partitionBy("event_type")
-    medy = (
-        core.withColumn("rn", F.row_number().over(w_med))
-        .withColumn("n", F.count("*").over(w_cnt))
-        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select("event_type", F.col("y").alias("medy"))
+    core_rows = (
+        des.filter(F.col("seasonal").isNotNull())
+        .select("event_type", "hidx", "y", "dv")
+        .collect()
     )
-    act = (
-        core.join(F.broadcast(medy), "event_type")
-        .select(
-            "event_type", "hidx",
-            (F.col("dv") - F.col("medy")).alias("x"),
-        )
-        .localCheckpoint()
-    )
-    nn = act.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n_hours")
-    )
-    cands = _esd_cands(act, "hidx")
-    allc = cands[0]
-    for c in cands[1:]:
-        allc = allc.unionByName(c)
-    w_pass = Window.partitionBy("event_type")
-    return (
-        allc.withColumn(
-            "maxp",
-            F.coalesce(
-                F.max(F.when(F.col("passed"), F.col("esd_round")))
-                .over(w_pass),
-                F.lit(0),
-            ),
-        )
-        .join(nn, "event_type")
-        .select(
-            "event_type",
-            F.col("esd_round").cast("bigint").alias("esd_round"),
-            F.col("hidx").cast("bigint").alias("hidx"),
-            F.col("x").cast("bigint").alias("resid_micro"),
-            F.col("med").cast("bigint").alias("med_micro"),
-            F.col("dev").cast("bigint").alias("dev_micro"),
-            F.col("mad").cast("bigint").alias("mad_micro"),
-            "passed",
-            (F.col("esd_round") <= F.col("maxp")).alias("is_anomaly"),
-            "n_hours",
-        )
-        .orderBy("event_type", "esd_round")
-    )
+    # lower median of y per type, ordered by (y, hidx) — the exact
+    # twin of the old w_med row_number filter, on the collected frame
+    by_type: dict = {}
+    for r in core_rows:
+        by_type.setdefault(r[0], []).append((int(r[1]), int(r[2]), int(r[3])))
+    rows = []
+    for et, items in by_type.items():
+        n = len(items)
+        medy = sorted(items, key=lambda t: (t[1], t[0]))[(n + 1) // 2 - 1][1]
+        rows.extend((et, i, dv - medy) for i, _y, dv in items)
+    cands, counts = _esd_rounds_py(rows)
+    return _esd_stitch(spark, cands, counts, "hidx", "resid", "micro")
 
 
 def _mp_ab_oracle() -> str:

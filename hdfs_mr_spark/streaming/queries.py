@@ -520,7 +520,17 @@ def stream_stateful_custom(spark, sf_dir):
         for pdf in pdfs:
             v = pdf["value"]
             cnt += len(v)
-            cents += int((v * 100.0).round().astype("int64").sum())
+            # half-away-from-zero cents matching the oracle's
+            # round(value*100); Series.round is banker's and would
+            # diverge on an exact-half fixture value (the ADVICE r14
+            # hazard class, fixed for session_timeout the same way)
+            import numpy as np
+
+            x = (v * 100.0).to_numpy()
+            cents += int(
+                np.where(x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5))
+                .astype("int64").sum()
+            )
         state.update((cnt, cents))
         yield pd.DataFrame(
             {

@@ -890,6 +890,14 @@ _GATE_EXEMPT = {
                                 # partials collected per round, pruned
                                 # cost table feeds the next round's
                                 # kernel closure (r15-opt)
+    "ts_anomaly_esd",           # Rosner rounds: the calendar-bounded
+                                # daily rollup (types x days) collected
+                                # ONCE, 3 remove-and-retest rounds in
+                                # exact driver ints (r15-opt)
+    "ts_seasonal_hybrid_esd",   # same rounds on the STL-deseasonalized
+                                # hourly frame (types x hours, collected
+                                # ONCE after the corpus-sized resample)
+                                # (r15-opt)
     "llm_bpe_apply",            # loads the shared cached trainer
     "llm_dedup_clusters",       # label-propagation convergence counts
     "llm_dedup_clusters_star",  # star-contraction round scalars

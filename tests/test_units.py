@@ -3575,3 +3575,165 @@ def test_unigram_train_kernel_matches_join_form(spark):
     new = llm_tokenizer_unigram_train(spark, SF_SMOKE).collect()
     assert [tuple(r) for r in new] == [tuple(r) for r in old]
     assert len(new) > 0
+
+
+def _esd_window_form(act, id_col):
+    """Literal replica of the pre-r15-opt Spark Rosner machinery
+    (rank windows + broadcast median joins + per-round checkpoints)
+    that _esd_rounds_py replaced — kept verbatim here so the driver
+    fold stays pinned bit-for-bit to the old semantics."""
+    from pyspark.sql import Window
+
+    w_med = Window.partitionBy("event_type").orderBy("x", id_col)
+    w_cnt = Window.partitionBy("event_type")
+    cands = []
+    for r in range(1, 4):
+        med = (
+            act.withColumn("rn", F.row_number().over(w_med))
+            .withColumn("n", F.count("*").over(w_cnt))
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col("x").alias("med"))
+        )
+        dev = (
+            act.join(F.broadcast(med), "event_type")
+            .select(
+                "event_type", id_col, "x", "med",
+                F.abs(F.col("x") - F.col("med")).alias("dev"),
+            )
+            .localCheckpoint()
+        )
+        w_dev = Window.partitionBy("event_type").orderBy("dev", id_col)
+        mad = (
+            dev.withColumn("rn", F.row_number().over(w_dev))
+            .withColumn("n", F.count("*").over(w_cnt))
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col("dev").alias("mad"))
+        )
+        w_top = Window.partitionBy("event_type").orderBy(
+            F.col("dev").desc(), F.col(id_col).asc()
+        )
+        cand = (
+            dev.withColumn("rk", F.row_number().over(w_top))
+            .filter(F.col("rk") == 1)
+            .join(F.broadcast(mad), "event_type")
+            .select(
+                F.lit(r).alias("esd_round"),
+                "event_type", id_col, "x", "med", "dev", "mad",
+                F.when(F.col("mad") == 0, F.col("dev") > 0)
+                .otherwise(F.col("dev") * 10000 > 44478 * F.col("mad"))
+                .alias("passed"),
+            )
+            .localCheckpoint()
+        )
+        cands.append(cand)
+        act = (
+            act.join(
+                cand.select("event_type", id_col),
+                ["event_type", id_col], "left_anti",
+            )
+            .localCheckpoint()
+        )
+    return cands
+
+
+def _esd_window_tail(cands, nn, id_col):
+    from pyspark.sql import Window
+
+    allc = cands[0]
+    for c in cands[1:]:
+        allc = allc.unionByName(c)
+    w_pass = Window.partitionBy("event_type")
+    return (
+        allc.withColumn(
+            "maxp",
+            F.coalesce(
+                F.max(F.when(F.col("passed"), F.col("esd_round")))
+                .over(w_pass),
+                F.lit(0),
+            ),
+        )
+        .join(nn, "event_type")
+        .select(
+            "event_type",
+            F.col("esd_round").cast("bigint").alias("esd_round"),
+            F.col(id_col).cast("bigint").alias(id_col),
+            F.col("x").cast("bigint"),
+            F.col("med").cast("bigint"),
+            F.col("dev").cast("bigint"),
+            F.col("mad").cast("bigint"),
+            "passed",
+            (F.col("esd_round") <= F.col("maxp")).alias("is_anomaly"),
+            "n",
+        )
+        .orderBy("event_type", "esd_round")
+    )
+
+
+def test_esd_rounds_py_matches_window_form(spark):
+    """r15-opt pin: ts_anomaly_esd's driver-folded Rosner rounds
+    reproduce the replaced rank-window Spark pipeline bit-for-bit on
+    the sf0.001 daily grid (every column, every row)."""
+    from hdfs_mr_spark.io import table
+    from hdfs_mr_spark.registry import all_specs
+    from tests.conftest import SF_SMOKE
+
+    ev = table(spark, SF_SMOKE, "events").filter(F.col("value").isNotNull())
+    act = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400)
+            .cast("bigint").alias("day"),
+        )
+        .agg(F.expr("sum(cast(round(value * 100) as bigint)) div count(*)")
+             .alias("x"))
+        .localCheckpoint()
+    )
+    nn = act.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    old = _esd_window_tail(
+        _esd_window_form(act, "day"), nn, "day"
+    ).collect()
+    new = all_specs()["ts_anomaly_esd"].fn(spark, SF_SMOKE).collect()
+    assert len(new) > 0
+    assert [tuple(r) for r in new] == [tuple(r) for r in old]
+
+
+def test_shesd_driver_fold_matches_window_form(spark):
+    """r15-opt pin: ts_seasonal_hybrid_esd's driver-folded median
+    re-centering + Rosner rounds reproduce the replaced window form
+    bit-for-bit at sf0.01 (sf0.001's hourly grid is all-NULL seasonal
+    — honestly empty — so the non-vacuous pin runs one SF up)."""
+    from pyspark.sql import Window
+
+    from hdfs_mr_spark.operators.windows import _stl_des
+    from hdfs_mr_spark.registry import all_specs
+
+    sf = "/root/testdata/sf0.01"
+    des = _stl_des(spark, sf)
+    core = des.filter(F.col("seasonal").isNotNull())
+    w_med = Window.partitionBy("event_type").orderBy("y", "hidx")
+    w_cnt = Window.partitionBy("event_type")
+    medy = (
+        core.withColumn("rn", F.row_number().over(w_med))
+        .withColumn("n", F.count("*").over(w_cnt))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("y").alias("medy"))
+    )
+    act = (
+        core.join(F.broadcast(medy), "event_type")
+        .select(
+            "event_type", "hidx",
+            (F.col("dv") - F.col("medy")).alias("x"),
+        )
+        .localCheckpoint()
+    )
+    nn = act.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    old = _esd_window_tail(
+        _esd_window_form(act, "hidx"), nn, "hidx"
+    ).collect()
+    new = all_specs()["ts_seasonal_hybrid_esd"].fn(spark, sf).collect()
+    assert len(new) > 0
+    assert [tuple(r) for r in new] == [tuple(r) for r in old]
