@@ -3839,12 +3839,14 @@ def ts_forecast_croston(spark, sf_dir):
     equal-rational (z * 900000) div p spelling.
 
     Spark shape: recurrences are sequential per series, but one part
-    is a TINY group — groups are hash-bucketed (partkey % 256) and
-    the kernel loops the per-part walk inside each bucket (the r13
-    applyInPandas 40x-overhead lesson); parallelism = buckets, state
-    = two ints per part. The corpus min week rides in as a broadcast
-    1-row aggregate column. The oracle replays the same walk as a
-    lockstep recursive CTE over (part, demand-index)."""
+    is a TINY group — groups are hash-bucketed (partkey % 256, the r13
+    applyInPandas 40x-overhead lesson) and the kernel walks ALL parts
+    of a bucket in lockstep over the demand index (r15-opt, guide
+    §4.2: one vectorized int64 step per index instead of a Python
+    loop per part); parallelism = buckets, state = two int vectors.
+    The corpus min week rides in as a broadcast 1-row aggregate
+    column. The oracle replays the same walk as a lockstep recursive
+    CTE over (part, demand-index)."""
     import pandas as pd
 
     li = table(spark, sf_dir, "lineitem")
@@ -3867,32 +3869,48 @@ def ts_forecast_croston(spark, sf_dir):
         "sba_rate_micro bigint"
     )
 
+    cols = ["p_partkey", "n_demand_weeks", "z_milli", "p_milli_weeks",
+            "croston_rate_micro", "sba_rate_micro"]
+
     def croston(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for pk, g in pdf.groupby("l_partkey"):
-            g = g.sort_values("wk")
-            wks = [int(w) for w in g["wk"]]
-            ys = [int(v) for v in g["y"]]
-            if len(wks) < 2:
-                continue
-            minwk = int(g["minwk"].iloc[0])
-            z = ys[0] * 1000
-            p = (wks[0] - minwk + 1) * 1000
-            for k in range(1, len(wks)):
-                z = (ys[k] * 1000 + 4 * z) // 5
-                p = ((wks[k] - wks[k - 1]) * 1000 + 4 * p) // 5
-            out.append({
-                "p_partkey": int(pk), "n_demand_weeks": len(wks),
-                "z_milli": z, "p_milli_weeks": p,
-                "croston_rate_micro": (z * 1000000) // p,
-                "sba_rate_micro": (z * 900000) // p,
-            })
-        return pd.DataFrame(
-            out,
-            columns=["p_partkey", "n_demand_weeks", "z_milli",
-                     "p_milli_weeks", "croston_rate_micro",
-                     "sba_rate_micro"],
-        )
+        # r15-opt (guide §4.2): the per-part Python loop (pandas groupby
+        # + int walk per part, ~80 parts/bucket x ~40 steps each) is now
+        # ONE vectorized walk over the demand INDEX: step k updates every
+        # part still longer than k, so the python-level loop runs
+        # max-series-length times per bucket instead of parts x length.
+        # Exactness: the recurrence operands are non-negative int64s
+        # (y <= ~3e3 weekly quantity sum, so z <= 3e6 milli-units and
+        # z * 1e6 <= 3e12 << 2^63), and numpy int64 `//` IS Python's
+        # floor-div — the walk is the bit-for-bit twin of the scalar
+        # loop it replaced (pinned by test_croston_kernel_matches_loop).
+        import numpy as np
+
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        pdf = pdf.sort_values(["l_partkey", "wk"], kind="mergesort")
+        pk = pdf["l_partkey"].to_numpy(np.int64)
+        wk = pdf["wk"].to_numpy(np.int64)
+        y = pdf["y"].to_numpy(np.int64)
+        minwk = np.int64(pdf["minwk"].iloc[0])
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        lens = np.diff(np.r_[starts, len(pk)])
+        keep = lens >= 2
+        if not keep.any():
+            return pd.DataFrame(columns=cols)
+        s, ln = starts[keep], lens[keep]
+        z = y[s] * 1000
+        p = (wk[s] - minwk + 1) * 1000
+        for k in range(1, int(ln.max())):
+            m = ln > k
+            i = s[m] + k
+            z[m] = (y[i] * 1000 + 4 * z[m]) // 5
+            p[m] = ((wk[i] - wk[i - 1]) * 1000 + 4 * p[m]) // 5
+        return pd.DataFrame({
+            "p_partkey": pk[s], "n_demand_weeks": ln.astype(np.int64),
+            "z_milli": z, "p_milli_weeks": p,
+            "croston_rate_micro": (z * 1000000) // p,
+            "sba_rate_micro": (z * 900000) // p,
+        })
 
     return (
         demb.groupBy("bkt")

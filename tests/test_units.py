@@ -3737,3 +3737,47 @@ def test_shesd_driver_fold_matches_window_form(spark):
     new = all_specs()["ts_seasonal_hybrid_esd"].fn(spark, sf).collect()
     assert len(new) > 0
     assert [tuple(r) for r in new] == [tuple(r) for r in old]
+
+
+def test_croston_kernel_matches_loop(spark):
+    """r15-opt pin: ts_forecast_croston's vectorized index-lockstep
+    walk reproduces the replaced per-part scalar loop bit-for-bit on
+    the sf0.001 demand frame (full returned frame compare)."""
+    import pandas as pd
+
+    from hdfs_mr_spark.io import table
+    from hdfs_mr_spark.registry import all_specs
+    from tests.conftest import SF_SMOKE
+
+    li = table(spark, SF_SMOKE, "lineitem")
+    dem = li.groupBy(
+        "l_partkey",
+        F.expr(
+            "CAST(unix_timestamp(CAST(l_shipdate AS TIMESTAMP))"
+            " div 604800 AS BIGINT)"
+        ).alias("wk"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("y"))
+    mn = dem.agg(F.min("wk").alias("minwk"))
+    pdf = dem.crossJoin(F.broadcast(mn)).toPandas()
+
+    # literal replica of the pre-r15-opt scalar kernel
+    out = []
+    for pk, g in pdf.groupby("l_partkey"):
+        g = g.sort_values("wk")
+        wks = [int(w) for w in g["wk"]]
+        ys = [int(v) for v in g["y"]]
+        if len(wks) < 2:
+            continue
+        minwk = int(g["minwk"].iloc[0])
+        z = ys[0] * 1000
+        p = (wks[0] - minwk + 1) * 1000
+        for k in range(1, len(wks)):
+            z = (ys[k] * 1000 + 4 * z) // 5
+            p = ((wks[k] - wks[k - 1]) * 1000 + 4 * p) // 5
+        out.append((int(pk), len(wks), z, p,
+                    (z * 1000000) // p, (z * 900000) // p))
+    out.sort()
+    new = [tuple(r) for r in
+           all_specs()["ts_forecast_croston"].fn(spark, SF_SMOKE).collect()]
+    assert len(new) > 0
+    assert new == out
