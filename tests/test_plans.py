@@ -890,6 +890,16 @@ _GATE_EXEMPT = {
                                 # partials collected per round, pruned
                                 # cost table feeds the next round's
                                 # kernel closure (r15-opt)
+    "llm_sim_knn_hnsw",         # graph-ANN beam search: state bounded
+                                # by O(entries + rounds*beam*cap) per
+                                # query INDEPENDENT of n (the op's own
+                                # scale contract); each round is two
+                                # IN-filtered bounded point-lookups
+                                # (r15-opt)
+    "llm_sim_knn_hnsw_compact",  # same shared driver search over the
+                                # compacted edge store (r15-opt)
+    "llm_sim_knn_hnsw_delta",   # same shared driver search over the
+                                # base/delta merged edge frame (r15-opt)
     "ts_anomaly_esd",           # Rosner rounds: the calendar-bounded
                                 # daily rollup (types x days) collected
                                 # ONCE, 3 remove-and-retest rounds in

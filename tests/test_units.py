@@ -3781,3 +3781,96 @@ def test_croston_kernel_matches_loop(spark):
            all_specs()["ts_forecast_croston"].fn(spark, SF_SMOKE).collect()]
     assert len(new) > 0
     assert new == out
+
+
+def test_hnsw_driver_search_matches_spark_form(spark):
+    """r15-opt pin: the driver-coordinated HNSW beam search reproduces
+    the replaced Spark pipeline (per-round rank windows + shuffled
+    joins + localCheckpoints) bit-for-bit — full (qid, vec_id, cosine,
+    rank) frame compare over the sf0.001 stored graph."""
+    from pyspark.sql import Window
+
+    from hdfs_mr_spark.io import fan_out, table
+    from hdfs_mr_spark.operators.llm_similarity import (
+        _HNSW_BEAM, _HNSW_ENTRIES, _HNSW_ROUNDS, _ann_params, _dot,
+        _n_embeddings, _norm, _hnsw_beam_search,
+    )
+    from hdfs_mr_spark.registry import all_specs
+    from hdfs_mr_spark.sources.scans import _fixture_dir
+    from tests.conftest import SF_SMOKE
+
+    # ensure the stored graph exists (the owning op builds+publishes)
+    all_specs()["llm_sim_knn_hnsw"].fn(spark, SF_SMOKE)
+    e = table(spark, SF_SMOKE, "embeddings")
+    cells, _np_, _b = _ann_params(_n_embeddings(spark, SF_SMOKE))
+    nodes = fan_out(
+        e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    )
+    c = nodes.filter(F.col("vec_id") < cells).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    edges = spark.read.parquet(
+        str(_fixture_dir(SF_SMOKE) / "hnsw_store" / "edges")
+    )
+
+    # literal replica of the pre-r15-opt Spark beam search
+    q = nodes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    visited = (
+        q.join(F.broadcast(c))
+        .select(
+            "qid",
+            F.col("cid").alias("vec_id"),
+            (_dot(F.col("qe"), F.col("ce"))
+             / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _HNSW_ENTRIES)
+        .select("qid", "vec_id", "cosine")
+        .localCheckpoint()
+    )
+    for _round in range(_HNSW_ROUNDS):
+        beam = (
+            visited.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= _HNSW_BEAM)
+            .select("qid", "vec_id")
+        )
+        cand = (
+            beam.join(edges, beam.vec_id == edges.src)
+            .select("qid", F.col("dst").alias("vec_id"))
+            .distinct()
+        )
+        new = cand.join(
+            visited.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti"
+        )
+        scored_new = (
+            new.join(nodes, "vec_id")
+            .join(F.broadcast(q), "qid")
+            .select(
+                "qid", "vec_id",
+                (_dot(F.col("qe"), F.col("embedding"))
+                 / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+            )
+        )
+        visited = visited.unionByName(scored_new).localCheckpoint()
+    old = (
+        visited.filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rank", F.row_number().over(wq).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "vec_id", "cosine", "rank")
+        .orderBy("qid", "rank")
+        .collect()
+    )
+    new_rows = (
+        _hnsw_beam_search(nodes, c, edges).orderBy("qid", "rank").collect()
+    )
+    assert len(new_rows) > 0
+    assert [tuple(r) for r in new_rows] == [tuple(r) for r in old]
