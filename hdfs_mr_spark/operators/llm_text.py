@@ -3042,10 +3042,13 @@ def llm_tokenizer_viterbi(spark, sf_dir):
     combiner-shape substring count, edge costs come from joining the
     candidates back against the vocabulary; only the per-doc DP walk
     (inherently sequential in position) runs in a grouped-map pandas
-    kernel over each doc's OWN edge list (parallelism = docs, memory =
-    one 120-char lattice). The DuckDB oracle replays the identical DP
-    as a lockstep recursive CTE whose working set is the last four
-    positions (age 0..3).
+    kernel — docs hash-bucketed 256 ways with the walk looped inside
+    the kernel (r15-opt; one group per doc paid the r13 ~40x per-group
+    Arrow overhead n_docs times), emitting per-lang combiner partials
+    (exact int64 sums, so bucketing cannot perturb a bit; parallelism
+    = buckets, memory = one 120-char lattice). The DuckDB oracle
+    replays the identical DP as a lockstep recursive CTE whose working
+    set is the last four positions (age 0..3).
 
     Scale: vocabulary counting and lattice construction are linear
     scans + one shuffle each; the kernel receives O(len x 4) rows per
@@ -3091,39 +3094,58 @@ def llm_tokenizer_viterbi(spark, sf_dir):
     )
 
     schema = (
-        "doc_id bigint, lang string, n_chars bigint, "
-        "n_tokens bigint, cost bigint"
+        "lang string, n_docs bigint, total_chars bigint, "
+        "total_tokens bigint, total_cost bigint"
     )
 
     def viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
-        L = int(pdf["L"].iloc[0])
-        by_p: dict[int, list[tuple[int, int]]] = {}
-        for p, ln, c in zip(pdf["p"], pdf["len"], pdf["cost"]):
-            by_p.setdefault(int(p), []).append((int(ln), int(c)))
-        best = [0] + [None] * L
-        for p in range(1, L + 1):
-            b = None
-            for ln, c in by_p.get(p, ()):
-                prev = best[p - ln]
-                if prev is not None and (b is None or prev + c < b):
-                    b = prev + c
-            best[p] = b
-        return pd.DataFrame([{
-            "doc_id": int(pdf["doc_id"].iloc[0]),
-            "lang": pdf["lang"].iloc[0],
-            "n_chars": L,
-            "n_tokens": best[L] // 2 ** 40,
-            "cost": best[L],
-        }])
+        # r15-opt (the r13 applyInPandas lesson, guide §4.2): one group
+        # per DOC paid the ~40x per-group Arrow overhead ~n_docs times;
+        # the kernel now receives a 256-way HASH BUCKET and loops the
+        # per-doc DP inside, emitting per-lang COMBINER partials (exact
+        # int64 sums of the identical per-doc DP values — addition is
+        # commutative, so bucket boundaries cannot perturb a bit).
+        agg: dict[str, list[int]] = {}
+        for (_doc, lang), g in pdf.groupby(["doc_id", "lang"], sort=False):
+            L = int(g["L"].iloc[0])
+            by_p: dict[int, list[tuple[int, int]]] = {}
+            for p, ln, c in zip(g["p"], g["len"], g["cost"]):
+                by_p.setdefault(int(p), []).append((int(ln), int(c)))
+            best = [0] + [None] * L
+            for p in range(1, L + 1):
+                b = None
+                for ln, c in by_p.get(p, ()):
+                    prev = best[p - ln]
+                    if prev is not None and (b is None or prev + c < b):
+                        b = prev + c
+                best[p] = b
+            a = agg.setdefault(lang, [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += L
+            a[2] += best[L] // 2 ** 40
+            a[3] += best[L]
+        return pd.DataFrame(
+            [
+                {"lang": lang, "n_docs": a[0], "total_chars": a[1],
+                 "total_tokens": a[2], "total_cost": a[3]}
+                for lang, a in agg.items()
+            ],
+            columns=["lang", "n_docs", "total_chars", "total_tokens",
+                     "total_cost"],
+        )
 
-    per_doc = edges.groupBy("doc_id", "lang").applyInPandas(viterbi, schema)
+    partials = (
+        edges.withColumn("bkt", F.col("doc_id") % 256)
+        .groupBy("bkt")
+        .applyInPandas(viterbi, schema)
+    )
     return (
-        per_doc.groupBy("lang")
+        partials.groupBy("lang")
         .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("total_chars"),
-            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-            F.sum("cost").cast("bigint").alias("total_cost"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_chars").cast("bigint").alias("total_chars"),
+            F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("total_cost").cast("bigint").alias("total_cost"),
         )
         .orderBy("lang")
     )
