@@ -1462,13 +1462,16 @@ def fn_avro(spark, sf_dir):
     trivially true.
 
     Scale: pure per-row CPU over Arrow batches, no shuffle except the
-    presentation sort."""
+    presentation sort — fan_out'ed first (r15-opt): the single-file
+    orders fixture otherwise runs the whole per-row codec chain on ONE
+    task (the r13 fn_geohash lesson)."""
     from hdfs_mr_spark.functions.udfs import repo_kernel
+    from hdfs_mr_spark.io import fan_out
 
-    o = table(spark, sf_dir, "orders").select(
+    o = fan_out(table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-    )
+    ))
     return o.mapInPandas(
         repo_kernel("hdfs_mr_spark.sources.avro_codec", "fn_avro_kernel"),
         schema=(
