@@ -1195,23 +1195,34 @@ def mr_accumulators(spark, sf_dir):
     n_disc = sc.accumulator(0)
     cents = sc.accumulator(0)
 
-    def tally(rows):
-        for r in rows:
-            n_records.add(1)
-            if r["l_quantity"] >= 40:
-                n_high.add(1)
-            if r["l_discount"] > 0.05:
-                n_disc.add(1)
-            # floor(x+0.5) = SQL round() half-away-from-zero for the
-            # positive prices; python round() is banker's rounding and
-            # would diverge from the oracle on exact halves
-            cents.add(int(r["l_extendedprice"] * 100 + 0.5))
-            yield 1
+    def tally(batches):
+        # r15-opt (guide §4.2): same accumulator channel, vectorized —
+        # each Arrow batch contributes ONE .add() per counter with the
+        # numpy-summed increment instead of a Python row loop over
+        # pickled Row objects (the adds still happen inside the single
+        # tallying action, so the exactly-once discipline is unchanged).
+        # floor(x*100 + 0.5) = SQL round() half-away-from-zero for the
+        # positive prices (int() truncation == floor for non-negative);
+        # python round()/Series.round would be banker's and diverge on
+        # exact halves.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n_records.add(len(pdf))
+            n_high.add(int((pdf["l_quantity"] >= 40).sum()))
+            n_disc.add(int((pdf["l_discount"] > 0.05).sum()))
+            p = pdf["l_extendedprice"].to_numpy()
+            cents.add(int(np.floor(p * 100.0 + 0.5).astype(np.int64).sum()))
+            yield pd.DataFrame({"one": [1]})
 
     li = table(spark, sf_dir, "lineitem").select(
         "l_quantity", "l_discount", "l_extendedprice"
     )
-    li.rdd.mapPartitions(tally).count()  # the ONE action driving the pass
+    # the ONE action driving the pass
+    li.mapInPandas(tally, "one int").write.format("noop").mode(
+        "overwrite"
+    ).save()
     return spark.createDataFrame(
         [(n_records.value, n_high.value, n_disc.value, cents.value)],
         "n_records bigint, n_high_qty bigint, n_discounted bigint, cents_seen bigint",
