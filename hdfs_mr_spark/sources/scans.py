@@ -1054,8 +1054,12 @@ def fn_xml(spark, sf_dir):
     for money) so no float formatting enters the XML.
 
     Scale: pure per-row projections — codegen'd concat, one JVM XML
-    parse per row, no shuffle except the presentation sort."""
-    o = table(spark, sf_dir, "orders")
+    parse per row, no shuffle except the presentation sort — fan_out'ed
+    first (r15-opt): the single-file orders fixture otherwise runs the
+    per-row parse chain on ONE task (the r13 fn_geohash lesson)."""
+    from hdfs_mr_spark.io import fan_out
+
+    o = fan_out(table(spark, sf_dir, "orders"))
     doc = F.concat(
         F.lit("<o><k>"), F.col("o_orderkey").cast("string"),
         F.lit("</k><p>"), F.col("o_orderpriority"),
