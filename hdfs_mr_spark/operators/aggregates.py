@@ -561,12 +561,122 @@ def agg_approx_quantile(spark, sf_dir):
     GK guarantee eps*n (eps = 1/accuracy = 1e-3). The oracle asserts
     TRUE — a sketch outside its error bound fails the hash."""
     li = table(spark, sf_dir, "lineitem")
+    # Exact twins, distributed (r15-opt, guide §2.3/§5.2): the sort-buffer
+    # `percentile` aggregate collected every group's 600k doubles into ONE
+    # final-merge buffer per group (2.26 s of the op's 3.4 s at sf0.1, and
+    # THE per-group memory bomb at 100 TB). Replaced by exact distributed
+    # selection in the bucketed_global_rank discipline: (1) combiner-shape
+    # (flag, price-bucket) counts; (2) tiny triangular offsets locate the
+    # ONE bucket holding each target rank; (3) only those buckets' rows
+    # (~bucket-width, not group-width) are ranked by a partitioned window;
+    # (4) a conditional aggregate reads the value AT each rank. The
+    # interpolation below is Spark Percentile.getPercentile's own formula —
+    # pos = q*(n-1), (higher-pos)*v_lo + (pos-lower)*v_hi, lower==higher =>
+    # v_lo — applied to the identical sorted values, so the output is
+    # bit-for-bit the old aggregate's (oracle-verified at all three SFs).
+    base = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.floor(F.col("l_extendedprice") / F.lit(1024.0)).cast("int").alias("bkt"),
+    )
+    counts = (
+        base.groupBy("l_returnflag", "bkt")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()  # ~315 rows; consumed by offsets, n, and the pick
+    )
+    prior = counts.select(
+        F.col("l_returnflag").alias("pf"), F.col("bkt").alias("pb"),
+        F.col("cnt").alias("pn"),
+    )
+    offs = (
+        counts.join(
+            prior,
+            (F.col("l_returnflag") == F.col("pf")) & (F.col("pb") < F.col("bkt")),
+            "left",
+        )
+        .groupBy("l_returnflag", "bkt", "cnt")
+        .agg(F.coalesce(F.sum("pn"), F.lit(0)).alias("off"))
+    )
+    nfr = counts.groupBy("l_returnflag").agg(F.sum("cnt").alias("n"))
+    # one row per (flag, quantile, lo/hi endpoint): the 1-based target rank
+    # of Spark's 0-based floor(pos) / ceil(pos) indices
+    nd_ = F.col("n").cast("double")
+    tgt = nfr.select(
+        "l_returnflag", "n",
+        F.explode(
+            F.array(
+                F.struct(F.lit("50").alias("q"), (F.lit(0.5) * (nd_ - 1)).alias("pos")),
+                F.struct(F.lit("99").alias("q"), (F.lit(0.99) * (nd_ - 1)).alias("pos")),
+            )
+        ).alias("t"),
+    ).select(
+        "l_returnflag", "n", F.col("t.q").alias("q"), F.col("t.pos").alias("pos"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("lo").alias("end"),
+                         (F.floor(F.col("t.pos")).cast("bigint") + 1).alias("rank")),
+                F.struct(F.lit("hi").alias("end"),
+                         (F.ceil(F.col("t.pos")).cast("bigint") + 1).alias("rank")),
+            )
+        ).alias("e"),
+    ).select(
+        "l_returnflag", "n", "q", "pos",
+        F.col("e.end").alias("end"), F.col("e.rank").alias("rank"),
+    )
+    offs_r = offs.select(
+        F.col("l_returnflag").alias("of_flag"), "bkt", "cnt", "off"
+    )
+    picks = tgt.join(
+        offs_r,
+        (F.col("l_returnflag") == F.col("of_flag"))
+        & (F.col("off") < F.col("rank"))
+        & (F.col("rank") <= F.col("off") + F.col("cnt")),
+    ).select("l_returnflag", "q", "end", "rank", "bkt", "off").localCheckpoint()
+    need = picks.select("l_returnflag", "bkt", "off").distinct()
+    wb = Window.partitionBy("l_returnflag", "bkt").orderBy("v")
+    ranked = (
+        base.join(F.broadcast(need), ["l_returnflag", "bkt"])
+        .withColumn("rk", F.row_number().over(wb) + F.col("off"))
+    )
+    picks_b = picks.select(
+        F.col("l_returnflag").alias("pf2"), "q", "end", "rank"
+    )
+    vals = (
+        ranked.join(
+            F.broadcast(picks_b),
+            (F.col("pf2") == F.col("l_returnflag")) & (F.col("rank") == F.col("rk")),
+            "inner",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(F.when((F.col("q") == "50") & (F.col("end") == "lo"), F.col("v"))).alias("v50lo"),
+            F.min(F.when((F.col("q") == "50") & (F.col("end") == "hi"), F.col("v"))).alias("v50hi"),
+            F.min(F.when((F.col("q") == "99") & (F.col("end") == "lo"), F.col("v"))).alias("v99lo"),
+            F.min(F.when((F.col("q") == "99") & (F.col("end") == "hi"), F.col("v"))).alias("v99hi"),
+        )
+    )
+
+    def _interp(pos, lo, hi):
+        lower = F.floor(pos)
+        higher = F.ceil(pos)
+        return F.when(lower == higher, lo).otherwise(
+            (higher.cast("double") - pos) * lo + (pos - lower.cast("double")) * hi
+        )
+
+    pmath = nfr.select(
+        "l_returnflag", "n",
+        (F.lit(0.5) * (nd_ - 1)).alias("pos50"),
+        (F.lit(0.99) * (nd_ - 1)).alias("pos99"),
+    )
+    exact = vals.join(pmath, "l_returnflag").select(
+        "l_returnflag", "n",
+        _interp(F.col("pos50"), F.col("v50lo"), F.col("v50hi")).alias("p50_exact"),
+        _interp(F.col("pos99"), F.col("v99lo"), F.col("v99hi")).alias("p99_exact"),
+    )
+    # GK-sketch half + realized-rank audit: unchanged
     agg = li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("_a50"),
         F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("_a99"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99_exact"),
-        F.count("*").alias("n"),
     )
     ranks = (
         li.join(F.broadcast(agg.select("l_returnflag", "_a50", "_a99")), "l_returnflag")
@@ -579,7 +689,7 @@ def agg_approx_quantile(spark, sf_dir):
     nd = F.col("n").cast("double")
     tol = nd * F.lit(0.004) + F.lit(1.0)  # 4x the eps*n GK bound, +1 boundary slack
     return (
-        agg.join(ranks, "l_returnflag")
+        exact.join(ranks, "l_returnflag")
         .select(
             "l_returnflag",
             "n",

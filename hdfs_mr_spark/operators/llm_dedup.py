@@ -622,23 +622,32 @@ def shingle_frame_of(docs):
     transform 24-way, so re-evaluating the un-materialized token
     arrays always costs more than the two scheduling jobs saved
     (PERF.md r10). The parameter was dropped."""
-    toks = fan_out(
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
-    ).localCheckpoint()
-    # size guard: sequence(1, size-2) is DESCENDING ([1,0]) for <3 tokens
-    # and element_at(toks, 0) raises — short docs get an empty shingle set
-    # (exactly what DuckDB's empty range(1, len-1) produces)
+    # r15-opt (guide §2.4): the old form materialized the token arrays in
+    # their own eager localCheckpoint because `element_at(toks, i)` inside
+    # the index-transform re-evaluated split() per shingle index (PERF.md
+    # finding 2). The zip_with-over-slices spelling below references toks
+    # a fixed number of times PER ROW (not per shingle), so the extra
+    # checkpoint job + its shuffle barrier go away: 0.50 -> 0.31 s for the
+    # build at sf0.1, arrays bit-identical (the sliding zip preserves
+    # first-occurrence order, so array_distinct output is unchanged).
+    # size guard: slice lengths of size-2 are non-positive for <3 tokens —
+    # short docs get an empty shingle set (exactly what DuckDB's empty
+    # range(1, len-1) produces).
     shingles = F.array_distinct(
         F.expr(
             "IF(size(toks) >= 3,"
-            " transform(sequence(1, size(toks) - 2),"
-            "  i -> concat_ws(' ', element_at(toks, i),"
-            "  element_at(toks, i+1), element_at(toks, i+2))),"
+            " zip_with(slice(toks, 1, size(toks) - 2),"
+            "          zip_with(slice(toks, 2, size(toks) - 2),"
+            "                   slice(toks, 3, size(toks) - 2),"
+            "                   (b, c) -> concat(b, ' ', c)),"
+            "          (a, bc) -> concat(a, ' ', bc)),"
             " array())"
         )
     )
-    out = toks.select("doc_id", shingles.alias("s")).withColumn(
-        "sz", F.size("s")
+    out = (
+        fan_out(docs.select("doc_id", F.split("text", " ").alias("toks")))
+        .select("doc_id", shingles.alias("s"))
+        .withColumn("sz", F.size("s"))
     )
     return out.localCheckpoint()
 
@@ -1001,24 +1010,31 @@ def _trigram_exact_pairs(spark, sf_dir):
     corpus, not just ones where banding recall happens to be 1.0
     (ADVICE r1). Still sub-quadratic: pairs sharing no shingle never
     materialize."""
+    # r15-opt (guide §2.3 — shuffle keys and metadata together instead of
+    # re-attaching them): each side of the posting join carries its doc's
+    # shingle-set size, so the two post-aggregation size joins vanish —
+    # sz rides the (already required) shuffles as one extra int column
+    # and the Jaccard filter evaluates straight off the pair aggregate.
+    # Same pair set, same IEEE division, measured 1.25 -> 1.10 s warm.
     sh = _shingle_frame(spark, sf_dir)
-    tok = sh.select("doc_id", F.explode("s").alias("s"))
-    sizes = sh.select("doc_id", F.col("sz"))
-    t2 = tok.select(F.col("doc_id").alias("doc_id2"), F.col("s").alias("s2"))
+    tok = sh.select("doc_id", "sz", F.explode("s").alias("s"))
+    t2 = tok.select(
+        F.col("doc_id").alias("doc_id2"), F.col("sz").alias("sz2"),
+        F.col("s").alias("s2"),
+    )
     inter = (
         tok.join(t2, (tok.s == t2.s2) & (tok.doc_id < t2.doc_id2))
-        .groupBy(F.col("doc_id").alias("d1"), F.col("doc_id2").alias("d2"))
+        .groupBy(
+            F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"),
+            F.col("doc_id2").alias("d2"), F.col("sz2"),
+        )
         .agg(F.count("*").alias("n_common"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
     jac = F.col("n_common").cast("double") / (
         (F.col("sz1") + F.col("sz2") - F.col("n_common")).cast("double")
     )
     return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .select("d1", "d2", jac.alias("jaccard"))
+        inter.select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
 

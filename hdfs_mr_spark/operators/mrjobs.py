@@ -304,34 +304,43 @@ def mr_pagerank(spark, sf_dir):
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).select(F.col("d1").alias("src"), F.col("d2").alias("dst")).localCheckpoint()
     deg = bidir.groupBy("src").agg(F.count("*").alias("deg"))
-    ranks = d.select("doc_id", F.lit(1000000).cast("bigint").alias("r"))
+    # r15-opt (guide §2.4): the round body was 3 joins + a documents
+    # re-scan — (bidir x ranks x deg) then a left join back onto ALL doc
+    # ids (46 Exchanges / 30 SortMergeJoins over 5 unrolled rounds). Two
+    # structural facts remove two of the three: (1) deg is loop-invariant,
+    # so it rides ON the checkpointed edge list (ed), never re-joined;
+    # (2) the graph is SYMMETRIC, so every edge endpoint has an in-edge
+    # and contrib's dst set IS the edge-node set — the per-round left
+    # join against all docs collapses to a projection of contrib itself.
+    # Isolated docs never send or receive rank: they sit at the damping
+    # floor 150000 from round 1 (the old left join's coalesce(s,0) path),
+    # stitched in ONCE at the end via an anti-join. Same integer
+    # arithmetic on the same groups -> bit-identical ranks.
+    ed = bidir.join(deg, "src").localCheckpoint()
+    en = ed.select(F.col("src").alias("doc_id")).distinct().localCheckpoint()
+    ranks = en.select("doc_id", F.lit(1000000).cast("bigint").alias("r"))
     for _ in range(5):
         contrib = (
-            bidir.join(ranks, bidir.src == ranks.doc_id)
-            .join(deg, "src")
+            ed.join(ranks, ed.src == ranks.doc_id)
             .select("dst", F.expr("r div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            d.select("doc_id")
-            .join(contrib, d.doc_id == contrib.dst, "left")
-            .select(
-                "doc_id",
-                F.expr(
-                    "cast(150000 + (850 * coalesce(s, 0)) div 1000 as bigint)"
-                ).alias("r"),
-            )
+        ranks = contrib.select(
+            F.col("dst").alias("doc_id"),
+            F.expr("cast(150000 + (850 * s) div 1000 as bigint)").alias("r"),
         )
-    return (
-        ranks.join(deg, ranks.doc_id == deg.src, "left")
-        .select(
-            "doc_id",
-            F.col("r").alias("rank_micro"),
-            F.coalesce("deg", F.lit(0)).cast("bigint").alias("degree"),
-        )
-        .orderBy("doc_id")
+    edge_part = ranks.join(deg, ranks.doc_id == deg.src).select(
+        "doc_id",
+        F.col("r").alias("rank_micro"),
+        F.col("deg").cast("bigint").alias("degree"),
     )
+    iso = d.select("doc_id").join(en, "doc_id", "left_anti").select(
+        "doc_id",
+        F.lit(150000).cast("bigint").alias("rank_micro"),
+        F.lit(0).cast("bigint").alias("degree"),
+    )
+    return edge_part.unionByName(iso).orderBy("doc_id")
 
 
 @query(
@@ -437,11 +446,17 @@ def mr_kmeans(spark, sf_dir):
             .groupBy("vec_id", "cid")
             .agg(F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("d"))
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+        # r15-opt (guide §2.3, the r13 decimal-key lesson): the per-round
+        # row_number window (shuffle + SORT of every (vec, cid) distance
+        # row by vec_id) becomes a combiner-shape MIN over the packed key
+        # d*8 + cid — bit-identical to ORDER BY d ASC, cid ASC picking
+        # rank 1, since cid < 8 and d <= 64*(2e6)^2 so d*8 + 7 < 2^61
+        # cannot collide or overflow. Partial aggregation collapses the
+        # 8 candidate rows per vector map-side before the exchange.
         a = (
-            d.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "cid")
+            d.groupBy("vec_id")
+            .agg(F.min(F.col("d") * 8 + F.col("cid")).alias("_k"))
+            .select("vec_id", (F.col("_k") % 8).cast("bigint").alias("cid"))
         )
         c = (
             a.join(vdim, "vec_id")
@@ -825,6 +840,13 @@ def mr_bfs(spark, sf_dir):
     first-discovery level IS the minimum level, so they agree."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    # r15-opt (guide §2.4/§5.4): inc was consumed THREE times lazily (both
+    # union branches of bidir + the seed filter), re-running the
+    # lineitem x orders join + distinct each time; checkpoint it once and
+    # derive all three cheaply. The per-round dist checkpoint is dropped:
+    # dist is a flat union of already-checkpointed frontiers (no lineage
+    # growth to cut), so eagerly re-materializing the growing union each
+    # round was pure overhead.
     inc = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -832,12 +854,11 @@ def mr_bfs(spark, sf_dir):
             F.concat(F.lit("p"), F.col("l_partkey")).alias("pnode"),
         )
         .distinct()
-    )
-    bidir = (
-        inc.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst"))
-        .union(inc.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst")))
         .localCheckpoint()
     )
+    bidir = inc.select(
+        F.col("cnode").alias("src"), F.col("pnode").alias("dst")
+    ).union(inc.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst")))
     seeds = (
         inc.select(F.col("cnode").alias("node"))
         .distinct()
@@ -859,7 +880,7 @@ def mr_bfs(spark, sf_dir):
         )
         if frontier.isEmpty():
             break
-        dist = dist.unionByName(frontier).localCheckpoint()
+        dist = dist.unionByName(frontier)
     return dist
 
 
@@ -1063,6 +1084,9 @@ def mr_sssp(spark, sf_dir):
     the oracle's level-bounded recursive CTE + MIN(d) enumerates."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    # r15-opt (guide §2.4/§5.4, the mr_bfs discipline): inc was consumed
+    # three times lazily (both union branches + the seed filter),
+    # re-running the join + min-groupBy each time; checkpoint it once.
     inc = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -1070,12 +1094,11 @@ def mr_sssp(spark, sf_dir):
             F.concat(F.lit("p"), F.col("l_partkey")).alias("pnode"),
         )
         .agg(F.min("l_quantity").cast("bigint").alias("w"))
-    )
-    edges = (
-        inc.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst"), "w")
-        .union(inc.select(F.col("pnode"), F.col("cnode"), "w"))
         .localCheckpoint()
     )
+    edges = inc.select(
+        F.col("cnode").alias("src"), F.col("pnode").alias("dst"), "w"
+    ).union(inc.select(F.col("pnode"), F.col("cnode"), "w"))
     dist = (
         inc.select(F.col("cnode").alias("node"))
         .distinct()
