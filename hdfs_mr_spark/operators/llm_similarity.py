@@ -1471,6 +1471,13 @@ def llm_cluster_kmeans(spark, sf_dir):
     e = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
 
     def d2(emb, ce):
+        # NOTE (r15-opt): an unrolled 64-term element_at chain (the r9
+        # _pq_dist pattern) was A/B'd here and measured SLOWER than this
+        # fold (1.42 vs 1.02 s per assignment pass) — the r9 lesson holds
+        # for 2-8-wide subvectors, but at 64 elements the per-element
+        # bounds-checked element_at calls and the oversized codegen method
+        # cost more than one interpreted pass over the array. Kept as the
+        # fold.
         return F.aggregate(
             F.zip_with(
                 emb, ce,
@@ -1485,6 +1492,12 @@ def llm_cluster_kmeans(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double")).alias("ce"),
     ).localCheckpoint()
     for _r in range(_KM_ROUNDS):
+        # The in-loop argmin KEEPS the row_number window: a combiner
+        # min(struct(d2, cid, embedding)) was A/B'd (r15-opt) and measured
+        # SLOWER for the whole op — the 64-float embedding payload rides
+        # through every struct-min comparison buffer, which costs more
+        # than the window's sort of 8 rows per vector. The payload-free
+        # final assignment below DOES use the combiner form.
         w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
         assign = (
             e.crossJoin(F.broadcast(cent))
@@ -1512,13 +1525,12 @@ def llm_cluster_kmeans(spark, sf_dir):
             )
             .localCheckpoint()
         )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
     return (
         e.crossJoin(F.broadcast(cent))
         .select("vec_id", "cid", d2(F.col("embedding"), F.col("ce")).alias("d2"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", F.col("cid").alias("cluster"), F.col("d2").alias("dist2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cluster"), F.col("m.d2").alias("dist2"))
         .orderBy("vec_id")
     )
 

@@ -1313,6 +1313,9 @@ def mr_label_propagation(spark, sf_dir):
     mr_pagerank's rounds."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    # r15-opt (guide §2.4, the mr_bfs discipline): inc was consumed twice
+    # by the union — the lineitem x orders join + distinct ran 2x per
+    # query; checkpoint it once and derive the edge list lazily.
     inc = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -1320,16 +1323,14 @@ def mr_label_propagation(spark, sf_dir):
             F.concat(F.lit("p"), F.col("l_partkey")).alias("pnode"),
         )
         .distinct()
-    )
-    edges = (
-        inc.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst"))
-        .union(inc.select(F.col("pnode"), F.col("cnode")))
         .localCheckpoint()
     )
+    edges = inc.select(
+        F.col("cnode").alias("src"), F.col("pnode").alias("dst")
+    ).union(inc.select(F.col("pnode"), F.col("cnode")))
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     ).localCheckpoint()
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
     for _ in range(3):
         cnt = (
             labels.join(edges, F.col("node") == F.col("src"))
@@ -1337,10 +1338,16 @@ def mr_label_propagation(spark, sf_dir):
             .agg(F.count("*").alias("c"))
             .withColumnRenamed("nnode", "node")
         )
+        # r15-opt (guide §2.3): the most-frequent-label pick was a
+        # row_number window — a second full shuffle + SORT of every
+        # (node, label, c) row per round. min(struct(-c, lbl)) is the
+        # identical total order (c DESC == -c ASC, then lbl ASC; lbl is
+        # unique within a node's rows so there is no residual tie) as a
+        # combiner-shape aggregate with map-side partials.
         labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lbl")
+            cnt.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "lbl")).alias("m"))
+            .select("node", F.col("m.lbl").alias("lbl"))
             .localCheckpoint()
         )
     # community size via combiner groupBy + join, NOT a window
