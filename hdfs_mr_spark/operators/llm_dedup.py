@@ -1618,6 +1618,9 @@ def llm_sketch_audit(spark, sf_dir):
     Scale: signatures are one combiner-shape aggregate (24 longs per
     doc); the audit join touches only the near-dup pairs, not n^2."""
     pairs = _trigram_exact_pairs(spark, sf_dir)
+    # r15-opt NOTE: a sig localCheckpoint (both join sides consume it) was
+    # A/B-REFUTED (2.34/2.85 base vs 3.02/3.59 dirty) — ReusedExchange
+    # already shares the signature exchange between the sides. Left lazy.
     sig = _minhash_sig(spark, sf_dir)
     n_h = 2 * _MINHASH_BANDS
     s1 = sig.select(
@@ -2713,6 +2716,10 @@ def llm_dedup_lsh_audit(spark, sf_dir):
             for bn in range(n_bands)
         ]
     )
+    # r15-opt NOTE: checkpointing buckets/truth/cand (duplicate-subtree
+    # suspicion) was A/B-REFUTED — ReusedExchange already shares the
+    # signature exchange between the self-join sides; the barriers made
+    # it slower (2.28/2.36 base vs 2.56/3.22 dirty). Left lazy.
     buckets = sig.select(
         "doc_id", F.explode(bands).alias("bk")
     ).select("doc_id", "bk.band", "bk.h1", "bk.h2")
@@ -2879,9 +2886,12 @@ def llm_dedup_cdc(spark, sf_dir):
             f"concat(array(0), {cuts}, array(length(text)))"
         ).alias("allc"),
     )
+    # r15-opt (guide §5.4): ch is consumed three times (sizes + both join
+    # sides) — the chunk-md5 explode + distinct re-ran 3x; checkpoint once.
     ch = (
         with_cuts.select("doc_id", F.explode(F.expr(chunks)).alias("h"))
         .distinct()
+        .localCheckpoint()
     )
     sizes = ch.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = ch.select(F.col("doc_id").alias("d1"), "h")

@@ -375,6 +375,11 @@ def llm_lang_id(spark, sf_dir):
     doc-side token stream is scanned once — at 100 TB the only shuffle
     is the per-doc score aggregation."""
     d = table(spark, sf_dir, "documents")
+    # r15-opt NOTE: checkpointing tok/prof here (the duplicate-subtree
+    # suspicion from the 14-scan plan) was A/B-REFUTED — runtime
+    # ReusedExchange already dedupes the repeated subtrees and the eager
+    # barriers only serialized the jobs (1.76/1.64 base vs 1.82/2.16
+    # dirty). Left lazy on purpose.
     tok = d.select("doc_id", F.explode(_toks()).alias("w"))
     v = corpus_stats.vocab_size(spark, sf_dir)  # cached corpus stat (stats.py)
     prof = (
@@ -1781,7 +1786,7 @@ def llm_lm_score_bigram(spark, sf_dir):
     on 2 of 32 cores. Kept: the original one-pass join shape + fan_out
     (3.3 s, beats the <=6 s target; hashes unchanged)."""
     d = table(spark, sf_dir, "documents")
-    tok = fan_out(d.select("doc_id", _toks().alias("l")))
+    tok = fan_out(d.select("doc_id", _toks().alias("l"))).localCheckpoint()
     big = tok.select(
         "doc_id",
         F.explode(
@@ -1796,7 +1801,9 @@ def llm_lm_score_bigram(spark, sf_dir):
     train_tok = tok.filter(F.col("doc_id") % 2 == 0).select(
         F.explode("l").alias("w")
     )
-    train_uni = train_tok.groupBy("w").agg(F.count("*").alias("ucnt"))
+    train_uni = train_tok.groupBy("w").agg(
+        F.count("*").alias("ucnt")
+    ).localCheckpoint()
     train_big = (
         big.filter(F.col("doc_id") % 2 == 0)
         .groupBy("w1", "w2")
@@ -3316,13 +3323,19 @@ def llm_importance_resample(spark, sf_dir):
     a = tok.select("doc_id", "lang", "i", F.col("w").alias("wa"))
     b = tok.select("doc_id", (F.col("i") - 1).alias("i"),
                    F.col("w").alias("wb"))
+    # r15-opt (guide §5.4): bg is consumed twice (bstat + the scoring
+    # join) and scored twice more (threshold + final rollup) — without
+    # materialization the tokenize + position self-join + md5 subtree
+    # re-expanded FOUR times (plan showed 16 parquet scans / 28
+    # Exchanges). Checkpoint each reused frame once: 4 scans, and the
+    # bigram hash is computed once.
     bg = a.join(b, ["doc_id", "i"]).select(
         "doc_id", "lang",
         F.expr(
             "CAST(conv(substr(md5(concat(wa, ' ', wb)), 1, 6), 16, 10)"
             " AS BIGINT) % 1024"
         ).alias("bucket"),
-    )
+    ).localCheckpoint()
     bstat = bg.groupBy("bucket").agg(
         F.sum((F.col("lang") == "en").cast("bigint")).alias("ct"),
         F.sum((F.col("lang") != "en").cast("bigint")).alias("cr"),
@@ -3335,7 +3348,7 @@ def llm_importance_resample(spark, sf_dir):
                 F.expr("(ct + 1) * 10000 DIV (cr + 1)")
             ).alias("imp")
         )
-    )
+    ).localCheckpoint()
     thr = scored.agg(
         F.expr("SUM(imp) DIV COUNT(*)").alias("mean_imp")
     )
@@ -4304,6 +4317,9 @@ def llm_lm_score_kn(spark, sf_dir):
     broadcast 1-row totals aggregate — no driver scalar, one lazy
     plan."""
     d = table(spark, sf_dir, "documents")
+    # r15-opt NOTE: a tok localCheckpoint (the bigram scorer's win) was
+    # A/B'd here and measured FLAT across three pairs — kn already
+    # checkpoints train_big, which covers the expensive reuse. Left lazy.
     tok = fan_out(d.select("doc_id", _toks().alias("l")))
     big = tok.select(
         "doc_id",
