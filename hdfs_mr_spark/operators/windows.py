@@ -3540,13 +3540,23 @@ def ts_matrix_profile(spark, sf_dir):
             "        div (CAST(den_a AS DECIMAL(38,0)) * den_b)) END"
         ).alias("key"),
     )
-    wr = Window.partitionBy("event_type", "ia").orderBy(
-        F.col("key").desc(), F.col("jb").asc()
+    # r15-opt (guide §2.3, the r13 decimal-key discipline — same swap as
+    # ts_matrix_profile_ab): the nearest-neighbor pick was a row_number
+    # window sorting the whole O(n_sub^2)-per-type pair stream; a plain
+    # bigint MAX over the packed key collapses it map-side to one row
+    # per subsequence. |key| <= 1e6 (Cauchy-Schwarz), jb < 1e9
+    # (calendar-bounded), den>0 filtered upstream so key is never NULL.
+    packed = keyed.select(
+        "event_type", "ia",
+        (
+            (F.col("key").cast("bigint") + F.lit(1000000))
+            * F.lit(1000000000)
+            + (F.lit(999999999) - F.col("jb"))
+        ).alias("pk"),
     )
+    best = packed.groupBy("event_type", "ia").agg(F.max("pk").alias("pk"))
     return (
-        keyed.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") == 1)
-        .withColumn(
+        best.withColumn(
             # profiled-subsequence count per type, windowless second
             # pass avoided: every live subsequence emits exactly one
             # profile row whenever it has >= 1 admissible neighbor
@@ -3559,8 +3569,10 @@ def ts_matrix_profile(spark, sf_dir):
         .select(
             "event_type",
             F.col("ia").cast("bigint").alias("i"),
-            F.col("jb").cast("bigint").alias("nn_i"),
-            F.col("key").cast("bigint").alias("corr2_signed_micro"),
+            (F.lit(999999999) - F.expr("pmod(pk, 1000000000)"))
+            .cast("bigint").alias("nn_i"),
+            (F.expr("pk div 1000000000") - F.lit(1000000))
+            .cast("bigint").alias("corr2_signed_micro"),
             "n_subseq",
         )
         .orderBy("event_type", "i")
@@ -4122,18 +4134,33 @@ def ts_matrix_profile_ab(spark, sf_dir):
             "        div (CAST(den_a AS DECIMAL(38,0)) * den_b)) END"
         ).alias("key"),
     )
-    wr = Window.partitionBy("ta", "tb", "ia").orderBy(
-        F.col("key").desc(), F.col("jb").asc()
+    # r15-opt (guide §2.3, the r13 decimal-key discipline): the best-match
+    # pick was a row_number window — the ENTIRE quadratic AB pair stream
+    # shuffled and sorted by (ta, tb, ia). A plain bigint MAX over the
+    # packed key collapses it map-side to one row per subsequence before
+    # the exchange. Packing is exact: |key| <= 1e6 (Cauchy-Schwarz bounds
+    # corr^2 micro), jb < 1e9 (calendar-bounded subsequence index), so
+    # pack = (key+1e6)*1e9 + (1e9-1-jb) <= ~2.1e15 < 2^63 and max(pack)
+    # realizes (key DESC, jb ASC) exactly; den>0 (filtered in _mp_live)
+    # means key is never NULL, so no group loses rows.
+    packed = keyed.select(
+        "ta", "tb", "ia",
+        (
+            (F.col("key").cast("bigint") + F.lit(1000000))
+            * F.lit(1000000000)
+            + (F.lit(999999999) - F.col("jb"))
+        ).alias("pk"),
     )
+    best = packed.groupBy("ta", "tb", "ia").agg(F.max("pk").alias("pk"))
     return (
-        keyed.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") == 1)
-        .select(
+        best.select(
             F.col("ta").alias("event_type_a"),
             F.col("tb").alias("event_type_b"),
             F.col("ia").cast("bigint").alias("i"),
-            F.col("jb").cast("bigint").alias("nn_j"),
-            F.col("key").cast("bigint").alias("corr2_signed_micro"),
+            (F.lit(999999999) - F.expr("pmod(pk, 1000000000)"))
+            .cast("bigint").alias("nn_j"),
+            (F.expr("pk div 1000000000") - F.lit(1000000))
+            .cast("bigint").alias("corr2_signed_micro"),
         )
         .orderBy("event_type_a", "event_type_b", "i")
     )
