@@ -3559,10 +3559,25 @@ def llm_sim_maxsim_colbert(spark, sf_dir):
             F.col("v").alias("qv"),
         )
     )
+    # r15-opt (guide §4.2, the r9 _pq_dist regime): the token-vectors are
+    # 8-wide, so the unrolled element_at chain IS the win here (1.04 ->
+    # 0.47 s for the pair pass, bit-equal: the chain is left-associative
+    # like _dot's fold and IEEE 0.0 + t1 == t1) — unlike the 64-wide
+    # cosine case where the fold stays (llm_cluster_kmeans's measured
+    # inversion of the unroll lesson).
+    def _dot8(a, b):
+        acc = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
+        for i in range(2, 9):
+            acc = acc + (
+                F.element_at(a, i).cast("double")
+                * F.element_at(b, i).cast("double")
+            )
+        return acc
+
     pair = (
         tv.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .groupBy("qid", "vec_id", "qi")
-        .agg(F.max(_dot(F.col("qv"), F.col("v"))).alias("mx"))
+        .agg(F.max(_dot8(F.col("qv"), F.col("v"))).alias("mx"))
     )
     sc = (
         pair.groupBy("qid", "vec_id")
