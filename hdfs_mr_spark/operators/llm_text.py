@@ -3440,6 +3440,9 @@ def llm_segment_texttiling(spark, sf_dir):
     tok = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
     ).filter(F.col("w") != "")
+    # r15-opt NOTE: checkpointing blk/depth (the 50-Exchange/16-scan plan
+    # suspicion) was A/B-REFUTED (flat-to-worse at matched controls) —
+    # left lazy like dq_t_closeness/mr_apriori; see OPTIMIZATION_r15.md.
     blk = tok.select(
         "doc_id", (F.col("i") / 16).cast("bigint").alias("blk"), "w"
     ).distinct()

@@ -1426,6 +1426,9 @@ def mr_apriori(spark, sf_dir):
             .cast("bigint").alias("item"),
         )
         .distinct()
+        # r15-opt NOTE: a localCheckpoint here (5 lazy consumers) was
+        # A/B-REFUTED (2.00/1.67 base vs 2.40/2.77 dirty) — the barrier
+        # costs more than the shared re-expansion. Left lazy.
     )
     tot = b.agg(F.countDistinct("oid").alias("n_baskets"))
     l1 = (

@@ -1203,13 +1203,19 @@ def etl_fk_inference(spark, sf_dir):
     ]
     frames = []
     for rel, child, parent in probes:
+        # r15-opt (guide §2.4): one pass instead of two — the semi-join
+        # count and the distinct count consumed ck twice, re-running the
+        # corpus-sized distinct-project per consumer (plan: 70 Exchanges /
+        # 30 scans across the 5 probes). A left join against the distinct
+        # parent keys yields BOTH counts from a single scan of ck:
+        # count(*) is the child cardinality, count(hit) the contained
+        # subset (parent is distinct, so the join cannot duplicate rows).
         ck = child.distinct()
-        stats = (
-            ck.join(parent.distinct(), "k", "semi")
-            .agg(F.count("*").alias("contained"))
-            .join(F.broadcast(
-                ck.agg(F.count("*").alias("child_distinct"))
-            ))
+        stats = ck.join(
+            parent.distinct().withColumn("hit", F.lit(1)), "k", "left"
+        ).agg(
+            F.count("*").alias("child_distinct"),
+            F.count("hit").alias("contained"),
         )
         frames.append(stats.select(
             F.lit(rel).alias("rel"),
@@ -1617,6 +1623,11 @@ def dq_t_closeness(spark, sf_dir):
     leave the executors."""
     c = table(spark, sf_dir, "customer")
     sens = F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+    # r15-opt NOTE: materializing the shared 3-column projection once
+    # (the 80-Exchange/32-scan plan suspicion) was A/B-REFUTED — 2.48/2.52
+    # base vs 3.86/3.09 dirty; the re-expanded subtrees are cheap
+    # projections the runtime already shares, and the barrier serialized
+    # 12 otherwise-overlapping jobs. Left lazy.
     level_exprs = [
         [F.col("c_nationkey"), F.col("c_mktsegment")],
         [F.expr("c_nationkey DIV 5"), F.col("c_mktsegment")],
