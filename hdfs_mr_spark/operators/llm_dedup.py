@@ -2333,6 +2333,13 @@ def llm_dedup_near_weighted(spark, sf_dir):
         F.col("doc_id").alias("d2"), F.col("t").alias("t2"),
         F.col("cv").alias("bcv"),
     )
+    # r15-opt NOTE: unrolling this fold into a 31-term element_at chain
+    # (the r9 _pq_dist pattern) was A/B-REFUTED catastrophically (3.0 →
+    # ~20 s): the expression is a JOIN-CONDITION residual, where big
+    # expression trees run interpreted node-per-node and fall out of
+    # codegen — exactly _dot's documented finding. Folds stay in join
+    # residuals; unrolls only pay inside codegen'd projections/aggregates
+    # of narrow arrays (llm_sim_maxsim_colbert's 8-wide case).
     mn = F.aggregate(
         F.zip_with("acv", "bcv", lambda x, y: F.least(x, y)),
         F.lit(0).cast("bigint"),
