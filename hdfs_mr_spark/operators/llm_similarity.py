@@ -4095,6 +4095,11 @@ def _hnsw_beam_search(nodes, c, edges, banned_base=None):
     spark = nodes.sparkSession
 
     def fold_cos(qe, qn, emb, nrm):
+        # zero-norm guard: the replaced Spark expression yielded NULL
+        # cosine under non-ANSI /0 (sorted last, never beating a real
+        # score) — return None and let callers skip, instead of raising
+        if qn * nrm == 0:
+            return None
         acc = 0.0
         for xa, xb in zip(qe, emb):
             acc += float(xa) * float(xb)
@@ -4122,7 +4127,12 @@ def _hnsw_beam_search(nodes, c, edges, banned_base=None):
     visited = {}
     for qid, qe, qn in qrows:
         scored = sorted(
-            ((fold_cos(qe, qn, ce, cn), cid) for cid, ce, cn in crows),
+            (
+                (cos, cid)
+                for cid, ce, cn in crows
+                for cos in (fold_cos(qe, qn, ce, cn),)
+                if cos is not None
+            ),
             key=lambda t: (-t[0], t[1]),
         )[:_HNSW_ENTRIES]
         visited[qid] = {cid: cos for cos, cid in scored}
@@ -4141,8 +4151,14 @@ def _hnsw_beam_search(nodes, c, edges, banned_base=None):
         # 4.7 s of the whole search on ~1k ids); expr() ships one
         # string and parses JVM-side
         adj: dict = {}
-        in_src = F.expr(f"src IN ({','.join(map(str, need_src))})")
-        for r in edges.filter(in_src).collect():
+        # empty-beam guard (degenerate corpus, no centroids): `src IN ()`
+        # is a ParseException — skip the lookup, adj stays empty (the
+        # need_emb lookup below already guards the same way)
+        in_src = (
+            F.expr(f"src IN ({','.join(map(str, need_src))})")
+            if need_src else None
+        )
+        for r in (edges.filter(in_src).collect() if need_src else []):
             # base/delta serving (hnsw_delta): rows arrive tagged with a
             # `base` column and the base tier of a re-linked src is
             # dropped DRIVER-side — the exact twin of the old
@@ -4171,7 +4187,9 @@ def _hnsw_beam_search(nodes, c, edges, banned_base=None):
         for qid, qe, qn in qrows:
             for vid in new_per_q[qid]:
                 e_, n_ = emb_cache[vid]
-                visited[qid][vid] = fold_cos(qe, qn, e_, n_)
+                cos = fold_cos(qe, qn, e_, n_)
+                if cos is not None:
+                    visited[qid][vid] = cos
     out = []
     for qid, vis in visited.items():
         top = sorted(
