@@ -3740,17 +3740,21 @@ def llm_tokenizer_wordpiece(spark, sf_dir):
     (the r10 dead-branch lesson) and the op stays meaningful on a
     90k-type Zipf corpus where absolute thresholds collapse.
 
-    Spark-first shape — NO per-row Python: tokenization happens over
-    DISTINCT WORDS ONLY (Heaps-law collapse BEFORE any join, the
-    family discipline), weighted back by (lang, word) occurrence
-    counts at the end. Greedy's data-dependent walk is expressed as
-    16 chained equi-joins against the precomputed step function
-    best(word, pos) = max matching piece length — greedy only ever
-    takes the max, so the argmax collapses into ONE combiner aggregate
-    and each round is a broadcastable join over the distinct-word
-    frame (checkpointed every 4 rounds to bound plan depth). The
-    DuckDB twin replays the walk as a recursive CTE over the same step
-    function.
+    Tokenization happens over DISTINCT WORDS ONLY (Heaps-law collapse
+    BEFORE any join, the family discipline), weighted back by
+    (lang, word) occurrence counts at the end. The step function
+    best(word, pos) = max matching piece length collapses greedy's
+    argmax into ONE combiner aggregate; the data-dependent walk over
+    it is a per-word sequential fold, so it runs as ONE bucketed
+    Arrow kernel pass (r16-opt, guide §4.2/§2.4 — the viterbi/croston
+    discipline): step rows hash-bucket 256 ways and each word's ≤16
+    greedy hops loop inside the kernel, replacing the former 16
+    chained equi-join rounds + 4 localCheckpoint plan-depth barriers
+    (measured 2.7–2.9 → 1.53 s at sf0.1, outputs bit-identical — the
+    kernel replays the identical walk over the identical step rows;
+    pinned by tests/test_units.py::test_wordpiece_kernel_matches_join_form).
+    The DuckDB twin replays the walk as a recursive CTE over the same
+    step function.
 
     Scale: piece counting and the step function are vocabulary-sized
     (distinct words x <=16 positions x 4 lengths), not corpus-sized;
@@ -3803,35 +3807,31 @@ def llm_tokenizer_wordpiece(spark, sf_dir):
         cand.join(vocab, ["kind", "len", "piece"])
         .groupBy("word", "p")
         .agg(F.max("len").alias("blen"))
-        .select(F.col("word").alias("sw"), F.col("p").alias("sp"),
-                "blen")
-        .localCheckpoint()
     )
-    state = wd.select(
-        "word", "wlen",
-        F.lit(1).alias("pos"), F.lit(0).alias("toks"),
+    import pandas as pd
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        # greedy longest-match walk per word, ≤16 hops each: every
+        # position p ≤ wlen has a step row (single chars are always in
+        # vocabulary), so blen[pos] is total on the walked domain
+        out_w, out_t = [], []
+        for word, g in pdf.groupby("word", sort=False):
+            blen = dict(zip(g["p"].astype(int), g["blen"].astype(int)))
+            wlen = len(word)
+            pos, toks = 1, 0
+            while pos <= wlen:
+                pos += blen[pos]
+                toks += 1
+            out_w.append(word)
+            out_t.append(toks)
+        return pd.DataFrame({"word": out_w, "toks": out_t})
+
+    toksw = (
+        step.withColumn("bkt", F.pmod(F.xxhash64("word"), F.lit(256)))
+        .groupBy("bkt")
+        .applyInPandas(walk, "word string, toks int")
     )
-    for i in range(16):
-        state = (
-            state.join(
-                step,
-                (state.word == step.sw) & (state.pos == step.sp),
-                "left",
-            )
-            .select(
-                "word", "wlen",
-                F.when(F.col("pos") <= F.col("wlen"),
-                       F.col("pos") + F.col("blen"))
-                .otherwise(F.col("pos")).alias("pos"),
-                F.when(F.col("pos") <= F.col("wlen"),
-                       F.col("toks") + 1)
-                .otherwise(F.col("toks")).alias("toks"),
-            )
-        )
-        if i % 4 == 3:  # bound analysis/plan depth across the rounds
-            state = state.localCheckpoint()
-    toksw = state.select("word", "wlen", "toks")
-    j = occ.join(toksw, "word")
+    j = occ.join(toksw, "word").withColumn("wlen", F.length("word"))
     return (
         j.groupBy("lang")
         .agg(

@@ -3874,3 +3874,111 @@ def test_hnsw_driver_search_matches_spark_form(spark):
     )
     assert len(new_rows) > 0
     assert [tuple(r) for r in new_rows] == [tuple(r) for r in old]
+
+
+def test_wordpiece_kernel_matches_join_form(spark):
+    """r16-opt: llm_tokenizer_wordpiece's greedy walk now runs as one
+    bucketed Arrow kernel over the step function instead of 16 chained
+    left-join rounds (+4 localCheckpoint barriers). Pin the FULL
+    returned frame bit-for-bit against a literal replica of the
+    replaced join-walk pipeline on the smoke fixture."""
+    from hdfs_mr_spark.io import table
+    from hdfs_mr_spark.operators.llm_text import llm_tokenizer_wordpiece
+    from tests.conftest import SF_SMOKE
+
+    # literal replica of the replaced r12 join-walk form
+    d = table(spark, SF_SMOKE, "documents")
+    ws = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.col("w") != "").select(
+        "lang", F.substring("w", 1, 16).alias("word")
+    )
+    occ = ws.groupBy("lang", "word").agg(F.count("*").alias("occ"))
+    wd = (
+        occ.groupBy("word")
+        .agg(F.sum("occ").alias("wcnt"))
+        .withColumn("wlen", F.length("word"))
+        .localCheckpoint()
+    )
+    tot = wd.agg(F.sum("wcnt").alias("occ_total"))
+    cand = (
+        wd.select(
+            "word", "wcnt", "wlen",
+            F.explode(F.sequence(F.lit(1), F.col("wlen"))).alias("p"),
+        )
+        .select(
+            "word", "wcnt", "wlen", "p",
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)]))
+            .alias("len"),
+        )
+        .filter(F.col("p") + F.col("len") - 1 <= F.col("wlen"))
+        .select(
+            "word", "wcnt", "p", "len",
+            F.expr("substring(word, p, len)").alias("piece"),
+            F.when(F.col("p") == 1, F.lit("init"))
+            .otherwise(F.lit("cont")).alias("kind"),
+        )
+    )
+    vocab = (
+        cand.groupBy("kind", "len", "piece")
+        .agg(F.sum("wcnt").alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("len") == 1)
+            | (F.col("c") >= F.expr("occ_total DIV 64"))
+        )
+        .select("kind", "len", "piece")
+    )
+    step = (
+        cand.join(vocab, ["kind", "len", "piece"])
+        .groupBy("word", "p")
+        .agg(F.max("len").alias("blen"))
+        .select(F.col("word").alias("sw"), F.col("p").alias("sp"), "blen")
+        .localCheckpoint()
+    )
+    state = wd.select(
+        "word", "wlen", F.lit(1).alias("pos"), F.lit(0).alias("toks"),
+    )
+    for i in range(16):
+        state = (
+            state.join(
+                step,
+                (state.word == step.sw) & (state.pos == step.sp),
+                "left",
+            )
+            .select(
+                "word", "wlen",
+                F.when(F.col("pos") <= F.col("wlen"),
+                       F.col("pos") + F.col("blen"))
+                .otherwise(F.col("pos")).alias("pos"),
+                F.when(F.col("pos") <= F.col("wlen"),
+                       F.col("toks") + 1)
+                .otherwise(F.col("toks")).alias("toks"),
+            )
+        )
+        if i % 4 == 3:
+            state = state.localCheckpoint()
+    j = occ.join(state.select("word", "wlen", "toks"), "word")
+    old = (
+        j.groupBy("lang")
+        .agg(
+            F.sum("occ").cast("bigint").alias("words_total"),
+            F.sum(F.col("occ") * F.col("toks")).cast("bigint")
+            .alias("tokens_total"),
+            F.sum(F.col("occ") * F.col("wlen")).cast("bigint")
+            .alias("chars_total"),
+            F.expr(
+                "CAST(CAST(SUM(occ * toks) AS DECIMAL(38,0)) * 1000000"
+                " DIV SUM(occ) AS BIGINT)"
+            ).alias("fertility_micro"),
+            F.expr(
+                "CAST(CAST(SUM(occ * toks) AS DECIMAL(38,0)) * 1000000"
+                " DIV SUM(occ * wlen) AS BIGINT)"
+            ).alias("tokens_per_char_micro"),
+        )
+        .orderBy("lang")
+        .collect()
+    )
+    new = llm_tokenizer_wordpiece(spark, SF_SMOKE).collect()
+    assert len(new) > 0
+    assert [tuple(r) for r in new] == [tuple(r) for r in old]
