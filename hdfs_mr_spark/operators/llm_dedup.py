@@ -372,7 +372,7 @@ def _conf_broadcast_bytes(spark) -> int:
 
 def _bitmask_encoded_docs(spark, sf_dir, n_vocab: int | None = None):
     """Dictionary-encoded distinct-token bitmasks per document:
-    returns (enc, mask_cols, n_docs) where enc has (doc_id, s, sz,
+    returns (enc, mask_cols, n_docs) where enc has (doc_id, sz,
     m0..mK) — the shared front half of every mask-residual dedup
     kernel (_bitmask_near_pairs, llm_dedup_containment).
 
@@ -389,7 +389,12 @@ def _bitmask_encoded_docs(spark, sf_dir, n_vocab: int | None = None):
     toks = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("s")
     ).withColumn("sz", F.size("s"))
-    tok = toks.select("doc_id", F.explode("s").alias("w"))
+    # sz rides the explode so the mask groupBy below yields the full
+    # enc row directly (r16-opt, guide §2.3/§2.4): no consumer reads
+    # the token array itself, so the former toks ⋈ masks re-attach
+    # join — and its second scan of documents — is dead weight. Flat
+    # at fixture scale (A/B'd), one fewer corpus pass structurally.
+    tok = toks.select("doc_id", "sz", F.explode("s").alias("w"))
     vocab = bucketed_global_rank(
         tok.select("w").distinct(),
         F.pmod(F.xxhash64("w"), F.lit(16)),
@@ -411,9 +416,13 @@ def _bitmask_encoded_docs(spark, sf_dir, n_vocab: int | None = None):
     bcast_limit = _conf_broadcast_bytes(spark)
     # ~string word + int id per dictionary row
     vj = F.broadcast(vocab) if 0 < n_vocab * 48 <= bcast_limit else vocab
-    masks = (
+    # checkpoint: enc feeds BOTH join sides (a exploded, b build side)
+    # and AQE re-plans pull the whole dictionary+mask subtree 16-20x per
+    # query without it (counted in the sf0.1 sweep log). One
+    # materialization removes the re-execution.
+    enc = (
         tok.join(vj, "w")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "sz")
         .agg(
             *[
                 F.bit_or(
@@ -425,12 +434,8 @@ def _bitmask_encoded_docs(spark, sf_dir, n_vocab: int | None = None):
                 for k in range(n_words)
             ]
         )
+        .localCheckpoint()
     )
-    # checkpoint: enc feeds BOTH join sides (a exploded, b build side)
-    # and AQE re-plans pull the whole dictionary+mask subtree 16-20x per
-    # query without it (counted in the sf0.1 sweep log). One
-    # materialization removes the re-execution.
-    enc = toks.join(masks, "doc_id").localCheckpoint()
     n_docs = enc.count()  # checkpoint is materialized; this is free
     mask_cols = [f"m{k}" for k in range(n_words)]
     return enc, mask_cols, n_docs
